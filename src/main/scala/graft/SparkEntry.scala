@@ -20,8 +20,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++
+      graft.queries.GeoQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracleSql
+    graft.queries.CoreQueries.oracleSql ++
+      graft.queries.GeoQueries.oracleSql
 }

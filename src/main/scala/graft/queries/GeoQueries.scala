@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.geom._
+
+/** Geometry-flavored SURVEY §2 operators over the driver testdata.
+  *
+  * xyz/ra-dec inputs are synthesized from integer keys with *rational*
+  * arithmetic (add/mul/div of small integers) so Spark and DuckDB compute
+  * bit-identical doubles — no libm (sin/atan2) on the oracle-compared
+  * path. Where libm is unavoidable (c1), outputs are rounded to 6
+  * decimals and the row set is bounded.
+  */
+object GeoQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  // Synthetic direction vector from event_id: components are exact
+  // rationals in [-1, 1]; vector left unnormalized, predicates are scaled
+  // by |v| instead (sqrt is IEEE-exact, so both engines agree).
+  private def synthXyz(df: DataFrame): DataFrame = df
+    .withColumn("sx", (pmod(col("event_id") * 37L, lit(2001L)) - 1000L) / 1000.0)
+    .withColumn("sy", (pmod(col("event_id") * 101L, lit(2001L)) - 1000L) / 1000.0)
+    .withColumn("sz", (pmod(col("event_id") * 61L, lit(2001L)) - 1000L) / 1000.0)
+    .where(col("sx") =!= 0.0 || col("sy") =!= 0.0 || col("sz") =!= 0.0)
+
+  private val synthXyzSql =
+    """SELECT *,
+      |  ((event_id * 37) % 2001 - 1000) / 1000.0 AS sx,
+      |  ((event_id * 101) % 2001 - 1000) / 1000.0 AS sy,
+      |  ((event_id * 61) % 2001 - 1000) / 1000.0 AS sz
+      |FROM events
+      |WHERE NOT (((event_id * 37) % 2001 = 1000) AND ((event_id * 101) % 2001 = 1000)
+      |  AND ((event_id * 61) % 2001 = 1000))""".stripMargin
+
+  // cone axis (exact rationals after normalization by sqrt(3) kept
+  // symbolic: use unnormalized axis and scale the threshold instead)
+  private val axTxt = "(0.6, 0.48, 0.64)" // |axis| = 1.0 exactly? 0.36+0.2304+0.4096 = 1.0
+  private val (ax, ay, az) = (0.6, 0.48, 0.64) // exact: |axis|^2 = 1.0
+  private val cosOpen = 0.94 // cos of ~20deg, exact decimal literal
+
+  /** F1 — vectorized cone-search filter (`DIA.py:72-77`):
+    * dot(pointing, src) > cos(open/2) · |src|. */
+  val f1ConeFilter: QFn = (s, d) => {
+    synthXyz(Tables.events(s, d))
+      .where(col("sx") * ax + col("sy") * ay + col("sz") * az >
+        lit(cosOpen) * sqrt(col("sx") * col("sx") + col("sy") * col("sy") + col("sz") * col("sz")))
+      .select(col("event_id"), col("sx"), col("sy"), col("sz"))
+      .orderBy(col("event_id"))
+  }
+  val f1Sql =
+    s"""SELECT event_id, sx, sy, sz FROM ($synthXyzSql)
+       |WHERE sx * $ax + sy * $ay + sz * $az > $cosOpen * sqrt(sx*sx + sy*sy + sz*sz)
+       |ORDER BY event_id""".stripMargin
+
+  /** F3 — region anti-mask: outsiders get sentinel id -666 then are
+    * filtered (`_executors.py:57-58,166-171`). Box region in the synth
+    * plane keeps the arithmetic rational. */
+  val f3RegionMask: QFn = (s, d) => {
+    synthXyz(Tables.events(s, d))
+      .withColumn("masked_id",
+        when(col("sx") > -0.5 && col("sx") < 0.5 &&
+          col("sy") > -0.25 && col("sy") < 0.75, col("user_id"))
+          .otherwise(lit(-666L)))
+      .where(col("masked_id") =!= -666L)
+      .select(col("event_id"), col("masked_id"))
+      .orderBy(col("event_id"))
+  }
+  val f3Sql =
+    s"""SELECT event_id,
+       |  CASE WHEN sx > -0.5 AND sx < 0.5 AND sy > -0.25 AND sy < 0.75
+       |    THEN user_id ELSE -666 END AS masked_id
+       |FROM ($synthXyzSql)
+       |WHERE NOT (CASE WHEN sx > -0.5 AND sx < 0.5 AND sy > -0.25 AND sy < 0.75
+       |    THEN user_id ELSE -666 END = -666)
+       |ORDER BY event_id""".stripMargin
+
+  /** F4 — exact region containment: convex-polygon half-plane test with
+    * rational vertices (`_executors.py:240-263`). The astronomy path uses
+    * SphericalPolygon.contains; the oracle form is the identical
+    * cross-product sign test. */
+  val f4RegionFilter: QFn = (s, d) => {
+    // convex quad (counter-clockwise): (-0.6,-0.4) (0.7,-0.5) (0.8,0.6) (-0.5,0.55)
+    val vs = Seq((-0.6, -0.4), (0.7, -0.5), (0.8, 0.6), (-0.5, 0.55))
+    val preds = vs.indices.map { i =>
+      val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.length)
+      (lit(x2 - x1) * (col("sy") - y1) - lit(y2 - y1) * (col("sx") - x1)) >= 0.0
+    }.reduce(_ && _)
+    synthXyz(Tables.events(s, d))
+      .where(preds)
+      .select(col("event_id"), col("sx"), col("sy"))
+      .orderBy(col("event_id"))
+  }
+  val f4Sql = {
+    val vs = Seq((-0.6, -0.4), (0.7, -0.5), (0.8, 0.6), (-0.5, 0.55))
+    val preds = vs.indices.map { i =>
+      val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.length)
+      s"(${x2 - x1}) * (sy - ($y1)) - (${y2 - y1}) * (sx - ($x1)) >= 0.0"
+    }.mkString(" AND ")
+    s"""SELECT event_id, sx, sy FROM ($synthXyzSql)
+       |WHERE $preds
+       |ORDER BY event_id""".stripMargin
+  }
+
+  /** C1 — xyz → (ra, dec) degrees (`_executors.py:297-300`). atan2/asin
+    * differ in the last ulp across libms → rounded to 6 decimals and
+    * bounded to 1000 rows. */
+  val c1XyzToRadec: QFn = (s, d) => {
+    synthXyz(Tables.events(s, d))
+      .where(col("event_id") < 1000)
+      .withColumn("norm", sqrt(col("sx") * col("sx") + col("sy") * col("sy") + col("sz") * col("sz")))
+      .select(col("event_id"),
+        round(degrees(atan2(col("sy"), col("sx"))), 6).as("ra"),
+        round(degrees(asin(col("sz") / col("norm"))), 6).as("dec"))
+      .orderBy(col("event_id"))
+  }
+  val c1Sql =
+    s"""SELECT event_id,
+       |  round(degrees(atan2(sy, sx)), 6) AS ra,
+       |  round(degrees(asin(sz / sqrt(sx*sx + sy*sy + sz*sz))), 6) AS dec
+       |FROM ($synthXyzSql) WHERE event_id < 1000
+       |ORDER BY event_id""".stripMargin
+
+  // Pixel ranges shared by j3/j4: a small "envelope" of [lo, hi) rows.
+  private val rangeRows = Seq(
+    (0L, 0L, 380L), (1L, 380L, 520L), (2L, 500L, 700L),
+    (3L, 1024L, 1400L), (4L, 2000L, 2300L), (5L, 3900L, 4096L))
+  private val rangesSql = rangeRows
+    .map { case (id, lo, hi) => s"($id, $lo, $hi)" }
+    .mkString("(VALUES ", ", ", ") AS r(range_id, lo, hi)")
+
+  /** J3 — pixel-range join: rows whose pixelId falls in any envelope
+    * range [lo, hi) (README.md:118-124). Broadcast the tiny range set. */
+  val j3PixelRangeJoin: QFn = (s, d) => {
+    import s.implicits._
+    val ranges = rangeRows.toDF("range_id", "lo", "hi")
+    Tables.lineitem(s, d)
+      .withColumn("pixel_id", pmod(col("l_orderkey") * 2654435761L, lit(4096L)))
+      .join(broadcast(ranges),
+        col("pixel_id") >= col("lo") && col("pixel_id") < col("hi"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("pixel_id"), col("range_id"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("range_id"))
+  }
+  val j3Sql =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  (l_orderkey * 2654435761) % 4096 AS pixel_id, range_id
+       |FROM lineitem JOIN $rangesSql
+       |  ON (l_orderkey * 2654435761) % 4096 >= lo
+       | AND (l_orderkey * 2654435761) % 4096 < hi
+       |ORDER BY l_orderkey, l_linenumber, range_id""".stripMargin
+
+  /** J4 — tile×pixel overlap counts (`part_sim.py:100-122`): how many
+    * tiles (ranges) cover each pixel. */
+  val j4TilePixelOverlap: QFn = (s, d) => {
+    import s.implicits._
+    val ranges = rangeRows.toDF("range_id", "lo", "hi")
+    Tables.lineitem(s, d)
+      .withColumn("pixel_id", pmod(col("l_orderkey") * 2654435761L, lit(4096L)))
+      .select(col("pixel_id")).distinct()
+      .join(broadcast(ranges),
+        col("pixel_id") >= col("lo") && col("pixel_id") < col("hi"))
+      .groupBy(col("pixel_id"))
+      .agg(count(lit(1)).as("n_tiles"))
+      .orderBy(col("pixel_id"))
+  }
+  val j4Sql =
+    s"""SELECT pixel_id, COUNT(*) AS n_tiles FROM
+       |  (SELECT DISTINCT (l_orderkey * 2654435761) % 4096 AS pixel_id FROM lineitem) p
+       |JOIN $rangesSql ON pixel_id >= lo AND pixel_id < hi
+       |GROUP BY pixel_id ORDER BY pixel_id""".stripMargin
+
+  /** A8 — Monte-Carlo summary means over the overlap join
+    * (`part_sim.py:124-128`): integer-exact averages. */
+  val a8McSummary: QFn = (s, d) => {
+    j4TilePixelOverlap(s, d)
+      .agg(count(lit(1)).as("n_pixels"),
+        sum(col("n_tiles")).as("sum_tiles"))
+      .withColumn("tiles_per_pixel", col("sum_tiles") / col("n_pixels").cast("double"))
+  }
+  val a8Sql =
+    s"""SELECT COUNT(*) AS n_pixels, CAST(SUM(n_tiles) AS BIGINT) AS sum_tiles,
+       |  CAST(SUM(n_tiles) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS tiles_per_pixel
+       |FROM (${j4Sql.replace("ORDER BY pixel_id", "")})""".stripMargin
+
+  /** U3 — camera raft grid minus corner rafts (`geom.py:177-201`):
+    * EXCEPT on (ix, iy). */
+  val u3CameraTiles: QFn = (s, d) => {
+    import s.implicits._
+    val grid = s.range(5).select(col("id").as("ix"))
+      .crossJoin(s.range(5).select(col("id").as("iy")))
+    val corners = Seq((0L, 0L), (0L, 4L), (4L, 0L), (4L, 4L)).toDF("ix", "iy")
+    grid.except(corners).orderBy(col("ix"), col("iy"))
+  }
+  val u3Sql =
+    """SELECT ix, iy FROM
+      |  (SELECT a.range AS ix, b.range AS iy FROM range(5) a, range(5) b)
+      |EXCEPT
+      |SELECT * FROM (VALUES (0, 0), (0, 4), (4, 0), (4, 4)) AS c(ix, iy)
+      |ORDER BY ix, iy""".stripMargin
+
+  // --- non-SQL-expressible geometry keys (rows-only driver check; the
+  // --- real assertions live in ScalaTest property suites) ---
+
+  /** C2 — rotation matrices applied row-wise: rotate the synthesized
+    * catalog onto a pointing (`geom.py:37-56`, `generators.py:89-91`). */
+  val c2Rotation: QFn = (s, d) => {
+    import s.implicits._
+    val rot = Mat3.rotateInto(Vec3.zAxis, Vec3(0.6, 0.48, 0.64))
+    val m = rot.m
+    synthXyz(Tables.events(s, d))
+      .select(col("event_id"),
+        (col("sx") * m(0) + col("sy") * m(1) + col("sz") * m(2)).as("rx"),
+        (col("sx") * m(3) + col("sy") * m(4) + col("sz") * m(5)).as("ry"),
+        (col("sx") * m(6) + col("sy") * m(7) + col("sz") * m(8)).as("rz"))
+      .orderBy(col("event_id"))
+  }
+
+  /** C3 — spherical triangle areas per row (`geom.py:243-267`). */
+  val c3TriangleArea: QFn = (s, d) => {
+    import s.implicits._
+    val rows = (1 to 64).map { i =>
+      val vs = Generators.sphereXyz(3, seed = i.toLong)
+      (i.toLong, Geom.triangleArea(vs(0), vs(1), vs(2)))
+    }
+    rows.toDF("triangle_id", "area").orderBy(col("triangle_id"))
+  }
+
+  /** A9 — polygon area as sum over fan triangles (`geom.py:225-240`). */
+  val a9PolyArea: QFn = (s, d) => {
+    import s.implicits._
+    val pointing = Vec3(0.2, -0.5, -0.8).normalized
+    val rows = Tiles.squareTiles(pointing, math.toRadians(3.52), 8).map { t =>
+      (t.id.toLong, t.ix, t.iy, t.polygon.area)
+    }
+    rows.toDF("tile_id", "ix", "iy", "area").orderBy(col("tile_id"))
+  }
+
+  /** C4 — tile mosaic generation (`geom.py:59-222`): emit the tiles
+    * table; counts pinned by GeomSpec. */
+  val c4MakeTiles: QFn = (s, d) => {
+    import s.implicits._
+    val pointing = Vec3(0.2, -0.5, -0.8).normalized
+    val rows = Tiles.cameraTiles(pointing, math.toRadians(3.52), 2).map { t =>
+      val c = t.polygon.vertices.reduce(_ + _).normalized
+      val (ra, dec) = c.toRaDec
+      (t.id.toLong, t.ix, t.iy, ra, dec)
+    }
+    rows.toDF("tile_id", "ix", "iy", "center_ra", "center_dec")
+      .orderBy(col("tile_id"))
+  }
+
+  /** C5 — seeded point generators (`generators.py:33-91`): emit the
+    * generated catalog; invariants pinned by GeneratorsSpec. */
+  val c5Generators: QFn = (s, d) => {
+    import s.implicits._
+    val pts = Generators.sphereXyz(1000, hemi = -1, seed = 42L)
+    pts.zipWithIndex.map { case (v, i) => (i.toLong, v.x, v.y, v.z) }
+      .toDF("source_idx", "x", "y", "z").orderBy(col("source_idx"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "f1_cone_filter" -> f1ConeFilter,
+    "f3_region_mask" -> f3RegionMask,
+    "f4_region_filter" -> f4RegionFilter,
+    "c1_xyz_to_radec" -> c1XyzToRadec,
+    "j3_pixel_range_join" -> j3PixelRangeJoin,
+    "j4_tile_pixel_overlap" -> j4TilePixelOverlap,
+    "a8_mc_summary" -> a8McSummary,
+    "u3_camera_tiles" -> u3CameraTiles,
+    "c2_rotation" -> c2Rotation,
+    "c3_triangle_area" -> c3TriangleArea,
+    "a9_poly_area" -> a9PolyArea,
+    "c4_make_tiles" -> c4MakeTiles,
+    "c5_generators" -> c5Generators,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "f1_cone_filter" -> f1Sql,
+    "f3_region_mask" -> f3Sql,
+    "f4_region_filter" -> f4Sql,
+    "c1_xyz_to_radec" -> c1Sql,
+    "j3_pixel_range_join" -> j3Sql,
+    "j4_tile_pixel_overlap" -> j4Sql,
+    "a8_mc_summary" -> a8Sql,
+    "u3_camera_tiles" -> u3Sql,
+  )
+}
