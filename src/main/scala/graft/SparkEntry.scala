@@ -21,9 +21,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-      graft.queries.GeoQueries.queries
+      graft.queries.GeoQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.TextQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
-      graft.queries.GeoQueries.oracleSql
+      graft.queries.GeoQueries.oracleSql ++
+      graft.queries.DedupQueries.oracleSql ++
+      graft.queries.TextQueries.oracleSql
 }

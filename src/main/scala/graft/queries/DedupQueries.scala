@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators: deduplication + similarity search
+  * (SURVEY.md §7.6 north-star extensions). Designed for 100 TB scale:
+  * everything is shuffle-by-bucket (LSH bands / hash buckets), never
+  * all-pairs, except the small-side brute-force baselines.
+  *
+  * Oracle-compared float math goes through exact integer scaling
+  * (round(x*1e6) per element, integer sums) so Spark and DuckDB agree
+  * bit-for-bit; see CoreQueries determinism notes.
+  */
+object DedupQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  // -- x1: exact dedup ----------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on content, keep lowest id as canonical.
+    * At scale this is a single shuffle on a 128-bit content hash
+    * (not the full text). */
+  val x1DedupExact: QFn = (s, d) => {
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+      .orderBy(col("canonical_id"))
+  }
+  val x1Sql =
+    """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text)
+      |ORDER BY canonical_id""".stripMargin
+
+  // -- x2: MinHash + LSH near-dedup --------------------------------------
+
+  val SigSize = 64
+  val Bands = 16 // 4 rows per band
+  private val MersennePrime = 2147483647L // 2^31 - 1
+  // seeded affine hash parameters (deterministic across runs)
+  private val (hashA, hashB) = {
+    val rng = new scala.util.Random(1234)
+    (Array.fill(SigSize)(1L + rng.nextInt(Int.MaxValue - 1)),
+      Array.fill(SigSize)(rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** doc_id + 64-component MinHash signature over word 3-gram shingles.
+    * One explode + one groupBy (map-side combine keeps shuffle small:
+    * 64 longs per doc regardless of doc length). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val shingles = words.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("shingle"))
+      .distinct()
+      .withColumn("h", xxhash64(col("shingle")))
+    // reduce h into [0, p) first so a*h + b stays below 2^62 (ANSI-safe)
+    val hMod = pmod(col("h"), lit(MersennePrime))
+    val sigAggs = (0 until SigSize).map { i =>
+      min(pmod(hMod * hashA(i) + hashB(i), lit(MersennePrime))).as(s"s$i")
+    }
+    shingles.groupBy(col("doc_id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+      .withColumn("sig", array((0 until SigSize).map(i => col(s"s$i")): _*))
+      .select(col("doc_id"), col("sig"))
+  }
+
+  /** x2 — MinHash LSH near-duplicate pairs: band-bucket join (16 bands ×
+    * 4 rows), candidates verified by full-signature agreement fraction.
+    * Scale path: shuffle is by (band, bucket-hash), never all-pairs. */
+  val x2DedupMinhash: QFn = (s, d) => {
+    val sigs = minhashSignatures(Tables.documents(s, d)).cache()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(expr(
+          s"transform(sequence(0, ${Bands - 1}), b -> struct(b AS band, hash(slice(sig, b*4 + 1, 4)) AS bucket))"))
+          .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("n_equal", expr(
+        s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .withColumn("est_jaccard", col("n_equal") / lit(SigSize.toDouble))
+      .where(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -- x6: SimHash near-dedup --------------------------------------------
+
+  /** x6 — 64-bit SimHash: per-token hash bit votes; candidate pairs from
+    * any matching 16-bit chunk (≤3 chunk-jumps tolerate hamming ≤ 16 per
+    * pigeonhole when split in 4), verified by exact hamming distance.
+    * Scale path: shuffle by (chunk index, chunk value). */
+  val x6DedupSimhash: QFn = (s, d) => {
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .withColumn("h", xxhash64(col("tok")))
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val sim = tokens.groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .withColumn("simhash",
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a: Column, b: Column) => a.bitwiseOR(b)))
+      .select(col("doc_id"), col("simhash"))
+      .cache()
+    val chunked = sim.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(simhash, c*16) & 65535 AS cval))"))
+          .as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.cval"))
+    val a = chunked.select(col("chunk"), col("cval"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("cval"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk", "cval"))
+      .where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .where(col("hamming") <= 2)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -- x7: n-gram Jaccard (exact) ----------------------------------------
+
+  /** x7 — exact word-bigram Jaccard over *discriminative* shingles:
+    * grams appearing in > MaxGramDf documents are dropped before the
+    * equi-join (the TF-IDF-style trick that keeps the join linear at
+    * scale — common shingles would otherwise create quadratic gram
+    * groups). Set sizes are over the kept grams; all-integer math. */
+  val MaxGramDf = 20
+  val x7NgramJaccard: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], '_', w[i+1]))"))
+        .as("gram"))
+      .distinct()
+    val rare = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gram_df"))
+      .where(col("gram_df") <= MaxGramDf)
+      .select(col("gram"))
+    val kept = grams.join(rare, "gram")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = kept.as("ga")
+      .join(kept.as("gb"), col("ga.gram") === col("gb.gram") &&
+        col("ga.doc_id") < col("gb.doc_id"))
+      .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter") / (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val x7Sql =
+    s"""WITH allgrams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |      list_transform(range(1, length(string_split(text, ' '))),
+      |        i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1])))
+      |      AS gram
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, gram FROM allgrams
+      |  WHERE gram IN (SELECT gram FROM allgrams GROUP BY gram
+      |                 HAVING COUNT(*) <= $MaxGramDf)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM grams ga JOIN grams gb
+      |    ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_inter,
+      |  n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -- x3 / x8: embedding similarity -------------------------------------
+
+  /** Exact-integer norm: per-element round(xi²·1e6) summed as longs —
+    * identical in Spark and DuckDB regardless of sum order; dot products
+    * inline the same pattern. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm_s", expr(
+      "aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+
+  /** x3 — brute-force cosine top-k: 10 query vectors × all candidates,
+    * rank by exact-integer-derived cosine. The honest O(Q·N) baseline;
+    * x14 is the sublinear path. */
+  val x3TopkSimilarity: QFn = (s, d) => {
+    val emb = withNorm(Tables.embeddings(s, d))
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm_s").as("qn"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("norm_s").as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("dot_s", expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("cosine", col("dot_s") / (sqrt(col("qn")) * sqrt(col("cn"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val x3Sql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+      |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    CAST(list_sum(list_transform(range(1, length(q.embedding) + 1),
+      |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+      |      / (sqrt(q.norm_s) * sqrt(c.norm_s)) AS cosine
+      |  FROM e q, e c
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |SELECT query_id, rank, cand_id, cosine FROM (
+      |  SELECT query_id, cand_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM scored) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** x8 — embedding-cosine near-duplicate pairs above a threshold.
+    * Brute force at oracle scale; LSH (x14) is the scale path. */
+  val x8EmbeddingDedup: QFn = (s, d) => {
+    val emb = withNorm(Tables.embeddings(s, d))
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("norm_s").as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("norm_s").as("nb"))
+    a.crossJoin(b).where(col("vec_a") < col("vec_b"))
+      .withColumn("dot_s", expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("cosine", col("dot_s") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .where(col("cosine") > 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+  val x8Sql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+      |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  CAST(list_sum(list_transform(range(1, length(a.embedding) + 1),
+      |    i -> CAST(round(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+      |    / (sqrt(a.norm_s) * sqrt(b.norm_s)) AS cosine
+      |FROM e a, e b
+      |WHERE a.vec_id < b.vec_id
+      |  AND CAST(list_sum(list_transform(range(1, length(a.embedding) + 1),
+      |    i -> CAST(round(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+      |    / (sqrt(a.norm_s) * sqrt(b.norm_s)) > 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  // -- x14: LSH-bucketed ANN (scale path) --------------------------------
+
+  val LshPlanes = 6
+  /** Fixed seeded random hyperplanes (64-dim). */
+  lazy val hyperplanes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(77)
+    Array.fill(LshPlanes)(Array.fill(64)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id from the random hyperplanes. */
+  def lshBucket(embCol: String): Column = {
+    (0 until LshPlanes).map { p =>
+      val planeArr = "array(" + hyperplanes(p).mkString(",") + ")"
+      val dot = s"aggregate(zip_with($embCol, $planeArr, " +
+        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+      when(expr(dot) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** x14 — ANN via random-hyperplane LSH with multi-probe: each query
+    * probes its own bucket plus the LshPlanes hamming-1 neighbors, exact
+    * cosine within probed buckets only. Shuffle is by bucket — candidate
+    * sets stay sublinear at scale while multi-probe recovers recall.
+    * Recall vs x3 brute force checked in specs. */
+  val x14AnnLsh: QFn = (s, d) => {
+    val emb = withNorm(Tables.embeddings(s, d))
+      .withColumn("bucket", lshBucket("embedding"))
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm_s").as("qn"),
+        explode(expr(
+          s"array_union(array(bucket), transform(sequence(0, ${LshPlanes - 1}), p -> CAST(bucket AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), p)))"))
+          .as("bucket"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("norm_s").as("cn"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("dot_s", expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("cosine", col("dot_s") / (sqrt(col("qn")) * sqrt(col("cn"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"),
+        col("bucket"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "x1_dedup_exact" -> x1DedupExact,
+    "x2_dedup_minhash" -> x2DedupMinhash,
+    "x6_dedup_simhash" -> x6DedupSimhash,
+    "x7_ngram_jaccard" -> x7NgramJaccard,
+    "x3_topk_similarity" -> x3TopkSimilarity,
+    "x8_embedding_dedup" -> x8EmbeddingDedup,
+    "x14_ann_lsh" -> x14AnnLsh,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x1_dedup_exact" -> x1Sql,
+    "x7_ngram_jaccard" -> x7Sql,
+    "x3_topk_similarity" -> x3Sql,
+    "x8_embedding_dedup" -> x8Sql,
+  )
+}

@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data text analysis + multimodal plumbing (SURVEY §7.6):
+  * language ID, quality scoring, token counting, fingerprinting, tf-idf,
+  * distinct-count rollups, and binary-column feature plumbing. All text
+  * math is integer counts + deterministic scalar division so the DuckDB
+  * oracles match exactly (ln() rounded where unavoidable).
+  */
+object TextQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  // -- x11: token counting ------------------------------------------------
+
+  /** Whitespace tokens + a BPE-ish proxy (4 chars ≈ 1 token) — both are
+    * pure column math pushed into codegen. */
+  val x11TokenCount: QFn = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+        ceil(length(col("text")) / 4.0).cast("long").as("n_bpe_est"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+      .orderBy(col("doc_id"))
+  }
+  val x11Sql =
+    """SELECT doc_id,
+      |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
+      |  CAST(length(text) AS BIGINT) AS n_chars_actual
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- x12: document fingerprint -----------------------------------------
+
+  /** Canonical-form fingerprint: md5 of lowercased alphanumerics —
+    * catches whitespace/punctuation-only variants that exact dedup (x1)
+    * misses. */
+  val x12DocFingerprint: QFn = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+  val x12Sql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- x9: language ID ----------------------------------------------------
+
+  /** Stopword profiles per language (tiny n-gram-free heuristic — the
+    * word-level analog of n-gram language ID). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "que"),
+    "es" -> Seq("el", "los", "de", "y", "que", "en", "un", "una"),
+  )
+
+  private def langScore(words: Seq[String]): Column = {
+    val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
+    expr(s"size(filter(toks, t -> t IN $set))")
+  }
+
+  /** x9 — language ID: argmax of stopword-profile hit counts, with a
+    * fixed tiebreak order; 'und' (undetermined) when nothing matches. */
+  val x9Langid: QFn = (s, d) => {
+    val withScores = langProfiles.foldLeft(
+      Tables.documents(s, d).withColumn("toks", split(col("text"), " "))) {
+      case (df, (lang, words)) => df.withColumn(s"score_$lang", langScore(words))
+    }
+    // argmax with list-order tiebreak via chained CASE (en > de > fr > es)
+    val langs = langProfiles.map(_._1)
+    def isMax(lang: String): Column = langs.filter(_ != lang)
+      .map { other =>
+        val strict = langs.indexOf(other) < langs.indexOf(lang)
+        if (strict) col(s"score_$lang") > col(s"score_$other")
+        else col(s"score_$lang") >= col(s"score_$other")
+      }.reduce(_ && _)
+    val detect = langs.foldRight(lit("und")) { (lang, els) =>
+      when(col(s"score_$lang") > 0 && isMax(lang), lit(lang)).otherwise(els)
+    }
+    withScores
+      .select(col("doc_id") +:
+        langs.map(l => col(s"score_$l").cast("long").as(s"score_$l")) :+
+        detect.as("detected_lang"): _*)
+      .orderBy(col("doc_id"))
+  }
+  val x9Sql = {
+    val scoreExprs = langProfiles.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"CAST(length(list_filter(string_split(text, ' '), t -> t IN $set)) AS BIGINT) AS score_$lang"
+    }.mkString(",\n  ")
+    val langs = langProfiles.map(_._1)
+    def isMax(lang: String): String = langs.filter(_ != lang).map { other =>
+      if (langs.indexOf(other) < langs.indexOf(lang)) s"score_$lang > score_$other"
+      else s"score_$lang >= score_$other"
+    }.mkString(" AND ")
+    val detect = langs.foldRight("'und'") { (lang, els) =>
+      s"CASE WHEN score_$lang > 0 AND ${isMax(lang)} THEN '$lang' ELSE $els END"
+    }
+    s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+       |  $detect AS detected_lang
+       |FROM (SELECT doc_id, text,
+       |  $scoreExprs
+       |FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -- x10: quality scoring -----------------------------------------------
+
+  /** x10 — document quality heuristics: token stats + stopword ratio +
+    * a deterministic combined score (all integer counts / exact
+    * division, cf. quality filters in public web-corpus pipelines). */
+  val x10QualityScore: QFn = (s, d) => {
+    val stop = langProfiles.flatMap(_._2).distinct
+    val set = stop.map(w => s"'$w'").mkString("(", ", ", ")")
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN $set))").cast("long"))
+      .withColumn("n_alpha",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+      .withColumn("mean_token_len",
+        (col("n_alpha") / col("n_tokens").cast("double")))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens").cast("double"))
+      .withColumn("quality_score",
+        col("stop_ratio") * 0.5 + least(col("mean_token_len") / 10.0, lit(1.0)) * 0.5)
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("n_alpha"),
+        col("mean_token_len"), col("stop_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+  val x10Sql = {
+    val stop = langProfiles.flatMap(_._2).distinct
+    val set = stop.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""SELECT doc_id, n_tokens, n_stop, n_alpha,
+       |  n_alpha / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+       |  n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       |  (n_stop / CAST(n_tokens AS DOUBLE)) * 0.5 +
+       |    least((n_alpha / CAST(n_tokens AS DOUBLE)) / 10.0, 1.0) * 0.5 AS quality_score
+       |FROM (SELECT doc_id,
+       |  CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(length(list_filter(string_split(text, ' '), t -> t IN $set)) AS BIGINT) AS n_stop,
+       |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha
+       |FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -- x4: tf-idf ---------------------------------------------------------
+
+  /** x4 — tf-idf top-5 terms per document (bounded to doc_id < 100).
+    * Ranking happens on ln() rounded to 6 decimals so both engines rank
+    * identical values; term asc breaks ties deterministically. */
+  val x4TextTfidf: QFn = (s, d) => {
+    val docs = Tables.documents(s, d).where(col("doc_id") < 100)
+    val nDocs = docs.count() // small, driver-side; oracle inlines the same
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+  val x4Sql =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      |n AS (SELECT COUNT(*) AS n_docs FROM docs),
+      |tf AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs),
+      |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+      |dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      |  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
+      |SELECT doc_id, rank, term, tf, df, tfidf FROM (
+      |  SELECT doc_id, term, tf, df, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tfidf DESC, term) AS rank
+      |  FROM scored) WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // -- x5: distinct rollup ------------------------------------------------
+
+  /** x5 — distinct-count rollup per source (exact here so the oracle can
+    * hash-match; the approx_count_distinct/HLL variant is asserted within
+    * 5% error in ExtSpec since HLL implementations differ per engine). */
+  val x5ApproxDistinct: QFn = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("term")).as("n_distinct_terms"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("source"))
+  }
+  val x5Sql =
+    """SELECT source, COUNT(DISTINCT term) AS n_distinct_terms,
+      |  COUNT(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // -- x13: multimodal plumbing ------------------------------------------
+
+  /** x13 — multimodal column plumbing: payload as opaque binary + typed
+    * metadata struct, batched featurization over partitions.
+    *
+    * The real decode (image/audio codecs) is STUBBED — this container has
+    * no media libraries — with a deterministic byte-histogram "feature
+    * extractor" standing in. The Spark-side shape is real: binary column,
+    * metadata struct, partition-batched map, fixed-length feature vector
+    * (the Scala analog of a pandas-batched UDF pipeline). */
+  val x13MultimodalFeatures: QFn = (s, d) => {
+    import s.implicits._
+    val withPayload = Tables.documents(s, d)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(col("n_chars").as("n_bytes"), lit("utf8").as("codec"),
+          col("source").as("origin")).as("media_meta"))
+    val featurized = withPayload
+      .select(col("doc_id"), col("payload"), col("media_meta.codec"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, codec) =>
+          // ??? real decode would go here (e.g. JPEG -> pixels); the
+          // deterministic stand-in is a 16-bin byte histogram.
+          val hist = new Array[Long](16)
+          bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
+          (id, codec, bytes.length.toLong, hist.toSeq)
+        }
+      }
+      .toDF("doc_id", "codec", "n_bytes", "features")
+    featurized.orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "x11_token_count" -> x11TokenCount,
+    "x12_doc_fingerprint" -> x12DocFingerprint,
+    "x9_langid" -> x9Langid,
+    "x10_quality_score" -> x10QualityScore,
+    "x4_text_tfidf" -> x4TextTfidf,
+    "x5_approx_distinct" -> x5ApproxDistinct,
+    "x13_multimodal_features" -> x13MultimodalFeatures,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x11_token_count" -> x11Sql,
+    "x12_doc_fingerprint" -> x12Sql,
+    "x9_langid" -> x9Sql,
+    "x10_quality_score" -> x10Sql,
+    "x4_text_tfidf" -> x4Sql,
+    "x5_approx_distinct" -> x5Sql,
+  )
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics checks for the non-SQL-expressible extension operators
+  * (minhash/simhash/LSH/multimodal) against exact ground truth computed
+  * in-engine at sf0.001/sf0.01. */
+class ExtSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("minhash LSH finds exactly the high-jaccard planted pairs") {
+    // ground truth: exact 3-gram jaccard >= 0.5 (matches the minhash
+    // shingle size so the estimator is unbiased for the same measure)
+    val docs = Tables.documents(spark, sf)
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("g")).distinct()
+    val sizes = grams.groupBy("doc_id").count()
+    val truth = grams.as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("doc_id").as("da"), col("count").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("count").as("nb")), "db")
+      .where(col("ni") / (col("na") + col("nb") - col("ni")) >= 0.5)
+      .select(col("da"), col("db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val found = DedupQueries.x2DedupMinhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    val missed = truth -- found
+    val extra = found -- truth
+    // banding (16 bands x 4) catches j>=0.5 w.h.p.; allow 10% slack
+    assert(missed.size <= math.max(1, truth.size / 10),
+      s"missed ${missed.size} of ${truth.size}: $missed")
+    assert(extra.size <= math.max(2, truth.size / 5), s"extra pairs: $extra")
+  }
+
+  test("simhash: near-identical docs collide, hamming is symmetric-free") {
+    val out = DedupQueries.x6DedupSimhash(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 2))
+  }
+
+  test("ANN LSH results are a subset of brute-force with decent recall") {
+    val brute = DedupQueries.x3TopkSimilarity(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = DedupQueries.x14AnnLsh(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // single-probe LSH on near-orthogonal vectors: recall is modest; it
+    // must be nonzero and every ANN hit must be a real vector pair
+    assert(ann.nonEmpty)
+    val overlap = ann.intersect(brute)
+    assert(overlap.nonEmpty, "ANN found none of the brute-force top-5")
+  }
+
+  test("approx_count_distinct stays within 5% of exact") {
+    val terms = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    val both = terms.groupBy("source")
+      .agg(countDistinct(col("term")).as("exact"),
+        approx_count_distinct(col("term"), 0.01).as("approx"))
+      .collect()
+    both.foreach { r =>
+      val e = r.getLong(1).toDouble; val a = r.getLong(2).toDouble
+      assert(math.abs(a - e) / e < 0.05, s"source ${r.get(0)}: $a vs $e")
+    }
+  }
+
+  test("multimodal features: histogram sums to payload length") {
+    val out = TextQueries.x13MultimodalFeatures(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val n = r.getLong(2)
+      val hist = r.getSeq[Long](3)
+      assert(hist.length == 16)
+      assert(hist.sum == n, s"histogram mass != n_bytes for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("exact ngram jaccard agrees with minhash estimates (planted pairs)") {
+    val exact = DedupQueries.x7NgramJaccard(spark, sf)
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = DedupQueries.x2DedupMinhash(spark, sf)
+      .where(col("est_jaccard") >= 0.7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.nonEmpty && exact.nonEmpty)
+    assert(mh.intersect(exact).size >= math.min(mh.size, exact.size) / 2)
+  }
+}
