@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+import graft.apdb._
+import graft.geom._
+
+/** `ap_proto` analog (`/root/reference/bin.src/ap_proto.py`): run N
+  * simulated visits of the SURVEY §3.1 pipeline against a warehouse dir,
+  * printing one JSON stats line per visit.
+  *
+  * Usage: runMain graft.ApSim <warehouseDir> <nVisits> [catalogSize]
+  */
+object ApSim {
+  def main(args: Array[String]): Unit = {
+    val warehouse = if (args.length > 0) args(0) else "/tmp/apdb_warehouse"
+    val nVisits = if (args.length > 1) args(1).toInt else 5
+    val catSize = if (args.length > 2) args(2).toLong else 200000L
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val apdb = new ApdbSpark(spark, ApdbConfig(warehouseDir = warehouse))
+    val resumed = VisitPipeline.VisitStateStore.read(warehouse)
+    if (resumed.isEmpty) apdb.makeSchema(drop = true)
+
+    val catalog = DiaSim.genCatalog(spark, catSize, hemi = -1, seed = 42)
+      .localCheckpoint(true)
+
+    val startId = resumed.map(_.visitId).getOrElse(0)
+    val t0 = resumed.map(s => new Timestamp(s.visitTimeMillis + 45000L))
+      .getOrElse(Timestamp.valueOf("2026-01-01 01:00:00"))
+    val visits = VisitPipeline.visitTimes(t0, nVisits)
+
+    // cycle over a few survey fields so revisits exercise the read/match/
+    // forced paths (the reference revisits fields as the sky rotates)
+    visits.foreach { case (offset, ts) =>
+      val visitId = startId + offset
+      val pointing = Generators.sphereXyz(1, hemi = -1,
+        seed = 5000L + (visitId % 3)).head
+      val w0 = System.nanoTime()
+      val stats = VisitPipeline.visit(apdb, catalog, visitId, ts, pointing)
+      val sec = (System.nanoTime() - w0) / 1e9
+      println(s"""{"visit":${stats.visitId},"sec":$sec,""" +
+        s""""objectsRead":${stats.nObjectsRead},"objectsFiltered":${stats.nObjectsFiltered},""" +
+        s""""sources":${stats.nSources},"forced":${stats.nForcedSources},""" +
+        s""""transients":${stats.nTransients},"histSrc":${stats.historySources},""" +
+        s""""histFsrc":${stats.historyForced},"under45s":${sec < 45.0}}""")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,224 @@
+package graft.apdb
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.geom._
+
+/** Engine configuration (defaults mirror the reference's
+  * `config.py:33-123`). */
+final case class ApdbConfig(
+    warehouseDir: String,
+    pixLevel: Int = 8,
+    /** partition bucket = pixelId >> shift; at level 8 and shift 10 this
+      * yields 384 buckets — wide enough for 1000-executor parallelism,
+      * coarse enough that a FOV touches only a handful. */
+    pixBucketShift: Int = 10,
+    /** cap on envelope range-predicate length (query fan-out control,
+      * the reference's num_queries metric `metrics.md:43-45`). */
+    maxEnvelopeRanges: Int = 64,
+    fovDeg: Double = 3.52,
+    regionPaddingArcsec: Double = 52.0,
+    readSourcesMonths: Int = 12,
+    readForcedSourcesMonths: Int = 6,
+    forcedCutoffDays: Int = 30,
+    transientPerVisit: Double = 100.0,
+    falsePerVisit: Double = 5050.0,
+    detectionFraction: Double = 1.0,
+    replicaChunkSeconds: Long = 600L,
+    replicaChunkKeepDays: Int = -1) {
+  val pix: Pixelization = Pixelization(pixLevel)
+  val fovRad: Double = math.toRadians(fovDeg)
+}
+
+/** Spark-native APDB: the reference's database API surface
+  * (README.md:98-180 — getDiaObjects / getDiaSources /
+  * getDiaForcedSources / store / tableDef) over partitioned Parquet.
+  *
+  * Physical design (SURVEY §4):
+  *  - `obj_last` — denormalized latest-version snapshot, partitioned by
+  *    pixel bucket; region reads prune partitions via bucket predicates
+  *    then refine with pixelId ranges (two-phase spatial filtering,
+  *    README.md:26-28).
+  *  - `objects` — append-only version history (SCD-2); `validityEnd`
+  *    is derived at read time with a lead() window (W3) instead of
+  *    rewriting rows on every upsert — at 100 TB an in-place truncate
+  *    would rewrite the whole partition per visit.
+  *  - `sources` / `fsources` — append-only facts partitioned by 30-day
+  *    MJD bucket; history reads prune by bucket + pushdown cutoff.
+  *  - `*_chunks` — CDC mirror partitioned by replica chunk id; retention
+  *    is a partition drop (T8).
+  */
+final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
+  import config._
+
+  private val W = warehouseDir
+  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  private def path(t: String) = s"$W/$t"
+
+  private def exists(t: String): Boolean = {
+    val dir = new java.io.File(path(t))
+    dir.exists() && dir.listFiles() != null &&
+      dir.listFiles().exists(f => f.getName.endsWith(".parquet") ||
+        f.getName.startsWith("pix_bucket=") || f.getName.startsWith("mjd_bucket=") ||
+        f.getName.startsWith("apdb_replica_chunk="))
+  }
+
+  private def readOrEmpty(t: String, schema: StructType): DataFrame =
+    if (exists(t)) spark.read.schema(schema).parquet(path(t))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("pix_bucket", shiftright(col("pixelId"), pixBucketShift))
+
+  import org.apache.spark.sql.types.LongType
+  private val objSchema = Schemas.diaObject.add("pix_bucket", LongType)
+  private val srcSchema =
+    Schemas.diaSource.add("pix_bucket", LongType).add("mjd_bucket", LongType)
+  private val fsrcSchema =
+    Schemas.diaForcedSource.add("pix_bucket", LongType).add("mjd_bucket", LongType)
+
+  /** `makeSchema(drop)` analog (README.md:100-104). */
+  def makeSchema(drop: Boolean = false): Unit = {
+    if (drop) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      val d = new java.io.File(W)
+      if (d.exists()) rm(d)
+    }
+    new java.io.File(W).mkdirs()
+  }
+
+  // -- reads --------------------------------------------------------------
+
+  /** Latest-version objects whose pixel overlaps `region`'s envelope —
+    * a deliberate superset; callers refine with the exact row filter
+    * (two-phase pattern, `_executors.py:182-189`). */
+  def getDiaObjects(region: Region): DataFrame = {
+    val ranges = SparkGeo.coarsen(pix.envelope(region), maxEnvelopeRanges)
+    val buckets = ranges
+      .flatMap { case (lo, hi) => (lo >> pixBucketShift) to ((hi - 1) >> pixBucketShift) }
+      .distinct
+    readOrEmpty("obj_last", objSchema)
+      .where(col("pix_bucket").isin(buckets: _*)) // partition pruning
+      .where(SparkGeo.rangePredicate(col("pixelId"), ranges)) // row refine
+      .drop("pix_bucket")
+  }
+
+  /** DiaSource history for an ID set with a months cutoff
+    * (README.md:130-140). `ids` joins semi (scales past isin lists). */
+  def getDiaSources(ids: DataFrame, visitTime: Timestamp): DataFrame = {
+    val cutoff = mjd(visitTime) - readSourcesMonths * 30.0
+    readOrEmpty("sources", srcSchema)
+      .where(col("mjd_bucket") >= math.floor(cutoff / 30.0).toLong)
+      .where(col("midpointMjdTai") >= cutoff)
+      .join(ids.select(col(ids.columns.head).as("diaObjectId")), Seq("diaObjectId"), "left_semi")
+      .drop("pix_bucket", "mjd_bucket")
+  }
+
+  /** DiaForcedSource history (README.md:143-155, shorter window). */
+  def getDiaForcedSources(ids: DataFrame, visitTime: Timestamp): DataFrame = {
+    val cutoff = mjd(visitTime) - readForcedSourcesMonths * 30.0
+    readOrEmpty("fsources", fsrcSchema)
+      .where(col("mjd_bucket") >= math.floor(cutoff / 30.0).toLong)
+      .where(col("midpointMjdTai") >= cutoff)
+      .join(ids.select(col(ids.columns.head).as("diaObjectId")), Seq("diaObjectId"), "left_semi")
+      .drop("pix_bucket", "mjd_bucket")
+  }
+
+  /** Full version history (validityEnd derived via W3 lead window). */
+  def getDiaObjectsHistory: DataFrame = {
+    val w = Window.partitionBy(col("diaObjectId")).orderBy(col("validityStart"))
+    readOrEmpty("objects", objSchema)
+      .withColumn("validityEnd", lead(col("validityStart"), 1).over(w))
+      .drop("pix_bucket")
+  }
+
+  def objectsLast: DataFrame = readOrEmpty("obj_last", objSchema).drop("pix_bucket")
+  def sources: DataFrame = readOrEmpty("sources", srcSchema).drop("pix_bucket", "mjd_bucket")
+  def forcedSources: DataFrame = readOrEmpty("fsources", fsrcSchema).drop("pix_bucket", "mjd_bucket")
+
+  // -- store --------------------------------------------------------------
+
+  /** `store(visit_time, objects, sources, forced)` (README.md:157-180,
+    * `_executors.py:221-238`): append version rows, merge the latest
+    * snapshot (rewriting only touched pixel buckets via dynamic
+    * partition overwrite), append facts, mirror CDC chunks, apply
+    * retention. */
+  def store(visitTime: Timestamp, objects: DataFrame, srcs: DataFrame,
+      fsrcs: DataFrame): Unit = {
+    val chunkId = visitTime.getTime / 1000 / replicaChunkSeconds
+
+    val newVersions = withBucket(objects
+      .withColumn("validityStart", lit(visitTime)))
+      .select(objSchema.fieldNames.map(col): _*)
+
+    // 1. version history append (validity truncation is derived at read)
+    newVersions.write.mode(SaveMode.Append)
+      .partitionBy("pix_bucket").parquet(path("objects"))
+
+    // 2. snapshot merge: only touched buckets are read + rewritten
+    val cached = newVersions.cache()
+    val touched = cached.select(col("pix_bucket")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.nonEmpty) {
+      val existing = readOrEmpty("obj_last", objSchema)
+        .where(col("pix_bucket").isin(touched: _*))
+      val merged = existing
+        .join(cached.select(col("diaObjectId")).distinct(), Seq("diaObjectId"), "left_anti")
+        .unionByName(cached)
+        // break lineage: the plan both reads and overwrites obj_last
+        .localCheckpoint(true)
+      merged.write.mode(SaveMode.Overwrite) // dynamic: only touched buckets
+        .partitionBy("pix_bucket").parquet(path("obj_last"))
+    }
+
+    // 3. fact appends, partitioned by 30-day MJD bucket
+    def withTimeBucket(df: DataFrame): DataFrame =
+      withBucket(df).withColumn("mjd_bucket",
+        floor(col("midpointMjdTai") / 30.0).cast("long"))
+    if (!srcs.isEmpty)
+      withTimeBucket(srcs).select(srcSchema.fieldNames.map(col): _*)
+        .write.mode(SaveMode.Append)
+        .partitionBy("mjd_bucket").parquet(path("sources"))
+    if (!fsrcs.isEmpty)
+      withTimeBucket(fsrcs).select(fsrcSchema.fieldNames.map(col): _*)
+        .write.mode(SaveMode.Append)
+        .partitionBy("mjd_bucket").parquet(path("fsources"))
+
+    // 4. CDC chunk mirror (README replica tables, `log2csv.py:105-107`)
+    def mirror(df: DataFrame, t: String): Unit =
+      if (!df.isEmpty)
+        df.withColumn("apdb_replica_chunk", lit(chunkId))
+          .write.mode(SaveMode.Append)
+          .partitionBy("apdb_replica_chunk").parquet(path(t))
+    mirror(objects.withColumn("validityStart", lit(visitTime)), "obj_chunks")
+    mirror(srcs, "src_chunks")
+    mirror(fsrcs, "fsrc_chunks")
+
+    // 5. retention: drop expired chunk partitions (T8)
+    if (replicaChunkKeepDays > 0) {
+      val minKeep = chunkId - replicaChunkKeepDays * 86400L / replicaChunkSeconds
+      Seq("obj_chunks", "src_chunks", "fsrc_chunks").foreach { t =>
+        val dir = new java.io.File(path(t))
+        if (dir.exists()) dir.listFiles().foreach { f =>
+          if (f.getName.startsWith("apdb_replica_chunk=")) {
+            val id = f.getName.stripPrefix("apdb_replica_chunk=").toLong
+            if (id < minKeep) { f.listFiles().foreach(_.delete()); f.delete() }
+          }
+        }
+      }
+    }
+    cached.unpersist()
+  }
+
+  /** MJD (TAI≈UTC for the simulated era, SURVEY §7.4) from a timestamp. */
+  def mjd(t: Timestamp): Double = t.getTime / 1000.0 / 86400.0 + 40587.0
+}

@@ -1,0 +1,67 @@
+package graft.apdb
+
+import org.apache.spark.sql.types._
+
+/** Declared table schemas — the felis-style schema registry the reference
+  * exposes through `tableDef` (`_executors.py:445-463`). Spark type
+  * mapping per SURVEY §1.3 (`_executors.py:466-498`).
+  */
+object Schemas {
+
+  /** ApdbTables enum analog (`_executors.py:47,201-203`). */
+  sealed trait Table { def name: String }
+  case object DiaObject extends Table { val name = "DiaObject" }
+  case object DiaObjectLast extends Table { val name = "DiaObjectLast" }
+  case object DiaSource extends Table { val name = "DiaSource" }
+  case object DiaForcedSource extends Table { val name = "DiaForcedSource" }
+
+  /** Workload-filled DiaObject columns (`_executors.py:302-330`) +
+    * system columns validityStart/validityEnd (`_executors.py:453-457`)
+    * and pixelId (`_executors.py:458`). Angles in degrees
+    * (README.md:63-66). */
+  val diaObject: StructType = StructType(Seq(
+    StructField("diaObjectId", LongType, nullable = false),
+    StructField("ra", DoubleType, nullable = false),
+    StructField("dec", DoubleType, nullable = false),
+    StructField("nDiaSources", IntegerType, nullable = false),
+    StructField("lastNonForcedSource", TimestampType, nullable = false),
+    StructField("validityStart", TimestampType, nullable = false),
+    StructField("pixelId", LongType, nullable = false)))
+
+  /** DiaSource (`_executors.py:409-430`); diaSourceId is the
+    * deterministic `(visit*n_det + det)*1e6 + rownum` sequence. */
+  val diaSource: StructType = StructType(Seq(
+    StructField("diaSourceId", LongType, nullable = false),
+    StructField("diaObjectId", LongType, nullable = false),
+    StructField("ra", DoubleType, nullable = false),
+    StructField("dec", DoubleType, nullable = false),
+    StructField("visit", IntegerType, nullable = false),
+    StructField("detector", IntegerType, nullable = false),
+    StructField("parentDiaSourceId", LongType, nullable = false),
+    StructField("psFlux", DoubleType, nullable = false),
+    StructField("psFluxErr", DoubleType, nullable = false),
+    StructField("midpointMjdTai", DoubleType, nullable = false),
+    StructField("pixelId", LongType, nullable = false)))
+
+  /** DiaForcedSource (`_executors.py:360-371`). */
+  val diaForcedSource: StructType = StructType(Seq(
+    StructField("diaObjectId", LongType, nullable = false),
+    StructField("ra", DoubleType, nullable = false),
+    StructField("dec", DoubleType, nullable = false),
+    StructField("visit", IntegerType, nullable = false),
+    StructField("detector", IntegerType, nullable = false),
+    StructField("midpointMjdTai", DoubleType, nullable = false),
+    StructField("pixelId", LongType, nullable = false)))
+
+  def tableDef(t: Table): StructType = t match {
+    case DiaObject | DiaObjectLast => diaObject
+    case DiaSource => diaSource
+    case DiaForcedSource => diaForcedSource
+  }
+
+  /** First transient DiaObject id (`_executors.py:60-61`). */
+  val TransientStartId: Long = 1000000000L
+  /** Sentinel for detections outside the tile region
+    * (`_executors.py:57-58`). */
+  val OutsiderId: Long = -666L
+}
