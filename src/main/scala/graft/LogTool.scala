@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.LogAnalytics
+
+/** `log2csv` analog (`/root/reference/bin.src/log2csv.py`): parse
+  * apdb_metrics records from log files (plain or .gz) and write the
+  * per-visit summary CSV + per-timer rollup.
+  *
+  * Usage: runMain graft.LogTool <logPathOrDir> <outDir>
+  */
+object LogTool {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: LogTool <logPathOrDir> <outDir>")
+    val Array(logPath, outDir) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val metrics = LogAnalytics.parseMetrics(spark.read.text(logPath))
+    LogAnalytics.writeCsv(LogAnalytics.visitSummary(metrics), s"$outDir/visits")
+    LogAnalytics.writeCsv(LogAnalytics.timerRollup(metrics), s"$outDir/timers")
+    val influx = LogAnalytics.influxLines(
+      LogAnalytics.timerRollup(metrics), System.currentTimeMillis() * 1000000L)
+    influx.coalesce(1).write.mode("overwrite").text(s"$outDir/influx")
+    println(s"""{"metrics":${metrics.count()},"out":"$outDir"}""")
+    spark.stop()
+  }
+}

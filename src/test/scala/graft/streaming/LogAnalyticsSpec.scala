@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FIXTURES.md A7: ~200 log lines over 3 visits, two tables, shuffled
+  * within a bounded disorder window, gzip + plain variants, terminated
+  * by the stop sentinel. */
+class LogAnalyticsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Deterministic fixture: 3 visits × 2 tables × timers + counters. */
+  private def fixtureLines: Seq[String] = {
+    val rng = new scala.util.Random(99)
+    val lines = for {
+      visit <- 1 to 3
+      (table, ti) <- Seq("DiaObject", "DiaSource").zipWithIndex
+      rec <- 0 until 30
+    } yield {
+      val totalSec = 45 * visit + rec % 20
+      val minute = 40 + totalSec / 60
+      val sec = totalSec % 60
+      val ms = rec * 13 % 1000
+      val ts = f"2026-02-10 18:$minute%02d:$sec%02d,$ms%03d"
+      val name = if (rec % 3 == 0) "select_time"
+        else if (rec % 3 == 1) "insert_time" else "store_counts"
+      val values = if (name == "store_counts")
+        s"""{"row_count": ${100 + rec}}"""
+      else s"""{"real": ${0.01 * (rec + 1)}, "user": 0.001, "sys": 0.0}"""
+      s"$ts [INFO] ap_proto: tile=0x$ti visit=$visit apdb_metrics: " +
+        s"""{"name": "$name", "timestamp": ${1770000000 + sec}.$ms, """ +
+        s""""tags": {"visit": "$visit", "table": "$table", "tile": "$ti"}, """ +
+        s""""values": $values, "source": "ap_proto"}"""
+    }
+    // bounded shuffle (disorder within ±5 positions, log2influx.py:98-116)
+    val arr = lines.toArray
+    for (i <- arr.indices) {
+      val j = math.min(arr.length - 1, math.max(0, i + rng.nextInt(11) - 5))
+      val t = arr(i); arr(i) = arr(j); arr(j) = t
+    }
+    arr.toSeq ++
+      Seq("2026-02-10 18:43:00,000 [INFO] ap_proto: noise line without metrics",
+        s"2026-02-10 18:43:01,000 [INFO] ap_proto: ${LogAnalytics.StopPattern}")
+  }
+
+  private def writeFixture(dir: String): String = {
+    // plain and gzip in separate dirs so each can be a streaming source
+    Files.createDirectories(Paths.get(dir, "plain"))
+    Files.createDirectories(Paths.get(dir, "gz"))
+    val plain = Paths.get(dir, "plain", "run.log")
+    Files.write(plain, String.join("\n", fixtureLines: _*).getBytes)
+    // gzip variant (S8: transparent gzip read through the file source)
+    val gz = Paths.get(dir, "gz", "run2.log.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(String.join("\n", fixtureLines: _*).getBytes)
+    out.close()
+    dir
+  }
+
+  test("batch parse + visit summary + rollup + influx lines") {
+    val dir = writeFixture(Files.createTempDirectory("logs").toString)
+    val lines = spark.read.text(s"$dir/plain/run.log")
+    val metrics = LogAnalytics.parseMetrics(lines)
+    assert(metrics.count() == 180) // 3 visits × 2 tables × 30, noise dropped
+    assert(metrics.where(col("ts").isNull).count() == 0)
+    assert(metrics.select("visit").distinct().count() == 3)
+
+    val summary = LogAnalytics.visitSummary(metrics).collect()
+    assert(summary.length == 3)
+    summary.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_records")) == 60)
+      assert(r.getDouble(r.fieldIndex("sum_select_real")) > 0)
+      assert(!r.isNullAt(r.fieldIndex("rows_stored")))
+    }
+
+    val rollup = LogAnalytics.timerRollup(metrics)
+    val names = rollup.select("name").distinct().collect().map(_.getString(0)).toSet
+    assert(names == Set("select_time", "insert_time"))
+
+    val influx = LogAnalytics.influxLines(rollup, 1770000000000000000L)
+      .collect().map(_.getString(0))
+    assert(influx.nonEmpty)
+    assert(influx.forall(_.matches("^\\w+,table=\\w+ n=\\d+i,avg_real=.*,total_real=.* \\d+$")))
+  }
+
+  test("gzip source parses identically (S8)") {
+    val dir = writeFixture(Files.createTempDirectory("logs_gz").toString)
+    val plain = LogAnalytics.parseMetrics(spark.read.text(s"$dir/plain/run.log"))
+    val gz = LogAnalytics.parseMetrics(spark.read.text(s"$dir/gz/run2.log.gz"))
+    assert(plain.count() == gz.count())
+  }
+
+  test("streaming: out-of-order lines aggregate per visit under watermark") {
+    val dir = writeFixture(Files.createTempDirectory("logs_stream").toString)
+    val lines = spark.readStream
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("value", org.apache.spark.sql.types.StringType))
+      .text(s"$dir/plain") // streaming file source requires a directory
+    val agg = LogAnalytics.streamVisitSummary(lines)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("visit_summary")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // append mode emits only windows below the final watermark; with
+    // AvailableNow the watermark advances past visits 1-2 at least
+    val out = spark.sql("SELECT * FROM visit_summary").collect()
+    assert(out.nonEmpty, "no visit windows emitted")
+    assert(out.forall(_.getLong(4) > 0)) // n_records
+    // stop sentinel present in the raw stream (T9): detectable pattern
+    val sentinelSeen = spark.read.text(s"$dir/plain/run.log")
+      .where(col("value").contains(LogAnalytics.StopPattern)).count()
+    assert(sentinelSeen == 1)
+  }
+}
