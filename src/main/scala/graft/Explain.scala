@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspection utility: print the formatted physical plan of the
+  * given query keys (default: a representative set covering scan
+  * pruning, broadcast joins, window and aggregation shapes).
+  *
+  * Usage: runMain graft.Explain [sfDir] [key ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val keys = if (args.length > 1) args.drop(1).toSeq
+      else Seq("s1_catalog_scan", "s2_region_scan", "s3_source_history",
+        "j1_s2o_match", "j3_pixel_range_join", "w1_latest_version",
+        "a4_stat_avg", "x3_topk_similarity")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    keys.foreach { k =>
+      println(s"\n========== $k ==========")
+      SparkEntry.queries(k)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -52,12 +52,13 @@ object DedupQueries {
     * 64 longs per doc regardless of doc length). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // no distinct: min over a multiset equals min over its set, so the
+    // signature is identical and the pre-aggregation shuffle disappears;
+    // shingles are hashed in the same projection so no strings shuffle
     val shingles = words.select(col("doc_id"),
       explode(expr(
-        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("shingle"))
-      .distinct()
-      .withColumn("h", xxhash64(col("shingle")))
+        "transform(sequence(0, size(w) - 3), i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))"))
+        .as("h"))
     // reduce h into [0, p) first so a*h + b stays below 2^62 (ANSI-safe)
     val hMod = pmod(col("h"), lit(MersennePrime))
     val sigAggs = (0 until SigSize).map { i =>
@@ -206,21 +207,48 @@ object DedupQueries {
     df.withColumn("norm_s", expr(
       "aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
 
-  /** x3 — brute-force cosine top-k: 10 query vectors × all candidates,
-    * rank by exact-integer-derived cosine. The honest O(Q·N) baseline;
-    * x14 is the sublinear path. */
+  /** Exact-integer dot (round(xi·yi·1e6) summed as longs) on primitive
+    * arrays — the same arithmetic the SQL oracles express with
+    * list_transform/list_sum, but ~100× faster than Catalyst's
+    * interpreted higher-order functions on big pair sets. */
+  private[queries] def dotScaled(a: Array[Double], b: Array[Double]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) {
+      val v = a(i) * b(i) * 1000000d
+      // half-away-from-zero, matching SQL round() (Math.round is half-up)
+      s += (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+      i += 1
+    }
+    s
+  }
+  private[queries] def normScaled(a: Array[Double]): Long = dotScaled(a, a)
+
+  private def embRows(df: org.apache.spark.sql.DataFrame) = {
+    import df.sparkSession.implicits._
+    df.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) => (id, e.map(_.toDouble)) }
+  }
+
+  /** x3 — brute-force cosine top-k: 10 query vectors broadcast to every
+    * partition; candidates stream through a primitive-array dot kernel
+    * (the GEMM shape of honest brute-force ANN). Rank by exact-integer-
+    * derived cosine. x14 is the sublinear path. */
   val x3TopkSimilarity: QFn = (s, d) => {
-    val emb = withNorm(Tables.embeddings(s, d))
-    val q = emb.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("norm_s").as("qn"))
-    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-      col("norm_s").as("cn"))
-    val scored = c.crossJoin(broadcast(q))
-      .where(col("query_id") =!= col("cand_id"))
-      .withColumn("dot_s", expr(
-        "aggregate(zip_with(qe, ce, (x, y) -> CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-      .withColumn("cosine", col("dot_s") / (sqrt(col("qn")) * sqrt(col("cn"))))
+    import s.implicits._
+    val emb = embRows(Tables.embeddings(s, d))
+    val queries = s.sparkContext.broadcast(
+      emb.filter(_._1 < 10).collect().sortBy(_._1)
+        .map { case (id, e) => (id, e, normScaled(e)) })
+    val scored = emb.mapPartitions { it =>
+      val qs = queries.value
+      it.flatMap { case (cid, ce) =>
+        val cn = normScaled(ce)
+        qs.iterator.collect { case (qid, qe, qn) if qid != cid =>
+          (qid, cid, dotScaled(qe, ce) / (math.sqrt(qn) * math.sqrt(cn)))
+        }
+      }
+    }.toDF("query_id", "cand_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -249,20 +277,33 @@ object DedupQueries {
       |ORDER BY query_id, rank""".stripMargin
 
   /** x8 — embedding-cosine near-duplicate pairs above a threshold.
-    * Brute force at oracle scale; LSH (x14) is the scale path. */
+    * Brute force with the whole (small) table broadcast once and a
+    * primitive-array kernel per partition — each partition handles its
+    * rows against all higher ids, so work is O(n²/2) total without a
+    * shuffle. At 100 TB the b-side would be chunked (block-nested GEMM)
+    * or replaced by the LSH prefilter (x14). */
   val x8EmbeddingDedup: QFn = (s, d) => {
-    val emb = withNorm(Tables.embeddings(s, d))
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("norm_s").as("na"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("norm_s").as("nb"))
-    a.crossJoin(b).where(col("vec_a") < col("vec_b"))
-      .withColumn("dot_s", expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-      .withColumn("cosine", col("dot_s") / (sqrt(col("na")) * sqrt(col("nb"))))
-      .where(col("cosine") > 0.4)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
-      .orderBy(col("vec_a"), col("vec_b"))
+    import s.implicits._
+    val emb = embRows(Tables.embeddings(s, d))
+    val all = s.sparkContext.broadcast(
+      emb.collect().sortBy(_._1).map { case (id, e) => (id, e, normScaled(e)) })
+    val pairs = emb.mapPartitions { it =>
+      val bs = all.value
+      it.flatMap { case (aid, ae) =>
+        val an = normScaled(ae)
+        val sqa = math.sqrt(an)
+        // binary search to the first id > aid (array sorted by id)
+        var lo = 0; var hi = bs.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (bs(mid)._1 <= aid) lo = mid + 1 else hi = mid
+        }
+        bs.iterator.drop(lo).map { case (bid, be, bn) =>
+          (aid, bid, dotScaled(ae, be) / (sqa * math.sqrt(bn)))
+        }.filter(_._3 > 0.4)
+      }
+    }.toDF("vec_a", "vec_b", "cosine")
+    pairs.orderBy(col("vec_a"), col("vec_b"))
   }
   val x8Sql =
     """WITH e AS (
