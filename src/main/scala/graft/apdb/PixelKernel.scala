@@ -1,0 +1,54 @@
+package graft.apdb
+
+import graft.geom._
+
+/** Static kernel entry points referenced from generated code (whole-stage
+  * codegen emits plain static calls — same pattern Spark uses for its own
+  * hash/math functions). Region objects are cached by their serialized
+  * form so per-row calls never re-parse.
+  */
+object PixelKernel {
+
+  private val pixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Pixelization]()
+  private val regionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Region]()
+
+  def pixAt(level: Int): Pixelization =
+    pixCache.computeIfAbsent(level, l => Pixelization(l))
+
+  def indexRaDec(ra: Double, dec: Double, level: Int): Long =
+    pixAt(level).index(ra, dec)
+
+  def parseRegion(s: String): Region =
+    regionCache.computeIfAbsent(s, RegionCodec.decode)
+
+  def contains(region: Region, ra: Double, dec: Double): Boolean =
+    region.contains(ra, dec)
+}
+
+/** Compact textual region codec for passing regions through SQL string
+  * literals: `C:x,y,z,halfAngleRad` for circles,
+  * `P:x1,y1,z1;x2,y2,z2;...` for convex polygons. */
+object RegionCodec {
+  def encode(r: Region): String = r match {
+    case Circle(a, half) =>
+      val n = a.normalized
+      s"C:${n.x},${n.y},${n.z},$half"
+    case SphericalPolygon(vs) =>
+      "P:" + vs.map(v => s"${v.x},${v.y},${v.z}").mkString(";")
+  }
+
+  def decode(s: String): Region = s.splitAt(2) match {
+    case ("C:", body) =>
+      val Array(x, y, z, half) = body.split(",").map(_.toDouble)
+      Circle(Vec3(x, y, z), half)
+    case ("P:", body) =>
+      SphericalPolygon(body.split(";").toIndexedSeq.map { v =>
+        val Array(x, y, z) = v.split(",").map(_.toDouble)
+        Vec3(x, y, z)
+      })
+    case _ =>
+      throw new IllegalArgumentException(s"bad region literal: $s")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+import graft.apdb.{PixelKernel, RegionCodec}
+import graft.geom.Region
+
+/** Native Catalyst expressions for the spatial kernel (SURVEY §2.9/§7.3):
+  * stay inside whole-stage codegen by emitting static calls into
+  * [[PixelKernel]] — no UDF wrapping, no serialization per row.
+  */
+
+/** `pixel_index(ra, dec)` at a fixed quad-cube level. */
+case class PixelIndexExpr(left: Expression, right: Expression, level: Int)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "pixel_index"
+
+  override protected def nullSafeEval(ra: Any, dec: Any): Any =
+    PixelKernel.indexRaDec(ra.asInstanceOf[Double], dec.asInstanceOf[Double], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (ra, dec) =>
+      s"graft.apdb.PixelKernel.indexRaDec($ra, $dec, $level)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `region_contains('<region-literal>', ra, dec)` — the region is a
+  * compile-time constant (RegionCodec form), parsed once and shipped as
+  * a codegen reference object. */
+case class RegionContainsExpr(regionStr: String, left: Expression,
+    right: Expression) extends BinaryExpression with Serializable {
+
+  @transient lazy val region: Region = PixelKernel.parseRegion(regionStr)
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "region_contains"
+
+  override protected def nullSafeEval(ra: Any, dec: Any): Any =
+    PixelKernel.contains(region, ra.asInstanceOf[Double], dec.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val regionRef = ctx.addReferenceObj("graftRegion", region,
+      classOf[Region].getName)
+    defineCodeGen(ctx, ev, (ra, dec) =>
+      s"graft.apdb.PixelKernel.contains($regionRef, $ra, $dec)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SpatialFunctions {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** Column-API access to the native expressions. */
+  def pixel_index(ra: Column, dec: Column, level: Int = 8): Column =
+    column(PixelIndexExpr(expression(ra), expression(dec), level))
+
+  def region_contains(region: Region, ra: Column, dec: Column): Column =
+    column(RegionContainsExpr(RegionCodec.encode(region),
+      expression(ra), expression(dec)))
+}

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column ↔ Expression conversions (Spark 4
+  * removed the public `Column(expr)` constructor in favor of
+  * Connect-agnostic columns). Standard pattern for extension libraries
+  * that define native Catalyst expressions. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

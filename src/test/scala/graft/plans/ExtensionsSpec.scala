@@ -1,0 +1,105 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.apdb._
+import graft.geom._
+
+/** Native expressions + the pixel-prune optimizer rule, end to end:
+  * SQL region queries gain pixelId range predicates that reach the
+  * parquet scan as pushed filters. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // a fresh session is required: extensions apply at builder time
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private lazy val objectsPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("objs").toString
+    val pix = Pixelization(8)
+    val cat = DiaSim.genCatalog(spark, 50000L, hemi = 0, seed = 21)
+    val (raC, decC) = SparkGeo.raDec(col("x"), col("y"), col("z"))
+    cat.withColumn("ra", raC).withColumn("dec", decC)
+      .withColumn("pixelId", SparkGeo.pixelIndex(pix, col("x"), col("y"), col("z")))
+      .select("sourceIdx", "ra", "dec", "pixelId")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private val region = Circle(Vec3(0.4, -0.3, 0.86).normalized, math.toRadians(5))
+
+  test("pixel_index expression matches the Scala kernel, codegen on") {
+    val df = spark.read.parquet(objectsPath)
+      .withColumn("pid2", SpatialFunctions.pixel_index(col("ra"), col("dec")))
+    assert(df.where(col("pid2") =!= col("pixelId")).count() == 0)
+  }
+
+  test("region_contains expression matches kernel semantics") {
+    val df = spark.read.parquet(objectsPath)
+    val got = df.where(SpatialFunctions.region_contains(region, col("ra"), col("dec")))
+      .select("sourceIdx").collect().map(_.getLong(0)).toSet
+    val expected = df.collect().filter { r =>
+      region.contains(r.getAs[Double]("ra"), r.getAs[Double]("dec"))
+    }.map(_.getAs[Long]("sourceIdx")).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("SQL surface + optimizer rule inject pixelId ranges and push them down") {
+    spark.read.parquet(objectsPath).createOrReplaceTempView("objs")
+    val lit = RegionCodec.encode(region)
+    val df = spark.sql(
+      s"SELECT sourceIdx FROM objs WHERE region_contains('$lit', ra, dec)")
+
+    // rule fired: optimized plan constrains pixelId
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("pixelId"),
+      s"no pixelId predicate injected:\n$optimized")
+
+    // ranges reached the scan as pushed filters
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("pixelId"),
+      s"pixelId not pushed to parquet:\n$physical")
+
+    // and results are identical to the unpruned filter
+    val got = df.collect().map(_.getLong(0)).toSet
+    val base = spark.read.parquet(objectsPath).collect().filter { r =>
+      region.contains(r.getAs[Double]("ra"), r.getAs[Double]("dec"))
+    }.map(_.getAs[Long]("sourceIdx")).toSet
+    assert(got == base)
+  }
+
+  test("rule leaves queries without pixelId or with explicit pixelId alone") {
+    // a table with no pixelId column at all (drop() is not enough: the
+    // optimizer pushes the filter under the projection and correctly
+    // re-exposes the relation's pixelId — which is desirable)
+    val noPixPath = java.nio.file.Files.createTempDirectory("nopix").toString
+    spark.read.parquet(objectsPath).drop("pixelId")
+      .write.mode("overwrite").parquet(noPixPath)
+    spark.read.parquet(noPixPath).createOrReplaceTempView("nopix")
+    val lit = RegionCodec.encode(region)
+    val df = spark.sql(
+      s"SELECT sourceIdx FROM nopix WHERE region_contains('$lit', ra, dec)")
+    assert(!df.queryExecution.optimizedPlan.toString.contains("pixelId"))
+    assert(df.count() > 0)
+
+    // explicit pixelId predicate → no double-injection
+    spark.read.parquet(objectsPath).createOrReplaceTempView("objs2")
+    val df2 = spark.sql(
+      s"SELECT sourceIdx FROM objs2 WHERE region_contains('$lit', ra, dec) AND pixelId >= 0")
+    val cnt = "pixelId#?\\d* >=".r
+      .findAllIn(df2.queryExecution.optimizedPlan.toString).length
+    assert(df2.count() > 0)
+  }
+}
