@@ -19,7 +19,7 @@ object ApSim {
     val nVisits = if (args.length > 1) args(1).toInt else 5
     val catSize = if (args.length > 2) args(2).toLong else 200000L
 
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
