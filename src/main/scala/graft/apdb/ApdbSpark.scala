@@ -100,16 +100,20 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
 
   /** Latest-version objects whose pixel overlaps `region`'s envelope —
     * a deliberate superset; callers refine with the exact row filter
-    * (two-phase pattern, `_executors.py:182-189`). */
-  def getDiaObjects(region: Region): DataFrame = {
+    * (two-phase pattern, `_executors.py:182-189`). `columns` restricts
+    * the projection (the `dia_object_columns` config, README.md:125-127
+    * / F10) so parquet only reads those columns. */
+  def getDiaObjects(region: Region, columns: Seq[String] = Nil): DataFrame = {
     val ranges = SparkGeo.coarsen(pix.envelope(region), maxEnvelopeRanges)
     val buckets = ranges
       .flatMap { case (lo, hi) => (lo >> pixBucketShift) to ((hi - 1) >> pixBucketShift) }
       .distinct
-    readOrEmpty("obj_last", objSchema)
+    val base = readOrEmpty("obj_last", objSchema)
       .where(col("pix_bucket").isin(buckets: _*)) // partition pruning
       .where(SparkGeo.rangePredicate(col("pixelId"), ranges)) // row refine
       .drop("pix_bucket")
+    if (columns.isEmpty) base
+    else base.select(columns.map(col): _*)
   }
 
   /** DiaSource history for an ID set with a months cutoff

@@ -371,6 +371,56 @@ object DedupQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // -- x15: IVF-bucketed ANN (alternative scale path) --------------------
+
+  val IvfClusters = 16
+  val IvfProbes = 3
+
+  /** x15 — IVF (inverted-file) ANN: a fixed set of seeded coarse
+    * centroids partitions the collection into cluster lists; each query
+    * probes its `IvfProbes` nearest centroids and brute-forces only
+    * those lists. The k-means refinement step is omitted deliberately
+    * (seeded random centroids keep the operator deterministic); at scale
+    * the lists are the shuffle key exactly like LSH buckets in x14. */
+  val x15AnnIvf: QFn = (s, d) => {
+    import s.implicits._
+    val emb = embRows(Tables.embeddings(s, d))
+    val centroids: Array[(Int, Array[Double])] = {
+      val rng = new scala.util.Random(4242)
+      Array.tabulate(IvfClusters)(i => (i, Array.fill(64)(rng.nextGaussian())))
+    }
+    val cb = s.sparkContext.broadcast(centroids)
+    def nearestClusters(e: Array[Double], k: Int): Seq[Int] =
+      cb.value.map { case (ci, c) => (ci, dotScaled(e, c)) }
+        .sortBy { case (ci, dot) => (-dot, ci) }.take(k).map(_._1).toSeq
+    // build: each vector joins its single nearest list
+    val listed = emb.map { case (id, e) => (nearestClusters(e, 1).head, id, e) }
+    // probe: queries fan out to IvfProbes lists
+    val queries = s.sparkContext.broadcast(
+      emb.filter(_._1 < 10).collect().sortBy(_._1)
+        .flatMap { case (id, e) =>
+          nearestClusters(e, IvfProbes).map(c => (c, id, e, normScaled(e)))
+        })
+    val scored = listed.mapPartitions { it =>
+      val qs = queries.value
+      it.flatMap { case (cluster, cid, ce) =>
+        val cn = normScaled(ce)
+        qs.iterator
+          .filter { case (qc, qid, _, _) => qc == cluster && qid != cid }
+          .map { case (_, qid, qe, qn) =>
+            (qid, cid, dotScaled(qe, ce) / (math.sqrt(qn) * math.sqrt(cn)))
+          }
+      }
+    }.toDF("query_id", "cand_id", "cosine")
+      .dropDuplicates("query_id", "cand_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_minhash" -> x2DedupMinhash,
@@ -379,6 +429,7 @@ object DedupQueries {
     "x3_topk_similarity" -> x3TopkSimilarity,
     "x8_embedding_dedup" -> x8EmbeddingDedup,
     "x14_ann_lsh" -> x14AnnLsh,
+    "x15_ann_ivf" -> x15AnnIvf,
   )
 
   val oracleSql: Map[String, String] = Map(

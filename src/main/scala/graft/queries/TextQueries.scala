@@ -236,14 +236,25 @@ object TextQueries {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         it.map { case (id, bytes, codec) =>
-          // ??? real decode would go here (e.g. JPEG -> pixels); the
-          // deterministic stand-in is a 16-bin byte histogram.
+          // ??? real decode would go here (e.g. JPEG -> pixels / PCM
+          // samples); the deterministic stand-ins below keep the batch
+          // shapes real:
+          // "feature-extract": 16-bin byte histogram
           val hist = new Array[Long](16)
           bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
-          (id, codec, bytes.length.toLong, hist.toSeq)
+          // "resize": rebin 16 -> 4 coarse bins
+          val coarse = Array.tabulate(4)(i =>
+            hist(4 * i) + hist(4 * i + 1) + hist(4 * i + 2) + hist(4 * i + 3))
+          // "frame-sample": fixed-stride 64-byte frames, mean per frame
+          val frameMeans = bytes.grouped(64).map { f =>
+            f.map(b => (b & 0xff).toDouble).sum / f.length
+          }.toSeq
+          (id, codec, bytes.length.toLong, hist.toSeq, coarse.toSeq,
+            frameMeans.length.toLong, frameMeans)
         }
       }
-      .toDF("doc_id", "codec", "n_bytes", "features")
+      .toDF("doc_id", "codec", "n_bytes", "features", "coarse_features",
+        "n_frames", "frame_means")
     featurized.orderBy(col("doc_id"))
   }
 

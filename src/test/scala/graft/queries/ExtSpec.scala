@@ -82,15 +82,32 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal features: histogram sums to payload length") {
+  test("multimodal features: histogram mass, rebin, frame sampling") {
     val out = TextQueries.x13MultimodalFeatures(spark, sf).collect()
     assert(out.length == 500)
     out.foreach { r =>
-      val n = r.getLong(2)
-      val hist = r.getSeq[Long](3)
-      assert(hist.length == 16)
-      assert(hist.sum == n, s"histogram mass != n_bytes for doc ${r.getLong(0)}")
+      val n = r.getLong(r.fieldIndex("n_bytes"))
+      val hist = r.getSeq[Long](r.fieldIndex("features"))
+      val coarse = r.getSeq[Long](r.fieldIndex("coarse_features"))
+      val nFrames = r.getLong(r.fieldIndex("n_frames"))
+      val means = r.getSeq[Double](r.fieldIndex("frame_means"))
+      assert(hist.length == 16 && hist.sum == n)
+      assert(coarse.length == 4 && coarse.sum == n)
+      assert(nFrames == (n + 63) / 64 && means.length == nFrames)
+      assert(means.forall(m => m >= 0 && m <= 255))
     }
+  }
+
+  test("IVF ANN probes return real neighbors with brute-force overlap") {
+    val brute = DedupQueries.x3TopkSimilarity(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = DedupQueries.x15AnnIvf(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    assert(ivf.intersect(brute).nonEmpty,
+      "IVF found none of the brute-force top-5")
   }
 
   test("exact ngram jaccard agrees with minhash estimates (planted pairs)") {
