@@ -23,11 +23,15 @@ object LogTool {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // parse once: four downstream actions would otherwise re-read and
+    // re-parse (regex + from_json) the whole log per action
     val metrics = LogAnalytics.parseMetrics(spark.read.text(logPath))
+      .localCheckpoint(true)
+    val rollup = LogAnalytics.timerRollup(metrics).localCheckpoint(true)
     LogAnalytics.writeCsv(LogAnalytics.visitSummary(metrics), s"$outDir/visits")
-    LogAnalytics.writeCsv(LogAnalytics.timerRollup(metrics), s"$outDir/timers")
+    LogAnalytics.writeCsv(rollup, s"$outDir/timers")
     val influx = LogAnalytics.influxLines(
-      LogAnalytics.timerRollup(metrics), System.currentTimeMillis() * 1000000L)
+      rollup, System.currentTimeMillis() * 1000000L)
     influx.coalesce(1).write.mode("overwrite").text(s"$outDir/influx")
     println(s"""{"metrics":${metrics.count()},"out":"$outDir"}""")
     spark.stop()

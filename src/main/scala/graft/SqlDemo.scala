@@ -40,8 +40,9 @@ object SqlDemo {
     val pushed = df.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("PushedFilters")).mkString.take(180)
     println("scan: " + pushed)
+    // decimal literals coerce automatically (builder wraps args in casts)
     println("sql pixel_index(10,-45) = " +
-      spark.sql("SELECT pixel_index(CAST(10.0 AS DOUBLE), CAST(-45.0 AS DOUBLE))").head.getLong(0) +
+      spark.sql("SELECT pixel_index(10.0, -45.0)").head.getLong(0) +
       ", kernel = " + Pixelization(8).index(10.0, -45.0))
     spark.stop()
   }

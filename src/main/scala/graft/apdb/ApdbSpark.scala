@@ -57,7 +57,6 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
   import config._
 
   private val W = warehouseDir
-  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
   private def path(t: String) = s"$W/$t"
 
@@ -180,7 +179,10 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
         .unionByName(cached)
         // break lineage: the plan both reads and overwrites obj_last
         .localCheckpoint(true)
-      merged.write.mode(SaveMode.Overwrite) // dynamic: only touched buckets
+      merged.write.mode(SaveMode.Overwrite)
+        // per-write dynamic mode: only touched buckets are replaced,
+        // without mutating session-wide overwrite semantics
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pix_bucket").parquet(path("obj_last"))
     }
 

@@ -62,11 +62,14 @@ case class RegionContainsExpr(regionStr: String, left: Expression,
 object SpatialFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
-  /** Column-API access to the native expressions. */
+  /** Column-API access to the native expressions (angles coerced to
+    * double; the expressions can't use ExpectsInputTypes since
+    * AbstractDataType is private[sql] in Spark 4). */
   def pixel_index(ra: Column, dec: Column, level: Int = 8): Column =
-    column(PixelIndexExpr(expression(ra), expression(dec), level))
+    column(PixelIndexExpr(expression(ra.cast("double")),
+      expression(dec.cast("double")), level))
 
   def region_contains(region: Region, ra: Column, dec: Column): Column =
     column(RegionContainsExpr(RegionCodec.encode(region),
-      expression(ra), expression(dec)))
+      expression(ra.cast("double")), expression(dec.cast("double"))))
 }

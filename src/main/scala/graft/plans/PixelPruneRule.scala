@@ -19,24 +19,42 @@ import graft.apdb.{PixelKernel, SparkGeo}
   */
 object PixelPruneRule extends Rule[LogicalPlan] {
 
-  /** Must match the pixelId production level (Pixelization.default). */
-  val Level = 8
-  val MaxRanges = 32
+  /** Pixelization level the tables' pixelId column was produced at;
+    * session-configurable (`graft.pixel.level`), default 8
+    * (Pixelization.default). Range injection is only sound when the
+    * column and the rule agree on the level. */
+  def level: Int = org.apache.spark.sql.internal.SQLConf.get
+    .getConfString("graft.pixel.level", "8").toInt
+  def maxRanges: Int = org.apache.spark.sql.internal.SQLConf.get
+    .getConfString("graft.pixel.maxRanges", "32").toInt
+
+  /** Split a condition into its top-level conjuncts. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val regions = cond.collect { case rc: RegionContainsExpr => rc.regionStr }
+      // SOUNDNESS: the envelope restricts rows only when the region
+      // predicate must hold for the row to qualify — i.e. when
+      // region_contains appears as a TOP-LEVEL CONJUNCT. A negated or
+      // OR-ed region predicate must not prune.
+      val regions = conjuncts(cond).collect {
+        case rc: RegionContainsExpr => rc.regionStr
+      }
       val pixAttr = child.output.find(_.name == "pixelId")
-      // guard: skip when no region predicate, no pixelId column, or the
-      // condition already constrains pixelId (incl. a previous injection)
+      // guard: skip when no conjunct-level region predicate, no pixelId
+      // column, or the condition already constrains pixelId (incl. a
+      // previous injection)
       if (regions.isEmpty || pixAttr.isEmpty ||
         cond.references.exists(_.name == "pixelId")) f
       else {
         val attr = pixAttr.get
         val rangePreds = regions.map { rs =>
           val ranges = SparkGeo.coarsen(
-            PixelKernel.pixAt(Level).envelope(PixelKernel.parseRegion(rs)),
-            MaxRanges)
+            PixelKernel.pixAt(level).envelope(PixelKernel.parseRegion(rs)),
+            maxRanges)
           ranges.map { case (lo, hi) =>
             And(GreaterThanOrEqual(attr, Literal(lo)), LessThan(attr, Literal(hi)))
           }.reduceLeft[Expression]((a, b) => Or(a, b))
@@ -62,13 +80,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // wrap angle args in Cast(DoubleType): the expressions cannot mix in
+    // ExpectsInputTypes (AbstractDataType is private[sql] in Spark 4), so
+    // implicit numeric coercion happens here instead
+    def dbl(e: Expression): Expression =
+      Cast(e, org.apache.spark.sql.types.DoubleType) // no-op cast is folded
     ext.injectFunction((
       new FunctionIdentifier("pixel_index"),
       new ExpressionInfo(classOf[PixelIndexExpr].getName, "pixel_index"),
       (args: Seq[Expression]) => args match {
-        case Seq(ra, dec) => PixelIndexExpr(ra, dec, PixelPruneRule.Level)
+        case Seq(ra, dec) => PixelIndexExpr(dbl(ra), dbl(dec), PixelPruneRule.level)
         case Seq(ra, dec, Literal(l, _)) =>
-          PixelIndexExpr(ra, dec, l.toString.toInt)
+          PixelIndexExpr(dbl(ra), dbl(dec), l.toString.toInt)
         case _ => throw new IllegalArgumentException(
           "pixel_index(ra, dec[, level])")
       }))
@@ -77,7 +100,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RegionContainsExpr].getName, "region_contains"),
       (args: Seq[Expression]) => args match {
         case Seq(r, ra, dec) =>
-          RegionContainsExpr(requireFoldableString(r, "region_contains"), ra, dec)
+          RegionContainsExpr(requireFoldableString(r, "region_contains"),
+            dbl(ra), dbl(dec))
         case _ => throw new IllegalArgumentException(
           "region_contains(regionLiteral, ra, dec)")
       }))

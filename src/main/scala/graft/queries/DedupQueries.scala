@@ -52,6 +52,10 @@ object DedupQueries {
     * 64 longs per doc regardless of doc length). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      // guard: sequence(0, size-3) turns descending (negative indices)
+      // for <3-word docs; such docs have no shingles, like the SQL
+      // range(1, n) which is simply empty
+      .where(size(col("w")) >= 3)
     // no distinct: min over a multiset equals min over its set, so the
     // signature is identical and the pre-aggregation shuffle disappears;
     // shingles are hashed in the same projection so no strings shuffle
@@ -74,7 +78,10 @@ object DedupQueries {
     * 4 rows), candidates verified by full-signature agreement fraction.
     * Scale path: shuffle is by (band, bucket-hash), never all-pairs. */
   val x2DedupMinhash: QFn = (s, d) => {
-    val sigs = minhashSignatures(Tables.documents(s, d)).cache()
+    // localCheckpoint (GC-managed) instead of cache: query functions
+    // return plans whose actions run later, so an explicit unpersist
+    // would race the caller
+    val sigs = minhashSignatures(Tables.documents(s, d)).localCheckpoint(true)
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(expr(
           s"transform(sequence(0, ${Bands - 1}), b -> struct(b AS band, hash(slice(sig, b*4 + 1, 4)) AS bucket))"))
@@ -119,7 +126,7 @@ object DedupQueries {
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce((a: Column, b: Column) => a.bitwiseOR(b)))
       .select(col("doc_id"), col("simhash"))
-      .cache()
+      .localCheckpoint(true)
     val chunked = sim.select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(simhash, c*16) & 65535 AS cval))"))
@@ -149,6 +156,7 @@ object DedupQueries {
   val x7NgramJaccard: QFn = (s, d) => {
     val docs = Tables.documents(s, d)
     val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2) // guard descending sequence on 1-word docs
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w) - 2), i -> concat(w[i], '_', w[i+1]))"))
         .as("gram"))

@@ -39,7 +39,7 @@ object LogAnalytics {
     * `2020-02-10 18:40:00,148` (C8, `log2influx.py:119-127`). */
   def parseMetrics(lines: DataFrame): DataFrame = {
     val clean = lines
-      .withColumn("line", regexp_replace(col("value"), "\\[[0-9;]*m", ""))
+      .withColumn("line", regexp_replace(col("value"), "\\u001B\\[[0-9;]*m", ""))
       .where(col("line").contains(MetricsMarker))
     clean
       .withColumn("ts_str", regexp_extract(col("line"),

@@ -36,22 +36,47 @@ object VisitStream {
     ticks.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        // ticks arrive on the driver; each becomes one full visit job
-        val ids = batch.select(col("value")).collect().map(_.getLong(0)).sorted
-        ids.foreach { tick =>
-          val resumed = VisitPipeline.VisitStateStore.read(apdb.config.warehouseDir)
-          val visitId = resumed.map(_.visitId).getOrElse(0) + 1
-          // event time advances on the 45 s visit grid regardless of
-          // wall-clock tick speed; night-time filter (F8) applies
-          val eventTime = nextNightTime(resumed
-            .map(s => new Timestamp(s.visitTimeMillis + 45000L))
-            .getOrElse(startTime))
-          val pointing = Generators.sphereXyz(1, hemi = -1,
-            seed = 5000L + (visitId % 3)).head
-          val stats = VisitPipeline.visit(apdb, catalog, visitId, eventTime,
-            pointing)
-          onVisit(stats)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // Ticks arrive on the driver; each advances the visit clock by
+        // one. IDEMPOTENCE on micro-batch retries: a marker records
+        // (batchId, visit counter before the batch); a re-delivered
+        // batchId reuses that base, so already-persisted visits are not
+        // run again — only the missing tail of the batch executes.
+        val n = batch.count().toInt
+        if (n > 0) {
+          val dir = apdb.config.warehouseDir
+          def stateVisit: Int =
+            VisitPipeline.VisitStateStore.read(dir).map(_.visitId).getOrElse(0)
+          val markerFile = java.nio.file.Paths.get(dir, "stream_batch.json")
+          val base: Int = {
+            val existing =
+              if (java.nio.file.Files.exists(markerFile))
+                Some(java.nio.file.Files.readString(markerFile).split(","))
+              else None
+            existing match {
+              case Some(Array(bid, b)) if bid.toLong == batchId => b.toInt
+              case _ =>
+                val b = stateVisit
+                java.nio.file.Files.createDirectories(markerFile.getParent)
+                java.nio.file.Files.writeString(markerFile, s"$batchId,$b")
+                b
+            }
+          }
+          val target = base + n
+          while (stateVisit < target) {
+            val resumed = VisitPipeline.VisitStateStore.read(dir)
+            val visitId = resumed.map(_.visitId).getOrElse(0) + 1
+            // event time advances on the 45 s visit grid regardless of
+            // wall-clock tick speed; night-time filter (F8) applies
+            val eventTime = nextNightTime(resumed
+              .map(s => new Timestamp(s.visitTimeMillis + 45000L))
+              .getOrElse(startTime))
+            val pointing = Generators.sphereXyz(1, hemi = -1,
+              seed = 5000L + (visitId % 3)).head
+            val stats = VisitPipeline.visit(apdb, catalog, visitId, eventTime,
+              pointing)
+            onVisit(stats)
+          }
         }
         ()
       }

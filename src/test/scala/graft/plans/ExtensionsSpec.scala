@@ -98,8 +98,32 @@ class ExtensionsSpec extends AnyFunSuite {
     spark.read.parquet(objectsPath).createOrReplaceTempView("objs2")
     val df2 = spark.sql(
       s"SELECT sourceIdx FROM objs2 WHERE region_contains('$lit', ra, dec) AND pixelId >= 0")
-    val cnt = "pixelId#?\\d* >=".r
+    // exactly the user's own predicate, no injected ranges on top
+    val cnt = "pixelId#\\d+L? >=".r
       .findAllIn(df2.queryExecution.optimizedPlan.toString).length
+    assert(cnt == 1, s"expected exactly the explicit pixelId predicate, found $cnt")
     assert(df2.count() > 0)
+  }
+
+  test("rule does NOT prune negated or disjunctive region predicates") {
+    spark.read.parquet(objectsPath).createOrReplaceTempView("objs3")
+    val lit = RegionCodec.encode(region)
+    // NOT region_contains: almost everything qualifies; injection would
+    // shrink the result to the envelope
+    val neg = spark.sql(
+      s"SELECT count(*) AS n FROM objs3 WHERE NOT region_contains('$lit', ra, dec)")
+    assert(!neg.queryExecution.optimizedPlan.toString.matches("(?s).*pixelId#\\d+L? >=.*"))
+    val total = spark.read.parquet(objectsPath).count()
+    val inRegion = spark.sql(
+      s"SELECT count(*) AS n FROM objs3 WHERE region_contains('$lit', ra, dec)")
+      .head.getLong(0)
+    assert(neg.head.getLong(0) == total - inRegion)
+
+    // OR with an unrelated predicate: injection would drop matches of
+    // the other disjunct outside the envelope
+    val disj = spark.sql(
+      s"SELECT count(*) AS n FROM objs3 WHERE region_contains('$lit', ra, dec) OR sourceIdx < 100")
+    assert(!disj.queryExecution.optimizedPlan.toString.matches("(?s).*pixelId#\\d+L? >=.*"))
+    assert(disj.head.getLong(0) >= 100)
   }
 }

@@ -47,6 +47,8 @@ class LogAnalyticsSpec extends AnyFunSuite {
       val j = math.min(arr.length - 1, math.max(0, i + rng.nextInt(11) - 5))
       val t = arr(i); arr(i) = arr(j); arr(j) = t
     }
+    // colorize one line: the parser must strip real ANSI escapes (ESC [..m)
+    arr(0) = "\u001b[32m" + arr(0) + "\u001b[0m"
     arr.toSeq ++
       Seq("2026-02-10 18:43:00,000 [INFO] ap_proto: noise line without metrics",
         s"2026-02-10 18:43:01,000 [INFO] ap_proto: ${LogAnalytics.StopPattern}")
