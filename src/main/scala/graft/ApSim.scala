@@ -28,7 +28,10 @@ object ApSim {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val apdb = new ApdbSpark(spark, ApdbConfig(warehouseDir = warehouse))
+    // detectionFraction < 1 exercises forced photometry: known objects
+    // occasionally missed by DIA get forced-source rows (F6/J5 path)
+    val apdb = new ApdbSpark(spark,
+      ApdbConfig(warehouseDir = warehouse, detectionFraction = 0.9))
     val resumed = VisitPipeline.VisitStateStore.read(warehouse)
     if (resumed.isEmpty) apdb.makeSchema(drop = true)
 

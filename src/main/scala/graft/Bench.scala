@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up codegen/JIT + file-index caches so the first timed query
+    // doesn't absorb one-time session costs
+    try {
+      spark.range(1000000L).agg(org.apache.spark.sql.functions.sum("id")).count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -445,6 +445,24 @@ object CoreQueries {
       |  ts + INTERVAL 45 SECOND AS next_visit_ts
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** C8 — comma-millisecond log timestamp round trip
+    * (`log2influx.py:119-127`): format `2020-02-10 18:40:00,148`,
+    * re-parsed via comma→dot normalization. */
+  val c8TsParse: QFn = (s, d) => {
+    Tables.events(s, d)
+      .withColumn("ts_log", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss,SSS"))
+      .select(col("event_id"), col("ts_log"),
+        to_timestamp(regexp_replace(col("ts_log"), ",", "."),
+          "yyyy-MM-dd HH:mm:ss.SSS").as("ts_parsed"))
+      .orderBy(col("event_id"))
+  }
+  val c8Sql =
+    """SELECT event_id, ts_log,
+      |  strptime(replace(ts_log, ',', '.'), '%Y-%m-%d %H:%M:%S.%g') AS ts_parsed
+      |FROM (SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S,%g') AS ts_log
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
   /** C9 — regex extraction from semi-structured text
     * (`log2influx.py:130-139`). */
   val c9RegexExtract: QFn = (s, d) => {
@@ -513,6 +531,7 @@ object CoreQueries {
     "w4_ooo_sort" -> w4OooSort,
     "u1_union_sources" -> u1UnionSources,
     "c7_time_math" -> c7TimeMath,
+    "c8_ts_parse" -> c8TsParse,
     "c9_regex_extract" -> c9RegexExtract,
     "c10_json_parse" -> c10JsonParse,
     "c11_word_extract" -> c11WordExtract,
@@ -545,6 +564,7 @@ object CoreQueries {
     "w4_ooo_sort" -> w4Sql,
     "u1_union_sources" -> u1Sql,
     "c7_time_math" -> c7Sql,
+    "c8_ts_parse" -> c8Sql,
     "c9_regex_extract" -> c9Sql,
     "c10_json_parse" -> c10Sql,
     "c11_word_extract" -> c11Sql,
