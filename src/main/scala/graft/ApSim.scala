@@ -11,13 +11,16 @@ import graft.geom._
   * simulated visits of the SURVEY §3.1 pipeline against a warehouse dir,
   * printing one JSON stats line per visit.
   *
-  * Usage: runMain graft.ApSim <warehouseDir> <nVisits> [catalogSize]
+  * Usage: runMain graft.ApSim <warehouseDir> <nVisits> [catalogSize] [detectionFraction]
   */
 object ApSim {
   def main(args: Array[String]): Unit = {
     val warehouse = if (args.length > 0) args(0) else "/tmp/apdb_warehouse"
     val nVisits = if (args.length > 1) args(1).toInt else 5
     val catSize = if (args.length > 2) args(2).toLong else 200000L
+    // reference default is 1.0 (BASELINE.md); pass e.g. 0.9 to exercise
+    // the forced-photometry path on revisits
+    val detFraction = if (args.length > 3) args(3).toDouble else 1.0
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -28,10 +31,8 @@ object ApSim {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // detectionFraction < 1 exercises forced photometry: known objects
-    // occasionally missed by DIA get forced-source rows (F6/J5 path)
     val apdb = new ApdbSpark(spark,
-      ApdbConfig(warehouseDir = warehouse, detectionFraction = 0.9))
+      ApdbConfig(warehouseDir = warehouse, detectionFraction = detFraction))
     val resumed = VisitPipeline.VisitStateStore.read(warehouse)
     if (resumed.isEmpty) apdb.makeSchema(drop = true)
 

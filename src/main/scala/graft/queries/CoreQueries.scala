@@ -208,7 +208,7 @@ object CoreQueries {
     * (`_executors.py:338-341`). Customers with orders but none recent. */
   val j5ForcedAntijoin: QFn = (s, d) => {
     val recent = Tables.orders(s, d)
-      .where(col("o_orderdate") >= lit("1998-01-01 00:00:00").cast("timestamp"))
+      .where(col("o_orderdate") >= lit("1998-06-01 00:00:00").cast("timestamp"))
       .select(col("o_custkey"))
     Tables.orders(s, d).select(col("o_custkey")).distinct()
       .join(recent, Seq("o_custkey"), "left_anti")
@@ -218,7 +218,7 @@ object CoreQueries {
     """SELECT DISTINCT o_custkey FROM orders
       |WHERE o_custkey NOT IN (
       |  SELECT o_custkey FROM orders
-      |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |  WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
       |ORDER BY o_custkey""".stripMargin
 
   // -- A: aggregations ----------------------------------------------------

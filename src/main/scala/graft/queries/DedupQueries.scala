@@ -111,10 +111,12 @@ object DedupQueries {
     * pigeonhole when split in 4), verified by exact hamming distance.
     * Scale path: shuffle by (chunk index, chunk value). */
   val x6DedupSimhash: QFn = (s, d) => {
+    // hash inside the projection: the per-doc distinct then shuffles
+    // 8-byte hashes instead of token strings
     val tokens = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        explode(expr("transform(split(text, ' '), t -> xxhash64(t))")).as("h"))
       .distinct()
-      .withColumn("h", xxhash64(col("tok")))
     val bitAggs = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1)
         .otherwise(-1)).as(s"b$j")
