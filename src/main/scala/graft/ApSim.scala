@@ -59,6 +59,11 @@ object ApSim {
         s""""transients":${stats.nTransients},"histSrc":${stats.historySources},""" +
         s""""histFsrc":${stats.historyForced},"under45s":${sec < 45.0}}""")
     }
+    // end-of-night consolidation (DiaObjectNightly analog): compact the
+    // per-visit file fragments so the next night's scans stay fast
+    val before = apdb.fileCounts.values.sum
+    apdb.consolidateNight()
+    println(s"""{"consolidation":"done","filesBefore":$before,"filesAfter":${apdb.fileCounts.values.sum}}""")
     spark.stop()
   }
 }

@@ -227,4 +227,36 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
 
   /** MJD (TAI≈UTC for the simulated era, SURVEY §7.4) from a timestamp. */
   def mjd(t: Timestamp): Double = t.getTime / 1000.0 / 86400.0 + 40587.0
+
+  /** Nightly consolidation (`DiaObjectNightly` copy/delete semantics,
+    * `log2influx.py:197-204` + T8): per-visit appends fragment the
+    * tables into many small files — one per shuffle partition per
+    * visit — which degrades scan planning at scale. Rewrite each
+    * partitioned table into one file per partition (their natural
+    * FOV-sized volume), preserving contents. Run at end of night like
+    * the reference's daily consolidation. */
+  def consolidateNight(): Unit = {
+    def compact(t: String, schema: StructType, partCol: String): Unit = {
+      if (!exists(t)) return
+      val df = spark.read.schema(schema).parquet(path(t))
+        .repartition(col(partCol))
+        .localCheckpoint(true) // break lineage: rewrite reads this path
+      df.write.mode(SaveMode.Overwrite)
+        .partitionBy(partCol).parquet(path(t))
+    }
+    compact("obj_last", objSchema, "pix_bucket")
+    compact("objects", objSchema, "pix_bucket")
+    compact("sources", srcSchema, "mjd_bucket")
+    compact("fsources", fsrcSchema, "mjd_bucket")
+  }
+
+  /** Parquet file count per table (compaction observability). */
+  def fileCounts: Map[String, Int] =
+    Seq("obj_last", "objects", "sources", "fsources").map { t =>
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      val dir = new java.io.File(path(t))
+      t -> (if (dir.exists()) walk(dir) else 0)
+    }.toMap
 }

@@ -1,0 +1,93 @@
+package graft.apdb
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom.Vec3
+import graft.operators.SaltedJoin
+
+/** Scale-mechanics checks: nightly compaction, bucketed co-located
+  * joins, and skew salting. */
+class ScaleSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("nightly consolidation compacts per-visit file fragments") {
+    val dir = java.nio.file.Files.createTempDirectory("apdb_compact").toString
+    val apdb = new ApdbSpark(spark, ApdbConfig(warehouseDir = dir,
+      transientPerVisit = 5, falsePerVisit = 45))
+    apdb.makeSchema(drop = true)
+    val catalog = DiaSim.genCatalog(spark, 50000L, hemi = -1, seed = 31)
+      .localCheckpoint(true)
+    val pointing = Vec3(0.1, -0.2, -0.97).normalized
+    val vs = VisitPipeline.visitTimes(Timestamp.valueOf("2026-05-01 01:00:00"), 3)
+    vs.foreach { case (id, ts) =>
+      VisitPipeline.visit(apdb, catalog, id, ts, pointing)
+    }
+
+    val before = apdb.fileCounts
+    val rowsBefore = (apdb.objectsLast.count(), apdb.sources.count(),
+      apdb.getDiaObjectsHistory.count())
+    apdb.consolidateNight()
+    val after = apdb.fileCounts
+    val rowsAfter = (apdb.objectsLast.count(), apdb.sources.count(),
+      apdb.getDiaObjectsHistory.count())
+
+    assert(rowsBefore == rowsAfter, "compaction must preserve contents")
+    // three visits appended three file sets; compaction leaves one file
+    // per partition directory
+    assert(after("objects") < before("objects"),
+      s"objects: ${before("objects")} -> ${after("objects")}")
+    assert(after("sources") < before("sources"),
+      s"sources: ${before("sources")} -> ${after("sources")}")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = spark.range(10000).select(col("id").as("k"),
+        (col("id") % 97).as("v"))
+      val dim = spark.range(2000).select(col("id").as("k"),
+        (col("id") % 7).as("w"))
+      facts.write.mode("overwrite").bucketBy(8, "k")
+        .sortBy("k").saveAsTable("facts_bkt")
+      dim.write.mode("overwrite").bucketBy(8, "k")
+        .sortBy("k").saveAsTable("dim_bkt")
+      val joined = spark.table("facts_bkt")
+        .join(spark.table("dim_bkt"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(joined.count() == 2000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS facts_bkt")
+      spark.sql("DROP TABLE IF EXISTS dim_bkt")
+    }
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val skewed = spark.range(20000).select(
+      when(col("id") % 10 < 9, lit(7L)).otherwise(col("id")).as("k"),
+      col("id").as("payload"))
+    val small = spark.range(100).select(col("id").as("k"),
+      (col("id") * 2).as("dim"))
+    val expected = skewed.join(small, Seq("k")).agg(
+      count(lit(1)).as("n"), sum(col("payload") + col("dim")).as("s"))
+      .head()
+    val got = SaltedJoin.join(skewed, small, "k", salts = 8).agg(
+      count(lit(1)).as("n"), sum(col("payload") + col("dim")).as("s"))
+      .head()
+    assert(got == expected)
+  }
+}
