@@ -44,6 +44,7 @@ object ApSim {
       .getOrElse(Timestamp.valueOf("2026-01-01 01:00:00"))
     val visits = VisitPipeline.visitTimes(t0, nVisits)
 
+    val metricsLog = new MetricsLog(warehouse)
     // cycle over a few survey fields so revisits exercise the read/match/
     // forced paths (the reference revisits fields as the sky rotates)
     visits.foreach { case (offset, ts) =>
@@ -53,6 +54,7 @@ object ApSim {
       val w0 = System.nanoTime()
       val stats = VisitPipeline.visit(apdb, catalog, visitId, ts, pointing)
       val sec = (System.nanoTime() - w0) / 1e9
+      metricsLog.visit(stats, ts, sec)
       println(s"""{"visit":${stats.visitId},"sec":$sec,""" +
         s""""objectsRead":${stats.nObjectsRead},"objectsFiltered":${stats.nObjectsFiltered},""" +
         s""""sources":${stats.nSources},"forced":${stats.nForcedSources},""" +

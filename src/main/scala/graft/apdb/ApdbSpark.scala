@@ -250,6 +250,18 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     compact("fsources", fsrcSchema, "mjd_bucket")
   }
 
+  /** Register the engine tables as SQL temp views (`dia_object_last`,
+    * `dia_object`, `dia_source`, `dia_forced_source`) so plain-SQL users
+    * query them directly — with GraftExtensions active, a
+    * `region_contains` filter over `dia_object_last` gains automatic
+    * pixelId range pruning from PixelPruneRule. */
+  def registerViews(): Unit = {
+    objectsLast.createOrReplaceTempView("dia_object_last")
+    getDiaObjectsHistory.createOrReplaceTempView("dia_object")
+    sources.createOrReplaceTempView("dia_source")
+    forcedSources.createOrReplaceTempView("dia_forced_source")
+  }
+
   /** Parquet file count per table (compaction observability). */
   def fileCounts: Map[String, Int] =
     Seq("obj_last", "objects", "sources", "fsources").map { t =>
