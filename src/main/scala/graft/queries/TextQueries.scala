@@ -223,7 +223,14 @@ object TextQueries {
     * no media libraries — with a deterministic byte-histogram "feature
     * extractor" standing in. The Spark-side shape is real: binary column,
     * metadata struct, partition-batched map, fixed-length feature vector
-    * (the Scala analog of a pandas-batched UDF pipeline). */
+    * (the Scala analog of a pandas-batched UDF pipeline).
+    *
+    * Output is long format — one row per (doc, feature kind, index) with a
+    * scalar `value` — so the result is pure scalars: `hist` = 16-bin byte
+    * histogram ("feature-extract"), `coarse` = 4-bin rebin ("resize"),
+    * `frame` = mean byte value per fixed 64-byte frame ("frame-sample").
+    * Frame means are exact in IEEE doubles on both engines (integer-valued
+    * partial sums < 2^53, then one division). */
   val x13MultimodalFeatures: QFn = (s, d) => {
     import s.implicits._
     val withPayload = Tables.documents(s, d)
@@ -235,10 +242,11 @@ object TextQueries {
       .select(col("doc_id"), col("payload"), col("media_meta.codec"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
-        it.map { case (id, bytes, codec) =>
+        it.flatMap { case (id, bytes, codec) =>
           // ??? real decode would go here (e.g. JPEG -> pixels / PCM
           // samples); the deterministic stand-ins below keep the batch
           // shapes real:
+          val n = bytes.length.toLong
           // "feature-extract": 16-bin byte histogram
           val hist = new Array[Long](16)
           bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
@@ -248,15 +256,56 @@ object TextQueries {
           // "frame-sample": fixed-stride 64-byte frames, mean per frame
           val frameMeans = bytes.grouped(64).map { f =>
             f.map(b => (b & 0xff).toDouble).sum / f.length
-          }.toSeq
-          (id, codec, bytes.length.toLong, hist.toSeq, coarse.toSeq,
-            frameMeans.length.toLong, frameMeans)
+          }.toArray
+          hist.iterator.zipWithIndex.map { case (v, i) =>
+            (id, codec, n, "hist", i.toLong, v.toDouble) } ++
+            coarse.iterator.zipWithIndex.map { case (v, i) =>
+              (id, codec, n, "coarse", i.toLong, v.toDouble) } ++
+            frameMeans.iterator.zipWithIndex.map { case (m, i) =>
+              (id, codec, n, "frame", i.toLong, m) }
         }
       }
-      .toDF("doc_id", "codec", "n_bytes", "features", "coarse_features",
-        "n_frames", "frame_means")
-    featurized.orderBy(col("doc_id"))
+      .toDF("doc_id", "codec", "n_bytes", "kind", "idx", "value")
+    featurized.orderBy(col("doc_id"), col("kind"), col("idx"))
   }
+
+  /** DuckDB oracle for x13: text is ASCII in this corpus, so per-character
+    * `ord(substr(...))` equals the UTF-8 byte Spark sees via
+    * `cast(text as binary)`. */
+  val x13Sql =
+    """WITH bv AS (
+      |  SELECT doc_id, i, ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+      |  FROM (SELECT doc_id, text,
+      |          unnest(generate_series(1, length(text))) AS i
+      |        FROM documents)
+      |), docs AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes FROM documents
+      |), hist AS (
+      |  SELECT doc_id, b // 16 AS idx, COUNT(*) AS cnt FROM bv GROUP BY 1, 2
+      |), hist_full AS (
+      |  SELECT d.doc_id, d.n_bytes, bins.idx, COALESCE(h.cnt, 0) AS cnt
+      |  FROM docs d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS idx) bins
+      |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.idx = bins.idx
+      |), coarse AS (
+      |  SELECT doc_id, n_bytes, idx // 4 AS idx, SUM(cnt) AS cnt
+      |  FROM hist_full GROUP BY 1, 2, 3
+      |), frames AS (
+      |  SELECT doc_id, (i - 1) // 64 AS idx,
+      |         CAST(SUM(b) AS DOUBLE) / COUNT(*) AS v
+      |  FROM bv GROUP BY 1, 2
+      |)
+      |SELECT doc_id, 'utf8' AS codec, n_bytes, 'hist' AS kind,
+      |       CAST(idx AS BIGINT) AS idx, CAST(cnt AS DOUBLE) AS value
+      |FROM hist_full
+      |UNION ALL
+      |SELECT doc_id, 'utf8', n_bytes, 'coarse', CAST(idx AS BIGINT),
+      |       CAST(cnt AS DOUBLE)
+      |FROM coarse
+      |UNION ALL
+      |SELECT f.doc_id, 'utf8', d.n_bytes, 'frame', CAST(f.idx AS BIGINT), f.v
+      |FROM frames f JOIN docs d USING (doc_id)
+      |ORDER BY doc_id, kind, idx""".stripMargin
 
   val queries: Map[String, QFn] = Map(
     "x11_token_count" -> x11TokenCount,
@@ -275,5 +324,6 @@ object TextQueries {
     "x10_quality_score" -> x10Sql,
     "x4_text_tfidf" -> x4Sql,
     "x5_approx_distinct" -> x5Sql,
+    "x13_multimodal_features" -> x13Sql,
   )
 }
