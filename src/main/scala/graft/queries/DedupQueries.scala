@@ -47,6 +47,15 @@ object DedupQueries {
       Array.fill(SigSize)(rng.nextInt(Int.MaxValue).toLong))
   }
 
+  /** Portable 60-bit shingle/token hash: first 15 hex chars of md5 as an
+    * integer. Spark: `conv(substr(md5(s),1,15),16,10)`; DuckDB:
+    * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)` — md5 is identical in
+    * both engines, so the hash (unlike xxhash64) is oracle-expressible. */
+  private def hex60(sqlStr: String): String =
+    s"CAST(conv(substr(md5($sqlStr), 1, 15), 16, 10) AS BIGINT)"
+  private def duckHex60(sqlStr: String): String =
+    s"CAST('0x' || substr(md5($sqlStr), 1, 15) AS BIGINT)"
+
   /** doc_id + 64-component MinHash signature over word 3-gram shingles.
     * One explode + one groupBy (map-side combine keeps shuffle small:
     * 64 longs per doc regardless of doc length). */
@@ -61,7 +70,7 @@ object DedupQueries {
     // shingles are hashed in the same projection so no strings shuffle
     val shingles = words.select(col("doc_id"),
       explode(expr(
-        "transform(sequence(0, size(w) - 3), i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))"))
+        s"transform(sequence(0, size(w) - 3), i -> ${hex60("concat_ws(' ', w[i], w[i+1], w[i+2])")})"))
         .as("h"))
     // reduce h into [0, p) first so a*h + b stays below 2^62 (ANSI-safe)
     val hMod = pmod(col("h"), lit(MersennePrime))
@@ -76,26 +85,29 @@ object DedupQueries {
 
   /** x2 — MinHash LSH near-duplicate pairs: band-bucket join (16 bands ×
     * 4 rows), candidates verified by full-signature agreement fraction.
-    * Scale path: shuffle is by (band, bucket-hash), never all-pairs. */
+    * Scale path: shuffle is by (band, bucket), never all-pairs — and the
+    * band join carries doc ids only (signatures re-attach by id join
+    * afterwards), so the wide sig arrays never ride the candidate
+    * shuffle. */
   val x2DedupMinhash: QFn = (s, d) => {
     // localCheckpoint (GC-managed) instead of cache: query functions
     // return plans whose actions run later, so an explicit unpersist
     // would race the caller
     val sigs = minhashSignatures(Tables.documents(s, d)).localCheckpoint(true)
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded = sigs.select(col("doc_id"),
         explode(expr(
-          s"transform(sequence(0, ${Bands - 1}), b -> struct(b AS band, hash(slice(sig, b*4 + 1, 4)) AS bucket))"))
+          s"transform(sequence(0, ${Bands - 1}), b -> struct(b AS band, array_join(transform(slice(sig, b*4 + 1, 4), x -> CAST(x AS STRING)), ',') AS bucket))"))
           .as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val cand = a.join(b, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("n_equal", expr(
         s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
       .withColumn("est_jaccard", col("n_equal") / lit(SigSize.toDouble))
@@ -104,34 +116,81 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** DuckDB oracle for x2: same md5-derived shingle hash, the same 64
+    * affine-min aggregations (constants inlined), the same 16-band bucket
+    * strings, candidate distinct, and signature-agreement verification. */
+  val x2Sql: String = {
+    val p = MersennePrime
+    val minExprs = (0 until SigSize).map { i =>
+      s"MIN((hm * ${hashA(i)} + ${hashB(i)}) % $p) AS s$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { bnd =>
+      val cols = (0 until 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(',', $cols) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    val eqSum = (0 until SigSize)
+      .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE length(string_split(text, ' ')) >= 3),
+       |shingles AS (
+       |  SELECT doc_id,
+       |    ${duckHex60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} % $p AS hm
+       |  FROM (SELECT doc_id, w, unnest(range(1, length(w) - 1)) AS i
+       |        FROM words)),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $minExprs
+       |  FROM shingles GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |eq AS (
+       |  SELECT doc_a, doc_b, ($eqSum) AS n_equal
+       |  FROM cand
+       |  JOIN sigs sa ON sa.doc_id = doc_a
+       |  JOIN sigs sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, n_equal / ${SigSize}.0 AS est_jaccard
+       |FROM eq WHERE n_equal / ${SigSize}.0 >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // -- x6: SimHash near-dedup --------------------------------------------
 
-  /** x6 — 64-bit SimHash: per-token hash bit votes; candidate pairs from
-    * any matching 16-bit chunk (≤3 chunk-jumps tolerate hamming ≤ 16 per
-    * pigeonhole when split in 4), verified by exact hamming distance.
+  val SimBits = 60 // 15 hex chars of md5 → 60-bit token hash (portable)
+  val SimChunks = 4 // 4 × 15-bit chunks; pigeonhole covers hamming ≤ 3
+
+  /** x6 — 60-bit SimHash: per-token hash bit votes; candidate pairs from
+    * any matching 15-bit chunk (4 chunks cover hamming ≤ 3 by
+    * pigeonhole), verified by exact hamming distance. The token hash is
+    * md5-derived so the DuckDB oracle reproduces it bit-for-bit.
     * Scale path: shuffle by (chunk index, chunk value). */
   val x6DedupSimhash: QFn = (s, d) => {
     // hash inside the projection: the per-doc distinct then shuffles
     // 8-byte hashes instead of token strings
     val tokens = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(expr("transform(split(text, ' '), t -> xxhash64(t))")).as("h"))
+        explode(expr(s"transform(split(text, ' '), t -> ${hex60("t")})")).as("h"))
       .distinct()
-    val bitAggs = (0 until 64).map { j =>
+    val bitAggs = (0 until SimBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1)
         .otherwise(-1)).as(s"b$j")
     }
     val sim = tokens.groupBy(col("doc_id"))
       .agg(bitAggs.head, bitAggs.tail: _*)
       .withColumn("simhash",
-        (0 until 64).map(j =>
+        (0 until SimBits).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce((a: Column, b: Column) => a.bitwiseOR(b)))
       .select(col("doc_id"), col("simhash"))
       .localCheckpoint(true)
     val chunked = sim.select(col("doc_id"), col("simhash"),
         explode(expr(
-          "transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(simhash, c*16) & 65535 AS cval))"))
+          s"transform(sequence(0, ${SimChunks - 1}), c -> struct(c AS chunk, shiftright(simhash, c*15) & 32767 AS cval))"))
           .as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.cval"))
     val a = chunked.select(col("chunk"), col("cval"),
@@ -141,10 +200,48 @@ object DedupQueries {
     a.join(b, Seq("chunk", "cval"))
       .where(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= 2)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB oracle for x6: same md5-derived 60-bit token hash, the same
+    * bit votes / majority simhash, chunk buckets, and hamming verify. */
+  val x6Sql: String = {
+    val voteExprs = (0 until SimBits).map { j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val simExpr = (0 until SimBits).map { j =>
+      s"(CASE WHEN b$j > 0 THEN CAST(1 AS BIGINT) << $j ELSE 0 END)"
+    }.mkString(" | ")
+    val chunkSelects = (0 until SimChunks).map { c =>
+      s"SELECT doc_id, $c AS chunk, (simhash >> ${c * 15}) & 32767 AS cval FROM sim"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tokens AS (
+       |  SELECT DISTINCT doc_id, ${duckHex60("t")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |        FROM documents)),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $voteExprs
+       |  FROM tokens GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id, $simExpr AS simhash FROM votes),
+       |chunked AS (
+       |  $chunkSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM chunked a JOIN chunked b
+       |    ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+       |FROM cand
+       |JOIN sim sa ON sa.doc_id = doc_a
+       |JOIN sim sb ON sb.doc_id = doc_b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // -- x7: n-gram Jaccard (exact) ----------------------------------------
@@ -286,32 +383,48 @@ object DedupQueries {
       |  FROM scored) WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
-  /** x8 — embedding-cosine near-duplicate pairs above a threshold.
-    * Brute force with the whole (small) table broadcast once and a
-    * primitive-array kernel per partition — each partition handles its
-    * rows against all higher ids, so work is O(n²/2) total without a
-    * shuffle. At 100 TB the b-side would be chunked (block-nested GEMM)
-    * or replaced by the LSH prefilter (x14). */
+  /** x8 — embedding-cosine near-duplicate pairs above a threshold, as a
+    * block-nested pair join: vectors hash into `X8Blocks` blocks by id,
+    * every block pair (i ≤ j) shuffles to one task, and a primitive-array
+    * kernel scores the pairs inside the task. No driver-side
+    * materialization — per-task memory is bounded by two blocks, the
+    * shuffle is n·B replicated rows, and every unordered id pair lands in
+    * exactly one block pair: the distributed block-GEMM shape (B scales
+    * as sqrt(parallelism) on a cluster). The LSH prefilter (x14) is the
+    * sublinear alternative when approximate recall is acceptable. */
+  val X8Blocks = 8
   val x8EmbeddingDedup: QFn = (s, d) => {
     import s.implicits._
+    val bCount = X8Blocks
     val emb = embRows(Tables.embeddings(s, d))
-    val all = s.sparkContext.broadcast(
-      emb.collect().sortBy(_._1).map { case (id, e) => (id, e, normScaled(e)) })
-    val pairs = emb.mapPartitions { it =>
-      val bs = all.value
-      it.flatMap { case (aid, ae) =>
-        val an = normScaled(ae)
-        val sqa = math.sqrt(an)
-        // binary search to the first id > aid (array sorted by id)
-        var lo = 0; var hi = bs.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (bs(mid)._1 <= aid) lo = mid + 1 else hi = mid
-        }
-        bs.iterator.drop(lo).map { case (bid, be, bn) =>
-          (aid, bid, dotScaled(ae, be) / (sqa * math.sqrt(bn)))
-        }.filter(_._3 > 0.4)
+      .map { case (id, e) => (id, e, normScaled(e)) }
+    // replicate each vector to every block pair it participates in;
+    // role 0 = "left" block of the pair, role 1 = "right"
+    val replicated = emb.flatMap { case (id, e, n) =>
+      val b = (id % bCount).toInt
+      (0 until bCount).map { o =>
+        if (o >= b) ((b * bCount + o), 0, id, e, n)
+        else ((o * bCount + b), 1, id, e, n)
       }
+    }
+    val pairs = replicated.groupByKey(_._1).flatMapGroups {
+      (key: Int, it: Iterator[(Int, Int, Long, Array[Double], Long)]) =>
+        val isDiag = (key / bCount) == (key % bCount)
+        val left = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double], Long)]
+        val right = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double], Long)]
+        it.foreach { case (_, role, id, e, n) =>
+          (if (role == 0) left else right) += ((id, e, n))
+        }
+        val rs = if (isDiag) left else right
+        for {
+          (ua, ue, un) <- left.iterator
+          (va, ve, vn) <- rs.iterator
+          if !isDiag || ua < va
+          cos = dotScaled(ue, ve) / (math.sqrt(un) * math.sqrt(vn))
+          if cos > 0.4
+        } yield if (ua < va) (ua, va, cos) else (va, ua, cos)
     }.toDF("vec_a", "vec_b", "cosine")
     pairs.orderBy(col("vec_a"), col("vec_b"))
   }
@@ -444,6 +557,8 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
+    "x2_dedup_minhash" -> x2Sql,
+    "x6_dedup_simhash" -> x6Sql,
     "x7_ngram_jaccard" -> x7Sql,
     "x3_topk_similarity" -> x3Sql,
     "x8_embedding_dedup" -> x8Sql,

@@ -200,15 +200,20 @@ object GeoQueries {
       |SELECT * FROM (VALUES (0, 0), (0, 4), (4, 0), (4, 4)) AS c(ix, iy)
       |ORDER BY ix, iy""".stripMargin
 
-  // --- non-SQL-expressible geometry keys (rows-only driver check; the
-  // --- real assertions live in ScalaTest property suites) ---
+  // --- previously rows-only geometry keys, now oracle-checked: c2 by
+  // --- identical constant-matrix column math; c3/a9 by an *independent*
+  // --- area formula (Girard's spherical excess in DuckDB vs the
+  // --- kernel's L'Huilier), over vertex coordinates inlined as VALUES
+  // --- (Scala double toString round-trips exactly through SQL parsing).
+
+  /** The fixed pointing rotation shared by c2 and its oracle. */
+  private val c2Mat: Array[Double] =
+    Mat3.rotateInto(Vec3.zAxis, Vec3(0.6, 0.48, 0.64)).m
 
   /** C2 — rotation matrices applied row-wise: rotate the synthesized
     * catalog onto a pointing (`geom.py:37-56`, `generators.py:89-91`). */
   val c2Rotation: QFn = (s, d) => {
-    import s.implicits._
-    val rot = Mat3.rotateInto(Vec3.zAxis, Vec3(0.6, 0.48, 0.64))
-    val m = rot.m
+    val m = c2Mat
     synthXyz(Tables.events(s, d))
       .select(col("event_id"),
         (col("sx") * m(0) + col("sy") * m(1) + col("sz") * m(2)).as("rx"),
@@ -216,25 +221,93 @@ object GeoQueries {
         (col("sx") * m(6) + col("sy") * m(7) + col("sz") * m(8)).as("rz"))
       .orderBy(col("event_id"))
   }
-
-  /** C3 — spherical triangle areas per row (`geom.py:243-267`). */
-  val c3TriangleArea: QFn = (s, d) => {
-    import s.implicits._
-    val rows = (1 to 64).map { i =>
-      val vs = Generators.sphereXyz(3, seed = i.toLong)
-      (i.toLong, Geom.triangleArea(vs(0), vs(1), vs(2)))
-    }
-    rows.toDF("triangle_id", "area").orderBy(col("triangle_id"))
+  val c2Sql: String = {
+    val m = c2Mat
+    s"""SELECT event_id,
+       |  sx * (${m(0)}) + sy * (${m(1)}) + sz * (${m(2)}) AS rx,
+       |  sx * (${m(3)}) + sy * (${m(4)}) + sz * (${m(5)}) AS ry,
+       |  sx * (${m(6)}) + sy * (${m(7)}) + sz * (${m(8)}) AS rz
+       |FROM ($synthXyzSql)
+       |ORDER BY event_id""".stripMargin
   }
 
-  /** A9 — polygon area as sum over fan triangles (`geom.py:225-240`). */
+  /** Girard-excess CTE stages over a triangle relation with unit-vector
+    * columns p1x..p3z: `d` (clamped cosines of the three sides), `ang`
+    * (vertex-angle sum minus pi = spherical excess = area). */
+  private def girardStages(keyCols: String, triSrc: String): String =
+    s"""d AS (
+       |  SELECT $keyCols,
+       |    least(greatest(p2x*p3x + p2y*p3y + p2z*p3z, -1.0), 1.0) AS csa,
+       |    least(greatest(p1x*p3x + p1y*p3y + p1z*p3z, -1.0), 1.0) AS csb,
+       |    least(greatest(p1x*p2x + p1y*p2y + p1z*p2z, -1.0), 1.0) AS csc
+       |  FROM $triSrc),
+       |ang AS (
+       |  SELECT $keyCols,
+       |    acos(least(greatest((csa - csb*csc) / (sin(acos(csb)) * sin(acos(csc))), -1.0), 1.0))
+       |  + acos(least(greatest((csb - csa*csc) / (sin(acos(csa)) * sin(acos(csc))), -1.0), 1.0))
+       |  + acos(least(greatest((csc - csa*csb) / (sin(acos(csa)) * sin(acos(csb))), -1.0), 1.0))
+       |  - pi() AS excess
+       |  FROM d)""".stripMargin
+
+  private def c3Triangles: Seq[(Long, IndexedSeq[Vec3])] =
+    (1 to 64).map(i => (i.toLong, Generators.sphereXyz(3, seed = i.toLong)))
+
+  /** C3 — spherical triangle areas per row (`geom.py:243-267`), rounded
+    * to 6 decimals so the kernel (L'Huilier) and the oracle (Girard)
+    * agree despite last-ulp differences. */
+  val c3TriangleArea: QFn = (s, d) => {
+    import s.implicits._
+    val rows = c3Triangles.map { case (i, vs) =>
+      (i, Geom.triangleArea(vs(0), vs(1), vs(2)))
+    }
+    rows.toDF("triangle_id", "area")
+      .withColumn("area", round(col("area"), 6))
+      .orderBy(col("triangle_id"))
+  }
+  val c3Sql: String = {
+    val values = c3Triangles.map { case (i, vs) =>
+      s"($i, ${vs(0).x}, ${vs(0).y}, ${vs(0).z}, ${vs(1).x}, ${vs(1).y}, ${vs(1).z}, ${vs(2).x}, ${vs(2).y}, ${vs(2).z})"
+    }.mkString(",\n  ")
+    s"""WITH v(triangle_id, p1x, p1y, p1z, p2x, p2y, p2z, p3x, p3y, p3z) AS (VALUES
+       |  $values),
+       |${girardStages("triangle_id", "v")}
+       |SELECT triangle_id, round(excess, 6) AS area
+       |FROM ang ORDER BY triangle_id""".stripMargin
+  }
+
+  private def a9Tiles: IndexedSeq[Tile] = {
+    val pointing = Vec3(0.2, -0.5, -0.8).normalized
+    Tiles.squareTiles(pointing, math.toRadians(3.52), 8)
+  }
+
+  /** A9 — polygon area as sum over fan triangles (`geom.py:225-240`),
+    * rounded to 6 decimals (kernel L'Huilier vs oracle Girard). */
   val a9PolyArea: QFn = (s, d) => {
     import s.implicits._
-    val pointing = Vec3(0.2, -0.5, -0.8).normalized
-    val rows = Tiles.squareTiles(pointing, math.toRadians(3.52), 8).map { t =>
-      (t.id.toLong, t.ix, t.iy, t.polygon.area)
-    }
-    rows.toDF("tile_id", "ix", "iy", "area").orderBy(col("tile_id"))
+    val rows = a9Tiles.map { t => (t.id.toLong, t.ix, t.iy, t.polygon.area) }
+    rows.toDF("tile_id", "ix", "iy", "area")
+      .withColumn("area", round(col("area"), 6))
+      .orderBy(col("tile_id"))
+  }
+  val a9Sql: String = {
+    val values = a9Tiles.map { t =>
+      val vs = t.polygon.vertices
+      val coords = vs.map(v => s"${v.x}, ${v.y}, ${v.z}").mkString(", ")
+      s"(${t.id}, ${t.ix}, ${t.iy}, $coords)"
+    }.mkString(",\n  ")
+    s"""WITH v(tile_id, ix, iy, x0, y0, z0, x1, y1, z1, x2, y2, z2, x3, y3, z3) AS (VALUES
+       |  $values),
+       |tri AS (
+       |  SELECT tile_id, x0 AS p1x, y0 AS p1y, z0 AS p1z,
+       |         x1 AS p2x, y1 AS p2y, z1 AS p2z, x2 AS p3x, y2 AS p3y, z2 AS p3z
+       |  FROM v
+       |  UNION ALL
+       |  SELECT tile_id, x0, y0, z0, x2, y2, z2, x3, y3, z3 FROM v),
+       |${girardStages("tile_id", "tri")}
+       |SELECT v.tile_id, v.ix, v.iy, round(s.area, 6) AS area
+       |FROM (SELECT tile_id, SUM(excess) AS area FROM ang GROUP BY tile_id) s
+       |JOIN v ON v.tile_id = s.tile_id
+       |ORDER BY v.tile_id""".stripMargin
   }
 
   /** C4 — tile mosaic generation (`geom.py:59-222`): emit the tiles
@@ -285,5 +358,8 @@ object GeoQueries {
     "j4_tile_pixel_overlap" -> j4Sql,
     "a8_mc_summary" -> a8Sql,
     "u3_camera_tiles" -> u3Sql,
+    "c2_rotation" -> c2Sql,
+    "c3_triangle_area" -> c3Sql,
+    "a9_poly_area" -> a9Sql,
   )
 }

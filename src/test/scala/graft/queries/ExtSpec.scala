@@ -52,7 +52,7 @@ class ExtSpec extends AnyFunSuite {
     val out = DedupQueries.x6DedupSimhash(spark, sf).collect()
     assert(out.nonEmpty)
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
-    assert(out.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 2))
+    assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 2))
   }
 
   test("ANN LSH results are a subset of brute-force with decent recall") {
@@ -84,17 +84,22 @@ class ExtSpec extends AnyFunSuite {
 
   test("multimodal features: histogram mass, rebin, frame sampling") {
     val out = TextQueries.x13MultimodalFeatures(spark, sf).collect()
-    assert(out.length == 500)
-    out.foreach { r =>
-      val n = r.getLong(r.fieldIndex("n_bytes"))
-      val hist = r.getSeq[Long](r.fieldIndex("features"))
-      val coarse = r.getSeq[Long](r.fieldIndex("coarse_features"))
-      val nFrames = r.getLong(r.fieldIndex("n_frames"))
-      val means = r.getSeq[Double](r.fieldIndex("frame_means"))
-      assert(hist.length == 16 && hist.sum == n)
-      assert(coarse.length == 4 && coarse.sum == n)
-      assert(nFrames == (n + 63) / 64 && means.length == nFrames)
-      assert(means.forall(m => m >= 0 && m <= 255))
+      .map { r =>
+        (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("kind")),
+          r.getLong(r.fieldIndex("idx")), r.getDouble(r.fieldIndex("value")),
+          r.getLong(r.fieldIndex("n_bytes")))
+      }
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.size == 500)
+    byDoc.foreach { case (_, rows) =>
+      val n = rows.head._5
+      val hist = rows.filter(_._2 == "hist")
+      val coarse = rows.filter(_._2 == "coarse")
+      val frames = rows.filter(_._2 == "frame")
+      assert(hist.length == 16 && hist.map(_._4).sum == n)
+      assert(coarse.length == 4 && coarse.map(_._4).sum == n)
+      assert(frames.length == (n + 63) / 64)
+      assert(frames.forall(f => f._4 >= 0 && f._4 <= 255))
     }
   }
 
