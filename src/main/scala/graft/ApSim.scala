@@ -34,7 +34,19 @@ object ApSim {
     val apdb = new ApdbSpark(spark,
       ApdbConfig(warehouseDir = warehouse, detectionFraction = detFraction))
     val resumed = VisitPipeline.VisitStateStore.read(warehouse)
-    if (resumed.isEmpty) apdb.makeSchema(drop = true)
+    // drop-safety: a populated warehouse whose visit_state.json was
+    // deleted/corrupted must NOT be silently destroyed on restart — only
+    // initialize when the warehouse has no tables yet
+    if (resumed.isEmpty) {
+      val wDir = new java.io.File(warehouse)
+      val tables = Option(wDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.listFiles() != null && f.listFiles().nonEmpty)
+      require(tables.isEmpty,
+        s"warehouse $warehouse has tables (${tables.map(_.getName).mkString(", ")}) " +
+          "but no visit_state.json — refusing to drop; delete the directory " +
+          "explicitly to start fresh")
+      apdb.makeSchema(drop = true)
+    }
 
     val catalog = DiaSim.genCatalog(spark, catSize, hemi = -1, seed = 42)
       .localCheckpoint(true)
@@ -52,9 +64,9 @@ object ApSim {
       val pointing = Generators.sphereXyz(1, hemi = -1,
         seed = 5000L + (visitId % 3)).head
       val w0 = System.nanoTime()
-      val stats = VisitPipeline.visit(apdb, catalog, visitId, ts, pointing)
+      val stats = VisitPipeline.visit(apdb, catalog, visitId, ts, pointing,
+        metrics = Some(metricsLog))
       val sec = (System.nanoTime() - w0) / 1e9
-      metricsLog.visit(stats, ts, sec)
       println(s"""{"visit":${stats.visitId},"sec":$sec,""" +
         s""""objectsRead":${stats.nObjectsRead},"objectsFiltered":${stats.nObjectsFiltered},""" +
         s""""sources":${stats.nSources},"forced":${stats.nForcedSources},""" +

@@ -28,7 +28,11 @@ object LogTool {
     val metrics = LogAnalytics.parseMetrics(spark.read.text(logPath))
       .localCheckpoint(true)
     val rollup = LogAnalytics.timerRollup(metrics).localCheckpoint(true)
-    LogAnalytics.writeCsv(LogAnalytics.visitSummary(metrics), s"$outDir/visits")
+    // visits/: the reference's exact log2csv column set; visits_compact/:
+    // the engine's shorter summary (log2csv -s analog)
+    LogAnalytics.writeCsv(LogAnalytics.visitCsv(metrics), s"$outDir/visits")
+    LogAnalytics.writeCsv(LogAnalytics.visitSummary(metrics), s"$outDir/visits_compact")
+    LogAnalytics.writeCsv(LogAnalytics.queryCounters(metrics), s"$outDir/query_counters")
     LogAnalytics.writeCsv(rollup, s"$outDir/timers")
     val influx = LogAnalytics.influxLines(
       rollup, System.currentTimeMillis() * 1000000L)

@@ -72,15 +72,45 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     if (exists(t)) spark.read.schema(schema).parquet(path(t))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  // -- telemetry ----------------------------------------------------------
+
+  /** Per-visit metrics sink (reference vocabulary, `metrics.md`): when
+    * attached, reads emit `select_query_stats` (num_queries /
+    * num_sp_part fan-out counters) and store() emits per-table
+    * insert_time + tile_store_time — the records log2csv/log2influx
+    * consume. The pipeline attaches it per visit. */
+  private var metricsSink: Option[(MetricsLog, Int, Timestamp)] = None
+  def attachMetrics(log: MetricsLog, visit: Int, visitTime: Timestamp): Unit =
+    metricsSink = Some((log, visit, visitTime))
+  def detachMetrics(): Unit = metricsSink = None
+
+  private def emitRecord(name: String, table: String,
+      kv: Seq[(String, Double)]): Unit =
+    metricsSink.foreach { case (log, v, ts) => log.record(ts, name, v, table, kv) }
+
+  private def timed[T](name: String, table: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val out = f
+    metricsSink.foreach { case (log, v, ts) =>
+      log.timer(ts, name, v, table, (System.nanoTime() - t0) / 1e9)
+    }
+    out
+  }
+
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("pix_bucket", shiftright(col("pixelId"), pixBucketShift))
 
   import org.apache.spark.sql.types.LongType
-  private val objSchema = Schemas.diaObject.add("pix_bucket", LongType)
+  /** Relabel pixelId with the *configured* level so PixelPruneRule only
+    * prunes these tables when its session level agrees. */
+  private def relabel(s: StructType): StructType =
+    StructType(s.map(f =>
+      if (f.name == "pixelId") Schemas.pixelField(pixLevel) else f))
+  private val objSchema = relabel(Schemas.diaObject).add("pix_bucket", LongType)
   private val srcSchema =
-    Schemas.diaSource.add("pix_bucket", LongType).add("mjd_bucket", LongType)
+    relabel(Schemas.diaSource).add("pix_bucket", LongType).add("mjd_bucket", LongType)
   private val fsrcSchema =
-    Schemas.diaForcedSource.add("pix_bucket", LongType).add("mjd_bucket", LongType)
+    relabel(Schemas.diaForcedSource).add("pix_bucket", LongType).add("mjd_bucket", LongType)
 
   /** `makeSchema(drop)` analog (README.md:100-104). */
   def makeSchema(drop: Boolean = false): Unit = {
@@ -107,6 +137,11 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     val buckets = ranges
       .flatMap { case (lo, hi) => (lo >> pixBucketShift) to ((hi - 1) >> pixBucketShift) }
       .distinct
+    // query fan-out counters (`metrics.md:43-45`): one range predicate ≈
+    // one query; one bucket ≈ one spatial partition touched
+    emitRecord("select_query_stats", "DiaObject",
+      Seq("num_queries" -> ranges.length.toDouble,
+        "num_sp_part" -> buckets.length.toDouble))
     val base = readOrEmpty("obj_last", objSchema)
       .where(col("pix_bucket").isin(buckets: _*)) // partition pruning
       .where(SparkGeo.rangePredicate(col("pixelId"), ranges)) // row refine
@@ -156,7 +191,7 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     * partition overwrite), append facts, mirror CDC chunks, apply
     * retention. */
   def store(visitTime: Timestamp, objects: DataFrame, srcs: DataFrame,
-      fsrcs: DataFrame): Unit = {
+      fsrcs: DataFrame): Unit = timed("tile_store_time", "all") {
     val chunkId = visitTime.getTime / 1000 / replicaChunkSeconds
 
     val newVersions = withBucket(objects
@@ -164,14 +199,16 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
       .select(objSchema.fieldNames.map(col): _*)
 
     // 1. version history append (validity truncation is derived at read)
-    newVersions.write.mode(SaveMode.Append)
-      .partitionBy("pix_bucket").parquet(path("objects"))
+    timed("insert_time", "DiaObject") {
+      newVersions.write.mode(SaveMode.Append)
+        .partitionBy("pix_bucket").parquet(path("objects"))
+    }
 
     // 2. snapshot merge: only touched buckets are read + rewritten
     val cached = newVersions.cache()
     val touched = cached.select(col("pix_bucket")).distinct()
       .collect().map(_.getLong(0))
-    if (touched.nonEmpty) {
+    if (touched.nonEmpty) timed("insert_time", "DiaObjectLast") {
       val existing = readOrEmpty("obj_last", objSchema)
         .where(col("pix_bucket").isin(touched: _*))
       val merged = existing
@@ -190,24 +227,28 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     def withTimeBucket(df: DataFrame): DataFrame =
       withBucket(df).withColumn("mjd_bucket",
         floor(col("midpointMjdTai") / 30.0).cast("long"))
-    if (!srcs.isEmpty)
+    if (!srcs.isEmpty) timed("insert_time", "DiaSource") {
       withTimeBucket(srcs).select(srcSchema.fieldNames.map(col): _*)
         .write.mode(SaveMode.Append)
         .partitionBy("mjd_bucket").parquet(path("sources"))
-    if (!fsrcs.isEmpty)
+    }
+    if (!fsrcs.isEmpty) timed("insert_time", "DiaForcedSource") {
       withTimeBucket(fsrcs).select(fsrcSchema.fieldNames.map(col): _*)
         .write.mode(SaveMode.Append)
         .partitionBy("mjd_bucket").parquet(path("fsources"))
+    }
 
     // 4. CDC chunk mirror (README replica tables, `log2csv.py:105-107`)
-    def mirror(df: DataFrame, t: String): Unit =
-      if (!df.isEmpty)
+    def mirror(df: DataFrame, t: String, table: String): Unit =
+      if (!df.isEmpty) timed("insert_time", table) {
         df.withColumn("apdb_replica_chunk", lit(chunkId))
           .write.mode(SaveMode.Append)
           .partitionBy("apdb_replica_chunk").parquet(path(t))
-    mirror(objects.withColumn("validityStart", lit(visitTime)), "obj_chunks")
-    mirror(srcs, "src_chunks")
-    mirror(fsrcs, "fsrc_chunks")
+      }
+    mirror(objects.withColumn("validityStart", lit(visitTime)), "obj_chunks",
+      "DiaObjectChunks")
+    mirror(srcs, "src_chunks", "DiaSourceChunks")
+    mirror(fsrcs, "fsrc_chunks", "DiaForcedSourceChunks")
 
     // 5. retention: drop expired chunk partitions (T8)
     if (replicaChunkKeepDays > 0) {
@@ -223,6 +264,7 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
       }
     }
     cached.unpersist()
+    refreshViews()
   }
 
   /** MJD (TAI≈UTC for the simulated era, SURVEY §7.4) from a timestamp. */
@@ -248,19 +290,30 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     compact("objects", objSchema, "pix_bucket")
     compact("sources", srcSchema, "mjd_bucket")
     compact("fsources", fsrcSchema, "mjd_bucket")
+    refreshViews()
   }
 
   /** Register the engine tables as SQL temp views (`dia_object_last`,
     * `dia_object`, `dia_source`, `dia_forced_source`) so plain-SQL users
     * query them directly — with GraftExtensions active, a
     * `region_contains` filter over `dia_object_last` gains automatic
-    * pixelId range pruning from PixelPruneRule. */
+    * pixelId range pruning from PixelPruneRule.
+    *
+    * A registered view's parquet file listing is snapshotted at
+    * registration, so store()/consolidateNight() automatically
+    * re-register the views after rewriting files — queries never see
+    * FileNotFoundException or stale rows from a superseded snapshot. */
   def registerViews(): Unit = {
+    viewsRegistered = true
     objectsLast.createOrReplaceTempView("dia_object_last")
     getDiaObjectsHistory.createOrReplaceTempView("dia_object")
     sources.createOrReplaceTempView("dia_source")
     forcedSources.createOrReplaceTempView("dia_forced_source")
   }
+  private var viewsRegistered = false
+  /** Re-resolve the SQL views against the current files (no-op unless
+    * registerViews was called). */
+  private def refreshViews(): Unit = if (viewsRegistered) registerViews()
 
   /** Parquet file count per table (compaction observability). */
   def fileCounts: Map[String, Int] =

@@ -41,15 +41,10 @@ final class MetricsLog(dir: String) {
       rows: Long): Unit =
     emit(visitTime, name, visit, table, s"""{"row_count": $rows}""")
 
-  /** Emit the standard per-visit record set from pipeline stats. */
-  def visit(stats: VisitPipeline.VisitStats, visitTime: Timestamp,
-      realSec: Double): Unit = {
-    timer(visitTime, "visit_processing_time", stats.visitId, "all", realSec)
-    counts(visitTime, "read_counts", stats.visitId, "DiaObject", stats.nObjectsRead)
-    counts(visitTime, "store_counts", stats.visitId, "DiaObject", stats.nObjectsFiltered)
-    counts(visitTime, "store_counts", stats.visitId, "DiaSource", stats.nSources)
-    counts(visitTime, "store_counts", stats.visitId, "DiaForcedSource", stats.nForcedSources)
-    counts(visitTime, "read_counts", stats.visitId, "DiaSource", stats.historySources)
-    counts(visitTime, "read_counts", stats.visitId, "DiaForcedSource", stats.historyForced)
-  }
+  /** Generic value-map record (the reference's read_counts /
+    * store_counts / select_query_stats shapes, `metrics.md:15-45`). */
+  def record(visitTime: Timestamp, name: String, visit: Int, table: String,
+      kv: Seq[(String, Double)]): Unit =
+    emit(visitTime, name, visit, table,
+      kv.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}"))
 }

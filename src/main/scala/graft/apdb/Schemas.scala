@@ -15,6 +15,14 @@ object Schemas {
   case object DiaSource extends Table { val name = "DiaSource" }
   case object DiaForcedSource extends Table { val name = "DiaForcedSource" }
 
+  /** pixelId column labeled with its pixelization level so
+    * PixelPruneRule only injects range predicates where the level
+    * matches (the engine's default level 8; ApdbSpark relabels when
+    * configured differently). */
+  def pixelField(level: Int = 8): StructField =
+    StructField("pixelId", LongType, nullable = false,
+      new MetadataBuilder().putLong("graft.pixel.level", level.toLong).build())
+
   /** Workload-filled DiaObject columns (`_executors.py:302-330`) +
     * system columns validityStart/validityEnd (`_executors.py:453-457`)
     * and pixelId (`_executors.py:458`). Angles in degrees
@@ -26,7 +34,7 @@ object Schemas {
     StructField("nDiaSources", IntegerType, nullable = false),
     StructField("lastNonForcedSource", TimestampType, nullable = false),
     StructField("validityStart", TimestampType, nullable = false),
-    StructField("pixelId", LongType, nullable = false)))
+    pixelField()))
 
   /** DiaSource (`_executors.py:409-430`); diaSourceId is the
     * deterministic `(visit*n_det + det)*1e6 + rownum` sequence. */
@@ -41,7 +49,7 @@ object Schemas {
     StructField("psFlux", DoubleType, nullable = false),
     StructField("psFluxErr", DoubleType, nullable = false),
     StructField("midpointMjdTai", DoubleType, nullable = false),
-    StructField("pixelId", LongType, nullable = false)))
+    pixelField()))
 
   /** DiaForcedSource (`_executors.py:360-371`). */
   val diaForcedSource: StructType = StructType(Seq(
@@ -51,7 +59,7 @@ object Schemas {
     StructField("visit", IntegerType, nullable = false),
     StructField("detector", IntegerType, nullable = false),
     StructField("midpointMjdTai", DoubleType, nullable = false),
-    StructField("pixelId", LongType, nullable = false)))
+    pixelField()))
 
   def tableDef(t: Table): StructType = t match {
     case DiaObject | DiaObjectLast => diaObject

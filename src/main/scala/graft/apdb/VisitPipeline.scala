@@ -66,12 +66,31 @@ object VisitPipeline {
     out.toSeq
   }
 
-  /** Process one visit end-to-end. Returns stats; mutates the store. */
+  /** Process one visit end-to-end. Returns stats; mutates the store.
+    *
+    * With `metrics` attached, emits the reference's full per-visit record
+    * family (`metrics.md` vocabulary): select_time per table,
+    * insert_time / tile_store_time from the store (via the apdb sink),
+    * select_query_stats fan-out counters, read_counts / store_counts
+    * with the reference value keys, and the visit-level timers — so
+    * log2csv-style tooling reconstructs the reference's visit CSV from
+    * an engine run. */
   def visit(apdb: ApdbSpark, catalog: DataFrame, visitId: Int,
-      visitTime: Timestamp, pointing: Vec3): VisitStats = {
+      visitTime: Timestamp, pointing: Vec3,
+      metrics: Option[MetricsLog] = None): VisitStats = {
     val spark = apdb.spark
     val cfg = apdb.config
     val pix = cfg.pix
+    val tVisit0 = System.nanoTime()
+    metrics.foreach(m => apdb.attachMetrics(m, visitId, visitTime))
+    def timedSec[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val out = f
+      (out, (System.nanoTime() - t0) / 1e9)
+    }
+    def timer(name: String, table: String, sec: Double): Unit =
+      metrics.foreach(_.timer(visitTime, name, visitId, table, sec))
+    def record(name: String, table: String, kv: Seq[(String, Double)]): Unit =
+      metrics.foreach(_.record(visitTime, name, visitId, table, kv))
 
     // 1. DIA detections for this visit
     val detections = DiaSim.makeSources(spark, catalog, pointing, cfg, visitId)
@@ -84,11 +103,13 @@ object VisitPipeline {
     // 3. spatial read: latest objects in envelope (S2), then exact
     //    region filter (F4) — two-phase
     val latestRaw = apdb.getDiaObjects(padded)
-    val latest = latestRaw
-      .where(SparkGeo.containsRaDec(padded, col("ra"), col("dec")))
-      .localCheckpoint(true) // small FOV-sized set; reused 3 times
-    val nRead = latestRaw.count()
-    val nFiltered = latest.count()
+    val ((latest, nRead, nFiltered), objSelectSec) = timedSec {
+      val l = latestRaw
+        .where(SparkGeo.containsRaDec(padded, col("ra"), col("dec")))
+        .localCheckpoint(true) // small FOV-sized set; reused 3 times
+      (l, latestRaw.count(), l.count())
+    }
+    timer("select_time", "DiaObject", objSelectSec)
 
     // 4. transient ID assignment (stateful counter, ap_proto.py:329-332)
     val state = VisitStateStore.read(cfg.warehouseDir)
@@ -149,10 +170,15 @@ object VisitPipeline {
 
     // 8. history reads (S3/S4 + J2 semi-join, _executors.py:205-217)
     val matchedIds = newObjects.select(col("diaObjectId"))
-    val histSrc = apdb.getDiaSources(matchedIds, visitTime).count()
-    val histFsrc = apdb.getDiaForcedSources(matchedIds, visitTime).count()
+    val (histSrc, srcSelectSec) =
+      timedSec(apdb.getDiaSources(matchedIds, visitTime).count())
+    timer("select_time", "DiaSource", srcSelectSec)
+    val (histFsrc, fsrcSelectSec) =
+      timedSec(apdb.getDiaForcedSources(matchedIds, visitTime).count())
+    timer("select_time", "DiaForcedSource", fsrcSelectSec)
 
-    // 9. store (S5)
+    // 9. store (S5) — emits tile_store_time + per-table insert_time
+    //    through the attached sink
     apdb.store(visitTime, newObjects, newSources.drop("is_transient"), forced)
 
     // 10. checkpoint state (T3)
@@ -160,7 +186,27 @@ object VisitPipeline {
     VisitStateStore.write(cfg.warehouseDir, VisitState(visitId,
       visitTime.getTime, state.lastObjectId + nTransients, maxSrcId))
 
-    VisitStats(visitId, nRead, nFiltered, nSources, -1L, nTransients,
-      histSrc, histFsrc).copy(nForcedSources = forced.count())
+    val nForced = forced.count()
+    // reference-keyed counter records (`log2csv.py:134-151` consumers)
+    record("read_counts", "DiaObject",
+      Seq("objects" -> nRead.toDouble, "objects_filtered" -> nFiltered.toDouble,
+        "row_count" -> nRead.toDouble))
+    record("read_counts", "DiaSource",
+      Seq("sources" -> histSrc.toDouble, "row_count" -> histSrc.toDouble))
+    record("read_counts", "DiaForcedSource",
+      Seq("forcedsources" -> histFsrc.toDouble, "row_count" -> histFsrc.toDouble))
+    record("store_counts", "all",
+      Seq("objects" -> nSources.toDouble, "sources" -> nSources.toDouble,
+        "forcedsources" -> nForced.toDouble,
+        "row_count" -> (2 * nSources + nForced).toDouble))
+    val totalSec = (System.nanoTime() - tVisit0) / 1e9
+    // single-tile local mode: per-tile == per-visit == total
+    timer("tile_visit_time", "all", totalSec)
+    timer("visit_processing_time", "all", totalSec)
+    timer("total_visit_time", "all", totalSec)
+    apdb.detachMetrics()
+
+    VisitStats(visitId, nRead, nFiltered, nSources, nForced, nTransients,
+      histSrc, histFsrc)
   }
 }

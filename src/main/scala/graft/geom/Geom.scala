@@ -150,14 +150,20 @@ final case class SphericalPolygon(vertices: IndexedSeq[Vec3]) extends Region {
   override def padded(radians: Double): Region = {
     // approximate: push each vertex away from the centroid along the
     // great circle through (centroid, vertex) — same ad-hoc approach the
-    // reference documents as approximate (`geom.py:291-293`).
+    // reference documents as approximate (`geom.py:291-293`). The push
+    // angle carries the reference's sqrt(2) diagonal compensation
+    // (`geom.py:300-301`): a radial vertex push dilates edge MIDPOINTS by
+    // less than the margin (worst case margin/sqrt(2) for a square), so
+    // points within the margin of an edge could otherwise fall outside.
+    // Circle padding (the exact path) is unaffected.
+    val margin = radians * math.sqrt(2.0)
     val pushed = vs.map { v =>
       val d = centroid.angleTo(v)
       if (d < 1e-12) v
       else {
         val axis = centroid.cross(v)
         if (axis.norm < 1e-15) v
-        else Mat3.aboutAxis(axis * (1.0 / axis.norm), radians)(v)
+        else Mat3.aboutAxis(axis * (1.0 / axis.norm), margin)(v)
       }
     }
     SphericalPolygon(pushed)

@@ -34,32 +34,56 @@ object PixelPruneRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** Metadata key marking a column as a graft pixel index; written by the
+    * engine's schemas. When present the rule only prunes if the recorded
+    * level matches its own; an unlabeled Long pixelId is assumed to be a
+    * graft index at the session level (documented contract for SQL
+    * users registering external tables). */
+  val LevelMetadataKey = "graft.pixel.level"
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       // SOUNDNESS: the envelope restricts rows only when the region
       // predicate must hold for the row to qualify — i.e. when
       // region_contains appears as a TOP-LEVEL CONJUNCT. A negated or
       // OR-ed region predicate must not prune.
-      val regions = conjuncts(cond).collect {
-        case rc: RegionContainsExpr => rc.regionStr
-      }
-      val pixAttr = child.output.find(_.name == "pixelId")
-      // guard: skip when no conjunct-level region predicate, no pixelId
-      // column, or the condition already constrains pixelId (incl. a
-      // previous injection)
-      if (regions.isEmpty || pixAttr.isEmpty ||
+      val regionExprs = conjuncts(cond).collect { case rc: RegionContainsExpr => rc }
+      // guard: pixelId must be a LongType column (a non-Long pixelId is
+      // not a graft index; comparing it to Long literals would also be
+      // unsound/unresolvable), and if it carries a level label it must
+      // match the rule's level
+      val pixAttr = child.output.find(a => a.name == "pixelId" &&
+        a.dataType == org.apache.spark.sql.types.LongType &&
+        (!a.metadata.contains(LevelMetadataKey) ||
+          a.metadata.getLong(LevelMetadataKey) == level))
+      // guard: skip when no conjunct-level region predicate, no usable
+      // pixelId column, or the condition already constrains pixelId
+      // (incl. a previous injection)
+      if (regionExprs.isEmpty || pixAttr.isEmpty ||
         cond.references.exists(_.name == "pixelId")) f
       else {
         val attr = pixAttr.get
-        val rangePreds = regions.map { rs =>
-          val ranges = SparkGeo.coarsen(
-            PixelKernel.pixAt(level).envelope(PixelKernel.parseRegion(rs)),
-            maxRanges)
-          ranges.map { case (lo, hi) =>
-            And(GreaterThanOrEqual(attr, Literal(lo)), LessThan(attr, Literal(hi)))
-          }.reduceLeft[Expression]((a, b) => Or(a, b))
-        }.reduceLeft[Expression]((a, b) => And(a, b))
-        Filter(And(rangePreds, cond), child)
+        // guard: pixelId and the region predicate's ra/dec arguments must
+        // resolve to the SAME leaf relation — a join output carrying
+        // pixelId from the non-spatial side must not prune rows by the
+        // other side's coordinates
+        val pixLeaf = child.collectLeaves().find(_.outputSet.contains(attr))
+        val regions = regionExprs.filter { rc =>
+          val refs = rc.references
+          refs.nonEmpty && pixLeaf.exists(l => refs.forall(l.outputSet.contains))
+        }.map(_.regionStr)
+        if (regions.isEmpty) f
+        else {
+          val rangePreds = regions.map { rs =>
+            val ranges = SparkGeo.coarsen(
+              PixelKernel.pixAt(level).envelope(PixelKernel.parseRegion(rs)),
+              maxRanges)
+            ranges.map { case (lo, hi) =>
+              And(GreaterThanOrEqual(attr, Literal(lo)), LessThan(attr, Literal(hi)))
+            }.reduceLeft[Expression]((a, b) => Or(a, b))
+          }.reduceLeft[Expression]((a, b) => And(a, b))
+          Filter(And(rangePreds, cond), child)
+        }
       }
   }
 }

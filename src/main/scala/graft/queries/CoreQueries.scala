@@ -491,14 +491,21 @@ object CoreQueries {
   /** C11 — positional word extraction from log lines
     * (`log2influx.py:165-294`). */
   val c11WordExtract: QFn = (s, d) => {
+    // guard: <3-word docs yield NULL word3 on BOTH sides (Spark
+    // element_at past the end throws under ANSI / returns NULL;
+    // DuckDB split_part returns '') — an explicit CASE keeps the
+    // engines agreeing if testdata ever includes short documents
+    val w = split(col("text"), " ")
     Tables.documents(s, d)
       .select(col("doc_id"),
-        element_at(split(col("text"), " "), 3).as("word3"),
-        element_at(split(col("text"), " "), -1).as("last_word"))
+        when(size(w) >= 3, element_at(w, 3)).as("word3"),
+        element_at(w, -1).as("last_word"))
       .orderBy(col("doc_id"))
   }
   val c11Sql =
-    """SELECT doc_id, split_part(text, ' ', 3) AS word3,
+    """SELECT doc_id,
+      |  CASE WHEN length(string_split(text, ' ')) >= 3
+      |    THEN split_part(text, ' ', 3) END AS word3,
       |  split_part(text, ' ', -1) AS last_word
       |FROM documents ORDER BY doc_id""".stripMargin
 

@@ -454,12 +454,15 @@ object DedupQueries {
     Array.fill(LshPlanes)(Array.fill(64)(rng.nextGaussian()))
   }
 
-  /** Sign-bit bucket id from the random hyperplanes. */
+  /** Sign-bit bucket id from the random hyperplanes. The plane dot is the
+    * exact-integer scaled sum (round(x·y·1e6) per element) — summation-
+    * order-independent, so the DuckDB oracle reproduces the same bucket
+    * for every vector bit-for-bit. */
   def lshBucket(embCol: String): Column = {
     (0 until LshPlanes).map { p =>
       val planeArr = "array(" + hyperplanes(p).mkString(",") + ")"
       val dot = s"aggregate(zip_with($embCol, $planeArr, " +
-        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        "(x, y) -> CAST(round(CAST(x AS DOUBLE) * y * 1000000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
       when(expr(dot) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
@@ -494,6 +497,46 @@ object DedupQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** DuckDB oracle for x14: the hyperplane constants are literal arrays;
+    * bucket bits come from the same exact-integer scaled plane dots, the
+    * hamming-1 multi-probe is an explicit 7-bucket unnest, and cosine is
+    * the exact-integer form (x3 pattern). */
+  val x14Sql: String = {
+    def planeDot(p: Int): String = {
+      val arr = "[" + hyperplanes(p).mkString(", ") + "]"
+      s"CAST(list_sum(list_transform(range(1, length(embedding) + 1), " +
+        s"i -> CAST(round(CAST(embedding[i] AS DOUBLE) * ($arr)[i] * 1000000) AS BIGINT))) AS BIGINT)"
+    }
+    val bucketExpr = (0 until LshPlanes).map { p =>
+      s"(CASE WHEN ${planeDot(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString(" | ")
+    val probeList = "[bucket" +
+      (0 until LshPlanes).map(p => s", xor(bucket, ${1L << p})").mkString + "]"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+       |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s,
+       |    $bucketExpr AS bucket
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, norm_s AS qn,
+       |    unnest($probeList) AS bucket
+       |  FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id, q.bucket,
+       |    CAST(list_sum(list_transform(range(1, length(q.qe) + 1),
+       |      i -> CAST(round(CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+       |      / (sqrt(q.qn) * sqrt(c.norm_s)) AS cosine
+       |  FROM e c JOIN q ON c.bucket = q.bucket
+       |  WHERE q.query_id <> c.vec_id)
+       |SELECT query_id, rank, cand_id, cosine, bucket FROM (
+       |  SELECT query_id, cand_id, cosine, bucket,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // -- x15: IVF-bucketed ANN (alternative scale path) --------------------
 
   val IvfClusters = 16
@@ -505,14 +548,16 @@ object DedupQueries {
     * those lists. The k-means refinement step is omitted deliberately
     * (seeded random centroids keep the operator deterministic); at scale
     * the lists are the shuffle key exactly like LSH buckets in x14. */
+  /** Fixed seeded coarse centroids shared by x15 and its oracle. */
+  lazy val ivfCentroids: Array[(Int, Array[Double])] = {
+    val rng = new scala.util.Random(4242)
+    Array.tabulate(IvfClusters)(i => (i, Array.fill(64)(rng.nextGaussian())))
+  }
+
   val x15AnnIvf: QFn = (s, d) => {
     import s.implicits._
     val emb = embRows(Tables.embeddings(s, d))
-    val centroids: Array[(Int, Array[Double])] = {
-      val rng = new scala.util.Random(4242)
-      Array.tabulate(IvfClusters)(i => (i, Array.fill(64)(rng.nextGaussian())))
-    }
-    val cb = s.sparkContext.broadcast(centroids)
+    val cb = s.sparkContext.broadcast(ivfCentroids)
     def nearestClusters(e: Array[Double], k: Int): Seq[Int] =
       cb.value.map { case (ci, c) => (ci, dotScaled(e, c)) }
         .sortBy { case (ci, dot) => (-dot, ci) }.take(k).map(_._1).toSeq
@@ -544,6 +589,49 @@ object DedupQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** DuckDB oracle for x15: centroid constants are literal arrays;
+    * cluster dots are exact-integer scaled; membership = rank-1 cluster,
+    * query probes = rank ≤ 3 (same (-dot, cluster) tiebreak); cosine is
+    * the exact-integer form. */
+  val x15Sql: String = {
+    val clusterDots = ivfCentroids.map { case (ci, c) =>
+      val arr = "[" + c.mkString(", ") + "]"
+      s"SELECT vec_id, $ci AS cluster, CAST(list_sum(list_transform(range(1, length(embedding) + 1), " +
+        s"i -> CAST(round(CAST(embedding[i] AS DOUBLE) * ($arr)[i] * 1000000) AS BIGINT))) AS BIGINT) AS dot FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+       |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s
+       |  FROM embeddings),
+       |cd AS (
+       |  $clusterDots),
+       |ranked AS (
+       |  SELECT vec_id, cluster,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rk
+       |  FROM cd),
+       |member AS (SELECT vec_id, cluster FROM ranked WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cluster FROM ranked
+       |  WHERE rk <= $IvfProbes AND vec_id < 10),
+       |scored AS (
+       |  SELECT p.query_id, m.vec_id AS cand_id,
+       |    CAST(list_sum(list_transform(range(1, length(q.embedding) + 1),
+       |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+       |      / (sqrt(q.norm_s) * sqrt(c.norm_s)) AS cosine
+       |  FROM probes p
+       |  JOIN member m ON m.cluster = p.cluster
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  JOIN e c ON c.vec_id = m.vec_id
+       |  WHERE p.query_id <> m.vec_id)
+       |SELECT query_id, rank, cand_id, cosine FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_minhash" -> x2DedupMinhash,
@@ -562,5 +650,7 @@ object DedupQueries {
     "x7_ngram_jaccard" -> x7Sql,
     "x3_topk_similarity" -> x3Sql,
     "x8_embedding_dedup" -> x8Sql,
+    "x14_ann_lsh" -> x14Sql,
+    "x15_ann_ivf" -> x15Sql,
   )
 }

@@ -90,6 +90,90 @@ object LogAnalytics {
       .orderBy(col("visit"))
   }
 
+  /** The reference's full visit-CSV column list, in order
+    * (`log2csv.py:157-188` `_cols`). */
+  val visitCsvCols: Seq[String] = Seq(
+    "visit",
+    "obj_select_real", "obj_select_cpu",
+    "obj_last_delete_real", "obj_last_insert_real",
+    "obj_trunc_real", "obj_trunc_cpu",
+    "obj_insert_real", "obj_repl_insert_real",
+    "src_select_real", "src_select_cpu",
+    "src_insert_real", "src_repl_insert_real",
+    "fsrc_select_real", "fsrc_select_cpu",
+    "fsrc_insert_real", "fsrc_repl_insert_real",
+    "sum_select_real",
+    "store_real", "store_cpu",
+    "tile_visit_real", "tile_visit_cpu",
+    "visit_proc_real", "visit_proc_cpu",
+    "visit_real", "visit_cpu",
+    "obj_selected", "src_selected", "fsrc_selected", "obj_in_fov")
+
+  /** Schema-compatible per-visit pivot of `log2csv.py`: exactly
+    * [[visitCsvCols]], with the reference's semantics — per-column mean
+    * over the visit's records (`_Stat`), `sum_select_real` as the sum of
+    * the non-null select means, NULL where a backend never emitted the
+    * metric. Column → (metric, table) mapping per `_parse_timers`'
+    * table_map/metrics_map; counters per `_parse_select_count`. */
+  def visitCsv(metrics: DataFrame): DataFrame = {
+    val real = col("values")("real")
+    val cpu = col("values")("user") + col("values")("sys")
+    // (column prefix, metric name, table tag or null = any, both real+cpu?)
+    val timers: Seq[(String, String, String, Boolean)] = Seq(
+      ("obj_select", "select_time", "DiaObject", true),
+      ("obj_last_delete", "delete_time", "DiaObjectLast", false),
+      ("obj_last_insert", "insert_time", "DiaObjectLast", false),
+      ("obj_trunc", "truncate_time", "DiaObject", true),
+      ("obj_insert", "insert_time", "DiaObject", false),
+      ("obj_repl_insert", "insert_time", "DiaObjectChunks", false),
+      ("src_select", "select_time", "DiaSource", true),
+      ("src_insert", "insert_time", "DiaSource", false),
+      ("src_repl_insert", "insert_time", "DiaSourceChunks", false),
+      ("fsrc_select", "select_time", "DiaForcedSource", true),
+      ("fsrc_insert", "insert_time", "DiaForcedSource", false),
+      ("fsrc_repl_insert", "insert_time", "DiaForcedSourceChunks", false),
+      ("store", "tile_store_time", null, true),
+      ("tile_visit", "tile_visit_time", null, true),
+      ("visit_proc", "visit_processing_time", null, true),
+      ("visit", "total_visit_time", null, true))
+    def matches(name: String, table: String) =
+      if (table == null) col("name") === name
+      else col("name") === name && col("table") === table
+    val timerAggs = timers.flatMap { case (prefix, name, table, withCpu) =>
+      val r = avg(when(matches(name, table), real)).as(s"${prefix}_real")
+      if (withCpu) Seq(r, avg(when(matches(name, table), cpu)).as(s"${prefix}_cpu"))
+      else Seq(r)
+    }
+    val counterAggs = Seq(
+      ("obj_selected", "objects"), ("src_selected", "sources"),
+      ("fsrc_selected", "forcedsources"), ("obj_in_fov", "objects_filtered")
+    ).map { case (out, key) =>
+      avg(when(col("name") === "read_counts", col("values")(key))).as(out)
+    }
+    val aggs = timerAggs ++ counterAggs
+    metrics.groupBy(col("visit"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("sum_select_real",
+        when(col("obj_select_real").isNull && col("src_select_real").isNull &&
+          col("fsrc_select_real").isNull, lit(null))
+          .otherwise(coalesce(col("obj_select_real"), lit(0.0)) +
+            coalesce(col("src_select_real"), lit(0.0)) +
+            coalesce(col("fsrc_select_real"), lit(0.0))))
+      .select(visitCsvCols.map(col): _*)
+      .orderBy(col("visit"))
+  }
+
+  /** Query fan-out counters (`metrics.md:43-45` select_query_stats;
+    * log2influx's num_queries / num_sp_part counters) rolled up per
+    * visit. */
+  def queryCounters(metrics: DataFrame): DataFrame = {
+    metrics.where(col("name") === "select_query_stats")
+      .groupBy(col("visit"), col("table"))
+      .agg(sum(col("values")("num_queries")).cast("long").as("num_queries"),
+        sum(col("values")("num_sp_part")).cast("long").as("num_sp_part"))
+      .orderBy(col("visit"), col("table"))
+  }
+
   /** Per-(timer, table) rollup for influx emission (A10,
     * `log2influx.py:92-95,187-294`). */
   def timerRollup(metrics: DataFrame): DataFrame = {
@@ -135,4 +219,26 @@ object LogAnalytics {
   /** CSV sink with once-only header (S9, `log2csv.py:206-217`). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Tail-follow stop semantics (T9, `log2csv.py:231,259-262`): the
+    * reference's follow loop exits once a line matches the stop
+    * sentinel. Here a lightweight watcher stream scans the same raw
+    * lines and calls `stop()` on the target query when the sentinel
+    * appears (after the in-flight batch completes, matching the
+    * reference's "stop after reading remaining lines"). The caller
+    * stops the returned watcher after the target terminates. */
+  def stopOnPattern(lines: DataFrame,
+      target: => org.apache.spark.sql.streaming.StreamingQuery,
+      pattern: String = StopPattern): org.apache.spark.sql.streaming.StreamingQuery = {
+    lines.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.where(col("value").contains(pattern)).isEmpty) {
+          // stop() from the watcher thread; the target finishes its
+          // current micro-batch then terminates (graceful stop)
+          new Thread(() => target.stop()).start()
+        }
+      }
+      .queryName("stop_watcher")
+      .start()
+  }
 }

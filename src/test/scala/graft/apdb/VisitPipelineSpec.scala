@@ -126,6 +126,42 @@ class VisitPipelineSpec extends AnyFunSuite {
       Schemas.diaForcedSource.fieldNames.toSet)
   }
 
+  test("telemetry loop: pipeline metrics reconstruct the reference CSV") {
+    val apdb = freshApdb("telemetry")
+    val log = new MetricsLog(apdb.config.warehouseDir)
+    val catalog = DiaSim.genCatalog(spark, 50000L, hemi = -1, seed = 42)
+      .localCheckpoint(true)
+    val t0 = Timestamp.valueOf("2026-01-01 01:00:00")
+    VisitPipeline.visitTimes(t0, 2).foreach { case (id, ts) =>
+      VisitPipeline.visit(apdb, catalog, id, ts, pointing, metrics = Some(log))
+    }
+    val metrics = graft.streaming.LogAnalytics.parseMetrics(
+      spark.read.text(s"${apdb.config.warehouseDir}/metrics.log"))
+    val csv = graft.streaming.LogAnalytics.visitCsv(metrics).collect()
+    assert(csv.length == 2)
+    csv.foreach { r =>
+      // engine-run visits populate selects, inserts, store and visit
+      // timers plus the read counters
+      Seq("obj_select_real", "src_select_real", "fsrc_select_real",
+        "obj_insert_real", "obj_last_insert_real", "src_insert_real",
+        "obj_repl_insert_real", "src_repl_insert_real",
+        "sum_select_real", "store_real", "tile_visit_real",
+        "visit_proc_real", "visit_real").foreach { c =>
+        assert(!r.isNullAt(r.fieldIndex(c)), s"$c should be populated")
+        assert(r.getDouble(r.fieldIndex(c)) >= 0.0)
+      }
+      assert(!r.isNullAt(r.fieldIndex("obj_selected")))
+      assert(!r.isNullAt(r.fieldIndex("obj_in_fov")))
+    }
+    // query fan-out counters from getDiaObjects envelope math
+    val qc = graft.streaming.LogAnalytics.queryCounters(metrics).collect()
+    assert(qc.length == 2) // one DiaObject row per visit
+    qc.foreach { r =>
+      assert(r.getLong(r.fieldIndex("num_queries")) >= 1)
+      assert(r.getLong(r.fieldIndex("num_sp_part")) >= 1)
+    }
+  }
+
   test("resume: state survives restart and IDs continue") {
     val apdb = freshApdb("resume")
     val catalog = DiaSim.genCatalog(spark, 50000L, hemi = -1, seed = 9)

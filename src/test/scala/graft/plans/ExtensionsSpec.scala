@@ -105,6 +105,68 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df2.count() > 0)
   }
 
+  test("rule skips non-Long pixelId, level mismatch, cross-relation joins") {
+    val lit = RegionCodec.encode(region)
+
+    // (a) a table whose pixelId column is a string ON DISK: no injection
+    // (the column cannot be a graft pixel index; a projection-level cast
+    // would be pushed through, so the variant is materialized)
+    val strPath = java.nio.file.Files.createTempDirectory("strpix").toString
+    spark.read.parquet(objectsPath)
+      .withColumn("pixelId", col("pixelId").cast("string"))
+      .write.mode("overwrite").parquet(strPath)
+    spark.read.parquet(strPath).createOrReplaceTempView("strpix")
+    val dfStr = spark.sql(
+      s"SELECT sourceIdx FROM strpix WHERE region_contains('$lit', ra, dec)")
+    val strPreds = "pixelId#\\d+L? >=".r
+      .findAllIn(dfStr.queryExecution.optimizedPlan.toString).length
+    assert(strPreds == 0, "rule injected ranges on a string pixelId")
+    assert(dfStr.count() > 0)
+
+    // (b) a pixelId labeled with a DIFFERENT pixelization level (field
+    // metadata round-trips through parquet): no injection (ranges
+    // computed at the rule's level would drop rows)
+    val lvlPath = java.nio.file.Files.createTempDirectory("lvl12").toString
+    spark.read.parquet(objectsPath)
+      .withColumn("pixelId", col("pixelId")
+        .as("pixelId", new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(PixelPruneRule.LevelMetadataKey, 12L).build()))
+      .write.mode("overwrite").parquet(lvlPath)
+    spark.read.parquet(lvlPath).createOrReplaceTempView("lvl12")
+    val dfLvl = spark.sql(
+      s"SELECT sourceIdx FROM lvl12 WHERE region_contains('$lit', ra, dec)")
+    val lvlPreds = "pixelId#\\d+L? >=".r
+      .findAllIn(dfLvl.queryExecution.optimizedPlan.toString).length
+    assert(lvlPreds == 0, s"rule injected ranges despite level mismatch")
+    assert(dfLvl.count() > 0)
+
+    // (c) join output carrying pixelId from the NON-spatial side: the
+    // region predicate's ra/dec resolve to a different leaf than
+    // pixelId → no injection (pruning by the other table's pixelId
+    // would silently drop qualifying rows). The foreign pixelId is a
+    // constant OUTSIDE every envelope range, so a wrongly-injected
+    // predicate would empty the result — checked behaviorally.
+    val coordsPath = java.nio.file.Files.createTempDirectory("coords").toString
+    spark.read.parquet(objectsPath).select("sourceIdx", "ra", "dec")
+      .write.mode("overwrite").parquet(coordsPath)
+    val otherPath = java.nio.file.Files.createTempDirectory("otherpix").toString
+    spark.read.parquet(objectsPath)
+      .select(col("sourceIdx"),
+        org.apache.spark.sql.functions.lit(-1L).as("pixelId"))
+      .write.mode("overwrite").parquet(otherPath)
+    spark.read.parquet(coordsPath).createOrReplaceTempView("coords")
+    spark.read.parquet(otherPath).createOrReplaceTempView("otherpix")
+    val dfJoin = spark.sql(
+      s"""SELECT c.sourceIdx FROM coords c JOIN otherpix o
+         |ON c.sourceIdx = o.sourceIdx
+         |WHERE region_contains('$lit', c.ra, c.dec)""".stripMargin)
+    val expected = spark.read.parquet(objectsPath)
+      .where(SpatialFunctions.region_contains(region, col("ra"), col("dec")))
+      .count()
+    assert(dfJoin.count() == expected,
+      "join with a foreign pixelId column changed the region result")
+  }
+
   test("rule does NOT prune negated or disjunctive region predicates") {
     spark.read.parquet(objectsPath).createOrReplaceTempView("objs3")
     val lit = RegionCodec.encode(region)

@@ -94,6 +94,44 @@ class LogAnalyticsSpec extends AnyFunSuite {
     assert(influx.forall(_.matches("^\\w+,table=\\w+ n=\\d+i,avg_real=.*,total_real=.* \\d+$")))
   }
 
+  test("visit CSV matches the reference log2csv column list exactly") {
+    // pinned from /root/reference/bin.src/log2csv.py:157-188 (_cols)
+    val expected = Seq("visit",
+      "obj_select_real", "obj_select_cpu",
+      "obj_last_delete_real", "obj_last_insert_real",
+      "obj_trunc_real", "obj_trunc_cpu",
+      "obj_insert_real", "obj_repl_insert_real",
+      "src_select_real", "src_select_cpu",
+      "src_insert_real", "src_repl_insert_real",
+      "fsrc_select_real", "fsrc_select_cpu",
+      "fsrc_insert_real", "fsrc_repl_insert_real",
+      "sum_select_real",
+      "store_real", "store_cpu",
+      "tile_visit_real", "tile_visit_cpu",
+      "visit_proc_real", "visit_proc_cpu",
+      "visit_real", "visit_cpu",
+      "obj_selected", "src_selected", "fsrc_selected", "obj_in_fov")
+    assert(LogAnalytics.visitCsvCols == expected)
+    val dir = writeFixture(Files.createTempDirectory("loganalytics_csv").toString)
+    val metrics = LogAnalytics.parseMetrics(
+      spark.read.text(s"$dir/plain"))
+    val csv = LogAnalytics.visitCsv(metrics)
+    assert(csv.columns.toSeq == expected)
+    val rows = csv.collect()
+    assert(rows.length == 3) // one row per visit
+    // fixture emits select_time for DiaObject+DiaSource: means populated,
+    // and sum_select_real = their sum (fsrc absent → contributes 0)
+    rows.foreach { r =>
+      val objSel = r.getDouble(r.fieldIndex("obj_select_real"))
+      val srcSel = r.getDouble(r.fieldIndex("src_select_real"))
+      assert(objSel > 0 && srcSel > 0)
+      assert(r.isNullAt(r.fieldIndex("fsrc_select_real")))
+      assert(math.abs(r.getDouble(r.fieldIndex("sum_select_real")) -
+        (objSel + srcSel)) < 1e-12)
+      assert(r.isNullAt(r.fieldIndex("obj_trunc_real"))) // never emitted
+    }
+  }
+
   test("gzip source parses identically (S8)") {
     val dir = writeFixture(Files.createTempDirectory("logs_gz").toString)
     val plain = LogAnalytics.parseMetrics(spark.read.text(s"$dir/plain/run.log"))
@@ -121,5 +159,34 @@ class LogAnalyticsSpec extends AnyFunSuite {
     val sentinelSeen = spark.read.text(s"$dir/plain/run.log")
       .where(col("value").contains(LogAnalytics.StopPattern)).count()
     assert(sentinelSeen == 1)
+  }
+
+  test("stop pattern halts a follow-mode streaming query (T9)") {
+    val dir = Files.createTempDirectory("logs_stop").toString
+    Files.createDirectories(Paths.get(dir, "follow"))
+    // initial lines without the sentinel: the query keeps following
+    Files.write(Paths.get(dir, "follow", "a.log"),
+      fixtureLines.filterNot(_.contains(LogAnalytics.StopPattern))
+        .mkString("\n").getBytes)
+    def lines = spark.readStream
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("value", org.apache.spark.sql.types.StringType))
+      .text(s"$dir/follow")
+    val target = LogAnalytics.streamVisitSummary(lines)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("follow_summary")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    val watcher = LogAnalytics.stopOnPattern(lines, target)
+    try {
+      // still running after the sentinel-free batch
+      assert(!target.awaitTermination(3000))
+      // append the stop line: the watcher must stop the target
+      Files.write(Paths.get(dir, "follow", "b.log"),
+        s"2026-02-10 18:44:00,000 [INFO] ap_proto: ${LogAnalytics.StopPattern}\n".getBytes)
+      assert(target.awaitTermination(60000), "target did not stop on sentinel")
+    } finally {
+      if (target.isActive) target.stop()
+      watcher.stop()
+    }
   }
 }
