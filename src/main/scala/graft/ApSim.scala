@@ -11,7 +11,12 @@ import graft.geom._
   * simulated visits of the SURVEY §3.1 pipeline against a warehouse dir,
   * printing one JSON stats line per visit.
   *
-  * Usage: runMain graft.ApSim <warehouseDir> <nVisits> [catalogSize] [detectionFraction]
+  * Usage: runMain graft.ApSim <warehouseDir> <nVisits> [catalogSize]
+  *   [detectionFraction] [configOverrideFile]
+  *
+  * The optional override file is `key = value` lines accepting the
+  * reference's pex.config parameter names (`ap_proto -c` analog; see
+  * ApdbConfigIO).
   */
 object ApSim {
   def main(args: Array[String]): Unit = {
@@ -31,8 +36,11 @@ object ApSim {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val apdb = new ApdbSpark(spark,
-      ApdbConfig(warehouseDir = warehouse, detectionFraction = detFraction))
+    val baseCfg = ApdbConfig(warehouseDir = warehouse,
+      detectionFraction = detFraction)
+    val cfg =
+      if (args.length > 4) ApdbConfigIO.fromFile(args(4), baseCfg) else baseCfg
+    val apdb = new ApdbSpark(spark, cfg)
     val resumed = VisitPipeline.VisitStateStore.read(warehouse)
     // drop-safety: a populated warehouse whose visit_state.json was
     // deleted/corrupted must NOT be silently destroyed on restart — only

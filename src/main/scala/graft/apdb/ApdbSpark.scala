@@ -30,7 +30,11 @@ final case class ApdbConfig(
     falsePerVisit: Double = 5050.0,
     detectionFraction: Double = 1.0,
     replicaChunkSeconds: Long = 600L,
-    replicaChunkKeepDays: Int = -1) {
+    replicaChunkKeepDays: Int = -1,
+    /** When true the facade speaks the client (afw.table-style) column
+      * convention (README.md:55-61 renames): reads return `id` /
+      * `coord_ra` / `coord_dec` / `parent`, store() accepts them. */
+    clientNaming: Boolean = false) {
   val pix: Pixelization = Pixelization(pixLevel)
   val fovRad: Double = math.toRadians(fovDeg)
 }
@@ -146,29 +150,34 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
       .where(col("pix_bucket").isin(buckets: _*)) // partition pruning
       .where(SparkGeo.rangePredicate(col("pixelId"), ranges)) // row refine
       .drop("pix_bucket")
-    if (columns.isEmpty) base
-    else base.select(columns.map(col): _*)
+    val named =
+      if (clientNaming) AfwRenames.toClient(Schemas.DiaObjectLast, base)
+      else base
+    if (columns.isEmpty) named
+    else named.select(columns.map(col): _*)
   }
 
   /** DiaSource history for an ID set with a months cutoff
     * (README.md:130-140). `ids` joins semi (scales past isin lists). */
   def getDiaSources(ids: DataFrame, visitTime: Timestamp): DataFrame = {
     val cutoff = mjd(visitTime) - readSourcesMonths * 30.0
-    readOrEmpty("sources", srcSchema)
+    val base = readOrEmpty("sources", srcSchema)
       .where(col("mjd_bucket") >= math.floor(cutoff / 30.0).toLong)
       .where(col("midpointMjdTai") >= cutoff)
       .join(ids.select(col(ids.columns.head).as("diaObjectId")), Seq("diaObjectId"), "left_semi")
       .drop("pix_bucket", "mjd_bucket")
+    if (clientNaming) AfwRenames.toClient(Schemas.DiaSource, base) else base
   }
 
   /** DiaForcedSource history (README.md:143-155, shorter window). */
   def getDiaForcedSources(ids: DataFrame, visitTime: Timestamp): DataFrame = {
     val cutoff = mjd(visitTime) - readForcedSourcesMonths * 30.0
-    readOrEmpty("fsources", fsrcSchema)
+    val base = readOrEmpty("fsources", fsrcSchema)
       .where(col("mjd_bucket") >= math.floor(cutoff / 30.0).toLong)
       .where(col("midpointMjdTai") >= cutoff)
       .join(ids.select(col(ids.columns.head).as("diaObjectId")), Seq("diaObjectId"), "left_semi")
       .drop("pix_bucket", "mjd_bucket")
+    if (clientNaming) AfwRenames.toClient(Schemas.DiaForcedSource, base) else base
   }
 
   /** Full version history (validityEnd derived via W3 lead window). */
@@ -190,9 +199,20 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     * snapshot (rewriting only touched pixel buckets via dynamic
     * partition overwrite), append facts, mirror CDC chunks, apply
     * retention. */
-  def store(visitTime: Timestamp, objects: DataFrame, srcs: DataFrame,
-      fsrcs: DataFrame): Unit = timed("tile_store_time", "all") {
+  def store(visitTime: Timestamp, objectsIn: DataFrame, srcsIn: DataFrame,
+      fsrcsIn: DataFrame): Unit = timed("tile_store_time", "all") {
     val chunkId = visitTime.getTime / 1000 / replicaChunkSeconds
+    // accept client-convention catalogs (id/coord_ra/coord_dec/parent)
+    // when the facade is configured for them — mixed inputs pass through
+    val objects =
+      if (clientNaming) AfwRenames.fromClient(Schemas.DiaObject, objectsIn)
+      else objectsIn
+    val srcs =
+      if (clientNaming) AfwRenames.fromClient(Schemas.DiaSource, srcsIn)
+      else srcsIn
+    val fsrcs =
+      if (clientNaming) AfwRenames.fromClient(Schemas.DiaForcedSource, fsrcsIn)
+      else fsrcsIn
 
     val newVersions = withBucket(objects
       .withColumn("validityStart", lit(visitTime)))

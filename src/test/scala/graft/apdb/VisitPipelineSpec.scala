@@ -162,6 +162,72 @@ class VisitPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("facade round-trips client-convention catalogs (README renames)") {
+    val dir = java.nio.file.Files.createTempDirectory("apdb_afw").toString
+    val apdb = new ApdbSpark(spark,
+      ApdbConfig(warehouseDir = dir, clientNaming = true))
+    apdb.makeSchema(drop = true)
+    import spark.implicits._
+    val ts = Timestamp.valueOf("2026-01-01 01:00:00")
+    val pix = apdb.config.pix
+    // client-convention DiaObject catalog: id / coord_ra / coord_dec
+    val objs = Seq((1L, 10.0, -45.0), (2L, 10.2, -45.1)).toDF(
+      "id", "coord_ra", "coord_dec")
+      .withColumn("nDiaSources", org.apache.spark.sql.functions.lit(1))
+      .withColumn("lastNonForcedSource", org.apache.spark.sql.functions.lit(ts))
+      .withColumn("pixelId", graft.apdb.SparkGeo.pixelIndexRaDec(
+        pix, col("coord_ra"), col("coord_dec")))
+    // client-convention DiaSource catalog incl. parent
+    val srcs = Seq((100L, 1L, 10.0, -45.0, 0L)).toDF(
+      "id", "diaObjectId", "coord_ra", "coord_dec", "parent")
+      .withColumn("visit", org.apache.spark.sql.functions.lit(1))
+      .withColumn("detector", org.apache.spark.sql.functions.lit(0))
+      .withColumn("psFlux", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("psFluxErr", org.apache.spark.sql.functions.lit(0.01))
+      .withColumn("midpointMjdTai", org.apache.spark.sql.functions.lit(apdb.mjd(ts)))
+      .withColumn("pixelId", graft.apdb.SparkGeo.pixelIndexRaDec(
+        pix, col("coord_ra"), col("coord_dec")))
+    val fsrcs = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Schemas.diaForcedSource)
+    apdb.store(ts, objs, srcs, fsrcs)
+
+    // reads come back in client convention
+    val got = apdb.getDiaObjects(Circle(Vec3.fromRaDec(10.0, -45.0),
+      math.toRadians(2)))
+    assert(got.columns.contains("id") && got.columns.contains("coord_ra") &&
+      got.columns.contains("coord_dec") && !got.columns.contains("diaObjectId"))
+    assert(got.count() == 2)
+    val hist = apdb.getDiaSources(got.select(col("id")), ts)
+    assert(hist.columns.contains("id") && hist.columns.contains("parent") &&
+      !hist.columns.contains("diaSourceId"))
+    assert(hist.count() == 1)
+  }
+
+  test("config override file: reference pex.config names load") {
+    val f = java.nio.file.Files.createTempFile("apdb_cfg", ".py")
+    java.nio.file.Files.writeString(f,
+      """# ap_proto-style overrides
+        |config.FOV_deg = 1.76
+        |config.detector_region_padding = 26.0
+        |config.transient_per_visit = 50
+        |config.forced_cutoff_days = 15
+        |config.replica_chunk_keep_days = 7
+        |clientNaming = true
+        |""".stripMargin)
+    val cfg = ApdbConfigIO.fromFile(f.toString,
+      ApdbConfig(warehouseDir = "/tmp/x"))
+    assert(cfg.fovDeg == 1.76)
+    assert(cfg.regionPaddingArcsec == 26.0)
+    assert(cfg.transientPerVisit == 50.0)
+    assert(cfg.forcedCutoffDays == 15)
+    assert(cfg.replicaChunkKeepDays == 7)
+    assert(cfg.clientNaming)
+    // unknown keys fail loudly
+    intercept[IllegalArgumentException] {
+      ApdbConfigIO.fromLines(Seq("no_such_knob = 1"), cfg)
+    }
+  }
+
   test("resume: state survives restart and IDs continue") {
     val apdb = freshApdb("resume")
     val catalog = DiaSim.genCatalog(spark, 50000L, hemi = -1, seed = 9)
