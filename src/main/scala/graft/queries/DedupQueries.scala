@@ -254,10 +254,13 @@ object DedupQueries {
   val MaxGramDf = 20
   val x7NgramJaccard: QFn = (s, d) => {
     val docs = Tables.documents(s, d)
+    // grams are hashed to 8-byte ints inside the projection (same
+    // md5-derived hash the oracle reproduces), so the distinct + DF-join
+    // shuffles carry longs instead of full gram strings (~8× narrower)
     val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 2) // guard descending sequence on 1-word docs
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> concat(w[i], '_', w[i+1]))"))
+        s"transform(sequence(0, size(w) - 2), i -> ${hex60("concat(w[i], '_', w[i+1])")})"))
         .as("gram"))
       .distinct()
     val rare = grams.groupBy(col("gram"))
@@ -284,7 +287,7 @@ object DedupQueries {
     s"""WITH allgrams AS (
       |  SELECT doc_id, unnest(list_distinct(
       |      list_transform(range(1, length(string_split(text, ' '))),
-      |        i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1])))
+      |        i -> ${duckHex60("string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]")})))
       |      AS gram
       |  FROM documents),
       |grams AS (
