@@ -68,6 +68,30 @@ final case class Pixelization(level: Int) {
     uvToVec(f, (iu + 0.5) * 2.0 / n - 1.0, (iv + 0.5) * 2.0 / n - 1.0)
   }
 
+  /** Boundary quad of a pixel (`part_sim.py` `pixelator.quad` analog). */
+  def polygon(pixelId: Long): SphericalPolygon = {
+    val f = (pixelId / cellsPerFace).toInt
+    val rem = pixelId % cellsPerFace
+    val iu = (rem / n).toInt; val iv = (rem % n).toInt
+    val u0 = iu * 2.0 / n - 1.0; val u1 = u0 + 2.0 / n
+    val w0 = iv * 2.0 / n - 1.0; val w1 = w0 + 2.0 / n
+    SphericalPolygon(IndexedSeq(uvToVec(f, u0, w0), uvToVec(f, u1, w0),
+      uvToVec(f, u1, w1), uvToVec(f, u0, w1)))
+  }
+
+  /** Bounding cone (centroid + circumradius) of a depth-`d` face cell —
+    * shared with the Morton-order Q3C scheme, which descends the same
+    * face quad-tree. */
+  private[geom] def cellCone(f: Int, d: Int, iu: Int, iv: Int): (Vec3, Double) = {
+    val nd = 1 << d
+    val u0 = iu * 2.0 / nd - 1.0; val u1 = u0 + 2.0 / nd
+    val w0 = iv * 2.0 / nd - 1.0; val w1 = w0 + 2.0 / nd
+    val c = uvToVec(f, (u0 + u1) / 2, (w0 + w1) / 2)
+    val circum = Seq(uvToVec(f, u0, w0), uvToVec(f, u1, w0),
+      uvToVec(f, u1, w1), uvToVec(f, u0, w1)).map(c.angleTo).max
+    (c, circum)
+  }
+
   /** Index ranges [lo, hi) of all pixels possibly intersecting `region`
     * — a conservative superset (exact filtering happens row-wise after
     * the pruned scan, the reference's two-phase pattern

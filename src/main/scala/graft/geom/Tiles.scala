@@ -22,10 +22,16 @@ object Tiles {
     * square. Tiles whose rectangle is disjoint from the inscribed circle
     * (radius h = tan(fov/2)) are dropped when `excludeDisjoint`. */
   def squareTiles(pointing: Vec3, fovRad: Double, divide: Int,
-      excludeDisjoint: Boolean = true): IndexedSeq[Tile] = {
+      excludeDisjoint: Boolean = true, rotRad: Double = 0.0): IndexedSeq[Tile] = {
     require(divide >= 1)
     val h = math.tan(fovRad / 2)
-    val rot = Mat3.rotateInto(Vec3.zAxis, pointing.normalized)
+    val p = pointing.normalized
+    // optional camera rotation about the pointing axis
+    // (`make_square_tiles(..., rot_rad)`, part_sim.py:100)
+    val base = Mat3.rotateInto(Vec3.zAxis, p)
+    val rot =
+      if (rotRad == 0.0) base
+      else Mat3.aboutAxis(p, rotRad).compose(base)
     val cell = 2.0 / divide // in units of h
     val tiles = for {
       ix <- 0 until divide

@@ -123,10 +123,17 @@ object GeoQueries {
        |FROM ($synthXyzSql) WHERE event_id < 1000
        |ORDER BY event_id""".stripMargin
 
-  // Pixel ranges shared by j3/j4: a small "envelope" of [lo, hi) rows.
-  private val rangeRows = Seq(
-    (0L, 0L, 380L), (1L, 380L, 520L), (2L, 500L, 700L),
-    (3L, 1024L, 1400L), (4L, 2000L, 2300L), (5L, 3900L, 4096L))
+  // Pixel ranges shared by j3/j4/a8: the REAL envelope of a survey-field
+  // circle from the quad-cube pixelization (level 4, 1536 pixels),
+  // computed at SQL-build time and inlined — the same [lo, hi) range
+  // list ApdbSpark pushes into its spatial reads (README.md:118-124),
+  // exercised against a synthetic pixel column over the same id domain.
+  private val envPix = Pixelization(4)
+  private val envRegion = Circle(Vec3(0.6, 0.48, 0.64), math.toRadians(30))
+  private val rangeRows: Seq[(Long, Long, Long)] =
+    envPix.envelope(envRegion).zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+  private val pixelDomain: Long = envPix.totalPixels // 1536
   private val rangesSql = rangeRows
     .map { case (id, lo, hi) => s"($id, $lo, $hi)" }
     .mkString("(VALUES ", ", ", ") AS r(range_id, lo, hi)")
@@ -137,7 +144,7 @@ object GeoQueries {
     import s.implicits._
     val ranges = rangeRows.toDF("range_id", "lo", "hi")
     Tables.lineitem(s, d)
-      .withColumn("pixel_id", pmod(col("l_orderkey") * 2654435761L, lit(4096L)))
+      .withColumn("pixel_id", pmod(col("l_orderkey") * 2654435761L, lit(pixelDomain)))
       .join(broadcast(ranges),
         col("pixel_id") >= col("lo") && col("pixel_id") < col("hi"))
       .select(col("l_orderkey"), col("l_linenumber"), col("pixel_id"), col("range_id"))
@@ -145,10 +152,10 @@ object GeoQueries {
   }
   val j3Sql =
     s"""SELECT l_orderkey, l_linenumber,
-       |  (l_orderkey * 2654435761) % 4096 AS pixel_id, range_id
+       |  (l_orderkey * 2654435761) % $pixelDomain AS pixel_id, range_id
        |FROM lineitem JOIN $rangesSql
-       |  ON (l_orderkey * 2654435761) % 4096 >= lo
-       | AND (l_orderkey * 2654435761) % 4096 < hi
+       |  ON (l_orderkey * 2654435761) % $pixelDomain >= lo
+       | AND (l_orderkey * 2654435761) % $pixelDomain < hi
        |ORDER BY l_orderkey, l_linenumber, range_id""".stripMargin
 
   /** J4 — tile×pixel overlap counts (`part_sim.py:100-122`): how many
@@ -157,7 +164,7 @@ object GeoQueries {
     import s.implicits._
     val ranges = rangeRows.toDF("range_id", "lo", "hi")
     Tables.lineitem(s, d)
-      .withColumn("pixel_id", pmod(col("l_orderkey") * 2654435761L, lit(4096L)))
+      .withColumn("pixel_id", pmod(col("l_orderkey") * 2654435761L, lit(pixelDomain)))
       .select(col("pixel_id")).distinct()
       .join(broadcast(ranges),
         col("pixel_id") >= col("lo") && col("pixel_id") < col("hi"))
@@ -167,7 +174,7 @@ object GeoQueries {
   }
   val j4Sql =
     s"""SELECT pixel_id, COUNT(*) AS n_tiles FROM
-       |  (SELECT DISTINCT (l_orderkey * 2654435761) % 4096 AS pixel_id FROM lineitem) p
+       |  (SELECT DISTINCT (l_orderkey * 2654435761) % $pixelDomain AS pixel_id FROM lineitem) p
        |JOIN $rangesSql ON pixel_id >= lo AND pixel_id < hi
        |GROUP BY pixel_id ORDER BY pixel_id""".stripMargin
 
