@@ -14,6 +14,10 @@ import graft.geom._
 final case class ApdbConfig(
     warehouseDir: String,
     pixLevel: Int = 8,
+    /** spatial-index scheme: mq3c (row-major quad cube, default), q3c
+      * (Morton quad cube) or htm — the reference's part_sim study
+      * choices, selectable per deployment. */
+    pixMode: String = "mq3c",
     /** partition bucket = pixelId >> shift; at level 8 and shift 10 this
       * yields 384 buckets — wide enough for 1000-executor parallelism,
       * coarse enough that a FOV touches only a handful. */
@@ -36,6 +40,8 @@ final case class ApdbConfig(
       * `coord_ra` / `coord_dec` / `parent`, store() accepts them. */
     clientNaming: Boolean = false) {
   val pix: Pixelization = Pixelization(pixLevel)
+  /** The configured scheme's pixelator (envelope + index source). */
+  val skyPix: SkyPixelization = SkyPixelization(pixMode, pixLevel)
   val fovRad: Double = math.toRadians(fovDeg)
 }
 
@@ -137,7 +143,7 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     * the projection (the `dia_object_columns` config, README.md:125-127
     * / F10) so parquet only reads those columns. */
   def getDiaObjects(region: Region, columns: Seq[String] = Nil): DataFrame = {
-    val ranges = SparkGeo.coarsen(pix.envelope(region), maxEnvelopeRanges)
+    val ranges = SparkGeo.coarsen(skyPix.envelope(region), maxEnvelopeRanges)
     val buckets = ranges
       .flatMap { case (lo, hi) => (lo >> pixBucketShift) to ((hi - 1) >> pixBucketShift) }
       .distinct

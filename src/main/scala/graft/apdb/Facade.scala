@@ -58,6 +58,7 @@ object ApdbConfigIO {
   private val setters: Map[String, (ApdbConfig, String) => ApdbConfig] = Map(
     "warehouseDir" -> ((c, v) => c.copy(warehouseDir = v)),
     "pixLevel" -> ((c, v) => c.copy(pixLevel = v.toInt)),
+    "pixMode" -> ((c, v) => c.copy(pixMode = v)),
     "pixBucketShift" -> ((c, v) => c.copy(pixBucketShift = v.toInt)),
     "maxEnvelopeRanges" -> ((c, v) => c.copy(maxEnvelopeRanges = v.toInt)),
     "fovDeg" -> ((c, v) => c.copy(fovDeg = v.toDouble)),

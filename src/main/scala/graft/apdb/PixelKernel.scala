@@ -11,14 +11,26 @@ object PixelKernel {
 
   private val pixCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Pixelization]()
+  private val skyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SkyPixelization]()
   private val regionCache =
     new java.util.concurrent.ConcurrentHashMap[String, Region]()
 
   def pixAt(level: Int): Pixelization =
     pixCache.computeIfAbsent(level, l => Pixelization(l))
 
+  /** Scheme-parametrized pixelator (htm / q3c / mq3c), cached per
+    * (mode, level) — executor-side entry point for codegen calls. */
+  def skyAt(mode: String, level: Int): SkyPixelization =
+    skyCache.computeIfAbsent(s"$mode:$level",
+      _ => SkyPixelization(mode, level))
+
   def indexRaDec(ra: Double, dec: Double, level: Int): Long =
     pixAt(level).index(ra, dec)
+
+  def indexXyz(x: Double, y: Double, z: Double, mode: String,
+      level: Int): Long =
+    skyAt(mode, level).index(Vec3(x, y, z))
 
   def parseRegion(s: String): Region =
     regionCache.computeIfAbsent(s, RegionCodec.decode)

@@ -52,6 +52,17 @@ object SparkGeo {
     pixelIndex(pix, x, y, z)
   }
 
+  /** Scheme-aware pixel index: the quad cube stays pure column math;
+    * HTM / Morton-Q3C go through the native kernel expression (one
+    * static call inside whole-stage codegen). */
+  def pixelIndexSky(sky: SkyPixelization, x: Column, y: Column, z: Column): Column =
+    sky match {
+      case Mq3cAdapter(quad) => pixelIndex(quad, x, y, z)
+      case other =>
+        graft.plans.SpatialFunctions.sky_pixel_index(x, y, z,
+          other.name, other.level)
+    }
+
   /** Region containment as a boolean Column over xyz components.
     * Circle: one dot product (the reference's vectorized cone test,
     * `DIA.py:72-77`). Polygon: conjunction of edge-normal dots. */

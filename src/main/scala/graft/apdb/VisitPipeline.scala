@@ -80,7 +80,7 @@ object VisitPipeline {
       metrics: Option[MetricsLog] = None): VisitStats = {
     val spark = apdb.spark
     val cfg = apdb.config
-    val pix = cfg.pix
+    val pix = cfg.skyPix
     val tVisit0 = System.nanoTime()
     metrics.foreach(m => apdb.attachMetrics(m, visitId, visitTime))
     def timedSec[T](f: => T): (T, Double) = {
@@ -139,7 +139,7 @@ object VisitPipeline {
       .withColumn("psFlux", lit(1.0))
       .withColumn("psFluxErr", lit(0.01))
       .withColumn("midpointMjdTai", lit(mjdNow))
-      .withColumn("pixelId", SparkGeo.pixelIndex(pix, col("x"), col("y"), col("z")))
+      .withColumn("pixelId", SparkGeo.pixelIndexSky(pix, col("x"), col("y"), col("z")))
       .select(Schemas.diaSource.fieldNames.map(col).toSeq :+ col("is_transient"): _*)
       .localCheckpoint(true)
     val nSources = newSources.count()

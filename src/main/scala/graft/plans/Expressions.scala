@@ -33,6 +33,32 @@ case class PixelIndexExpr(left: Expression, right: Expression, level: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** `sky_pixel_index(x, y, z)` for a scheme-parametrized pixelization
+  * (htm / q3c / mq3c). The iterative HTM descent can't be pure column
+  * math, so codegen emits one static call into the cached kernel —
+  * still inside whole-stage codegen, no UDF serialization. */
+case class PixelIndexXyzExpr(first: Expression, second: Expression,
+    third: Expression, mode: String, level: Int)
+    extends TernaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+  override def prettyName: String = "sky_pixel_index"
+
+  override protected def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    PixelKernel.indexXyz(x.asInstanceOf[Double], y.asInstanceOf[Double],
+      z.asInstanceOf[Double], mode, level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, z) =>
+      s"""graft.apdb.PixelKernel.indexXyz($x, $y, $z, "$mode", $level)""")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** `region_contains('<region-literal>', ra, dec)` — the region is a
   * compile-time constant (RegionCodec form), parsed once and shipped as
   * a codegen reference object. */
@@ -72,4 +98,10 @@ object SpatialFunctions {
   def region_contains(region: Region, ra: Column, dec: Column): Column =
     column(RegionContainsExpr(RegionCodec.encode(region),
       expression(ra.cast("double")), expression(dec.cast("double"))))
+
+  def sky_pixel_index(x: Column, y: Column, z: Column, mode: String,
+      level: Int): Column =
+    column(PixelIndexXyzExpr(expression(x.cast("double")),
+      expression(y.cast("double")), expression(z.cast("double")),
+      mode, level))
 }

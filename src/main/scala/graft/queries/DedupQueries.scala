@@ -283,8 +283,10 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
-  val x7Sql =
-    s"""WITH allgrams AS (
+  /** Shared CTE body producing the x7 gram/intersection relations —
+    * reused by the x16 clustering oracle. */
+  private val x7CteBody: String =
+    s"""allgrams AS (
       |  SELECT doc_id, unnest(list_distinct(
       |      list_transform(range(1, length(string_split(text, ' '))),
       |        i -> ${duckHex60("string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]")})))
@@ -299,14 +301,86 @@ object DedupQueries {
       |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, COUNT(*) AS n_inter
       |  FROM grams ga JOIN grams gb
       |    ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, n_inter,
-      |  n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
-      |FROM inter
-      |JOIN sizes sa ON sa.doc_id = doc_a
-      |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.3
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b, n_inter,
+      |    n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.3)""".stripMargin
+
+  val x7Sql =
+    s"""WITH $x7CteBody
+      |SELECT doc_a, doc_b, n_inter, jaccard FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -- x16: duplicate clusters (connected components) --------------------
+
+  /** x16 — duplicate-cluster assignment: connected components over the
+    * x7 near-duplicate pair graph, labeling every involved document
+    * with the minimum doc_id of its component (the canonical
+    * representative a dedup pipeline keeps) plus the cluster size.
+    *
+    * Distributed min-label propagation: each iteration is one
+    * shuffle-join (neighbor-min) + one update, iterating to fixpoint —
+    * O(diameter) rounds, and near-dup clusters have tiny diameters. At
+    * 100 TB the same loop runs with the alternating large-star /
+    * small-star optimization (fewer rounds on skewed components); the
+    * per-round plan here is already the scale shape: shuffle by vertex,
+    * map-side-combined min.
+    *
+    * Oracle: DuckDB recursive CTE computing the same transitive closure
+    * (UNION-dedup bounds the recursion). */
+  val x16DupClusters: QFn = (s, d) => {
+    val pairs = x7NgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id")), Seq("doc_b"))
+        .groupBy(col("doc_a"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+        .select(col("doc_a").as("doc_id"), col("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
+        .localCheckpoint(true)
+      changed = updated.where(col("chg")).count()
+      labels = updated.select(col("doc_id"), col("cluster_id"))
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x16Sql: String =
+    s"""WITH RECURSIVE $x7CteBody,
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, r) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.doc_id),
+      |labels AS (
+      |  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+      |SELECT l.doc_id, l.cluster_id, s.cluster_size
+      |FROM labels l
+      |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+      |      FROM labels GROUP BY cluster_id) s USING (cluster_id)
+      |ORDER BY l.doc_id""".stripMargin
 
   // -- x3 / x8: embedding similarity -------------------------------------
 
@@ -640,6 +714,7 @@ object DedupQueries {
     "x2_dedup_minhash" -> x2DedupMinhash,
     "x6_dedup_simhash" -> x6DedupSimhash,
     "x7_ngram_jaccard" -> x7NgramJaccard,
+    "x16_dup_clusters" -> x16DupClusters,
     "x3_topk_similarity" -> x3TopkSimilarity,
     "x8_embedding_dedup" -> x8EmbeddingDedup,
     "x14_ann_lsh" -> x14AnnLsh,
@@ -651,6 +726,7 @@ object DedupQueries {
     "x2_dedup_minhash" -> x2Sql,
     "x6_dedup_simhash" -> x6Sql,
     "x7_ngram_jaccard" -> x7Sql,
+    "x16_dup_clusters" -> x16Sql,
     "x3_topk_similarity" -> x3Sql,
     "x8_embedding_dedup" -> x8Sql,
     "x14_ann_lsh" -> x14Sql,

@@ -228,6 +228,36 @@ class VisitPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pixelization scheme is pluggable: htm visits match mq3c results") {
+    val catalog = DiaSim.genCatalog(spark, 50000L, hemi = -1, seed = 42)
+      .localCheckpoint(true)
+    val t0 = Timestamp.valueOf("2026-01-01 01:00:00")
+    val visits = VisitPipeline.visitTimes(t0, 2)
+    def run(mode: String) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"apdb_$mode").toString
+      val apdb = new ApdbSpark(spark, ApdbConfig(warehouseDir = dir,
+        pixMode = mode, transientPerVisit = 10, falsePerVisit = 90))
+      apdb.makeSchema(drop = true)
+      visits.map { case (id, ts) =>
+        VisitPipeline.visit(apdb, catalog, id, ts, pointing)
+      }
+    }
+    val mq3c = run("mq3c")
+    val htm = run("htm")
+    // same detections, same exact-filtered reads and stores; only the
+    // envelope SUPERSET (nObjectsRead) may differ between schemes
+    mq3c.zip(htm).foreach { case (a, b) =>
+      assert(a.nObjectsFiltered == b.nObjectsFiltered)
+      assert(a.nSources == b.nSources)
+      assert(a.nForcedSources == b.nForcedSources)
+      assert(a.nTransients == b.nTransients)
+      assert(a.historySources == b.historySources)
+      assert(a.historyForced == b.historyForced)
+    }
+    // the superset property still holds for htm
+    htm.foreach(s => assert(s.nObjectsRead >= s.nObjectsFiltered))
+  }
+
   test("resume: state survives restart and IDs continue") {
     val apdb = freshApdb("resume")
     val catalog = DiaSim.genCatalog(spark, 50000L, hemi = -1, seed = 9)

@@ -115,6 +115,27 @@ class ExtSpec extends AnyFunSuite {
       "IVF found none of the brute-force top-5")
   }
 
+  test("dup clusters: pairs co-clustered, canonical id is the min member") {
+    val pairs = DedupQueries.x7NgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = DedupQueries.x16DupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(clusters.nonEmpty)
+    // every near-dup pair lands in the same cluster (transitive closure)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split")
+    }
+    // cluster id is the minimum member id; sizes count the members
+    val byCluster = clusters.groupBy(_._2._1)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      assert(members.values.forall(_._2 == members.size))
+    }
+    // exactly the documents that appear in some pair are clustered
+    assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
   test("exact ngram jaccard agrees with minhash estimates (planted pairs)") {
     val exact = DedupQueries.x7NgramJaccard(spark, sf)
       .where(col("jaccard") >= 0.5)
