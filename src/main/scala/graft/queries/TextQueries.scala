@@ -307,8 +307,75 @@ object TextQueries {
       |FROM frames f JOIN docs d USING (doc_id)
       |ORDER BY doc_id, kind, idx""".stripMargin
 
+  // -- x17: stratified sampling ------------------------------------------
+
+  /** x17 — deterministic stratified sample: k docs per source stratum,
+    * ranked by an md5-derived pseudo-random key (seeded, reproducible —
+    * the property corpus-curation sampling needs for auditability).
+    * One window per stratum; at scale this is a single shuffle by
+    * (source) with per-partition top-k — no global sort. */
+  val SamplePerStratum = 20
+  val x17StratifiedSample: QFn = (s, d) => {
+    val key = expr("CAST(conv(substr(md5(concat('x17:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    val w = Window.partitionBy(col("source")).orderBy(key.asc, col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= SamplePerStratum)
+      .select(col("source"), col("sample_rank").cast("long").as("sample_rank"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+  val x17Sql =
+    s"""SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, n_chars
+       |FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY CAST('0x' || substr(md5('x17:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |               doc_id) AS sample_rank
+       |  FROM documents)
+       |WHERE sample_rank <= $SamplePerStratum
+       |ORDER BY source, sample_rank""".stripMargin
+
+  // -- x18: exact quantile thresholds ------------------------------------
+
+  /** x18 — per-source document-length quantiles (the thresholds quality
+    * filters cut on). Exact discrete quantiles via rank arithmetic
+    * (value at row ceil(q·n)) so both engines pick identical elements —
+    * no interpolation, no sketch nondeterminism. The approx path at
+    * scale is percentile_approx/t-digest; this is its auditable exact
+    * counterpart. */
+  val QuantilePoints = Seq(0.25, 0.5, 0.75, 0.95)
+  val x18LengthQuantiles: QFn = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val qs = QuantilePoints.toDF("q")
+    ranked.join(broadcast(qs),
+        col("rn") === greatest(lit(1), ceil(col("q") * col("n"))))
+      .select(col("source"), col("q"), col("n_chars").as("threshold"),
+        col("n").cast("long").as("n_docs"))
+      .orderBy(col("source"), col("q"))
+  }
+  val x18Sql = {
+    val qVals = QuantilePoints.map(q => s"($q)")
+      .mkString("(VALUES ", ", ", ")")
+    s"""SELECT source, q, n_chars AS threshold, CAST(n AS BIGINT) AS n_docs
+       |FROM (
+       |  SELECT source, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM documents) r
+       |JOIN (SELECT CAST(q AS DOUBLE) AS q FROM $qVals AS v(q)) qs
+       |  ON r.rn = greatest(1, CAST(ceil(qs.q * r.n) AS BIGINT))
+       |ORDER BY source, q""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     "x11_token_count" -> x11TokenCount,
+    "x17_stratified_sample" -> x17StratifiedSample,
+    "x18_length_quantiles" -> x18LengthQuantiles,
     "x12_doc_fingerprint" -> x12DocFingerprint,
     "x9_langid" -> x9Langid,
     "x10_quality_score" -> x10QualityScore,
@@ -319,6 +386,8 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "x11_token_count" -> x11Sql,
+    "x17_stratified_sample" -> x17Sql,
+    "x18_length_quantiles" -> x18Sql,
     "x12_doc_fingerprint" -> x12Sql,
     "x9_langid" -> x9Sql,
     "x10_quality_score" -> x10Sql,
