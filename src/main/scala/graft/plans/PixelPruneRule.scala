@@ -120,6 +120,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "pixel_index(ra, dec[, level])")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("sky_pixel_index"),
+      new ExpressionInfo(classOf[PixelIndexXyzExpr].getName, "sky_pixel_index"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x, y, z, Literal(m, StringType)) =>
+          PixelIndexXyzExpr(dbl(x), dbl(y), dbl(z), m.toString,
+            PixelPruneRule.level)
+        case Seq(x, y, z, Literal(m, StringType), Literal(l, _)) =>
+          PixelIndexXyzExpr(dbl(x), dbl(y), dbl(z), m.toString,
+            l.toString.toInt)
+        case _ => throw new IllegalArgumentException(
+          "sky_pixel_index(x, y, z, 'htm'|'q3c'|'mq3c'[, level])")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("region_contains"),
       new ExpressionInfo(classOf[RegionContainsExpr].getName, "region_contains"),
       (args: Seq[Expression]) => args match {

@@ -167,6 +167,24 @@ class ExtensionsSpec extends AnyFunSuite {
       "join with a foreign pixelId column changed the region result")
   }
 
+  test("sky_pixel_index SQL function matches the scheme kernels") {
+    spark.read.parquet(objectsPath).createOrReplaceTempView("objs_sky")
+    for (mode <- Seq("htm", "q3c", "mq3c")) {
+      val pix = SkyPixelization(mode, 8)
+      val got = spark.sql(
+        s"""SELECT sourceIdx, ra, dec,
+           |  sky_pixel_index(cos(radians(dec)) * cos(radians(ra)),
+           |                  cos(radians(dec)) * sin(radians(ra)),
+           |                  sin(radians(dec)), '$mode', 8) AS pid
+           |FROM objs_sky LIMIT 500""".stripMargin).collect()
+      got.foreach { r =>
+        val v = Vec3.fromRaDec(r.getDouble(1), r.getDouble(2))
+        assert(r.getLong(3) == pix.index(v),
+          s"$mode mismatch for source ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("rule does NOT prune negated or disjunctive region predicates") {
     spark.read.parquet(objectsPath).createOrReplaceTempView("objs3")
     val lit = RegionCodec.encode(region)
