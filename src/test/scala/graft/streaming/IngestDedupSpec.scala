@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ingest dedup: duplicates across micro-batches within the
+  * watermark are emitted once; batch fallback keeps one row per
+  * fingerprint. */
+class IngestDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = new StructType()
+    .add("doc_id", LongType).add("text", StringType)
+    .add("ingest_time", TimestampType)
+
+  private def csvLine(id: Long, text: String, ts: String) =
+    s"""$id,"$text",$ts"""
+
+  test("streaming: cross-batch duplicates within watermark collapse") {
+    val dir = Files.createTempDirectory("ingest_dedup").toString
+    Files.createDirectories(Paths.get(dir, "in"))
+    // batch 1: three docs, one internal dup pair (punctuation variant)
+    Files.write(Paths.get(dir, "in", "b1.csv"), Seq(
+      csvLine(1, "the quick brown fox", "2026-03-01 10:00:00"),
+      csvLine(2, "The Quick! Brown... FOX", "2026-03-01 10:00:05"),
+      csvLine(3, "something else entirely", "2026-03-01 10:00:10"),
+    ).mkString("\n").getBytes)
+    val stream = spark.readStream.schema(schema).csv(s"$dir/in")
+    val q = IngestDedup.dedupStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // batch 2: a late duplicate of doc 1 and one new doc
+    Files.write(Paths.get(dir, "in", "b2.csv"), Seq(
+      csvLine(4, "the QUICK brown fox", "2026-03-01 10:01:00"),
+      csvLine(5, "fresh document five", "2026-03-01 10:01:05"),
+    ).mkString("\n").getBytes)
+    val q2 = IngestDedup.dedupStream(spark.readStream.schema(schema).csv(s"$dir/in"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val out = spark.sql("SELECT doc_id FROM deduped2").collect()
+      .map(_.getLong(0)).toSet
+    // docs 1/2/4 share a fingerprint: exactly one survives; 3 and 5 kept
+    assert(out.size == 3, s"got $out")
+    assert(out.contains(3) && out.contains(5))
+    assert(out.intersect(Set(1L, 2L, 4L)).size == 1)
+  }
+
+  test("batch fallback: one row per fingerprint") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "2026-03-01 10:00:00"),
+      (2L, "A.b,c!", "2026-03-01 10:00:01"),
+      (3L, "distinct", "2026-03-01 10:00:02"),
+    ).toDF("doc_id", "text", "ts")
+      .withColumn("ingest_time", col("ts").cast("timestamp")).drop("ts")
+    val out = IngestDedup.dedupStream(docs).collect()
+    assert(out.length == 2)
+  }
+}
