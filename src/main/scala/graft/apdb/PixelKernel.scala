@@ -63,4 +63,16 @@ object RegionCodec {
     case _ =>
       throw new IllegalArgumentException(s"bad region literal: $s")
   }
+
+  /** Base64 wrapping for transport through attachment-hostile channels
+    * (the reference base64-encodes regions for subprocess scatter,
+    * `_executors.py:553` / `ap_proto_visit.py:125` — C12; Spark's
+    * shuffle replaces the scatter, the wire format remains supported). */
+  def encodeB64(r: Region): String =
+    java.util.Base64.getEncoder.encodeToString(
+      encode(r).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def decodeB64(s: String): Region =
+    decode(new String(java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8))
 }

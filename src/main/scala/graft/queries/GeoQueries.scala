@@ -317,18 +317,48 @@ object GeoQueries {
        |ORDER BY v.tile_id""".stripMargin
   }
 
+  private def c4Tiles: IndexedSeq[Tile] = {
+    val pointing = Vec3(0.2, -0.5, -0.8).normalized
+    Tiles.cameraTiles(pointing, math.toRadians(3.52), 2)
+  }
+
   /** C4 — tile mosaic generation (`geom.py:59-222`): emit the tiles
-    * table; counts pinned by GeomSpec. */
+    * table with centers; counts pinned by GeomSpec, center math
+    * re-derived independently by the SQL oracle from the inlined
+    * corner vertices. */
   val c4MakeTiles: QFn = (s, d) => {
     import s.implicits._
-    val pointing = Vec3(0.2, -0.5, -0.8).normalized
-    val rows = Tiles.cameraTiles(pointing, math.toRadians(3.52), 2).map { t =>
+    val rows = c4Tiles.map { t =>
       val c = t.polygon.vertices.reduce(_ + _).normalized
       val (ra, dec) = c.toRaDec
       (t.id.toLong, t.ix, t.iy, ra, dec)
     }
     rows.toDF("tile_id", "ix", "iy", "center_ra", "center_dec")
+      .withColumn("center_ra", round(col("center_ra"), 6))
+      .withColumn("center_dec", round(col("center_dec"), 6))
       .orderBy(col("tile_id"))
+  }
+  /** Oracle recomputes centers from corner vertices: normalized vertex
+    * sum → atan2/asin degrees (ra wrapped to [0, 360)), rounded like c1. */
+  val c4Sql: String = {
+    val values = c4Tiles.map { t =>
+      val vs = t.polygon.vertices
+      val coords = vs.map(v => s"${v.x}, ${v.y}, ${v.z}").mkString(", ")
+      s"(${t.id}, ${t.ix}, ${t.iy}, $coords)"
+    }.mkString(",\n  ")
+    s"""WITH v(tile_id, ix, iy, x0, y0, z0, x1, y1, z1, x2, y2, z2, x3, y3, z3) AS (VALUES
+       |  $values),
+       |c AS (
+       |  SELECT tile_id, ix, iy,
+       |    (x0 + x1 + x2 + x3) AS sx, (y0 + y1 + y2 + y3) AS sy,
+       |    (z0 + z1 + z2 + z3) AS sz
+       |  FROM v)
+       |SELECT tile_id, ix, iy,
+       |  round(CASE WHEN degrees(atan2(sy, sx)) < 0
+       |    THEN degrees(atan2(sy, sx)) + 360.0
+       |    ELSE degrees(atan2(sy, sx)) END, 6) AS center_ra,
+       |  round(degrees(asin(sz / sqrt(sx*sx + sy*sy + sz*sz))), 6) AS center_dec
+       |FROM c ORDER BY tile_id""".stripMargin
   }
 
   /** C5 — seeded point generators (`generators.py:33-91`): emit the
@@ -368,5 +398,6 @@ object GeoQueries {
     "c2_rotation" -> c2Sql,
     "c3_triangle_area" -> c3Sql,
     "a9_poly_area" -> a9Sql,
+    "c4_make_tiles" -> c4Sql,
   )
 }

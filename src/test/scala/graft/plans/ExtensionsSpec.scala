@@ -185,6 +185,17 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("region codec round-trips through base64 (C12)") {
+    val poly = SphericalPolygon(IndexedSeq(
+      Vec3(1, 0, 0), Vec3(0, 1, 0), Vec3(0, 0, 1)))
+    for (r <- Seq[Region](region, poly)) {
+      val b64 = RegionCodec.encodeB64(r)
+      assert(!b64.contains(":")) // opaque transport form
+      val back = RegionCodec.decodeB64(b64)
+      assert(RegionCodec.encode(back) == RegionCodec.encode(r))
+    }
+  }
+
   test("rule does NOT prune negated or disjunctive region predicates") {
     spark.read.parquet(objectsPath).createOrReplaceTempView("objs3")
     val lit = RegionCodec.encode(region)
