@@ -176,15 +176,16 @@ object DedupQueries {
       .select(col("doc_id"),
         explode(expr(s"transform(split(text, ' '), t -> ${hex60("t")})")).as("h"))
       .distinct()
+    // vote_j > 0  ⟺  2·(count of set bits) > n: sum the raw bit instead
+    // of a ±1 conditional — one shift+mask per (row, bit), no branch
     val bitAggs = (0 until SimBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1)
-        .otherwise(-1)).as(s"b$j")
-    }
+      sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j")
+    } :+ count(lit(1)).as("n_tok")
     val sim = tokens.groupBy(col("doc_id"))
       .agg(bitAggs.head, bitAggs.tail: _*)
       .withColumn("simhash",
         (0 until SimBits).map(j =>
-          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          when(col(s"b$j") * 2 > col("n_tok"), lit(1L << j)).otherwise(lit(0L)))
           .reduce((a: Column, b: Column) => a.bitwiseOR(b)))
       .select(col("doc_id"), col("simhash"))
       .localCheckpoint(true)
