@@ -29,6 +29,15 @@ final case class ApdbConfig(
     regionPaddingArcsec: Double = 52.0,
     readSourcesMonths: Int = 12,
     readForcedSourcesMonths: Int = 6,
+    /** Fraction of visits that read (forced) source history, over a
+      * repeating period (`config.py:79-86`): visit reads history iff
+      * `visit % srcReadPeriod < round(srcReadPeriod * srcReadDutyCycle)`
+      * — F9's duty-cycle semantics wired into the pipeline. */
+    srcReadDutyCycle: Double = 1.0,
+    srcReadPeriod: Int = 1000,
+    /** Widen store() inputs to the declared schema with typed random
+      * fill for missing columns (`config.py:87-90`, F11/C13). */
+    fillEmptyFields: Boolean = false,
     forcedCutoffDays: Int = 30,
     transientPerVisit: Double = 100.0,
     falsePerVisit: Double = 5050.0,
@@ -209,16 +218,23 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
       fsrcsIn: DataFrame): Unit = timed("tile_store_time", "all") {
     val chunkId = visitTime.getTime / 1000 / replicaChunkSeconds
     // accept client-convention catalogs (id/coord_ra/coord_dec/parent)
-    // when the facade is configured for them — mixed inputs pass through
-    val objects =
-      if (clientNaming) AfwRenames.fromClient(Schemas.DiaObject, objectsIn)
-      else objectsIn
-    val srcs =
-      if (clientNaming) AfwRenames.fromClient(Schemas.DiaSource, srcsIn)
-      else srcsIn
-    val fsrcs =
-      if (clientNaming) AfwRenames.fromClient(Schemas.DiaForcedSource, fsrcsIn)
-      else fsrcsIn
+    // when the facade is configured for them — mixed inputs pass through;
+    // with fillEmptyFields, widen partial catalogs to the declared
+    // schema with typed random fill (`_fillRandomData` semantics, F11)
+    def prep(t: Schemas.Table, df: DataFrame): DataFrame = {
+      val named = if (clientNaming) AfwRenames.fromClient(t, df) else df
+      // the DB layer owns the spatial index (`_executors.py:458`):
+      // compute it from ra/dec when the client catalog omits it
+      val withPix =
+        if (named.columns.contains("pixelId")) named
+        else named.withColumn("pixelId",
+          SparkGeo.pixelIndexSkyRaDec(skyPix, col("ra"), col("dec")))
+      if (fillEmptyFields) RandomFill.widen(withPix, Schemas.tableDef(t))
+      else withPix
+    }
+    val objects = prep(Schemas.DiaObject, objectsIn)
+    val srcs = prep(Schemas.DiaSource, srcsIn)
+    val fsrcs = prep(Schemas.DiaForcedSource, fsrcsIn)
 
     val newVersions = withBucket(objects
       .withColumn("validityStart", lit(visitTime)))

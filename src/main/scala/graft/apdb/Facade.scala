@@ -77,6 +77,12 @@ object ApdbConfigIO {
     "false_per_visit" -> ((c, v) => c.copy(falsePerVisit = v.toDouble)),
     "detectionFraction" -> ((c, v) => c.copy(detectionFraction = v.toDouble)),
     "detection_fraction" -> ((c, v) => c.copy(detectionFraction = v.toDouble)),
+    "srcReadDutyCycle" -> ((c, v) => c.copy(srcReadDutyCycle = v.toDouble)),
+    "src_read_duty_cycle" -> ((c, v) => c.copy(srcReadDutyCycle = v.toDouble)),
+    "srcReadPeriod" -> ((c, v) => c.copy(srcReadPeriod = v.toInt)),
+    "src_read_period" -> ((c, v) => c.copy(srcReadPeriod = v.toInt)),
+    "fillEmptyFields" -> ((c, v) => c.copy(fillEmptyFields = v.toBoolean)),
+    "fill_empty_fields" -> ((c, v) => c.copy(fillEmptyFields = v.toBoolean)),
     "replicaChunkSeconds" -> ((c, v) => c.copy(replicaChunkSeconds = v.toLong)),
     "replicaChunkKeepDays" -> ((c, v) => c.copy(replicaChunkKeepDays = v.toInt)),
     "replica_chunk_keep_days" -> ((c, v) => c.copy(replicaChunkKeepDays = v.toInt)),

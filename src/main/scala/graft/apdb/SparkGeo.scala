@@ -52,6 +52,11 @@ object SparkGeo {
     pixelIndex(pix, x, y, z)
   }
 
+  def pixelIndexSkyRaDec(sky: SkyPixelization, ra: Column, dec: Column): Column = {
+    val (x, y, z) = xyz(ra, dec)
+    pixelIndexSky(sky, x, y, z)
+  }
+
   /** Scheme-aware pixel index: the quad cube stays pure column math;
     * HTM / Morton-Q3C go through the native kernel expression (one
     * static call inside whole-stage codegen). */

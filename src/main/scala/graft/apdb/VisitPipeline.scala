@@ -168,14 +168,23 @@ object VisitPipeline {
         lit(visitId).as("visit"), lit(0).as("detector"),
         lit(mjdNow).as("midpointMjdTai"), col("pixelId"))
 
-    // 8. history reads (S3/S4 + J2 semi-join, _executors.py:205-217)
+    // 8. history reads (S3/S4 + J2 semi-join, _executors.py:205-217),
+    //    gated by the source-read duty cycle (_executors.py:162-164):
+    //    read iff visit % period < round(period * duty_cycle)
     val matchedIds = newObjects.select(col("diaObjectId"))
-    val (histSrc, srcSelectSec) =
-      timedSec(apdb.getDiaSources(matchedIds, visitTime).count())
-    timer("select_time", "DiaSource", srcSelectSec)
-    val (histFsrc, fsrcSelectSec) =
-      timedSec(apdb.getDiaForcedSources(matchedIds, visitTime).count())
-    timer("select_time", "DiaForcedSource", fsrcSelectSec)
+    val doReadSrc = visitId % cfg.srcReadPeriod <
+      math.round(cfg.srcReadPeriod * cfg.srcReadDutyCycle)
+    val (histSrc, histFsrc) =
+      if (!doReadSrc) (0L, 0L)
+      else {
+        val (hs, srcSelectSec) =
+          timedSec(apdb.getDiaSources(matchedIds, visitTime).count())
+        timer("select_time", "DiaSource", srcSelectSec)
+        val (hf, fsrcSelectSec) =
+          timedSec(apdb.getDiaForcedSources(matchedIds, visitTime).count())
+        timer("select_time", "DiaForcedSource", fsrcSelectSec)
+        (hs, hf)
+      }
 
     // 9. store (S5) — emits tile_store_time + per-table insert_time
     //    through the attached sink

@@ -258,6 +258,56 @@ class VisitPipelineSpec extends AnyFunSuite {
     htm.foreach(s => assert(s.nObjectsRead >= s.nObjectsFiltered))
   }
 
+  test("source-read duty cycle skips history reads on schedule") {
+    val dir = java.nio.file.Files.createTempDirectory("apdb_duty").toString
+    // period 2, duty 0.5: reads iff visit % 2 < 1, i.e. even visits only
+    val apdb = new ApdbSpark(spark, ApdbConfig(warehouseDir = dir,
+      srcReadPeriod = 2, srcReadDutyCycle = 0.5,
+      transientPerVisit = 10, falsePerVisit = 90))
+    apdb.makeSchema(drop = true)
+    val catalog = DiaSim.genCatalog(spark, 50000L, hemi = -1, seed = 42)
+      .localCheckpoint(true)
+    val t0 = Timestamp.valueOf("2026-01-01 01:00:00")
+    val stats = VisitPipeline.visitTimes(t0, 4).map { case (id, ts) =>
+      VisitPipeline.visit(apdb, catalog, id, ts, pointing)
+    }
+    // odd visits (1, 3) skip history reads entirely
+    assert(stats(0).historySources == 0 && stats(0).historyForced == 0)
+    assert(stats(2).historySources == 0 && stats(2).historyForced == 0)
+    // visit 4 revisits a populated store and does read history
+    assert(stats(3).historySources > 0)
+  }
+
+  test("fill_empty_fields widens partial client catalogs; pixelId derived") {
+    val dir = java.nio.file.Files.createTempDirectory("apdb_fill").toString
+    val apdb = new ApdbSpark(spark, ApdbConfig(warehouseDir = dir,
+      fillEmptyFields = true))
+    apdb.makeSchema(drop = true)
+    import spark.implicits._
+    val ts = Timestamp.valueOf("2026-01-01 01:00:00")
+    // partial DiaObject catalog: science columns only — no pixelId, no
+    // nDiaSources/lastNonForcedSource
+    val objs = Seq((1L, 10.0, -45.0), (2L, 10.2, -45.1))
+      .toDF("diaObjectId", "ra", "dec")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.diaSource)
+    val emptyF = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.diaForcedSource)
+    apdb.store(ts, objs, empty, emptyF)
+    val stored = apdb.objectsLast.collect()
+    assert(stored.length == 2)
+    stored.foreach { r =>
+      // db-owned index computed from ra/dec
+      val expected = apdb.config.skyPix.index(
+        Vec3.fromRaDec(r.getDouble(r.fieldIndex("ra")),
+          r.getDouble(r.fieldIndex("dec"))))
+      assert(r.getLong(r.fieldIndex("pixelId")) == expected)
+      // random-filled missing columns are present and typed
+      assert(!r.isNullAt(r.fieldIndex("nDiaSources")))
+      assert(!r.isNullAt(r.fieldIndex("lastNonForcedSource")))
+    }
+  }
+
   test("resume: state survives restart and IDs continue") {
     val apdb = freshApdb("resume")
     val catalog = DiaSim.genCatalog(spark, 50000L, hemi = -1, seed = 9)
