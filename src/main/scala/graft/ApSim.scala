@@ -12,11 +12,14 @@ import graft.geom._
   * printing one JSON stats line per visit.
   *
   * Usage: runMain graft.ApSim <warehouseDir> <nVisits> [catalogSize]
-  *   [detectionFraction] [configOverrideFile]
+  *   [detectionFraction] [configOverrideFile] [catalogFile]
   *
   * The optional override file is `key = value` lines accepting the
   * reference's pex.config parameter names (`ap_proto -c` analog; see
-  * ApdbConfigIO).
+  * ApdbConfigIO). The optional catalog file loads a pre-generated
+  * variable-source catalog — the reference's `.npy` format (written by
+  * GenSources / numpy.save) or parquet — instead of generating one
+  * (`ap_proto.py:279-281` sources_file semantics).
   */
 object ApSim {
   def main(args: Array[String]): Unit = {
@@ -56,7 +59,11 @@ object ApSim {
       apdb.makeSchema(drop = true)
     }
 
-    val catalog = DiaSim.genCatalog(spark, catSize, hemi = -1, seed = 42)
+    val catalog = (if (args.length > 5) {
+      val f = args(5)
+      if (f.endsWith(".npy")) graft.sources.NumpyCatalog.read(spark, f)
+      else spark.read.parquet(f)
+    } else DiaSim.genCatalog(spark, catSize, hemi = -1, seed = 42))
       .localCheckpoint(true)
 
     val startId = resumed.map(_.visitId).getOrElse(0)
