@@ -80,6 +80,12 @@ object VisitPipeline {
       metrics: Option[MetricsLog] = None): VisitStats = {
     val spark = apdb.spark
     val cfg = apdb.config
+    // the pipeline speaks the DB column convention; a client-naming
+    // facade would rename read results under it — fail loudly instead
+    // of surfacing as an unresolved-column AnalysisException mid-visit
+    require(!cfg.clientNaming,
+      "VisitPipeline requires ApdbConfig(clientNaming = false); " +
+        "client-convention access is for external catalogs via the facade")
     val pix = cfg.skyPix
     val tVisit0 = System.nanoTime()
     metrics.foreach(m => apdb.attachMetrics(m, visitId, visitTime))

@@ -41,6 +41,11 @@ case class PixelIndexXyzExpr(first: Expression, second: Expression,
     third: Expression, mode: String, level: Int)
     extends TernaryExpression with Serializable {
 
+  // the mode string is spliced into generated Java — restrict it to the
+  // known scheme names so a malformed SQL literal cannot break codegen
+  require(Set("htm", "q3c", "mq3c").contains(mode),
+    s"unknown pixelization mode '$mode' (htm, q3c, mq3c)")
+
   override def dataType: DataType = LongType
   override def nullable: Boolean =
     first.nullable || second.nullable || third.nullable

@@ -343,7 +343,12 @@ object DedupQueries {
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 25) {
+    // the min label travels one hop per round ⟶ O(component diameter)
+    // rounds, a handful for near-dup clusters; the cap is a runaway
+    // guard and under-convergence FAILS LOUDLY below rather than
+    // returning a silently under-merged clustering
+    val maxIter = 64
+    while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id")), Seq("doc_b"))
         .groupBy(col("doc_a"))
@@ -359,6 +364,8 @@ object DedupQueries {
       labels = updated.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
+    require(changed == 0,
+      s"x16 label propagation did not converge in $iter rounds")
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
