@@ -180,8 +180,8 @@ object VisitPipeline {
     val matchedIds = newObjects.select(col("diaObjectId"))
     val doReadSrc = visitId % cfg.srcReadPeriod <
       math.round(cfg.srcReadPeriod * cfg.srcReadDutyCycle)
-    val (histSrc, histFsrc) =
-      if (!doReadSrc) (0L, 0L)
+    val (histSrc, histFsrc, histSec) =
+      if (!doReadSrc) (0L, 0L, 0.0)
       else {
         val (hs, srcSelectSec) =
           timedSec(apdb.getDiaSources(matchedIds, visitTime).count())
@@ -189,8 +189,10 @@ object VisitPipeline {
         val (hf, fsrcSelectSec) =
           timedSec(apdb.getDiaForcedSources(matchedIds, visitTime).count())
         timer("select_time", "DiaForcedSource", fsrcSelectSec)
-        (hs, hf)
+        (hs, hf, srcSelectSec + fsrcSelectSec)
       }
+    // whole read phase (`metrics.md` tile_read_time; single tile locally)
+    timer("tile_read_time", "all", objSelectSec + histSec)
 
     // 9. store (S5) — emits tile_store_time + per-table insert_time
     //    through the attached sink
