@@ -412,6 +412,42 @@ object CoreQueries {
   val w4Sql =
     "SELECT ts, event_id, user_id FROM events ORDER BY ts, event_id"
 
+  /** W5 — as-of lookup via the generic [[graft.operators.AsOfJoin]]
+    * operator (the reference's "version current at visit time" shape,
+    * README.md:157-166, generalized): for each customer × probe date,
+    * the latest order at or before the probe. Versions are pre-deduped
+    * to one per (customer, date) — max orderkey wins — so the match is
+    * deterministic; oracle is DuckDB's native ASOF LEFT JOIN. */
+  val w5AsofLookup: QFn = (s, d) => {
+    import s.implicits._
+    val versions = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("version_key"))
+    val probes = Tables.customer(s, d)
+      .where(col("c_custkey") < 300)
+      .select(col("c_custkey").as("o_custkey"))
+      .crossJoin(Seq("1993-06-01 00:00:00", "1996-01-01 00:00:00", "1998-06-01 00:00:00")
+        .toDF("probe_s")
+        .select(col("probe_s").cast("timestamp").as("probe")))
+    graft.operators.AsOfJoin.leftAsOf(probes, versions,
+      key = "o_custkey", leftTime = "probe", rightTime = "o_orderdate")
+      .orderBy(col("o_custkey"), col("probe"))
+  }
+  val w5Sql =
+    """WITH v AS (
+      |  SELECT o_custkey, o_orderdate, CAST(max(o_orderkey) AS BIGINT) AS version_key
+      |  FROM orders GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT c_custkey AS o_custkey, CAST(p AS TIMESTAMP) AS probe
+      |  FROM customer, (VALUES ('1993-06-01 00:00:00'), ('1996-01-01 00:00:00'),
+      |                         ('1998-06-01 00:00:00')) t(p)
+      |  WHERE c_custkey < 300)
+      |SELECT p.o_custkey, p.probe,
+      |  v.o_orderdate AS matched_o_orderdate, v.version_key
+      |FROM probes p ASOF LEFT JOIN v
+      |  ON p.o_custkey = v.o_custkey AND p.probe >= v.o_orderdate
+      |ORDER BY p.o_custkey, p.probe""".stripMargin
+
   // -- U: set ops ---------------------------------------------------------
 
   /** U1 — union of detection streams (`DIA.py:85-87`). */
@@ -536,6 +572,7 @@ object CoreQueries {
     "w2_id_sequence" -> w2IdSequence,
     "w3_validity_intervals" -> w3ValidityIntervals,
     "w4_ooo_sort" -> w4OooSort,
+    "w5_asof_lookup" -> w5AsofLookup,
     "u1_union_sources" -> u1UnionSources,
     "c7_time_math" -> c7TimeMath,
     "c8_ts_parse" -> c8TsParse,
@@ -569,6 +606,7 @@ object CoreQueries {
     "w2_id_sequence" -> w2Sql,
     "w3_validity_intervals" -> w3Sql,
     "w4_ooo_sort" -> w4Sql,
+    "w5_asof_lookup" -> w5Sql,
     "u1_union_sources" -> u1Sql,
     "c7_time_math" -> c7Sql,
     "c8_ts_parse" -> c8Sql,

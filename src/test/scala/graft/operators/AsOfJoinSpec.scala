@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generic as-of join semantics: latest right row ≤ left time per key,
+  * inclusive ties, NULL when nothing precedes, keys isolated. */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("as-of picks the latest preceding version, inclusively") {
+    import spark.implicits._
+    val versions = Seq(
+      (1L, 10L, "v10"), (1L, 20L, "v20"), (1L, 30L, "v30"),
+      (2L, 15L, "w15")).toDF("key", "vt", "payload")
+    val probes = Seq(
+      (1L, 5L), // before any version → NULL
+      (1L, 20L), // exact tie → inclusive match v20
+      (1L, 25L), // between → v20
+      (1L, 99L), // after all → v30
+      (2L, 16L), // other key isolated → w15
+      (3L, 50L) // key with no versions → NULL
+    ).toDF("key", "pt")
+    val out = AsOfJoin.leftAsOf(probes, versions, "key", "pt", "vt")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        Option(r.get(r.fieldIndex("payload"))))).toMap
+    assert(out((1L, 5L)).isEmpty)
+    assert(out((1L, 20L)).contains("v20"))
+    assert(out((1L, 25L)).contains("v20"))
+    assert(out((1L, 99L)).contains("v30"))
+    assert(out((2L, 16L)).contains("w15"))
+    assert(out((3L, 50L)).isEmpty)
+  }
+
+  test("matched time column is carried; plan is one shuffle by key") {
+    import spark.implicits._
+    val versions = Seq((1L, 10L, 1.5)).toDF("key", "vt", "score")
+    val probes = Seq((1L, 12L)).toDF("key", "pt")
+    val joined = AsOfJoin.leftAsOf(probes, versions, "key", "pt", "vt")
+    val r = joined.collect().head
+    assert(r.getLong(r.fieldIndex("matched_vt")) == 10L)
+    assert(r.getDouble(r.fieldIndex("score")) == 1.5)
+    // single Exchange: union + window shuffles once on the key (the
+    // adaptive plan repr prints the tree twice — count distinct ids)
+    val exchanges = "Exchange hashpartitioning.*?plan_id=(\\d+)".r
+      .findAllMatchIn(joined.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSet
+    assert(exchanges.size == 1, s"expected one key shuffle, saw $exchanges")
+  }
+}
