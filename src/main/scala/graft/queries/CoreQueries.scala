@@ -448,6 +448,57 @@ object CoreQueries {
       |  ON p.o_custkey = v.o_custkey AND p.probe >= v.o_orderdate
       |ORDER BY p.o_custkey, p.probe""".stripMargin
 
+  /** X19 — gap-based sessionization (the classic event-analytics /
+    * training-data operator Spark expresses as lag + running sum): a new
+    * session starts when a user's inter-event gap exceeds 12 h; emit
+    * per-session row counts and integer-exact microsecond durations.
+    * One shuffle by user; ties broken by event_id on both engines. */
+  val SessionGapMicros: Long = 12L * 3600 * 1000000
+  val x19Sessionize: QFn = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val events = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > SessionGapMicros, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    events.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_us"), col("end_us"), col("duration_us"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+  val x19Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev_us
+       |  FROM events),
+       |marked AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapMicros
+       |      THEN 1 ELSE 0 END AS new_session
+       |  FROM e),
+       |sessions AS (
+       |  SELECT user_id, us,
+       |    SUM(new_session) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  FROM marked)
+       |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       |  COUNT(*) AS n_events,
+       |  CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us,
+       |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+       |FROM sessions GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
   // -- U: set ops ---------------------------------------------------------
 
   /** U1 — union of detection streams (`DIA.py:85-87`). */
@@ -573,6 +624,7 @@ object CoreQueries {
     "w3_validity_intervals" -> w3ValidityIntervals,
     "w4_ooo_sort" -> w4OooSort,
     "w5_asof_lookup" -> w5AsofLookup,
+    "x19_sessionize" -> x19Sessionize,
     "u1_union_sources" -> u1UnionSources,
     "c7_time_math" -> c7TimeMath,
     "c8_ts_parse" -> c8TsParse,
@@ -607,6 +659,7 @@ object CoreQueries {
     "w3_validity_intervals" -> w3Sql,
     "w4_ooo_sort" -> w4Sql,
     "w5_asof_lookup" -> w5Sql,
+    "x19_sessionize" -> x19Sql,
     "u1_union_sources" -> u1Sql,
     "c7_time_math" -> c7Sql,
     "c8_ts_parse" -> c8Sql,
