@@ -552,27 +552,46 @@ object DedupQueries {
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
+  /** JVM-side bucket, bit-identical to [[lshBucket]] / the SQL oracle:
+    * exact-integer scaled plane dots, sign bits packed. */
+  private[queries] def lshBucketOf(e: Array[Double]): Long =
+    (0 until LshPlanes).map { p =>
+      if (dotScaled(e, hyperplanes(p)) >= 0) 1L << p else 0L
+    }.reduce(_ | _)
+
   /** x14 — ANN via random-hyperplane LSH with multi-probe: each query
     * probes its own bucket plus the LshPlanes hamming-1 neighbors, exact
-    * cosine within probed buckets only. Shuffle is by bucket — candidate
-    * sets stay sublinear at scale while multi-probe recovers recall.
+    * cosine within probed buckets only. The bounded query batch is
+    * broadcast as a bucket→probes map, so the collection streams ONCE
+    * through a primitive-array kernel — no shuffle, no interpreted
+    * higher-order functions on the hot path. (Huge query batches would
+    * instead shuffle both sides by bucket — same candidate semantics.)
     * Recall vs x3 brute force checked in specs. */
   val x14AnnLsh: QFn = (s, d) => {
-    val emb = withNorm(Tables.embeddings(s, d))
-      .withColumn("bucket", lshBucket("embedding"))
-    val q = emb.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("norm_s").as("qn"),
-        explode(expr(
-          s"array_union(array(bucket), transform(sequence(0, ${LshPlanes - 1}), p -> CAST(bucket AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), p)))"))
-          .as("bucket"))
-    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-      col("norm_s").as("cn"), col("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .where(col("query_id") =!= col("cand_id"))
-      .withColumn("dot_s", expr(
-        "aggregate(zip_with(qe, ce, (x, y) -> CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-      .withColumn("cosine", col("dot_s") / (sqrt(col("qn")) * sqrt(col("cn"))))
+    import s.implicits._
+    val emb = embRows(Tables.embeddings(s, d))
+    val probesByBucket = s.sparkContext.broadcast(
+      emb.filter(_._1 < 10).collect().sortBy(_._1)
+        .flatMap { case (id, e) =>
+          val b = lshBucketOf(e); val n = normScaled(e)
+          (b +: (0 until LshPlanes).map(p => b ^ (1L << p)))
+            .distinct.map(pb => (pb, (id, e, n)))
+        }
+        .groupBy(_._1).map { case (b, arr) => (b, arr.map(_._2)) })
+    val scored = emb.mapPartitions { it =>
+      val byBucket = probesByBucket.value
+      it.flatMap { case (cid, ce) =>
+        val b = lshBucketOf(ce)
+        byBucket.get(b) match {
+          case Some(qs) =>
+            lazy val cn = normScaled(ce)
+            qs.iterator.collect { case (qid, qe, qn) if qid != cid =>
+              (qid, cid, dotScaled(qe, ce) / (math.sqrt(qn) * math.sqrt(cn)), b)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }.toDF("query_id", "cand_id", "cosine", "bucket")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))
