@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{DedupQueries, Tables, TextQueries}
+
+/** End-to-end training-corpus curation — the extension operators
+  * composed into one runnable pipeline, the shape large-scale data
+  * curation actually takes:
+  *
+  *   1. language filter (x9 stopword-profile ID)
+  *   2. quality threshold (x10 heuristics)
+  *   3. exact dedup (x1 canonical-form content hash)
+  *   4. near-dup clustering (x7 pairs → x16 components), keep the
+  *      cluster-canonical (minimum id) document
+  *   5. per-source stratified sample (x17 ordering key)
+  *
+  * Each stage is a DataFrame → DataFrame function over the same schema,
+  * so stages compose and any prefix of the pipeline is a valid corpus.
+  * Writes the curated corpus as parquet plus one JSON stats line per
+  * stage (rows in/out) for auditability.
+  *
+  * Usage: runMain graft.CorpusPipeline <sfDir> <outDir> [lang] [minQuality] [samplePerSource]
+  */
+object CorpusPipeline {
+
+  final case class StageStat(stage: String, rowsIn: Long, rowsOut: Long)
+
+  def languageFilter(s: SparkSession, d: String, lang: String)(docs: DataFrame): DataFrame =
+    docs.join(TextQueries.x9Langid(s, d)
+      .where(col("detected_lang") === lang).select("doc_id"), "doc_id")
+
+  def qualityFilter(s: SparkSession, d: String, minScore: Double)(docs: DataFrame): DataFrame =
+    docs.join(TextQueries.x10QualityScore(s, d)
+      .where(col("quality_score") >= minScore).select("doc_id"), "doc_id")
+
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val canonical = docs
+      .groupBy(md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(canonical, "doc_id")
+  }
+
+  def nearDupCanonical(s: SparkSession, d: String)(docs: DataFrame): DataFrame = {
+    // x16 clusters over the full corpus; drop every non-canonical member
+    // that survived to this stage
+    val dropIds = DedupQueries.x16DupClusters(s, d)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  def stratifiedSample(perSource: Int)(docs: DataFrame): DataFrame = {
+    val key = expr(
+      "CAST(conv(substr(md5(concat('x17:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(key.asc, col("doc_id"))
+    docs.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= perSource).drop("_rk")
+  }
+
+  /** Run the pipeline; returns (curated corpus, per-stage stats). */
+  def run(s: SparkSession, d: String, lang: String = "en",
+      minQuality: Double = 0.25, samplePerSource: Int = 100): (DataFrame, Seq[StageStat]) = {
+    val stages: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "language_filter" -> languageFilter(s, d, lang) _,
+      "quality_filter" -> qualityFilter(s, d, minQuality) _,
+      "exact_dedup" -> (exactDedup _),
+      "near_dup_canonical" -> nearDupCanonical(s, d) _,
+      "stratified_sample" -> stratifiedSample(samplePerSource) _)
+    var corpus = Tables.documents(s, d)
+    val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
+    stages.foreach { case (name, fn) =>
+      val in = corpus.count()
+      corpus = fn(corpus).localCheckpoint(true)
+      stats += StageStat(name, in, corpus.count())
+    }
+    (corpus, stats.toSeq)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CorpusPipeline <sfDir> <outDir> ...")
+    val (sfDir, outDir) = (args(0), args(1))
+    val lang = if (args.length > 2) args(2) else "en"
+    val minQ = if (args.length > 3) args(3).toDouble else 0.25
+    val perSource = if (args.length > 4) args(4).toInt else 100
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (curated, stats) = run(spark, sfDir, lang, minQ, perSource)
+    curated.write.mode("overwrite").parquet(s"$outDir/corpus")
+    stats.foreach(st => println(
+      s"""{"stage":"${st.stage}","rows_in":${st.rowsIn},"rows_out":${st.rowsOut}}"""))
+    spark.stop()
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{DedupQueries, Tables}
+
+/** Curation pipeline: stages compose, each monotonically shrinks the
+  * corpus, and the invariants of every stage hold on its output. */
+class CorpusPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("pipeline shrinks monotonically and outputs a clean corpus") {
+    val (curated, stats) = CorpusPipeline.run(spark, sf,
+      lang = "en", minQuality = 0.2, samplePerSource = 50)
+    assert(stats.map(_.stage) == Seq("language_filter", "quality_filter",
+      "exact_dedup", "near_dup_canonical", "stratified_sample"))
+    stats.foreach(st => assert(st.rowsOut <= st.rowsIn, st.toString))
+    assert(stats.head.rowsIn == 500)
+    val out = curated.localCheckpoint(true)
+    val n = out.count()
+    assert(n > 0, "pipeline removed everything")
+
+    // no exact duplicates survive (canonical-form fingerprint unique)
+    val fps = out.groupBy(
+      md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))).count()
+    assert(fps.where(col("count") > 1).isEmpty)
+
+    // no non-canonical near-dup cluster member survives
+    val nonCanonical = DedupQueries.x16DupClusters(spark, sf)
+      .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    assert(out.join(nonCanonical, "doc_id").isEmpty)
+
+    // sample bound respected per source
+    val perSource = out.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= 50))
+
+    // schema preserved: curated corpus is still a documents table
+    assert(out.columns.toSet == Tables.documents(spark, sf).columns.toSet)
+  }
+}
