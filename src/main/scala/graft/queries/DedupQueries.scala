@@ -392,13 +392,6 @@ object DedupQueries {
 
   // -- x3 / x8: embedding similarity -------------------------------------
 
-  /** Exact-integer norm: per-element round(xi²·1e6) summed as longs —
-    * identical in Spark and DuckDB regardless of sum order; dot products
-    * inline the same pattern. */
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm_s", expr(
-      "aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-
   /** Exact-integer dot (round(xi·yi·1e6) summed as longs) on primitive
     * arrays — the same arithmetic the SQL oracles express with
     * list_transform/list_sum, but ~100× faster than Catalyst's
@@ -539,21 +532,9 @@ object DedupQueries {
     Array.fill(LshPlanes)(Array.fill(64)(rng.nextGaussian()))
   }
 
-  /** Sign-bit bucket id from the random hyperplanes. The plane dot is the
-    * exact-integer scaled sum (round(x·y·1e6) per element) — summation-
-    * order-independent, so the DuckDB oracle reproduces the same bucket
-    * for every vector bit-for-bit. */
-  def lshBucket(embCol: String): Column = {
-    (0 until LshPlanes).map { p =>
-      val planeArr = "array(" + hyperplanes(p).mkString(",") + ")"
-      val dot = s"aggregate(zip_with($embCol, $planeArr, " +
-        "(x, y) -> CAST(round(CAST(x AS DOUBLE) * y * 1000000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-      when(expr(dot) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
-
-  /** JVM-side bucket, bit-identical to [[lshBucket]] / the SQL oracle:
-    * exact-integer scaled plane dots, sign bits packed. */
+  /** Sign-bit bucket from the random hyperplanes, bit-identical to the
+    * SQL oracle's form: exact-integer scaled plane dots (round(x·y·1e6)
+    * per element — summation-order-independent), sign bits packed. */
   private[queries] def lshBucketOf(e: Array[Double]): Long =
     (0 until LshPlanes).map { p =>
       if (dotScaled(e, hyperplanes(p)) >= 0) 1L << p else 0L

@@ -75,6 +75,30 @@ object GeomPropertySpec extends Properties("geom") {
         t1 >= 0 && t1 <= 4 * math.Pi
   }
 
+  property("every scheme's envelope covers every in-region point") =
+    forAll(Gen.oneOf("htm", "q3c", "mq3c"), genUnitVec,
+      Gen.choose(0.01, 0.3), genUnitVec) { (mode, axis, half, probeDir) =>
+      val pix = SkyPixelization(mode, 6)
+      val region = Circle(axis, half)
+      // build an in-region probe by rotating a jittered pole toward axis
+      val local = Vec3(math.sin(half * 0.7) * probeDir.x,
+        math.sin(half * 0.7) * probeDir.y, 1.0).normalized
+      val p = Mat3.rotateInto(Vec3.zAxis, axis)(local)
+      !region.contains(p) || {
+        val id = pix.index(p)
+        pix.envelope(region).exists { case (lo, hi) => id >= lo && id < hi }
+      }
+    }
+
+  property("every scheme's cell polygon contains what indexed into it") =
+    forAll(Gen.oneOf("htm", "q3c", "mq3c"), genUnitVec) { (mode, v) =>
+      val pix = SkyPixelization(mode, 6)
+      val id = pix.index(v)
+      // centroid of the owning cell indexes back to the cell
+      val c = pix.polygon(id).vertices.reduce(_ + _).normalized
+      pix.index(c) == id
+    }
+
   property("coarsen preserves coverage and respects the cap") =
     forAll(genUnitVec, Gen.choose(0.01, 0.3), Gen.choose(2, 64)) {
       (axis, half, cap) =>
