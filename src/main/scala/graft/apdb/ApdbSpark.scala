@@ -120,11 +120,11 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     df.withColumn("pix_bucket", shiftright(col("pixelId"), pixBucketShift))
 
   import org.apache.spark.sql.types.LongType
-  /** Relabel pixelId with the *configured* level so PixelPruneRule only
-    * prunes these tables when its session level agrees. */
+  /** Relabel pixelId with the *configured* level and scheme so
+    * PixelPruneRule computes envelopes in the matching id space. */
   private def relabel(s: StructType): StructType =
     StructType(s.map(f =>
-      if (f.name == "pixelId") Schemas.pixelField(pixLevel) else f))
+      if (f.name == "pixelId") Schemas.pixelField(pixLevel, pixMode) else f))
   private val objSchema = relabel(Schemas.diaObject).add("pix_bucket", LongType)
   private val srcSchema =
     relabel(Schemas.diaSource).add("pix_bucket", LongType).add("mjd_bucket", LongType)

@@ -15,13 +15,16 @@ object Schemas {
   case object DiaSource extends Table { val name = "DiaSource" }
   case object DiaForcedSource extends Table { val name = "DiaForcedSource" }
 
-  /** pixelId column labeled with its pixelization level so
-    * PixelPruneRule only injects range predicates where the level
-    * matches (the engine's default level 8; ApdbSpark relabels when
-    * configured differently). */
-  def pixelField(level: Int = 8): StructField =
+  /** pixelId column labeled with the pixelization level AND scheme it
+    * was computed with, so PixelPruneRule injects range predicates in
+    * the right id space (the engine's default mq3c level 8; ApdbSpark
+    * relabels when configured differently). An htm/q3c pixelId pruned
+    * with mq3c envelope ranges would silently drop qualifying rows —
+    * the label is what makes the rule scheme-sound. */
+  def pixelField(level: Int = 8, mode: String = "mq3c"): StructField =
     StructField("pixelId", LongType, nullable = false,
-      new MetadataBuilder().putLong("graft.pixel.level", level.toLong).build())
+      new MetadataBuilder().putLong("graft.pixel.level", level.toLong)
+        .putString("graft.pixel.mode", mode).build())
 
   /** Workload-filled DiaObject columns (`_executors.py:302-330`) +
     * system columns validityStart/validityEnd (`_executors.py:453-457`)

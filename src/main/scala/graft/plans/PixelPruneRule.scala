@@ -19,12 +19,16 @@ import graft.apdb.{PixelKernel, SparkGeo}
   */
 object PixelPruneRule extends Rule[LogicalPlan] {
 
-  /** Pixelization level the tables' pixelId column was produced at;
-    * session-configurable (`graft.pixel.level`), default 8
-    * (Pixelization.default). Range injection is only sound when the
-    * column and the rule agree on the level. */
+  /** Pixelization level/scheme assumed for UNLABELED pixelId columns;
+    * session-configurable (`graft.pixel.level` / `graft.pixel.mode`),
+    * defaults 8 / mq3c. Columns labeled by the engine's schemas carry
+    * their own (level, mode) metadata, which always wins — range
+    * injection is only sound in the id space the column was computed
+    * in. */
   def level: Int = org.apache.spark.sql.internal.SQLConf.get
     .getConfString("graft.pixel.level", "8").toInt
+  def mode: String = org.apache.spark.sql.internal.SQLConf.get
+    .getConfString("graft.pixel.mode", "mq3c")
   def maxRanges: Int = org.apache.spark.sql.internal.SQLConf.get
     .getConfString("graft.pixel.maxRanges", "32").toInt
 
@@ -34,12 +38,13 @@ object PixelPruneRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Metadata key marking a column as a graft pixel index; written by the
-    * engine's schemas. When present the rule only prunes if the recorded
-    * level matches its own; an unlabeled Long pixelId is assumed to be a
-    * graft index at the session level (documented contract for SQL
-    * users registering external tables). */
+  /** Metadata keys marking a column as a graft pixel index; written by
+    * the engine's schemas. When present they pin the (level, scheme) the
+    * envelope must be computed with; an unlabeled Long pixelId is
+    * assumed to be a graft index at the session level/mode (documented
+    * contract for SQL users registering external tables). */
   val LevelMetadataKey = "graft.pixel.level"
+  val ModeMetadataKey = "graft.pixel.mode"
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
@@ -50,12 +55,9 @@ object PixelPruneRule extends Rule[LogicalPlan] {
       val regionExprs = conjuncts(cond).collect { case rc: RegionContainsExpr => rc }
       // guard: pixelId must be a LongType column (a non-Long pixelId is
       // not a graft index; comparing it to Long literals would also be
-      // unsound/unresolvable), and if it carries a level label it must
-      // match the rule's level
+      // unsound/unresolvable)
       val pixAttr = child.output.find(a => a.name == "pixelId" &&
-        a.dataType == org.apache.spark.sql.types.LongType &&
-        (!a.metadata.contains(LevelMetadataKey) ||
-          a.metadata.getLong(LevelMetadataKey) == level))
+        a.dataType == org.apache.spark.sql.types.LongType)
       // guard: skip when no conjunct-level region predicate, no usable
       // pixelId column, or the condition already constrains pixelId
       // (incl. a previous injection)
@@ -72,11 +74,26 @@ object PixelPruneRule extends Rule[LogicalPlan] {
           val refs = rc.references
           refs.nonEmpty && pixLeaf.exists(l => refs.forall(l.outputSet.contains))
         }.map(_.regionStr)
-        if (regions.isEmpty) f
+        // the column's recorded (level, scheme) wins over the session
+        // defaults: envelopes must be computed in the id space the
+        // column was indexed with (an mq3c envelope over an htm column
+        // would silently drop qualifying rows)
+        val colLevel =
+          if (attr.metadata.contains(LevelMetadataKey))
+            attr.metadata.getLong(LevelMetadataKey).toInt
+          else level
+        val colMode =
+          if (attr.metadata.contains(ModeMetadataKey))
+            attr.metadata.getString(ModeMetadataKey)
+          else mode
+        // unknown scheme label → not prunable; never throw in the optimizer
+        val sky = scala.util.Try(
+          graft.geom.SkyPixelization(colMode, colLevel)).toOption
+        if (regions.isEmpty || sky.isEmpty) f
         else {
           val rangePreds = regions.map { rs =>
             val ranges = SparkGeo.coarsen(
-              PixelKernel.pixAt(level).envelope(PixelKernel.parseRegion(rs)),
+              sky.get.envelope(PixelKernel.parseRegion(rs)),
               maxRanges)
             ranges.map { case (lo, hi) =>
               And(GreaterThanOrEqual(attr, Literal(lo)), LessThan(attr, Literal(hi)))
