@@ -29,7 +29,10 @@ object Bench {
     } catch { case _: Throwable => }
     // failures are recorded as -1 s (never near-zero timings that would
     // flatter the total) and reported in the JSON + on stderr
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected = // optional args = key filter for local iteration
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

@@ -17,6 +17,11 @@ object DedupQueries {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  /** Session-unique suffix for x16's per-round Observation names (a
+    * reused name would cross-wire metrics when the query runs twice in
+    * one session, e.g. Verify then Bench). */
+  private val obsEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
   // -- x1: exact dedup ----------------------------------------------------
 
   /** Exact dedup: hash-groupBy on content, keep lowest id as canonical.
@@ -205,9 +210,23 @@ object DedupQueries {
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = chunked.select(col("chunk"), col("cval"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    // emit each pair ONLY at the first chunk where it collides: a pair
+    // whose signatures agree on k chunks would otherwise surface k times
+    // and need a dropDuplicates over the full candidate set (2.9M rows at
+    // sf0.1 for 127k distinct survivors — a 23× shuffle). The
+    // first-collision predicate is pure bit math on the already-joined
+    // simhashes, so dedup costs zero extra shuffle; hamming is filtered
+    // in the same codegen stage for the same reason.
+    def chunkDiffers(c: Int): Column =
+      shiftright(col("sim_a"), c * 15).bitwiseAND(32767L) =!=
+        shiftright(col("sim_b"), c * 15).bitwiseAND(32767L)
+    val firstCollision = (1 until SimChunks).foldLeft(
+      when(col("chunk") === 0, lit(true))) { (w, c) =>
+        w.when(col("chunk") === c, (0 until c).map(chunkDiffers)
+          .reduce((x: Column, y: Column) => x && y))
+      }.otherwise(lit(false))
     a.join(b, Seq("chunk", "cval"))
-      .where(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .where(col("doc_a") < col("doc_b") && firstCollision)
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= 2)
@@ -260,7 +279,10 @@ object DedupQueries {
     * scale — common shingles would otherwise create quadratic gram
     * groups). Set sizes are over the kept grams; all-integer math. */
   val MaxGramDf = 20
-  val x7NgramJaccard: QFn = (s, d) => {
+  /** x7 pair relation WITHOUT the presentation sort — x16 consumes this
+    * as its edge list (a range-exchange + sampling job would otherwise
+    * run just to feed an unordered union). */
+  private def x7Pairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // grams are hashed to 8-byte ints inside the projection (same
     // md5-derived hash the oracle reproduces), so the distinct + DF-join
@@ -290,8 +312,9 @@ object DedupQueries {
         col("n_inter") / (col("na") + col("nb") - col("n_inter")).cast("double"))
       .where(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+  val x7NgramJaccard: QFn = (s, d) =>
+    x7Pairs(s, d).orderBy(col("doc_a"), col("doc_b"))
   /** Shared CTE body producing the x7 gram/intersection relations —
     * reused by the x16 clustering oracle. */
   private val x7CteBody: String =
@@ -342,8 +365,7 @@ object DedupQueries {
     * Oracle: DuckDB recursive CTE computing the same transitive closure
     * (UNION-dedup bounds the recursion). */
   val x16DupClusters: QFn = (s, d) => {
-    import s.implicits._
-    val pairs = x7NgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val pairs = x7Pairs(s, d).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
@@ -363,22 +385,24 @@ object DedupQueries {
         .groupBy(col("doc_a"))
         .agg(min(col("cluster_id")).as("nbr_min"))
         .select(col("doc_a").as("doc_id"), col("nbr_min"))
-      // ONE job per round: the changed-count rides a LongAccumulator
-      // bumped while the eager localCheckpoint materializes partitions —
-      // no separate count() action. (A task retry could only inflate a
-      // nonzero count; zero stays exactly zero, which is all the
-      // convergence test reads.)
-      val acc = s.sparkContext.longAccumulator(s"x16_changed_$iter")
+      // ONE job per round: the changed-count rides a CollectMetrics
+      // (Dataset.observe) node evaluated while the eager localCheckpoint
+      // materializes partitions — no separate count() action, and unlike
+      // a Dataset .map the plan stays whole-stage-codegen'd columnar
+      // (the r3 accumulator-in-map form deserialized every row every
+      // round). Exactly-once per partition by contract, so the count is
+      // retry-safe too.
+      val obs = org.apache.spark.sql.Observation(
+        s"x16_changed_${obsEpoch.incrementAndGet()}")
       labels = labels.join(nbrMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
           (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
-        .as[(Long, Long, Boolean)]
-        .map { t => if (t._3) acc.add(1L); (t._1, t._2) }
-        .toDF("doc_id", "cluster_id")
+        .observe(obs, count(when(col("chg"), lit(1))).as("changed"))
         .localCheckpoint(true)
-      changed = acc.value
+        .select(col("doc_id"), col("cluster_id"))
+      changed = obs.get("changed").asInstanceOf[Long]
       iter += 1
     }
     require(changed == 0,

@@ -123,22 +123,52 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(strPreds == 0, "rule injected ranges on a string pixelId")
     assert(dfStr.count() > 0)
 
-    // (b) a pixelId labeled with a DIFFERENT pixelization level (field
-    // metadata round-trips through parquet): no injection (ranges
-    // computed at the rule's level would drop rows)
+    // (b) a pixelId genuinely computed AND labeled at a different level
+    // (field metadata round-trips through parquet): the column's
+    // recorded level wins over the session default — ranges are injected
+    // in the level-12 id space and the result is exactly the unpruned
+    // region filter (an envelope at the session's level 8 over these ids
+    // would drop qualifying rows)
+    val pix12 = Pixelization(12)
+    val cat12 = DiaSim.genCatalog(spark, 50000L, hemi = 0, seed = 21)
+    val (ra12, dec12) = SparkGeo.raDec(col("x"), col("y"), col("z"))
     val lvlPath = java.nio.file.Files.createTempDirectory("lvl12").toString
-    spark.read.parquet(objectsPath)
-      .withColumn("pixelId", col("pixelId")
-        .as("pixelId", new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong(PixelPruneRule.LevelMetadataKey, 12L).build()))
+    cat12.withColumn("ra", ra12).withColumn("dec", dec12)
+      .withColumn("pixelId",
+        SparkGeo.pixelIndex(pix12, col("x"), col("y"), col("z"))
+          .as("pixelId", new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(PixelPruneRule.LevelMetadataKey, 12L).build()))
+      .select("sourceIdx", "ra", "dec", "pixelId")
       .write.mode("overwrite").parquet(lvlPath)
     spark.read.parquet(lvlPath).createOrReplaceTempView("lvl12")
     val dfLvl = spark.sql(
       s"SELECT sourceIdx FROM lvl12 WHERE region_contains('$lit', ra, dec)")
     val lvlPreds = "pixelId#\\d+L? >=".r
       .findAllIn(dfLvl.queryExecution.optimizedPlan.toString).length
-    assert(lvlPreds == 0, s"rule injected ranges despite level mismatch")
-    assert(dfLvl.count() > 0)
+    assert(lvlPreds > 0, "rule did not inject ranges at the column's level")
+    val lvlExpected = spark.read.parquet(lvlPath).collect().filter { r =>
+      region.contains(r.getAs[Double]("ra"), r.getAs[Double]("dec"))
+    }.map(_.getAs[Long]("sourceIdx")).toSet
+    val lvlGot = dfLvl.collect().map(_.getLong(0)).toSet
+    assert(lvlGot == lvlExpected,
+      "level-12 pruning changed the region result")
+
+    // (b2) an unknown scheme label → not prunable, no injection (the
+    // rule must never guess an id space; and never throw mid-optimizer)
+    val unkPath = java.nio.file.Files.createTempDirectory("unkscheme").toString
+    spark.read.parquet(objectsPath)
+      .withColumn("pixelId", col("pixelId")
+        .as("pixelId", new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(PixelPruneRule.LevelMetadataKey, 8L)
+          .putString(PixelPruneRule.ModeMetadataKey, "healpix").build()))
+      .write.mode("overwrite").parquet(unkPath)
+    spark.read.parquet(unkPath).createOrReplaceTempView("unkscheme")
+    val dfUnk = spark.sql(
+      s"SELECT sourceIdx FROM unkscheme WHERE region_contains('$lit', ra, dec)")
+    val unkPreds = "pixelId#\\d+L? >=".r
+      .findAllIn(dfUnk.queryExecution.optimizedPlan.toString).length
+    assert(unkPreds == 0, "rule injected ranges for an unknown scheme")
+    assert(dfUnk.count() > 0)
 
     // (c) join output carrying pixelId from the NON-spatial side: the
     // region predicate's ra/dec resolve to a different leaf than
