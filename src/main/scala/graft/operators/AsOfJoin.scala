@@ -26,35 +26,49 @@ object AsOfJoin {
 
   /** Left as-of join. Output: all left columns plus the right payload
     * columns (right key/time columns renamed `matched_<time>`), NULL
-    * payload where no right row precedes the left row. */
+    * payload where no right row precedes the left row. Right payload
+    * names must not collide with left column names (rename before
+    * joining — a silent duplicate would poison downstream references). */
   def leftAsOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String): DataFrame = {
     val payloadCols = right.columns.filter(c => c != key && c != rightTime).toSeq
     val leftCols = left.columns.toSeq
+    val outNames = s"matched_$rightTime" +: payloadCols
+    val clash = outNames.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty,
+      s"as-of right payload columns collide with left columns: " +
+        s"${clash.mkString(", ")} — rename one side before joining")
+
+    // the matched version travels as ONE struct so the window carries it
+    // atomically: per-column last(ignoreNulls) would resurrect an OLDER
+    // version's value for any field that is NULL in the matched version,
+    // mixing fields across versions (DuckDB ASOF never does)
+    val vType = org.apache.spark.sql.types.StructType(
+      right.schema(rightTime).copy(name = s"matched_$rightTime") +:
+        payloadCols.map(c => right.schema(c).copy(nullable = true)))
 
     // common layout: key, t, side (0 = right sorts first on ties),
-    // right payload (+ matched time), left columns
+    // matched-version struct, left columns
     val rightU = right.select(
       (col(key) +: col(rightTime).as("_t") +: lit(0).as("_side") +:
-        col(rightTime).as(s"matched_$rightTime") +:
-        payloadCols.map(col)) ++
-        leftCols.filter(_ != key).map(c => lit(null).as(c)): _*)
+        struct(col(rightTime).as(s"matched_$rightTime") +:
+          payloadCols.map(col): _*).cast(vType).as("_v") +:
+        leftCols.filter(_ != key).map(c => lit(null).as(c))): _*)
     val leftU = left.select(
-      (col(key) +: col(leftTime).cast(right.schema(rightTime).dataType).as("_t") +:
-        lit(1).as("_side") +:
-        lit(null).cast(right.schema(rightTime).dataType).as(s"matched_$rightTime") +:
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))) ++
+      Seq(col(key),
+        col(leftTime).cast(right.schema(rightTime).dataType).as("_t"),
+        lit(1).as("_side"),
+        lit(null).cast(vType).as("_v")) ++
         leftCols.filter(_ != key).map(col): _*)
 
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightU.unionByName(leftU)
       .select(col(key) +: col("_side") +:
-        (s"matched_$rightTime" +: payloadCols)
-          .map(c => last(col(c), ignoreNulls = true).over(w).as(c)) ++:
+        last(col("_v"), ignoreNulls = true).over(w).as("_v") +:
         leftCols.filter(_ != key).map(col): _*)
     carried.where(col("_side") === 1)
       .select(leftCols.map(col) ++
-        (s"matched_$rightTime" +: payloadCols).map(col): _*)
+        outNames.map(c => col("_v")(c).as(c)): _*)
   }
 }

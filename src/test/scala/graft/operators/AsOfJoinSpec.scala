@@ -38,6 +38,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out((3L, 50L)).isEmpty)
   }
 
+  test("NULL fields in the matched version stay NULL (no cross-version mixing)") {
+    import spark.implicits._
+    // v20's payload is NULL: a per-column carry would resurrect v10's
+    // "old" into the v20 match; the struct carry must keep it NULL
+    val versions = Seq(
+      (1L, 10L, Option("old")), (1L, 20L, Option.empty[String]))
+      .toDF("key", "vt", "payload")
+    val probes = Seq((1L, 25L)).toDF("key", "pt")
+    val r = AsOfJoin.leftAsOf(probes, versions, "key", "pt", "vt")
+      .collect().head
+    assert(r.getLong(r.fieldIndex("matched_vt")) == 20L,
+      "matched the wrong version")
+    assert(r.isNullAt(r.fieldIndex("payload")),
+      "NULL payload field resurrected an older version's value")
+  }
+
+  test("colliding right payload names fail fast") {
+    import spark.implicits._
+    val versions = Seq((1L, 10L, "x")).toDF("key", "vt", "pt") // pt collides
+    val probes = Seq((1L, 12L)).toDF("key", "pt")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOf(probes, versions, "key", "pt", "vt")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("matched time column is carried; plan is one shuffle by key") {
     import spark.implicits._
     val versions = Seq((1L, 10L, 1.5)).toDF("key", "vt", "score")
