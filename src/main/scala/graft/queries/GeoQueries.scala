@@ -362,12 +362,44 @@ object GeoQueries {
   }
 
   /** C5 — seeded point generators (`generators.py:33-91`): emit the
-    * generated catalog; invariants pinned by GeneratorsSpec. */
+    * generated catalogs (hemisphere + cone) with ground-truth invariant
+    * flags. The Spark side asserts `true`; the DuckDB oracle RE-DERIVES
+    * each invariant from the inlined coordinates (unit norm via
+    * x²+y²+z², hemisphere sign, cone containment via the axis dot) — a
+    * kernel bug flips the oracle's flag and hash-mismatches, the same
+    * independent-recomputation pattern as c3/c4/a9. Coordinates
+    * round-trip bit-exactly through Double.toString → SQL literal. */
+  private val c5SpherePts = Generators.sphereXyz(1000, hemi = -1, seed = 42L)
+  private val c5Axis = Vec3(0.4, -0.3, 0.86).normalized
+  private val c5Open = math.toRadians(10) // full opening angle
+  private val c5ZMin = math.cos(c5Open / 2)
+  private val c5ConePts = Generators.coneXyz(c5Axis, c5Open, 500, seed = 99L)
   val c5Generators: QFn = (s, d) => {
     import s.implicits._
-    val pts = Generators.sphereXyz(1000, hemi = -1, seed = 42L)
-    pts.zipWithIndex.map { case (v, i) => (i.toLong, v.x, v.y, v.z) }
-      .toDF("source_idx", "x", "y", "z").orderBy(col("source_idx"))
+    val rows =
+      c5SpherePts.zipWithIndex.map { case (v, i) =>
+        ("sphere", i.toLong, v.x, v.y, v.z, true, true)
+      } ++ c5ConePts.zipWithIndex.map { case (v, i) =>
+        ("cone", i.toLong, v.x, v.y, v.z, true, true)
+      }
+    rows.toDF("kind", "source_idx", "x", "y", "z", "unit_norm", "in_region")
+      .orderBy(col("kind"), col("source_idx"))
+  }
+  val c5Sql: String = {
+    def vals(kind: String, pts: IndexedSeq[Vec3]): String =
+      pts.zipWithIndex.map { case (v, i) =>
+        s"('$kind', CAST($i AS BIGINT), CAST(${v.x} AS DOUBLE), CAST(${v.y} AS DOUBLE), CAST(${v.z} AS DOUBLE))"
+      }.mkString(",\n  ")
+    s"""SELECT kind, source_idx, x, y, z,
+       |  round(x*x + y*y + z*z, 9) = 1.0 AS unit_norm,
+       |  CASE WHEN kind = 'sphere' THEN z <= 0.0
+       |       ELSE (CAST(${c5Axis.x} AS DOUBLE)*x + CAST(${c5Axis.y} AS DOUBLE)*y
+       |             + CAST(${c5Axis.z} AS DOUBLE)*z) >= CAST(${c5ZMin} AS DOUBLE) - 1e-9
+       |  END AS in_region
+       |FROM (VALUES
+       |  ${vals("sphere", c5SpherePts)},
+       |  ${vals("cone", c5ConePts)}) AS t(kind, source_idx, x, y, z)
+       |ORDER BY kind, source_idx""".stripMargin
   }
 
   val queries: Map[String, QFn] = Map(
@@ -399,5 +431,6 @@ object GeoQueries {
     "c3_triangle_area" -> c3Sql,
     "a9_poly_area" -> a9Sql,
     "c4_make_tiles" -> c4Sql,
+    "c5_generators" -> c5Sql,
   )
 }
