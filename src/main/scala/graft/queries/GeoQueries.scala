@@ -138,25 +138,52 @@ object GeoQueries {
     .map { case (id, lo, hi) => s"($id, $lo, $hi)" }
     .mkString("(VALUES ", ", ", ") AS r(range_id, lo, hi)")
 
+  /** Shared range-join builder: rows whose synthetic pixelId falls in
+    * any envelope range [lo, hi); ranges + id domain come from a
+    * pixelization scheme at SQL-build time, so each scheme's envelope
+    * gets its own oracle rows (HTM prefix ranges and Morton-Q3C ranges
+    * live in different id spaces than the row-major quad cube). */
+  private def rangeJoinFn(rows: Seq[(Long, Long, Long)], domain: Long): QFn =
+    (s, d) => {
+      import s.implicits._
+      val ranges = rows.toDF("range_id", "lo", "hi")
+      Tables.lineitem(s, d)
+        .withColumn("pixel_id", pmod(col("l_orderkey") * 2654435761L, lit(domain)))
+        .join(broadcast(ranges),
+          col("pixel_id") >= col("lo") && col("pixel_id") < col("hi"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("pixel_id"), col("range_id"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("range_id"))
+    }
+  private def rangeJoinSql(rows: Seq[(Long, Long, Long)], domain: Long): String = {
+    val vals = rows.map { case (id, lo, hi) => s"($id, $lo, $hi)" }
+      .mkString("(VALUES ", ", ", ") AS r(range_id, lo, hi)")
+    s"""SELECT l_orderkey, l_linenumber,
+       |  (l_orderkey * 2654435761) % $domain AS pixel_id, range_id
+       |FROM lineitem JOIN $vals
+       |  ON (l_orderkey * 2654435761) % $domain >= lo
+       | AND (l_orderkey * 2654435761) % $domain < hi
+       |ORDER BY l_orderkey, l_linenumber, range_id""".stripMargin
+  }
+
   /** J3 — pixel-range join: rows whose pixelId falls in any envelope
     * range [lo, hi) (README.md:118-124). Broadcast the tiny range set. */
-  val j3PixelRangeJoin: QFn = (s, d) => {
-    import s.implicits._
-    val ranges = rangeRows.toDF("range_id", "lo", "hi")
-    Tables.lineitem(s, d)
-      .withColumn("pixel_id", pmod(col("l_orderkey") * 2654435761L, lit(pixelDomain)))
-      .join(broadcast(ranges),
-        col("pixel_id") >= col("lo") && col("pixel_id") < col("hi"))
-      .select(col("l_orderkey"), col("l_linenumber"), col("pixel_id"), col("range_id"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("range_id"))
-  }
-  val j3Sql =
-    s"""SELECT l_orderkey, l_linenumber,
-       |  (l_orderkey * 2654435761) % $pixelDomain AS pixel_id, range_id
-       |FROM lineitem JOIN $rangesSql
-       |  ON (l_orderkey * 2654435761) % $pixelDomain >= lo
-       | AND (l_orderkey * 2654435761) % $pixelDomain < hi
-       |ORDER BY l_orderkey, l_linenumber, range_id""".stripMargin
+  val j3PixelRangeJoin: QFn = rangeJoinFn(rangeRows, pixelDomain)
+  val j3Sql = rangeJoinSql(rangeRows, pixelDomain)
+
+  /** J3 variants exercising the OTHER pixelization schemes' envelopes
+    * under the oracle gate (`part_sim.py:75-86` — the reference runs the
+    * same partition simulation per scheme): ranges from
+    * `HtmPixelization(4).envelope` / `Q3cPixelization(4).envelope`
+    * inlined at SQL-build time over each scheme's own id domain. */
+  private def schemeRanges(sky: SkyPixelization): Seq[(Long, Long, Long)] =
+    sky.envelope(envRegion).zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+  private val htmPix = HtmPixelization(4)
+  private val q3cPix = Q3cPixelization(4)
+  val j3RangeJoinHtm: QFn = rangeJoinFn(schemeRanges(htmPix), htmPix.totalPixels)
+  val j3HtmSql = rangeJoinSql(schemeRanges(htmPix), htmPix.totalPixels)
+  val j3RangeJoinQ3c: QFn = rangeJoinFn(schemeRanges(q3cPix), q3cPix.totalPixels)
+  val j3Q3cSql = rangeJoinSql(schemeRanges(q3cPix), q3cPix.totalPixels)
 
   /** J4 — tile×pixel overlap counts (`part_sim.py:100-122`): how many
     * tiles (ranges) cover each pixel. */
@@ -408,6 +435,8 @@ object GeoQueries {
     "f4_region_filter" -> f4RegionFilter,
     "c1_xyz_to_radec" -> c1XyzToRadec,
     "j3_pixel_range_join" -> j3PixelRangeJoin,
+    "j3_range_join_htm" -> j3RangeJoinHtm,
+    "j3_range_join_q3c" -> j3RangeJoinQ3c,
     "j4_tile_pixel_overlap" -> j4TilePixelOverlap,
     "a8_mc_summary" -> a8McSummary,
     "u3_camera_tiles" -> u3CameraTiles,
@@ -424,6 +453,8 @@ object GeoQueries {
     "f4_region_filter" -> f4Sql,
     "c1_xyz_to_radec" -> c1Sql,
     "j3_pixel_range_join" -> j3Sql,
+    "j3_range_join_htm" -> j3HtmSql,
+    "j3_range_join_q3c" -> j3Q3cSql,
     "j4_tile_pixel_overlap" -> j4Sql,
     "a8_mc_summary" -> a8Sql,
     "u3_camera_tiles" -> u3Sql,

@@ -231,31 +231,77 @@ object TextQueries {
     * `frame` = mean byte value per fixed 64-byte frame ("frame-sample").
     * Frame means are exact in IEEE doubles on both engines (integer-valued
     * partial sums < 2^53, then one division). */
+  /** Every 5th doc carries a REAL 8×8 grayscale PNG payload (encoded via
+    * the JDK's `javax.imageio` from a deterministic pixel formula over
+    * the doc's bytes); the rest carry the raw utf8 bytes. */
+  private val PngEvery = 5
+  private val PngDim = 8
+  private[queries] def pngPixelsOf(textBytes: Array[Byte]): Array[Int] =
+    Array.tabulate(PngDim * PngDim)(i => textBytes(i % textBytes.length) & 0xff)
+  private[queries] def encodePng(pixels: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      PngDim, PngDim, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < pixels.length) {
+      raster.setSample(i % PngDim, i / PngDim, 0, pixels(i)); i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+  private[queries] def decodePng(bytes: Array[Byte]): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val raster = img.getRaster
+    Array.tabulate(img.getWidth * img.getHeight)(i =>
+      raster.getSample(i % img.getWidth, i / img.getWidth, 0))
+  }
+
   val x13MultimodalFeatures: QFn = (s, d) => {
     import s.implicits._
+    // fixture prep: synthesize the binary payload column — a real PNG
+    // for every 5th doc (pixel i = text byte i mod n), raw utf8 bytes
+    // otherwise — with the typed media metadata a multimodal table
+    // carries alongside its blobs
     val withPayload = Tables.documents(s, d)
-      .select(col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        struct(col("n_chars").as("n_bytes"), lit("utf8").as("codec"),
-          col("source").as("origin")).as("media_meta"))
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text, source) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (payload, codec) =
+            if (id % PngEvery == 0) (encodePng(pngPixelsOf(tb)), "png")
+            else (tb, "utf8")
+          (id, payload, codec, payload.length.toLong, source)
+        }
+      }
+      .toDF("doc_id", "payload", "codec", "payload_len", "origin")
+      .select(col("doc_id"), col("payload"),
+        struct(col("payload_len").as("n_bytes"), col("codec"),
+          col("origin")).as("media_meta"))
     val featurized = withPayload
       .select(col("doc_id"), col("payload"), col("media_meta.codec"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes, codec) =>
-          // ??? real decode would go here (e.g. JPEG -> pixels / PCM
-          // samples); the deterministic stand-ins below keep the batch
-          // shapes real:
-          val n = bytes.length.toLong
-          // "feature-extract": 16-bin byte histogram
+          // decode: PNG payloads go through the real javax.imageio
+          // reader to pixel samples; other codecs fall back to the raw
+          // byte stream (the container has no JPEG/audio codecs — PNG is
+          // the one the JDK decodes natively)
+          val stream: Array[Int] = codec match {
+            case "png" => decodePng(bytes)
+            case _ => bytes.map(_ & 0xff)
+          }
+          val n = stream.length.toLong
+          // "feature-extract": 16-bin value histogram over decoded stream
           val hist = new Array[Long](16)
-          bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
+          stream.foreach(v => hist(v >> 4) += 1)
           // "resize": rebin 16 -> 4 coarse bins
           val coarse = Array.tabulate(4)(i =>
             hist(4 * i) + hist(4 * i + 1) + hist(4 * i + 2) + hist(4 * i + 3))
-          // "frame-sample": fixed-stride 64-byte frames, mean per frame
-          val frameMeans = bytes.grouped(64).map { f =>
-            f.map(b => (b & 0xff).toDouble).sum / f.length
+          // "frame-sample": fixed-stride 64-value frames, mean per frame
+          val frameMeans = stream.grouped(64).map { f =>
+            f.map(_.toDouble).sum / f.length
           }.toArray
           hist.iterator.zipWithIndex.map { case (v, i) =>
             (id, codec, n, "hist", i.toLong, v.toDouble) } ++
@@ -270,41 +316,50 @@ object TextQueries {
   }
 
   /** DuckDB oracle for x13: text is ASCII in this corpus, so per-character
-    * `ord(substr(...))` equals the UTF-8 byte Spark sees via
-    * `cast(text as binary)`. */
+    * `ord(substr(...))` equals the UTF-8 byte Spark sees. For PNG docs the
+    * oracle re-derives the pixel stream from the generating formula
+    * (byte i mod n) — Spark's path goes text → PNG encode → imageio
+    * decode → pixels, so an encode/decode defect breaks the hash match. */
   val x13Sql =
-    """WITH bv AS (
-      |  SELECT doc_id, i, ord(substr(text, CAST(i AS INTEGER), 1)) AS b
-      |  FROM (SELECT doc_id, text,
-      |          unnest(generate_series(1, length(text))) AS i
-      |        FROM documents)
-      |), docs AS (
-      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes FROM documents
+    s"""WITH base AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % $PngEvery = 0 THEN 'png' ELSE 'utf8' END AS codec,
+      |    CAST(CASE WHEN doc_id % $PngEvery = 0 THEN ${PngDim * PngDim}
+      |         ELSE length(text) END AS BIGINT) AS n_bytes
+      |  FROM documents
+      |), bv AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN codec = 'png'
+      |      THEN ord(substr(text, CAST(i % length(text) + 1 AS INTEGER), 1))
+      |      ELSE ord(substr(text, CAST(i + 1 AS INTEGER), 1)) END AS b
+      |  FROM (SELECT doc_id, text, codec,
+      |          unnest(generate_series(0, n_bytes - 1)) AS i
+      |        FROM base)
       |), hist AS (
       |  SELECT doc_id, b // 16 AS idx, COUNT(*) AS cnt FROM bv GROUP BY 1, 2
       |), hist_full AS (
-      |  SELECT d.doc_id, d.n_bytes, bins.idx, COALESCE(h.cnt, 0) AS cnt
-      |  FROM docs d
+      |  SELECT d.doc_id, d.codec, d.n_bytes, bins.idx, COALESCE(h.cnt, 0) AS cnt
+      |  FROM base d
       |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS idx) bins
       |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.idx = bins.idx
       |), coarse AS (
-      |  SELECT doc_id, n_bytes, idx // 4 AS idx, SUM(cnt) AS cnt
-      |  FROM hist_full GROUP BY 1, 2, 3
+      |  SELECT doc_id, codec, n_bytes, idx // 4 AS idx, SUM(cnt) AS cnt
+      |  FROM hist_full GROUP BY 1, 2, 3, 4
       |), frames AS (
-      |  SELECT doc_id, (i - 1) // 64 AS idx,
+      |  SELECT doc_id, i // 64 AS idx,
       |         CAST(SUM(b) AS DOUBLE) / COUNT(*) AS v
       |  FROM bv GROUP BY 1, 2
       |)
-      |SELECT doc_id, 'utf8' AS codec, n_bytes, 'hist' AS kind,
+      |SELECT doc_id, codec, n_bytes, 'hist' AS kind,
       |       CAST(idx AS BIGINT) AS idx, CAST(cnt AS DOUBLE) AS value
       |FROM hist_full
       |UNION ALL
-      |SELECT doc_id, 'utf8', n_bytes, 'coarse', CAST(idx AS BIGINT),
+      |SELECT doc_id, codec, n_bytes, 'coarse', CAST(idx AS BIGINT),
       |       CAST(cnt AS DOUBLE)
       |FROM coarse
       |UNION ALL
-      |SELECT f.doc_id, 'utf8', d.n_bytes, 'frame', CAST(f.idx AS BIGINT), f.v
-      |FROM frames f JOIN docs d USING (doc_id)
+      |SELECT f.doc_id, d.codec, d.n_bytes, 'frame', CAST(f.idx AS BIGINT), f.v
+      |FROM frames f JOIN base d USING (doc_id)
       |ORDER BY doc_id, kind, idx""".stripMargin
 
   // -- x17: stratified sampling ------------------------------------------

@@ -103,6 +103,32 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG payloads decode losslessly and pixel features come from pixels") {
+    // codec round-trip: imageio PNG encode -> decode is the identity on
+    // 8-bit grayscale samples
+    val pixels = Array.tabulate(64)(i => (i * 37 + 11) % 256)
+    assert(TextQueries.decodePng(TextQueries.encodePng(pixels)).sameElements(pixels))
+    // png-codec docs (every 5th) report the decoded pixel stream, not
+    // the raw payload: 64 pixels -> one frame whose mean equals the
+    // cyclic text-byte formula
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextQueries.x13MultimodalFeatures(spark, sf).collect()
+    val pngRows = out.filter(r => r.getString(r.fieldIndex("codec")) == "png")
+    assert(pngRows.nonEmpty)
+    assert(pngRows.forall(_.getLong(2) == 64L), "png n_bytes = decoded pixel count")
+    pngRows.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      assert(id % 5 == 0)
+      val frames = rows.filter(_.getString(3) == "frame")
+      assert(frames.length == 1, "8x8 image = one 64-value frame")
+      val tb = docs(id).getBytes("UTF-8")
+      val expected = TextQueries.pngPixelsOf(tb).map(_.toDouble).sum / 64.0
+      assert(frames.head.getDouble(5) == expected,
+        s"doc $id frame mean not derived from decoded pixels")
+    }
+  }
+
   test("IVF ANN probes return real neighbors with brute-force overlap") {
     val brute = DedupQueries.x3TopkSimilarity(spark, sf)
       .select("query_id", "cand_id").collect()

@@ -20,7 +20,8 @@ class PlanHygieneSpec extends AnyFunSuite {
 
   // non-equi range probes / literal grids where a broadcast nested loop
   // against a handful of rows is the intended physical plan
-  private val bnljAllowed = Set("j3_pixel_range_join", "j4_tile_pixel_overlap",
+  private val bnljAllowed = Set("j3_pixel_range_join", "j3_range_join_htm",
+    "j3_range_join_q3c", "j4_tile_pixel_overlap",
     "a8_mc_summary", "u3_camera_tiles", "w5_asof_lookup",
     "x18_length_quantiles")
 
