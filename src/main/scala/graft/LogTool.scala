@@ -8,12 +8,26 @@ import graft.streaming.LogAnalytics
   * apdb_metrics records from log files (plain or .gz) and write the
   * per-visit summary CSV + per-timer rollup.
   *
-  * Usage: runMain graft.LogTool <logPathOrDir> <outDir>
+  * Usage: runMain graft.LogTool <logPathOrDir|-> <outDir>
+  *
+  * `-` reads the log from stdin (`log2csv.py:307-319` parity): lines are
+  * spooled to a temp file first — stdin is inherently single-reader, the
+  * spool makes the parse/aggregate phase distributed like any file run.
   */
 object LogTool {
+  /** Spool stdin to a temp file Spark can read in parallel. */
+  private[graft] def spoolStdin(in: java.io.InputStream): String = {
+    val tmp = java.nio.file.Files.createTempFile("logtool_stdin", ".log")
+    java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.toFile.deleteOnExit()
+    tmp.toString
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: LogTool <logPathOrDir> <outDir>")
-    val Array(logPath, outDir) = args.take(2)
+    require(args.length >= 2, "usage: LogTool <logPathOrDir|-> <outDir>")
+    val Array(rawPath, outDir) = args.take(2)
+    val logPath = if (rawPath == "-") spoolStdin(System.in) else rawPath
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",

@@ -139,6 +139,15 @@ class LogAnalyticsSpec extends AnyFunSuite {
     assert(plain.count() == gz.count())
   }
 
+  test("stdin spool parses identically (log2csv stdin parity)") {
+    val dir = writeFixture(Files.createTempDirectory("logs_stdin").toString)
+    val plainPath = s"$dir/plain/run.log"
+    val spooled = graft.LogTool.spoolStdin(Files.newInputStream(Paths.get(plainPath)))
+    val plain = LogAnalytics.parseMetrics(spark.read.text(plainPath))
+    val viaStdin = LogAnalytics.parseMetrics(spark.read.text(spooled))
+    assert(plain.count() == viaStdin.count() && plain.count() > 0)
+  }
+
   test("streaming: out-of-order lines aggregate per visit under watermark") {
     val dir = writeFixture(Files.createTempDirectory("logs_stream").toString)
     val lines = spark.readStream
