@@ -347,6 +347,47 @@ object DedupQueries {
       |SELECT doc_a, doc_b, n_inter, jaccard FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -- x20: decontamination (benchmark n-gram overlap) -------------------
+
+  /** x20 — training-data decontamination: flag corpus documents sharing
+    * ≥ `DecontamMinOverlap` distinct word bigrams with any held-out
+    * benchmark document (every 50th doc stands in for the eval suite).
+    * The benchmark side is tiny by construction, so its gram set is
+    * BROADCAST and the corpus never shuffles — the production shape for
+    * "remove test-set overlap from 100 TB of pretraining text" (the
+    * corpus-side scan stays embarrassingly parallel). */
+  val DecontamEvery = 50
+  val DecontamMinOverlap = 5
+  val x20Decontaminate: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, size(w) - 2)")).as("i"))
+      .select(col("doc_id"), expr(hex60("concat(w[i], '_', w[i+1])")).as("gram"))
+      .distinct()
+    val benchGrams = grams.where(col("doc_id") % DecontamEvery === 0)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    grams.where(col("doc_id") % DecontamEvery =!= 0)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= DecontamMinOverlap)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+  val x20Sql =
+    s"""WITH grams AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |      list_transform(range(1, length(string_split(text, ' '))),
+       |        i -> ${duckHex60("string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]")})))
+       |      AS gram
+       |  FROM documents WHERE length(string_split(text, ' ')) >= 2)
+       |SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_overlap
+       |FROM grams c JOIN grams b ON c.gram = b.gram
+       |WHERE b.doc_id % $DecontamEvery = 0 AND c.doc_id % $DecontamEvery <> 0
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $DecontamMinOverlap
+       |ORDER BY c.doc_id, bench_id""".stripMargin
+
   // -- x16: duplicate clusters (connected components) --------------------
 
   /** x16 — duplicate-cluster assignment: connected components over the
@@ -764,6 +805,7 @@ object DedupQueries {
     "x6_dedup_simhash" -> x6DedupSimhash,
     "x7_ngram_jaccard" -> x7NgramJaccard,
     "x16_dup_clusters" -> x16DupClusters,
+    "x20_decontaminate" -> x20Decontaminate,
     "x3_topk_similarity" -> x3TopkSimilarity,
     "x8_embedding_dedup" -> x8EmbeddingDedup,
     "x14_ann_lsh" -> x14AnnLsh,
@@ -776,6 +818,7 @@ object DedupQueries {
     "x6_dedup_simhash" -> x6Sql,
     "x7_ngram_jaccard" -> x7Sql,
     "x16_dup_clusters" -> x16Sql,
+    "x20_decontaminate" -> x20Sql,
     "x3_topk_similarity" -> x3Sql,
     "x8_embedding_dedup" -> x8Sql,
     "x14_ann_lsh" -> x14Sql,

@@ -427,7 +427,54 @@ object TextQueries {
        |ORDER BY source, q""".stripMargin
   }
 
+  // -- x21: repetition scoring (Gopher-style quality rule) ---------------
+
+  /** x21 — repeated-n-gram quality rule (the Gopher/RefinedWeb "fraction
+    * of text in the most common n-gram" filter): per doc, the MULTISET
+    * bigram counts (duplicates kept, unlike the dedup shingle sets),
+    * reduced to max-count / total. Two shuffles — (doc, gram) count with
+    * map-side combine, then per-doc max/sum — both on keys that scale
+    * with the corpus, never all-pairs. Exact-integer fraction inputs;
+    * the division is one IEEE op, identical in both engines. */
+  val RepetitionFlag = 0.05
+  val x21Repetition: QFn = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, size(w) - 2)")).as("i"),
+        col("w"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(concat(w[i], '_', w[i+1])), 1, 15), 16, 10) AS BIGINT)").as("gram"))
+    grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("max_rep"), sum(col("cnt")).as("n_bigrams"))
+      .withColumn("rep_fraction",
+        col("max_rep").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn("repetitive", col("rep_fraction") > RepetitionFlag)
+      .select(col("doc_id"), col("n_bigrams"), col("max_rep"),
+        col("rep_fraction"), col("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+  val x21Sql =
+    s"""WITH grams AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]), 1, 15) AS BIGINT) AS gram
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(1, length(string_split(text, ' ')))) AS i
+       |        FROM documents WHERE length(string_split(text, ' ')) >= 2)),
+       |counts AS (
+       |  SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       |  CAST(MAX(cnt) AS BIGINT) AS max_rep,
+       |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS rep_fraction,
+       |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) > $RepetitionFlag AS repetitive
+       |FROM counts GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "x21_repetition" -> x21Repetition,
     "x11_token_count" -> x11TokenCount,
     "x17_stratified_sample" -> x17StratifiedSample,
     "x18_length_quantiles" -> x18LengthQuantiles,
@@ -440,6 +487,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x21_repetition" -> x21Sql,
     "x11_token_count" -> x11Sql,
     "x17_stratified_sample" -> x17Sql,
     "x18_length_quantiles" -> x18Sql,
