@@ -49,6 +49,35 @@ class ScaleSpec extends AnyFunSuite {
       s"sources: ${before("sources")} -> ${after("sources")}")
   }
 
+  test("per-visit cost stays flat as history accumulates") {
+    // the scale property the 45 s/visit contract depends on: the
+    // snapshot merge touches only this visit's buckets and history
+    // reads are time-bucket-pruned, so visit N costs what visit 3 cost.
+    // (The 43 M × 50-visit soak pins the same property at 10× reference
+    // scale — README "Numbers"; this is its CI-sized guard.)
+    val dir = java.nio.file.Files.createTempDirectory("apdb_flat").toString
+    val apdb = new ApdbSpark(spark, ApdbConfig(warehouseDir = dir,
+      transientPerVisit = 5, falsePerVisit = 45))
+    apdb.makeSchema(drop = true)
+    val catalog = DiaSim.genCatalog(spark, 200000L, hemi = -1, seed = 7)
+      .localCheckpoint(true)
+    val pointing = Vec3(0.1, -0.2, -0.97).normalized
+    val vs = VisitPipeline.visitTimes(Timestamp.valueOf("2026-06-01 01:00:00"), 12)
+    val secs = vs.map { case (id, ts) =>
+      val t0 = System.nanoTime()
+      VisitPipeline.visit(apdb, catalog, id, ts, pointing)
+      (System.nanoTime() - t0) / 1e9
+    }
+    // drop the JIT-heavy first visits; compare early steady-state vs the
+    // tail with generous slack (CI boxes are noisy — this is a guard
+    // against LINEAR growth, not a microbenchmark)
+    val early = secs.slice(3, 6).sum / 3
+    val late = secs.slice(9, 12).sum / 3
+    assert(late < early * 2.5,
+      s"per-visit cost grew with history: early=$early%.2f late=$late%.2f " +
+        s"(all: ${secs.map(s => f"$s%.1f").mkString(", ")})")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

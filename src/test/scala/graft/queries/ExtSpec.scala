@@ -103,6 +103,31 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("approx quantiles (the 100 TB path) track the exact thresholds") {
+    // x18's exact rank-arithmetic quantiles are the auditable form; at
+    // scale the same thresholds come from percentile_approx (t-digest).
+    // Pin that the approx path lands within the corpus's length spread.
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val approx = docs.groupBy(col("source"))
+      .agg(percentile_approx(col("n_chars"),
+        array(TextQueries.QuantilePoints.map(lit): _*), lit(10000)).as("qs"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Any](1).map(_.toString.toLong)).toMap
+    val exact = TextQueries.x18LengthQuantiles(spark, sf).collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> rows.sortBy(_.getDouble(1))
+          .map(r => r.get(2).toString.toLong).toSeq }
+    exact.foreach { case (src, ex) =>
+      val ap = approx(src)
+      ex.zip(ap).foreach { case (e, a) =>
+        assert(math.abs(e - a).toDouble <= math.max(8L, (e * 0.05).toLong),
+          s"source $src: approx quantile $a far from exact $e")
+      }
+    }
+  }
+
   test("PNG payloads decode losslessly and pixel features come from pixels") {
     // codec round-trip: imageio PNG encode -> decode is the identity on
     // 8-bit grayscale samples
