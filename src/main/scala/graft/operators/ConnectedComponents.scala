@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star /
+  * small-star contraction (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond") — the skew-robust alternative to min-label
+  * propagation for the duplicate-cluster graphs of a dedup pipeline
+  * (x16). Propagation needs O(component diameter) rounds, which is fine
+  * for blob-shaped near-dup clusters but degenerates on chain-shaped
+  * components (each round moves the label one hop); star contraction
+  * converges in O(log² n) rounds regardless of shape, with every round a
+  * pair of shuffle-by-node aggregations — the same per-round cost, a
+  * bounded round count.
+  *
+  * Both operators return the identical labeling (min node id per
+  * component), so they share the x16 recursive-CTE oracle.
+  */
+object ConnectedComponents {
+
+  /** Labels every node of the undirected edge list with its component's
+    * minimum node id. Input: two columns (u, v); self-loops ignored.
+    * Output: (node, root). Fails loudly if `maxIter` rounds don't
+    * converge rather than returning an under-merged clustering. */
+  def starContract(spark: SparkSession, edgesIn: DataFrame,
+      maxIter: Int = 32): DataFrame = {
+    val cols = edgesIn.columns
+    require(cols.length == 2, s"edge list needs 2 columns, got ${cols.length}")
+    // orient big → small; drop self-loops; dedup
+    val e0 = edgesIn.select(
+        greatest(col(cols(0)), col(cols(1))).as("u"),
+        least(col(cols(0)), col(cols(1))).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // nodes that appear at all (isolated nodes are the caller's concern)
+    val nodes = e0.select(col("u").as("node"))
+      .union(e0.select(col("v").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var edges = e0
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // -- large-star: for every node, link all LARGER neighbors to the
+      // minimum of its closed neighborhood. Neighborhoods come from the
+      // symmetric closure; one shuffle by node for the min, one for the
+      // join back.
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // -- small-star: edges are now oriented big → small; link every
+      // smaller neighbor (and the node itself) to the neighborhood min.
+      val smallMins = large.groupBy(col("u"))
+        .agg(min(col("v")).as("m"))
+      val small = large.join(smallMins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smallMins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // -- converged ⟺ stars everywhere: no small-side node still has
+      // an outgoing edge (i.e. no edge's v appears as some edge's u)
+      val bigSide = small.select(col("u").as("v")).distinct()
+      converged = small.join(bigSide, "v").isEmpty
+      edges = small
+      iter += 1
+    }
+    require(converged,
+      s"star contraction did not converge in $iter rounds")
+    // stars: every u points at its root v; roots label themselves
+    nodes.join(edges.select(col("u").as("node"), col("v").as("root")),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("root"), col("node")).as("root"))
+  }
+}

@@ -455,6 +455,25 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** x22 — the same duplicate-cluster labeling computed by alternating
+    * large-star/small-star contraction
+    * ([[graft.operators.ConnectedComponents.starContract]]) instead of
+    * min-label propagation: O(log² n) rounds regardless of component
+    * shape, the algorithm to reach for when dup components at 100 TB
+    * turn out chain-shaped or wildly skewed (x16's propagation is
+    * O(diameter) rounds). Identical labeling ⇒ shares the x16 oracle. */
+  val x22DupClustersStar: QFn = (s, d) => {
+    val pairs = x7Pairs(s, d).select(col("doc_a"), col("doc_b"))
+    val labels = graft.operators.ConnectedComponents
+      .starContract(s, pairs)
+      .select(col("node").as("doc_id"), col("root").as("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   val x16Sql: String =
     s"""WITH RECURSIVE $x7CteBody,
       |edges AS (
@@ -805,6 +824,7 @@ object DedupQueries {
     "x6_dedup_simhash" -> x6DedupSimhash,
     "x7_ngram_jaccard" -> x7NgramJaccard,
     "x16_dup_clusters" -> x16DupClusters,
+    "x22_dup_clusters_star" -> x22DupClustersStar,
     "x20_decontaminate" -> x20Decontaminate,
     "x3_topk_similarity" -> x3TopkSimilarity,
     "x8_embedding_dedup" -> x8EmbeddingDedup,
@@ -818,6 +838,7 @@ object DedupQueries {
     "x6_dedup_simhash" -> x6Sql,
     "x7_ngram_jaccard" -> x7Sql,
     "x16_dup_clusters" -> x16Sql,
+    "x22_dup_clusters_star" -> x16Sql, // identical labeling by design
     "x20_decontaminate" -> x20Sql,
     "x3_topk_similarity" -> x3Sql,
     "x8_embedding_dedup" -> x8Sql,

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Star-contraction connected components vs a local union-find ground
+  * truth — random graphs plus the adversarial shapes (long chains) that
+  * make min-label propagation take O(n) rounds. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // union-by-min above ⇒ find returns the component minimum
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def viaSpark(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("a", "b")
+    ConnectedComponents.starContract(spark, df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("random graphs match union-find (seeded trials)") {
+    val rng = new scala.util.Random(2026)
+    (1 to 15).foreach { trial =>
+      val n = 2 + rng.nextInt(40)
+      val m = 1 + rng.nextInt(80)
+      val es = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (es.nonEmpty)
+        assert(viaSpark(es) == unionFind(es), s"trial $trial failed: $es")
+    }
+  }
+
+  test("long chain (propagation's worst case) converges in few rounds") {
+    // a 300-node path: min-label propagation needs ~300 rounds; star
+    // contraction must stay inside its 32-round bound
+    val chain = (0L until 300L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = viaSpark(chain)
+    assert(got.values.toSet == Set(0L), "chain must collapse to root 0")
+    assert(got.size == 300)
+  }
+
+  test("disjoint components keep per-component minima") {
+    val es = Seq((10L, 3L), (7L, 3L), (3L, 9L), // comp min 3
+      (100L, 42L), (42L, 77L), // comp min 42
+      (5L, 6L)) // comp min 5
+    val got = viaSpark(es)
+    assert(got == Map(10L -> 3L, 7L -> 3L, 3L -> 3L, 9L -> 3L,
+      100L -> 42L, 42L -> 42L, 77L -> 42L, 5L -> 5L, 6L -> 5L))
+  }
+}
