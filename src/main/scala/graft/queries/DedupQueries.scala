@@ -818,6 +818,98 @@ object DedupQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // -- x23: k-means update step (embedding clustering) -------------------
+
+  /** x23 — one Lloyd iteration over the embedding collection: assign
+    * every vector to its nearest seeded coarse centroid (the x15
+    * membership rule — exact-integer dots, (-dot, cluster) tiebreak),
+    * then recompute centroids as per-dimension means. The update-side
+    * sums run on round(e·1e6) integers so the oracle reproduces them
+    * bit-for-bit; the mean is one IEEE division. Long format:
+    * (cluster, dim, n_members, sum_scaled, centroid_val). At 100 TB
+    * this is the canonical two-shuffle iteration — broadcast centroids,
+    * map-side-combined partial sums per (cluster, dim). */
+  val x23KmeansStep: QFn = (s, d) => {
+    import s.implicits._
+    val emb = embRows(Tables.embeddings(s, d))
+    val cb = s.sparkContext.broadcast(ivfCentroids)
+    val assigned = emb.map { case (id, e) =>
+      val best = cb.value.map { case (ci, c) => (ci, dotScaled(e, c)) }
+        .maxBy { case (ci, dot) => (dot, -ci) }._1
+      (id, best, e)
+    }
+    assigned.flatMap { case (_, cluster, e) =>
+      e.iterator.zipWithIndex.map { case (v, dim) =>
+        val s = v * 1000000d
+        val scaled = (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toLong
+        (cluster, dim, scaled)
+      }
+    }.toDF("cluster", "dim", "scaled")
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).as("n_members"), sum(col("scaled")).as("sum_scaled"))
+      .withColumn("centroid_val",
+        col("sum_scaled").cast("double") / (col("n_members") * 1000000L).cast("double"))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("dim").cast("long").as("dim"),
+        col("n_members"), col("sum_scaled"), col("centroid_val"))
+      .orderBy(col("cluster"), col("dim"))
+  }
+  /** Oracle: x15's membership CTE (centroid constants inlined), then
+    * per-(cluster, dim) exact-integer sums and the same one-division
+    * mean. */
+  val x23Sql: String = {
+    val clusterDots = ivfCentroids.map { case (ci, c) =>
+      val arr = "[" + c.mkString(", ") + "]"
+      s"SELECT vec_id, $ci AS cluster, CAST(list_sum(list_transform(range(1, length(embedding) + 1), " +
+        s"i -> CAST(round(CAST(embedding[i] AS DOUBLE) * ($arr)[i] * 1000000) AS BIGINT))) AS BIGINT) AS dot FROM embeddings"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH cd AS (
+       |  $clusterDots),
+       |ranked AS (
+       |  SELECT vec_id, cluster,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rk
+       |  FROM cd),
+       |member AS (SELECT vec_id, cluster FROM ranked WHERE rk = 1),
+       |vals AS (
+       |  SELECT m.cluster, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(round(CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS scaled
+       |  FROM member m
+       |  JOIN embeddings e ON e.vec_id = m.vec_id
+       |  CROSS JOIN LATERAL (SELECT unnest(range(1, length(e.embedding) + 1)) AS i) ix)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, dim,
+       |  COUNT(*) AS n_members, CAST(SUM(scaled) AS BIGINT) AS sum_scaled,
+       |  CAST(SUM(scaled) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS centroid_val
+       |FROM vals GROUP BY 1, 2
+       |ORDER BY cluster, dim""".stripMargin
+  }
+
+  // -- x24: corpus-wide top-k n-grams (vocab induction) ------------------
+
+  /** x24 — top-k most frequent word bigrams corpus-wide (the counting
+    * pass of tokenizer-vocabulary induction). One map-side-combined
+    * shuffle on the gram string, then a global top-k that plans as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows) — no global sort shuffle at any corpus size. Deterministic
+    * (count DESC, gram) tiebreak. */
+  val VocabTopK = 100
+  val x24VocabTopk: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("w"), explode(expr("sequence(0, size(w) - 2)")).as("i"))
+      .select(expr("concat(w[i], '_', w[i+1])").as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(VocabTopK)
+  }
+  val x24Sql =
+    s"""SELECT string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1] AS gram,
+       |  COUNT(*) AS n
+       |FROM (SELECT text, unnest(range(1, length(string_split(text, ' ')))) AS i
+       |      FROM documents WHERE length(string_split(text, ' ')) >= 2)
+       |GROUP BY 1 ORDER BY n DESC, gram LIMIT $VocabTopK""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_minhash" -> x2DedupMinhash,
@@ -826,6 +918,8 @@ object DedupQueries {
     "x16_dup_clusters" -> x16DupClusters,
     "x22_dup_clusters_star" -> x22DupClustersStar,
     "x20_decontaminate" -> x20Decontaminate,
+    "x23_kmeans_step" -> x23KmeansStep,
+    "x24_vocab_topk" -> x24VocabTopk,
     "x3_topk_similarity" -> x3TopkSimilarity,
     "x8_embedding_dedup" -> x8EmbeddingDedup,
     "x14_ann_lsh" -> x14AnnLsh,
@@ -840,6 +934,8 @@ object DedupQueries {
     "x16_dup_clusters" -> x16Sql,
     "x22_dup_clusters_star" -> x16Sql, // identical labeling by design
     "x20_decontaminate" -> x20Sql,
+    "x23_kmeans_step" -> x23Sql,
+    "x24_vocab_topk" -> x24Sql,
     "x3_topk_similarity" -> x3Sql,
     "x8_embedding_dedup" -> x8Sql,
     "x14_ann_lsh" -> x14Sql,
