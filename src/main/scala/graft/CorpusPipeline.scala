@@ -11,10 +11,12 @@ import graft.queries.{DedupQueries, Tables, TextQueries}
   *
   *   1. language filter (x9 stopword-profile ID)
   *   2. quality threshold (x10 heuristics)
-  *   3. exact dedup (x1 canonical-form content hash)
-  *   4. near-dup clustering (x7 pairs → x16 components), keep the
+  *   3. repetition filter (x21 Gopher-style repeated-n-gram rule)
+  *   4. exact dedup (x1 canonical-form content hash)
+  *   5. near-dup clustering (x7 pairs → x16 components), keep the
   *      cluster-canonical (minimum id) document
-  *   5. per-source stratified sample (x17 ordering key)
+  *   6. decontamination (x20 benchmark n-gram overlap)
+  *   7. per-source stratified sample (x17 ordering key)
   *
   * Each stage is a DataFrame → DataFrame function over the same schema,
   * so stages compose and any prefix of the pipeline is a valid corpus.
@@ -34,6 +36,16 @@ object CorpusPipeline {
   def qualityFilter(s: SparkSession, d: String, minScore: Double)(docs: DataFrame): DataFrame =
     docs.join(TextQueries.x10QualityScore(s, d)
       .where(col("quality_score") >= minScore).select("doc_id"), "doc_id")
+
+  /** Drop docs failing the Gopher-style repetition rule (x21). */
+  def repetitionFilter(s: SparkSession, d: String, maxFraction: Double)(docs: DataFrame): DataFrame =
+    docs.join(TextQueries.x21Repetition(s, d)
+      .where(col("rep_fraction") <= maxFraction).select("doc_id"), "doc_id")
+
+  /** Drop docs overlapping the held-out benchmark set (x20). */
+  def decontaminate(s: SparkSession, d: String)(docs: DataFrame): DataFrame =
+    docs.join(DedupQueries.x20Decontaminate(s, d).select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
 
   def exactDedup(docs: DataFrame): DataFrame = {
     val canonical = docs
@@ -67,8 +79,10 @@ object CorpusPipeline {
     val stages: Seq[(String, DataFrame => DataFrame)] = Seq(
       "language_filter" -> languageFilter(s, d, lang) _,
       "quality_filter" -> qualityFilter(s, d, minQuality) _,
+      "repetition_filter" -> repetitionFilter(s, d, maxFraction = 0.5) _,
       "exact_dedup" -> (exactDedup _),
       "near_dup_canonical" -> nearDupCanonical(s, d) _,
+      "decontaminate" -> decontaminate(s, d) _,
       "stratified_sample" -> stratifiedSample(samplePerSource) _)
     var corpus = Tables.documents(s, d)
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]

@@ -22,7 +22,8 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val (curated, stats) = CorpusPipeline.run(spark, sf,
       lang = "en", minQuality = 0.2, samplePerSource = 50)
     assert(stats.map(_.stage) == Seq("language_filter", "quality_filter",
-      "exact_dedup", "near_dup_canonical", "stratified_sample"))
+      "repetition_filter", "exact_dedup", "near_dup_canonical",
+      "decontaminate", "stratified_sample"))
     stats.foreach(st => assert(st.rowsOut <= st.rowsIn, st.toString))
     assert(stats.head.rowsIn == 500)
     val out = curated.localCheckpoint(true)
