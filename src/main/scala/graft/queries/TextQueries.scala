@@ -473,7 +473,49 @@ object TextQueries {
        |FROM counts GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // -- x25: sequence packing (concat-then-chunk) -------------------------
+
+  /** x25 — GPT-style sequence packing: per source, the document stream
+    * is concatenated in doc_id order and split into fixed
+    * `PackWindow`-token windows; emit each doc's start window and offset
+    * (docs straddle boundaries, exactly like production packing). Pure
+    * running-sum window math — one shuffle by source, no data movement
+    * of the text itself; at 100 TB the cumulative sums come from the
+    * same per-partition prefix-sum shape. */
+  val PackWindow = 2048
+  val x25PackSequences: QFn = (s, d) => {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_tokens"))
+      // integer DIV, not double /: token prefix sums at corpus scale
+      // overflow double's 2^53 integer range
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"cum_start DIV $PackWindow").as("window_id"),
+        pmod(col("cum_start"), lit(PackWindow.toLong)).as("offset"),
+        expr(s"(cum_end - 1) DIV $PackWindow").as("end_window_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+  val x25Sql =
+    s"""SELECT source, doc_id, n_tokens,
+       |  cum_start // $PackWindow AS window_id,
+       |  cum_start % $PackWindow AS "offset",
+       |  (cum_start + n_tokens - 1) // $PackWindow AS end_window_id
+       |FROM (
+       |  SELECT source, doc_id,
+       |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    SUM(CAST(length(string_split(text, ' ')) AS BIGINT))
+       |      OVER (PARTITION BY source ORDER BY doc_id
+       |            ROWS UNBOUNDED PRECEDING)
+       |      - CAST(length(string_split(text, ' ')) AS BIGINT) AS cum_start
+       |  FROM documents)
+       |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "x25_pack_sequences" -> x25PackSequences,
     "x21_repetition" -> x21Repetition,
     "x11_token_count" -> x11TokenCount,
     "x17_stratified_sample" -> x17StratifiedSample,
@@ -487,6 +529,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x25_pack_sequences" -> x25Sql,
     "x21_repetition" -> x21Sql,
     "x11_token_count" -> x11Sql,
     "x17_stratified_sample" -> x17Sql,
