@@ -64,6 +64,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("random instances match a local reference implementation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(77)
+    (1 to 8).foreach { trial =>
+      val nKeys = 1 + rng.nextInt(4)
+      // unique (key, time) on the right per the operator's contract
+      val versions = (for {
+        k <- 0 until nKeys
+        t <- Seq.fill(1 + rng.nextInt(6))(rng.nextInt(100)).distinct
+      } yield (k.toLong, t.toLong,
+        if (rng.nextBoolean()) Some(s"v${k}_$t") else None)).toSeq
+      val probes = Seq.fill(20)(
+        (rng.nextInt(nKeys + 1).toLong, rng.nextInt(120).toLong))
+      val got = AsOfJoin.leftAsOf(
+          probes.toDF("key", "pt"), versions.toDF("key", "vt", "payload"),
+          "key", "pt", "vt")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getString(3))))
+        .toSeq.sorted.groupBy(identity).view.mapValues(_.size).toMap
+      val expected = probes.map { case (k, pt) =>
+        val best = versions.filter(v => v._1 == k && v._2 <= pt)
+          .sortBy(_._2).lastOption
+        (k, pt) -> (best.map(_._2), best.flatMap(_._3))
+      }.sorted.groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("matched time column is carried; plan is one shuffle by key") {
     import spark.implicits._
     val versions = Seq((1L, 10L, 1.5)).toDF("key", "vt", "score")
