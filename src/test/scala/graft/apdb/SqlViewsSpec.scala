@@ -65,4 +65,40 @@ class SqlViewsSpec extends AnyFunSuite {
     assert(sqlDf.head.getLong(0) == apiCount)
     assert(apiCount > 0)
   }
+
+  test("SQL pruning over an htm-indexed warehouse uses htm envelopes") {
+    // the scheme-mismatch trap: an htm pixelId pruned with mq3c ranges
+    // would silently drop qualifying rows. The views label the column
+    // with (level, mode) metadata; the rule must compute envelopes in
+    // the column's own id space and return exactly the unpruned result.
+    val dir = java.nio.file.Files.createTempDirectory("apdb_sql_htm").toString
+    val apdb = new ApdbSpark(spark, ApdbConfig(warehouseDir = dir,
+      pixMode = "htm", transientPerVisit = 5, falsePerVisit = 45))
+    apdb.makeSchema(drop = true)
+    val catalog = DiaSim.genCatalog(spark, 50000L, hemi = -1, seed = 43)
+      .localCheckpoint(true)
+    val pointing = Vec3(-0.3, 0.2, -0.93).normalized
+    val vs = VisitPipeline.visitTimes(Timestamp.valueOf("2026-07-01 01:00:00"), 2)
+    vs.foreach { case (id, ts) =>
+      VisitPipeline.visit(apdb, catalog, id, ts, pointing)
+    }
+    apdb.registerViews()
+
+    val region = Circle(pointing, apdb.config.fovRad / 2)
+    val lit = RegionCodec.encode(region)
+    val sqlDf = spark.sql(
+      s"SELECT count(*) AS n FROM dia_object_last WHERE region_contains('$lit', ra, dec)")
+    assert(sqlDf.queryExecution.optimizedPlan.toString
+      .matches("(?s).*pixelId#\\d+L? >=.*"), "rule should inject htm ranges")
+    // ground truth: exact region filter over the FULL snapshot via the
+    // DataFrame API — no SQL, no optimizer rule, no envelope code
+    val unpruned = apdb.objectsLast
+      .where(SparkGeo.containsRaDec(region,
+        org.apache.spark.sql.functions.col("ra"),
+        org.apache.spark.sql.functions.col("dec")))
+      .count()
+    assert(sqlDf.head.getLong(0) == unpruned,
+      "htm-labeled pruning changed the region result")
+    assert(unpruned > 0)
+  }
 }
