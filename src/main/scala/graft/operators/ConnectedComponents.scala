@@ -67,10 +67,15 @@ object ConnectedComponents {
         .where(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      // -- converged ⟺ stars everywhere: no small-side node still has
-      // an outgoing edge (i.e. no edge's v appears as some edge's u)
-      val bigSide = small.select(col("u").as("v")).distinct()
-      converged = small.join(bigSide, "v").isEmpty
+      // -- converged ⟺ edge-set FIXPOINT (the paper's condition). A
+      // structural "no chains" test is NOT sufficient: a node can hold
+      // two parents from different small-star groups (e.g. edges
+      // (6,5),(6,0),(7,5),(7,1) → {(5,0),(6,0),(5,1),(7,1)}, chain-free
+      // but under-merged); only a full round that changes nothing
+      // certifies stars. Both sides are checkpointed and distinct'ed,
+      // so the set compare is two cheap jobs over materialized blocks.
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).isEmpty
       edges = small
       iter += 1
     }

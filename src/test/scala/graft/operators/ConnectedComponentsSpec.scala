@@ -56,6 +56,34 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.size == 300)
   }
 
+  test("double-parent trap converges fully (structural checks are not enough)") {
+    // (6,5),(6,0),(7,5),(7,1): one large+small round yields the
+    // chain-free but under-merged {(5,0),(6,0),(5,1),(7,1)} — node 5
+    // holds two parents. Only the edge-set fixpoint certifies stars;
+    // everything here is one component rooted at 0.
+    val es = Seq((6L, 5L), (6L, 0L), (7L, 5L), (7L, 1L))
+    val got = viaSpark(es)
+    assert(got == Map(0L -> 0L, 1L -> 0L, 5L -> 0L, 6L -> 0L, 7L -> 0L))
+  }
+
+  test("sparse high-fanout graphs match union-find (seeded trials)") {
+    // shapes that breed multi-parent intermediate states: few hubs with
+    // many leaves plus random cross links
+    val rng = new scala.util.Random(909)
+    (1 to 8).foreach { trial =>
+      val hubs = 2 + rng.nextInt(3)
+      val leaves = 5 + rng.nextInt(20)
+      val es = (0 until leaves).flatMap { l =>
+        val leaf = 100L + l
+        (0 until hubs).filter(_ => rng.nextBoolean())
+          .map(h => (leaf, h.toLong))
+      } ++ Seq.fill(3)((rng.nextInt(hubs).toLong, 100L + rng.nextInt(leaves)))
+      val clean = es.filter(e => e._1 != e._2)
+      if (clean.nonEmpty)
+        assert(viaSpark(clean) == unionFind(clean), s"trial $trial: $clean")
+    }
+  }
+
   test("disjoint components keep per-component minima") {
     val es = Seq((10L, 3L), (7L, 3L), (3L, 9L), // comp min 3
       (100L, 42L), (42L, 77L), // comp min 42
