@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Session-unique suffix for per-round Observation names. */
+  private val sketchEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Labels every node of the undirected edge list with its component's
     * minimum node id. Input: two columns (u, v); self-loops ignored.
     * Output: (node, root). Fails loudly if `maxIter` rounds don't
@@ -41,6 +44,16 @@ object ConnectedComponents {
       .localCheckpoint(true)
 
     var edges = e0
+    // commutative 64-bit fingerprint + count of an edge set — bit_xor,
+    // not sum: ANSI mode throws on long overflow, and xor of
+    // distinct-edge hashes is an equally good commutative fingerprint
+    val sketchExprs = Seq(
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h"),
+      count(lit(1)).as("n"))
+    var edgeSketch = {
+      val r = e0.agg(sketchExprs.head, sketchExprs.tail: _*).head()
+      (r.getLong(0), r.getLong(1))
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -52,30 +65,42 @@ object ConnectedComponents {
       val mins = sym.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // no distinct here: duplicate (v, m) rows don't change the next
+      // aggregation's minima, and dropping the dedup saves a full
+      // shuffle per round; small-star's groupBy absorbs them
       val large = sym.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
       // -- small-star: edges are now oriented big → small; link every
       // smaller neighbor (and the node itself) to the neighborhood min.
       val smallMins = large.groupBy(col("u"))
         .agg(min(col("v")).as("m"))
+      // the fingerprint rides the checkpoint materialization via a
+      // CollectMetrics node — zero extra jobs per round (x16's pattern)
+      val obs = org.apache.spark.sql.Observation(
+        s"cc_sketch_${sketchEpoch.incrementAndGet()}")
       val small = large.join(smallMins, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(smallMins.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
         .distinct()
+        .observe(obs, sketchExprs.head, sketchExprs.tail: _*)
         .localCheckpoint(true)
+      val om = obs.get
+      val newSketch = (om("h").asInstanceOf[Long], om("n").asInstanceOf[Long])
       // -- converged ⟺ edge-set FIXPOINT (the paper's condition). A
       // structural "no chains" test is NOT sufficient: a node can hold
       // two parents from different small-star groups (e.g. edges
       // (6,5),(6,0),(7,5),(7,1) → {(5,0),(6,0),(5,1),(7,1)}, chain-free
       // but under-merged); only a full round that changes nothing
-      // certifies stars. Both sides are checkpointed and distinct'ed,
-      // so the set compare is two cheap jobs over materialized blocks.
-      converged = small.count() == edges.count() &&
-        small.exceptAll(edges).isEmpty
+      // certifies stars. Detection is two-tier: a commutative
+      // count+hash sketch every round (cheap agg, no extra shuffle),
+      // and ONE exact exceptAll confirmation when the sketch matches —
+      // changed rounds never pay the set-difference shuffle and a
+      // sketch collision cannot produce a false convergence.
+      converged = newSketch == edgeSketch && small.exceptAll(edges).isEmpty
+      edgeSketch = newSketch
       edges = small
       iter += 1
     }
