@@ -23,10 +23,14 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# optional explicit key filter (match a key-filtered Verify run). With no
+# filter, a missing output dir is a FAILURE — a query that crashed in
+# Verify must not silently pass the gate.
+ONLY = set(sys.argv[3:])
 ok = bad = 0
 for name, sql in sorted(oracle.items()):
-    if not os.path.isdir(f"{OUT}/{name}"):
-        continue  # key-filtered Verify run: only check dumped keys
+    if ONLY and name not in ONLY:
+        continue
     try:
         got = con.execute(
             f"SELECT * FROM '{OUT}/{name}/*.parquet'").fetch_arrow_table()

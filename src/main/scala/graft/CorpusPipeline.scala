@@ -37,10 +37,14 @@ object CorpusPipeline {
     docs.join(TextQueries.x10QualityScore(s, d)
       .where(col("quality_score") >= minScore).select("doc_id"), "doc_id")
 
-  /** Drop docs failing the Gopher-style repetition rule (x21). */
+  /** Drop docs failing the Gopher-style repetition rule (x21). Anti-join
+    * on the FAILING set: x21 emits no row for sub-2-word docs, and those
+    * are by definition not repetitive — an inner join on the passing set
+    * would silently drop them. */
   def repetitionFilter(s: SparkSession, d: String, maxFraction: Double)(docs: DataFrame): DataFrame =
     docs.join(TextQueries.x21Repetition(s, d)
-      .where(col("rep_fraction") <= maxFraction).select("doc_id"), "doc_id")
+      .where(col("rep_fraction") > maxFraction).select("doc_id"),
+      Seq("doc_id"), "left_anti")
 
   /** Drop docs overlapping the held-out benchmark set (x20). */
   def decontaminate(s: SparkSession, d: String)(docs: DataFrame): DataFrame =
@@ -65,8 +69,8 @@ object CorpusPipeline {
   }
 
   def stratifiedSample(perSource: Int)(docs: DataFrame): DataFrame = {
-    val key = expr(
-      "CAST(conv(substr(md5(concat('x17:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    val key = expr(graft.queries.PortableHash.hex60(
+      "concat('x17:', CAST(doc_id AS STRING))"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(key.asc, col("doc_id"))
     docs.withColumn("_rk", row_number().over(w))

@@ -38,6 +38,14 @@ object AsOfJoin {
     require(clash.isEmpty,
       s"as-of right payload columns collide with left columns: " +
         s"${clash.mkString(", ")} — rename one side before joining")
+    // the union layout reserves three internal names; a left column
+    // with one of them would alias-collide deep in the plan (ambiguous
+    // reference) instead of failing here with a rename hint
+    val reserved = Set("_t", "_side", "_v")
+    val resClash = reserved.intersect(leftCols.toSet ++ payloadCols)
+    require(resClash.isEmpty,
+      s"as-of reserves internal column names ${reserved.mkString(", ")}; " +
+        s"rename: ${resClash.mkString(", ")}")
 
     // the matched version travels as ONE struct so the window carries it
     // atomically: per-column last(ignoreNulls) would resurrect an OLDER

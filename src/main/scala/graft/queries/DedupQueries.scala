@@ -52,14 +52,9 @@ object DedupQueries {
       Array.fill(SigSize)(rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Portable 60-bit shingle/token hash: first 15 hex chars of md5 as an
-    * integer. Spark: `conv(substr(md5(s),1,15),16,10)`; DuckDB:
-    * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)` — md5 is identical in
-    * both engines, so the hash (unlike xxhash64) is oracle-expressible. */
-  private def hex60(sqlStr: String): String =
-    s"CAST(conv(substr(md5($sqlStr), 1, 15), 16, 10) AS BIGINT)"
-  private def duckHex60(sqlStr: String): String =
-    s"CAST('0x' || substr(md5($sqlStr), 1, 15) AS BIGINT)"
+  /** Portable 60-bit shingle/token hash — see [[PortableHash]]. */
+  private def hex60(sqlStr: String): String = PortableHash.hex60(sqlStr)
+  private def duckHex60(sqlStr: String): String = PortableHash.duckHex60(sqlStr)
 
   /** doc_id + 64-component MinHash signature over word 3-gram shingles.
     * One explode + one groupBy (map-side combine keeps shuffle small:

@@ -236,6 +236,9 @@ object TextQueries {
     * the doc's bytes); the rest carry the raw utf8 bytes. */
   private val PngEvery = 5
   private val PngDim = 8
+  // in-memory image streams: the default disk-backed ImageIO cache
+  // would create+delete a temp file per document in the hot kernel
+  private val imageIoNoCache: Unit = javax.imageio.ImageIO.setUseCache(false)
   private[queries] def pngPixelsOf(textBytes: Array[Byte]): Array[Int] =
     Array.tabulate(PngDim * PngDim)(i => textBytes(i % textBytes.length) & 0xff)
   private[queries] def encodePng(pixels: Array[Int]): Array[Byte] = {
@@ -269,8 +272,11 @@ object TextQueries {
       .mapPartitions { it =>
         it.map { case (id, text, source) =>
           val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // empty docs fall back to utf8 (no pixels to derive — and the
+          // oracle's i % length(text) has the same degenerate case)
           val (payload, codec) =
-            if (id % PngEvery == 0) (encodePng(pngPixelsOf(tb)), "png")
+            if (id % PngEvery == 0 && tb.nonEmpty)
+              (encodePng(pngPixelsOf(tb)), "png")
             else (tb, "utf8")
           (id, payload, codec, payload.length.toLong, source)
         }
@@ -323,8 +329,10 @@ object TextQueries {
   val x13Sql =
     s"""WITH base AS (
       |  SELECT doc_id, text,
-      |    CASE WHEN doc_id % $PngEvery = 0 THEN 'png' ELSE 'utf8' END AS codec,
-      |    CAST(CASE WHEN doc_id % $PngEvery = 0 THEN ${PngDim * PngDim}
+      |    CASE WHEN doc_id % $PngEvery = 0 AND length(text) > 0
+      |         THEN 'png' ELSE 'utf8' END AS codec,
+      |    CAST(CASE WHEN doc_id % $PngEvery = 0 AND length(text) > 0
+      |         THEN ${PngDim * PngDim}
       |         ELSE length(text) END AS BIGINT) AS n_bytes
       |  FROM documents
       |), bv AS (
@@ -371,7 +379,7 @@ object TextQueries {
     * (source) with per-partition top-k — no global sort. */
   val SamplePerStratum = 20
   val x17StratifiedSample: QFn = (s, d) => {
-    val key = expr("CAST(conv(substr(md5(concat('x17:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    val key = expr(PortableHash.hex60("concat('x17:', CAST(doc_id AS STRING))"))
     val w = Window.partitionBy(col("source")).orderBy(key.asc, col("doc_id"))
     Tables.documents(s, d)
       .withColumn("sample_rank", row_number().over(w))
@@ -385,7 +393,7 @@ object TextQueries {
        |FROM (
        |  SELECT source, doc_id, n_chars,
        |    row_number() OVER (PARTITION BY source
-       |      ORDER BY CAST('0x' || substr(md5('x17:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |      ORDER BY ${PortableHash.duckHex60("'x17:' || CAST(doc_id AS VARCHAR)")},
        |               doc_id) AS sample_rank
        |  FROM documents)
        |WHERE sample_rank <= $SamplePerStratum
@@ -445,7 +453,7 @@ object TextQueries {
         explode(expr("sequence(0, size(w) - 2)")).as("i"),
         col("w"))
       .select(col("doc_id"),
-        expr("CAST(conv(substr(md5(concat(w[i], '_', w[i+1])), 1, 15), 16, 10) AS BIGINT)").as("gram"))
+        expr(PortableHash.hex60("concat(w[i], '_', w[i+1])")).as("gram"))
     grams.groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
@@ -460,7 +468,7 @@ object TextQueries {
   val x21Sql =
     s"""WITH grams AS (
        |  SELECT doc_id,
-       |    CAST('0x' || substr(md5(string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]), 1, 15) AS BIGINT) AS gram
+       |    ${PortableHash.duckHex60("string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]")} AS gram
        |  FROM (SELECT doc_id, text,
        |          unnest(range(1, length(string_split(text, ' ')))) AS i
        |        FROM documents WHERE length(string_split(text, ' ')) >= 2)),

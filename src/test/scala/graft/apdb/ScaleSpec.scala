@@ -74,7 +74,7 @@ class ScaleSpec extends AnyFunSuite {
     val early = secs.slice(3, 6).sum / 3
     val late = secs.slice(9, 12).sum / 3
     assert(late < early * 2.5,
-      s"per-visit cost grew with history: early=$early%.2f late=$late%.2f " +
+      f"per-visit cost grew with history: early=$early%.2f late=$late%.2f " +
         s"(all: ${secs.map(s => f"$s%.1f").mkString(", ")})")
   }
 
