@@ -522,8 +522,185 @@ object TextQueries {
        |  FROM documents)
        |ORDER BY source, doc_id""".stripMargin
 
+  // -- x26: line-level exact dedup (C4-style) ----------------------------
+
+  /** x26 — corpus-wide line-level exact dedup (the C4/RefinedWeb rule:
+    * a line that already occurred anywhere in the corpus is dropped;
+    * the first occurrence — smallest (doc_id, position) — is kept).
+    * This corpus has no newlines, so fixed `LineWords`-word spans stand
+    * in for lines; the plumbing is the real shape: segment → hash →
+    * ONE shuffle keyed by the 60-bit line hash (never the line text) →
+    * first-occurrence ranking → per-doc retention stats. At 100 TB the
+    * hash keys keep the shuffle narrow and collisions are handled by
+    * the same first-occurrence rule. */
+  val LineWords = 3
+  val x26LineDedup: QFn = (s, d) => {
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 1)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, (size(w) - 1) DIV $LineWords)")).as("seg"),
+        col("w"))
+      .select(col("doc_id"), col("seg"),
+        expr(PortableHash.hex60(
+          s"concat_ws(' ', slice(w, seg * $LineWords + 1, $LineWords))"))
+          .as("line_h"))
+    val w = Window.partitionBy(col("line_h")).orderBy(col("doc_id"), col("seg"))
+    segs.withColumn("occ", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_lines"))
+      .withColumn("retained_fraction",
+        (col("n_lines") - col("n_dup_lines")).cast("double")
+          / col("n_lines").cast("double"))
+      .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+        col("retained_fraction"))
+      .orderBy(col("doc_id"))
+  }
+  val x26Sql =
+    s"""WITH segs AS (
+       |  SELECT doc_id, seg,
+       |    ${PortableHash.duckHex60(
+               s"array_to_string(list_slice(w, seg * $LineWords + 1, seg * $LineWords + $LineWords), ' ')")} AS line_h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+       |          unnest(range(0, (length(string_split(text, ' ')) - 1) // $LineWords + 1)) AS seg
+       |        FROM documents
+       |        WHERE length(string_split(text, ' ')) >= 1)),
+       |occ AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY line_h ORDER BY doc_id, seg) AS occ
+       |  FROM segs)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       |  (COUNT(*) - SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END))
+       |    / CAST(COUNT(*) AS DOUBLE) AS retained_fraction
+       |FROM occ GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // -- x27: PII scrubbing -------------------------------------------------
+
+  /** x27 — PII detection + redaction (the scrub pass every public-web
+    * corpus runs before training). The synthetic corpus carries no PII,
+    * so fixture prep injects it deterministically (x13's pattern —
+    * every 3rd doc gains an email, every 7th a phone number; both
+    * derivable from doc_id alone, so the oracle re-derives the same
+    * fixture). Detection = regexp count, redaction = global
+    * regexp_replace with typed placeholders; all pure codegen'd column
+    * math, embarrassingly parallel at any scale. The scrubbed text is
+    * reported as md5 so the compared rows stay narrow. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "555-[0-9]{4}"
+  val x27PiiScrub: QFn = (s, d) => {
+    val withPii = Tables.documents(s, d).withColumn("text2",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com for details"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit(""))))
+    withPii
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("text2"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text2"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text2"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(col("scrubbed")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+  val x27Sql =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for details'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+       |      ELSE '' END AS text2
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(length(regexp_extract_all(text2, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(length(regexp_extract_all(text2, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text2, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_md5
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  // -- x28: deterministic train/val/test split ---------------------------
+
+  /** x28 — hash-based train/validation/test assignment: the split must
+    * be a pure function of the stable document id (reproducible across
+    * runs, resilient to corpus reordering/resharding) — never a random()
+    * draw. Portable 60-bit md5 bucket mod 100: <90 train, <95
+    * validation, else test. Pure column math; no shuffle at all. */
+  val x28SplitAssign: QFn = (s, d) => {
+    val bucket =
+      expr(PortableHash.hex60("concat('x28:', CAST(doc_id AS STRING))")) % 100
+    Tables.documents(s, d)
+      .select(col("doc_id"), bucket.cast("long").as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "validation")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+  val x28Sql =
+    s"""SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       |  CASE WHEN bucket < 90 THEN 'train'
+       |       WHEN bucket < 95 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |        ${PortableHash.duckHex60("'x28:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // -- x29: sliding-window chunking --------------------------------------
+
+  /** x29 — overlapping context-window chunking (long-document prep for
+    * a fixed-context model): windows of `ChunkWindow` tokens advancing
+    * by `ChunkStride` (overlap = window - stride), chunk count from
+    * pure integer arithmetic so both engines agree exactly. The chunk
+    * table is explode-generated per doc — map-side only, no shuffle —
+    * which is the 100 TB shape (chunking is embarrassingly parallel;
+    * the follow-on packing is x25's job). */
+  val ChunkWindow = 32
+  val ChunkStride = 24
+  val x29ChunkOverlap: QFn = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= ChunkWindow, 1L).otherwise(
+          expr(s"1L + (n_tokens - $ChunkWindow + $ChunkStride - 1) DIV $ChunkStride")))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_id"),
+        (col("chunk_id") * ChunkStride).as("tok_start"),
+        least(col("chunk_id") * ChunkStride + ChunkWindow, col("n_tokens"))
+          .as("tok_end"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+  val x29Sql =
+    s"""SELECT doc_id, n_tokens, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * $ChunkStride AS BIGINT) AS tok_start,
+       |  CAST(least(chunk_id * $ChunkStride + $ChunkWindow, n_tokens) AS BIGINT) AS tok_end
+       |FROM (
+       |  SELECT doc_id, n_tokens,
+       |    unnest(range(0, CASE WHEN n_tokens <= $ChunkWindow THEN 1
+       |      ELSE 1 + (n_tokens - $ChunkWindow + $ChunkStride - 1) // $ChunkStride END)) AS chunk_id
+       |  FROM (SELECT doc_id,
+       |          CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM documents))
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "x25_pack_sequences" -> x25PackSequences,
+    "x26_line_dedup" -> x26LineDedup,
+    "x27_pii_scrub" -> x27PiiScrub,
+    "x28_split_assign" -> x28SplitAssign,
+    "x29_chunk_overlap" -> x29ChunkOverlap,
     "x21_repetition" -> x21Repetition,
     "x11_token_count" -> x11TokenCount,
     "x17_stratified_sample" -> x17StratifiedSample,
@@ -538,6 +715,10 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "x25_pack_sequences" -> x25Sql,
+    "x26_line_dedup" -> x26Sql,
+    "x27_pii_scrub" -> x27Sql,
+    "x28_split_assign" -> x28Sql,
+    "x29_chunk_overlap" -> x29Sql,
     "x21_repetition" -> x21Sql,
     "x11_token_count" -> x11Sql,
     "x17_stratified_sample" -> x17Sql,

@@ -199,4 +199,100 @@ class ExtSpec extends AnyFunSuite {
     assert(mh.nonEmpty && exact.nonEmpty)
     assert(mh.intersect(exact).size >= math.min(mh.size, exact.size) / 2)
   }
+
+  test("line dedup: span accounting exact, corpus contains real dup spans") {
+    val rows = TextQueries.x26LineDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val nWords = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == nWords.keySet, "every doc gets a row")
+    rows.foreach { case (id, (nLines, nDup, retained)) =>
+      // span count = ceil(words / LineWords), from the explode bound
+      val expected = (nWords(id) - 1) / TextQueries.LineWords + 1
+      assert(nLines == expected, s"doc $id: $nLines lines, want $expected")
+      // a doc may lose every span (C4 drops fully-duplicated docs)
+      assert(nDup >= 0 && nDup <= nLines, s"doc $id dup count out of range")
+      assert(math.abs(retained - (nLines - nDup).toDouble / nLines) < 1e-12)
+    }
+    // the small-vocab corpus must actually exercise the dedup path
+    assert(rows.values.map(_._2).sum > 0, "no duplicate spans found")
+    // first-occurrence rule: total kept lines == distinct line hashes
+    val kept = rows.values.map(v => v._1 - v._2).sum
+    val distinctLines = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        s"transform(sequence(0, (size(w) - 1) DIV ${TextQueries.LineWords}), " +
+          s"i -> concat_ws(' ', slice(w, i * ${TextQueries.LineWords} + 1, ${TextQueries.LineWords})))"))
+        .as("line"))
+      .distinct().count()
+    assert(kept == distinctLines, s"kept $kept != distinct $distinctLines")
+  }
+
+  test("pii scrub: finds exactly the injected pii, placeholders replace it") {
+    val rows = TextQueries.x27PiiScrub(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nEmails, nPhones, _) =>
+      assert(nEmails == (if (id % 3 == 0) 1L else 0L), s"doc $id emails")
+      assert(nPhones == (if (id % 7 == 0) 1L else 0L), s"doc $id phones")
+    }
+    // scrubbed text of a pii doc differs from its un-scrubbed fixture;
+    // a clean doc's scrubbed text is byte-identical to the original
+    val originals = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, _, _, scrubMd5) =>
+      if (id % 3 != 0 && id % 7 != 0)
+        assert(scrubMd5 == originals(id), s"clean doc $id was altered")
+      else assert(scrubMd5 != originals(id), s"pii doc $id unchanged")
+    }
+  }
+
+  test("split assign: deterministic, exhaustive, near the 90/5/5 target") {
+    val rows = TextQueries.x28SplitAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val n = rows.length
+    assert(n > 0)
+    rows.foreach { case (_, bucket, split) =>
+      assert(bucket >= 0 && bucket < 100)
+      val want =
+        if (bucket < 90) "train" else if (bucket < 95) "validation" else "test"
+      assert(split == want)
+    }
+    val frac = rows.groupBy(_._3).view.mapValues(_.size.toDouble / n).toMap
+    assert(math.abs(frac.getOrElse("train", 0.0) - 0.90) < 0.06, frac)
+    assert(math.abs(frac.getOrElse("validation", 0.0) - 0.05) < 0.04, frac)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.05) < 0.04, frac)
+    // pure function of doc_id: a second evaluation is identical
+    val again = TextQueries.x28SplitAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("chunk overlap: windows tile every doc with the configured stride") {
+    val w = TextQueries.ChunkWindow
+    val s2 = TextQueries.ChunkStride
+    val byDoc = TextQueries.x29ChunkOverlap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_._3)
+      val n = sorted.head._2
+      assert(sorted.map(_._3).toSeq == (0L until sorted.length).toSeq,
+        s"doc $id: chunk ids not dense")
+      sorted.foreach { case (_, _, cid, start, end) =>
+        assert(start == cid * s2 && end == math.min(start + w, n))
+        assert(end > start, s"doc $id chunk $cid empty")
+      }
+      // full coverage: last window reaches the end, no window starts past it
+      assert(sorted.last._5 == n, s"doc $id: tail uncovered")
+      assert(sorted.last._4 < n, s"doc $id: chunk starts past end")
+      // overlap contract between consecutive windows (all docs here > w)
+      if (sorted.length > 1)
+        assert(sorted(0)._5 - sorted(1)._4 == (w - s2).toLong)
+    }
+  }
 }
