@@ -12,16 +12,23 @@ import graft.queries.{DedupQueries, Tables, TextQueries}
   *   1. language filter (x9 stopword-profile ID)
   *   2. quality threshold (x10 heuristics)
   *   3. repetition filter (x21 Gopher-style repeated-n-gram rule)
-  *   4. exact dedup (x1 canonical-form content hash)
-  *   5. near-dup clustering (x7 pairs → x16 components), keep the
+  *   4. PII scrub (x27 regex redaction — before any content hashing,
+  *      so downstream fingerprints see the scrubbed text)
+  *   5. line-level dedup (x26 C4 rule: a span that already occurred
+  *      anywhere in the corpus is REMOVED from the document; docs that
+  *      lose every span are dropped)
+  *   6. exact dedup (x1 canonical-form content hash)
+  *   7. near-dup clustering (x7 pairs → x16 components), keep the
   *      cluster-canonical (minimum id) document
-  *   6. decontamination (x20 benchmark n-gram overlap)
-  *   7. per-source stratified sample (x17 ordering key)
+  *   8. decontamination (x20 benchmark n-gram overlap)
+  *   9. per-source stratified sample (x17 ordering key)
+  *  10. train/val/test assignment (x28 hash split — an annotation, the
+  *      one stage that widens the schema, so it runs last)
   *
-  * Each stage is a DataFrame → DataFrame function over the same schema,
-  * so stages compose and any prefix of the pipeline is a valid corpus.
-  * Writes the curated corpus as parquet plus one JSON stats line per
-  * stage (rows in/out) for auditability.
+  * Each filtering/rewriting stage is a DataFrame → DataFrame function
+  * over the same schema, so stages compose and any prefix of the
+  * pipeline is a valid corpus. Writes the curated corpus as parquet
+  * plus one JSON stats line per stage (rows in/out) for auditability.
   *
   * Usage: runMain graft.CorpusPipeline <sfDir> <outDir> [lang] [minQuality] [samplePerSource]
   */
@@ -50,6 +57,49 @@ object CorpusPipeline {
   def decontaminate(s: SparkSession, d: String)(docs: DataFrame): DataFrame =
     docs.join(DedupQueries.x20Decontaminate(s, d).select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
+
+  /** Redact emails/phone numbers in place (x27's regexes). Runs before
+    * any content hashing so fingerprints see the scrubbed text. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      regexp_replace(regexp_replace(col("text"), TextQueries.EmailRe, "<EMAIL>"),
+        TextQueries.PhoneRe, "<PHONE>"))
+
+  /** C4-style line-level dedup over the CURRENT corpus (x26 semantics,
+    * applied): every fixed-width span whose content already occurred at
+    * a smaller (doc_id, position) is removed from the document, the
+    * text is rebuilt from the kept spans, and a doc that loses all its
+    * spans is dropped. One shuffle keyed by the 60-bit span hash, one
+    * by doc_id for the rebuild. */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val L = TextQueries.LineWords
+    val segs = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, (size(w) - 1) DIV $L)")).as("seg"), col("w"))
+      .select(col("doc_id"), col("seg"),
+        expr(s"concat_ws(' ', slice(w, seg * $L + 1, $L))").as("line"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(expr(graft.queries.PortableHash.hex60("line")))
+      .orderBy(col("doc_id"), col("seg"))
+    val rebuilt = segs.withColumn("occ", row_number().over(w))
+      .where(col("occ") === 1)
+      .groupBy("doc_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(seg, line))), x -> x.line), ' ')")
+        .as("_new_text"))
+    docs.join(rebuilt, "doc_id") // inner: fully-duplicated docs drop out
+      .withColumn("text", col("_new_text")).drop("_new_text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** x28's deterministic hash split as a final annotation column. */
+  def splitAssign(docs: DataFrame): DataFrame = {
+    val bucket = expr(graft.queries.PortableHash.hex60(
+      "concat('x28:', CAST(doc_id AS STRING))")) % 100
+    docs.withColumn("split",
+      when(bucket < 90, "train").when(bucket < 95, "validation")
+        .otherwise("test"))
+  }
 
   def exactDedup(docs: DataFrame): DataFrame = {
     val canonical = docs
@@ -84,10 +134,13 @@ object CorpusPipeline {
       "language_filter" -> languageFilter(s, d, lang) _,
       "quality_filter" -> qualityFilter(s, d, minQuality) _,
       "repetition_filter" -> repetitionFilter(s, d, maxFraction = 0.5) _,
+      "pii_scrub" -> (piiScrub _),
+      "line_dedup" -> (lineDedup _),
       "exact_dedup" -> (exactDedup _),
       "near_dup_canonical" -> nearDupCanonical(s, d) _,
       "decontaminate" -> decontaminate(s, d) _,
-      "stratified_sample" -> stratifiedSample(samplePerSource) _)
+      "stratified_sample" -> stratifiedSample(samplePerSource) _,
+      "split_assign" -> (splitAssign _))
     var corpus = Tables.documents(s, d)
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
     stages.foreach { case (name, fn) =>

@@ -588,8 +588,8 @@ object TextQueries {
     * regexp_replace with typed placeholders; all pure codegen'd column
     * math, embarrassingly parallel at any scale. The scrubbed text is
     * reported as md5 so the compared rows stay narrow. */
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val PhoneRe = "555-[0-9]{4}"
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "555-[0-9]{4}"
   val x27PiiScrub: QFn = (s, d) => {
     val withPii = Tables.documents(s, d).withColumn("text2",
       concat(col("text"),

@@ -22,8 +22,9 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val (curated, stats) = CorpusPipeline.run(spark, sf,
       lang = "en", minQuality = 0.2, samplePerSource = 50)
     assert(stats.map(_.stage) == Seq("language_filter", "quality_filter",
-      "repetition_filter", "exact_dedup", "near_dup_canonical",
-      "decontaminate", "stratified_sample"))
+      "repetition_filter", "pii_scrub", "line_dedup", "exact_dedup",
+      "near_dup_canonical", "decontaminate", "stratified_sample",
+      "split_assign"))
     stats.foreach(st => assert(st.rowsOut <= st.rowsIn, st.toString))
     assert(stats.head.rowsIn == 500)
     val out = curated.localCheckpoint(true)
@@ -44,7 +45,37 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val perSource = out.groupBy("source").count().collect()
     assert(perSource.forall(_.getLong(1) <= 50))
 
-    // schema preserved: curated corpus is still a documents table
-    assert(out.columns.toSet == Tables.documents(spark, sf).columns.toSet)
+    // schema preserved: curated corpus is still a documents table, plus
+    // the final split annotation
+    assert(out.columns.toSet ==
+      Tables.documents(spark, sf).columns.toSet + "split")
+    assert(out.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "validation", "test")))
+  }
+
+  test("line dedup stage matches a driver-side first-occurrence replay") {
+    val L = graft.queries.TextQueries.LineWords
+    val input = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // independent replay: walk docs in (doc_id, seg) order, keep a span
+    // only the first time its content appears anywhere in the corpus
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val expected = input.flatMap { case (id, text) =>
+      val kept = text.split(" ").grouped(L)
+        .map(_.mkString(" ")).filter(seen.add).toSeq
+      if (kept.isEmpty) None else Some(id -> kept.mkString(" "))
+    }.toMap
+    val got = CorpusPipeline.lineDedup(Tables.documents(spark, sf))
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (text, nChars)) =>
+      assert(text == expected(id), s"doc $id text diverges")
+      assert(nChars == text.length.toLong, s"doc $id n_chars stale")
+    }
+    val totalSpans = input.map { case (_, t) =>
+      (t.split(" ").length - 1) / L + 1 }.sum
+    assert(seen.size < totalSpans, "fixture exercised no dedup")
   }
 }
