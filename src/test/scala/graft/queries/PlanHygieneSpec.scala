@@ -35,4 +35,30 @@ class PlanHygieneSpec extends AnyFunSuite {
           s"$name plans an unexpected BroadcastNestedLoopJoin")
     }
   }
+
+  // map-side-only curation ops must stay shuffle-free (their 100 TB
+  // contract); the final presentation orderBy is the one allowed
+  // range-partition exchange
+  test("embarrassingly-parallel curation keys plan no data shuffle") {
+    Seq("x27_pii_scrub", "x28_split_assign", "x29_chunk_overlap")
+      .foreach { name =>
+        val plan = graft.SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).toSeq
+        assert(exchanges.forall(_.contains("rangepartitioning")),
+          s"$name shuffles beyond the presentation sort: $exchanges\n$plan")
+      }
+  }
+
+  // x26 is allowed exactly one hash shuffle (the span-hash window) plus
+  // the doc_id aggregation it feeds; scanning only (doc_id, text)
+  test("line dedup reads only the columns it needs") {
+    val plan = graft.SparkEntry.queries("x26_line_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val read = "ReadSchema: [^\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text")
+      && !read.contains("lang") && !read.contains("source")
+      && !read.contains("n_chars"),
+      s"x26 scan not pruned to (doc_id, text): $read")
+  }
 }
