@@ -905,7 +905,76 @@ object DedupQueries {
        |      FROM documents WHERE length(string_split(text, ' ')) >= 2)
        |GROUP BY 1 ORDER BY n DESC, gram LIMIT $VocabTopK""".stripMargin
 
+  // -- x30: LSH-prefiltered near-dup pairs (x8's scale path) -------------
+
+  /** x30 — embedding near-dup pairs with an LSH prefilter: candidates
+    * are pairs whose hyperplane signatures differ in ≤ 1 bit (vector a
+    * in its own bucket joins vector b replicated to its bucket plus the
+    * `LshPlanes` hamming-1 flips), exact-integer cosine rescored, same
+    * threshold as x8. Each qualifying pair matches on EXACTLY one probe
+    * bucket (hamming-0 via b's own bucket, hamming-1 via the single
+    * differing flip), so no dedup pass is needed. Output ⊆ x8's exact
+    * pairs by construction — ExtSpec pins the recall on the high-cosine
+    * planted pairs. The join key is the signature bucket: at 100 TB
+    * this shuffles n·(planes+1) rows by bucket instead of x8's n·B
+    * block replication with per-task O(block²) scoring — the sublinear
+    * recall-for-cost trade every production near-dup pipeline makes. */
+  val x30NeardupLsh: QFn = (s, d) => {
+    import s.implicits._
+    val emb = embRows(Tables.embeddings(s, d))
+      .map { case (id, e) => (id, e, normScaled(e), lshBucketOf(e)) }
+    val own = emb.map { case (id, e, n, b) => (b, id, e, n) }
+      .toDF("bucket", "id_a", "e_a", "n_a")
+    val probes = emb.flatMap { case (id, e, n, b) =>
+      (b +: (0 until LshPlanes).map(p => b ^ (1L << p)))
+        .map(pb => (pb, id, e, n))
+    }.toDF("bucket", "id_b", "e_b", "n_b")
+    own.join(probes, "bucket")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "e_a", "n_a", "id_b", "e_b", "n_b")
+      .as[(Long, Array[Double], Long, Long, Array[Double], Long)]
+      .mapPartitions(_.map { case (ia, ea, na, ib, eb, nb) =>
+        (ia, ib, dotScaled(ea, eb) / (math.sqrt(na) * math.sqrt(nb)))
+      })
+      .toDF("vec_a", "vec_b", "cosine")
+      .where(col("cosine") > 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** DuckDB oracle for x30: x14's literal hyperplane buckets, an
+    * explicit 7-bucket unnest on the probe side, exact-integer cosine. */
+  val x30Sql: String = {
+    def planeDot(p: Int): String = {
+      val arr = "[" + hyperplanes(p).mkString(", ") + "]"
+      s"CAST(list_sum(list_transform(range(1, length(embedding) + 1), " +
+        s"i -> CAST(round(CAST(embedding[i] AS DOUBLE) * ($arr)[i] * 1000000) AS BIGINT))) AS BIGINT)"
+    }
+    val bucketExpr = (0 until LshPlanes).map { p =>
+      s"(CASE WHEN ${planeDot(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString(" | ")
+    val probeList = "[bucket" +
+      (0 until LshPlanes).map(p => s", xor(bucket, ${1L << p})").mkString + "]"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+       |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s,
+       |    $bucketExpr AS bucket
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id, embedding, norm_s, unnest($probeList) AS pb FROM e),
+       |scored AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CAST(list_sum(list_transform(range(1, length(a.embedding) + 1),
+       |      i -> CAST(round(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+       |      / (sqrt(a.norm_s) * sqrt(b.norm_s)) AS cosine
+       |  FROM e a JOIN probes b ON a.bucket = b.pb AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM scored
+       |WHERE cosine > 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "x30_neardup_lsh" -> x30NeardupLsh,
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_minhash" -> x2DedupMinhash,
     "x6_dedup_simhash" -> x6DedupSimhash,
@@ -922,6 +991,7 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x30_neardup_lsh" -> x30Sql,
     "x1_dedup_exact" -> x1Sql,
     "x2_dedup_minhash" -> x2Sql,
     "x6_dedup_simhash" -> x6Sql,
