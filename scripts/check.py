@@ -27,6 +27,11 @@ oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 # filter, a missing output dir is a FAILURE — a query that crashed in
 # Verify must not silently pass the gate.
 ONLY = set(sys.argv[3:])
+# a typo'd key must fail loudly, never produce a "0 ok, 0 failed" green
+unknown = ONLY - set(oracle)
+if unknown:
+    print(f"FAIL: unknown key(s) {sorted(unknown)} — not in oracle_sql.json")
+    sys.exit(1)
 ok = bad = 0
 for name, sql in sorted(oracle.items()):
     if ONLY and name not in ONLY:

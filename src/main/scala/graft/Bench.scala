@@ -31,7 +31,15 @@ object Bench {
     // flatter the total) and reported in the JSON + on stderr
     val selected = // optional args = key filter for local iteration
       if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+      else {
+        // a typo'd key must fail loudly, never print a green 0.0s total
+        val unknown = args.filterNot(SparkEntry.queries.contains)
+        if (unknown.nonEmpty) {
+          System.err.println(s"[bench] unknown key(s): ${unknown.mkString(", ")}")
+          spark.stop(); sys.exit(1)
+        }
+        SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+      }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec =

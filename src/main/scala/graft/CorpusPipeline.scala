@@ -12,8 +12,10 @@ import graft.queries.{DedupQueries, Tables, TextQueries}
   *   1. language filter (x9 stopword-profile ID)
   *   2. quality threshold (x10 heuristics)
   *   3. repetition filter (x21 Gopher-style repeated-n-gram rule)
-  *   4. PII scrub (x27 regex redaction — before any content hashing,
-  *      so downstream fingerprints see the scrubbed text)
+  *   4. PII scrub (x27 regex redaction — before the in-pipeline
+  *      content hashing of stages 5-6; the id-keyed stages 7-8
+  *      deliberately fingerprint the original table text, see
+  *      [[piiScrub]])
   *   5. line-level dedup (x26 C4 rule: a span that already occurred
   *      anywhere in the corpus is REMOVED from the document; docs that
   *      lose every span are dropped)
@@ -53,17 +55,25 @@ object CorpusPipeline {
       .where(col("rep_fraction") > maxFraction).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
-  /** Drop docs overlapping the held-out benchmark set (x20). */
+  /** Drop docs overlapping the held-out benchmark set (x20) — AND the
+    * benchmark stand-in docs themselves (doc_id % DecontamEvery == 0):
+    * the eval suite must never flow into the training corpus, which is
+    * the leakage decontamination exists to prevent. */
   def decontaminate(s: SparkSession, d: String)(docs: DataFrame): DataFrame =
     docs.join(DedupQueries.x20Decontaminate(s, d).select("doc_id").distinct(),
-      Seq("doc_id"), "left_anti")
+        Seq("doc_id"), "left_anti")
+      .where(col("doc_id") % DedupQueries.DecontamEvery =!= 0)
 
-  /** Redact emails/phone numbers in place (x27's regexes). Runs before
-    * any content hashing so fingerprints see the scrubbed text. */
+  /** Redact emails/phone numbers in place (x27's shared scrub
+    * expression). Runs before the in-pipeline content hashing
+    * (line_dedup spans, exact_dedup fingerprints) so those see the
+    * scrubbed text. The id-keyed stages (near_dup_canonical,
+    * decontaminate) intentionally fingerprint the ORIGINAL table text:
+    * near-dup membership must not be created by shared <EMAIL>/<PHONE>
+    * placeholders, and contamination is overlap with what the document
+    * originally said. */
   def piiScrub(docs: DataFrame): DataFrame =
-    docs.withColumn("text",
-      regexp_replace(regexp_replace(col("text"), TextQueries.EmailRe, "<EMAIL>"),
-        TextQueries.PhoneRe, "<PHONE>"))
+    docs.withColumn("text", TextQueries.piiScrubCol(col("text")))
 
   /** C4-style line-level dedup over the CURRENT corpus (x26 semantics,
     * applied): every fixed-width span whose content already occurred at
@@ -92,14 +102,10 @@ object CorpusPipeline {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
-  /** x28's deterministic hash split as a final annotation column. */
-  def splitAssign(docs: DataFrame): DataFrame = {
-    val bucket = expr(graft.queries.PortableHash.hex60(
-      "concat('x28:', CAST(doc_id AS STRING))")) % 100
-    docs.withColumn("split",
-      when(bucket < 90, "train").when(bucket < 95, "validation")
-        .otherwise("test"))
-  }
+  /** x28's deterministic hash split as a final annotation column
+    * (shared expressions — thresholds/salt live in TextQueries). */
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs.withColumn("split", TextQueries.splitNameCol(TextQueries.splitBucketCol))
 
   def exactDedup(docs: DataFrame): DataFrame = {
     val canonical = docs

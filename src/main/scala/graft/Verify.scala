@@ -9,6 +9,9 @@ object Verify {
     // optional 3rd+ args: only run these query keys (local iteration aid;
     // the driver always invokes with exactly two args = full run)
     val only: Set[String] = args.drop(2).toSet
+    // a typo'd key must fail loudly, never dump nothing and look green
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown key(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

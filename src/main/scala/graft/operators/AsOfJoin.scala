@@ -38,6 +38,12 @@ object AsOfJoin {
     require(clash.isEmpty,
       s"as-of right payload columns collide with left columns: " +
         s"${clash.mkString(", ")} — rename one side before joining")
+    // a payload column named matched_<rightTime> would duplicate the
+    // carried time's field inside the version struct (ambiguous struct
+    // field downstream) — fail here with the rename hint instead
+    require(!payloadCols.contains(s"matched_$rightTime"),
+      s"as-of reserves output name matched_$rightTime; rename the " +
+        "right payload column of that name before joining")
     // the union layout reserves three internal names; a left column
     // with one of them would alias-collide deep in the plan (ambiguous
     // reference) instead of failing here with a rename hint

@@ -590,6 +590,12 @@ object TextQueries {
     * reported as md5 so the compared rows stay narrow. */
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "555-[0-9]{4}"
+  /** THE scrub expression — x27 and the pipeline's pii_scrub stage share
+    * it so the pipeline can never desynchronize from the oracle-checked
+    * operator (regex set and replace order live here only). */
+  def piiScrubCol(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
   val x27PiiScrub: QFn = (s, d) => {
     val withPii = Tables.documents(s, d).withColumn("text2",
       concat(col("text"),
@@ -601,9 +607,7 @@ object TextQueries {
             lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
             lit(" today"))).otherwise(lit(""))))
     withPii
-      .withColumn("scrubbed",
-        regexp_replace(regexp_replace(col("text2"), EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>"))
+      .withColumn("scrubbed", piiScrubCol(col("text2")))
       .select(col("doc_id"),
         size(regexp_extract_all(col("text2"), lit(EmailRe), lit(0)))
           .cast("long").as("n_emails"),
@@ -637,13 +641,18 @@ object TextQueries {
     * runs, resilient to corpus reordering/resharding) — never a random()
     * draw. Portable 60-bit md5 bucket mod 100: <90 train, <95
     * validation, else test. Pure column math; no shuffle at all. */
+  /** THE split expressions — x28 and the pipeline's split_assign stage
+    * share them (salt and 90/95 thresholds live here only). */
+  def splitBucketCol: Column =
+    expr(PortableHash.hex60("concat('x28:', CAST(doc_id AS STRING))")) % 100
+  def splitNameCol(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "validation")
+      .otherwise("test")
   val x28SplitAssign: QFn = (s, d) => {
-    val bucket =
-      expr(PortableHash.hex60("concat('x28:', CAST(doc_id AS STRING))")) % 100
+    val bucket = splitBucketCol
     Tables.documents(s, d)
       .select(col("doc_id"), bucket.cast("long").as("bucket"),
-        when(bucket < 90, "train").when(bucket < 95, "validation")
-          .otherwise("test").as("split"))
+        splitNameCol(bucket).as("split"))
       .orderBy(col("doc_id"))
   }
   val x28Sql =

@@ -68,11 +68,13 @@ class ScaleSpec extends AnyFunSuite {
       VisitPipeline.visit(apdb, catalog, id, ts, pointing)
       (System.nanoTime() - t0) / 1e9
     }
-    // drop the JIT-heavy first visits; compare early steady-state vs the
-    // tail with generous slack (CI boxes are noisy — this is a guard
-    // against LINEAR growth, not a microbenchmark)
-    val early = secs.slice(3, 6).sum / 3
-    val late = secs.slice(9, 12).sum / 3
+    // drop the JIT-heavy first visits; compare MEDIANS of the early
+    // steady-state vs the tail window with generous slack — a single GC
+    // pause / co-tenant spike can inflate a 3-sample mean, but not a
+    // 4-sample median (this guards against LINEAR growth, not noise)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val early = median(secs.slice(3, 7))
+    val late = median(secs.slice(8, 12))
     assert(late < early * 2.5,
       f"per-visit cost grew with history: early=$early%.2f late=$late%.2f " +
         s"(all: ${secs.map(s => f"$s%.1f").mkString(", ")})")

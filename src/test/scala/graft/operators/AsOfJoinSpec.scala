@@ -64,6 +64,16 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("payload named matched_<rightTime> fails fast, not ambiguous-field") {
+    import spark.implicits._
+    val versions = Seq((1L, 10L, "x")).toDF("key", "vt", "matched_vt")
+    val probes = Seq((1L, 12L)).toDF("key", "pt")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOf(probes, versions, "key", "pt", "vt")
+    }
+    assert(e.getMessage.contains("matched_vt"))
+  }
+
   test("random instances match a local reference implementation") {
     import spark.implicits._
     val rng = new scala.util.Random(77)
