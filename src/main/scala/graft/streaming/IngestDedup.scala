@@ -31,4 +31,20 @@ object IngestDedup {
     else
       withFp.dropDuplicates("fingerprint")
   }
+
+  /** Streaming curation: the batch CorpusPipeline's stateless stages
+    * (PII scrub, train/val/test assignment) composed around the one
+    * stateful stage (watermark-bounded fingerprint dedup). Scrubbing
+    * happens BEFORE fingerprinting — a stream must dedup on what it
+    * will emit — and the split is x28's pure hash of doc_id, so a doc
+    * lands in the same split whether it arrived via batch or stream.
+    * The stateless stages add no state and no shuffle; the dedup state
+    * stays watermark-bounded exactly as in [[dedupStream]]. */
+  def curateStream(docs: DataFrame, disorderTolerance: String = "10 minutes"): DataFrame = {
+    val scrubbed = docs.withColumn("text",
+      graft.queries.TextQueries.piiScrubCol(col("text")))
+    dedupStream(scrubbed, disorderTolerance)
+      .withColumn("split", graft.queries.TextQueries.splitNameCol(
+        graft.queries.TextQueries.splitBucketCol))
+  }
 }

@@ -59,6 +59,37 @@ class IngestDedupSpec extends AnyFunSuite {
     assert(out.intersect(Set(1L, 2L, 4L)).size == 1)
   }
 
+  test("streaming curation: scrub before fingerprint, stable split") {
+    val dir = Files.createTempDirectory("ingest_curate").toString
+    Files.createDirectories(Paths.get(dir, "in"))
+    // docs 1 and 2 differ ONLY in their PII — identical after scrub, so
+    // dedup-on-emitted-text must collapse them; doc 3 is clean
+    Files.write(Paths.get(dir, "in", "b1.csv"), Seq(
+      csvLine(1, "reach me at alice@example.com please", "2026-03-01 10:00:00"),
+      csvLine(2, "reach me at bob.smith@corp.example.org please", "2026-03-01 10:00:05"),
+      csvLine(3, "no contact info here", "2026-03-01 10:00:10"),
+    ).mkString("\n").getBytes)
+    val q = IngestDedup.curateStream(
+        spark.readStream.schema(schema).csv(s"$dir/in"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curated")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.sql("SELECT doc_id, text, split FROM curated").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length == 2, s"got ${out.toSeq}")
+    // no raw PII in the emitted stream
+    out.foreach { case (_, text, _) => assert(!text.contains("@"), text) }
+    assert(out.exists(_._2.contains("<EMAIL>")))
+    // split agrees with the batch operator's pure-hash assignment
+    import spark.implicits._
+    val batchSplit = out.map(_._1).toSeq.toDF("doc_id")
+      .withColumn("split", graft.queries.TextQueries.splitNameCol(
+        graft.queries.TextQueries.splitBucketCol))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, _, split) => assert(split == batchSplit(id)) }
+  }
+
   test("batch fallback: one row per fingerprint") {
     import spark.implicits._
     val docs = Seq(
