@@ -704,9 +704,64 @@ object TextQueries {
        |        FROM documents))
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // -- x31: repeated-substring detection (unaligned) ---------------------
+
+  /** x31 — unaligned repeated-substring detection (the exact-substring
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): every SLIDING `SubstrWindow`-token
+    * window (all offsets — unlike x26's aligned fixed-width spans, this
+    * catches repeats at any alignment), hashed corpus-wide; a window
+    * occurring more than once anywhere marks its start position as
+    * repeated. Per doc: window count, repeated count, repeat fraction —
+    * the score a substring-dedup pass cuts on. Two shuffles (by window
+    * hash for the corpus-wide count, by doc for the rollup), both on
+    * keys that scale with the corpus; the n_tokens-per-doc row blowup
+    * is the price of unaligned detection (the suffix-array formulation
+    * trades it for a global sort at 100 TB). */
+  val SubstrWindow = 8
+  val x31RepeatedSubstrings: QFn = (s, d) => {
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= SubstrWindow)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(w) - $SubstrWindow)")).as("i"),
+        col("w"))
+      .select(col("doc_id"), col("i"),
+        expr(PortableHash.hex60(
+          s"concat_ws(' ', slice(w, i + 1, $SubstrWindow))")).as("win_h"))
+    val cnt = count(lit(1)).over(Window.partitionBy(col("win_h")))
+    wins.withColumn("cnt", cnt)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("repeat_fraction",
+        col("n_repeated").cast("double") / col("n_windows").cast("double"))
+      .select(col("doc_id"), col("n_windows"), col("n_repeated"),
+        col("repeat_fraction"))
+      .orderBy(col("doc_id"))
+  }
+  val x31Sql =
+    s"""WITH wins AS (
+       |  SELECT doc_id, i,
+       |    ${PortableHash.duckHex60(
+              s"array_to_string(list_slice(w, i + 1, i + $SubstrWindow), ' ')")} AS win_h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+       |          unnest(range(0, length(string_split(text, ' ')) - $SubstrWindow + 1)) AS i
+       |        FROM documents
+       |        WHERE length(string_split(text, ' ')) >= $SubstrWindow)),
+       |c AS (
+       |  SELECT doc_id, COUNT(*) OVER (PARTITION BY win_h) AS cnt FROM wins)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+       |  SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
+       |    / CAST(COUNT(*) AS DOUBLE) AS repeat_fraction
+       |FROM c GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "x25_pack_sequences" -> x25PackSequences,
     "x26_line_dedup" -> x26LineDedup,
+    "x31_repeated_substrings" -> x31RepeatedSubstrings,
     "x27_pii_scrub" -> x27PiiScrub,
     "x28_split_assign" -> x28SplitAssign,
     "x29_chunk_overlap" -> x29ChunkOverlap,
@@ -725,6 +780,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "x25_pack_sequences" -> x25Sql,
     "x26_line_dedup" -> x26Sql,
+    "x31_repeated_substrings" -> x31Sql,
     "x27_pii_scrub" -> x27Sql,
     "x28_split_assign" -> x28Sql,
     "x29_chunk_overlap" -> x29Sql,

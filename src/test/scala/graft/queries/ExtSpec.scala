@@ -252,6 +252,37 @@ class ExtSpec extends AnyFunSuite {
     assert(kept == distinctLines, s"kept $kept != distinct $distinctLines")
   }
 
+  test("repeated substrings: containment dups score 1.0, fractions sane") {
+    val rows = TextQueries.x31RepeatedSubstrings(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (nW, nR, frac)) =>
+      assert(nW > 0 && nR >= 0 && nR <= nW, s"doc $id counts")
+      assert(math.abs(frac - nR.toDouble / nW) < 1e-12, s"doc $id fraction")
+    }
+    // the crisp deterministic anchor: the fixture plants CONTAINMENT
+    // dups (one doc's text verbatim inside another's) — every window of
+    // the contained doc recurs in the container, so its fraction is
+    // exactly 1.0. This is the dup class x1 (exact) and x26 (aligned
+    // spans) both miss, and the reason this operator exists. (The
+    // scattered-substitution NEAR-dups rightly score ~0: edits land
+    // within any 8-token window.)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val contained = texts.filter { case (id, t) =>
+      t.split(" ").length >= TextQueries.SubstrWindow &&
+        texts.exists { case (oid, ot) => oid != id && ot.contains(t) }
+    }.map(_._1)
+    assert(contained.nonEmpty, "fixture has no containment dups")
+    contained.foreach { id =>
+      assert(rows(id)._3 == 1.0, s"contained doc $id fraction ${rows(id)._3}")
+    }
+    // and the corpus-wide signal is not saturated (scores discriminate)
+    assert(rows.values.exists(_._3 == 0.0) || rows.values.map(_._3).min < 0.5,
+      "every doc maximally repeated — window too weak to discriminate")
+  }
+
   test("pii scrub: finds exactly the injected pii, placeholders replace it") {
     val rows = TextQueries.x27PiiScrub(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
