@@ -13,18 +13,21 @@ import graft.queries.{DedupQueries, Tables, TextQueries}
   *   2. quality threshold (x10 heuristics)
   *   3. repetition filter (x21 Gopher-style repeated-n-gram rule)
   *   4. PII scrub (x27 regex redaction — before the in-pipeline
-  *      content hashing of stages 5-6; the id-keyed stages 7-8
+  *      content hashing of stages 5-7; the id-keyed stages 8-9
   *      deliberately fingerprint the original table text, see
   *      [[piiScrub]])
-  *   5. line-level dedup (x26 C4 rule: a span that already occurred
+  *   5. exact dedup (x1 canonical-form content hash — must precede
+  *      substring dedup, see [[substringDedup]])
+  *   6. substring-level dedup (x31 signal: drop docs with no novel
+  *      sliding window — the containment-dup class)
+  *   7. line-level dedup (x26 C4 rule: a span that already occurred
   *      anywhere in the corpus is REMOVED from the document; docs that
   *      lose every span are dropped)
-  *   6. exact dedup (x1 canonical-form content hash)
-  *   7. near-dup clustering (x7 pairs → x16 components), keep the
+  *   8. near-dup clustering (x7 pairs → x16 components), keep the
   *      cluster-canonical (minimum id) document
-  *   8. decontamination (x20 benchmark n-gram overlap)
-  *   9. per-source stratified sample (x17 ordering key)
-  *  10. train/val/test assignment (x28 hash split — an annotation, the
+  *   9. decontamination (x20 benchmark n-gram overlap)
+  *  10. per-source stratified sample (x17 ordering key)
+  *  11. train/val/test assignment (x28 hash split — an annotation, the
   *      one stage that widens the schema, so it runs last)
   *
   * Each filtering/rewriting stage is a DataFrame → DataFrame function
@@ -74,6 +77,34 @@ object CorpusPipeline {
     * originally said. */
   def piiScrub(docs: DataFrame): DataFrame =
     docs.withColumn("text", TextQueries.piiScrubCol(col("text")))
+
+  /** Substring-level dedup over the CURRENT corpus (x31 semantics,
+    * applied): drop every doc with NO novel `SubstrWindow`-token window
+    * — all its sliding windows recur elsewhere in the corpus (the
+    * containment-dup case exact dedup can't see: one doc verbatim
+    * inside another). MUST run after [[exactDedup]] — byte-identical
+    * twins both score 1.0 and would drop together; once they're
+    * collapsed, a surviving 1.0-scorer is strictly contained in (or
+    * assembled from) OTHER docs, so dropping it loses no content. Docs
+    * shorter than one window have no windows and are kept. */
+  def substringDedup(docs: DataFrame): DataFrame = {
+    val K = TextQueries.SubstrWindow
+    val fullyRepeated = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= K)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(w) - $K)")).as("i"), col("w"))
+      .select(col("doc_id"),
+        expr(graft.queries.PortableHash.hex60(
+          s"concat_ws(' ', slice(w, i + 1, $K))")).as("win_h"))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("win_h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("r"))
+      .where(col("r") === col("n"))
+      .select("doc_id")
+    docs.join(fullyRepeated, Seq("doc_id"), "left_anti")
+  }
 
   /** C4-style line-level dedup over the CURRENT corpus (x26 semantics,
     * applied): every fixed-width span whose content already occurred at
@@ -141,8 +172,9 @@ object CorpusPipeline {
       "quality_filter" -> qualityFilter(s, d, minQuality) _,
       "repetition_filter" -> repetitionFilter(s, d, maxFraction = 0.5) _,
       "pii_scrub" -> (piiScrub _),
-      "line_dedup" -> (lineDedup _),
       "exact_dedup" -> (exactDedup _),
+      "substring_dedup" -> (substringDedup _),
+      "line_dedup" -> (lineDedup _),
       "near_dup_canonical" -> nearDupCanonical(s, d) _,
       "decontaminate" -> decontaminate(s, d) _,
       "stratified_sample" -> stratifiedSample(samplePerSource) _,

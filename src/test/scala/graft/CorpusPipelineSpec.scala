@@ -22,9 +22,9 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val (curated, stats) = CorpusPipeline.run(spark, sf,
       lang = "en", minQuality = 0.2, samplePerSource = 50)
     assert(stats.map(_.stage) == Seq("language_filter", "quality_filter",
-      "repetition_filter", "pii_scrub", "line_dedup", "exact_dedup",
-      "near_dup_canonical", "decontaminate", "stratified_sample",
-      "split_assign"))
+      "repetition_filter", "pii_scrub", "exact_dedup", "substring_dedup",
+      "line_dedup", "near_dup_canonical", "decontaminate",
+      "stratified_sample", "split_assign"))
     stats.foreach(st => assert(st.rowsOut <= st.rowsIn, st.toString))
     assert(stats.head.rowsIn == 500)
     val out = curated.localCheckpoint(true)
@@ -51,6 +51,33 @@ class CorpusPipelineSpec extends AnyFunSuite {
       Tables.documents(spark, sf).columns.toSet + "split")
     assert(out.select("split").distinct().collect().map(_.getString(0)).toSet
       .subsetOf(Set("train", "validation", "test")))
+  }
+
+  test("substring dedup drops exactly the no-novel-window docs") {
+    val K = graft.queries.TextQueries.SubstrWindow
+    val input = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // driver replay: corpus-wide window counts, then docs whose every
+    // window occurs more than once
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    val winsOf = input.map { case (id, t) =>
+      val w = t.split(" ")
+      id -> (0 to w.length - K).map(i => w.slice(i, i + K).mkString(" "))
+    }.toMap
+    winsOf.values.flatten.foreach(w => counts(w) = counts.getOrElse(w, 0) + 1)
+    val expectDrop = winsOf.collect {
+      case (id, ws) if ws.nonEmpty && ws.forall(counts(_) > 1) => id
+    }.toSet
+    assert(expectDrop.nonEmpty, "fixture has no containment dups")
+    val kept = CorpusPipeline.substringDedup(Tables.documents(spark, sf))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == input.map(_._1).toSet -- expectDrop)
+    // the containers survive: some doc containing a dropped doc is kept
+    val dropped = expectDrop.map(id => input.find(_._1 == id).get._2)
+    assert(dropped.exists(t => kept.exists(k =>
+      input.find(_._1 == k).get._2.contains(t))),
+      "no container of a dropped doc survived")
   }
 
   test("line dedup stage matches a driver-side first-occurrence replay") {
