@@ -69,8 +69,8 @@ object CorpusPipeline {
 
   /** Redact emails/phone numbers in place (x27's shared scrub
     * expression). Runs before the in-pipeline content hashing
-    * (line_dedup spans, exact_dedup fingerprints) so those see the
-    * scrubbed text. The id-keyed stages (near_dup_canonical,
+    * (exact_dedup fingerprints, substring_dedup windows, line_dedup
+    * spans) so those see the scrubbed text. The id-keyed stages (near_dup_canonical,
     * decontaminate) intentionally fingerprint the ORIGINAL table text:
     * near-dup membership must not be created by shared <EMAIL>/<PHONE>
     * placeholders, and contamination is overlap with what the document
@@ -78,30 +78,28 @@ object CorpusPipeline {
   def piiScrub(docs: DataFrame): DataFrame =
     docs.withColumn("text", TextQueries.piiScrubCol(col("text")))
 
-  /** Substring-level dedup over the CURRENT corpus (x31 semantics,
-    * applied): drop every doc with NO novel `SubstrWindow`-token window
-    * — all its sliding windows recur elsewhere in the corpus (the
-    * containment-dup case exact dedup can't see: one doc verbatim
-    * inside another). MUST run after [[exactDedup]] — byte-identical
-    * twins both score 1.0 and would drop together; once they're
-    * collapsed, a surviving 1.0-scorer is strictly contained in (or
-    * assembled from) OTHER docs, so dropping it loses no content. Docs
-    * shorter than one window have no windows and are kept. */
+  /** Substring-level dedup over the CURRENT corpus (the x31 signal,
+    * applied with CROSS-DOC counting): drop every doc whose every
+    * sliding window also occurs in some OTHER doc — the containment-dup
+    * case exact dedup can't see (one doc verbatim inside another).
+    * Cross-doc, not x31's any-repeat counting: an internally-periodic
+    * doc (a phrase repeated back-to-back) repeats all its own windows
+    * but may be the corpus's only copy of that content — dropping it
+    * would lose content, so internal repeats alone never drop a doc
+    * (that shape is x21's to score, x31's to report). MUST still run
+    * after [[exactDedup]]: byte-identical twins each make the other's
+    * windows "cross-doc repeated" and would drop together; once
+    * they're collapsed, a dropped doc's every window survives in a
+    * different kept doc. Docs shorter than one window are kept. */
   def substringDedup(docs: DataFrame): DataFrame = {
-    val K = TextQueries.SubstrWindow
-    val fullyRepeated = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .where(size(col("w")) >= K)
-      .select(col("doc_id"),
-        explode(expr(s"sequence(0, size(w) - $K)")).as("i"), col("w"))
-      .select(col("doc_id"),
-        expr(graft.queries.PortableHash.hex60(
-          s"concat_ws(' ', slice(w, i + 1, $K))")).as("win_h"))
-      .withColumn("cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("win_h"))))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("r"))
-      .where(col("r") === col("n"))
+    val docWins = TextQueries.slidingWindows(docs)
+      .select("doc_id", "win_h").distinct()
+    val crossCnt = docWins.groupBy("win_h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val fullyRepeated = docWins.join(crossCnt, "win_h")
+      .groupBy("doc_id")
+      .agg(min(when(col("n_docs") > 1, 1L).otherwise(0L)).as("all_cross"))
+      .where(col("all_cross") === 1L)
       .select("doc_id")
     docs.join(fullyRepeated, Seq("doc_id"), "left_anti")
   }

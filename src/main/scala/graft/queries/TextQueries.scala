@@ -719,9 +719,11 @@ object TextQueries {
     * is the price of unaligned detection (the suffix-array formulation
     * trades it for a global sort at 100 TB). */
   val SubstrWindow = 8
-  val x31RepeatedSubstrings: QFn = (s, d) => {
-    val wins = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+  /** THE sliding-window projection — x31 and the pipeline's
+    * substring_dedup stage share it (tokenization, window size, hash
+    * live here only). Output: (doc_id, i, win_h) per window start. */
+  def slidingWindows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= SubstrWindow)
       .select(col("doc_id"),
         explode(expr(s"sequence(0, size(w) - $SubstrWindow)")).as("i"),
@@ -729,6 +731,8 @@ object TextQueries {
       .select(col("doc_id"), col("i"),
         expr(PortableHash.hex60(
           s"concat_ws(' ', slice(w, i + 1, $SubstrWindow))")).as("win_h"))
+  val x31RepeatedSubstrings: QFn = (s, d) => {
+    val wins = slidingWindows(Tables.documents(s, d))
     val cnt = count(lit(1)).over(Window.partitionBy(col("win_h")))
     wins.withColumn("cnt", cnt)
       .groupBy(col("doc_id"))

@@ -40,11 +40,7 @@ object IngestDedup {
     * lands in the same split whether it arrived via batch or stream.
     * The stateless stages add no state and no shuffle; the dedup state
     * stays watermark-bounded exactly as in [[dedupStream]]. */
-  def curateStream(docs: DataFrame, disorderTolerance: String = "10 minutes"): DataFrame = {
-    val scrubbed = docs.withColumn("text",
-      graft.queries.TextQueries.piiScrubCol(col("text")))
-    dedupStream(scrubbed, disorderTolerance)
-      .withColumn("split", graft.queries.TextQueries.splitNameCol(
-        graft.queries.TextQueries.splitBucketCol))
-  }
+  def curateStream(docs: DataFrame, disorderTolerance: String = "10 minutes"): DataFrame =
+    graft.CorpusPipeline.splitAssign(
+      dedupStream(graft.CorpusPipeline.piiScrub(docs), disorderTolerance))
 }

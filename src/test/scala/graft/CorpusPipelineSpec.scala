@@ -58,16 +58,19 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val input = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    // driver replay: corpus-wide window counts, then docs whose every
-    // window occurs more than once
-    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    // driver replay: CROSS-DOC window counts (distinct docs per window
+    // content), then docs whose every window occurs in another doc too
+    // — internal back-to-back repeats alone must never drop a doc
+    val docsPerWin = scala.collection.mutable.HashMap.empty[String, Set[Long]]
     val winsOf = input.map { case (id, t) =>
       val w = t.split(" ")
       id -> (0 to w.length - K).map(i => w.slice(i, i + K).mkString(" "))
     }.toMap
-    winsOf.values.flatten.foreach(w => counts(w) = counts.getOrElse(w, 0) + 1)
+    winsOf.foreach { case (id, ws) =>
+      ws.foreach(w => docsPerWin(w) = docsPerWin.getOrElse(w, Set.empty) + id)
+    }
     val expectDrop = winsOf.collect {
-      case (id, ws) if ws.nonEmpty && ws.forall(counts(_) > 1) => id
+      case (id, ws) if ws.nonEmpty && ws.forall(docsPerWin(_).size > 1) => id
     }.toSet
     assert(expectDrop.nonEmpty, "fixture has no containment dups")
     val kept = CorpusPipeline.substringDedup(Tables.documents(spark, sf))
@@ -78,6 +81,22 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(dropped.exists(t => kept.exists(k =>
       input.find(_._1 == k).get._2.contains(t))),
       "no container of a dropped doc survived")
+  }
+
+  test("substring dedup keeps a unique internally-periodic doc") {
+    import spark.implicits._
+    // sole copy of its content: a phrase repeated back-to-back repeats
+    // every one of its own windows, but no OTHER doc has them — cross-doc
+    // counting must keep it (any-repeat counting would drop it)
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, (phrase + " ") * 3 + phrase, "en", "srcA", 0L),
+      (2L, "completely different words in this other document here now",
+        "en", "srcA", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = CorpusPipeline.substringDedup(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"periodic doc dropped: kept $kept")
   }
 
   test("line dedup stage matches a driver-side first-occurrence replay") {
