@@ -762,10 +762,89 @@ object TextQueries {
        |FROM c GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // -- x32: weighted sampling (Efraimidis-Spirakis) ----------------------
+
+  /** x32 — deterministic weighted sampling per source: k docs drawn
+    * with probability proportional to length (the Efraimidis-Spirakis
+    * A-Res rule — rank by ln(u)/w with u a seeded per-doc uniform,
+    * equivalent to u^(1/w) — the distributed-friendly form of weighted
+    * reservoir sampling: one shuffle by stratum, per-partition top-k).
+    * u derives from the portable 60-bit hash, so the draw is
+    * reproducible and auditable; the ln() rank is rounded to 6 decimals
+    * (x4's precedent) so both engines order identically, with doc_id
+    * breaking rounded ties. */
+  val WeightedPerSource = 20
+  val x32WeightedSample: QFn = (s, d) => {
+    val u = (expr(PortableHash.hex60("concat('x32:', CAST(doc_id AS STRING))"))
+      % 1000000L + 1L) / lit(1000000.0)
+    val key = round(log(u) / col("n_chars").cast("double"), 6)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(key.desc, col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("sample_key", key)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= WeightedPerSource)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_chars").as("weight"), col("sample_key"))
+      .orderBy(col("source"), col("rank"))
+  }
+  val x32Sql =
+    s"""SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  n_chars AS weight, sample_key
+       |FROM (
+       |  SELECT source, doc_id, n_chars, sample_key,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY sample_key DESC, doc_id) AS rank
+       |  FROM (SELECT source, doc_id, n_chars,
+       |          round(ln((${PortableHash.duckHex60(
+                    "'x32:' || CAST(doc_id AS VARCHAR)")} % 1000000 + 1)
+       |              / 1000000.0) / CAST(n_chars AS DOUBLE), 6) AS sample_key
+       |        FROM documents))
+       |WHERE rank <= $WeightedPerSource
+       |ORDER BY source, rank""".stripMargin
+
+  // -- x33: token-budget selection ---------------------------------------
+
+  /** x33 — greedy data selection under a token budget: per source, docs
+    * are taken longest-first (n_chars DESC, doc_id tiebreak — integer
+    * ordering, no float risk) while the running token total stays
+    * within `TokenBudget`; a doc that would overflow the budget is
+    * skipped, as are all after it (prefix rule, not knapsack — the
+    * auditable greedy every data-mixing recipe actually ships). One
+    * window prefix-sum per source; scales as one shuffle by stratum. */
+  val TokenBudget = 800L
+  val x33BudgetSelect: QFn = (s, d) => {
+    val order = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(order))
+      .where(col("cum_tokens") <= TokenBudget)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+  val x33Sql =
+    s"""SELECT source, doc_id, n_tokens, cum_tokens
+       |FROM (
+       |  SELECT source, doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM (SELECT source, doc_id, n_chars,
+       |          CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM documents))
+       |WHERE cum_tokens <= $TokenBudget
+       |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "x25_pack_sequences" -> x25PackSequences,
     "x26_line_dedup" -> x26LineDedup,
     "x31_repeated_substrings" -> x31RepeatedSubstrings,
+    "x32_weighted_sample" -> x32WeightedSample,
+    "x33_budget_select" -> x33BudgetSelect,
     "x27_pii_scrub" -> x27PiiScrub,
     "x28_split_assign" -> x28SplitAssign,
     "x29_chunk_overlap" -> x29ChunkOverlap,
@@ -785,6 +864,8 @@ object TextQueries {
     "x25_pack_sequences" -> x25Sql,
     "x26_line_dedup" -> x26Sql,
     "x31_repeated_substrings" -> x31Sql,
+    "x32_weighted_sample" -> x32Sql,
+    "x33_budget_select" -> x33Sql,
     "x27_pii_scrub" -> x27Sql,
     "x28_split_assign" -> x28Sql,
     "x29_chunk_overlap" -> x29Sql,

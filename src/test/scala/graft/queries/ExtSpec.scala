@@ -324,6 +324,55 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("weighted sample: length-biased draw, dense ranks, replayable keys") {
+    val rows = TextQueries.x32WeightedSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"$src ranks not dense")
+      assert(rs.length <= TextQueries.WeightedPerSource)
+    }
+    // Efraimidis-Spirakis biases toward heavy docs: the sampled mean
+    // weight must exceed the corpus mean (deterministic on this fixture)
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).collect().head.getDouble(0)
+    val sampleMean = rows.map(_._4).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"no length bias: sample $sampleMean vs corpus $corpusMean")
+    // keys replay exactly: round(ln(u)/w, 6) from the portable hash
+    val keyOf = Tables.documents(spark, sf).select(col("doc_id"),
+        round(log((expr(graft.queries.PortableHash.hex60(
+          "concat('x32:', CAST(doc_id AS STRING))")) % 1000000L + 1L)
+          / lit(1000000.0)) / col("n_chars").cast("double"), 6))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (_, _, id, _, key) => assert(key == keyOf(id)) }
+  }
+
+  test("budget select: exactly the longest-first greedy prefix per source") {
+    val budget = TextQueries.TokenBudget
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = docs.groupBy(_._1).iterator.flatMap { case (_, ds) =>
+      var cum = 0L
+      // longest-first; a doc that would overflow stops the prefix
+      ds.sortBy(d => (-d._3, d._2)).takeWhile { d =>
+        cum += d._4; cum <= budget
+      }.map(_._2)
+    }.toSet
+    val got = TextQueries.x33BudgetSelect(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.map(_._1).toSet == expected, "selected set diverges")
+    got.foreach { case (id, cum) =>
+      assert(cum <= budget, s"doc $id cum $cum over budget")
+    }
+    // the budget binds: not everything is selected
+    assert(got.length < docs.length, "budget never binds on this fixture")
+  }
+
   test("chunk overlap: windows tile every doc with the configured stride") {
     val w = TextQueries.ChunkWindow
     val s2 = TextQueries.ChunkStride
