@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Tables, TextQueries}
+
+/** Corpus-curation soak: replicate the documents table N× (doc_id
+  * offset per copy — every copy is a byte-identical twin of the
+  * original, deliberately stressing the dedup family with a corpus
+  * that is ~(N-1)/N duplicates) and time the content-hashing stages
+  * plus the full pipeline. The curation analog of the ApSim visit
+  * soaks: evidence that the per-stage shuffles stay key-bounded as the
+  * corpus grows, not a correctness gate (the oracle keys are that).
+  *
+  * Usage: runMain graft.CorpusSoak <sfDir> [factor]
+  * Prints one JSON line per timed phase.
+  */
+object CorpusSoak {
+
+  def replicate(spark: SparkSession, d: String, factor: Int): DataFrame = {
+    val base = Tables.documents(spark, d)
+    val n = base.agg(max(col("doc_id"))).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      base.withColumn("doc_id", col("doc_id") + lit(k * n))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: CorpusSoak <sfDir> [factor]")
+    val sfDir = args(0)
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val corpus = replicate(spark, sfDir, factor).localCheckpoint(true)
+    val nDocs = corpus.count()
+    println(s"""{"phase":"replicate","docs":$nDocs,"factor":$factor}""")
+
+    def timed(phase: String)(body: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = body.localCheckpoint(true)
+      val rows = out.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"phase":"$phase","rows":$rows,"sec":$sec%.2f}""")
+      out
+    }
+    // the content-hashing stages CHAINED in pipeline order — substring
+    // dedup is only content-safe after identical twins collapse (its
+    // doc contract), and each stage sees the previous stage's output
+    // exactly as CorpusPipeline.run would feed it
+    val afterExact = timed("exact_dedup")(CorpusPipeline.exactDedup(corpus))
+    val afterSub = timed("substring_dedup")(
+      CorpusPipeline.substringDedup(afterExact))
+    timed("line_dedup")(CorpusPipeline.lineDedup(afterSub))
+    // sliding-window scoring over the FULL Nx corpus (the
+    // n_tokens-per-doc row blowup is the stress here)
+    val t0 = System.nanoTime()
+    val repeated = TextQueries.slidingWindows(corpus)
+      .groupBy("win_h").count().where(col("count") > 1).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"phase":"repeated_substrings","rows":$repeated,"sec":$sec%.2f}""")
+    spark.stop()
+  }
+}
