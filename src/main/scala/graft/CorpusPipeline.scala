@@ -25,9 +25,11 @@ import graft.queries.{DedupQueries, Tables, TextQueries}
   *      lose every span are dropped)
   *   8. near-dup clustering (x7 pairs → x16 components), keep the
   *      cluster-canonical (minimum id) document
-  *   9. decontamination (x20 benchmark n-gram overlap)
-  *  10. per-source stratified sample (x17 ordering key)
-  *  11. train/val/test assignment (x28 hash split — an annotation, the
+  *   9. semantic dedup (x30 embedding-LSH pairs → star-contraction
+  *      components; vec_id is 1:1 with doc_id), keep the canonical
+  *  10. decontamination (x20 benchmark n-gram overlap)
+  *  11. per-source stratified sample (x17 ordering key)
+  *  12. train/val/test assignment (x28 hash split — an annotation, the
   *      one stage that widens the schema, so it runs last)
   *
   * Each filtering/rewriting stage is a DataFrame → DataFrame function
@@ -57,6 +59,22 @@ object CorpusPipeline {
     docs.join(TextQueries.x21Repetition(s, d)
       .where(col("rep_fraction") > maxFraction).select("doc_id"),
       Seq("doc_id"), "left_anti")
+
+  /** Drop non-canonical members of embedding-similarity clusters: x30's
+    * LSH-prefiltered cosine pairs (vec_id is 1:1 with doc_id in the
+    * corpus) labeled by skew-robust star contraction; the minimum-id
+    * member of each semantic cluster survives. Id-keyed like
+    * [[nearDupCanonical]]: similarity is computed over the full
+    * embedding collection and joined by id, so text rewrites upstream
+    * don't change membership (an embedding describes the original
+    * document). */
+  def semanticDedup(s: SparkSession, d: String)(docs: DataFrame): DataFrame = {
+    val pairs = DedupQueries.x30NeardupLsh(s, d).select("vec_a", "vec_b")
+    val drop = graft.operators.ConnectedComponents.starContract(s, pairs)
+      .where(col("node") =!= col("root"))
+      .select(col("node").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
 
   /** Drop docs overlapping the held-out benchmark set (x20) — AND the
     * benchmark stand-in docs themselves (doc_id % DecontamEvery == 0):
@@ -174,6 +192,7 @@ object CorpusPipeline {
       "substring_dedup" -> (substringDedup _),
       "line_dedup" -> (lineDedup _),
       "near_dup_canonical" -> nearDupCanonical(s, d) _,
+      "semantic_dedup" -> semanticDedup(s, d) _,
       "decontaminate" -> decontaminate(s, d) _,
       "stratified_sample" -> stratifiedSample(samplePerSource) _,
       "split_assign" -> (splitAssign _))

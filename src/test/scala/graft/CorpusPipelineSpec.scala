@@ -23,7 +23,7 @@ class CorpusPipelineSpec extends AnyFunSuite {
       lang = "en", minQuality = 0.2, samplePerSource = 50)
     assert(stats.map(_.stage) == Seq("language_filter", "quality_filter",
       "repetition_filter", "pii_scrub", "exact_dedup", "substring_dedup",
-      "line_dedup", "near_dup_canonical", "decontaminate",
+      "line_dedup", "near_dup_canonical", "semantic_dedup", "decontaminate",
       "stratified_sample", "split_assign"))
     stats.foreach(st => assert(st.rowsOut <= st.rowsIn, st.toString))
     assert(stats.head.rowsIn == 500)
@@ -40,6 +40,13 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val nonCanonical = DedupQueries.x16DupClusters(spark, sf)
       .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
     assert(out.join(nonCanonical, "doc_id").isEmpty)
+
+    // no non-canonical semantic (embedding) cluster member survives
+    val semNonCanonical = graft.operators.ConnectedComponents.starContract(
+        spark, DedupQueries.x30NeardupLsh(spark, sf).select("vec_a", "vec_b"))
+      .where(col("node") =!= col("root"))
+      .select(col("node").as("doc_id"))
+    assert(out.join(semNonCanonical, "doc_id").isEmpty)
 
     // sample bound respected per source
     val perSource = out.groupBy("source").count().collect()
