@@ -26,7 +26,9 @@ import graft.queries.{DedupQueries, Tables, TextQueries}
   *   8. near-dup clustering (x7 pairs → x16 components), keep the
   *      cluster-canonical (minimum id) document
   *   9. semantic dedup (x30 embedding-LSH pairs → star-contraction
-  *      components; vec_id is 1:1 with doc_id), keep the canonical
+  *      components; vec_id keys to doc_id for the embedded subset of
+  *      the corpus — docs without an embedding pass through), keep
+  *      the canonical
   *  10. decontamination (x20 benchmark n-gram overlap)
   *  11. per-source stratified sample (x17 ordering key)
   *  12. train/val/test assignment (x28 hash split — an annotation, the
@@ -61,13 +63,17 @@ object CorpusPipeline {
       Seq("doc_id"), "left_anti")
 
   /** Drop non-canonical members of embedding-similarity clusters: x30's
-    * LSH-prefiltered cosine pairs (vec_id is 1:1 with doc_id in the
-    * corpus) labeled by skew-robust star contraction; the minimum-id
-    * member of each semantic cluster survives. Id-keyed like
-    * [[nearDupCanonical]]: similarity is computed over the full
-    * embedding collection and joined by id, so text rewrites upstream
-    * don't change membership (an embedding describes the original
-    * document). */
+    * LSH-prefiltered cosine pairs (vec_id keys to doc_id) labeled by
+    * skew-robust star contraction; the minimum-id member of each
+    * semantic cluster survives. COVERAGE = the embedded subset of the
+    * corpus: at SFs where embeddings are fewer than documents (e.g.
+    * sf0.1: 2 000 vectors vs 5 000 docs), docs without an embedding are
+    * never semantic-dedup candidates and pass through unchanged — the
+    * usual production situation where only part of a corpus is
+    * embedded. Id-keyed like [[nearDupCanonical]]: similarity is
+    * computed over the full embedding collection and joined by id, so
+    * text rewrites upstream don't change membership (an embedding
+    * describes the original document). */
   def semanticDedup(s: SparkSession, d: String)(docs: DataFrame): DataFrame = {
     val pairs = DedupQueries.x30NeardupLsh(s, d).select("vec_a", "vec_b")
     val drop = graft.operators.ConnectedComponents.starContract(s, pairs)

@@ -30,6 +30,7 @@ object CorpusSoak {
     require(args.nonEmpty, "usage: CorpusSoak <sfDir> [factor]")
     val sfDir = args(0)
     val factor = if (args.length > 1) args(1).toInt else 10
+    require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -44,12 +45,13 @@ object CorpusSoak {
     val nDocs = corpus.count()
     println(s"""{"phase":"replicate","docs":$nDocs,"factor":$factor}""")
 
+    def report(phase: String, rows: Long, t0: Long): Unit =
+      println(f"""{"phase":"$phase","rows":$rows,"sec":${
+        (System.nanoTime() - t0) / 1e9}%.2f}""")
     def timed(phase: String)(body: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       val out = body.localCheckpoint(true)
-      val rows = out.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"phase":"$phase","rows":$rows,"sec":$sec%.2f}""")
+      report(phase, out.count(), t0)
       out
     }
     // the content-hashing stages CHAINED in pipeline order — substring
@@ -65,8 +67,7 @@ object CorpusSoak {
     val t0 = System.nanoTime()
     val repeated = TextQueries.slidingWindows(corpus)
       .groupBy("win_h").count().where(col("count") > 1).count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"phase":"repeated_substrings","rows":$repeated,"sec":$sec%.2f}""")
+    report("repeated_substrings", repeated, t0)
     spark.stop()
   }
 }

@@ -41,12 +41,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
     assert(out.join(nonCanonical, "doc_id").isEmpty)
 
-    // no non-canonical semantic (embedding) cluster member survives
-    val semNonCanonical = graft.operators.ConnectedComponents.starContract(
-        spark, DedupQueries.x30NeardupLsh(spark, sf).select("vec_a", "vec_b"))
-      .where(col("node") =!= col("root"))
-      .select(col("node").as("doc_id"))
-    assert(out.join(semNonCanonical, "doc_id").isEmpty)
+    // no non-canonical semantic (embedding) cluster member survives —
+    // clusters re-derived INDEPENDENTLY by driver-side union-find over
+    // the pair list (not by replaying the stage's starContract call)
+    val semPairs = DedupQueries.x30NeardupLsh(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    semPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = semPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val semDrop = members.filter(m => find(m) != m).toSet
+    assert(semDrop.nonEmpty, "fixture has no semantic clusters")
+    val survivors = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(semDrop).isEmpty,
+      s"non-canonical semantic members survived: ${survivors.intersect(semDrop)}")
 
     // sample bound respected per source
     val perSource = out.groupBy("source").count().collect()
