@@ -50,6 +50,26 @@ class PlanHygieneSpec extends AnyFunSuite {
       }
   }
 
+  // shuffle budgets: the dedup-scoring keys pay exactly two hash
+  // exchanges (content-hash window + doc rollup), the stratum-window
+  // keys exactly one (partitionBy source); one range exchange each for
+  // the presentation sort. More = a silent extra shuffle crept in.
+  test("curation keys keep their exact shuffle budgets") {
+    val budgets = Map(
+      "x26_line_dedup" -> 2, "x31_repeated_substrings" -> 2,
+      "x17_stratified_sample" -> 1, "x32_weighted_sample" -> 1,
+      "x33_budget_select" -> 1)
+    budgets.foreach { case (name, hashBudget) =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+      val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).size
+      assert(hashEx == hashBudget,
+        s"$name plans $hashEx hash exchanges, budget $hashBudget:\n$plan")
+      assert(rangeEx <= 1, s"$name plans $rangeEx range exchanges")
+    }
+  }
+
   // x26 is allowed exactly one hash shuffle (the span-hash window) plus
   // the doc_id aggregation it feeds; scanning only (doc_id, text)
   test("line dedup reads only the columns it needs") {
