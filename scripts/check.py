@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 scripts/check.py [outDir] [sfDir]
+Usage: python3 scripts/check.py [outDir] [sfDir] [key ...]
 Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` was already run.
+Trailing key arguments restrict the compare to those oracle keys (pass
+the SAME keys to Verify); unknown keys fail loudly.
 
 For each query parquet in outDir, runs the matching oracle SQL from
 oracle_sql.json in DuckDB (views registered per table name over the sfDir

@@ -16,19 +16,20 @@ import graft.queries.{DedupQueries, Tables, TextQueries}
   *      content hashing of stages 5-7; the id-keyed stages 8-9
   *      deliberately fingerprint the original table text, see
   *      [[piiScrub]])
-  *   5. exact dedup (x1 canonical-form content hash — must precede
-  *      substring dedup, see [[substringDedup]])
-  *   6. substring-level dedup (x31 signal: drop docs with no novel
-  *      sliding window — the containment-dup class)
+  *   5. exact dedup (x1 canonical-form content hash)
+  *   6. substring-level dedup (x31 signal, max-owner rule: drop docs
+  *      whose every sliding window occurs in a larger-id doc — the
+  *      containment-dup class — provably without content loss, see
+  *      [[substringDedup]])
   *   7. line-level dedup (x26 C4 rule: a span that already occurred
   *      anywhere in the corpus is REMOVED from the document; docs that
   *      lose every span are dropped)
-  *   8. near-dup clustering (x7 pairs → x16 components), keep the
-  *      cluster-canonical (minimum id) document
+  *   8. near-dup clustering (x7 pairs → x16 components), keep each
+  *      cluster's minimum SURVIVING member
   *   9. semantic dedup (x30 embedding-LSH pairs → star-contraction
   *      components; vec_id keys to doc_id for the embedded subset of
   *      the corpus — docs without an embedding pass through), keep
-  *      the canonical
+  *      each cluster's minimum surviving member
   *  10. decontamination (x20 benchmark n-gram overlap)
   *  11. per-source stratified sample (x17 ordering key)
   *  12. train/val/test assignment (x28 hash split — an annotation, the
@@ -64,8 +65,8 @@ object CorpusPipeline {
 
   /** Drop non-canonical members of embedding-similarity clusters: x30's
     * LSH-prefiltered cosine pairs (vec_id keys to doc_id) labeled by
-    * skew-robust star contraction; the minimum-id member of each
-    * semantic cluster survives. COVERAGE = the embedded subset of the
+    * skew-robust star contraction; each semantic cluster keeps its
+    * minimum SURVIVING member. COVERAGE = the embedded subset of the
     * corpus: at SFs where embeddings are fewer than documents (e.g.
     * sf0.1: 2 000 vectors vs 5 000 docs), docs without an embedding are
     * never semantic-dedup candidates and pass through unchanged — the
@@ -74,11 +75,26 @@ object CorpusPipeline {
     * computed over the full embedding collection and joined by id, so
     * text rewrites upstream don't change membership (an embedding
     * describes the original document). */
-  def semanticDedup(s: SparkSession, d: String)(docs: DataFrame): DataFrame = {
-    val pairs = DedupQueries.x30NeardupLsh(s, d).select("vec_a", "vec_b")
-    val drop = graft.operators.ConnectedComponents.starContract(s, pairs)
-      .where(col("node") =!= col("root"))
-      .select(col("node").as("doc_id"))
+  def semanticDedup(s: SparkSession, d: String)(docs: DataFrame): DataFrame =
+    dropNonCanonicalSurvivors(docs,
+      graft.operators.ConnectedComponents.starContract(s,
+          DedupQueries.x30NeardupLsh(s, d).select("vec_a", "vec_b"))
+        .select(col("node").as("doc_id"), col("root").as("cluster_id")))
+
+  /** Keep each cluster's minimum SURVIVING member. The naive rule
+    * (drop every node ≠ cluster root) loses content when the root was
+    * already removed by an earlier stage — the cluster would then keep
+    * NO representative. Re-canonicalizing among the members still
+    * present guarantees every cluster that reaches this stage keeps
+    * exactly one doc. `labels`: (doc_id, cluster_id). */
+  private def dropNonCanonicalSurvivors(docs: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val surviving = labels.join(docs.select("doc_id"), "doc_id")
+    val keep = surviving.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("keep_id"))
+    val drop = surviving.join(keep, "cluster_id")
+      .where(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
@@ -103,46 +119,54 @@ object CorpusPipeline {
     docs.withColumn("text", TextQueries.piiScrubCol(col("text")))
 
   /** Substring-level dedup over the CURRENT corpus (the x31 signal,
-    * applied with CROSS-DOC counting): drop every doc whose every
-    * sliding window also occurs in some OTHER doc — the containment-dup
-    * case exact dedup can't see (one doc verbatim inside another).
-    * Cross-doc, not x31's any-repeat counting: an internally-periodic
-    * doc (a phrase repeated back-to-back) repeats all its own windows
-    * but may be the corpus's only copy of that content — dropping it
-    * would lose content, so internal repeats alone never drop a doc
-    * (that shape is x21's to score, x31's to report). MUST still run
-    * after [[exactDedup]]: byte-identical twins each make the other's
-    * windows "cross-doc repeated" and would drop together; once
-    * they're collapsed, a dropped doc's every window survives in a
-    * different kept doc. Docs shorter than one window are kept. */
+    * applied): drop every doc whose EVERY sliding window also occurs
+    * in some LARGER-id doc — the containment-dup case exact dedup
+    * can't see (one doc verbatim inside another).
+    *
+    * The max-owner rule is what makes the stage content-safe with no
+    * ordering prerequisite: if doc D is dropped, each of its windows
+    * occurs in a strictly larger doc; if that doc was dropped too, the
+    * window occurs in a still-larger one — ids are finite, so every
+    * window of every dropped doc survives in a kept doc. This handles
+    * the cases the naive "occurs in any OTHER doc" rule destroys:
+    * byte-identical twins (the larger-id twin survives), mutual
+    * containment (P×3 vs P×2 — the larger-id member survives), and a
+    * unique internally-periodic doc (its own windows have max owner =
+    * itself → kept). The trade: a dup whose container has a SMALLER id
+    * is conservatively kept (false keep, never false drop).
+    * [[exactDedup]] still runs first as the cheaper pass. The join key
+    * carries the window TEXT alongside its 60-bit hash — the hash
+    * bounds shuffle fan-out, the text makes a hash collision harmless
+    * (at 10^12 windows, 2^60 collisions are expected; they must not
+    * delete unrelated content). Docs shorter than one window are
+    * kept. */
   def substringDedup(docs: DataFrame): DataFrame = {
     val docWins = TextQueries.slidingWindows(docs)
-      .select("doc_id", "win_h").distinct()
-    val crossCnt = docWins.groupBy("win_h")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    val fullyRepeated = docWins.join(crossCnt, "win_h")
+      .select("doc_id", "win_h", "win").distinct()
+    val owners = docWins.groupBy("win_h", "win")
+      .agg(max(col("doc_id")).as("max_owner"))
+    val covered = docWins.join(owners, Seq("win_h", "win"))
       .groupBy("doc_id")
-      .agg(min(when(col("n_docs") > 1, 1L).otherwise(0L)).as("all_cross"))
-      .where(col("all_cross") === 1L)
+      .agg(min(when(col("max_owner") > col("doc_id"), 1L).otherwise(0L))
+        .as("all_later"))
+      .where(col("all_later") === 1L)
       .select("doc_id")
-    docs.join(fullyRepeated, Seq("doc_id"), "left_anti")
+    docs.join(covered, Seq("doc_id"), "left_anti")
   }
 
   /** C4-style line-level dedup over the CURRENT corpus (x26 semantics,
     * applied): every fixed-width span whose content already occurred at
     * a smaller (doc_id, position) is removed from the document, the
     * text is rebuilt from the kept spans, and a doc that loses all its
-    * spans is dropped. One shuffle keyed by the 60-bit span hash, one
-    * by doc_id for the rebuild. */
+    * spans is dropped. One shuffle keyed by (60-bit span hash, span
+    * text) — the hash bounds shuffle fan-out, the text makes a hash
+    * collision harmless (a destructive stage must never delete on hash
+    * equality alone) — then one by doc_id for the rebuild. Span
+    * segmentation is shared with x26 ([[TextQueries.segmentSpans]]). */
   def lineDedup(docs: DataFrame): DataFrame = {
-    val L = TextQueries.LineWords
-    val segs = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"),
-        explode(expr(s"sequence(0, (size(w) - 1) DIV $L)")).as("seg"), col("w"))
-      .select(col("doc_id"), col("seg"),
-        expr(s"concat_ws(' ', slice(w, seg * $L + 1, $L))").as("line"))
+    val segs = TextQueries.segmentSpans(docs)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(expr(graft.queries.PortableHash.hex60("line")))
+      .partitionBy(col("line_h"), col("line"))
       .orderBy(col("doc_id"), col("seg"))
     val rebuilt = segs.withColumn("occ", row_number().over(w))
       .where(col("occ") === 1)
@@ -168,14 +192,12 @@ object CorpusPipeline {
     docs.join(canonical, "doc_id")
   }
 
-  def nearDupCanonical(s: SparkSession, d: String)(docs: DataFrame): DataFrame = {
-    // x16 clusters over the full corpus; drop every non-canonical member
-    // that survived to this stage
-    val dropIds = DedupQueries.x16DupClusters(s, d)
-      .where(col("doc_id") =!= col("cluster_id"))
-      .select("doc_id")
-    docs.join(dropIds, Seq("doc_id"), "left_anti")
-  }
+  def nearDupCanonical(s: SparkSession, d: String)(docs: DataFrame): DataFrame =
+    // x16 clusters over the full corpus; keep each cluster's minimum
+    // member still present (see dropNonCanonicalSurvivors — the global
+    // canonical may have been dropped by an earlier stage)
+    dropNonCanonicalSurvivors(docs,
+      DedupQueries.x16DupClusters(s, d).select("doc_id", "cluster_id"))
 
   def stratifiedSample(perSource: Int)(docs: DataFrame): DataFrame = {
     val key = expr(graft.queries.PortableHash.hex60(

@@ -20,7 +20,9 @@ object CorpusSoak {
 
   def replicate(spark: SparkSession, d: String, factor: Int): DataFrame = {
     val base = Tables.documents(spark, d)
-    val n = base.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val maxId = base.agg(max(col("doc_id"))).head
+    require(!maxId.isNullAt(0), s"documents table at $d is empty")
+    val n = maxId.getLong(0) + 1
     (0 until factor).map { k =>
       base.withColumn("doc_id", col("doc_id") + lit(k * n))
     }.reduce(_ unionByName _)

@@ -443,6 +443,12 @@ object DedupQueries {
     }
     require(changed == 0,
       s"x16 label propagation did not converge in $iter rounds")
+    clusterPresentation(labels)
+  }
+
+  /** Shared (doc_id, cluster_id) → (+cluster_size, ordered) postlude of
+    * x16/x22 — one copy, since both keys share the x16 oracle. */
+  private def clusterPresentation(labels: org.apache.spark.sql.DataFrame) = {
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
@@ -459,14 +465,9 @@ object DedupQueries {
     * O(diameter) rounds). Identical labeling ⇒ shares the x16 oracle. */
   val x22DupClustersStar: QFn = (s, d) => {
     val pairs = x7Pairs(s, d).select(col("doc_a"), col("doc_b"))
-    val labels = graft.operators.ConnectedComponents
+    clusterPresentation(graft.operators.ConnectedComponents
       .starContract(s, pairs)
-      .select(col("node").as("doc_id"), col("root").as("cluster_id"))
-    val sizes = labels.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
+      .select(col("node").as("doc_id"), col("root").as("cluster_id")))
   }
 
   val x16Sql: String =

@@ -180,10 +180,13 @@ object GeoQueries {
       .map { case ((lo, hi), i) => (i.toLong, lo, hi) }
   private val htmPix = HtmPixelization(4)
   private val q3cPix = Q3cPixelization(4)
-  val j3RangeJoinHtm: QFn = rangeJoinFn(schemeRanges(htmPix), htmPix.totalPixels)
-  val j3HtmSql = rangeJoinSql(schemeRanges(htmPix), htmPix.totalPixels)
-  val j3RangeJoinQ3c: QFn = rangeJoinFn(schemeRanges(q3cPix), q3cPix.totalPixels)
-  val j3Q3cSql = rangeJoinSql(schemeRanges(q3cPix), q3cPix.totalPixels)
+  // envelope traversals computed once per scheme, shared by query + SQL
+  private val htmRows = schemeRanges(htmPix)
+  private val q3cRows = schemeRanges(q3cPix)
+  val j3RangeJoinHtm: QFn = rangeJoinFn(htmRows, htmPix.totalPixels)
+  val j3HtmSql = rangeJoinSql(htmRows, htmPix.totalPixels)
+  val j3RangeJoinQ3c: QFn = rangeJoinFn(q3cRows, q3cPix.totalPixels)
+  val j3Q3cSql = rangeJoinSql(q3cRows, q3cPix.totalPixels)
 
   /** J4 — tile×pixel overlap counts (`part_sim.py:100-122`): how many
     * tiles (ranges) cover each pixel. */

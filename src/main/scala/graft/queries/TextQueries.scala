@@ -534,17 +534,23 @@ object TextQueries {
     * hash keys keep the shuffle narrow and collisions are handled by
     * the same first-occurrence rule. */
   val LineWords = 3
-  val x26LineDedup: QFn = (s, d) => {
-    val segs = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+  /** THE span segmentation — x26 and the pipeline's line_dedup stage
+    * share it (span width, slicing, hash live here only). Output:
+    * (doc_id, seg, line, line_h); consumers that only need the hash
+    * let Catalyst prune the text column away. */
+  def segmentSpans(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 1)
       .select(col("doc_id"),
         explode(expr(s"sequence(0, (size(w) - 1) DIV $LineWords)")).as("seg"),
         col("w"))
       .select(col("doc_id"), col("seg"),
-        expr(PortableHash.hex60(
-          s"concat_ws(' ', slice(w, seg * $LineWords + 1, $LineWords))"))
-          .as("line_h"))
+        expr(s"concat_ws(' ', slice(w, seg * $LineWords + 1, $LineWords))")
+          .as("line"))
+      .withColumn("line_h", expr(PortableHash.hex60("line")))
+  val x26LineDedup: QFn = (s, d) => {
+    val segs = segmentSpans(Tables.documents(s, d))
+      .select("doc_id", "seg", "line_h")
     val w = Window.partitionBy(col("line_h")).orderBy(col("doc_id"), col("seg"))
     segs.withColumn("occ", row_number().over(w))
       .groupBy(col("doc_id"))
@@ -729,8 +735,8 @@ object TextQueries {
         explode(expr(s"sequence(0, size(w) - $SubstrWindow)")).as("i"),
         col("w"))
       .select(col("doc_id"), col("i"),
-        expr(PortableHash.hex60(
-          s"concat_ws(' ', slice(w, i + 1, $SubstrWindow))")).as("win_h"))
+        expr(s"concat_ws(' ', slice(w, i + 1, $SubstrWindow))").as("win"))
+      .withColumn("win_h", expr(PortableHash.hex60("win")))
   val x31RepeatedSubstrings: QFn = (s, d) => {
     val wins = slidingWindows(Tables.documents(s, d))
     val cnt = count(lit(1)).over(Window.partitionBy(col("win_h")))

@@ -36,14 +36,21 @@ class CorpusPipelineSpec extends AnyFunSuite {
       md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))).count()
     assert(fps.where(col("count") > 1).isEmpty)
 
-    // no non-canonical near-dup cluster member survives
-    val nonCanonical = DedupQueries.x16DupClusters(spark, sf)
-      .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
-    assert(out.join(nonCanonical, "doc_id").isEmpty)
+    // at most ONE member of each text near-dup cluster survives (the
+    // stage keeps each cluster's minimum surviving member — a globally
+    // non-canonical member may legitimately survive when the canonical
+    // was dropped by an earlier stage, but never two from one cluster)
+    val survivors = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val textClusters = DedupQueries.x16DupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    textClusters.groupBy(_._2).foreach { case (cid, members) =>
+      val alive = members.map(_._1).filter(survivors)
+      assert(alive.length <= 1, s"text cluster $cid kept ${alive.toSeq}")
+    }
 
-    // no non-canonical semantic (embedding) cluster member survives —
-    // clusters re-derived INDEPENDENTLY by driver-side union-find over
-    // the pair list (not by replaying the stage's starContract call)
+    // same for semantic (embedding) clusters — re-derived INDEPENDENTLY
+    // by driver-side union-find over the pair list (not by replaying
+    // the stage's starContract call)
     val semPairs = DedupQueries.x30NeardupLsh(spark, sf)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -57,11 +64,11 @@ class CorpusPipelineSpec extends AnyFunSuite {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val members = semPairs.flatMap(p => Seq(p._1, p._2)).distinct
-    val semDrop = members.filter(m => find(m) != m).toSet
-    assert(semDrop.nonEmpty, "fixture has no semantic clusters")
-    val survivors = out.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(survivors.intersect(semDrop).isEmpty,
-      s"non-canonical semantic members survived: ${survivors.intersect(semDrop)}")
+    assert(members.nonEmpty, "fixture has no semantic clusters")
+    members.groupBy(find).foreach { case (root, ms) =>
+      val alive = ms.filter(survivors)
+      assert(alive.length <= 1, s"semantic cluster $root kept ${alive.toSeq}")
+    }
 
     // sample bound respected per source
     val perSource = out.groupBy("source").count().collect()
@@ -80,19 +87,20 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val input = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    // driver replay: CROSS-DOC window counts (distinct docs per window
-    // content), then docs whose every window occurs in another doc too
-    // — internal back-to-back repeats alone must never drop a doc
-    val docsPerWin = scala.collection.mutable.HashMap.empty[String, Set[Long]]
+    // driver replay of the max-owner rule: a doc is dropped iff every
+    // one of its windows also occurs in a LARGER-id doc (internal
+    // repeats alone never drop; the largest member of any mutual-cover
+    // group survives)
+    val maxOwner = scala.collection.mutable.HashMap.empty[String, Long]
     val winsOf = input.map { case (id, t) =>
       val w = t.split(" ")
       id -> (0 to w.length - K).map(i => w.slice(i, i + K).mkString(" "))
     }.toMap
     winsOf.foreach { case (id, ws) =>
-      ws.foreach(w => docsPerWin(w) = docsPerWin.getOrElse(w, Set.empty) + id)
+      ws.foreach(w => maxOwner(w) = math.max(maxOwner.getOrElse(w, id), id))
     }
     val expectDrop = winsOf.collect {
-      case (id, ws) if ws.nonEmpty && ws.forall(docsPerWin(_).size > 1) => id
+      case (id, ws) if ws.nonEmpty && ws.forall(maxOwner(_) > id) => id
     }.toSet
     assert(expectDrop.nonEmpty, "fixture has no containment dups")
     val kept = CorpusPipeline.substringDedup(Tables.documents(spark, sf))
@@ -108,8 +116,8 @@ class CorpusPipelineSpec extends AnyFunSuite {
   test("substring dedup keeps a unique internally-periodic doc") {
     import spark.implicits._
     // sole copy of its content: a phrase repeated back-to-back repeats
-    // every one of its own windows, but no OTHER doc has them — cross-doc
-    // counting must keep it (any-repeat counting would drop it)
+    // every one of its own windows, but no OTHER doc has them — the
+    // max-owner rule keeps it (any-repeat counting would drop it)
     val phrase = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
       (1L, (phrase + " ") * 3 + phrase, "en", "srcA", 0L),
@@ -119,6 +127,26 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val kept = CorpusPipeline.substringDedup(docs)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L), s"periodic doc dropped: kept $kept")
+  }
+
+  test("substring dedup never loses a mutual-containment group entirely") {
+    import spark.implicits._
+    // P x 3 and P x 2 cover each other's every window (periodicity), are
+    // not byte-identical, and are the corpus's only copies of P — the
+    // max-owner rule keeps the larger-id member and drops the other;
+    // the naive any-other-doc rule would drop BOTH and lose P forever
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, (p + " ") * 2 + p, "en", "srcA", 0L), // P x 3
+      (2L, p + " " + p, "en", "srcA", 0L),       // P x 2
+      (3L, "completely different words in this other document here now",
+        "en", "srcA", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = CorpusPipeline.substringDedup(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(3L))
+    assert(kept.intersect(Set(1L, 2L)) == Set(2L),
+      s"mutual group mishandled: kept $kept (want P x 2, the max id)")
   }
 
   test("line dedup stage matches a driver-side first-occurrence replay") {
