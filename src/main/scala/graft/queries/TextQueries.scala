@@ -231,11 +231,15 @@ object TextQueries {
     * `frame` = mean byte value per fixed 64-byte frame ("frame-sample").
     * Frame means are exact in IEEE doubles on both engines (integer-valued
     * partial sums < 2^53, then one division). */
-  /** Every 5th doc carries a REAL 8×8 grayscale PNG payload (encoded via
-    * the JDK's `javax.imageio` from a deterministic pixel formula over
-    * the doc's bytes); the rest carry the raw utf8 bytes. */
+  /** Every 5th doc carries a REAL 8×8 grayscale PNG payload (encoded
+    * via the JDK's `javax.imageio`), every 7th (non-5th) a REAL WAV
+    * payload (8-bit PCM via `javax.sound.sampled`) — both built from a
+    * deterministic byte formula over the doc's bytes; the rest carry
+    * the raw utf8 bytes. */
   private val PngEvery = 5
   private val PngDim = 8
+  private val WavEvery = 7
+  private val WavSamples = PngDim * PngDim // same 64-value stream shape
   // in-memory image streams: the default disk-backed ImageIO cache
   // would create+delete a temp file per document in the hot kernel
   private val imageIoNoCache: Unit = javax.imageio.ImageIO.setUseCache(false)
@@ -259,6 +263,24 @@ object TextQueries {
     Array.tabulate(img.getWidth * img.getHeight)(i =>
       raster.getSample(i % img.getWidth, i / img.getWidth, 0))
   }
+  // real AUDIO codec via the JDK's built-in javax.sound.sampled WAV
+  // support (like PNG via javax.imageio — no external libs): 8-bit
+  // unsigned PCM mono, so decoded sample bytes round-trip exactly
+  private[queries] def encodeWav(samples: Array[Int]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples.map(_.toByte)),
+      fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+  private[queries] def decodeWav(bytes: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    ais.readAllBytes().map(_ & 0xff)
+  }
 
   val x13MultimodalFeatures: QFn = (s, d) => {
     import s.implicits._
@@ -273,10 +295,14 @@ object TextQueries {
         it.map { case (id, text, source) =>
           val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           // empty docs fall back to utf8 (no pixels to derive — and the
-          // oracle's i % length(text) has the same degenerate case)
+          // oracle's i % length(text) has the same degenerate case).
+          // Every 5th doc: real PNG; every 7th (not 5th): real WAV —
+          // both built from the same deterministic byte-i-mod-n stream
           val (payload, codec) =
             if (id % PngEvery == 0 && tb.nonEmpty)
               (encodePng(pngPixelsOf(tb)), "png")
+            else if (id % WavEvery == 0 && tb.nonEmpty)
+              (encodeWav(pngPixelsOf(tb)), "wav")
             else (tb, "utf8")
           (id, payload, codec, payload.length.toLong, source)
         }
@@ -291,11 +317,14 @@ object TextQueries {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes, codec) =>
           // decode: PNG payloads go through the real javax.imageio
-          // reader to pixel samples; other codecs fall back to the raw
-          // byte stream (the container has no JPEG/audio codecs — PNG is
-          // the one the JDK decodes natively)
+          // reader to pixel samples, WAV through the real
+          // javax.sound.sampled reader to PCM samples; other codecs
+          // fall back to the raw byte stream (JPEG/video would need
+          // libs this container lacks — PNG and WAV are what the JDK
+          // decodes natively)
           val stream: Array[Int] = codec match {
             case "png" => decodePng(bytes)
+            case "wav" => decodeWav(bytes)
             case _ => bytes.map(_ & 0xff)
           }
           val n = stream.length.toLong
@@ -330,14 +359,17 @@ object TextQueries {
     s"""WITH base AS (
       |  SELECT doc_id, text,
       |    CASE WHEN doc_id % $PngEvery = 0 AND length(text) > 0
-      |         THEN 'png' ELSE 'utf8' END AS codec,
-      |    CAST(CASE WHEN doc_id % $PngEvery = 0 AND length(text) > 0
+      |         THEN 'png'
+      |         WHEN doc_id % $WavEvery = 0 AND length(text) > 0
+      |         THEN 'wav' ELSE 'utf8' END AS codec,
+      |    CAST(CASE WHEN (doc_id % $PngEvery = 0 OR doc_id % $WavEvery = 0)
+      |              AND length(text) > 0
       |         THEN ${PngDim * PngDim}
       |         ELSE length(text) END AS BIGINT) AS n_bytes
       |  FROM documents
       |), bv AS (
       |  SELECT doc_id, i,
-      |    CASE WHEN codec = 'png'
+      |    CASE WHEN codec IN ('png', 'wav')
       |      THEN ord(substr(text, CAST(i % length(text) + 1 AS INTEGER), 1))
       |      ELSE ord(substr(text, CAST(i + 1 AS INTEGER), 1)) END AS b
       |  FROM (SELECT doc_id, text, codec,

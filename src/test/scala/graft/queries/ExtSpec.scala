@@ -152,6 +152,22 @@ class ExtSpec extends AnyFunSuite {
       assert(frames.head.getDouble(5) == expected,
         s"doc $id frame mean not derived from decoded pixels")
     }
+    // WAV round-trip: 8-bit PCM encode -> decode is the identity
+    assert(TextQueries.decodeWav(TextQueries.encodeWav(pixels))
+      .sameElements(pixels))
+    // wav-codec docs (every 7th, non-5th) report decoded PCM samples
+    val wavRows = out.filter(r => r.getString(r.fieldIndex("codec")) == "wav")
+    assert(wavRows.nonEmpty)
+    assert(wavRows.forall(_.getLong(2) == 64L), "wav n_bytes = sample count")
+    wavRows.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      assert(id % 7 == 0 && id % 5 != 0)
+      val frames = rows.filter(_.getString(3) == "frame")
+      assert(frames.length == 1)
+      val tb = docs(id).getBytes("UTF-8")
+      val expected = TextQueries.pngPixelsOf(tb).map(_.toDouble).sum / 64.0
+      assert(frames.head.getDouble(5) == expected,
+        s"doc $id frame mean not derived from decoded samples")
+    }
   }
 
   test("IVF ANN probes return real neighbors with brute-force overlap") {
