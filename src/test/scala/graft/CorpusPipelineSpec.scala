@@ -149,6 +149,44 @@ class CorpusPipelineSpec extends AnyFunSuite {
       s"mutual group mishandled: kept $kept (want P x 2, the max id)")
   }
 
+  test("substring dedup property: no window content is ever lost") {
+    import spark.implicits._
+    // randomized corpora (seeded) with planted dup shapes — identical
+    // twins, containment, periodicity — must NEVER lose a window: every
+    // K-window of every input doc still occurs in some kept doc (the
+    // max-owner rule's induction guarantee)
+    val K = graft.queries.TextQueries.SubstrWindow
+    val rng = new scala.util.Random(2026)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (1 to 5).foreach { trial =>
+      def words(n: Int) =
+        Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      val base = (0 until 10).map(i => (i.toLong, words(6 + rng.nextInt(20))))
+      val planted = Seq(
+        (100L, base(0)._2),                      // identical twin
+        (101L, base(1)._2 + " " + base(2)._2),   // container of two docs
+        (102L, { val p = words(K); (p + " ") * 2 + p }), // periodic
+      )
+      val all = base ++ planted
+      val docs = all.map { case (id, t) => (id, t, "en", "s", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val keptWins = CorpusPipeline.substringDedup(docs)
+        .select("text").collect().map(_.getString(0))
+        .flatMap { t =>
+          val w = t.split(" ")
+          (0 to w.length - K).map(i => w.slice(i, i + K).mkString(" "))
+        }.toSet
+      all.foreach { case (id, t) =>
+        val w = t.split(" ")
+        (0 to w.length - K).foreach { i =>
+          val win = w.slice(i, i + K).mkString(" ")
+          assert(keptWins.contains(win),
+            s"trial $trial: window of doc $id lost: '$win'")
+        }
+      }
+    }
+  }
+
   test("line dedup stage matches a driver-side first-occurrence replay") {
     val L = graft.queries.TextQueries.LineWords
     val input = Tables.documents(spark, sf)
