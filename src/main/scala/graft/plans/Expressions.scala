@@ -90,6 +90,54 @@ case class RegionContainsExpr(regionStr: String, left: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel for [[DotScaledExpr]] — operates on Catalyst
+  * ArrayData directly so generated code makes ONE static call per row
+  * (no per-row array copy into JVM objects). */
+object VectorKernel {
+  def dotScaled(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val v = a.getDouble(i) * b.getDouble(i) * 1000000d
+      // half-away-from-zero, the SQL round() rule (Math.round is half-up)
+      s += (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+      i += 1
+    }
+    s
+  }
+}
+
+/** `dot_scaled(a, b)` — THE exact-integer scaled dot product of the
+  * engine (Σ round(aᵢ·bᵢ·1e6) as a long; summation-order-independent,
+  * so every engine computes the identical value — the property all
+  * embedding oracles rely on). A native codegen'd expression: the
+  * Catalyst-preferred form of the same arithmetic the Dataset kernels
+  * ([[graft.queries.DedupQueries.dotScaled]]) use on the block-GEMM
+  * paths where rows are already primitive arrays. Array elements must
+  * be non-null doubles (cast the float embedding column first). */
+case class DotScaledExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "dot_scaled"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.dotScaled(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.VectorKernel.dotScaled($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SpatialFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -109,4 +157,8 @@ object SpatialFunctions {
     column(PixelIndexXyzExpr(expression(x.cast("double")),
       expression(y.cast("double")), expression(z.cast("double")),
       mode, level))
+
+  def dot_scaled(a: Column, b: Column): Column =
+    column(DotScaledExpr(expression(a.cast("array<double>")),
+      expression(b.cast("array<double>"))))
 }

@@ -159,6 +159,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "region_contains(regionLiteral, ra, dec)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_scaled"),
+      new ExpressionInfo(classOf[DotScaledExpr].getName, "dot_scaled"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotScaledExpr(
+          Cast(a, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+          Cast(b, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))
+        case _ => throw new IllegalArgumentException("dot_scaled(a, b)")
+      }))
     ext.injectOptimizerRule(_ => PixelPruneRule)
   }
 }

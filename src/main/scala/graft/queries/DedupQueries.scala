@@ -493,7 +493,7 @@ object DedupQueries {
     * arrays — the same arithmetic the SQL oracles express with
     * list_transform/list_sum, but ~100× faster than Catalyst's
     * interpreted higher-order functions on big pair sets. */
-  private[queries] def dotScaled(a: Array[Double], b: Array[Double]): Long = {
+  private[graft] def dotScaled(a: Array[Double], b: Array[Double]): Long = {
     var s = 0L; var i = 0
     while (i < a.length) {
       val v = a(i) * b(i) * 1000000d
@@ -921,23 +921,31 @@ object DedupQueries {
     * block replication with per-task O(block²) scoring — the sublinear
     * recall-for-cost trade every production near-dup pipeline makes. */
   val x30NeardupLsh: QFn = (s, d) => {
-    import s.implicits._
-    val emb = embRows(Tables.embeddings(s, d))
-      .map { case (id, e) => (id, e, normScaled(e), lshBucketOf(e)) }
-    val own = emb.map { case (id, e, n, b) => (b, id, e, n) }
-      .toDF("bucket", "id_a", "e_a", "n_a")
-    val probes = emb.flatMap { case (id, e, n, b) =>
-      (b +: (0 until LshPlanes).map(p => b ^ (1L << p)))
-        .map(pb => (pb, id, e, n))
-    }.toDF("bucket", "id_b", "e_b", "n_b")
+    import graft.plans.SpatialFunctions.dot_scaled
+    // fully columnar — the scaled dots (norms, plane signs, pair
+    // rescoring) are the native codegen'd dot_scaled expression, so the
+    // whole pipeline stays inside whole-stage codegen: no Dataset
+    // round-trip, no kernel deserialization
+    val planeCols = hyperplanes.map(p => typedLit(p.toSeq))
+    val bucketCol = (0 until LshPlanes).map { p =>
+      when(dot_scaled(col("e"), planeCols(p)) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("n", dot_scaled(col("e"), col("e")))
+      .withColumn("bucket", bucketCol)
+    val own = e.select(col("bucket"), col("vec_id").as("id_a"),
+      col("e").as("e_a"), col("n").as("n_a"))
+    val probeBuckets = array(col("bucket") +:
+      (0 until LshPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val probes = e.select(explode(probeBuckets).as("bucket"),
+      col("vec_id").as("id_b"), col("e").as("e_b"), col("n").as("n_b"))
     own.join(probes, "bucket")
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "e_a", "n_a", "id_b", "e_b", "n_b")
-      .as[(Long, Array[Double], Long, Long, Array[Double], Long)]
-      .mapPartitions(_.map { case (ia, ea, na, ib, eb, nb) =>
-        (ia, ib, dotScaled(ea, eb) / (math.sqrt(na) * math.sqrt(nb)))
-      })
-      .toDF("vec_a", "vec_b", "cosine")
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+        (dot_scaled(col("e_a"), col("e_b"))
+          / (sqrt(col("n_a")) * sqrt(col("n_b")))).as("cosine"))
       .where(col("cosine") > 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -45,6 +45,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.where(col("pid2") =!= col("pixelId")).count() == 0)
   }
 
+  test("dot_scaled expression matches the Scala kernel, via column + SQL") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian()),
+        Array.fill(64)(rng.nextGaussian()))
+    }
+    val df = rows.toDF("id", "a", "b")
+    // column API (codegen'd expression) vs the Dataset kernels' math
+    val got = df.select(col("id"),
+        SpatialFunctions.dot_scaled(col("a"), col("b")).as("dot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      assert(got(id) == graft.queries.DedupQueries.dotScaled(a, b),
+        s"row $id diverges from the kernel")
+    }
+    // SQL surface (injected function) computes the same values
+    df.createOrReplaceTempView("vecs")
+    val sqlGot = spark.sql("SELECT id, dot_scaled(a, b) AS dot FROM vecs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlGot == got)
+    // float input path: cast matches the double path on float-exact data
+    val f = Seq((1L, Array(0.5f, -1.25f, 2.0f), Array(4.0f, 0.25f, -0.5f)))
+      .toDF("id", "a", "b")
+    assert(f.select(SpatialFunctions.dot_scaled(col("a"), col("b")))
+      .head.getLong(0) ==
+      graft.queries.DedupQueries.dotScaled(
+        Array(0.5, -1.25, 2.0), Array(4.0, 0.25, -0.5)))
+  }
+
   test("region_contains expression matches kernel semantics") {
     val df = spark.read.parquet(objectsPath)
     val got = df.where(SpatialFunctions.region_contains(region, col("ra"), col("dec")))
