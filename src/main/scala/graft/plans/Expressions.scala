@@ -161,4 +161,8 @@ object SpatialFunctions {
   def dot_scaled(a: Column, b: Column): Column =
     column(DotScaledExpr(expression(a.cast("array<double>")),
       expression(b.cast("array<double>"))))
+
+  def z_interleave(x: Column, y: Column): Column =
+    column(ZInterleaveExpr(expression(x.cast("long")),
+      expression(y.cast("long"))))
 }

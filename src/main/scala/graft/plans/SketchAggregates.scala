@@ -1,0 +1,199 @@
+package graft.plans
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{BloomFilterAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded-memory mergeable sketches as native Catalyst aggregates
+  * (SURVEY §4 "avoid UDFs on hot paths"): heavy-hitters and broadcast
+  * membership run as first-class aggregate expressions, so partial
+  * aggregation (map-side combine) and whole-stage codegen around them
+  * come for free — the shape a 100 TB frequency/membership pass needs
+  * (a plain groupBy over an unbounded key domain would shuffle the
+  * whole corpus; the sketch shuffles `capacity` rows per partition).
+  */
+
+/** SpaceSaving (Metwally et al.) heavy-hitters summary. Stored items
+  * carry (countUpperBound, error); any unstored item's true count is
+  * ≤ min stored count. When `capacity` ≥ the number of distinct items
+  * no eviction ever happens and every count is EXACT with error 0 —
+  * the property the oracle key relies on at test scale, while the same
+  * plan at 100 TB degrades gracefully to ±n/capacity bounds instead of
+  * OOMing. */
+final class SpaceSavingSummary(val capacity: Int) {
+  /** item → (count upper bound, overestimation error) */
+  val items: mutable.HashMap[UTF8String, (Long, Long)] = mutable.HashMap.empty
+
+  private def minCount: Long =
+    if (items.isEmpty) 0L else items.valuesIterator.map(_._1).min
+
+  /** Standard SpaceSaving update: hit → increment; miss with room →
+    * insert; miss at capacity → evict the min-count item and inherit
+    * its count as the new item's error bound. */
+  def add(item: UTF8String, inc: Long): Unit = {
+    items.get(item) match {
+      case Some((c, e)) => items.update(item, (c + inc, e))
+      case None if items.size < capacity => items.update(item, (inc, 0L))
+      case None =>
+        // O(capacity) eviction scan: fine for the capacities this engine
+        // uses (≤ 64k) because evictions only happen once the summary is
+        // full; a Stream-Summary bucket list is the constant-time upgrade.
+        val (evictItem, (evictCount, _)) = items.minBy(_._2._1)
+        items.remove(evictItem)
+        items.update(item, (evictCount + inc, evictCount))
+    }
+  }
+
+  /** Mergeable-summaries union (Agarwal et al.): an item absent from a
+    * FULL side may have been evicted there, so that side contributes its
+    * min count as both count and error; absent from a non-full side
+    * means truly unseen (contributes 0). Keep the top `capacity` by
+    * merged count. */
+  def mergeIn(other: SpaceSavingSummary): Unit = {
+    val selfFloor = if (items.size >= capacity) minCount else 0L
+    val otherFloor = if (other.items.size >= other.capacity) {
+      if (other.items.isEmpty) 0L else other.items.valuesIterator.map(_._1).min
+    } else 0L
+    val union = mutable.HashMap.empty[UTF8String, (Long, Long)]
+    for ((k, (c, e)) <- items) {
+      val (oc, oe) = other.items.getOrElse(k, (otherFloor, otherFloor))
+      union.update(k, (c + oc, e + oe))
+    }
+    for ((k, (c, e)) <- other.items if !items.contains(k)) {
+      union.update(k, (c + selfFloor, e + selfFloor))
+    }
+    items.clear()
+    if (union.size <= capacity) items ++= union
+    else {
+      // deterministic survivor set: count desc, then item asc
+      val kept = union.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
+      items ++= kept
+    }
+  }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(capacity)
+    out.writeInt(items.size)
+    for ((k, (c, e)) <- items) {
+      val b = k.getBytes
+      out.writeInt(b.length); out.write(b); out.writeLong(c); out.writeLong(e)
+    }
+    out.flush(); bos.toByteArray
+  }
+}
+
+object SpaceSavingSummary {
+  def deserialize(bytes: Array[Byte]): SpaceSavingSummary = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val s = new SpaceSavingSummary(in.readInt())
+    var n = in.readInt()
+    while (n > 0) {
+      val len = in.readInt(); val b = new Array[Byte](len); in.readFully(b)
+      s.items.update(UTF8String.fromBytes(b), (in.readLong(), in.readLong()))
+      n -= 1
+    }
+    s
+  }
+}
+
+/** `space_saving_topk(item, capacity)` — aggregates a string column into
+  * an `array<struct<item,cnt,err>>` sorted (cnt desc, item asc), at most
+  * `capacity` entries. A `TypedImperativeAggregate`, so Spark runs it
+  * with partial aggregation: each task builds a bounded summary, the
+  * exchange moves only summaries, and the reducer merges — constant
+  * memory and shuffle regardless of key cardinality. */
+case class SpaceSavingAgg(
+    child: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingSummary]
+  with UnaryLike[Expression] with Serializable {
+
+  require(capacity > 0, s"space_saving_topk capacity must be > 0: $capacity")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "space_saving_topk"
+
+  override def createAggregationBuffer(): SpaceSavingSummary =
+    new SpaceSavingSummary(capacity)
+
+  override def update(buf: SpaceSavingSummary, input: InternalRow): SpaceSavingSummary = {
+    val v = child.eval(input)
+    // clone: the UTF8String may point into a reused row buffer
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].clone(), 1L)
+    buf
+  }
+
+  override def merge(buf: SpaceSavingSummary, other: SpaceSavingSummary): SpaceSavingSummary = {
+    buf.mergeIn(other); buf
+  }
+
+  override def eval(buf: SpaceSavingSummary): Any = {
+    val sorted = buf.items.toSeq.sortBy { case (k, (c, _)) => (-c, k) }
+    new GenericArrayData(sorted.map { case (k, (c, e)) =>
+      new GenericInternalRow(Array[Any](k, c, e))
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: SpaceSavingSummary): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): SpaceSavingSummary =
+    SpaceSavingSummary.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SpaceSavingAgg =
+    copy(child = newChild)
+}
+
+/** Column-DSL entry points for the sketch aggregates + the broadcast
+  * bloom probe (Spark's own runtime-filter machinery, exposed as a
+  * first-class operator: build is a distributed native aggregate, probe
+  * is a codegen'd expression over a constant filter). */
+object SketchFunctions {
+
+  def spaceSavingTopK(item: Column, capacity: Int): Column =
+    GraftColumnBridge.column(
+      SpaceSavingAgg(GraftColumnBridge.expression(item), capacity)
+        .toAggregateExpression())
+
+  /** Distributed bloom build over a LONG column (hash first: `xxhash64`).
+    * Returns one BINARY row — the serialized filter. */
+  def bloomAgg(hashed: Column, expectedItems: Long, fpp: Double): Column = {
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    GraftColumnBridge.column(
+      new BloomFilterAggregate(
+        GraftColumnBridge.expression(hashed),
+        Literal(expectedItems, LongType),
+        Literal(numBits, LongType)).toAggregateExpression())
+  }
+
+  /** Codegen'd membership probe against a constant serialized bloom
+    * filter (the collected output of [[bloomAgg]] — a few hundred KB,
+    * the same driver round-trip Spark's InjectRuntimeFilter does). */
+  def mightContain(bloomBytes: Array[Byte], hashed: Column): Column =
+    GraftColumnBridge.column(
+      BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        GraftColumnBridge.expression(hashed)))
+}

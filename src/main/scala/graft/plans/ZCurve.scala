@@ -1,0 +1,102 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Z-order (Morton) curve over two 32-bit axes: the multi-dimensional
+  * data-layout primitive (interleave at write time, sort by z, and a
+  * 2-D box query becomes a handful of 1-D z ranges that push down to
+  * parquet row-group min/max pruning). The same quad-tree descent the
+  * spatial envelope code uses (`geom/SkyPix.scala`), applied to generic
+  * (key, time) layout instead of sky coordinates — the standard
+  * clustering trick for "filter by user AND time window" scans over
+  * 100 TB fact tables. */
+object ZCurve {
+
+  /** Spread the low 32 bits of `x` onto even bit positions (0,2,4,…). */
+  def spread(x: Long): Long = {
+    var v = x & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  /** 64-bit Morton code: `x` on even bits, `y` on odd bits. */
+  def interleave(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
+
+  /** Decompose the inclusive box [xLo,xHi] × [yLo,yHi] (32-bit axes)
+    * into sorted disjoint half-open z ranges covering EXACTLY the box's
+    * cells — quad-tree descent emitting a full range per fully-contained
+    * quadrant, recursing on boundary quadrants (children visited in
+    * ascending z, so the output needs no sort). `maxRanges` coarsens by
+    * merging the smallest inter-range gaps: a coarser cover scans a few
+    * false-positive rows (removed by the refine predicate) in exchange
+    * for fewer pushed-down disjuncts — the same two-phase
+    * prune-then-refine contract as the spatial reads
+    * (`apdb/ApdbSpark.scala` region scan). */
+  def boxRanges(xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+      maxRanges: Int = 64): Seq[(Long, Long)] = {
+    require(xLo <= xHi && yLo <= yHi, s"empty box: [$xLo,$xHi]x[$yLo,$yHi]")
+    require(xLo >= 0 && yLo >= 0 && xHi < (1L << 32) && yHi < (1L << 32),
+      "box must lie within unsigned 32-bit axes")
+    val bits = 32
+    val buf = mutable.ArrayBuffer.empty[(Long, Long)]
+    def rec(cx: Long, cy: Long, level: Int, zbase: Long): Unit = {
+      val size = 1L << (bits - level)
+      val cxHi = cx + size - 1
+      val cyHi = cy + size - 1
+      if (cx > xHi || cxHi < xLo || cy > yHi || cyHi < yLo) return
+      // level > 0 guard: the whole-plane cell's z span (1 << 64) would
+      // overflow; the root always descends instead
+      if (level > 0 && cx >= xLo && cxHi <= xHi && cy >= yLo && cyHi <= yHi) {
+        buf += ((zbase, zbase + (1L << (2 * (bits - level)))))
+        return
+      }
+      if (level == bits) { buf += ((zbase, zbase + 1)); return }
+      val h = size >> 1
+      val cellZ = 1L << (2 * (bits - level - 1))
+      rec(cx, cy, level + 1, zbase)
+      rec(cx + h, cy, level + 1, zbase + cellZ)
+      rec(cx, cy + h, level + 1, zbase + 2 * cellZ)
+      rec(cx + h, cy + h, level + 1, zbase + 3 * cellZ)
+    }
+    rec(0L, 0L, 0, 0L)
+    // merge touching neighbors (children emitted in z order ⇒ sorted)
+    val merged = mutable.ArrayBuffer.empty[(Long, Long)]
+    for (r <- buf) {
+      if (merged.nonEmpty && merged.last._2 == r._1)
+        merged(merged.size - 1) = (merged.last._1, r._2)
+      else merged += r
+    }
+    graft.apdb.SparkGeo.coarsen(merged.toIndexedSeq, maxRanges)
+  }
+}
+
+/** `z_interleave(x, y)` — codegen'd 64-bit Morton code of two long
+  * columns (each masked to 32 bits). The write-time companion of
+  * [[ZCurve.boxRanges]]: sort/partition by this column for
+  * multi-dimensional locality. */
+case class ZInterleaveExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "z_interleave"
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    ZCurve.interleave(x.asInstanceOf[Long], y.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.plans.ZCurve.interleave($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -499,6 +499,53 @@ object CoreQueries {
        |FROM sessions GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
+  // -- x36: z-order layout scan ------------------------------------------
+
+  /** x36 box bounds: users [100, 300] × ts [Jan 8, Jan 12) 2024. */
+  val ZUserLo = 100L
+  val ZUserHi = 300L
+  private val ZTsLo = java.time.LocalDateTime.of(2024, 1, 8, 0, 0)
+    .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+  private val ZTsHi = java.time.LocalDateTime.of(2024, 1, 12, 0, 0)
+    .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+
+  /** x36 — multi-dimensional layout scan: the (user × time-window) box
+    * query rewritten as Z-ORDER curve ranges. `z_interleave(user_id,
+    * minute)` ([[graft.plans.ZInterleaveExpr]], codegen'd) linearizes
+    * the two dimensions; [[graft.plans.ZCurve.boxRanges]] decomposes the
+    * box into ≤ 64 z ranges by quad-tree descent (the same
+    * prune-then-refine contract as the spatial region reads); the exact
+    * box predicate refines coarsened false positives away, so the
+    * result is identical to the plain predicate the oracle runs. On a
+    * z-SORTED table the same ranges hit parquet row-group min/max stats
+    * and the scan skips everything outside the box's curve segments —
+    * the standard clustering layout for "user AND time" scans over
+    * 100 TB fact tables (ZOrderSpec demonstrates the file-level
+    * pruning). */
+  val x36ZorderScan: QFn = (s, d) => {
+    import graft.plans.{SpatialFunctions, ZCurve}
+    val tLoMin = ZTsLo / 60000000L
+    val tHiMin = ZTsHi / 60000000L // boundary minute stays in the prune box
+    val ranges = ZCurve.boxRanges(ZUserLo, ZUserHi, tLoMin, tHiMin)
+    val ev = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("z", SpatialFunctions.z_interleave(
+        col("user_id"), expr("us div 60000000")))
+    val zPrune = ranges.map { case (lo, hi) =>
+      col("z") >= lo && col("z") < hi
+    }.reduce(_ || _)
+    ev.where(zPrune) // curve-range prune (pushable on a z-sorted layout)
+      .where(col("user_id").between(ZUserLo, ZUserHi) &&
+        col("us") >= ZTsLo && col("us") < ZTsHi) // exact refine
+      .select(col("event_id"), col("user_id"), col("us"))
+      .orderBy(col("event_id"))
+  }
+  val x36Sql =
+    s"""SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+       |WHERE user_id BETWEEN $ZUserLo AND $ZUserHi
+       |  AND epoch_us(ts) >= $ZTsLo AND epoch_us(ts) < $ZTsHi
+       |ORDER BY event_id""".stripMargin
+
   // -- U: set ops ---------------------------------------------------------
 
   /** U1 — union of detection streams (`DIA.py:85-87`). */
@@ -625,6 +672,7 @@ object CoreQueries {
     "w4_ooo_sort" -> w4OooSort,
     "w5_asof_lookup" -> w5AsofLookup,
     "x19_sessionize" -> x19Sessionize,
+    "x36_zorder_scan" -> x36ZorderScan,
     "u1_union_sources" -> u1UnionSources,
     "c7_time_math" -> c7TimeMath,
     "c8_ts_parse" -> c8TsParse,
@@ -660,6 +708,7 @@ object CoreQueries {
     "w4_ooo_sort" -> w4Sql,
     "w5_asof_lookup" -> w5Sql,
     "x19_sessionize" -> x19Sql,
+    "x36_zorder_scan" -> x36Sql,
     "u1_union_sources" -> u1Sql,
     "c7_time_math" -> c7Sql,
     "c8_ts_parse" -> c8Sql,

@@ -353,17 +353,55 @@ object DedupQueries {
     * corpus-side scan stays embarrassingly parallel). */
   val DecontamEvery = 50
   val DecontamMinOverlap = 5
-  val x20Decontaminate: QFn = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+
+  /** Distinct (doc_id, hashed word bigram) — shared by x20/x34. */
+  private def decontamGrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 2)
       .select(col("doc_id"), col("w"),
         explode(expr("sequence(0, size(w) - 2)")).as("i"))
       .select(col("doc_id"), expr(hex60("concat(w[i], '_', w[i+1])")).as("gram"))
       .distinct()
+
+  val x20Decontaminate: QFn = (s, d) => {
+    val grams = decontamGrams(s, d)
     val benchGrams = grams.where(col("doc_id") % DecontamEvery === 0)
       .select(col("doc_id").as("bench_id"), col("gram"))
     grams.where(col("doc_id") % DecontamEvery =!= 0)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= DecontamMinOverlap)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** x34 — the same decontamination with a BLOOM-FILTER prefilter on the
+    * corpus side: the benchmark gram set aggregates into a bloom filter
+    * (Spark's native `BloomFilterAggregate` — distributed build, one
+    * BINARY row out), the corpus stream drops non-member grams through a
+    * codegen'd `might_contain` probe against the constant filter, and
+    * only survivors enter the exact confirm join (bloom false positives
+    * are eliminated there, so the result is IDENTICAL to x20 and shares
+    * its oracle). At 100 TB this is the shape that matters: the bench
+    * relation may be millions of grams — too big to hash-join cheaply
+    * against every corpus partition, but a few MB as bloom bits — and
+    * the probe prunes the corpus stream before any shuffle or join
+    * build. Spark's own runtime-filter machinery, reused as a
+    * first-class operator. */
+  val x34DecontaminateBloom: QFn = (s, d) => {
+    import graft.plans.SketchFunctions
+    val grams = decontamGrams(s, d)
+    val benchGrams = grams.where(col("doc_id") % DecontamEvery === 0)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    // distributed bloom build; the collected bytes are ~100 KB — the
+    // same driver round-trip Spark's InjectRuntimeFilter performs
+    val bloomBytes = benchGrams
+      .agg(SketchFunctions.bloomAgg(xxhash64(col("gram")),
+        expectedItems = 1000000L, fpp = 0.01).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    grams.where(col("doc_id") % DecontamEvery =!= 0)
+      .where(SketchFunctions.mightContain(bloomBytes, xxhash64(col("gram"))))
       .join(broadcast(benchGrams), "gram")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_overlap"))
@@ -906,6 +944,38 @@ object DedupQueries {
        |      FROM documents WHERE length(string_split(text, ' ')) >= 2)
        |GROUP BY 1 ORDER BY n DESC, gram LIMIT $VocabTopK""".stripMargin
 
+  // -- x35: sketch top-k (SpaceSaving heavy hitters) ---------------------
+
+  /** Sketch capacity for x35. 4096 ≥ the corpus's distinct-bigram count
+    * at every test SF (the generator vocabulary is 31 words → ≤ 961
+    * bigrams), so the SpaceSaving summary is provably EXACT here and the
+    * key shares x24's oracle; at real-corpus cardinalities the identical
+    * plan returns ±n/4096 bounds in constant memory instead of the full
+    * vocabulary shuffle x24 pays. */
+  val SketchCapacity = 4096
+
+  /** x35 — x24's corpus-wide top-k bigrams computed by the mergeable
+    * SpaceSaving aggregate ([[graft.plans.SpaceSavingAgg]], a native
+    * `TypedImperativeAggregate`): each task folds its partition into a
+    * bounded summary, the exchange moves ONE summary per task (≤
+    * `SketchCapacity` entries) instead of every distinct gram, and the
+    * reducer merges. The exact/sketch pair (x24/x35) is the same trade
+    * the clustering pair (x16/x22) documents: identical answers at test
+    * scale, different asymptotics at 100 TB. */
+  val x35TopkSketch: QFn = (s, d) => {
+    import graft.plans.SketchFunctions
+    Tables.documents(s, d)
+      .select(split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("w"), explode(expr("sequence(0, size(w) - 2)")).as("i"))
+      .select(expr("concat(w[i], '_', w[i+1])").as("gram"))
+      .agg(SketchFunctions.spaceSavingTopK(col("gram"), SketchCapacity).as("ss"))
+      .select(explode(col("ss")).as("e"))
+      .select(col("e.item").as("gram"), col("e.cnt").as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(VocabTopK)
+  }
+
   // -- x30: LSH-prefiltered near-dup pairs (x8's scale path) -------------
 
   /** x30 — embedding near-dup pairs with an LSH prefilter: candidates
@@ -991,8 +1061,10 @@ object DedupQueries {
     "x16_dup_clusters" -> x16DupClusters,
     "x22_dup_clusters_star" -> x22DupClustersStar,
     "x20_decontaminate" -> x20Decontaminate,
+    "x34_decontaminate_bloom" -> x34DecontaminateBloom,
     "x23_kmeans_step" -> x23KmeansStep,
     "x24_vocab_topk" -> x24VocabTopk,
+    "x35_topk_sketch" -> x35TopkSketch,
     "x3_topk_similarity" -> x3TopkSimilarity,
     "x8_embedding_dedup" -> x8EmbeddingDedup,
     "x14_ann_lsh" -> x14AnnLsh,
@@ -1008,8 +1080,10 @@ object DedupQueries {
     "x16_dup_clusters" -> x16Sql,
     "x22_dup_clusters_star" -> x16Sql, // identical labeling by design
     "x20_decontaminate" -> x20Sql,
+    "x34_decontaminate_bloom" -> x20Sql, // identical result by construction
     "x23_kmeans_step" -> x23Sql,
     "x24_vocab_topk" -> x24Sql,
+    "x35_topk_sketch" -> x24Sql, // sketch is exact at this capacity/SF
     "x3_topk_similarity" -> x3Sql,
     "x8_embedding_dedup" -> x8Sql,
     "x14_ann_lsh" -> x14Sql,
