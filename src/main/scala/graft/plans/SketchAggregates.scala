@@ -165,11 +165,147 @@ case class SpaceSavingAgg(
     copy(child = newChild)
 }
 
+/** Ben-Haim & Tom-Tov streaming histogram: at most `capacity` (centroid,
+  * count) bins kept sorted by centroid; overflow merges the two CLOSEST
+  * adjacent bins (weighted mean, summed count). While every input value
+  * has its own bin the histogram is EXACT — the property the oracle key
+  * relies on at test scale; under compression rank queries degrade
+  * smoothly (error bounded by the largest merged bin's weight), the
+  * classic decision-tree/quantile sketch trade. */
+final class StreamingHistogram(val capacity: Int) {
+  /** centroid → weight, sorted by centroid. */
+  val bins: java.util.TreeMap[java.lang.Double, Long] =
+    new java.util.TreeMap[java.lang.Double, Long]()
+
+  def add(v: Double, w: Long): Unit = {
+    val prev = bins.get(v)
+    bins.put(v, if (prev == null) w else prev + w)
+    if (bins.size > capacity) compressOnce()
+  }
+
+  /** Merge the adjacent pair with the smallest centroid gap (ties →
+    * the leftmost pair, so compression is deterministic). */
+  private def compressOnce(): Unit = {
+    val it = bins.keySet.iterator
+    var prev = it.next()
+    var bestLo = prev
+    var bestGap = Double.MaxValue
+    while (it.hasNext) {
+      val cur = it.next()
+      val gap = cur - prev
+      if (gap < bestGap) { bestGap = gap; bestLo = prev }
+      prev = cur
+    }
+    val hi = bins.higherKey(bestLo)
+    val wLo = bins.remove(bestLo)
+    val wHi = bins.remove(hi)
+    val w = wLo + wHi
+    bins.put((bestLo * wLo + hi * wHi) / w, w)
+  }
+
+  def mergeIn(other: StreamingHistogram): Unit = {
+    other.bins.forEach { (v, w) => add(v, w) }
+  }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(capacity)
+    out.writeInt(bins.size)
+    bins.forEach { (v, w) => out.writeDouble(v); out.writeLong(w) }
+    out.flush(); bos.toByteArray
+  }
+}
+
+object StreamingHistogram {
+  def deserialize(bytes: Array[Byte]): StreamingHistogram = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val h = new StreamingHistogram(in.readInt())
+    var n = in.readInt()
+    while (n > 0) { h.bins.put(in.readDouble(), in.readLong()); n -= 1 }
+    h
+  }
+}
+
+/** `streaming_histogram(value, capacity)` — aggregates a numeric column
+  * into an `array<struct<value,cnt>>` sorted by value, at most
+  * `capacity` bins: the mergeable quantile-sketch counterpart of exact
+  * rank arithmetic (x18 ↔ x37 pair). */
+case class StreamingHistogramAgg(
+    child: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[StreamingHistogram]
+  with UnaryLike[Expression] with Serializable {
+
+  require(capacity > 1, s"streaming_histogram capacity must be > 1: $capacity")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("value", DoubleType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "streaming_histogram"
+
+  override def createAggregationBuffer(): StreamingHistogram =
+    new StreamingHistogram(capacity)
+
+  override def update(buf: StreamingHistogram, input: InternalRow): StreamingHistogram = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = v match {
+        case l: java.lang.Long => l.toDouble
+        case i: java.lang.Integer => i.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float => f.toDouble
+        case s: java.lang.Short => s.toDouble
+        case b: java.lang.Byte => b.toDouble
+        case other => throw new IllegalArgumentException(
+          s"streaming_histogram: non-numeric input $other")
+      }
+      buf.add(d, 1L)
+    }
+    buf
+  }
+
+  override def merge(buf: StreamingHistogram, other: StreamingHistogram): StreamingHistogram = {
+    buf.mergeIn(other); buf
+  }
+
+  override def eval(buf: StreamingHistogram): Any = {
+    val out = new Array[Any](buf.bins.size)
+    var i = 0
+    val it = buf.bins.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new GenericInternalRow(Array[Any](e.getKey.doubleValue(), e.getValue))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: StreamingHistogram): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): StreamingHistogram =
+    StreamingHistogram.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): StreamingHistogramAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): StreamingHistogramAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): StreamingHistogramAgg =
+    copy(child = newChild)
+}
+
 /** Column-DSL entry points for the sketch aggregates + the broadcast
   * bloom probe (Spark's own runtime-filter machinery, exposed as a
   * first-class operator: build is a distributed native aggregate, probe
   * is a codegen'd expression over a constant filter). */
 object SketchFunctions {
+
+  def streamingHistogram(value: Column, capacity: Int): Column =
+    GraftColumnBridge.column(
+      StreamingHistogramAgg(GraftColumnBridge.expression(value), capacity)
+        .toAggregateExpression())
 
   def spaceSavingTopK(item: Column, capacity: Int): Column =
     GraftColumnBridge.column(

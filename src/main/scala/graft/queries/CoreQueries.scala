@@ -526,7 +526,11 @@ object CoreQueries {
     import graft.plans.{SpatialFunctions, ZCurve}
     val tLoMin = ZTsLo / 60000000L
     val tHiMin = ZTsHi / 60000000L // boundary minute stays in the prune box
-    val ranges = ZCurve.boxRanges(ZUserLo, ZUserHi, tLoMin, tHiMin)
+    // 16 coarsened ranges: a few false-positive curve segments (refined
+    // away below) in exchange for a compact pushable predicate — a long
+    // OR chain costs codegen time and pushdown clarity
+    val ranges = ZCurve.boxRanges(ZUserLo, ZUserHi, tLoMin, tHiMin,
+      maxRanges = 16)
     val ev = Tables.events(s, d)
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("z", SpatialFunctions.z_interleave(

@@ -354,9 +354,15 @@ object DedupQueries {
   val DecontamEvery = 50
   val DecontamMinOverlap = 5
 
-  /** Distinct (doc_id, hashed word bigram) — shared by x20/x34. */
-  private def decontamGrams(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** Distinct (doc_id, hashed word bigram) for a document subset —
+    * shared by x20/x34. The doc_id predicate is applied BEFORE the
+    * gram explode + distinct: the per-doc gram sets are independent, so
+    * filtering first is semantically identical and keeps each branch's
+    * distinct shuffle proportional to its own subset (the bench side is
+    * 1/50 of the corpus — filtering after the shared distinct would
+    * recompute the full-corpus shuffle per branch). */
+  private def gramsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 2)
       .select(col("doc_id"), col("w"),
@@ -365,10 +371,10 @@ object DedupQueries {
       .distinct()
 
   val x20Decontaminate: QFn = (s, d) => {
-    val grams = decontamGrams(s, d)
-    val benchGrams = grams.where(col("doc_id") % DecontamEvery === 0)
+    val docs = Tables.documents(s, d)
+    val benchGrams = gramsOf(docs.where(col("doc_id") % DecontamEvery === 0))
       .select(col("doc_id").as("bench_id"), col("gram"))
-    grams.where(col("doc_id") % DecontamEvery =!= 0)
+    gramsOf(docs.where(col("doc_id") % DecontamEvery =!= 0))
       .join(broadcast(benchGrams), "gram")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_overlap"))
@@ -391,8 +397,8 @@ object DedupQueries {
     * first-class operator. */
   val x34DecontaminateBloom: QFn = (s, d) => {
     import graft.plans.SketchFunctions
-    val grams = decontamGrams(s, d)
-    val benchGrams = grams.where(col("doc_id") % DecontamEvery === 0)
+    val docs = Tables.documents(s, d)
+    val benchGrams = gramsOf(docs.where(col("doc_id") % DecontamEvery === 0))
       .select(col("doc_id").as("bench_id"), col("gram"))
     // distributed bloom build; the collected bytes are ~100 KB — the
     // same driver round-trip Spark's InjectRuntimeFilter performs
@@ -400,7 +406,7 @@ object DedupQueries {
       .agg(SketchFunctions.bloomAgg(xxhash64(col("gram")),
         expectedItems = 1000000L, fpp = 0.01).as("bf"))
       .head().getAs[Array[Byte]](0)
-    grams.where(col("doc_id") % DecontamEvery =!= 0)
+    gramsOf(docs.where(col("doc_id") % DecontamEvery =!= 0))
       .where(SketchFunctions.mightContain(bloomBytes, xxhash64(col("gram"))))
       .join(broadcast(benchGrams), "gram")
       .groupBy(col("doc_id"), col("bench_id"))

@@ -467,6 +467,47 @@ object TextQueries {
        |ORDER BY source, q""".stripMargin
   }
 
+  // -- x37: quantile thresholds via the streaming-histogram sketch -------
+
+  /** Histogram capacity for x37: 1024 ≥ the distinct n_chars per source
+    * at every test SF (~200), so no bin ever merges and the sketch is
+    * provably EXACT — sharing x18's oracle — while the identical plan at
+    * real cardinalities degrades to bounded-rank-error quantiles in
+    * constant memory (the percentile_approx/t-digest trade, here as an
+    * auditable custom aggregate). */
+  val HistCapacity = 1024
+
+  /** x37 — x18's per-source quantile thresholds computed from the
+    * mergeable streaming-histogram aggregate
+    * ([[graft.plans.StreamingHistogramAgg]], Ben-Haim & Tom-Tov): one
+    * bounded histogram per (task × source) moves through the exchange
+    * instead of every row, the reducer merges, and rank arithmetic over
+    * the exploded bins picks the threshold (smallest value whose
+    * cumulative count reaches ceil(q·n) — identical to x18's row_number
+    * rule because value selection is tie-insensitive). Completes the
+    * exact/sketch operator pairs: x24/x35 (top-k), x16/x22 (clustering),
+    * x18/x37 (quantiles). */
+  val x37QuantileSketch: QFn = (s, d) => {
+    import graft.plans.SketchFunctions
+    import s.implicits._
+    val hist = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(SketchFunctions.streamingHistogram(col("n_chars"), HistCapacity).as("h"))
+    val bins = hist.select(col("source"), explode(col("h")).as("b"))
+      .select(col("source"), col("b.value").as("v"), col("b.cnt").as("c"))
+    val bySrc = Window.partitionBy(col("source"))
+    val cum = bins
+      .withColumn("cum", sum(col("c")).over(bySrc.orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(bySrc))
+    val qs = QuantilePoints.toDF("q")
+    // rank r = ceil(q·n) falls inside this bin: cum - c < r <= cum
+    val r = greatest(lit(1), ceil(col("q") * col("n")))
+    cum.join(broadcast(qs), col("cum") - col("c") < r && r <= col("cum"))
+      .select(col("source"), col("q"), col("v").cast("long").as("threshold"),
+        col("n").cast("long").as("n_docs"))
+      .orderBy(col("source"), col("q"))
+  }
+
   // -- x21: repetition scoring (Gopher-style quality rule) ---------------
 
   /** x21 — repeated-n-gram quality rule (the Gopher/RefinedWeb "fraction
@@ -890,6 +931,7 @@ object TextQueries {
     "x11_token_count" -> x11TokenCount,
     "x17_stratified_sample" -> x17StratifiedSample,
     "x18_length_quantiles" -> x18LengthQuantiles,
+    "x37_quantile_sketch" -> x37QuantileSketch,
     "x12_doc_fingerprint" -> x12DocFingerprint,
     "x9_langid" -> x9Langid,
     "x10_quality_score" -> x10QualityScore,
@@ -911,6 +953,7 @@ object TextQueries {
     "x11_token_count" -> x11Sql,
     "x17_stratified_sample" -> x17Sql,
     "x18_length_quantiles" -> x18Sql,
+    "x37_quantile_sketch" -> x18Sql, // sketch exact at this capacity/SF
     "x12_doc_fingerprint" -> x12Sql,
     "x9_langid" -> x9Sql,
     "x10_quality_score" -> x10Sql,

@@ -92,6 +92,49 @@ class SketchAggSpec extends AnyFunSuite {
     assert(back.items == s.items)
   }
 
+  test("streaming histogram: exact bins when capacity >= distinct values") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    val xs = Seq.fill(5000)(rng.nextInt(300).toLong)
+    val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = spark.sparkContext.parallelize(xs, 6).toDF("v")
+      .agg(SketchFunctions.streamingHistogram(col("v"), 512).as("h"))
+      .select(explode(col("h")).as("b"))
+      .select(col("b.value"), col("b.cnt")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(got.length == truth.size)
+    got.foreach { case (v, c) =>
+      assert(v == v.toLong.toDouble) // no bin ever merged
+      assert(c == truth(v.toLong))
+    }
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+  }
+
+  test("streaming histogram under compression: mass conserved, ranks bounded") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val xs = Seq.fill(20000)(math.abs(rng.nextGaussian() * 1000).toLong)
+    val cap = 64
+    val got = spark.sparkContext.parallelize(xs, 5).toDF("v")
+      .agg(SketchFunctions.streamingHistogram(col("v"), cap).as("h"))
+      .select(explode(col("h")).as("b"))
+      .select(col("b.value"), col("b.cnt")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(got.length <= cap)
+    assert(got.map(_._2).sum == xs.size) // no mass lost
+    // median estimate from the histogram lands within a few percent of
+    // the true rank (coarse sanity bound: compression is local)
+    val sorted = xs.sorted
+    val trueMedian = sorted(xs.size / 2).toDouble
+    var cum = 0L
+    val est = got.collectFirst {
+      case (v, c) if { cum += c; cum >= xs.size / 2 } => v
+    }.get
+    val trueRankOfEst = sorted.count(_ <= est).toDouble / xs.size
+    assert(math.abs(trueRankOfEst - 0.5) < 0.1,
+      s"median est $est (rank $trueRankOfEst) too far from $trueMedian")
+  }
+
   test("bloom build + might_contain: no false negatives, few false positives") {
     import spark.implicits._
     val members = (0L until 2000L).map(i => s"m$i")
