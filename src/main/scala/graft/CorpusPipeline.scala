@@ -103,7 +103,12 @@ object CorpusPipeline {
     * the eval suite must never flow into the training corpus, which is
     * the leakage decontamination exists to prevent. */
   def decontaminate(s: SparkSession, d: String)(docs: DataFrame): DataFrame =
-    docs.join(DedupQueries.x20Decontaminate(s, d).select("doc_id").distinct(),
+    // the bloom-prefiltered variant (x34): same flagged set as x20 by
+    // construction, but the corpus stream is pruned by a codegen'd
+    // might_contain probe before any join — the shape that holds when
+    // the corpus is 100 TB and the bench gram set is millions of rows
+    docs.join(
+        DedupQueries.x34DecontaminateBloom(s, d).select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
       .where(col("doc_id") % DedupQueries.DecontamEvery =!= 0)
 

@@ -160,6 +160,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "region_contains(regionLiteral, ra, dec)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("z_interleave"),
+      new ExpressionInfo(classOf[ZInterleaveExpr].getName, "z_interleave"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x, y) => ZInterleaveExpr(
+          Cast(x, org.apache.spark.sql.types.LongType),
+          Cast(y, org.apache.spark.sql.types.LongType))
+        case _ => throw new IllegalArgumentException("z_interleave(x, y)")
+      }))
+    def requireFoldableInt(e: Expression, fn: String): Int = e match {
+      case other if other.foldable && (other.dataType match {
+        case _: org.apache.spark.sql.types.IntegerType |
+             _: org.apache.spark.sql.types.LongType |
+             _: org.apache.spark.sql.types.ShortType |
+             _: org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }) => other.eval().toString.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn: capacity must be a constant integer")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("space_saving_topk"),
+      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "space_saving_topk"),
+      (args: Seq[Expression]) => args match {
+        case Seq(item, cap) =>
+          SpaceSavingAgg(item, requireFoldableInt(cap, "space_saving_topk"))
+        case _ => throw new IllegalArgumentException(
+          "space_saving_topk(item, capacity)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("streaming_histogram"),
+      new ExpressionInfo(classOf[StreamingHistogramAgg].getName,
+        "streaming_histogram"),
+      (args: Seq[Expression]) => args match {
+        case Seq(value, cap) =>
+          StreamingHistogramAgg(value,
+            requireFoldableInt(cap, "streaming_histogram"))
+        case _ => throw new IllegalArgumentException(
+          "streaming_histogram(value, capacity)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("dot_scaled"),
       new ExpressionInfo(classOf[DotScaledExpr].getName, "dot_scaled"),
       (args: Seq[Expression]) => args match {

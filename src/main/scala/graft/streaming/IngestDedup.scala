@@ -43,4 +43,29 @@ object IngestDedup {
   def curateStream(docs: DataFrame, disorderTolerance: String = "10 minutes"): DataFrame =
     graft.CorpusPipeline.splitAssign(
       dedupStream(graft.CorpusPipeline.piiScrub(docs), disorderTolerance))
+
+  /** Streaming heavy-hitters: per event-time window, the top terms of
+    * the document feed via the mergeable SpaceSaving aggregate
+    * ([[graft.plans.SpaceSavingAgg]] — the same native
+    * `TypedImperativeAggregate` the batch x35 key uses). The streaming
+    * state per window is ONE bounded summary (≤ `capacity` entries), not
+    * a per-term count table: vocabulary growth cannot grow the state
+    * store, and the watermark evicts whole windows — the two bounds a
+    * 100 TB/day feed needs. Works on batch frames too (same window
+    * aggregation without state). */
+  def trendingTerms(docs: DataFrame, windowLen: String = "10 minutes",
+      disorderTolerance: String = "10 minutes",
+      capacity: Int = 1024): DataFrame = {
+    val terms = docs
+      .withWatermark("ingest_time", disorderTolerance)
+      .select(col("ingest_time"),
+        explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+    terms
+      .groupBy(window(col("ingest_time"), windowLen))
+      .agg(graft.plans.SketchFunctions.spaceSavingTopK(
+        col("term"), capacity).as("top_terms"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("top_terms"))
+  }
 }

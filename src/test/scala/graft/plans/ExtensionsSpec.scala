@@ -277,4 +277,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!disj.queryExecution.optimizedPlan.toString.matches("(?s).*pixelId#\\d+L? >=.*"))
     assert(disj.head.getLong(0) >= 100)
   }
+
+  test("z_interleave SQL function matches the Scala kernel") {
+    val rows = spark.sql(
+      """SELECT z_interleave(x, y) AS z, x, y FROM VALUES
+        |  (0L, 0L), (1L, 0L), (0L, 1L), (12345L, 67890L) AS t(x, y)""".stripMargin)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == ZCurve.interleave(r.getLong(1), r.getLong(2)))
+    }
+  }
+
+  test("sketch aggregates are callable from SQL") {
+    spark.sql(
+      """SELECT explode(space_saving_topk(w, 16)) AS e FROM (
+        |  SELECT explode(split('a a a b b c', ' ')) AS w)""".stripMargin)
+      .select("e.item", "e.cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq match {
+      case got => assert(got == Seq(("a", 3L), ("b", 2L), ("c", 1L)), got)
+    }
+    val hist = spark.sql(
+      """SELECT explode(streaming_histogram(v, 16)) AS b FROM (
+        |  SELECT explode(array(5L, 5L, 1L, 9L)) AS v)""".stripMargin)
+      .select("b.value", "b.cnt").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(hist == Seq((1.0, 1L), (5.0, 2L), (9.0, 1L)), hist)
+    // non-constant capacity must fail fast, not misbehave
+    val err = intercept[Exception] {
+      spark.sql("SELECT space_saving_topk(w, length(w)) FROM (SELECT 'x' AS w)")
+        .collect()
+    }
+    assert(err.getMessage.contains("capacity"), err.getMessage)
+  }
 }

@@ -90,6 +90,42 @@ class IngestDedupSpec extends AnyFunSuite {
     out.foreach { case (id, _, split) => assert(split == batchSplit(id)) }
   }
 
+  test("streaming trending terms: windowed SpaceSaving top-k across batches") {
+    val dir = Files.createTempDirectory("trending").toString
+    Files.createDirectories(Paths.get(dir, "in"))
+    // two 10-min windows; 'alpha' dominates window 1, 'beta' window 2;
+    // the second batch adds more 'alpha' to window 1 (cross-batch merge)
+    Files.write(Paths.get(dir, "in", "b1.csv"), Seq(
+      csvLine(1, "alpha alpha alpha beta", "2026-03-01 10:01:00"),
+      csvLine(2, "alpha gamma", "2026-03-01 10:02:00"),
+      csvLine(3, "beta beta beta beta gamma", "2026-03-01 10:11:00"),
+    ).mkString("\n").getBytes)
+    Files.write(Paths.get(dir, "in", "b2.csv"), Seq(
+      csvLine(4, "alpha alpha delta", "2026-03-01 10:03:00"),
+      csvLine(5, "beta epsilon", "2026-03-01 10:12:00"),
+    ).mkString("\n").getBytes)
+    val q = IngestDedup.trendingTerms(
+        spark.readStream.schema(schema).csv(s"$dir/in"), capacity = 16)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("trending")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql(
+      "SELECT window_start, top_terms FROM trending ORDER BY window_start")
+      .collect()
+    assert(rows.length == 2, s"expected two windows, got ${rows.length}")
+    def tops(i: Int): Seq[(String, Long)] = rows(i)
+      .getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    // capacity 16 > distinct terms -> counts are exact
+    assert(tops(0).head == ("alpha", 6L), s"w1: ${tops(0)}")
+    assert(tops(0).toMap == Map("alpha" -> 6L, "beta" -> 1L,
+      "gamma" -> 1L, "delta" -> 1L))
+    assert(tops(1).head == ("beta", 5L), s"w2: ${tops(1)}")
+    assert(tops(1).toMap == Map("beta" -> 5L, "gamma" -> 1L,
+      "epsilon" -> 1L))
+  }
+
   test("batch fallback: one row per fingerprint") {
     import spark.implicits._
     val docs = Seq(
