@@ -923,6 +923,140 @@ object DedupQueries {
        |ORDER BY cluster, dim""".stripMargin
   }
 
+  // -- x38: product-quantization ANN (compressed-domain scale path) ------
+
+  /** PQ geometry: 64-dim vectors split into `PqSubspaces` 8-dim
+    * subvectors, each quantized to one of `PqK` codebook entries — a
+    * 64-dim float vector becomes PqSubspaces small codes (8 bytes),
+    * the 32× compression that lets a 100 TB embedding collection live
+    * in executor memory as codes + one broadcast codebook. */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqK = 16
+
+  /** Fixed seeded codebooks shared bit-for-bit with the SQL oracle:
+    * entries are INTEGER-SCALED (×1e6) longs — the ground truth both
+    * engines quantize against, so no float parsing can diverge. The
+    * σ = 0.125 entry scale matches the per-dimension spread of a
+    * unit-norm 64-dim vector (1/√64), so the codebook occupies the same
+    * shell as the data. (Codebook *quality* is a recall concern, not a
+    * correctness one — the k-means refinement x23 demonstrates would
+    * train these at scale.) */
+  lazy val pqCodebooks: Array[Array[Array[Long]]] = {
+    val rng = new scala.util.Random(99)
+    Array.fill(PqSubspaces, PqK, PqSubDim)(
+      math.round(rng.nextGaussian() * 125000d))
+  }
+
+  private def scale1e6(v: Double): Long = {
+    val s = v * 1000000d
+    (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toLong
+  }
+
+  /** Squared L2 between a scaled subvector and a codebook entry. */
+  private def pqDist2(se: Array[Long], off: Int, c: Array[Long]): Long = {
+    var d = 0L; var i = 0
+    while (i < c.length) {
+      val t = se(off + i) - c(i); d += t * t; i += 1
+    }
+    d
+  }
+
+  /** x38 — ANN by product quantization with asymmetric distance (ADC):
+    * every vector is ENCODED once (nearest codebook entry per subspace,
+    * ties → lower code); each of the 10 query vectors precomputes a
+    * (subspace × code) distance lookup table; scanning the collection
+    * is then `PqSubspaces` table adds per candidate — no float math,
+    * no full vectors. At 100 TB the codes column is what the scan
+    * reads (32× less I/O than raw embeddings) and the LUTs are
+    * kilobytes broadcast to every task: the IVF-PQ shape every
+    * billion-vector ANN serving system uses (x15 supplies the IVF
+    * half). Exact-integer arithmetic end to end, so the oracle
+    * re-derives codes and ADC identically. */
+  val x38AnnPq: QFn = (s, d) => {
+    import s.implicits._
+    val emb = embRows(Tables.embeddings(s, d))
+    val cb = s.sparkContext.broadcast(pqCodebooks)
+    def encode(se: Array[Long]): Array[Int] =
+      Array.tabulate(PqSubspaces) { m =>
+        var bestK = 0
+        var bestD = Long.MaxValue
+        var k = 0
+        while (k < PqK) {
+          val dd = pqDist2(se, m * PqSubDim, cb.value(m)(k))
+          if (dd < bestD) { bestD = dd; bestK = k }
+          k += 1
+        }
+        bestK
+      }
+    // query LUTs: lut(q)(m)(k) = d2(query subvector, codebook entry)
+    val luts = s.sparkContext.broadcast(
+      emb.filter(_._1 < 10).collect().sortBy(_._1).map { case (qid, qe) =>
+        val se = qe.map(scale1e6)
+        (qid, Array.tabulate(PqSubspaces, PqK) { (m, k) =>
+          pqDist2(se, m * PqSubDim, cb.value(m)(k))
+        })
+      })
+    val scored = emb.mapPartitions { it =>
+      val qs = luts.value
+      it.flatMap { case (cid, ce) =>
+        val code = encode(ce.map(scale1e6))
+        qs.iterator.collect { case (qid, lut) if qid != cid =>
+          var adc = 0L; var m = 0
+          while (m < PqSubspaces) { adc += lut(m)(code(m)); m += 1 }
+          (qid, cid, adc)
+        }
+      }
+    }.toDF("query_id", "cand_id", "adc")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle: codebooks inlined as integer-list VALUES; codes and ADC
+    * re-derived with the same scaled arithmetic. */
+  val x38Sql: String = {
+    val cbRows = (for {
+      m <- 0 until PqSubspaces
+      k <- 0 until PqK
+    } yield s"($m, $k, [${pqCodebooks(m)(k).mkString("::BIGINT, ")}::BIGINT])")
+      .mkString(",\n    ")
+    s"""WITH cb(m, k, c) AS (VALUES
+       |    $cbRows),
+       |sub AS (
+       |  SELECT vec_id, ms.m,
+       |    list_transform(range(1, ${PqSubDim + 1}),
+       |      i -> CAST(round(CAST(embedding[ms.m * $PqSubDim + i] AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(0, $PqSubspaces)) AS m) ms),
+       |dists AS (
+       |  SELECT sub.vec_id, sub.m, cb.k,
+       |    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |      i -> (sv[i] - c[i]) * (sv[i] - c[i]))) AS BIGINT) AS d2
+       |  FROM sub JOIN cb ON cb.m = sub.m),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |adc AS (
+       |  SELECT qd.vec_id AS query_id, c.vec_id AS cand_id,
+       |    CAST(SUM(qd.d2) AS BIGINT) AS adc
+       |  FROM codes c
+       |  JOIN dists qd ON qd.m = c.m AND qd.k = c.code AND qd.vec_id < 10
+       |  WHERE qd.vec_id <> c.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, cand_id, adc FROM (
+       |  SELECT query_id, cand_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, cand_id) AS rank
+       |  FROM adc) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // -- x24: corpus-wide top-k n-grams (vocab induction) ------------------
 
   /** x24 — top-k most frequent word bigrams corpus-wide (the counting
@@ -1075,6 +1209,7 @@ object DedupQueries {
     "x8_embedding_dedup" -> x8EmbeddingDedup,
     "x14_ann_lsh" -> x14AnnLsh,
     "x15_ann_ivf" -> x15AnnIvf,
+    "x38_ann_pq" -> x38AnnPq,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1094,5 +1229,6 @@ object DedupQueries {
     "x8_embedding_dedup" -> x8Sql,
     "x14_ann_lsh" -> x14Sql,
     "x15_ann_ivf" -> x15Sql,
+    "x38_ann_pq" -> x38Sql,
   )
 }

@@ -69,6 +69,27 @@ class ExtSpec extends AnyFunSuite {
     assert(overlap.nonEmpty, "ANN found none of the brute-force top-5")
   }
 
+  test("PQ ANN: well-formed ranking, compression invariants, some true neighbors") {
+    val pq = DedupQueries.x38AnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // 10 queries × top-5, adc nondecreasing within each query
+    assert(pq.map(_._1).distinct.length == 10)
+    pq.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5))
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq)
+      assert(sorted.forall(_._4 >= 0L)) // squared distances
+    }
+    // ADC ranking must recover at least some of the exact cosine top-5:
+    // random (untrained) codebooks give modest recall, but on 64-dim
+    // vectors 8×8-dim quantizers preserve enough geometry to be nonzero
+    val brute = DedupQueries.x3TopkSimilarity(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = pq.map(t => (t._1, t._3)).toSet.intersect(brute)
+    assert(hits.nonEmpty, "PQ found none of the brute-force top-5")
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val terms = Tables.documents(spark, sf)
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
