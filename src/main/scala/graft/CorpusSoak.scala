@@ -70,6 +70,18 @@ object CorpusSoak {
     val repeated = TextQueries.slidingWindows(corpus)
       .groupBy("win_h").count().where(col("count") > 1).count()
     report("repeated_substrings", repeated, t0)
+    // bounded-memory sketch pass over the full N× term stream: state per
+    // task is one capacity-bounded summary however large the corpus —
+    // the constant-memory contract the SpaceSaving aggregate makes
+    val t1 = System.nanoTime()
+    val topTerms = corpus
+      .select(explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .agg(graft.plans.SketchFunctions.spaceSavingTopK(col("term"), 4096)
+        .as("top"))
+      .select(explode(col("top")))
+      .count()
+    report("sketch_topk_terms", topTerms, t1)
     spark.stop()
   }
 }

@@ -78,6 +78,25 @@ object ZCurve {
   }
 }
 
+/** Write-side companion of [[ZCurve]]: cluster a frame along the curve
+  * so each output file owns one contiguous z segment — parquet min/max
+  * stats on the z column then prune row groups for any
+  * [[ZCurve.boxRanges]] predicate. */
+object ZOrderLayout {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions.col
+
+  /** Add the interleaved `zName` column, range-partition by it into
+    * `numFiles` curve segments, sort within each: ready for
+    * `.write.parquet` (per-file z ranges come out disjoint, so file- and
+    * row-group-level skipping both engage on z-range filters). */
+  def cluster(df: DataFrame, x: Column, y: Column, numFiles: Int,
+      zName: String = "zval"): DataFrame =
+    df.withColumn(zName, SpatialFunctions.z_interleave(x, y))
+      .repartitionByRange(numFiles, col(zName))
+      .sortWithinPartitions(col(zName))
+}
+
 /** `z_interleave(x, y)` — codegen'd 64-bit Morton code of two long
   * columns (each masked to 32 bits). The write-time companion of
   * [[ZCurve.boxRanges]]: sort/partition by this column for

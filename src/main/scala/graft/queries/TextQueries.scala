@@ -489,7 +489,6 @@ object TextQueries {
     * x18/x37 (quantiles). */
   val x37QuantileSketch: QFn = (s, d) => {
     import graft.plans.SketchFunctions
-    import s.implicits._
     val hist = Tables.documents(s, d)
       .groupBy(col("source"))
       .agg(SketchFunctions.streamingHistogram(col("n_chars"), HistCapacity).as("h"))
@@ -499,10 +498,13 @@ object TextQueries {
     val cum = bins
       .withColumn("cum", sum(col("c")).over(bySrc.orderBy(col("v"))))
       .withColumn("n", sum(col("c")).over(bySrc))
-    val qs = QuantilePoints.toDF("q")
-    // rank r = ceil(q·n) falls inside this bin: cum - c < r <= cum
+    // the 4 quantile points EXPLODE as a literal array per bin — a
+    // Generate, not a join (a range-condition join against the points
+    // frame would plan a BroadcastNestedLoopJoin); rank r = ceil(q·n)
+    // falls inside this bin iff cum - c < r <= cum
     val r = greatest(lit(1), ceil(col("q") * col("n")))
-    cum.join(broadcast(qs), col("cum") - col("c") < r && r <= col("cum"))
+    cum.withColumn("q", explode(typedLit(QuantilePoints)))
+      .where(col("cum") - col("c") < r && r <= col("cum"))
       .select(col("source"), col("q"), col("v").cast("long").as("threshold"),
         col("n").cast("long").as("n_docs"))
       .orderBy(col("source"), col("q"))

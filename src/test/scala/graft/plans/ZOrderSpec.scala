@@ -72,6 +72,32 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("ZOrderLayout.cluster: output partitions own disjoint curve segments") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val df = (0 until 8000)
+      .map(i => (i.toLong, rng.nextInt(512).toLong, rng.nextInt(512).toLong))
+      .toDF("id", "u", "t")
+    val clustered = ZOrderLayout.cluster(df, col("u"), col("t"), numFiles = 8)
+    val ranges = clustered
+      .mapPartitions { it =>
+        val zs = it.map(_.getAs[Long]("zval")).toSeq
+        if (zs.isEmpty) Iterator.empty
+        else Iterator((zs.min, zs.max, zs.sliding(2).forall {
+          case Seq(a, b) => a <= b
+          case _ => true
+        }))
+      }.collect()
+    assert(ranges.nonEmpty)
+    ranges.foreach { case (_, _, sorted) => assert(sorted, "not sorted in-file") }
+    // disjoint: sort by min, each next min must exceed previous max
+    val byMin = ranges.sortBy(_._1)
+    byMin.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
   test("z-bucketed layout prunes files for a box query") {
     import spark.implicits._
     val n = 20000
