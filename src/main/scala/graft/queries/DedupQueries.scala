@@ -962,6 +962,33 @@ object DedupQueries {
     d
   }
 
+  /** PQ encoding: nearest codebook entry per subspace (ties → lower
+    * code) — shared by x38/x39. */
+  private def pqEncode(se: Array[Long],
+      cb: Array[Array[Array[Long]]]): Array[Int] =
+    Array.tabulate(PqSubspaces) { m =>
+      var bestK = 0
+      var bestD = Long.MaxValue
+      var k = 0
+      while (k < PqK) {
+        val dd = pqDist2(se, m * PqSubDim, cb(m)(k))
+        if (dd < bestD) { bestD = dd; bestK = k }
+        k += 1
+      }
+      bestK
+    }
+
+  /** Per-query ADC lookup tables for the 10 query vectors (sorted by
+    * id): lut(m)(k) = d2(query subvector m, codebook entry k). */
+  private def pqQueryLuts(emb: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      cb: Array[Array[Array[Long]]]): Array[(Long, Array[Array[Long]])] =
+    emb.filter(_._1 < 10).collect().sortBy(_._1).map { case (qid, qe) =>
+      val se = qe.map(scale1e6)
+      (qid, Array.tabulate(PqSubspaces, PqK) { (m, k) =>
+        pqDist2(se, m * PqSubDim, cb(m)(k))
+      })
+    }
+
   /** x38 — ANN by product quantization with asymmetric distance (ADC):
     * every vector is ENCODED once (nearest codebook entry per subspace,
     * ties → lower code); each of the 10 query vectors precomputes a
@@ -977,30 +1004,11 @@ object DedupQueries {
     import s.implicits._
     val emb = embRows(Tables.embeddings(s, d))
     val cb = s.sparkContext.broadcast(pqCodebooks)
-    def encode(se: Array[Long]): Array[Int] =
-      Array.tabulate(PqSubspaces) { m =>
-        var bestK = 0
-        var bestD = Long.MaxValue
-        var k = 0
-        while (k < PqK) {
-          val dd = pqDist2(se, m * PqSubDim, cb.value(m)(k))
-          if (dd < bestD) { bestD = dd; bestK = k }
-          k += 1
-        }
-        bestK
-      }
-    // query LUTs: lut(q)(m)(k) = d2(query subvector, codebook entry)
-    val luts = s.sparkContext.broadcast(
-      emb.filter(_._1 < 10).collect().sortBy(_._1).map { case (qid, qe) =>
-        val se = qe.map(scale1e6)
-        (qid, Array.tabulate(PqSubspaces, PqK) { (m, k) =>
-          pqDist2(se, m * PqSubDim, cb.value(m)(k))
-        })
-      })
+    val luts = s.sparkContext.broadcast(pqQueryLuts(emb, pqCodebooks))
     val scored = emb.mapPartitions { it =>
       val qs = luts.value
       it.flatMap { case (cid, ce) =>
-        val code = encode(ce.map(scale1e6))
+        val code = pqEncode(ce.map(scale1e6), cb.value)
         qs.iterator.collect { case (qid, lut) if qid != cid =>
           var adc = 0L; var m = 0
           while (m < PqSubspaces) { adc += lut(m)(code(m)); m += 1 }
@@ -1048,6 +1056,117 @@ object DedupQueries {
        |  FROM codes c
        |  JOIN dists qd ON qd.m = c.m AND qd.k = c.code AND qd.vec_id < 10
        |  WHERE qd.vec_id <> c.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, cand_id, adc FROM (
+       |  SELECT query_id, cand_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, cand_id) AS rank
+       |  FROM adc) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // -- x39: IVF-PQ ANN (the two halves composed) -------------------------
+
+  /** x39 — the production billion-vector ANN shape assembled from its
+    * two halves: x15's IVF coarse clustering bounds WHICH vectors are
+    * scanned (each query probes its `IvfProbes` nearest lists), x38's
+    * PQ codes bound WHAT the scan reads per vector (8 codes + LUT adds,
+    * no float math). At 100 TB the cluster list is the shuffle/layout
+    * key and the codes column is the scan payload — candidate count
+    * drops by the probe fraction AND bytes-per-candidate by 32×,
+    * multiplicative savings. Deterministic end to end, so the oracle
+    * composes the two halves' CTEs verbatim. */
+  val x39AnnIvfPq: QFn = (s, d) => {
+    import s.implicits._
+    val emb = embRows(Tables.embeddings(s, d))
+    val cb = s.sparkContext.broadcast(pqCodebooks)
+    val cents = s.sparkContext.broadcast(ivfCentroids)
+    def nearestClusters(e: Array[Double], k: Int): Seq[Int] =
+      cents.value.map { case (ci, c) => (ci, dotScaled(e, c)) }
+        .sortBy { case (ci, dot) => (-dot, ci) }.take(k).map(_._1).toSeq
+    // build side: one pass assigns the coarse list and encodes the codes
+    // (the stored representation: (list, id, 8 codes) — no raw vector)
+    val listed = emb.map { case (id, e) =>
+      (nearestClusters(e, 1).head, id, pqEncode(e.map(scale1e6), cb.value))
+    }
+    // probe side: queries fan out to their probed lists with their LUT
+    val queryProbes = s.sparkContext.broadcast {
+      val luts = pqQueryLuts(emb, pqCodebooks).toMap
+      emb.filter(_._1 < 10).collect().sortBy(_._1).flatMap { case (qid, qe) =>
+        nearestClusters(qe, IvfProbes).map(c => (c, qid, luts(qid)))
+      }
+    }
+    val scored = listed.mapPartitions { it =>
+      val qs = queryProbes.value
+      it.flatMap { case (cluster, cid, code) =>
+        qs.iterator
+          .filter { case (qc, qid, _) => qc == cluster && qid != cid }
+          .map { case (_, qid, lut) =>
+            var adc = 0L; var m = 0
+            while (m < PqSubspaces) { adc += lut(m)(code(m)); m += 1 }
+            (qid, cid, adc)
+          }
+      }
+    }.toDF("query_id", "cand_id", "adc")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle: x15's membership/probe CTEs composed with x38's
+    * code/distance CTEs — candidates restricted to probed lists, ranked
+    * by the same integer ADC. */
+  val x39Sql: String = {
+    val clusterDots = ivfCentroids.map { case (ci, c) =>
+      val arr = "[" + c.mkString(", ") + "]"
+      s"SELECT vec_id, $ci AS cluster, CAST(list_sum(list_transform(range(1, length(embedding) + 1), " +
+        s"i -> CAST(round(CAST(embedding[i] AS DOUBLE) * ($arr)[i] * 1000000) AS BIGINT))) AS BIGINT) AS dot FROM embeddings"
+    }.mkString("\n  UNION ALL\n  ")
+    val cbRows = (for {
+      m <- 0 until PqSubspaces
+      k <- 0 until PqK
+    } yield s"($m, $k, [${pqCodebooks(m)(k).mkString("::BIGINT, ")}::BIGINT])")
+      .mkString(",\n    ")
+    s"""WITH cd AS (
+       |  $clusterDots),
+       |ranked AS (
+       |  SELECT vec_id, cluster,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rk
+       |  FROM cd),
+       |member AS (SELECT vec_id, cluster FROM ranked WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cluster FROM ranked
+       |  WHERE rk <= $IvfProbes AND vec_id < 10),
+       |cb(m, k, c) AS (VALUES
+       |    $cbRows),
+       |sub AS (
+       |  SELECT vec_id, ms.m,
+       |    list_transform(range(1, ${PqSubDim + 1}),
+       |      i -> CAST(round(CAST(embedding[ms.m * $PqSubDim + i] AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(0, $PqSubspaces)) AS m) ms),
+       |dists AS (
+       |  SELECT sub.vec_id, sub.m, cb.k,
+       |    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |      i -> (sv[i] - c[i]) * (sv[i] - c[i]))) AS BIGINT) AS d2
+       |  FROM sub JOIN cb ON cb.m = sub.m),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |adc AS (
+       |  SELECT p.query_id, mem.vec_id AS cand_id,
+       |    CAST(SUM(qd.d2) AS BIGINT) AS adc
+       |  FROM probes p
+       |  JOIN member mem ON mem.cluster = p.cluster
+       |  JOIN codes c ON c.vec_id = mem.vec_id
+       |  JOIN dists qd ON qd.vec_id = p.query_id
+       |    AND qd.m = c.m AND qd.k = c.code
+       |  WHERE p.query_id <> mem.vec_id
        |  GROUP BY 1, 2)
        |SELECT query_id, rank, cand_id, adc FROM (
        |  SELECT query_id, cand_id, adc,
@@ -1210,6 +1329,7 @@ object DedupQueries {
     "x14_ann_lsh" -> x14AnnLsh,
     "x15_ann_ivf" -> x15AnnIvf,
     "x38_ann_pq" -> x38AnnPq,
+    "x39_ann_ivfpq" -> x39AnnIvfPq,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1230,5 +1350,6 @@ object DedupQueries {
     "x14_ann_lsh" -> x14Sql,
     "x15_ann_ivf" -> x15Sql,
     "x38_ann_pq" -> x38Sql,
+    "x39_ann_ivfpq" -> x39Sql,
   )
 }

@@ -90,6 +90,20 @@ class ExtSpec extends AnyFunSuite {
     assert(hits.nonEmpty, "PQ found none of the brute-force top-5")
   }
 
+  test("IVF-PQ composes: restricted candidates can never beat unrestricted PQ") {
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.where(col("rank") === 1).collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toMap
+    val pq = top1(DedupQueries.x38AnnPq(spark, sf))
+    val ivfpq = top1(DedupQueries.x39AnnIvfPq(spark, sf))
+    assert(ivfpq.keySet == pq.keySet) // every query still answers
+    // x39 scans a subset of x38's candidates with the same ADC, so its
+    // best distance is bounded below by x38's
+    ivfpq.foreach { case (q, adc) =>
+      assert(adc >= pq(q), s"query $q: ivfpq adc $adc < pq ${pq(q)}")
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val terms = Tables.documents(spark, sf)
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
