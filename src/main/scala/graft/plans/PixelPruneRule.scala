@@ -211,5 +211,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("dot_scaled(a, b)")
       }))
     ext.injectOptimizerRule(_ => PixelPruneRule)
+    ext.injectOptimizerRule(_ => ZPruneRule)
   }
 }

@@ -85,16 +85,32 @@ object ZCurve {
 object ZOrderLayout {
   import org.apache.spark.sql.{Column, DataFrame}
   import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.types.MetadataBuilder
+
+  /** Column metadata recording WHICH source columns a z column
+    * interleaves — the provenance [[ZPruneRule]] requires before
+    * injecting range predicates (persisted through parquet round-trips
+    * in the Spark schema property, like the pixel index metadata). */
+  val XMetadataKey = "graft.z.x"
+  val YMetadataKey = "graft.z.y"
 
   /** Add the interleaved `zName` column, range-partition by it into
     * `numFiles` curve segments, sort within each: ready for
     * `.write.parquet` (per-file z ranges come out disjoint, so file- and
-    * row-group-level skipping both engage on z-range filters). */
+    * row-group-level skipping both engage on z-range filters). The
+    * source-column names must be plain attributes — they are recorded in
+    * the z column's metadata so [[ZPruneRule]] can later prove box
+    * filters against them prunable. */
   def cluster(df: DataFrame, x: Column, y: Column, numFiles: Int,
-      zName: String = "zval"): DataFrame =
-    df.withColumn(zName, SpatialFunctions.z_interleave(x, y))
+      zName: String = "zval"): DataFrame = {
+    val meta = new MetadataBuilder()
+      .putString(XMetadataKey, x.toString)
+      .putString(YMetadataKey, y.toString)
+      .build()
+    df.withColumn(zName, SpatialFunctions.z_interleave(x, y).as(zName, meta))
       .repartitionByRange(numFiles, col(zName))
       .sortWithinPartitions(col(zName))
+  }
 }
 
 /** `z_interleave(x, y)` — codegen'd 64-bit Morton code of two long

@@ -278,6 +278,49 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(disj.head.getLong(0) >= 100)
   }
 
+  test("ZPruneRule: plain SQL box queries on a z-clustered table gain z ranges") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 20000).map { i =>
+      (i.toLong, rng.nextInt(1024).toLong, rng.nextInt(1024).toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("zprune").toString
+    ZOrderLayout.cluster(rows.toDF("id", "u", "t"), col("u"), col("t"),
+        numFiles = 8)
+      .write.mode("overwrite").parquet(dir)
+    // metadata must survive the parquet round-trip
+    val table = spark.read.parquet(dir)
+    val zField = table.schema("zval")
+    assert(zField.metadata.getString(ZOrderLayout.XMetadataKey) == "u")
+    assert(zField.metadata.getString(ZOrderLayout.YMetadataKey) == "t")
+    table.createOrReplaceTempView("zfacts")
+
+    val q = spark.sql(
+      "SELECT id FROM zfacts WHERE u BETWEEN 100 AND 160 AND t >= 200 AND t <= 280")
+    // the optimizer injected zval range predicates...
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.matches("(?s).*zval#\\d+L? >=.*"), optimized)
+    // ...they reach the scan as pushed data filters...
+    val scan = q.queryExecution.sparkPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.dataFilters.exists(_.references.exists(_.name == "zval")),
+      scan.dataFilters.mkString("; "))
+    // ...and the answer equals the un-pruned one
+    val got = q.collect().map(_.getLong(0)).sorted.toSeq
+    val want = rows.collect {
+      case (id, u, t) if u >= 100 && u <= 160 && t >= 200 && t <= 280 => id
+    }.sorted
+    assert(got == want && want.nonEmpty)
+
+    // soundness: an OR-ed box must NOT gain ranges
+    val disj = spark.sql(
+      "SELECT id FROM zfacts WHERE (u BETWEEN 100 AND 160 AND t BETWEEN 200 AND 280) OR id < 5")
+    assert(!disj.queryExecution.optimizedPlan.toString.matches("(?s).*zval#\\d+L? >=.*"))
+    assert(disj.collect().length == want.length + 5 -
+      want.count(_ < 5))
+  }
+
   test("z_interleave SQL function matches the Scala kernel") {
     val rows = spark.sql(
       """SELECT z_interleave(x, y) AS z, x, y FROM VALUES
