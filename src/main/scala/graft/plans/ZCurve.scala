@@ -100,14 +100,33 @@ object ZOrderLayout {
     * row-group-level skipping both engage on z-range filters). The
     * source-column names must be plain attributes — they are recorded in
     * the z column's metadata so [[ZPruneRule]] can later prove box
-    * filters against them prunable. */
+    * filters against them prunable.
+    *
+    * The write FAILS on any coordinate outside [0, 2^32): the 32-bit
+    * mask would silently wrap such a value to an unrelated curve
+    * position, and a later pruned read would then DROP the row — the
+    * metadata is a provenance contract ("zval interleaves x,y AND both
+    * are in-domain"), so it must not be stamped on data that violates
+    * it. */
   def cluster(df: DataFrame, x: Column, y: Column, numFiles: Int,
       zName: String = "zval"): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, raise_error, when}
+    val axisMax = (1L << 32) - 1
+    def guarded(c: Column, label: String): Column = {
+      val l = c.cast("long")
+      when(l < 0L || l > axisMax,
+        raise_error(lit(s"ZOrderLayout.cluster: $label outside [0, 2^32) " +
+          "— a wrapped coordinate would silently break pruned reads"))
+          .cast("long"))
+        .otherwise(l)
+    }
     val meta = new MetadataBuilder()
       .putString(XMetadataKey, x.toString)
       .putString(YMetadataKey, y.toString)
       .build()
-    df.withColumn(zName, SpatialFunctions.z_interleave(x, y).as(zName, meta))
+    df.withColumn(zName,
+        SpatialFunctions.z_interleave(
+          guarded(x, x.toString), guarded(y, y.toString)).as(zName, meta))
       .repartitionByRange(numFiles, col(zName))
       .sortWithinPartitions(col(zName))
   }

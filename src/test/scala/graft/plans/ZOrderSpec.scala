@@ -98,6 +98,17 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("ZOrderLayout.cluster rejects out-of-domain coordinates at write time") {
+    import spark.implicits._
+    val bad = Seq((1L, -3L, 10L), (2L, 5L, 7L)).toDF("id", "u", "t")
+    val e = intercept[Exception] {
+      ZOrderLayout.cluster(bad, col("u"), col("t"), numFiles = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("outside [0, 2^32)")), e.toString)
+  }
+
   test("z-bucketed layout prunes files for a box query") {
     import spark.implicits._
     val n = 20000
