@@ -53,6 +53,23 @@ object IngestDedup {
     * store, and the watermark evicts whole windows — the two bounds a
     * 100 TB/day feed needs. Works on batch frames too (same window
     * aggregation without state). */
+  /** Streaming length profile: per event-time window, the document-size
+    * distribution as a capacity-bounded mergeable histogram
+    * ([[graft.plans.StreamingHistogramAgg]] — the same aggregate behind
+    * the batch x37 quantile key). The monitoring companion of
+    * [[trendingTerms]]: drift in the corpus's length distribution shows
+    * up window by window with constant state per window. */
+  def lengthProfile(docs: DataFrame, windowLen: String = "10 minutes",
+      disorderTolerance: String = "10 minutes",
+      capacity: Int = 256): DataFrame =
+    docs
+      .withWatermark("ingest_time", disorderTolerance)
+      .groupBy(window(col("ingest_time"), windowLen))
+      .agg(graft.plans.SketchFunctions.streamingHistogram(
+        length(col("text")), capacity).as("length_hist"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("length_hist"))
+
   def trendingTerms(docs: DataFrame, windowLen: String = "10 minutes",
       disorderTolerance: String = "10 minutes",
       capacity: Int = 1024): DataFrame = {

@@ -126,6 +126,32 @@ class IngestDedupSpec extends AnyFunSuite {
       "epsilon" -> 1L))
   }
 
+  test("streaming length profile: exact per-window histograms at small cardinality") {
+    val dir = Files.createTempDirectory("lenprof").toString
+    Files.createDirectories(Paths.get(dir, "in"))
+    Files.write(Paths.get(dir, "in", "b1.csv"), Seq(
+      csvLine(1, "aaaa", "2026-03-01 10:01:00"), // len 4
+      csvLine(2, "bbbb", "2026-03-01 10:02:00"), // len 4
+      csvLine(3, "cccccc", "2026-03-01 10:03:00"), // len 6
+      csvLine(4, "ddddddddd", "2026-03-01 10:12:00"), // len 9, window 2
+    ).mkString("\n").getBytes)
+    val q = IngestDedup.lengthProfile(
+        spark.readStream.schema(schema).csv(s"$dir/in"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("lenprof")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql(
+      "SELECT window_start, length_hist FROM lenprof ORDER BY window_start")
+      .collect()
+    assert(rows.length == 2)
+    def bins(i: Int): Seq[(Double, Long)] = rows(i)
+      .getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(bins(0) == Seq((4.0, 2L), (6.0, 1L)), bins(0))
+    assert(bins(1) == Seq((9.0, 1L)), bins(1))
+  }
+
   test("batch fallback: one row per fingerprint") {
     import spark.implicits._
     val docs = Seq(
