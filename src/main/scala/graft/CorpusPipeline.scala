@@ -197,6 +197,34 @@ object CorpusPipeline {
     docs.join(canonical, "doc_id")
   }
 
+  /** Batch-incremental ingest: curate a NEW document batch against an
+    * already-curated warehouse WITHOUT touching the warehouse — the
+    * production path when a 100 TB corpus grows by a daily slice. The
+    * new batch is PII-scrubbed, exact-deduped within itself (lowest id
+    * per fingerprint, same rule as [[exactDedup]]), anti-joined against
+    * the warehouse's fingerprints, and split-assigned (x28's pure hash,
+    * so a doc gets the same split whether it arrived via full batch,
+    * stream, or increment). Only the increment is scanned twice and the
+    * warehouse ONCE for its fingerprints — at scale that one pass reads
+    * a maintained fingerprint index (fp parquet bucketed by fp, the
+    * obj_last pattern), never the warehouse text. [[IngestDedup]] is
+    * the streaming counterpart; the invariant both share: incremental
+    * result == batch pipeline on the union, restricted to new ids
+    * (CorpusPipelineSpec pins it). */
+  def incrementalIngest(warehouse: DataFrame, newDocs: DataFrame): DataFrame = {
+    val fp = (c: org.apache.spark.sql.Column) =>
+      md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+    val scrubbed = piiScrub(newDocs)
+    val inBatch = scrubbed
+      .groupBy(fp(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val warehouseFps = piiScrub(warehouse)
+      .select(fp(col("text")).as("fp")).distinct()
+    val fresh = inBatch.join(warehouseFps, Seq("fp"), "left_anti")
+      .select("doc_id")
+    splitAssign(scrubbed.join(fresh, "doc_id"))
+  }
+
   def nearDupCanonical(s: SparkSession, d: String)(docs: DataFrame): DataFrame =
     // x16 clusters over the full corpus; keep each cluster's minimum
     // member still present (see dropNonCanonicalSurvivors — the global

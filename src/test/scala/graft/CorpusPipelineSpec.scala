@@ -18,6 +18,41 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.01"
 
+  test("incremental ingest == batch curation on the union, restricted to new ids") {
+    import spark.implicits._
+    val warehouseDocs = Seq(
+      (0L, "alpha beta gamma delta", "en", "s0", 22L),
+      (1L, "epsilon zeta eta theta", "en", "s0", 22L),
+      (2L, "iota kappa lambda mu", "en", "s1", 20L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val newDocs = Seq(
+      // dup of warehouse doc 0 (punctuation variant) -> dropped
+      (10L, "Alpha! Beta... GAMMA delta", "en", "s0", 26L),
+      // in-batch dup pair -> lower id 11 survives
+      (11L, "nu xi omicron pi", "en", "s1", 16L),
+      (12L, "NU xi, omicron: pi", "en", "s1", 18L),
+      // case/punctuation variant of warehouse doc 1 -> same canonical
+      // fingerprint -> dropped
+      (13L, "Epsilon; zeta ETA theta!!", "en", "s0", 25L),
+      // genuinely fresh
+      (14L, "rho sigma tau upsilon", "en", "s1", 21L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val inc = CorpusPipeline.incrementalIngest(warehouseDocs, newDocs)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split")))
+    assert(inc.map(_._1).sorted.toSeq == Seq(11L, 14L), inc.toSeq)
+
+    // gold invariant: the batch pipeline's scrub -> exact-dedup on the
+    // UNION keeps exactly the warehouse ids plus the increment's ids
+    val full = CorpusPipeline.splitAssign(CorpusPipeline.exactDedup(
+        CorpusPipeline.piiScrub(warehouseDocs.unionByName(newDocs))))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split")))
+    val fullNew = full.filter(_._1 >= 10L)
+    assert(fullNew.map(_._1).sorted.toSeq == inc.map(_._1).sorted.toSeq)
+    // and split assignment is the same pure hash either way
+    assert(fullNew.toMap == inc.toMap)
+  }
+
   test("pipeline shrinks monotonically and outputs a clean corpus") {
     val (curated, stats) = CorpusPipeline.run(spark, sf,
       lang = "en", minQuality = 0.2, samplePerSource = 50)
