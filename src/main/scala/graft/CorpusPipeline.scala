@@ -225,6 +225,33 @@ object CorpusPipeline {
     splitAssign(scrubbed.join(fresh, "doc_id"))
   }
 
+  /** Near-dup increment: drop new docs whose MinHash signature agrees
+    * ≥ 0.5 (x2's verification rule) with ANY warehouse document. The
+    * warehouse enters as its SIGNATURE table — 64 longs per doc,
+    * maintained incrementally exactly like the fingerprint index, so the
+    * warehouse text is never re-read. Candidates come from the LSH
+    * band-bucket join (new-side bands × warehouse bands — shuffle by
+    * (band, bucket), never all-pairs), then full-signature verification.
+    * Docs under 3 words have no shingles/signature and pass through
+    * (same contract as x2). Compose after [[incrementalIngest]]'s exact
+    * pass: exact dups are gone, this catches the near misses. */
+  def incrementalNearDup(warehouseSigs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val newSigs = DedupQueries.minhashSignatures(newDocs).localCheckpoint(true)
+    val cand = DedupQueries.bandBuckets(newSigs)
+      .join(DedupQueries.bandBuckets(warehouseSigs)
+          .select(col("band"), col("bucket"), col("doc_id").as("w_id")),
+        Seq("band", "bucket"))
+      .select(col("doc_id"), col("w_id"))
+      .dropDuplicates("doc_id", "w_id")
+    val matched = cand
+      .join(newSigs.select(col("doc_id"), col("sig").as("sig_a")), "doc_id")
+      .join(warehouseSigs.select(col("doc_id").as("w_id"),
+        col("sig").as("sig_b")), "w_id")
+      .where(DedupQueries.sigAgreement(col("sig_a"), col("sig_b")) >= 0.5)
+      .select("doc_id").distinct()
+    newDocs.join(matched, Seq("doc_id"), "left_anti")
+  }
+
   def nearDupCanonical(s: SparkSession, d: String)(docs: DataFrame): DataFrame =
     // x16 clusters over the full corpus; keep each cluster's minimum
     // member still present (see dropNonCanonicalSurvivors — the global

@@ -263,7 +263,8 @@ case class StreamingHistogramAgg(
         case other => throw new IllegalArgumentException(
           s"streaming_histogram: non-numeric input $other")
       }
-      buf.add(d, 1L)
+      // NaN would poison the sorted-bin invariant (unordered vs every key)
+      if (!d.isNaN) buf.add(d, 1L)
     }
     buf
   }

@@ -94,17 +94,28 @@ object DedupQueries {
     * band join carries doc ids only (signatures re-attach by id join
     * afterwards), so the wide sig arrays never ride the candidate
     * shuffle. */
+  /** (doc_id, band, bucket) LSH band buckets of a signature frame —
+    * codegen'd explode + top-level concat (no HOF). Shared by x2 and
+    * the incremental near-dup path. */
+  def bandBuckets(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+        explode(expr(s"sequence(0, ${Bands - 1})")).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr("concat_ws(',', CAST(sig[band*4] AS STRING), CAST(sig[band*4+1] AS STRING), CAST(sig[band*4+2] AS STRING), CAST(sig[band*4+3] AS STRING))")
+          .as("bucket"))
+
+  /** Signature-agreement fraction (64 codegen'd equality terms). */
+  def sigAgreement(a: Column, b: Column): Column =
+    (0 until SigSize)
+      .map(i => when(a(i) === b(i), 1).otherwise(0))
+      .reduce((x: Column, y: Column) => x + y) / lit(SigSize.toDouble)
+
   val x2DedupMinhash: QFn = (s, d) => {
     // localCheckpoint (GC-managed) instead of cache: query functions
     // return plans whose actions run later, so an explicit unpersist
     // would race the caller
     val sigs = minhashSignatures(Tables.documents(s, d)).localCheckpoint(true)
-    // band buckets via codegen'd explode + top-level concat (no HOF)
-    val banded = sigs.select(col("doc_id"), col("sig"),
-        explode(expr(s"sequence(0, ${Bands - 1})")).as("band"))
-      .select(col("doc_id"), col("band"),
-        expr("concat_ws(',', CAST(sig[band*4] AS STRING), CAST(sig[band*4+1] AS STRING), CAST(sig[band*4+2] AS STRING), CAST(sig[band*4+3] AS STRING))")
-          .as("bucket"))
+    val banded = bandBuckets(sigs)
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val cand = a.join(b, Seq("band", "bucket"))
@@ -115,10 +126,7 @@ object DedupQueries {
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       // 64 codegen'd equality terms instead of interpreted zip_with/aggregate
-      .withColumn("n_equal", (0 until SigSize)
-        .map(i => when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
-        .reduce((a: Column, b: Column) => a + b))
-      .withColumn("est_jaccard", col("n_equal") / lit(SigSize.toDouble))
+      .withColumn("est_jaccard", sigAgreement(col("sig_a"), col("sig_b")))
       .where(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

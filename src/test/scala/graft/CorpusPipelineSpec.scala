@@ -53,6 +53,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(fullNew.toMap == inc.toMap)
   }
 
+  test("incremental near-dup: warehouse signature index catches near misses") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val warehouseDocs = Seq(
+      (0L, base, "en", "s0", base.length.toLong),
+      (1L, "completely different content about stars and galaxies far away",
+        "en", "s0", 62L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val warehouseSigs =
+      DedupQueries.minhashSignatures(warehouseDocs).localCheckpoint(true)
+    val newDocs = Seq(
+      // near-dup of warehouse doc 0: one word changed -> high signature
+      // agreement, not an exact dup
+      (10L, base.replace("lazy", "sleepy"), "en", "s0", 62L),
+      // fresh content
+      (11L, "novel text with no resemblance to anything stored before now",
+        "en", "s1", 60L),
+      // too short for shingles -> passes through by contract
+      (12L, "tiny doc", "en", "s1", 8L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = CorpusPipeline.incrementalNearDup(warehouseSigs, newDocs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(11L, 12L), kept)
+  }
+
   test("pipeline shrinks monotonically and outputs a clean corpus") {
     val (curated, stats) = CorpusPipeline.run(spark, sf,
       lang = "en", minQuality = 0.2, samplePerSource = 50)
