@@ -211,15 +211,23 @@ object CorpusPipeline {
     * the streaming counterpart; the invariant both share: incremental
     * result == batch pipeline on the union, restricted to new ids
     * (CorpusPipelineSpec pins it). */
-  def incrementalIngest(warehouse: DataFrame, newDocs: DataFrame): DataFrame = {
-    val fp = (c: org.apache.spark.sql.Column) =>
-      md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+  /** Canonical-content fingerprint column (the exactDedup key). */
+  def fingerprintCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+
+  def incrementalIngest(warehouse: DataFrame, newDocs: DataFrame): DataFrame =
+    incrementalIngestWithIndex(
+      piiScrub(warehouse).select(fingerprintCol(col("text")).as("fp")).distinct(),
+      newDocs)
+
+  /** Same, against a MAINTAINED fingerprint index (one `fp` column) —
+    * the form that never touches warehouse text. */
+  def incrementalIngestWithIndex(warehouseFps: DataFrame,
+      newDocs: DataFrame): DataFrame = {
     val scrubbed = piiScrub(newDocs)
     val inBatch = scrubbed
-      .groupBy(fp(col("text")).as("fp"))
+      .groupBy(fingerprintCol(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val warehouseFps = piiScrub(warehouse)
-      .select(fp(col("text")).as("fp")).distinct()
     val fresh = inBatch.join(warehouseFps, Seq("fp"), "left_anti")
       .select("doc_id")
     splitAssign(scrubbed.join(fresh, "doc_id"))
