@@ -35,6 +35,14 @@ final class SpaceSavingSummary(val capacity: Int) {
   /** item → (count upper bound, overestimation error) */
   val items: mutable.HashMap[UTF8String, (Long, Long)] = mutable.HashMap.empty
 
+  /** True once any item has EVER been evicted (or truncated away in a
+    * merge). The exactness predicate: while false, every stored count
+    * is the true count — tracked explicitly, NOT inferred from
+    * `size == capacity` (a summary holding exactly `capacity` distinct
+    * items without overflow is still exact, and must merge with floor 0
+    * or the counts would silently inflate right at the boundary). */
+  var lossy: Boolean = false
+
   private def minCount: Long =
     if (items.isEmpty) 0L else items.valuesIterator.map(_._1).min
 
@@ -52,17 +60,18 @@ final class SpaceSavingSummary(val capacity: Int) {
         val (evictItem, (evictCount, _)) = items.minBy(_._2._1)
         items.remove(evictItem)
         items.update(item, (evictCount + inc, evictCount))
+        lossy = true
     }
   }
 
   /** Mergeable-summaries union (Agarwal et al.): an item absent from a
-    * FULL side may have been evicted there, so that side contributes its
-    * min count as both count and error; absent from a non-full side
+    * LOSSY side may have been evicted there, so that side contributes
+    * its min count as both count and error; absent from a lossless side
     * means truly unseen (contributes 0). Keep the top `capacity` by
     * merged count. */
   def mergeIn(other: SpaceSavingSummary): Unit = {
-    val selfFloor = if (items.size >= capacity) minCount else 0L
-    val otherFloor = if (other.items.size >= other.capacity) {
+    val selfFloor = if (lossy) minCount else 0L
+    val otherFloor = if (other.lossy) {
       if (other.items.isEmpty) 0L else other.items.valuesIterator.map(_._1).min
     } else 0L
     val union = mutable.HashMap.empty[UTF8String, (Long, Long)]
@@ -74,11 +83,13 @@ final class SpaceSavingSummary(val capacity: Int) {
       union.update(k, (c + selfFloor, e + selfFloor))
     }
     items.clear()
+    lossy = lossy || other.lossy
     if (union.size <= capacity) items ++= union
     else {
       // deterministic survivor set: count desc, then item asc
       val kept = union.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
       items ++= kept
+      lossy = true
     }
   }
 
@@ -86,6 +97,7 @@ final class SpaceSavingSummary(val capacity: Int) {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(capacity)
+    out.writeBoolean(lossy)
     out.writeInt(items.size)
     for ((k, (c, e)) <- items) {
       val b = k.getBytes
@@ -99,6 +111,7 @@ object SpaceSavingSummary {
   def deserialize(bytes: Array[Byte]): SpaceSavingSummary = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val s = new SpaceSavingSummary(in.readInt())
+    s.lossy = in.readBoolean()
     var n = in.readInt()
     while (n > 0) {
       val len = in.readInt(); val b = new Array[Byte](len); in.readFully(b)

@@ -321,6 +321,32 @@ class ExtensionsSpec extends AnyFunSuite {
       want.count(_ < 5))
   }
 
+  test("ZPruneRule property: 60 random boxes — pruned always equals naive") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = (0 until 8000).map { i =>
+      (i.toLong, rng.nextInt(700).toLong, rng.nextInt(700).toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("zprop").toString
+    ZOrderLayout.cluster(rows.toDF("id", "u", "t"), col("u"), col("t"), 4)
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("zprop")
+    (1 to 60).foreach { _ =>
+      val uLo = rng.nextInt(800); val uHi = uLo + rng.nextInt(200)
+      val tLo = rng.nextInt(800); val tHi = tLo + rng.nextInt(200)
+      val q = spark.sql(
+        s"SELECT id FROM zprop WHERE u >= $uLo AND u <= $uHi AND t >= $tLo AND t <= $tHi")
+      // the rule must have fired (both axes bounded, non-empty domain box)
+      assert(q.queryExecution.optimizedPlan.toString.matches("(?s).*zval#\\d+L? >=.*"),
+        s"rule did not fire for box [$uLo,$uHi]x[$tLo,$tHi]")
+      val got = q.collect().map(_.getLong(0)).sorted.toSeq
+      val want = rows.collect {
+        case (id, u, t) if u >= uLo && u <= uHi && t >= tLo && t <= tHi => id
+      }.sorted
+      assert(got == want, s"box [$uLo,$uHi]x[$tLo,$tHi]: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("z_interleave SQL function matches the Scala kernel") {
     val rows = spark.sql(
       """SELECT z_interleave(x, y) AS z, x, y FROM VALUES

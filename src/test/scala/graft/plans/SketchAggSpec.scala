@@ -76,6 +76,29 @@ class SketchAggSpec extends AnyFunSuite {
     assert(top5.subsetOf(got.map(_._1).toSet))
   }
 
+  test("boundary: at-capacity lossless summaries merge with floor 0") {
+    import spark.implicits._
+    // two partitions, each holding exactly `cap` distinct items with NO
+    // evictions: the merge must treat them as lossless (floor 0) — were
+    // fullness inferred from size==capacity, every count would inflate
+    // by the other side's min and the survivors' errors would be wrong
+    val cap = 50
+    val p1 = (0 until cap).flatMap(i => Seq.fill(i + 2)(s"a$i"))
+    val p2 = (0 until cap).flatMap(i => Seq.fill(i + 2)(s"b$i"))
+    val truth = trueCounts(p1 ++ p2)
+    val df = spark.sparkContext.parallelize(Seq(p1, p2), 2)
+      .flatMap(identity).toDF("item")
+    val got = df.agg(SketchFunctions.spaceSavingTopK(col("item"), cap).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item"), col("e.cnt"), col("e.err")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == cap) // union of 100 truncated to capacity
+    got.foreach { case (item, cnt, err) =>
+      assert(err == 0L, s"$item err=$err")
+      assert(cnt == truth(item), s"$item cnt=$cnt truth=${truth(item)}")
+    }
+  }
+
   test("merge of partitioned summaries equals single-partition run when exact") {
     val xs = stream(5000, 40)
     val one = runAgg(xs, 256, partitions = 1)
