@@ -26,11 +26,22 @@ object AsOfJoin {
 
   /** Left as-of join. Output: all left columns plus the right payload
     * columns (right key/time columns renamed `matched_<time>`), NULL
-    * payload where no right row precedes the left row. Right payload
-    * names must not collide with left column names (rename before
-    * joining — a silent duplicate would poison downstream references). */
+    * payload where no right row precedes (direction "backward") or
+    * follows ("forward") the left row. Right payload names must not
+    * collide with left column names (rename before joining — a silent
+    * duplicate would poison downstream references).
+    *
+    * Directions (both tie-inclusive, like DuckDB's ASOF):
+    *  - "backward" (default): latest right with rightTime ≤ leftTime —
+    *    "version current at T".
+    *  - "forward": earliest right with rightTime ≥ leftTime — "next
+    *    scheduled/observed event at or after T". Same single-shuffle
+    *    union+window plan, ordered descending. */
   def leftAsOf(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"as-of direction must be backward|forward, got '$direction'")
     val payloadCols = right.columns.filter(c => c != key && c != rightTime).toSeq
     val leftCols = left.columns.toSeq
     val outNames = s"matched_$rightTime" +: payloadCols
@@ -75,7 +86,13 @@ object AsOfJoin {
         lit(null).cast(vType).as("_v")) ++
         leftCols.filter(_ != key).map(col): _*)
 
-    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
+    // backward scans time ascending (carry the latest past version
+    // forward); forward scans descending (carry the nearest future
+    // version backward). Right sorts first on equal times either way →
+    // tie-inclusive match.
+    val timeOrder =
+      if (direction == "backward") col("_t").asc else col("_t").desc
+    val w = Window.partitionBy(col(key)).orderBy(timeOrder, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightU.unionByName(leftU)
       .select(col(key) +: col("_side") +:

@@ -448,6 +448,42 @@ object CoreQueries {
       |  ON p.o_custkey = v.o_custkey AND p.probe >= v.o_orderdate
       |ORDER BY p.o_custkey, p.probe""".stripMargin
 
+  /** W7 (registry key w7_asof_forward) — the FORWARD as-of lookup:
+    * for each probe instant, the next version at or after it (the
+    * scheduling dual of w5's "current at T"; DuckDB oracles it natively
+    * with `ASOF LEFT JOIN … ON probe <= o_orderdate`). Same
+    * single-shuffle union+window operator, descending scan. */
+  val w7AsofForward: QFn = (s, d) => {
+    import s.implicits._
+    val versions = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("version_key"))
+    val probes = Tables.customer(s, d)
+      .where(col("c_custkey") < 300)
+      .select(col("c_custkey").as("o_custkey"))
+      .crossJoin(Seq("1993-06-01 00:00:00", "1996-01-01 00:00:00", "1998-06-01 00:00:00")
+        .toDF("probe_s")
+        .select(col("probe_s").cast("timestamp").as("probe")))
+    graft.operators.AsOfJoin.leftAsOf(probes, versions,
+      key = "o_custkey", leftTime = "probe", rightTime = "o_orderdate",
+      direction = "forward")
+      .orderBy(col("o_custkey"), col("probe"))
+  }
+  val w7Sql =
+    """WITH v AS (
+      |  SELECT o_custkey, o_orderdate, CAST(max(o_orderkey) AS BIGINT) AS version_key
+      |  FROM orders GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT c_custkey AS o_custkey, CAST(p AS TIMESTAMP) AS probe
+      |  FROM customer, (VALUES ('1993-06-01 00:00:00'), ('1996-01-01 00:00:00'),
+      |                         ('1998-06-01 00:00:00')) t(p)
+      |  WHERE c_custkey < 300)
+      |SELECT p.o_custkey, p.probe,
+      |  v.o_orderdate AS matched_o_orderdate, v.version_key
+      |FROM probes p ASOF LEFT JOIN v
+      |  ON p.o_custkey = v.o_custkey AND p.probe <= v.o_orderdate
+      |ORDER BY p.o_custkey, p.probe""".stripMargin
+
   /** X19 — gap-based sessionization (the classic event-analytics /
     * training-data operator Spark expresses as lag + running sum): a new
     * session starts when a user's inter-event gap exceeds 12 h; emit
@@ -675,6 +711,7 @@ object CoreQueries {
     "w3_validity_intervals" -> w3ValidityIntervals,
     "w4_ooo_sort" -> w4OooSort,
     "w5_asof_lookup" -> w5AsofLookup,
+    "w7_asof_forward" -> w7AsofForward,
     "x19_sessionize" -> x19Sessionize,
     "x36_zorder_scan" -> x36ZorderScan,
     "u1_union_sources" -> u1UnionSources,
@@ -711,6 +748,7 @@ object CoreQueries {
     "w3_validity_intervals" -> w3Sql,
     "w4_ooo_sort" -> w4Sql,
     "w5_asof_lookup" -> w5Sql,
+    "w7_asof_forward" -> w7Sql,
     "x19_sessionize" -> x19Sql,
     "x36_zorder_scan" -> x36Sql,
     "u1_union_sources" -> u1Sql,

@@ -38,6 +38,60 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out((3L, 50L)).isEmpty)
   }
 
+  test("forward direction picks the earliest following version, inclusively") {
+    import spark.implicits._
+    val versions = Seq(
+      (1L, 10L, "v10"), (1L, 20L, "v20"), (1L, 30L, "v30"),
+      (2L, 15L, "w15")).toDF("key", "vt", "payload")
+    val probes = Seq(
+      (1L, 5L), // before any version → v10 (next up)
+      (1L, 20L), // exact tie → inclusive match v20
+      (1L, 25L), // between → v30
+      (1L, 99L), // after all → NULL
+      (2L, 10L), // other key isolated → w15
+      (3L, 50L) // key with no versions → NULL
+    ).toDF("key", "pt")
+    val out = AsOfJoin.leftAsOf(probes, versions, "key", "pt", "vt",
+        direction = "forward")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        Option(r.get(r.fieldIndex("payload"))))).toMap
+    assert(out((1L, 5L)).contains("v10"))
+    assert(out((1L, 20L)).contains("v20"))
+    assert(out((1L, 25L)).contains("v30"))
+    assert(out((1L, 99L)).isEmpty)
+    assert(out((2L, 10L)).contains("w15"))
+    assert(out((3L, 50L)).isEmpty)
+  }
+
+  test("forward random instances match a local reference implementation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(177)
+    (1 to 8).foreach { trial =>
+      val nKeys = 1 + rng.nextInt(4)
+      val versions = (for {
+        k <- 0 until nKeys
+        t <- Seq.fill(1 + rng.nextInt(6))(rng.nextInt(100)).distinct
+      } yield (k.toLong, t.toLong,
+        if (rng.nextBoolean()) Some(s"v${k}_$t") else None)).toSeq
+      val probes = Seq.fill(20)(
+        (rng.nextInt(nKeys + 1).toLong, rng.nextInt(120).toLong))
+      val got = AsOfJoin.leftAsOf(
+          probes.toDF("key", "pt"), versions.toDF("key", "vt", "payload"),
+          "key", "pt", "vt", direction = "forward")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getString(3))))
+        .toSeq.sorted.groupBy(identity).view.mapValues(_.size).toMap
+      val expected = probes.map { case (k, pt) =>
+        val best = versions.filter(v => v._1 == k && v._2 >= pt)
+          .sortBy(_._2).headOption
+        (k, pt) -> (best.map(_._2), best.flatMap(_._3))
+      }.sorted.groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("NULL fields in the matched version stay NULL (no cross-version mixing)") {
     import spark.implicits._
     // v20's payload is NULL: a per-column carry would resurrect v10's
