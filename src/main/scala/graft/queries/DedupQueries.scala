@@ -1073,6 +1073,66 @@ object DedupQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // -- x40: filtered ANN (metadata-constrained vector search) ------------
+
+  /** x40 — FILTERED vector search: each query's top-5 among candidates
+    * sharing the query's `label` (the "metadata filter + ANN" shape
+    * every production vector store serves — search within a tenant,
+    * language, or category). Pre-filtering beats post-filtering: the
+    * label predicate applies BEFORE scoring, so recall never silently
+    * drops when the filter is selective. At 100 TB the label is a
+    * partition/cluster key and the filter prunes the scan itself; here
+    * the kernel applies it per candidate against the broadcast query
+    * batch. Exact within the filtered set (brute force, like x3 —
+    * x14/x15/x38 supply the sublinear variants, all composable with the
+    * same pre-filter). */
+  val x40AnnFiltered: QFn = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .map { case (id, lab, e) => (id, lab, e.map(_.toDouble)) }
+    val queries = s.sparkContext.broadcast(
+      emb.filter(_._1 < 10).collect().sortBy(_._1)
+        .map { case (id, lab, e) => (id, lab, e, normScaled(e)) })
+    val scored = emb.mapPartitions { it =>
+      val qs = queries.value
+      it.flatMap { case (cid, clab, ce) =>
+        lazy val cn = normScaled(ce)
+        qs.iterator.collect {
+          case (qid, qlab, qe, qn) if qid != cid && qlab == clab =>
+            (qid, cid, clab, dotScaled(qe, ce) / (math.sqrt(qn) * math.sqrt(cn)))
+        }
+      }
+    }.toDF("query_id", "cand_id", "label", "cosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        col("label"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val x40Sql =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+      |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label,
+      |    CAST(list_sum(list_transform(range(1, length(q.embedding) + 1),
+      |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+      |      / (sqrt(q.norm_s) * sqrt(c.norm_s)) AS cosine
+      |  FROM e q, e c
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id AND q.label = c.label)
+      |SELECT query_id, rank, cand_id, label, cosine FROM (
+      |  SELECT query_id, cand_id, label, cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM scored) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   // -- x39: IVF-PQ ANN (the two halves composed) -------------------------
 
   /** x39 — the production billion-vector ANN shape assembled from its
@@ -1338,6 +1398,7 @@ object DedupQueries {
     "x15_ann_ivf" -> x15AnnIvf,
     "x38_ann_pq" -> x38AnnPq,
     "x39_ann_ivfpq" -> x39AnnIvfPq,
+    "x40_ann_filtered" -> x40AnnFiltered,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1359,5 +1420,6 @@ object DedupQueries {
     "x15_ann_ivf" -> x15Sql,
     "x38_ann_pq" -> x38Sql,
     "x39_ann_ivfpq" -> x39Sql,
+    "x40_ann_filtered" -> x40Sql,
   )
 }
