@@ -310,11 +310,130 @@ case class StreamingHistogramAgg(
     copy(child = newChild)
 }
 
+/** Bounded top-k sample state: the k best (key, id, weight) rows under
+  * the ordering (key DESC, id ASC). EXACT top-k — not a sketch: the
+  * heap is a lossless selection, it just never materializes more than
+  * k rows per (task × group). */
+final class TopKSample(val capacity: Int) {
+  /** min-heap on the ordering, worst at head (the eviction candidate). */
+  val heap: mutable.PriorityQueue[(Double, Long, Long)] =
+    mutable.PriorityQueue.empty(Ordering.by {
+      case (key, id, _) => (-key, id) // reverse of (key desc, id asc)
+    })
+
+  private def beats(a: (Double, Long, Long), b: (Double, Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  def add(e: (Double, Long, Long)): Unit = {
+    if (heap.size < capacity) heap.enqueue(e)
+    else if (beats(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
+  }
+
+  def mergeIn(other: TopKSample): Unit = other.heap.foreach(add)
+
+  /** (key desc, id asc) — the emission order. */
+  def sorted: Seq[(Double, Long, Long)] =
+    heap.toSeq.sortBy { case (key, id, _) => (-key, id) }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(capacity)
+    out.writeInt(heap.size)
+    heap.foreach { case (k, i, w) =>
+      out.writeDouble(k); out.writeLong(i); out.writeLong(w)
+    }
+    out.flush(); bos.toByteArray
+  }
+}
+
+object TopKSample {
+  def deserialize(bytes: Array[Byte]): TopKSample = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val s = new TopKSample(in.readInt())
+    var n = in.readInt()
+    while (n > 0) {
+      s.heap.enqueue((in.readDouble(), in.readLong(), in.readLong()))
+      n -= 1
+    }
+    s
+  }
+}
+
+/** `topk_sample(key, id, weight, k)` — per group, the k rows with the
+  * largest `key` (ties → smaller `id`), as a sorted
+  * `array<struct<sample_key,doc_id,weight>>`. The single-pass form of
+  * "rank per group, keep rank ≤ k": a window top-k sorts EVERY group
+  * member through the exchange, this aggregate's partials carry at most
+  * k rows per task×group — the difference between shuffling the corpus
+  * and shuffling the sample at 100 TB. Pair a seeded Efraimidis-
+  * Spirakis key with it for weighted sampling (x32/x41). */
+case class TopKSampleAgg(
+    first: Expression, second: Expression, third: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKSample]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression]
+  with Serializable {
+
+  require(capacity > 0, s"topk_sample capacity must be > 0: $capacity")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sample_key", DoubleType, nullable = false),
+    StructField("doc_id", LongType, nullable = false),
+    StructField("weight", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_sample"
+
+  override def createAggregationBuffer(): TopKSample = new TopKSample(capacity)
+
+  override def update(buf: TopKSample, input: InternalRow): TopKSample = {
+    val k = first.eval(input)
+    val i = second.eval(input)
+    val w = third.eval(input)
+    if (k != null && i != null && w != null) {
+      buf.add((k.asInstanceOf[Number].doubleValue(),
+        i.asInstanceOf[Number].longValue(),
+        w.asInstanceOf[Number].longValue()))
+    }
+    buf
+  }
+
+  override def merge(buf: TopKSample, other: TopKSample): TopKSample = {
+    buf.mergeIn(other); buf
+  }
+
+  override def eval(buf: TopKSample): Any =
+    new GenericArrayData(buf.sorted.map { case (k, i, w) =>
+      new GenericInternalRow(Array[Any](k, i, w))
+    }.toArray[Any])
+
+  override def serialize(buf: TopKSample): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): TopKSample =
+    TopKSample.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKSampleAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKSampleAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): TopKSampleAgg =
+    copy(first = f, second = s, third = t)
+}
+
 /** Column-DSL entry points for the sketch aggregates + the broadcast
   * bloom probe (Spark's own runtime-filter machinery, exposed as a
   * first-class operator: build is a distributed native aggregate, probe
   * is a codegen'd expression over a constant filter). */
 object SketchFunctions {
+
+  def topkSample(key: Column, id: Column, weight: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      TopKSampleAgg(GraftColumnBridge.expression(key),
+        GraftColumnBridge.expression(id),
+        GraftColumnBridge.expression(weight), k)
+        .toAggregateExpression())
 
   def streamingHistogram(value: Column, capacity: Int): Column =
     GraftColumnBridge.column(

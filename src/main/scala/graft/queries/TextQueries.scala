@@ -884,6 +884,33 @@ object TextQueries {
        |WHERE rank <= $WeightedPerSource
        |ORDER BY source, rank""".stripMargin
 
+  // -- x41: weighted sample via the single-pass top-k aggregate ----------
+
+  /** x41 — x32's per-source Efraimidis-Spirakis weighted sample computed
+    * by the bounded top-k heap aggregate
+    * ([[graft.plans.TopKSampleAgg]]): identical rows and ranks (the heap
+    * is EXACT top-k, not a sketch — x32's oracle is shared verbatim),
+    * but the partial aggregation carries at most k rows per task×source
+    * through the exchange instead of window-sorting every document in
+    * every stratum — the difference between shuffling the sample and
+    * shuffling the corpus at 100 TB. */
+  val x41WeightedSampleAgg: QFn = (s, d) => {
+    import graft.plans.SketchFunctions
+    val u = (expr(PortableHash.hex60("concat('x32:', CAST(doc_id AS STRING))"))
+      % 1000000L + 1L) / lit(1000000.0)
+    val key = round(log(u) / col("n_chars").cast("double"), 6)
+    Tables.documents(s, d)
+      .withColumn("sample_key", key)
+      .groupBy(col("source"))
+      .agg(SketchFunctions.topkSample(col("sample_key"), col("doc_id"),
+        col("n_chars"), WeightedPerSource).as("sample"))
+      .select(col("source"), posexplode(col("sample")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.doc_id").as("doc_id"), col("e.weight").as("weight"),
+        col("e.sample_key").as("sample_key"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   // -- x33: token-budget selection ---------------------------------------
 
   /** x33 — greedy data selection under a token budget: per source, docs
@@ -925,6 +952,7 @@ object TextQueries {
     "x26_line_dedup" -> x26LineDedup,
     "x31_repeated_substrings" -> x31RepeatedSubstrings,
     "x32_weighted_sample" -> x32WeightedSample,
+    "x41_weighted_sample_agg" -> x41WeightedSampleAgg,
     "x33_budget_select" -> x33BudgetSelect,
     "x27_pii_scrub" -> x27PiiScrub,
     "x28_split_assign" -> x28SplitAssign,
@@ -947,6 +975,7 @@ object TextQueries {
     "x26_line_dedup" -> x26Sql,
     "x31_repeated_substrings" -> x31Sql,
     "x32_weighted_sample" -> x32Sql,
+    "x41_weighted_sample_agg" -> x32Sql, // heap top-k is exact, same rows
     "x33_budget_select" -> x33Sql,
     "x27_pii_scrub" -> x27Sql,
     "x28_split_assign" -> x28Sql,

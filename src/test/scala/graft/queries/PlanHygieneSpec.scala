@@ -23,6 +23,7 @@ class PlanHygieneSpec extends AnyFunSuite {
   private val bnljAllowed = Set("j3_pixel_range_join", "j3_range_join_htm",
     "j3_range_join_q3c", "j4_tile_pixel_overlap",
     "a8_mc_summary", "u3_camera_tiles", "w5_asof_lookup",
+    "w7_asof_forward", // same 3-row literal probe grid as w5
     "x18_length_quantiles")
 
   test("no registered query plans a CartesianProduct") {
