@@ -200,6 +200,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "streaming_histogram(value, capacity)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("topk_sample"),
+      new ExpressionInfo(classOf[TopKSampleAgg].getName, "topk_sample"),
+      (args: Seq[Expression]) => args match {
+        case Seq(key, id, weight, cap) =>
+          TopKSampleAgg(key, id, weight,
+            requireFoldableInt(cap, "topk_sample"))
+        case _ => throw new IllegalArgumentException(
+          "topk_sample(key, id, weight, k)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("dot_scaled"),
       new ExpressionInfo(classOf[DotScaledExpr].getName, "dot_scaled"),
       (args: Seq[Expression]) => args match {

@@ -371,6 +371,13 @@ class ExtensionsSpec extends AnyFunSuite {
       .select("b.value", "b.cnt").collect()
       .map(r => (r.getDouble(0), r.getLong(1))).toSeq
     assert(hist == Seq((1.0, 1L), (5.0, 2L), (9.0, 1L)), hist)
+    val topk = spark.sql(
+      """SELECT explode(topk_sample(k, id, w, 2)) AS e FROM (VALUES
+        |  (0.5D, 1L, 10L), (0.9D, 2L, 20L), (0.9D, 3L, 30L), (0.1D, 4L, 40L)
+        |) AS t(k, id, w)""".stripMargin)
+      .select("e.sample_key", "e.doc_id", "e.weight").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(topk == Seq((0.9, 2L, 20L), (0.9, 3L, 30L)), topk)
     // non-constant capacity must fail fast, not misbehave
     val err = intercept[Exception] {
       spark.sql("SELECT space_saving_topk(w, length(w)) FROM (SELECT 'x' AS w)")
