@@ -190,12 +190,19 @@ object CorpusPipeline {
     docs.withColumn("split", TextQueries.splitNameCol(TextQueries.splitBucketCol))
 
   def exactDedup(docs: DataFrame): DataFrame = {
+    // MUST stay the same expression as fingerprintCol: the warehouse fp
+    // index and the incremental invariant both depend on batch and
+    // incremental paths hashing identically
     val canonical = docs
-      .groupBy(md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"))
+      .groupBy(fingerprintCol(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     docs.join(canonical, "doc_id")
   }
+
+  /** Canonical-content fingerprint column (the exactDedup key). */
+  def fingerprintCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
 
   /** Batch-incremental ingest: curate a NEW document batch against an
     * already-curated warehouse WITHOUT touching the warehouse — the
@@ -211,10 +218,6 @@ object CorpusPipeline {
     * the streaming counterpart; the invariant both share: incremental
     * result == batch pipeline on the union, restricted to new ids
     * (CorpusPipelineSpec pins it). */
-  /** Canonical-content fingerprint column (the exactDedup key). */
-  def fingerprintCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
-
   def incrementalIngest(warehouse: DataFrame, newDocs: DataFrame): DataFrame =
     incrementalIngestWithIndex(
       piiScrub(warehouse).select(fingerprintCol(col("text")).as("fp")).distinct(),
@@ -245,19 +248,39 @@ object CorpusPipeline {
     * pass: exact dups are gone, this catches the near misses. */
   def incrementalNearDup(warehouseSigs: DataFrame, newDocs: DataFrame): DataFrame = {
     val newSigs = DedupQueries.minhashSignatures(newDocs).localCheckpoint(true)
-    val cand = DedupQueries.bandBuckets(newSigs)
+    val newBands = DedupQueries.bandBuckets(newSigs)
+    // vs-warehouse: any agreeing warehouse doc disqualifies the new doc
+    val vsWarehouse = newBands
       .join(DedupQueries.bandBuckets(warehouseSigs)
           .select(col("band"), col("bucket"), col("doc_id").as("w_id")),
         Seq("band", "bucket"))
       .select(col("doc_id"), col("w_id"))
       .dropDuplicates("doc_id", "w_id")
-    val matched = cand
       .join(newSigs.select(col("doc_id"), col("sig").as("sig_a")), "doc_id")
       .join(warehouseSigs.select(col("doc_id").as("w_id"),
         col("sig").as("sig_b")), "w_id")
       .where(DedupQueries.sigAgreement(col("sig_a"), col("sig_b")) >= 0.5)
-      .select("doc_id").distinct()
-    newDocs.join(matched, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    // WITHIN-slice: a near-dup pair inside the same ingest slice would
+    // otherwise both pass (neither is in the warehouse yet) and both
+    // persist forever. Greedy min-id rule: drop a doc iff an agreeing
+    // SMALLER-id slice-mate exists — matches the batch canonical-keeps-
+    // min rule pairwise (a chain a~b~c with a!~c keeps a AND c where
+    // batch components keep only a: the conservative false-keep, never
+    // a false drop).
+    val inSlice = newBands
+      .join(newBands.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b")), Seq("band", "bucket"))
+      .where(col("doc_b") < col("doc_id"))
+      .select(col("doc_id"), col("doc_b"))
+      .dropDuplicates("doc_id", "doc_b")
+      .join(newSigs.select(col("doc_id"), col("sig").as("sig_a")), "doc_id")
+      .join(newSigs.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b")), "doc_b")
+      .where(DedupQueries.sigAgreement(col("sig_a"), col("sig_b")) >= 0.5)
+      .select("doc_id")
+    newDocs.join(vsWarehouse.union(inSlice).distinct(),
+      Seq("doc_id"), "left_anti")
   }
 
   def nearDupCanonical(s: SparkSession, d: String)(docs: DataFrame): DataFrame =

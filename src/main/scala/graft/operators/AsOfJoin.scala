@@ -89,9 +89,13 @@ object AsOfJoin {
     // backward scans time ascending (carry the latest past version
     // forward); forward scans descending (carry the nearest future
     // version backward). Right sorts first on equal times either way →
-    // tie-inclusive match.
+    // tie-inclusive match. NULL probe times must order BEFORE every
+    // right row in scan order so they match nothing (asc defaults to
+    // NULLS FIRST; desc defaults to NULLS LAST and would hand a NULL
+    // probe the smallest-time version — fabricating a match DuckDB's
+    // ASOF returns NULL for).
     val timeOrder =
-      if (direction == "backward") col("_t").asc else col("_t").desc
+      if (direction == "backward") col("_t").asc else col("_t").desc_nulls_first
     val w = Window.partitionBy(col(key)).orderBy(timeOrder, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightU.unionByName(leftU)

@@ -175,9 +175,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
              _: org.apache.spark.sql.types.ShortType |
              _: org.apache.spark.sql.types.ByteType => true
         case _ => false
-      }) => other.eval().toString.toInt
+      }) && other.eval() != null && {
+        // a NULL literal or an out-of-Int-range long must fall through
+        // to the clean error, not NPE / NumberFormatException
+        val v = other.eval().asInstanceOf[Number].longValue()
+        v >= 1 && v <= Int.MaxValue
+      } => other.eval().asInstanceOf[Number].intValue()
       case _ => throw new IllegalArgumentException(
-        s"$fn: capacity must be a constant integer")
+        s"$fn: capacity must be a constant positive integer")
     }
     ext.injectFunction((
       new FunctionIdentifier("space_saving_topk"),

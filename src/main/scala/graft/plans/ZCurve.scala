@@ -30,7 +30,17 @@ object ZCurve {
   /** 64-bit Morton code: `x` on even bits, `y` on odd bits. */
   def interleave(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
 
-  /** Decompose the inclusive box [xLo,xHi] × [yLo,yHi] (32-bit axes)
+  /** Axis domain for the RANGE layer: 31 bits, so every z code and
+    * every range bound stays a POSITIVE signed long. A 32-bit y would
+    * put its top bit at z bit 63 — negative codes whose signed
+    * comparisons (the injected predicates, `coarsen`'s sort) silently
+    * scramble, and a fully-contained top quadrant's `hi` bound would
+    * overflow to Long.MinValue. 2^31 values per axis is the contract
+    * [[ZOrderLayout.cluster]] enforces at write time. */
+  val AxisBits = 31
+  val AxisMax: Long = (1L << AxisBits) - 1
+
+  /** Decompose the inclusive box [xLo,xHi] × [yLo,yHi] (31-bit axes)
     * into sorted disjoint half-open z ranges covering EXACTLY the box's
     * cells — quad-tree descent emitting a full range per fully-contained
     * quadrant, recursing on boundary quadrants (children visited in
@@ -43,9 +53,9 @@ object ZCurve {
   def boxRanges(xLo: Long, xHi: Long, yLo: Long, yHi: Long,
       maxRanges: Int = 64): Seq[(Long, Long)] = {
     require(xLo <= xHi && yLo <= yHi, s"empty box: [$xLo,$xHi]x[$yLo,$yHi]")
-    require(xLo >= 0 && yLo >= 0 && xHi < (1L << 32) && yHi < (1L << 32),
-      "box must lie within unsigned 32-bit axes")
-    val bits = 32
+    require(xLo >= 0 && yLo >= 0 && xHi <= AxisMax && yHi <= AxisMax,
+      s"box must lie within [0, 2^$AxisBits) axes")
+    val bits = AxisBits
     val buf = mutable.ArrayBuffer.empty[(Long, Long)]
     def rec(cx: Long, cy: Long, level: Int, zbase: Long): Unit = {
       val size = 1L << (bits - level)
@@ -102,21 +112,21 @@ object ZOrderLayout {
     * the z column's metadata so [[ZPruneRule]] can later prove box
     * filters against them prunable.
     *
-    * The write FAILS on any coordinate outside [0, 2^32): the 32-bit
-    * mask would silently wrap such a value to an unrelated curve
-    * position, and a later pruned read would then DROP the row — the
-    * metadata is a provenance contract ("zval interleaves x,y AND both
-    * are in-domain"), so it must not be stamped on data that violates
-    * it. */
+    * The write FAILS on any coordinate outside [0, 2^31): a wrapped or
+    * sign-bit-reaching value would land on an unrelated (or negative)
+    * curve position, and a later pruned read would then DROP the row —
+    * the metadata is a provenance contract ("zval interleaves x,y AND
+    * both are in-domain"), so it must not be stamped on data that
+    * violates it. */
   def cluster(df: DataFrame, x: Column, y: Column, numFiles: Int,
       zName: String = "zval"): DataFrame = {
     import org.apache.spark.sql.functions.{lit, raise_error, when}
-    val axisMax = (1L << 32) - 1
     def guarded(c: Column, label: String): Column = {
       val l = c.cast("long")
-      when(l < 0L || l > axisMax,
-        raise_error(lit(s"ZOrderLayout.cluster: $label outside [0, 2^32) " +
-          "— a wrapped coordinate would silently break pruned reads"))
+      when(l < 0L || l > ZCurve.AxisMax,
+        raise_error(lit(s"ZOrderLayout.cluster: $label outside " +
+          s"[0, 2^${ZCurve.AxisBits}) — an out-of-domain coordinate " +
+          "would silently break pruned reads"))
           .cast("long"))
         .otherwise(l)
     }

@@ -27,7 +27,7 @@ object ZPruneRule extends Rule[LogicalPlan] {
   def maxRanges: Int = org.apache.spark.sql.internal.SQLConf.get
     .getConfString("graft.zorder.maxRanges", "32").toInt
 
-  private val AxisMax = (1L << 32) - 1
+  private val AxisMax = ZCurve.AxisMax
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)

@@ -409,7 +409,10 @@ object DedupQueries {
     val benchGrams = gramsOf(docs.where(col("doc_id") % DecontamEvery === 0))
       .select(col("doc_id").as("bench_id"), col("gram"))
     // distributed bloom build; the collected bytes are ~100 KB — the
-    // same driver round-trip Spark's InjectRuntimeFilter performs
+    // same driver round-trip Spark's InjectRuntimeFilter performs.
+    // DELIBERATELY EAGER at plan-construction time: the probe needs the
+    // filter as a foldable literal (BloomFilterMightContain's contract),
+    // so composing this query runs the build job once up front
     val bloomBytes = benchGrams
       .agg(SketchFunctions.bloomAgg(xxhash64(col("gram")),
         expectedItems = 1000000L, fpp = 0.01).as("bf"))
@@ -1158,10 +1161,14 @@ object DedupQueries {
       (nearestClusters(e, 1).head, id, pqEncode(e.map(scale1e6), cb.value))
     }
     // probe side: queries fan out to their probed lists with their LUT
+    // (ONE driver collect covers both the LUTs and the probe clusters)
     val queryProbes = s.sparkContext.broadcast {
-      val luts = pqQueryLuts(emb, pqCodebooks).toMap
       emb.filter(_._1 < 10).collect().sortBy(_._1).flatMap { case (qid, qe) =>
-        nearestClusters(qe, IvfProbes).map(c => (c, qid, luts(qid)))
+        val se = qe.map(scale1e6)
+        val lut = Array.tabulate(PqSubspaces, PqK) { (m, k) =>
+          pqDist2(se, m * PqSubDim, pqCodebooks(m)(k))
+        }
+        nearestClusters(qe, IvfProbes).map(c => (c, qid, lut))
       }
     }
     val scored = listed.mapPartitions { it =>

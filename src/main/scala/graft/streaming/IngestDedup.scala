@@ -44,15 +44,6 @@ object IngestDedup {
     graft.CorpusPipeline.splitAssign(
       dedupStream(graft.CorpusPipeline.piiScrub(docs), disorderTolerance))
 
-  /** Streaming heavy-hitters: per event-time window, the top terms of
-    * the document feed via the mergeable SpaceSaving aggregate
-    * ([[graft.plans.SpaceSavingAgg]] — the same native
-    * `TypedImperativeAggregate` the batch x35 key uses). The streaming
-    * state per window is ONE bounded summary (≤ `capacity` entries), not
-    * a per-term count table: vocabulary growth cannot grow the state
-    * store, and the watermark evicts whole windows — the two bounds a
-    * 100 TB/day feed needs. Works on batch frames too (same window
-    * aggregation without state). */
   /** Streaming length profile: per event-time window, the document-size
     * distribution as a capacity-bounded mergeable histogram
     * ([[graft.plans.StreamingHistogramAgg]] — the same aggregate behind
@@ -70,6 +61,15 @@ object IngestDedup {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("length_hist"))
 
+  /** Streaming heavy-hitters: per event-time window, the top terms of
+    * the document feed via the mergeable SpaceSaving aggregate
+    * ([[graft.plans.SpaceSavingAgg]] — the same native
+    * `TypedImperativeAggregate` the batch x35 key uses). The streaming
+    * state per window is ONE bounded summary (≤ `capacity` entries), not
+    * a per-term count table: vocabulary growth cannot grow the state
+    * store, and the watermark evicts whole windows — the two bounds a
+    * 100 TB/day feed needs. Works on batch frames too (same window
+    * aggregation without state). */
   def trendingTerms(docs: DataFrame, windowLen: String = "10 minutes",
       disorderTolerance: String = "10 minutes",
       capacity: Int = 1024): DataFrame = {

@@ -63,6 +63,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out((3L, 50L)).isEmpty)
   }
 
+  test("NULL probe times match nothing in either direction") {
+    import spark.implicits._
+    val versions = Seq((1L, 10L, "v10"), (1L, 20L, "v20"))
+      .toDF("key", "vt", "payload")
+    val probes = Seq((1L, Some(15L)), (1L, None))
+      .toDF("key", "pt")
+    Seq("backward", "forward").foreach { dir =>
+      val out = AsOfJoin.leftAsOf(probes, versions, "key", "pt", "vt",
+          direction = dir)
+        .collect().map(r => (Option(r.get(r.fieldIndex("pt"))),
+          Option(r.get(r.fieldIndex("payload"))))).toMap
+      assert(out(Some(15L)).contains(if (dir == "backward") "v10" else "v20"))
+      assert(out(None).isEmpty, s"direction $dir fabricated a match")
+    }
+  }
+
   test("forward random instances match a local reference implementation") {
     import spark.implicits._
     val rng = new scala.util.Random(177)

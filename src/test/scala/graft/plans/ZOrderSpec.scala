@@ -61,6 +61,16 @@ class ZOrderSpec extends AnyFunSuite {
         val inBox = px >= xLo && px <= xHi && py >= yLo && py <= yHi
         assert(inRanges(exact, z) == inBox, s"($px,$py) box=$inBox")
       }
+      // high-coordinate regime: boxes hugging the 31-bit axis ceiling
+      // must produce positive, sorted, exact covers (a 32-bit domain
+      // overflowed the top quadrant's bound to Long.MinValue here)
+      val m = ZCurve.AxisMax
+      val hiBox = ZCurve.boxRanges(m - 40, m, m - 25, m, maxRanges = 1 << 20)
+      assert(hiBox.forall { case (lo, hi) => lo >= 0 && hi > lo })
+      assert(hiBox.map { case (lo, hi) => hi - lo }.sum == 41L * 26L)
+      assert(hiBox.exists { case (lo, hi) =>
+        ZCurve.interleave(m, m) >= lo && ZCurve.interleave(m, m) < hi })
+
       // coarsened cover: strictly a superset (prune-then-refine soundness)
       val coarse = ZCurve.boxRanges(xLo, xHi, yLo, yHi, maxRanges = 4)
       assert(coarse.size <= 4)
@@ -106,7 +116,16 @@ class ZOrderSpec extends AnyFunSuite {
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("outside [0, 2^32)")), e.toString)
+    assert(messages(e).exists(_.contains("outside [0, 2^31)")), e.toString)
+    // the sign-bit regime must also be rejected: y = 2^31 would put the
+    // interleaved code's top bit at z bit 63 (negative longs that break
+    // every signed range comparison downstream)
+    import spark.implicits._
+    val big = Seq((1L, 5L, 1L << 31), (2L, 5L, 7L)).toDF("id", "u", "t")
+    val e2 = intercept[Exception] {
+      ZOrderLayout.cluster(big, col("u"), col("t"), numFiles = 2).collect()
+    }
+    assert(messages(e2).exists(_.contains("outside [0, 2^31)")), e2.toString)
   }
 
   test("z-bucketed layout prunes files for a box query") {
