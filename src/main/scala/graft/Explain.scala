@@ -14,7 +14,9 @@ object Explain {
     val keys = if (args.length > 1) args.drop(1).toSeq
       else Seq("s1_catalog_scan", "s2_region_scan", "s3_source_history",
         "j1_s2o_match", "j3_pixel_range_join", "w1_latest_version",
-        "a4_stat_avg", "x3_topk_similarity")
+        "a4_stat_avg", "x3_topk_similarity",
+        // round-4 flagships: sketch aggregate, bloom probe, curve scan
+        "x35_topk_sketch", "x34_decontaminate_bloom", "x36_zorder_scan")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
