@@ -39,6 +39,19 @@ for name, sql in sorted(oracle.items()):
     if ONLY and name not in ONLY:
         continue
     try:
+        # Result-type gate: DuckDB promotes SUM(BIGINT) to HUGEINT and
+        # keeps literal decimals as DECIMAL — both serialize differently
+        # from Spark's int64/double in the driver's hasher even when
+        # values are identical (r4 x25/x33 post-mortem). No oracle may
+        # emit them.
+        bad_types = [(r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}")
+                     .fetchall() if any(b in r[1].upper() for b in
+                                        ("HUGEINT", "DECIMAL"))]
+        if bad_types:
+            print(f"FAIL {name}: oracle result type(s) {bad_types} — "
+                  f"CAST to BIGINT/DOUBLE in the SQL")
+            bad += 1
+            continue
         got = con.execute(
             f"SELECT * FROM '{OUT}/{name}/*.parquet'").fetch_arrow_table()
         exp = con.execute(sql).fetch_arrow_table()

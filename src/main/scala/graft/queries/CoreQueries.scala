@@ -136,7 +136,7 @@ object CoreQueries {
   }
   val f7Sql =
     """SELECT o_orderkey, o_custkey, CAST(42 AS INTEGER) AS visit,
-      |  CAST(7 AS INTEGER) AS detector, 60000.5 AS midpoint_mjd
+      |  CAST(7 AS INTEGER) AS detector, CAST(60000.5 AS DOUBLE) AS midpoint_mjd
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** F8 — day/night predicate: visits only outside 06:00–20:00

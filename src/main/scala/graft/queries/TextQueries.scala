@@ -582,6 +582,9 @@ object TextQueries {
         expr(s"(cum_end - 1) DIV $PackWindow").as("end_window_id"))
       .orderBy(col("source"), col("doc_id"))
   }
+  // NOTE: the window SUM is wrapped in CAST(... AS BIGINT) — DuckDB's
+  // SUM(BIGINT) returns HUGEINT (int128), which the driver's hasher
+  // serializes differently from Spark's int64 even when values match.
   val x25Sql =
     s"""SELECT source, doc_id, n_tokens,
        |  cum_start // $PackWindow AS window_id,
@@ -590,10 +593,11 @@ object TextQueries {
        |FROM (
        |  SELECT source, doc_id,
        |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    SUM(CAST(length(string_split(text, ' ')) AS BIGINT))
+       |    CAST(SUM(CAST(length(string_split(text, ' ')) AS BIGINT))
        |      OVER (PARTITION BY source ORDER BY doc_id
        |            ROWS UNBOUNDED PRECEDING)
-       |      - CAST(length(string_split(text, ' ')) AS BIGINT) AS cum_start
+       |      - CAST(length(string_split(text, ' ')) AS BIGINT) AS BIGINT)
+       |      AS cum_start
        |  FROM documents)
        |ORDER BY source, doc_id""".stripMargin
 
@@ -938,9 +942,9 @@ object TextQueries {
     s"""SELECT source, doc_id, n_tokens, cum_tokens
        |FROM (
        |  SELECT source, doc_id, n_tokens,
-       |    SUM(n_tokens) OVER (PARTITION BY source
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source
        |      ORDER BY n_chars DESC, doc_id
-       |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
        |  FROM (SELECT source, doc_id, n_chars,
        |          CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |        FROM documents))
