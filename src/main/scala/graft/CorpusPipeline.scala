@@ -101,7 +101,12 @@ object CorpusPipeline {
   /** Drop docs overlapping the held-out benchmark set (x20) — AND the
     * benchmark stand-in docs themselves (doc_id % DecontamEvery == 0):
     * the eval suite must never flow into the training corpus, which is
-    * the leakage decontamination exists to prevent. */
+    * the leakage decontamination exists to prevent.
+    *
+    * NOTE: composing this stage RUNS Spark jobs immediately (the bench
+    * gram count + bloom build inside x34 — the probe needs the filter
+    * as a foldable literal). Pipeline plans containing this stage are
+    * therefore not free to construct; see x34's doc. */
   def decontaminate(s: SparkSession, d: String)(docs: DataFrame): DataFrame =
     // the bloom-prefiltered variant (x34): same flagged set as x20 by
     // construction, but the corpus stream is pruned by a codegen'd

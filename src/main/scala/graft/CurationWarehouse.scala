@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,12 +9,23 @@ import graft.queries.DedupQueries
 
 /** Persistent curated-corpus warehouse: the batch-incremental ingest
   * path ([[CorpusPipeline.incrementalIngestWithIndex]] /
-  * [[CorpusPipeline.incrementalNearDup]]) made durable. Three parquet
-  * tables under one directory:
+  * [[CorpusPipeline.incrementalNearDup]]) made durable. Each ingest
+  * lands as one immutable SLICE directory holding three parquet tables:
   *
   *   - `docs` — the curated documents (with split assignment),
   *   - `fp`   — (doc_id, fp) canonical-content fingerprints,
-  *   - `sigs` — (doc_id, sig) 64-long MinHash signatures.
+  *   - `sigs` — (doc_id, sig) 64-long MinHash signatures,
+  *
+  * and becomes visible only when its empty COMMIT MARKER
+  * (`commits/<sliceId>`) is created — the last step of the ingest.
+  * Readers union exclusively committed slices, so a crash between the
+  * three table writes leaves an invisible orphan directory (retried or
+  * garbage-collected later), never a docs/index mismatch that would
+  * re-admit duplicates — the "incremental == batch-on-union" invariant
+  * survives mid-ingest failure. Marker creation is a single filesystem
+  * create (atomic on HDFS; a single PUT on object stores), the same
+  * commit shape as Spark's own _SUCCESS protocol, extended over three
+  * tables.
   *
   * Each ingest reads ONLY the two small indexes (never warehouse text),
   * dedups the new slice against itself and the indexes, and appends the
@@ -28,35 +41,73 @@ object CurationWarehouse {
       .select(col("doc_id"),
         CorpusPipeline.fingerprintCol(col("text")).as("fp"))
 
-  /** Create the warehouse from an ALREADY-CURATED corpus (e.g.
-    * `CorpusPipeline.run` output): writes docs + both indexes. */
-  def init(spark: SparkSession, dir: String, curated: DataFrame): Unit = {
-    curated.write.mode("overwrite").parquet(s"$dir/docs")
-    fpOf(curated).write.mode("overwrite").parquet(s"$dir/fp")
-    DedupQueries.minhashSignatures(curated)
-      .write.mode("overwrite").parquet(s"$dir/sigs")
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Slice ids with a commit marker, ascending. */
+  private def committed(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val commits = new Path(dir, "commits")
+    if (!f.exists(commits)) Seq.empty
+    else f.listStatus(commits).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .sorted
   }
+
+  private def read(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val ids = committed(spark, dir)
+    require(ids.nonEmpty, s"no committed slices under $dir")
+    spark.read.parquet(ids.map(i => s"$dir/slices/$i/$table"): _*)
+  }
+
+  /** Write one slice's three tables, then its commit marker (LAST — the
+    * marker is what makes the slice exist). */
+  private def commitSlice(spark: SparkSession, dir: String, id: Long,
+      docs: DataFrame): Unit = {
+    val slice = s"$dir/slices/$id"
+    // overwrite: an orphaned half-written slice of the same id (crashed
+    // prior attempt) is silently replaced
+    docs.write.mode("overwrite").parquet(s"$slice/docs")
+    fpOf(docs).write.mode("overwrite").parquet(s"$slice/fp")
+    DedupQueries.minhashSignatures(docs)
+      .write.mode("overwrite").parquet(s"$slice/sigs")
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir, "commits"))
+    f.create(new Path(s"$dir/commits/$id"), true).close()
+  }
+
+  /** Create the warehouse from an ALREADY-CURATED corpus (e.g.
+    * `CorpusPipeline.run` output): slice 0. */
+  def init(spark: SparkSession, dir: String, curated: DataFrame): Unit =
+    commitSlice(spark, dir, 0L, curated)
 
   /** Ingest a new document slice: exact dedup (in-batch + vs the fp
     * index), near-dup rejection vs the signature index, split
-    * assignment; append survivors and their index rows. Returns the
-    * appended documents. */
+    * assignment; commit survivors and their index rows as one atomic
+    * slice. Returns the appended documents. */
   def ingest(spark: SparkSession, dir: String, newDocs: DataFrame): DataFrame = {
-    val fps = spark.read.parquet(s"$dir/fp").select("fp")
-    val sigs = spark.read.parquet(s"$dir/sigs")
+    val fps = read(spark, dir, "fp").select("fp")
+    val sigs = read(spark, dir, "sigs")
     val afterExact =
       CorpusPipeline.incrementalIngestWithIndex(fps, newDocs)
     val kept = CorpusPipeline.incrementalNearDup(sigs, afterExact)
-      // materialize BEFORE appending to the tables the plan reads from:
-      // a lazy plan would re-scan `sigs` mid-append (read-what-you-write)
+      // materialize BEFORE writing the slice the indexes were read for:
+      // a lazy plan would re-scan `sigs` mid-write (read-what-you-write)
       .localCheckpoint(true)
-    kept.write.mode("append").parquet(s"$dir/docs")
-    fpOf(kept).write.mode("append").parquet(s"$dir/fp")
-    DedupQueries.minhashSignatures(kept)
-      .write.mode("append").parquet(s"$dir/sigs")
+    // an all-duplicates slice commits nothing (an empty parquet dir
+    // would poison later schema inference over the union)
+    if (!kept.isEmpty) {
+      commitSlice(spark, dir, committed(spark, dir).max + 1L, kept)
+    }
     kept
   }
 
   def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/docs")
+    read(spark, dir, "docs")
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "fp")
+
+  def signatures(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "sigs")
 }

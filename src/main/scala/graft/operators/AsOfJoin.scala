@@ -72,9 +72,16 @@ object AsOfJoin {
       right.schema(rightTime).copy(name = s"matched_$rightTime") +:
         payloadCols.map(c => right.schema(c).copy(nullable = true)))
 
+    // a right row with NULL time would sort first in BOTH scan orders
+    // (nulls-first either way, by the probe-guard below) and its
+    // non-null payload struct would then carry onto every probe in the
+    // key partition — fabricating matches DuckDB's ASOF ignores such
+    // rows for. Drop them up front: a version with no timestamp can
+    // never be "current at T".
+    val rightT = right.where(col(rightTime).isNotNull)
     // common layout: key, t, side (0 = right sorts first on ties),
     // matched-version struct, left columns
-    val rightU = right.select(
+    val rightU = rightT.select(
       (col(key) +: col(rightTime).as("_t") +: lit(0).as("_side") +:
         struct(col(rightTime).as(s"matched_$rightTime") +:
           payloadCols.map(col): _*).cast(vType).as("_v") +:

@@ -7,7 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{BloomFilterAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -134,9 +134,13 @@ case class SpaceSavingAgg(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[SpaceSavingSummary]
-  with UnaryLike[Expression] with Serializable {
+  with UnaryLike[Expression] with ImplicitCastInputTypes with Serializable {
 
   require(capacity > 0, s"space_saving_topk capacity must be > 0: $capacity")
+
+  // analysis-time contract (wrong-typed SQL args otherwise surface as
+  // executor ClassCastExceptions); numerics implicitly cast to string
+  override def inputTypes: Seq[GraftColumnBridge.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
@@ -250,9 +254,13 @@ case class StreamingHistogramAgg(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[StreamingHistogram]
-  with UnaryLike[Expression] with Serializable {
+  with UnaryLike[Expression] with ImplicitCastInputTypes with Serializable {
 
   require(capacity > 1, s"streaming_histogram capacity must be > 1: $capacity")
+
+  // any numeric (incl. DECIMAL) arrives pre-cast to double; non-castable
+  // types fail analysis instead of throwing per-row on executors
+  override def inputTypes: Seq[GraftColumnBridge.AbstractType] = Seq(DoubleType)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("value", DoubleType, nullable = false),
@@ -375,9 +383,14 @@ case class TopKSampleAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKSample]
   with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression]
-  with Serializable {
+  with ImplicitCastInputTypes with Serializable {
 
   require(capacity > 0, s"topk_sample capacity must be > 0: $capacity")
+
+  // (sample key, id, weight) — DECIMAL keys / INT ids implicitly cast
+  // here; a non-numeric argument is an analysis error, not a runtime CCE
+  override def inputTypes: Seq[GraftColumnBridge.AbstractType] =
+    Seq(DoubleType, LongType, LongType)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("sample_key", DoubleType, nullable = false),

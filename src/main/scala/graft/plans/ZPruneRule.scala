@@ -24,8 +24,21 @@ import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, ByteType}
   * so the injected cover may be coarse but never lossy. */
 object ZPruneRule extends Rule[LogicalPlan] {
 
-  def maxRanges: Int = org.apache.spark.sql.internal.SQLConf.get
-    .getConfString("graft.zorder.maxRanges", "32").toInt
+  /** Range-cover budget, from session conf `graft.zorder.maxRanges`.
+    * Parsed defensively: the optimizer is the worst place to throw a
+    * bare NumberFormatException, and a value < 1 would degenerate the
+    * quad-tree cover (`boxRanges` with no room for any range). */
+  def maxRanges: Int = {
+    val key = "graft.zorder.maxRanges"
+    val raw = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(key, "32")
+    val parsed = scala.util.Try(raw.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"$key must be a positive int, got '$raw'"))
+    if (parsed < 1) throw new IllegalArgumentException(
+      s"$key must be >= 1, got $parsed")
+    parsed
+  }
 
   private val AxisMax = ZCurve.AxisMax
 

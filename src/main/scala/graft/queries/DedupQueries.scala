@@ -412,10 +412,15 @@ object DedupQueries {
     // same driver round-trip Spark's InjectRuntimeFilter performs.
     // DELIBERATELY EAGER at plan-construction time: the probe needs the
     // filter as a foldable literal (BloomFilterMightContain's contract),
-    // so composing this query runs the build job once up front
+    // so composing this query runs TWO jobs up front (count + build) —
+    // both over the small bench side only. Sizing from the measured
+    // count keeps the fpp honest however large the bench set grows (a
+    // fixed guess would silently degrade the filter into a pass-through
+    // and push all the pruning work onto the confirm join).
+    val nBench = math.max(benchGrams.count(), 1L)
     val bloomBytes = benchGrams
       .agg(SketchFunctions.bloomAgg(xxhash64(col("gram")),
-        expectedItems = 1000000L, fpp = 0.01).as("bf"))
+        expectedItems = nBench, fpp = 0.01).as("bf"))
       .head().getAs[Array[Byte]](0)
     gramsOf(docs.where(col("doc_id") % DecontamEvery =!= 0))
       .where(SketchFunctions.mightContain(bloomBytes, xxhash64(col("gram"))))

@@ -9,4 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `types.AbstractDataType` is `private[sql]`; custom expressions
+    * outside this package need it to declare `inputTypes` (analysis-time
+    * type contracts on ImplicitCastInputTypes). */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -49,7 +49,34 @@ class CurationWarehouseSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(all == Seq(0L, 1L, 12L, 21L), all)
     // index tables track the docs table exactly
-    assert(spark.read.parquet(s"$dir/fp").count() == 4)
-    assert(spark.read.parquet(s"$dir/sigs").count() == 4)
+    assert(CurationWarehouse.fingerprints(spark, dir).count() == 4)
+    assert(CurationWarehouse.signatures(spark, dir).count() == 4)
+  }
+
+  test("uncommitted slice is invisible: crash between writes leaves no mismatch") {
+    val dir = java.nio.file.Files.createTempDirectory("warehouse").toString
+    CurationWarehouse.init(spark, dir,
+      CorpusPipeline.splitAssign(docsDF(
+        0L -> "stars and galaxies drift apart in the expanding universe")))
+
+    // simulate a crashed ingest: slice dir written, marker never created
+    val orphan = s"$dir/slices/1/docs"
+    CorpusPipeline.splitAssign(docsDF(
+      99L -> "orphaned half-ingested document that must stay invisible"))
+      .write.parquet(orphan)
+
+    val all = CurationWarehouse.docs(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all == Seq(0L), all)
+
+    // a retried ingest of the same slice overwrites the orphan and
+    // commits cleanly — doc admitted exactly once, indexes in step
+    val r = CurationWarehouse.ingest(spark, dir, docsDF(
+      99L -> "orphaned half-ingested document that must stay invisible"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(99L), r)
+    assert(CurationWarehouse.docs(spark, dir).count() == 2)
+    assert(CurationWarehouse.fingerprints(spark, dir).count() == 2)
+    assert(CurationWarehouse.signatures(spark, dir).count() == 2)
   }
 }

@@ -79,6 +79,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("right rows with NULL times are ignored in both directions") {
+    import spark.implicits._
+    // a NULL-time version sorts first in BOTH scan orders; unless it is
+    // dropped, its non-null payload carries onto every probe in the key
+    // partition (DuckDB ASOF ignores such rows → NULL match)
+    val versions = Seq(
+      (1L, Option.empty[Long], "ghost"), (1L, Some(20L), "v20"))
+      .toDF("key", "vt", "payload")
+    val probes = Seq((1L, 5L), (1L, 25L)).toDF("key", "pt")
+    Seq("backward", "forward").foreach { dir =>
+      val out = AsOfJoin.leftAsOf(probes, versions, "key", "pt", "vt",
+          direction = dir)
+        .collect().map(r => (r.getLong(r.fieldIndex("pt")),
+          Option(r.get(r.fieldIndex("payload"))))).toMap
+      assert(!out.values.flatten.exists(_ == "ghost"),
+        s"direction $dir matched a NULL-time version")
+      if (dir == "backward") {
+        assert(out(5L).isEmpty && out(25L).contains("v20"))
+      } else {
+        assert(out(5L).contains("v20") && out(25L).isEmpty)
+      }
+    }
+  }
+
   test("forward random instances match a local reference implementation") {
     import spark.implicits._
     val rng = new scala.util.Random(177)

@@ -245,6 +245,28 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch aggregates: typed inputs cast at analysis, bad types fail clean") {
+    import spark.implicits._
+    Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+      .createOrReplaceTempView("sk_types")
+    // INT value to streaming_histogram / DECIMAL key to topk_sample:
+    // implicit casts, not executor ClassCastExceptions
+    val h = spark.sql(
+      "SELECT streaming_histogram(v, 8) FROM sk_types").collect()
+    assert(h.head.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)).sum == 3L)
+    val t = spark.sql(
+      """SELECT topk_sample(CAST(v AS DECIMAL(10,2)), CAST(v AS INT),
+        |  CAST(v AS INT), 2) FROM sk_types""".stripMargin).collect()
+    assert(t.head.getSeq[org.apache.spark.sql.Row](0).nonEmpty)
+    // a non-castable argument is an ANALYSIS error naming the function,
+    // thrown at sql() time — never a runtime CCE mid-job
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT streaming_histogram(named_struct('a', v), 8) " +
+        "FROM sk_types").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("streaming_histogram"))
+  }
+
   test("region codec round-trips through base64 (C12)") {
     val poly = SphericalPolygon(IndexedSeq(
       Vec3(1, 0, 0), Vec3(0, 1, 0), Vec3(0, 0, 1)))
