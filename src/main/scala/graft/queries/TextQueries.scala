@@ -233,12 +233,14 @@ object TextQueries {
     * partial sums < 2^53, then one division). */
   /** Every 5th doc carries a REAL 8×8 grayscale PNG payload (encoded
     * via the JDK's `javax.imageio`), every 7th (non-5th) a REAL WAV
-    * payload (8-bit PCM via `javax.sound.sampled`) — both built from a
-    * deterministic byte formula over the doc's bytes; the rest carry
-    * the raw utf8 bytes. */
+    * payload (8-bit PCM via `javax.sound.sampled`), every 11th
+    * (non-5th/7th) a REAL JPEG payload — all built from deterministic
+    * byte formulas over the doc's bytes; the rest carry the raw utf8
+    * bytes. */
   private val PngEvery = 5
   private val PngDim = 8
   private val WavEvery = 7
+  private val JpgEvery = 11
   private val WavSamples = PngDim * PngDim // same 64-value stream shape
   // in-memory image streams: the default disk-backed ImageIO cache
   // would create+delete a temp file per document in the hot kernel
@@ -281,6 +283,32 @@ object TextQueries {
       new java.io.ByteArrayInputStream(bytes))
     ais.readAllBytes().map(_ & 0xff)
   }
+  // real JPEG codec, also pure JDK (`javax.imageio`'s baseline writer).
+  // JPEG is lossy in general, so the fixture encodes a CONSTANT 8×8
+  // block at compression quality 1.0: the DCT then has a DC coefficient
+  // only and the quality-1.0 quantization tables are all ones, so the
+  // round-trip is bit-exact for every constant value 0..255 (verified
+  // exhaustively in ExtSpec) — a real encode→decode through the real
+  // codec that an ASCII oracle can still re-derive
+  private[queries] def encodeJpg(value: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      PngDim, PngDim, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < PngDim * PngDim) {
+      raster.setSample(i % PngDim, i / PngDim, 0, value); i += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
 
   val x13MultimodalFeatures: QFn = (s, d) => {
     import s.implicits._
@@ -303,6 +331,10 @@ object TextQueries {
               (encodePng(pngPixelsOf(tb)), "png")
             else if (id % WavEvery == 0 && tb.nonEmpty)
               (encodeWav(pngPixelsOf(tb)), "wav")
+            else if (id % JpgEvery == 0 && tb.nonEmpty)
+              // constant block = first text byte (the exact-round-trip
+              // class; see encodeJpg)
+              (encodeJpg(tb(0) & 0xff), "jpg")
             else (tb, "utf8")
           (id, payload, codec, payload.length.toLong, source)
         }
@@ -316,14 +348,16 @@ object TextQueries {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes, codec) =>
-          // decode: PNG payloads go through the real javax.imageio
-          // reader to pixel samples, WAV through the real
+          // decode: PNG/JPEG payloads go through the real
+          // javax.imageio reader to pixel samples, WAV through the real
           // javax.sound.sampled reader to PCM samples; other codecs
-          // fall back to the raw byte stream (JPEG/video would need
-          // libs this container lacks — PNG and WAV are what the JDK
+          // fall back to the raw byte stream (video would need libs
+          // this container lacks — PNG, JPEG and WAV are what the JDK
           // decodes natively)
           val stream: Array[Int] = codec match {
-            case "png" => decodePng(bytes)
+            // ImageIO.read sniffs the container — PNG and JPEG share
+            // the same real-decoder path to pixel samples
+            case "png" | "jpg" => decodePng(bytes)
             case "wav" => decodeWav(bytes)
             case _ => bytes.map(_ & 0xff)
           }
@@ -361,8 +395,11 @@ object TextQueries {
       |    CASE WHEN doc_id % $PngEvery = 0 AND length(text) > 0
       |         THEN 'png'
       |         WHEN doc_id % $WavEvery = 0 AND length(text) > 0
-      |         THEN 'wav' ELSE 'utf8' END AS codec,
-      |    CAST(CASE WHEN (doc_id % $PngEvery = 0 OR doc_id % $WavEvery = 0)
+      |         THEN 'wav'
+      |         WHEN doc_id % $JpgEvery = 0 AND length(text) > 0
+      |         THEN 'jpg' ELSE 'utf8' END AS codec,
+      |    CAST(CASE WHEN (doc_id % $PngEvery = 0 OR doc_id % $WavEvery = 0
+      |              OR doc_id % $JpgEvery = 0)
       |              AND length(text) > 0
       |         THEN ${PngDim * PngDim}
       |         ELSE length(text) END AS BIGINT) AS n_bytes
@@ -371,6 +408,8 @@ object TextQueries {
       |  SELECT doc_id, i,
       |    CASE WHEN codec IN ('png', 'wav')
       |      THEN ord(substr(text, CAST(i % length(text) + 1 AS INTEGER), 1))
+      |      WHEN codec = 'jpg'
+      |      THEN ord(substr(text, 1, 1))
       |      ELSE ord(substr(text, CAST(i + 1 AS INTEGER), 1)) END AS b
       |  FROM (SELECT doc_id, text, codec,
       |          unnest(generate_series(0, n_bytes - 1)) AS i

@@ -203,6 +203,26 @@ class ExtSpec extends AnyFunSuite {
       assert(frames.head.getDouble(5) == expected,
         s"doc $id frame mean not derived from decoded samples")
     }
+    // JPEG round-trip: constant 8x8 blocks at quality 1.0 are DC-only
+    // with all-ones quant tables — bit-exact for EVERY value 0..255
+    (0 until 256).foreach { v =>
+      val back = TextQueries.decodePng(TextQueries.encodeJpg(v))
+      assert(back.length == 64 && back.forall(_ == v),
+        s"jpg constant block $v did not round-trip exactly")
+    }
+    // jpg-codec docs (every 11th, non-5th/7th) report decoded pixels:
+    // one 64-value frame whose mean is the constant first text byte
+    val jpgRows = out.filter(r => r.getString(r.fieldIndex("codec")) == "jpg")
+    assert(jpgRows.nonEmpty)
+    assert(jpgRows.forall(_.getLong(2) == 64L), "jpg n_bytes = pixel count")
+    jpgRows.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      assert(id % 11 == 0 && id % 5 != 0 && id % 7 != 0)
+      val frames = rows.filter(_.getString(3) == "frame")
+      assert(frames.length == 1)
+      val expected = (docs(id).getBytes("UTF-8")(0) & 0xff).toDouble
+      assert(frames.head.getDouble(5) == expected,
+        s"doc $id frame mean not the decoded constant pixel")
+    }
   }
 
   test("IVF ANN probes return real neighbors with brute-force overlap") {
