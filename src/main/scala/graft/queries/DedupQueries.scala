@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.SaltedJoin
+
 /** Training-data-pipeline operators: deduplication + similarity search
   * (SURVEY.md §7.6 north-star extensions). Designed for 100 TB scale:
   * everything is shuffle-by-bucket (LSH bands / hash buckets), never
@@ -104,6 +106,41 @@ object DedupQueries {
         expr("concat_ws(',', CAST(sig[band*4] AS STRING), CAST(sig[band*4+1] AS STRING), CAST(sig[band*4+2] AS STRING), CAST(sig[band*4+3] AS STRING))")
           .as("bucket"))
 
+  /** Shard count for a skew-guarded bucket self-join: measures the
+    * largest bucket (ids-only agg — one cheap eager job) and, when it
+    * exceeds `graft.dedup.skewThreshold` rows (default 4096; <= 0
+    * disables the guard), returns ceil(max/threshold) capped at 32.
+    * A hot LSH/simhash bucket (near-identical boilerplate, empty-ish
+    * docs) makes its candidate self-join quadratic IN ONE REDUCER; AQE
+    * skew-split cannot help because the blow-up happens inside the
+    * join, not in its input sizes. Salting splits the hot bucket's
+    * probe side across shards — total work unchanged, straggler task
+    * time divided by the shard count. */
+  private[graft] def skewSalts(spark: SparkSession, bucketed: DataFrame,
+      keys: Seq[String]): Int = {
+    val confKey = "graft.dedup.skewThreshold"
+    val raw = spark.conf.get(confKey, "4096")
+    val threshold = scala.util.Try(raw.trim.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"$confKey must be a long, got '$raw'"))
+    if (threshold <= 0) 1
+    else {
+      val top = bucketed.groupBy(keys.map(col): _*)
+        .count().agg(max(col("count"))).head()
+      val maxBucket = if (top.isNullAt(0)) 0L else top.getLong(0)
+      math.max(1L, math.min(32L, (maxBucket + threshold - 1) / threshold)).toInt
+    }
+  }
+
+  /** Bucket-keyed candidate self-join, salted iff the skew guard says
+    * so. `a` and `b` must be projections of the same bucketed frame. */
+  private[graft] def bucketSelfJoin(spark: SparkSession, a: DataFrame,
+      b: DataFrame, keys: Seq[String]): DataFrame = {
+    val salts = skewSalts(spark, a.select(keys.map(col): _*), keys)
+    if (salts == 1) a.join(b, keys)
+    else SaltedJoin.join(a, b, keys, salts, "inner")
+  }
+
   /** Signature-agreement fraction (64 codegen'd equality terms). */
   def sigAgreement(a: Column, b: Column): Column =
     (0 until SigSize)
@@ -118,7 +155,7 @@ object DedupQueries {
     val banded = bandBuckets(sigs)
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
+    val cand = bucketSelfJoin(s, a, b, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -228,7 +265,7 @@ object DedupQueries {
         w.when(col("chunk") === c, (0 until c).map(chunkDiffers)
           .reduce((x: Column, y: Column) => x && y))
       }.otherwise(lit(false))
-    a.join(b, Seq("chunk", "cval"))
+    bucketSelfJoin(s, a, b, Seq("chunk", "cval"))
       .where(col("doc_a") < col("doc_b") && firstCollision)
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))

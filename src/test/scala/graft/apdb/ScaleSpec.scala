@@ -121,4 +121,45 @@ class ScaleSpec extends AnyFunSuite {
       .head()
     assert(got == expected)
   }
+
+  test("dedup skew guard: hot LSH bucket triggers salting, same pairs, bounded shards") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    // 120 byte-identical docs land in ONE bucket of every band (the
+    // boilerplate-duplication skew shape); 80 distinct docs spread out
+    val rng = new scala.util.Random(5)
+    val docs = ((0 until 120).map(i =>
+      (i.toLong, "the exact same boilerplate sentence repeated across mirrors")) ++
+      (120 until 200).map(i =>
+        (i.toLong, Seq.fill(6)(s"tok${rng.nextInt(5000)}").mkString(" "))))
+      .toDF("doc_id", "text")
+    val sigs = DedupQueries.minhashSignatures(docs).localCheckpoint(true)
+    val banded = DedupQueries.bandBuckets(sigs)
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(a.join(b, Seq("band", "bucket")))
+    try {
+      spark.conf.set("graft.dedup.skewThreshold", "16")
+      val salts = DedupQueries.skewSalts(spark, banded, Seq("band", "bucket"))
+      assert(salts > 1, s"guard did not trigger on a 120-row bucket: $salts")
+      // identical candidate pairs through the salted path
+      assert(pairs(DedupQueries.bucketSelfJoin(spark, a, b,
+        Seq("band", "bucket"))) == plain)
+      // the hot bucket's probe side actually spreads: max rows per
+      // (bucket, shard) well under the unsalted 120 (bounded task time)
+      val shardMax = a.withColumn("__salt", (rand(42) * salts).cast("int"))
+        .groupBy(col("band"), col("bucket"), col("__salt")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      assert(shardMax < 60, s"hot bucket not spread: max shard $shardMax")
+    } finally spark.conf.unset("graft.dedup.skewThreshold")
+    // guard off (threshold <= 0): plain join, same pairs
+    try {
+      spark.conf.set("graft.dedup.skewThreshold", "0")
+      assert(DedupQueries.skewSalts(spark, banded, Seq("band", "bucket")) == 1)
+    } finally spark.conf.unset("graft.dedup.skewThreshold")
+  }
 }
