@@ -1001,13 +1001,13 @@ object DedupQueries {
       math.round(rng.nextGaussian() * 125000d))
   }
 
-  private def scale1e6(v: Double): Long = {
+  private[queries] def scale1e6(v: Double): Long = {
     val s = v * 1000000d
     (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toLong
   }
 
   /** Squared L2 between a scaled subvector and a codebook entry. */
-  private def pqDist2(se: Array[Long], off: Int, c: Array[Long]): Long = {
+  private[queries] def pqDist2(se: Array[Long], off: Int, c: Array[Long]): Long = {
     var d = 0L; var i = 0
     while (i < c.length) {
       val t = se(off + i) - c(i); d += t * t; i += 1
@@ -1017,7 +1017,7 @@ object DedupQueries {
 
   /** PQ encoding: nearest codebook entry per subspace (ties → lower
     * code) — shared by x38/x39. */
-  private def pqEncode(se: Array[Long],
+  private[queries] def pqEncode(se: Array[Long],
       cb: Array[Array[Array[Long]]]): Array[Int] =
     Array.tabulate(PqSubspaces) { m =>
       var bestK = 0

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN retrieval QUALITY audit (VERDICT r4 #4): the oracle keys prove
+  * the x14/x15/x38/x39 kernels compute exactly what they claim, but at
+  * test scale the probes cover nearly everything — this spec measures
+  * recall@10 against x3-style brute-force ground truth on the full
+  * sf0.1 embedding table (2000 × 64), sweeping the probe knobs, and
+  * pins the operating points so a kernel change that silently degrades
+  * retrieval fails here even while the hash-match keys stay green.
+  * All math runs driver-side through the operators' own kernels
+  * (`lshBucketOf`, `ivfCentroids` ranking, `pqEncode`/`pqDist2`), so
+  * the audit cannot drift from what the operators execute. */
+class AnnRecallSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.1"
+  private val K = 10
+
+  private lazy val vecs: Array[(Long, Array[Double])] = {
+    import spark.implicits._
+    Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .collect().map { case (id, e) => (id, e.map(_.toDouble)) }
+      .sortBy(_._1)
+  }
+  private lazy val queries = vecs.filter(_._1 < 10)
+  private lazy val norms: Map[Long, Double] =
+    vecs.map { case (id, e) =>
+      id -> math.sqrt(DedupQueries.normScaled(e).toDouble)
+    }.toMap
+
+  private def cos(q: (Long, Array[Double]), c: (Long, Array[Double])): Double =
+    DedupQueries.dotScaled(q._2, c._2) / (norms(q._1) * norms(c._1))
+
+  /** x3-identical ground truth: exact cosine, (desc, id) tiebreak. */
+  private lazy val trueTop: Map[Long, Set[Long]] =
+    queries.map { q =>
+      q._1 -> vecs.filter(_._1 != q._1)
+        .map(c => (c._1, cos(q, c)))
+        .sortBy { case (id, s) => (-s, id) }.take(K).map(_._1).toSet
+    }.toMap
+
+  private def recallOf(retrieved: Long => Seq[Long]): Double =
+    queries.map { q =>
+      retrieved(q._1).toSet.intersect(trueTop(q._1)).size.toDouble / K
+    }.sum / queries.length
+
+  // ---- per-family retrieval through the operator kernels ----
+
+  private lazy val bucketOf: Map[Long, Long] =
+    vecs.map { case (id, e) => id -> DedupQueries.lshBucketOf(e) }.toMap
+
+  /** x14 family: multiprobe radius r = buckets within hamming r. */
+  private def lshRecall(radius: Int): Double = recallOf { qid =>
+    val q = vecs(qid.toInt)
+    val probes = (0L until (1L << DedupQueries.LshPlanes))
+      .filter(b => java.lang.Long.bitCount(b ^ bucketOf(qid)) <= radius)
+      .toSet
+    vecs.filter(c => c._1 != qid && probes.contains(bucketOf(c._1)))
+      .map(c => (c._1, cos(q, c)))
+      .sortBy { case (id, s) => (-s, id) }.take(K).map(_._1).toSeq
+  }
+
+  private lazy val clusterRank: Map[Long, Seq[Int]] =
+    vecs.map { case (id, e) =>
+      id -> DedupQueries.ivfCentroids
+        .map { case (ci, c) => (ci, DedupQueries.dotScaled(e, c)) }
+        .sortBy { case (ci, dot) => (-dot, ci) }.map(_._1).toSeq
+    }.toMap
+  private lazy val memberOf: Map[Long, Int] =
+    vecs.map { case (id, _) => id -> clusterRank(id).head }.toMap
+
+  /** x15 family: probe the nprobe nearest coarse lists. */
+  private def ivfRecall(nprobe: Int): Double = recallOf { qid =>
+    val q = vecs(qid.toInt)
+    val probed = clusterRank(qid).take(nprobe).toSet
+    vecs.filter(c => c._1 != qid && probed.contains(memberOf(c._1)))
+      .map(c => (c._1, cos(q, c)))
+      .sortBy { case (id, s) => (-s, id) }.take(K).map(_._1).toSeq
+  }
+
+  private lazy val codeOf: Map[Long, Array[Int]] =
+    vecs.map { case (id, e) =>
+      id -> DedupQueries.pqEncode(e.map(DedupQueries.scale1e6),
+        DedupQueries.pqCodebooks)
+    }.toMap
+  private lazy val lutOf: Map[Long, Array[Array[Long]]] =
+    queries.map { case (qid, qe) =>
+      val se = qe.map(DedupQueries.scale1e6)
+      qid -> Array.tabulate(DedupQueries.PqSubspaces, DedupQueries.PqK) {
+        (m, k) => DedupQueries.pqDist2(se, m * DedupQueries.PqSubDim,
+          DedupQueries.pqCodebooks(m)(k))
+      }
+    }.toMap
+
+  private def adc(qid: Long, cid: Long): Long = {
+    val lut = lutOf(qid); val code = codeOf(cid)
+    var s = 0L; var m = 0
+    while (m < DedupQueries.PqSubspaces) { s += lut(m)(code(m)); m += 1 }
+    s
+  }
+
+  /** x38: full scan, ADC ranking — recall loss is quantization only. */
+  private def pqRecall: Double = recallOf { qid =>
+    vecs.filter(_._1 != qid)
+      .map(c => (c._1, adc(qid, c._1)))
+      .sortBy { case (id, d) => (d, id) }.take(K).map(_._1).toSeq
+  }
+
+  /** x39: IVF lists bound the scan, ADC ranks it. */
+  private def ivfPqRecall(nprobe: Int): Double = recallOf { qid =>
+    val probed = clusterRank(qid).take(nprobe).toSet
+    vecs.filter(c => c._1 != qid && probed.contains(memberOf(c._1)))
+      .map(c => (c._1, adc(qid, c._1)))
+      .sortBy { case (id, d) => (d, id) }.take(K).map(_._1).toSeq
+  }
+
+  /** Two-stage serving shape (what every production PQ deployment runs):
+    * ADC shortlists `shortlist` candidates, exact cosine re-ranks them.
+    * Quantization noise only has to keep true neighbors inside the
+    * SHORTLIST, not rank them — far easier. */
+  private def pqRescoreRecall(shortlist: Int): Double = recallOf { qid =>
+    val q = vecs(qid.toInt)
+    vecs.filter(_._1 != qid)
+      .map(c => (c, adc(qid, c._1)))
+      .sortBy { case (c, d) => (d, c._1) }.take(shortlist)
+      .map { case (c, _) => (c._1, cos(q, c)) }
+      .sortBy { case (id, s) => (-s, id) }.take(K).map(_._1).toSeq
+  }
+
+  test("recall@10 vs brute force: curves and operating points pinned") {
+    val lshCurve = (0 to 3).map(r => r -> lshRecall(r))
+    val ivfCurve = Seq(1, 2, 3, 4, 8, 16).map(p => p -> ivfRecall(p))
+    val pq = pqRecall
+    val ivfPqCurve = Seq(1, 2, 3, 4, 8, 16).map(p => p -> ivfPqRecall(p))
+    val rescore = Seq(50, 100, 200).map(n => n -> pqRescoreRecall(n))
+
+    info(f"x14 LSH multiprobe:  ${lshCurve.map { case (r, v) => f"r=$r%d ${v}%.3f" }.mkString("  ")}")
+    info(f"x15 IVF:             ${ivfCurve.map { case (p, v) => f"p=$p%d ${v}%.3f" }.mkString("  ")}")
+    info(f"x38 PQ full scan:    $pq%.3f")
+    info(f"x38 PQ+rescore:      ${rescore.map { case (n, v) => f"n=$n%d ${v}%.3f" }.mkString("  ")}")
+    info(f"x39 IVF-PQ:          ${ivfPqCurve.map { case (p, v) => f"p=$p%d ${v}%.3f" }.mkString("  ")}")
+
+    // exactness sanity: probing everything recovers brute force exactly
+    assert(ivfRecall(DedupQueries.IvfClusters) == 1.0)
+    assert(lshRecall(DedupQueries.LshPlanes) == 1.0)
+
+    // exact-rescore curves must not degrade as probes widen (candidate
+    // sets are nested and ranking is exact — a kernel bug shows here).
+    // ADC-ranked curves are NOT monotone by nature: more candidates =
+    // more chances for quantization noise to outrank true neighbors.
+    def monotone(c: Seq[(Int, Double)]) =
+      c.sliding(2).forall(w => w.last._2 >= w.head._2 - 1e-9)
+    assert(monotone(lshCurve), s"LSH curve not monotone: $lshCurve")
+    assert(monotone(ivfCurve), s"IVF curve not monotone: $ivfCurve")
+
+    // ADC internal consistency: probing every list IS the full PQ scan
+    assert(math.abs(ivfPqRecall(DedupQueries.IvfClusters) - pq) < 1e-9)
+
+    // Pinned operating points, measured on this table (see README "ANN
+    // retrieval quality"). The synthetic embeddings are ISOTROPIC (the
+    // label column carries no geometry: same-label mean cosine ~0.005),
+    // the hardest regime for sublinear ANN: IVF recall tracks its probe
+    // fraction (untrainable on isotropic data), while hyperplane LSH
+    // beats its bucket fraction (r=2 covers 34%% of buckets but finds
+    // 59%% of true neighbors) — genuine cosine locality. Thresholds are
+    // measured-minus-margin so degradation fails, noise does not.
+    assert(lshRecall(1) >= 0.15, f"x14 r=1: ${lshRecall(1)}%.3f")
+    assert(lshRecall(2) >= 0.45, f"x14 r=2: ${lshRecall(2)}%.3f")
+    assert(lshRecall(3) >= 0.75, f"x14 r=3: ${lshRecall(3)}%.3f")
+    // LSH locality: recall must BEAT the probed-bucket fraction
+    assert(lshRecall(2) > 22.0 / 64, "hyperplane LSH no better than random buckets")
+    assert(ivfRecall(DedupQueries.IvfProbes) >= 0.30,
+      f"x15 p=3: ${ivfRecall(DedupQueries.IvfProbes)}%.3f")
+    assert(ivfRecall(8) >= 0.60, f"x15 p=8: ${ivfRecall(8)}%.3f")
+    // raw ADC ranking is quantization-limited on isotropic data (0.5
+    // bits/dim, 16 random cells per 8-dim subspace) — pinned well above
+    // the random-retrieval floor K/N = 0.005, and the two-stage path
+    // below is the shape that buys recall back at scale
+    assert(pq >= 0.03, f"x38 ADC-only: $pq%.3f")
+    assert(pqRescoreRecall(100) >= 0.25,
+      f"x38 shortlist-100 + exact rescore: ${pqRescoreRecall(100)}%.3f")
+    assert(pqRescoreRecall(200) > pqRescoreRecall(50),
+      "wider shortlist must buy recall back")
+    assert(ivfPqRecall(DedupQueries.IvfProbes) >= 0.03,
+      f"x39 p=3: ${ivfPqRecall(DedupQueries.IvfProbes)}%.3f")
+  }
+
+  test("x40 filtered search is exact within its filter (recall 1.0)") {
+    import spark.implicits._
+    val labeled = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])]
+      .collect().map { case (id, l, e) => (id, l, e.map(_.toDouble)) }
+    val byId = labeled.map(r => r._1 -> r).toMap
+    val got = DedupQueries.x40AnnFiltered(spark, sf)
+      .select("query_id", "rank", "cand_id").collect()
+      .groupBy(_.getLong(0))
+    got.foreach { case (qid, rows) =>
+      val (_, qLab, qe) = byId(qid)
+      val expect = labeled
+        .filter(c => c._1 != qid && c._2 == qLab)
+        .map(c => (c._1, DedupQueries.dotScaled(qe, c._3) /
+          (math.sqrt(DedupQueries.normScaled(qe).toDouble) *
+            math.sqrt(DedupQueries.normScaled(c._3).toDouble))))
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+      val gotIds = rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      assert(gotIds == expect, s"query $qid filtered top-5 diverges")
+    }
+  }
+}
