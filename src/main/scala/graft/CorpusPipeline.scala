@@ -304,10 +304,12 @@ object CorpusPipeline {
       .where(col("_rk") <= perSource).drop("_rk")
   }
 
-  /** Run the pipeline; returns (curated corpus, per-stage stats). */
-  def run(s: SparkSession, d: String, lang: String = "en",
-      minQuality: Double = 0.25, samplePerSource: Int = 100): (DataFrame, Seq[StageStat]) = {
-    val stages: Seq[(String, DataFrame => DataFrame)] = Seq(
+  /** The pipeline's stage list in run order — exposed so the soak can
+    * time each stage over an arbitrary starting corpus. */
+  def stages(s: SparkSession, d: String, lang: String = "en",
+      minQuality: Double = 0.25,
+      samplePerSource: Int = 100): Seq[(String, DataFrame => DataFrame)] =
+    Seq(
       "language_filter" -> languageFilter(s, d, lang) _,
       "quality_filter" -> qualityFilter(s, d, minQuality) _,
       "repetition_filter" -> repetitionFilter(s, d, maxFraction = 0.5) _,
@@ -320,9 +322,13 @@ object CorpusPipeline {
       "decontaminate" -> decontaminate(s, d) _,
       "stratified_sample" -> stratifiedSample(samplePerSource) _,
       "split_assign" -> (splitAssign _))
+
+  /** Run the pipeline; returns (curated corpus, per-stage stats). */
+  def run(s: SparkSession, d: String, lang: String = "en",
+      minQuality: Double = 0.25, samplePerSource: Int = 100): (DataFrame, Seq[StageStat]) = {
     var corpus = Tables.documents(s, d)
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
-    stages.foreach { case (name, fn) =>
+    stages(s, d, lang, minQuality, samplePerSource).foreach { case (name, fn) =>
       val in = corpus.count()
       corpus = fn(corpus).localCheckpoint(true)
       stats += StageStat(name, in, corpus.count())

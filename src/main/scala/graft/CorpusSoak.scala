@@ -82,6 +82,42 @@ object CorpusSoak {
       .select(explode(col("top")))
       .count()
     report("sketch_topk_terms", topTerms, t1)
+
+    // -- x22 star contraction under a scale-stress graph: one star edge
+    // per replica twin (|replicas| edges — the linear encoding of the
+    // twin cliques), the base corpus's real near-dup pairs, and a
+    // deliberately chain-shaped 10k-node component (the diameter shape
+    // that degenerates min-label propagation to 10k rounds). Pinned:
+    // rounds ≤ 2·log₂(n) + 4 — far inside the paper's O(log² n) bound.
+    val t2 = System.nanoTime()
+    val base = Tables.documents(spark, sfDir)
+    val nBase = base.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val twinEdges = corpus.where(col("doc_id") >= nBase)
+      .select(col("doc_id").as("u"), pmod(col("doc_id"), lit(nBase)).as("v"))
+    val nearDupEdges = graft.queries.DedupQueries.x7Pairs(spark, sfDir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val chainBase = factor * nBase + 1000000L
+    val chainEdges = spark.range(10000 - 1)
+      .select((col("id") + chainBase).as("u"), (col("id") + chainBase + 1).as("v"))
+    val edges = twinEdges.unionByName(nearDupEdges).unionByName(chainEdges)
+    val (labels, rounds) = graft.operators.ConnectedComponents
+      .starContractWithRounds(spark, edges)
+    val nComponents = labels.select("root").distinct().count()
+    val nNodes = labels.count()
+    val bound = 2 * (63 - java.lang.Long.numberOfLeadingZeros(nNodes)) + 4
+    println(f"""{"phase":"star_contraction","nodes":$nNodes,"components":$nComponents,"rounds":$rounds,"round_bound":$bound,"sec":${(System.nanoTime() - t2) / 1e9}%.2f}""")
+    require(rounds <= bound,
+      s"star contraction took $rounds rounds on $nNodes nodes (bound $bound)")
+
+    // -- the FULL 12-stage curation pipeline over the N× corpus, timed
+    // per stage (the broadcast side-inputs — language profiles, bench
+    // grams, query vectors — intentionally come from the base table:
+    // replication stresses the corpus-side shuffles, which is the
+    // scaling question)
+    var cur = corpus
+    CorpusPipeline.stages(spark, sfDir).foreach { case (name, fn) =>
+      cur = timed(s"pipeline_$name")(fn(cur))
+    }
     spark.stop()
   }
 }

@@ -27,7 +27,14 @@ object ConnectedComponents {
     * Output: (node, root). Fails loudly if `maxIter` rounds don't
     * converge rather than returning an under-merged clustering. */
   def starContract(spark: SparkSession, edgesIn: DataFrame,
-      maxIter: Int = 32): DataFrame = {
+      maxIter: Int = 32): DataFrame =
+    starContractWithRounds(spark, edgesIn, maxIter)._1
+
+  /** [[starContract]] plus the number of contraction rounds it took —
+    * the soak pins this against the O(log² n) bound (in practice
+    * ~log₂ n + small constant even on chain graphs). */
+  def starContractWithRounds(spark: SparkSession, edgesIn: DataFrame,
+      maxIter: Int = 32): (DataFrame, Int) = {
     val cols = edgesIn.columns
     require(cols.length == 2, s"edge list needs 2 columns, got ${cols.length}")
     // orient big → small; drop self-loops; dedup
@@ -107,8 +114,9 @@ object ConnectedComponents {
     require(converged,
       s"star contraction did not converge in $iter rounds")
     // stars: every u points at its root v; roots label themselves
-    nodes.join(edges.select(col("u").as("node"), col("v").as("root")),
+    (nodes.join(edges.select(col("u").as("node"), col("v").as("root")),
         Seq("node"), "left_outer")
-      .select(col("node"), coalesce(col("root"), col("node")).as("root"))
+      .select(col("node"), coalesce(col("root"), col("node")).as("root")),
+      iter)
   }
 }

@@ -322,7 +322,7 @@ object DedupQueries {
   /** x7 pair relation WITHOUT the presentation sort — x16 consumes this
     * as its edge list (a range-exchange + sampling job would otherwise
     * run just to feed an unordered union). */
-  private def x7Pairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def x7Pairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // grams are hashed to 8-byte ints inside the projection (same
     // md5-derived hash the oracle reproduces), so the distinct + DF-join
