@@ -255,10 +255,14 @@ object CorpusPipeline {
     val newSigs = DedupQueries.minhashSignatures(newDocs).localCheckpoint(true)
     val newBands = DedupQueries.bandBuckets(newSigs)
     // vs-warehouse: any agreeing warehouse doc disqualifies the new doc
-    val vsWarehouse = newBands
-      .join(DedupQueries.bandBuckets(warehouseSigs)
+    val spark = newDocs.sparkSession
+    // skew-guarded (x2's guard): a hot warehouse bucket — boilerplate
+    // that accumulated over many slices — would otherwise square inside
+    // one reducer on every future ingest
+    val vsWarehouse = DedupQueries.bucketJoin(spark,
+        DedupQueries.bandBuckets(warehouseSigs)
           .select(col("band"), col("bucket"), col("doc_id").as("w_id")),
-        Seq("band", "bucket"))
+        newBands, Seq("band", "bucket"))
       .select(col("doc_id"), col("w_id"))
       .dropDuplicates("doc_id", "w_id")
       .join(newSigs.select(col("doc_id"), col("sig").as("sig_a")), "doc_id")
@@ -273,9 +277,9 @@ object CorpusPipeline {
     // min rule pairwise (a chain a~b~c with a!~c keeps a AND c where
     // batch components keep only a: the conservative false-keep, never
     // a false drop).
-    val inSlice = newBands
-      .join(newBands.select(col("band"), col("bucket"),
-        col("doc_id").as("doc_b")), Seq("band", "bucket"))
+    val inSlice = DedupQueries.bucketSelfJoin(spark, newBands,
+        newBands.select(col("band"), col("bucket"),
+          col("doc_id").as("doc_b")), Seq("band", "bucket"))
       .where(col("doc_b") < col("doc_id"))
       .select(col("doc_id"), col("doc_b"))
       .dropDuplicates("doc_id", "doc_b")

@@ -141,6 +141,17 @@ object DedupQueries {
     else SaltedJoin.join(a, b, keys, salts, "inner")
   }
 
+  /** Two-sided bucket join with the same guard, measured on the side
+    * declared skewed (e.g. a warehouse band index vs an ingest slice —
+    * the measure is ids-only and the skewed side is already read in
+    * full by the callers, so the asymptotic cost is unchanged). */
+  private[graft] def bucketJoin(spark: SparkSession, skewed: DataFrame,
+      small: DataFrame, keys: Seq[String]): DataFrame = {
+    val salts = skewSalts(spark, skewed.select(keys.map(col): _*), keys)
+    if (salts == 1) skewed.join(small, keys)
+    else SaltedJoin.join(skewed, small, keys, salts, "inner")
+  }
+
   /** Signature-agreement fraction (64 codegen'd equality terms). */
   def sigAgreement(a: Column, b: Column): Column =
     (0 until SigSize)
@@ -1387,7 +1398,7 @@ object DedupQueries {
       (0 until LshPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val probes = e.select(explode(probeBuckets).as("bucket"),
       col("vec_id").as("id_b"), col("e").as("e_b"), col("n").as("n_b"))
-    own.join(probes, "bucket")
+    bucketJoin(s, own, probes, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
         (dot_scaled(col("e_a"), col("e_b"))
