@@ -15,6 +15,20 @@ class ZOrderSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("maxRanges conf: defaults, parses, and rejects bad values by name") {
+    assert(ZPruneRule.maxRanges == 32) // default
+    try {
+      spark.conf.set("graft.zorder.maxRanges", " 48 ")
+      assert(ZPruneRule.maxRanges == 48)
+      for (bad <- Seq("abc", "0", "-3")) {
+        spark.conf.set("graft.zorder.maxRanges", bad)
+        val e = intercept[IllegalArgumentException](ZPruneRule.maxRanges)
+        assert(e.getMessage.contains("graft.zorder.maxRanges"),
+          s"error for '$bad' must name the conf key: ${e.getMessage}")
+      }
+    } finally spark.conf.unset("graft.zorder.maxRanges")
+  }
+
   test("interleave bit layout: x on even bits, y on odd bits") {
     assert(ZCurve.interleave(0, 0) == 0L)
     assert(ZCurve.interleave(1, 0) == 1L)
