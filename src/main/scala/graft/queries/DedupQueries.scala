@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.SaltedJoin
+import graft.operators.{BoundedTopK, SaltedJoin}
 
 /** Training-data-pipeline operators: deduplication + similarity search
   * (SURVEY.md §7.6 north-star extensions). Designed for 100 TB scale:
@@ -620,10 +620,30 @@ object DedupQueries {
       .map { case (id, e) => (id, e.map(_.toDouble)) }
   }
 
+  /** Window rank order for (query_id, cand_id, cosine) rows — rank 1 =
+    * highest cosine, ties to the lower cand_id. The per-partition heaps
+    * in the ANN kernels MUST evict under exactly this order (it is the
+    * window's ORDER BY) for the bounded selection to stay exact. */
+  private val cosineRankOrder: Ordering[(Long, Long, Double)] =
+    Ordering.fromLessThan { (x, y) =>
+      x._3 > y._3 || (x._3 == y._3 && x._2 < y._2)
+    }
+
+  /** Rank order for (query_id, cand_id, adc) rows — rank 1 = smallest
+    * ADC distance, ties to the lower cand_id. */
+  private val adcRankOrder: Ordering[(Long, Long, Long)] =
+    Ordering.fromLessThan { (x, y) =>
+      x._3 < y._3 || (x._3 == y._3 && x._2 < y._2)
+    }
+
   /** x3 — brute-force cosine top-k: 10 query vectors broadcast to every
     * partition; candidates stream through a primitive-array dot kernel
-    * (the GEMM shape of honest brute-force ANN). Rank by exact-integer-
-    * derived cosine. x14 is the sublinear path. */
+    * (the GEMM shape of honest brute-force ANN). The kernel keeps a
+    * k-bounded per-query heap ([[graft.operators.BoundedTopK]]) so only
+    * partitions × queries × k rows reach the ranking window — the scan
+    * is O(corpus) by definition (brute force), but the selection shuffle
+    * is not. Rank by exact-integer-derived cosine. x14 is the sublinear
+    * path. */
   val x3TopkSimilarity: QFn = (s, d) => {
     import s.implicits._
     val emb = embRows(Tables.embeddings(s, d))
@@ -632,12 +652,14 @@ object DedupQueries {
         .map { case (id, e) => (id, e, normScaled(e)) })
     val scored = emb.mapPartitions { it =>
       val qs = queries.value
-      it.flatMap { case (cid, ce) =>
+      val rows = it.flatMap { case (cid, ce) =>
         val cn = normScaled(ce)
         qs.iterator.collect { case (qid, qe, qn) if qid != cid =>
           (qid, cid, dotScaled(qe, ce) / (math.sqrt(qn) * math.sqrt(cn)))
         }
       }
+      BoundedTopK.perQuery(rows, 5, (r: (Long, Long, Double)) => r._1)(
+        cosineRankOrder)
     }.toDF("query_id", "cand_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
@@ -766,7 +788,7 @@ object DedupQueries {
         .groupBy(_._1).map { case (b, arr) => (b, arr.map(_._2)) })
     val scored = emb.mapPartitions { it =>
       val byBucket = probesByBucket.value
-      it.flatMap { case (cid, ce) =>
+      val rows = it.flatMap { case (cid, ce) =>
         val b = lshBucketOf(ce)
         byBucket.get(b) match {
           case Some(qs) =>
@@ -777,6 +799,12 @@ object DedupQueries {
           case None => Iterator.empty
         }
       }
+      // bucket-bounded candidates already; the heap makes the window
+      // input partition-bounded too (uniform ANN-family selection)
+      BoundedTopK.perQuery(rows, 5, (r: (Long, Long, Double, Long)) => r._1)(
+        Ordering.fromLessThan { (x, y) =>
+          x._3 > y._3 || (x._3 == y._3 && x._2 < y._2)
+        })
     }.toDF("query_id", "cand_id", "cosine", "bucket")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
@@ -861,7 +889,7 @@ object DedupQueries {
         })
     val scored = listed.mapPartitions { it =>
       val qs = queries.value
-      it.flatMap { case (cluster, cid, ce) =>
+      val rows = it.flatMap { case (cluster, cid, ce) =>
         val cn = normScaled(ce)
         qs.iterator
           .filter { case (qc, qid, _, _) => qc == cluster && qid != cid }
@@ -869,6 +897,11 @@ object DedupQueries {
             (qid, cid, dotScaled(qe, ce) / (math.sqrt(qn) * math.sqrt(cn)))
           }
       }
+      // each candidate lives in exactly one inverted list, so (query,
+      // cand) pairs are unique within the scan and the bounded heap is
+      // exact (the dropDuplicates below is belt-and-braces only)
+      BoundedTopK.perQuery(rows, 5, (r: (Long, Long, Double)) => r._1)(
+        cosineRankOrder)
     }.toDF("query_id", "cand_id", "cosine")
       .dropDuplicates("query_id", "cand_id")
     val w = Window.partitionBy(col("query_id"))
@@ -1071,7 +1104,7 @@ object DedupQueries {
     val luts = s.sparkContext.broadcast(pqQueryLuts(emb, pqCodebooks))
     val scored = emb.mapPartitions { it =>
       val qs = luts.value
-      it.flatMap { case (cid, ce) =>
+      val rows = it.flatMap { case (cid, ce) =>
         val code = pqEncode(ce.map(scale1e6), cb.value)
         qs.iterator.collect { case (qid, lut) if qid != cid =>
           var adc = 0L; var m = 0
@@ -1079,6 +1112,10 @@ object DedupQueries {
           (qid, cid, adc)
         }
       }
+      // the full-corpus ADC scan emits ≤ k rows per query per partition:
+      // the selection window sorts partitions × k rows, never O(corpus)
+      BoundedTopK.perQuery(rows, 5, (r: (Long, Long, Long)) => r._1)(
+        adcRankOrder)
     }.toDF("query_id", "cand_id", "adc")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("cand_id"))
@@ -1164,7 +1201,7 @@ object DedupQueries {
         })
     val adcScored = emb.mapPartitions { it =>
       val qs = queriesB.value
-      it.flatMap { case (cid, ce) =>
+      val rows = it.flatMap { case (cid, ce) =>
         val code = pqEncode(ce.map(scale1e6), cb.value)
         qs.iterator.collect { case (qid, _, _, lut) if qid != cid =>
           var adc = 0L; var m = 0
@@ -1172,6 +1209,10 @@ object DedupQueries {
           (qid, cid, adc)
         }
       }
+      // stage-1 keeps a RescoreShortlist-bounded heap per query: the
+      // shortlist window sorts partitions × shortlist rows, not O(corpus)
+      BoundedTopK.perQuery(rows, RescoreShortlist,
+        (r: (Long, Long, Long)) => r._1)(adcRankOrder)
     }.toDF("query_id", "cand_id", "adc")
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("cand_id"))
@@ -1282,13 +1323,17 @@ object DedupQueries {
         .map { case (id, lab, e) => (id, lab, e, normScaled(e)) })
     val scored = emb.mapPartitions { it =>
       val qs = queries.value
-      it.flatMap { case (cid, clab, ce) =>
+      val rows = it.flatMap { case (cid, clab, ce) =>
         lazy val cn = normScaled(ce)
         qs.iterator.collect {
           case (qid, qlab, qe, qn) if qid != cid && qlab == clab =>
             (qid, cid, clab, dotScaled(qe, ce) / (math.sqrt(qn) * math.sqrt(cn)))
         }
       }
+      BoundedTopK.perQuery(rows, 5, (r: (Long, Long, Int, Double)) => r._1)(
+        Ordering.fromLessThan { (x, y) =>
+          x._4 > y._4 || (x._4 == y._4 && x._2 < y._2)
+        })
     }.toDF("query_id", "cand_id", "label", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
@@ -1355,7 +1400,7 @@ object DedupQueries {
     }
     val scored = listed.mapPartitions { it =>
       val qs = queryProbes.value
-      it.flatMap { case (cluster, cid, code) =>
+      val rows = it.flatMap { case (cluster, cid, code) =>
         qs.iterator
           .filter { case (qc, qid, _) => qc == cluster && qid != cid }
           .map { case (_, qid, lut) =>
@@ -1364,6 +1409,9 @@ object DedupQueries {
             (qid, cid, adc)
           }
       }
+      // probed-list-bounded already; heap makes it partition-bounded too
+      BoundedTopK.perQuery(rows, 5, (r: (Long, Long, Long)) => r._1)(
+        adcRankOrder)
     }.toDF("query_id", "cand_id", "adc")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("cand_id"))

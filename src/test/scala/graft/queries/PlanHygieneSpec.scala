@@ -82,4 +82,46 @@ class PlanHygieneSpec extends AnyFunSuite {
       && !read.contains("n_chars"),
       s"x26 scan not pruned to (doc_id, text): $read")
   }
+
+  // the ANN family's top-k selection must stay partition-bounded: the
+  // scoring kernels keep a k-bounded per-query heap (BoundedTopK), so
+  // the ranking window's shuffle carries partitions × queries × k rows,
+  // never the scored corpus. sf0.001 has 500 vectors × 10 queries: an
+  // unbounded x3/x38 scan shuffles ≥ 4 990 scored rows into the window
+  // (x42's stage 1 likewise, plus its rescore join); with the heaps the
+  // whole query moves a few hundred. The record budgets below sit well
+  // under the unbounded counterfactual and well over the bounded
+  // steady state, so either regression direction trips loudly.
+  test("ANN top-k selection shuffles a bounded row count, not the corpus") {
+    val budgets = Map(
+      "x3_topk_similarity" -> 1000L, // unbounded: ≥ 4 990
+      "x38_ann_pq" -> 1000L, // unbounded: ≥ 4 990
+      "x14_ann_lsh" -> 1000L, // bucket- AND partition-bounded
+      "x15_ann_ivf" -> 1500L, // list- AND partition-bounded
+      "x39_ann_ivfpq" -> 1500L,
+      "x40_ann_filtered" -> 1000L,
+      // stage-1 heap keeps ≤ 10 × 100 shortlist rows per partition and
+      // the rescore join moves shortlist-sized sides: unbounded ≥ 7 000
+      "x42_ann_pq_rescore" -> 4500L)
+    budgets.foreach { case (name, budget) =>
+      val written = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          written.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        graft.SparkEntry.queries(name)(spark, sf).count()
+        // listener bus is async; drain it before reading the counter
+        // (listenerBus is private[spark] — reflection, test-only)
+        val bus = spark.sparkContext.getClass
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(written.get() <= budget,
+        s"$name shuffled ${written.get()} records (budget $budget) — " +
+          "top-k selection no longer partition-bounded?")
+    }
+  }
 }
