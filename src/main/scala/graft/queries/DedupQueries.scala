@@ -106,50 +106,43 @@ object DedupQueries {
         expr("concat_ws(',', CAST(sig[band*4] AS STRING), CAST(sig[band*4+1] AS STRING), CAST(sig[band*4+2] AS STRING), CAST(sig[band*4+3] AS STRING))")
           .as("bucket"))
 
-  /** Shard count for a skew-guarded bucket self-join: measures the
-    * largest bucket (ids-only agg — one cheap eager job) and, when it
-    * exceeds `graft.dedup.skewThreshold` rows (default 4096; <= 0
-    * disables the guard), returns ceil(max/threshold) capped at 32.
-    * A hot LSH/simhash bucket (near-identical boilerplate, empty-ish
-    * docs) makes its candidate self-join quadratic IN ONE REDUCER; AQE
-    * skew-split cannot help because the blow-up happens inside the
-    * join, not in its input sizes. Salting splits the hot bucket's
-    * probe side across shards — total work unchanged, straggler task
-    * time divided by the shard count. */
-  private[graft] def skewSalts(spark: SparkSession, bucketed: DataFrame,
-      keys: Seq[String]): Int = {
+  /** Skew-guard threshold from `graft.dedup.skewThreshold` (default
+    * 4096 rows; <= 0 disables the guard). A hot LSH/simhash bucket
+    * (near-identical boilerplate, empty-ish docs) makes its candidate
+    * self-join quadratic IN ONE REDUCER; AQE skew-split cannot help
+    * because the blow-up happens inside the join, not in its input
+    * sizes. The guard is DECLARATIVE ([[SaltedJoin.adaptive]]): the
+    * hot-bucket detection and the per-bucket shard count ride the
+    * query's own DAG — composing a guarded query costs nothing and no
+    * extra measurement job runs at execution time (the round-5 eager
+    * `skewSalts` measure cost x2/x6 an extra ~1 s job per run). */
+  private[graft] def skewThreshold(spark: SparkSession): Long = {
     val confKey = "graft.dedup.skewThreshold"
     val raw = spark.conf.get(confKey, "4096")
-    val threshold = scala.util.Try(raw.trim.toLong).getOrElse(
+    scala.util.Try(raw.trim.toLong).getOrElse(
       throw new IllegalArgumentException(
         s"$confKey must be a long, got '$raw'"))
-    if (threshold <= 0) 1
-    else {
-      val top = bucketed.groupBy(keys.map(col): _*)
-        .count().agg(max(col("count"))).head()
-      val maxBucket = if (top.isNullAt(0)) 0L else top.getLong(0)
-      math.max(1L, math.min(32L, (maxBucket + threshold - 1) / threshold)).toInt
-    }
   }
 
-  /** Bucket-keyed candidate self-join, salted iff the skew guard says
-    * so. `a` and `b` must be projections of the same bucketed frame. */
+  /** Bucket-keyed candidate self-join, per-bucket salted above the
+    * skew threshold. `a` and `b` must be projections of the same
+    * bucketed frame (that contract is what lets the guard use the
+    * cheap window form — see [[SaltedJoin.selfAdaptive]]). */
   private[graft] def bucketSelfJoin(spark: SparkSession, a: DataFrame,
       b: DataFrame, keys: Seq[String]): DataFrame = {
-    val salts = skewSalts(spark, a.select(keys.map(col): _*), keys)
-    if (salts == 1) a.join(b, keys)
-    else SaltedJoin.join(a, b, keys, salts, "inner")
+    val t = skewThreshold(spark)
+    if (t <= 0) a.join(b, keys)
+    else SaltedJoin.selfAdaptive(a, b, keys, t)
   }
 
-  /** Two-sided bucket join with the same guard, measured on the side
-    * declared skewed (e.g. a warehouse band index vs an ingest slice —
-    * the measure is ids-only and the skewed side is already read in
-    * full by the callers, so the asymptotic cost is unchanged). */
+  /** Two-sided bucket join with the same guard, hot buckets counted on
+    * the side declared skewed (e.g. a warehouse band index vs an ingest
+    * slice); the small side replicates into the hot buckets' shards. */
   private[graft] def bucketJoin(spark: SparkSession, skewed: DataFrame,
       small: DataFrame, keys: Seq[String]): DataFrame = {
-    val salts = skewSalts(spark, skewed.select(keys.map(col): _*), keys)
-    if (salts == 1) skewed.join(small, keys)
-    else SaltedJoin.join(skewed, small, keys, salts, "inner")
+    val t = skewThreshold(spark)
+    if (t <= 0) skewed.join(small, keys)
+    else SaltedJoin.adaptive(skewed, small, keys, t)
   }
 
   /** Signature-agreement fraction (64 codegen'd equality terms). */

@@ -122,6 +122,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("adaptive per-key salted join equals plain join on skewed data") {
+    import spark.implicits._
+    val skewed = spark.range(20000).select(
+      when(col("id") % 10 < 9, lit(7L)).otherwise(col("id")).as("k"),
+      col("id").as("payload"))
+    val small = spark.range(100).select(col("id").as("k"),
+      (col("id") * 2).as("dim"))
+    val expected = skewed.join(small, Seq("k")).agg(
+      count(lit(1)).as("n"), sum(col("payload") + col("dim")).as("s"))
+      .head()
+    val got = graft.operators.SaltedJoin
+      .adaptive(skewed, small, Seq("k"), threshold = 100)
+      .agg(count(lit(1)).as("n"), sum(col("payload") + col("dim")).as("s"))
+      .head()
+    assert(got == expected)
+    // right-replicating salting is unsound for right-preserving joins
+    intercept[IllegalArgumentException] {
+      graft.operators.SaltedJoin.adaptive(skewed, small, Seq("k"),
+        threshold = 100, joinType = "full_outer")
+    }
+  }
+
   test("dedup skew guard: hot LSH bucket triggers salting, same pairs, bounded shards") {
     import spark.implicits._
     import graft.queries.DedupQueries
@@ -144,22 +166,51 @@ class ScaleSpec extends AnyFunSuite {
     val plain = pairs(a.join(b, Seq("band", "bucket")))
     try {
       spark.conf.set("graft.dedup.skewThreshold", "16")
-      val salts = DedupQueries.skewSalts(spark, banded, Seq("band", "bucket"))
-      assert(salts > 1, s"guard did not trigger on a 120-row bucket: $salts")
+      // composing the guarded join must run ZERO Spark jobs (the
+      // round-5 guard paid an eager measurement job per guarded join;
+      // the adaptive guard decides inside the plan)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val guarded =
+        try {
+          val g = DedupQueries.bucketSelfJoin(spark, a, b,
+            Seq("band", "bucket"))
+          g.queryExecution.executedPlan // force planning too
+          val bus = spark.sparkContext.getClass
+            .getMethod("listenerBus").invoke(spark.sparkContext)
+          bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+          g
+        } finally spark.sparkContext.removeSparkListener(listener)
+      assert(jobs.get() == 0,
+        s"composing a guarded join ran ${jobs.get()} eager job(s)")
       // identical candidate pairs through the salted path
-      assert(pairs(DedupQueries.bucketSelfJoin(spark, a, b,
-        Seq("band", "bucket"))) == plain)
+      assert(pairs(guarded) == plain)
       // the hot bucket's probe side actually spreads: max rows per
       // (bucket, shard) well under the unsalted 120 (bounded task time)
-      val shardMax = a.withColumn("__salt", (rand(42) * salts).cast("int"))
-        .groupBy(col("band"), col("bucket"), col("__salt")).count()
+      val (sharded, _) = graft.operators.SaltedJoin.selfAdaptiveSides(
+        a, b, Seq("band", "bucket"), threshold = 16, maxSalts = 32)
+      val shardMax = sharded
+        .groupBy(col("band"), col("bucket"), col("__shard")).count()
         .agg(max(col("count"))).head().getLong(0)
       assert(shardMax < 60, s"hot bucket not spread: max shard $shardMax")
+      // cold buckets keep the plain join's shape: exactly one shard
+      val coldShards = sharded.groupBy(col("band"), col("bucket"))
+        .agg(countDistinct(col("__shard")).as("s"), count(lit(1)).as("n"))
+        .where(col("n") <= 16).agg(max(col("s"))).head().getLong(0)
+      assert(coldShards == 1, s"cold buckets sharded: $coldShards")
     } finally spark.conf.unset("graft.dedup.skewThreshold")
-    // guard off (threshold <= 0): plain join, same pairs
+    // guard off (threshold <= 0): plain join, same pairs, no shard col
     try {
       spark.conf.set("graft.dedup.skewThreshold", "0")
-      assert(DedupQueries.skewSalts(spark, banded, Seq("band", "bucket")) == 1)
+      val off = DedupQueries.bucketSelfJoin(spark, a, b,
+        Seq("band", "bucket"))
+      assert(!off.queryExecution.executedPlan.toString.contains("__shard"))
+      assert(pairs(off) == plain)
     } finally spark.conf.unset("graft.dedup.skewThreshold")
   }
 }
