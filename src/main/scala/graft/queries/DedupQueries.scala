@@ -1159,6 +1159,168 @@ object DedupQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // -- x43: PQ with k-means-TRAINED codebooks (x23 ∘ x38) ----------------
+
+  /** Training-sample bound and Lloyd iteration count for x43. 256
+    * vectors is deliberately collect-sized: production PQ trains its
+    * codebooks on a bounded sample at one node and broadcasts them
+    * (FAISS's `train()` shape) — the DISTRIBUTED Lloyd step exists as
+    * x23 for corpus-scale clustering; composing the two is exactly
+    * this operator. */
+  val PqTrainN = 256L
+  val PqTrainIters = 2
+
+  /** Lloyd refinement of the seeded PQ codebooks on the scaled training
+    * subvectors. Integer arithmetic end to end so the SQL oracle
+    * replays training bit-for-bit: assignment is [[pqEncode]] (nearest
+    * entry, ties → lower code), the update is the per-dimension
+    * TRUNCATED mean (Long division ≡ SQL trunc toward zero — sums stay
+    * ≤ 256·4e6, exact in the oracle's double), and an empty cluster
+    * keeps its previous entry. */
+  private[queries] def trainPqCodebooks(
+      train: Array[Array[Long]]): Array[Array[Array[Long]]] = {
+    var cb = pqCodebooks.map(_.map(_.clone()))
+    (0 until PqTrainIters).foreach { _ =>
+      val sums = Array.ofDim[Long](PqSubspaces, PqK, PqSubDim)
+      val counts = Array.ofDim[Long](PqSubspaces, PqK)
+      train.foreach { sv =>
+        val code = pqEncode(sv, cb)
+        var m = 0
+        while (m < PqSubspaces) {
+          val k = code(m)
+          counts(m)(k) += 1
+          var j = 0
+          while (j < PqSubDim) {
+            sums(m)(k)(j) += sv(m * PqSubDim + j); j += 1
+          }
+          m += 1
+        }
+      }
+      cb = Array.tabulate(PqSubspaces, PqK) { (m, k) =>
+        if (counts(m)(k) == 0) cb(m)(k)
+        else Array.tabulate(PqSubDim)(j => sums(m)(k)(j) / counts(m)(k))
+      }
+    }
+    cb
+  }
+
+  /** x43 — x38's ADC scan with codebooks TRAINED by k-means instead of
+    * seeded constants: one bounded collect (`vec_id < PqTrainN`, which
+    * also covers the 10 query vectors), `PqTrainIters` Lloyd rounds at
+    * the driver, broadcast of the trained books, then the identical
+    * codes-only scan with a bounded per-query heap. On the isotropic
+    * test embeddings training roughly doubles ADC-only recall@10 over
+    * the random-codebook floor (AnnRecallSpec pins both) — the one
+    * lever raw PQ has when the data gives LSH/IVF nothing to exploit. */
+  val x43AnnPqTrained: QFn = (s, d) => {
+    import s.implicits._
+    val emb = embRows(Tables.embeddings(s, d))
+    val train = emb.filter(_._1 < PqTrainN).collect().sortBy(_._1)
+    val cbT = trainPqCodebooks(train.map(_._2.map(scale1e6)))
+    val cb = s.sparkContext.broadcast(cbT)
+    val luts = s.sparkContext.broadcast(
+      train.takeWhile(_._1 < 10).map { case (qid, qe) =>
+        val se = qe.map(scale1e6)
+        (qid, Array.tabulate(PqSubspaces, PqK) { (m, k) =>
+          pqDist2(se, m * PqSubDim, cbT(m)(k))
+        })
+      })
+    val scored = emb.mapPartitions { it =>
+      val qs = luts.value
+      val rows = it.flatMap { case (cid, ce) =>
+        val code = pqEncode(ce.map(scale1e6), cb.value)
+        qs.iterator.collect { case (qid, lut) if qid != cid =>
+          var adc = 0L; var m = 0
+          while (m < PqSubspaces) { adc += lut(m)(code(m)); m += 1 }
+          (qid, cid, adc)
+        }
+      }
+      BoundedTopK.perQuery(rows, 5, (r: (Long, Long, Long)) => r._1)(
+        adcRankOrder)
+    }.toDF("query_id", "cand_id", "adc")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle: the seeded codebooks as VALUES, `PqTrainIters` Lloyd
+    * rounds REPLAYED as unrolled CTE stages over the same training
+    * subset (assign by the same (d2, k) tiebreak, update by the same
+    * truncated mean, empty clusters COALESCE to the previous entry),
+    * then x38's code/ADC chain against the final books. */
+  val x43Sql: String = {
+    val cbRows = (for {
+      m <- 0 until PqSubspaces
+      k <- 0 until PqK
+    } yield s"($m, $k, [${pqCodebooks(m)(k).mkString("::BIGINT, ")}::BIGINT])")
+      .mkString(",\n    ")
+    def iterCtes(i: Int): String = {
+      val prev = if (i == 1) "cb0" else s"cb${i - 1}"
+      s"""t${i}_d AS (
+         |  SELECT t.vec_id, t.m, cb.k,
+         |    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |      i -> (sv[i] - c[i]) * (sv[i] - c[i]))) AS BIGINT) AS d2
+         |  FROM train t JOIN $prev cb ON cb.m = t.m),
+         |t${i}_a AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT vec_id, m, k,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rk
+         |    FROM t${i}_d) WHERE rk = 1),
+         |t${i}_u AS (
+         |  SELECT a.m, a.code AS k, js.j,
+         |    CAST(trunc(CAST(SUM(t.sv[js.j]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cj
+         |  FROM t${i}_a a
+         |  JOIN train t ON t.vec_id = a.vec_id AND t.m = a.m
+         |  CROSS JOIN js
+         |  GROUP BY a.m, a.code, js.j),
+         |cb$i AS (
+         |  SELECT p.m, p.k, COALESCE(u.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT m, k, list(cj ORDER BY j) AS c FROM t${i}_u
+         |    GROUP BY m, k) u
+         |    ON u.m = p.m AND u.k = p.k)""".stripMargin
+    }
+    val trainCtes = (1 to PqTrainIters).map(iterCtes).mkString(",\n")
+    val cbFinal = s"cb$PqTrainIters"
+    s"""WITH cb0(m, k, c) AS (VALUES
+       |    $cbRows),
+       |js AS (SELECT unnest(range(1, ${PqSubDim + 1})) AS j),
+       |sub AS (
+       |  SELECT vec_id, ms.m,
+       |    list_transform(range(1, ${PqSubDim + 1}),
+       |      i -> CAST(round(CAST(embedding[ms.m * $PqSubDim + i] AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(0, $PqSubspaces)) AS m) ms),
+       |train AS (SELECT * FROM sub WHERE vec_id < $PqTrainN),
+       |$trainCtes,
+       |dists AS (
+       |  SELECT sub.vec_id, sub.m, cb.k,
+       |    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |      i -> (sv[i] - c[i]) * (sv[i] - c[i]))) AS BIGINT) AS d2
+       |  FROM sub JOIN $cbFinal cb ON cb.m = sub.m),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |adc AS (
+       |  SELECT qd.vec_id AS query_id, c.vec_id AS cand_id,
+       |    CAST(SUM(qd.d2) AS BIGINT) AS adc
+       |  FROM codes c
+       |  JOIN dists qd ON qd.m = c.m AND qd.k = c.code AND qd.vec_id < 10
+       |  WHERE qd.vec_id <> c.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, cand_id, adc FROM (
+       |  SELECT query_id, cand_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, cand_id) AS rank
+       |  FROM adc) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // -- x42: two-stage PQ ANN (ADC shortlist -> exact rescore) ------------
 
   val RescoreShortlist = 100
@@ -1629,6 +1791,7 @@ object DedupQueries {
     "x38_ann_pq" -> x38AnnPq,
     "x39_ann_ivfpq" -> x39AnnIvfPq,
     "x42_ann_pq_rescore" -> x42AnnPqRescore,
+    "x43_ann_pq_trained" -> x43AnnPqTrained,
     "x40_ann_filtered" -> x40AnnFiltered,
   )
 
@@ -1652,6 +1815,7 @@ object DedupQueries {
     "x38_ann_pq" -> x38Sql,
     "x39_ann_ivfpq" -> x39Sql,
     "x42_ann_pq_rescore" -> x42Sql,
+    "x43_ann_pq_trained" -> x43Sql,
     "x40_ann_filtered" -> x40Sql,
   )
 }

@@ -194,6 +194,69 @@ class AnnRecallSpec extends AnyFunSuite {
       f"x39 p=3: ${ivfPqRecall(DedupQueries.IvfProbes)}%.3f")
   }
 
+  // ---- x43: k-means-trained codebooks vs the seeded floor ----
+
+  private lazy val trainedCb: Array[Array[Array[Long]]] =
+    DedupQueries.trainPqCodebooks(
+      vecs.filter(_._1 < DedupQueries.PqTrainN)
+        .map(_._2.map(DedupQueries.scale1e6)))
+
+  private def adcWith(cb: Array[Array[Array[Long]]])(
+      qid: Long, cid: Long, codes: Map[Long, Array[Int]],
+      luts: Map[Long, Array[Array[Long]]]): Long = {
+    val lut = luts(qid); val code = codes(cid)
+    var s = 0L; var m = 0
+    while (m < DedupQueries.PqSubspaces) { s += lut(m)(code(m)); m += 1 }
+    s
+  }
+
+  private def pqRecallWith(cb: Array[Array[Array[Long]]]): Double = {
+    val codes = vecs.map { case (id, e) =>
+      id -> DedupQueries.pqEncode(e.map(DedupQueries.scale1e6), cb)
+    }.toMap
+    val luts = queries.map { case (qid, qe) =>
+      val se = qe.map(DedupQueries.scale1e6)
+      qid -> Array.tabulate(DedupQueries.PqSubspaces, DedupQueries.PqK) {
+        (m, k) => DedupQueries.pqDist2(se, m * DedupQueries.PqSubDim, cb(m)(k))
+      }
+    }.toMap
+    recallOf { qid =>
+      vecs.filter(_._1 != qid)
+        .map(c => (c._1, adcWith(cb)(qid, c._1, codes, luts)))
+        .sortBy { case (id, d) => (d, id) }.take(K).map(_._1).toSeq
+    }
+  }
+
+  /** Mean squared quantization error (reconstruction d2) of a codebook
+    * over the full table — the quantity Lloyd descends. */
+  private def quantError(cb: Array[Array[Array[Long]]]): Double =
+    vecs.map { case (_, e) =>
+      val se = e.map(DedupQueries.scale1e6)
+      val code = DedupQueries.pqEncode(se, cb)
+      (0 until DedupQueries.PqSubspaces).map { m =>
+        DedupQueries.pqDist2(se, m * DedupQueries.PqSubDim,
+          cb(m)(code(m))).toDouble
+      }.sum
+    }.sum / vecs.length
+
+  test("x43 trained codebooks beat the seeded floor (recall and MSE)") {
+    val seeded = pqRecallWith(DedupQueries.pqCodebooks)
+    val trained = pqRecallWith(trainedCb)
+    val (eSeed, eTrain) = (quantError(DedupQueries.pqCodebooks),
+      quantError(trainedCb))
+    info(f"ADC-only recall@10: seeded $seeded%.3f -> trained $trained%.3f")
+    info(f"mean quantization d2: seeded $eSeed%.3g -> trained $eTrain%.3g")
+    // Lloyd descends exactly this objective; measured on this table:
+    // 7.68e11 -> 6.27e11 (-18%, 2 iterations, 256 training vectors
+    // scored over all 2000 — isotropic data caps the gain). Threshold
+    // is measured-minus-margin so degradation fails, noise does not.
+    assert(eTrain < eSeed * 0.9,
+      f"training did not reduce quantization error: $eSeed%.3g -> $eTrain%.3g")
+    assert(trained > seeded,
+      f"trained recall $trained%.3f not above seeded $seeded%.3f")
+    assert(trained >= 0.10, f"trained ADC recall $trained%.3f below pin")
+  }
+
   test("x40 filtered search is exact within its filter (recall 1.0)") {
     import spark.implicits._
     val labeled = Tables.embeddings(spark, sf)

@@ -96,6 +96,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     val budgets = Map(
       "x3_topk_similarity" -> 1000L, // unbounded: ≥ 4 990
       "x38_ann_pq" -> 1000L, // unbounded: ≥ 4 990
+      "x43_ann_pq_trained" -> 1000L, // same scan shape as x38
       "x14_ann_lsh" -> 1000L, // bucket- AND partition-bounded
       "x15_ann_ivf" -> 1500L, // list- AND partition-bounded
       "x39_ann_ivfpq" -> 1500L,
