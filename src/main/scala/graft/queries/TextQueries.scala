@@ -385,10 +385,16 @@ object TextQueries {
   }
 
   /** DuckDB oracle for x13: text is ASCII in this corpus, so per-character
-    * `ord(substr(...))` equals the UTF-8 byte Spark sees. For PNG docs the
-    * oracle re-derives the pixel stream from the generating formula
-    * (byte i mod n) — Spark's path goes text → PNG encode → imageio
-    * decode → pixels, so an encode/decode defect breaks the hash match. */
+    * `ord(substr(...))` equals the UTF-8 byte Spark sees — this holds for
+    * the png/wav byte streams AND the jpg constant (kernel: `tb(0) &
+    * 0xff`, oracle: `ord` of the first character; they diverge on a
+    * non-ASCII FIRST BYTE). The assumption is ASSERTED by ExtSpec's
+    * "x13 fixture assumption" test (octet_length == char_length at the
+    * verify SFs), so a non-ASCII fixture fails loudly there rather than
+    * as an opaque hash mismatch. For PNG docs the oracle re-derives the
+    * pixel stream from the generating formula (byte i mod n) — Spark's
+    * path goes text → PNG encode → imageio decode → pixels, so an
+    * encode/decode defect breaks the hash match. */
   val x13Sql =
     s"""WITH base AS (
       |  SELECT doc_id, text,

@@ -468,4 +468,21 @@ class ExtSpec extends AnyFunSuite {
         assert(sorted(0)._5 - sorted(1)._4 == (w - s2).toLong)
     }
   }
+
+  // the x13 oracle models bytes with per-CHARACTER ord(substr(...)) —
+  // including the jpg constant (kernel: first UTF-8 byte) — which only
+  // equals Spark's UTF-8 bytes while the fixture stays ASCII. Pin that
+  // assumption where it's legible instead of letting a future non-ASCII
+  // fixture surface as an opaque hash mismatch.
+  test("x13 fixture assumption: documents text is ASCII at the verify SFs") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").foreach { d =>
+      val nonAscii = Tables.documents(spark, d)
+        .where(org.apache.spark.sql.functions.expr(
+          "octet_length(text) <> char_length(text)")).count()
+      assert(nonAscii == 0,
+        s"$d: $nonAscii non-ASCII documents — x13's ord()-based oracle " +
+          "(and its jpg first-byte constant) no longer matches UTF-8 bytes")
+    }
+  }
 }
