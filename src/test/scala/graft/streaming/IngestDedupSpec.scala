@@ -152,6 +152,50 @@ class IngestDedupSpec extends AnyFunSuite {
     assert(bins(1) == Seq((9.0, 1L)), bins(1))
   }
 
+  // VERDICT r5 #4: the batch warehouse got crash-atomic commits; this is
+  // the STREAMING path's restart story (T3's VisitStream coverage,
+  // mirrored for curation — reference analog visit_info.py:44-97).
+  test("restart recovery: checkpointed dedup state survives kill-and-resume") {
+    val dir = Files.createTempDirectory("ingest_restart").toString
+    Files.createDirectories(Paths.get(dir, "in"))
+    val out = s"$dir/out"
+    val chk = s"$dir/chk"
+    def runOnce(): Unit = {
+      val q = IngestDedup.curateStream(
+          spark.readStream.schema(schema).csv(s"$dir/in"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive, "query did not drain")
+    }
+    // run 1: two distinct docs, then the query STOPS (the kill)
+    Files.write(Paths.get(dir, "in", "b1.csv"), Seq(
+      csvLine(1, "alpha document one", "2026-03-01 10:00:00"),
+      csvLine(2, "totally different text", "2026-03-01 10:00:05"),
+    ).mkString("\n").getBytes)
+    runOnce()
+    // run 2 resumes from the SAME checkpoint: the file source will NOT
+    // re-read b1 (processed-files log), so the only thing that can
+    // suppress the late duplicates below is RECOVERED dedup state.
+    // doc 3 duplicates doc 1 (punctuation variant), doc 5 duplicates
+    // doc 2; doc 4 is genuinely new — all within the watermark.
+    Files.write(Paths.get(dir, "in", "b2.csv"), Seq(
+      csvLine(3, "Alpha! Document; ONE", "2026-03-01 10:01:00"),
+      csvLine(4, "a brand new document", "2026-03-01 10:01:05"),
+      csvLine(5, "Totally... Different?? Text", "2026-03-01 10:01:10"),
+    ).mkString("\n").getBytes)
+    runOnce()
+    val got = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq
+    // no drops: the new doc came through; no re-admits: both late
+    // duplicates suppressed by recovered state; exactly-once: nothing
+    // from run 1 re-emitted by run 2
+    assert(got.sorted == Seq(1L, 2L, 4L),
+      s"restart broke dedup/exactly-once: got $got")
+  }
+
   test("batch fallback: one row per fingerprint") {
     import spark.implicits._
     val docs = Seq(
