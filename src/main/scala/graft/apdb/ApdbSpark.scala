@@ -263,6 +263,9 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
         // without mutating session-wide overwrite semantics
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pix_bucket").parquet(path("obj_last"))
+      // the write was the only consumer — release the blocks rather
+      // than stranding a touched-bucket-sized set per visit
+      org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(merged)
     }
 
     // 3. fact appends, partitioned by 30-day MJD bucket
@@ -327,12 +330,50 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
         .localCheckpoint(true) // break lineage: rewrite reads this path
       df.write.mode(SaveMode.Overwrite)
         .partitionBy(partCol).parquet(path(t))
+      org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(df)
     }
     compact("obj_last", objSchema, "pix_bucket")
     compact("objects", objSchema, "pix_bucket")
     compact("sources", srcSchema, "mjd_bucket")
     compact("fsources", fsrcSchema, "mjd_bucket")
     refreshViews()
+  }
+
+  /** Amortized consolidation (VERDICT r5 #5): rewrite ONLY the
+    * partition directories holding more than `maxFilesPerPartition`
+    * parquet fragments. Per-visit appends add a few files per table per
+    * visit; left to accumulate, late-night history reads pay growing
+    * list/open costs (the 100× soak's late-visit read inflation).
+    * Bounded work per invocation — untouched partitions cost a
+    * directory listing — so it can run BETWEEN visits; on a cluster it
+    * is the background compaction job next to the visit critical path.
+    * consolidateNight() remains the full end-of-night pass. At true
+    * cluster scale the fact tables carry a spatial partition alongside
+    * `mjd_bucket`, keeping each compaction unit FOV-sized.
+    * Returns partitions compacted per table. */
+  def compactFragmented(maxFilesPerPartition: Int = 48): Map[String, Int] = {
+    def one(t: String): Int = {
+      if (!exists(t)) return 0
+      val root = new java.io.File(path(t))
+      val parts = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.contains("="))
+      val frag = parts.filter(
+        _.listFiles().count(_.getName.endsWith(".parquet")) > maxFilesPerPartition)
+      frag.foreach { p =>
+        // partition-dir files are self-describing (partition col lives
+        // in the dir name, untouched by the rewrite)
+        val df = spark.read.parquet(p.getPath)
+          .repartition(1)
+          .localCheckpoint(true) // break lineage: rewrite reads this dir
+        df.write.mode(SaveMode.Overwrite).parquet(p.getPath)
+        org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(df)
+      }
+      frag.length
+    }
+    val done = Seq("obj_last", "objects", "sources", "fsources")
+      .map(t => t -> one(t)).toMap
+    if (done.values.sum > 0) refreshViews()
+    done
   }
 
   /** Register the engine tables as SQL temp views (`dia_object_last`,

@@ -216,6 +216,15 @@ object VisitPipeline {
       Seq("objects" -> nSources.toDouble, "sources" -> nSources.toDouble,
         "forcedsources" -> nForced.toDouble,
         "row_count" -> (2 * nSources + nForced).toDouble))
+    // release this visit's checkpoint blocks NOW: every consumer above
+    // has run, and without the explicit release each visit strands an
+    // FOV-sized block set until a driver GC triggers the ContextCleaner
+    // — at 100× scale that built tens of GB of dead blocks and the
+    // eviction storms showed up as 2-3x visit-latency spikes (round-5
+    // soak, visits 22-26)
+    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(detections)
+    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(latest)
+    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(newSources)
     val totalSec = (System.nanoTime() - tVisit0) / 1e9
     // single-tile local mode: per-tile == per-visit == total
     timer("tile_visit_time", "all", totalSec)

@@ -49,6 +49,34 @@ class ScaleSpec extends AnyFunSuite {
       s"sources: ${before("sources")} -> ${after("sources")}")
   }
 
+  test("incremental compaction rewrites only fragmented partitions, preserves rows") {
+    val dir = java.nio.file.Files.createTempDirectory("apdb_inc").toString
+    val apdb = new ApdbSpark(spark, ApdbConfig(warehouseDir = dir,
+      transientPerVisit = 5, falsePerVisit = 45))
+    apdb.makeSchema(drop = true)
+    val catalog = DiaSim.genCatalog(spark, 50000L, hemi = -1, seed = 13)
+      .localCheckpoint(true)
+    val pointing = Vec3(0.1, -0.2, -0.97).normalized
+    VisitPipeline.visitTimes(Timestamp.valueOf("2026-07-01 01:00:00"), 4)
+      .foreach { case (id, ts) =>
+        VisitPipeline.visit(apdb, catalog, id, ts, pointing)
+      }
+    val rowsBefore = (apdb.sources.count(), apdb.objectsLast.count())
+    val before = apdb.fileCounts
+    // threshold above current fragment counts: nothing must be touched
+    assert(apdb.compactFragmented(maxFilesPerPartition = 10000)
+      .values.sum == 0, "high threshold must be a no-op")
+    assert(apdb.fileCounts == before)
+    // threshold of 1 file/partition: every fragmented partition rewrites
+    val done = apdb.compactFragmented(maxFilesPerPartition = 1)
+    assert(done.values.sum > 0, s"nothing compacted: $done")
+    val after = apdb.fileCounts
+    assert(after("sources") < before("sources"),
+      s"sources: ${before("sources")} -> ${after("sources")}")
+    assert((apdb.sources.count(), apdb.objectsLast.count()) == rowsBefore,
+      "incremental compaction must preserve contents")
+  }
+
   test("per-visit cost stays flat as history accumulates") {
     // the scale property the 45 s/visit contract depends on: the
     // snapshot merge touches only this visit's buckets and history
@@ -78,6 +106,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(late < early * 2.5,
       f"per-visit cost grew with history: early=$early%.2f late=$late%.2f " +
         s"(all: ${secs.map(s => f"$s%.1f").mkString(", ")})")
+    // storage-leak guard: each visit localCheckpoints several frames;
+    // without the explicit release they strand until a driver GC and
+    // the eviction storms spike visit latency at scale (round-5 100×
+    // soak, visits 22-26). 12 visits × ~4 checkpoints must NOT be
+    // lingering — only the shared catalog (plus at most a couple of
+    // in-flight blocks) may hold storage.
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    assert(persisted <= 6,
+      s"$persisted RDDs still persisted after 12 visits — checkpoint leak")
   }
 
   test("bucketed tables join without a shuffle exchange") {
