@@ -1246,12 +1246,13 @@ object DedupQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Oracle: the seeded codebooks as VALUES, `PqTrainIters` Lloyd
-    * rounds REPLAYED as unrolled CTE stages over the same training
-    * subset (assign by the same (d2, k) tiebreak, update by the same
-    * truncated mean, empty clusters COALESCE to the previous entry),
-    * then x38's code/ADC chain against the final books. */
-  val x43Sql: String = {
+  /** Oracle WITH-body: the seeded codebooks as VALUES, `PqTrainIters`
+    * Lloyd rounds REPLAYED as unrolled CTE stages over the same
+    * training subset (assign by the same (d2, k) tiebreak, update by
+    * the same truncated mean, empty clusters COALESCE to the previous
+    * entry), then x38's code/ADC chain against the final books.
+    * Shared by x43 (direct ADC ranking) and x44 (rescore tail). */
+  private lazy val x43CteBody: String = {
     val cbRows = (for {
       m <- 0 until PqSubspaces
       k <- 0 until PqK
@@ -1285,7 +1286,7 @@ object DedupQueries {
     }
     val trainCtes = (1 to PqTrainIters).map(iterCtes).mkString(",\n")
     val cbFinal = s"cb$PqTrainIters"
-    s"""WITH cb0(m, k, c) AS (VALUES
+    s"""cb0(m, k, c) AS (VALUES
        |    $cbRows),
        |js AS (SELECT unnest(range(1, ${PqSubDim + 1})) AS j),
        |sub AS (
@@ -1312,14 +1313,17 @@ object DedupQueries {
        |  FROM codes c
        |  JOIN dists qd ON qd.m = c.m AND qd.k = c.code AND qd.vec_id < 10
        |  WHERE qd.vec_id <> c.vec_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  val x43Sql: String =
+    s"""WITH $x43CteBody
        |SELECT query_id, rank, cand_id, adc FROM (
        |  SELECT query_id, cand_id, adc,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY adc, cand_id) AS rank
        |  FROM adc) WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   // -- x42: two-stage PQ ANN (ADC shortlist -> exact rescore) ------------
 
@@ -1453,6 +1457,103 @@ object DedupQueries {
        |  FROM rescored) WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  // -- x44: the full PQ serving stack (trained books + rescore) ----------
+
+  /** x44 — x43's trained codebooks composed with x42's two-stage
+    * serving: train on the bounded sample, scan CODES with the trained
+    * ADC (bounded per-query heap, shortlist `RescoreShortlist`), fetch
+    * only shortlisted vectors by id, re-rank by exact cosine. This is
+    * the complete production stack — FAISS `train()` + IndexPQ +
+    * refine — as one operator: the trained books raise shortlist
+    * QUALITY (ADC recall 0.07 → 0.16), the rescore converts shortlist
+    * membership into final ranking, and the recall audit pins the
+    * composition above either half alone. Scan cost is unchanged from
+    * x42: codes column + KB LUTs; training is one bounded collect. */
+  val x44AnnPqServe: QFn = (s, d) => {
+    import s.implicits._
+    // checkpoint: feeds the training collect, the ADC scan AND the
+    // stage-2 candidate fetch — one read, three consumers
+    val emb = embRows(Tables.embeddings(s, d)).localCheckpoint(true)
+    val train = emb.filter(_._1 < PqTrainN).collect().sortBy(_._1)
+    val cbT = trainPqCodebooks(train.map(_._2.map(scale1e6)))
+    val cb = s.sparkContext.broadcast(cbT)
+    // the training collect covers the query batch (qids < 10 < TrainN)
+    val queriesB = s.sparkContext.broadcast(
+      train.takeWhile(_._1 < 10).map { case (qid, qe) =>
+        val se = qe.map(scale1e6)
+        (qid, qe, normScaled(qe),
+          Array.tabulate(PqSubspaces, PqK) { (m, k) =>
+            pqDist2(se, m * PqSubDim, cbT(m)(k))
+          })
+      })
+    val adcScored = emb.mapPartitions { it =>
+      val qs = queriesB.value
+      val rows = it.flatMap { case (cid, ce) =>
+        val code = pqEncode(ce.map(scale1e6), cb.value)
+        qs.iterator.collect { case (qid, _, _, lut) if qid != cid =>
+          var adc = 0L; var m = 0
+          while (m < PqSubspaces) { adc += lut(m)(code(m)); m += 1 }
+          (qid, cid, adc)
+        }
+      }
+      BoundedTopK.perQuery(rows, RescoreShortlist,
+        (r: (Long, Long, Long)) => r._1)(adcRankOrder)
+    }.toDF("query_id", "cand_id", "adc")
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    val shortlist = adcScored.withColumn("adc_rank", row_number().over(wAdc))
+      .where(col("adc_rank") <= RescoreShortlist)
+      .select(col("query_id"), col("cand_id"))
+    val rescored = shortlist
+      .join(emb.toDF("cand_id", "cand_e"), "cand_id")
+      .select(col("query_id"), col("cand_id"), col("cand_e"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = queriesB.value
+          .map { case (qid, qe, qn, _) => (qid, (qe, qn)) }.toMap
+        it.map { case (qid, cid, ce) =>
+          val (qe, qn) = qs(qid)
+          (qid, cid, dotScaled(qe, ce) / (math.sqrt(qn) * math.sqrt(normScaled(ce))))
+        }
+      }.toDF("query_id", "cand_id", "cosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle: x43's trained code/ADC CTE body, x42's shortlist +
+    * exact-cosine rescore tail. */
+  val x44Sql: String =
+    s"""WITH $x43CteBody,
+       |short AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc, cand_id) AS rk
+       |    FROM adc) WHERE rk <= $RescoreShortlist),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+       |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s
+       |  FROM embeddings),
+       |rescored AS (
+       |  SELECT sh.query_id, sh.cand_id,
+       |    CAST(list_sum(list_transform(range(1, length(q.embedding) + 1),
+       |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+       |      / (sqrt(q.norm_s) * sqrt(c.norm_s)) AS cosine
+       |  FROM short sh
+       |  JOIN e q ON q.vec_id = sh.query_id
+       |  JOIN e c ON c.vec_id = sh.cand_id)
+       |SELECT query_id, rank, cand_id, cosine FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM rescored) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   // -- x40: filtered ANN (metadata-constrained vector search) ------------
 
@@ -1792,6 +1893,7 @@ object DedupQueries {
     "x39_ann_ivfpq" -> x39AnnIvfPq,
     "x42_ann_pq_rescore" -> x42AnnPqRescore,
     "x43_ann_pq_trained" -> x43AnnPqTrained,
+    "x44_ann_pq_serve" -> x44AnnPqServe,
     "x40_ann_filtered" -> x40AnnFiltered,
   )
 
@@ -1816,6 +1918,7 @@ object DedupQueries {
     "x39_ann_ivfpq" -> x39Sql,
     "x42_ann_pq_rescore" -> x42Sql,
     "x43_ann_pq_trained" -> x43Sql,
+    "x44_ann_pq_serve" -> x44Sql,
     "x40_ann_filtered" -> x40Sql,
   )
 }

@@ -239,6 +239,43 @@ class AnnRecallSpec extends AnyFunSuite {
       }.sum
     }.sum / vecs.length
 
+  /** Two-stage rescore (x42/x44 shape) under an arbitrary codebook. */
+  private def rescoreRecallWith(cb: Array[Array[Array[Long]]],
+      shortlist: Int): Double = {
+    val codes = vecs.map { case (id, e) =>
+      id -> DedupQueries.pqEncode(e.map(DedupQueries.scale1e6), cb)
+    }.toMap
+    val luts = queries.map { case (qid, qe) =>
+      val se = qe.map(DedupQueries.scale1e6)
+      qid -> Array.tabulate(DedupQueries.PqSubspaces, DedupQueries.PqK) {
+        (m, k) => DedupQueries.pqDist2(se, m * DedupQueries.PqSubDim, cb(m)(k))
+      }
+    }.toMap
+    recallOf { qid =>
+      val q = vecs(qid.toInt)
+      vecs.filter(_._1 != qid)
+        .map(c => (c, adcWith(cb)(qid, c._1, codes, luts)))
+        .sortBy { case (c, d) => (d, c._1) }.take(shortlist)
+        .map { case (c, _) => (c._1, cos(q, c)) }
+        .sortBy { case (id, s) => (-s, id) }.take(K).map(_._1).toSeq
+    }
+  }
+
+  test("x44 full serving stack: trained shortlist + rescore beats both halves") {
+    val seededRescore = rescoreRecallWith(DedupQueries.pqCodebooks, 100)
+    val trainedRescore = rescoreRecallWith(trainedCb, 100)
+    val trainedAdcOnly = pqRecallWith(trainedCb)
+    info(f"rescore@100: seeded books $seededRescore%.3f -> trained books $trainedRescore%.3f")
+    // the composition must beat each half alone: trained ADC without
+    // rescore, and rescore without training
+    assert(trainedRescore > trainedAdcOnly,
+      f"rescore adds nothing over trained ADC: $trainedRescore%.3f vs $trainedAdcOnly%.3f")
+    assert(trainedRescore > seededRescore,
+      f"training adds nothing under rescore: $trainedRescore%.3f vs $seededRescore%.3f")
+    assert(trainedRescore >= 0.55,
+      f"x44 recall $trainedRescore%.3f below pin")
+  }
+
   test("x43 trained codebooks beat the seeded floor (recall and MSE)") {
     val seeded = pqRecallWith(DedupQueries.pqCodebooks)
     val trained = pqRecallWith(trainedCb)

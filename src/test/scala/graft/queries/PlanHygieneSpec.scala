@@ -103,7 +103,8 @@ class PlanHygieneSpec extends AnyFunSuite {
       "x40_ann_filtered" -> 1000L,
       // stage-1 heap keeps ≤ 10 × 100 shortlist rows per partition and
       // the rescore join moves shortlist-sized sides: unbounded ≥ 7 000
-      "x42_ann_pq_rescore" -> 4500L)
+      "x42_ann_pq_rescore" -> 4500L,
+      "x44_ann_pq_serve" -> 4500L) // x42's shape with trained books
     budgets.foreach { case (name, budget) =>
       val written = new java.util.concurrent.atomic.AtomicLong()
       val listener = new org.apache.spark.scheduler.SparkListener {
