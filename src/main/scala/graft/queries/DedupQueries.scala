@@ -948,6 +948,98 @@ object DedupQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // -- x45: kNN-graph build (top-k neighbors for EVERY vector) -----------
+
+  val KnnGraphK = 3
+  val KnnBlocks = 4
+
+  /** x45 — kNN-GRAPH construction: for every vector of the selected
+    * tenant (label 0 — the x40 pre-filter philosophy), its `KnnGraphK`
+    * nearest neighbors by exact cosine. This is the build step of
+    * graph-based ANN indexes (NSW/HNSW layers) and of graph semantic
+    * dedup — and a genuinely different distributed shape from the
+    * x3/x14/x38 family: the "query" side is the WHOLE collection, so
+    * nothing can broadcast. The kernel reuses x8's block-nested
+    * self-join (every unordered block pair meets in exactly one task,
+    * per-task memory bounded by two blocks) and scores BOTH directions
+    * inside the task with a [[graft.operators.BoundedTopK]] heap per
+    * SOURCE vector — so each source emits ≤ KnnBlocks × k candidate
+    * rows to the final ranking window, never O(tenant). At 100 TB the
+    * block count scales as sqrt(parallelism) exactly like x8, and the
+    * per-source heaps keep the selection shuffle linear in the vector
+    * count. */
+  val x45KnnGraph: QFn = (s, d) => {
+    import s.implicits._
+    val bCount = KnnBlocks
+    val emb = Tables.embeddings(s, d)
+      .where(col("label") === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val ed = e.map(_.toDouble); (id, ed, normScaled(ed))
+      }
+    val replicated = emb.flatMap { case (id, e, n) =>
+      val b = (id % bCount).toInt
+      (0 until bCount).map { o =>
+        if (o >= b) ((b * bCount + o), 0, id, e, n)
+        else ((o * bCount + b), 1, id, e, n)
+      }
+    }
+    val scored = replicated.groupByKey(_._1).flatMapGroups {
+      (key: Int, it: Iterator[(Int, Int, Long, Array[Double], Long)]) =>
+        val isDiag = (key / bCount) == (key % bCount)
+        val left = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double], Long)]
+        val right = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double], Long)]
+        it.foreach { case (_, role, id, e, n) =>
+          (if (role == 0) left else right) += ((id, e, n))
+        }
+        def directed(srcs: Seq[(Long, Array[Double], Long)],
+            cands: Seq[(Long, Array[Double], Long)]) =
+          for {
+            (sid, se, sn) <- srcs.iterator
+            (cid, ce, cn) <- cands.iterator
+            if sid != cid
+          } yield (sid, cid,
+            dotScaled(se, ce) / (math.sqrt(sn) * math.sqrt(cn)))
+        val rows =
+          if (isDiag) directed(left.toSeq, left.toSeq)
+          else directed(left.toSeq, right.toSeq) ++
+            directed(right.toSeq, left.toSeq)
+        BoundedTopK.perQuery(rows, KnnGraphK,
+          (r: (Long, Long, Double)) => r._1)(cosineRankOrder)
+    }.toDF("src_id", "nbr_id", "cosine")
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= KnnGraphK)
+      .select(col("src_id"), col("rank"), col("nbr_id"), col("cosine"))
+      .orderBy(col("src_id"), col("rank"))
+  }
+
+  /** Oracle: exact within-tenant all-pairs cosine (x3's integer form),
+    * rank ≤ k per source. */
+  val x45Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+       |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s
+       |  FROM embeddings WHERE label = 0),
+       |scored AS (
+       |  SELECT q.vec_id AS src_id, c.vec_id AS nbr_id,
+       |    CAST(list_sum(list_transform(range(1, length(q.embedding) + 1),
+       |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+       |      / (sqrt(q.norm_s) * sqrt(c.norm_s)) AS cosine
+       |  FROM e q, e c
+       |  WHERE q.vec_id <> c.vec_id)
+       |SELECT src_id, rank, nbr_id, cosine FROM (
+       |  SELECT src_id, nbr_id, cosine,
+       |    row_number() OVER (PARTITION BY src_id
+       |      ORDER BY cosine DESC, nbr_id) AS rank
+       |  FROM scored) WHERE rank <= $KnnGraphK
+       |ORDER BY src_id, rank""".stripMargin
+
   // -- x23: k-means update step (embedding clustering) -------------------
 
   /** x23 — one Lloyd iteration over the embedding collection: assign
@@ -1894,6 +1986,7 @@ object DedupQueries {
     "x42_ann_pq_rescore" -> x42AnnPqRescore,
     "x43_ann_pq_trained" -> x43AnnPqTrained,
     "x44_ann_pq_serve" -> x44AnnPqServe,
+    "x45_knn_graph" -> x45KnnGraph,
     "x40_ann_filtered" -> x40AnnFiltered,
   )
 
@@ -1919,6 +2012,7 @@ object DedupQueries {
     "x42_ann_pq_rescore" -> x42Sql,
     "x43_ann_pq_trained" -> x43Sql,
     "x44_ann_pq_serve" -> x44Sql,
+    "x45_knn_graph" -> x45Sql,
     "x40_ann_filtered" -> x40Sql,
   )
 }

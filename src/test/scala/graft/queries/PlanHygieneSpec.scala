@@ -104,7 +104,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       // stage-1 heap keeps ≤ 10 × 100 shortlist rows per partition and
       // the rescore join moves shortlist-sized sides: unbounded ≥ 7 000
       "x42_ann_pq_rescore" -> 4500L,
-      "x44_ann_pq_serve" -> 4500L) // x42's shape with trained books
+      "x44_ann_pq_serve" -> 4500L, // x42's shape with trained books
+      // per-source heaps in the block tasks: ≤ blocks × k rows per
+      // source reach the window (56 label-0 vectors at sf0.001 →
+      // ≤ ~1 300 records total; unbounded all-pairs ≥ 3 080 scored)
+      "x45_knn_graph" -> 2000L)
     budgets.foreach { case (name, budget) =>
       val written = new java.util.concurrent.atomic.AtomicLong()
       val listener = new org.apache.spark.scheduler.SparkListener {
