@@ -948,6 +948,104 @@ object DedupQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // -- x46: scalar-quantized ANN (SQ8 — the other compressed format) -----
+
+  /** x46 — scalar 8-bit quantization ANN: per-dimension affine int8
+    * codes trained from the corpus min/max, symmetric integer-L2
+    * ranking on codes. SQ8 is the OTHER standard compressed vector
+    * format next to PQ: 8 bits/dim (4× smaller than float32, near-
+    * lossless ranking) vs PQ's 0.5 bits/dim (32× smaller, shortlist-
+    * quality only) — AnnRecallSpec pins both ends of that trade. The
+    * min/max "training" here is genuinely DISTRIBUTED, unlike PQ's
+    * bounded-sample Lloyd: a per-partition elementwise reduce merges
+    * 128 longs per partition at the driver (DELIBERATELY EAGER at
+    * composition, like x34's bloom build — the quantizer params must
+    * exist before the scan plan does). Integer end to end
+    * (1e6-scaled mins/maxes, floor division), so the oracle re-derives
+    * codes and distances bit-for-bit. At 100 TB: codes column scans at
+    * 64 B/vector, the 10-query code batch broadcasts, the bounded
+    * per-query heap keeps the selection shuffle partition-bounded. */
+  val x46AnnSq8: QFn = (s, d) => {
+    import s.implicits._
+    val emb = embRows(Tables.embeddings(s, d))
+    val scaled = emb.map { case (id, e) => (id, e.map(scale1e6)) }
+    val (mins, maxs) = scaled
+      .map { case (_, sv) => (sv, sv) }
+      .reduce { (a, b) =>
+        (a._1.zip(b._1).map(t => math.min(t._1, t._2)),
+          a._2.zip(b._2).map(t => math.max(t._1, t._2)))
+      }
+    def encode(sv: Array[Long]): Array[Int] =
+      Array.tabulate(sv.length) { j =>
+        val range = maxs(j) - mins(j)
+        if (range == 0L) 0
+        else (((sv(j) - mins(j)) * 255L) / range).toInt
+      }
+    val queries = s.sparkContext.broadcast(
+      scaled.filter(_._1 < 10).collect().sortBy(_._1)
+        .map { case (qid, sv) => (qid, encode(sv)) })
+    val mmB = s.sparkContext.broadcast((mins, maxs))
+    val scored = scaled.mapPartitions { it =>
+      val qs = queries.value
+      val (mn, mx) = mmB.value
+      val rows = it.flatMap { case (cid, sv) =>
+        val cc = Array.tabulate(sv.length) { j =>
+          val range = mx(j) - mn(j)
+          if (range == 0L) 0
+          else (((sv(j) - mn(j)) * 255L) / range).toInt
+        }
+        qs.iterator.collect { case (qid, qc) if qid != cid =>
+          var d2 = 0L; var j = 0
+          while (j < qc.length) {
+            val t = (qc(j) - cc(j)).toLong; d2 += t * t; j += 1
+          }
+          (qid, cid, d2)
+        }
+      }
+      BoundedTopK.perQuery(rows, 5, (r: (Long, Long, Long)) => r._1)(
+        adcRankOrder)
+    }.toDF("query_id", "cand_id", "d2")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("d2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle: per-dimension min/max over the scaled corpus, the same
+    * floor-division codes ((v-mn)*255 // (mx-mn), nonnegative so floor
+    * == truncation), symmetric integer-L2 rank. */
+  val x46Sql: String =
+    """WITH s AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, length(embedding) + 1),
+      |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |dims AS (SELECT unnest(range(1, 65)) AS j),
+      |mm AS (
+      |  SELECT j, MIN(sv[j]) AS mn, MAX(sv[j]) AS mx
+      |  FROM s CROSS JOIN dims GROUP BY j),
+      |codes AS (
+      |  SELECT vec_id, s2.j,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE ((sv[s2.j] - mn) * 255) // (mx - mn) END AS c
+      |  FROM (SELECT vec_id, sv, dims.j FROM s CROSS JOIN dims) s2
+      |  JOIN mm ON mm.j = s2.j),
+      |scored AS (
+      |  SELECT qc.vec_id AS query_id, cc.vec_id AS cand_id,
+      |    CAST(SUM((qc.c - cc.c) * (qc.c - cc.c)) AS BIGINT) AS d2
+      |  FROM codes qc
+      |  JOIN codes cc ON cc.j = qc.j AND cc.vec_id <> qc.vec_id
+      |  WHERE qc.vec_id < 10
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rank, cand_id, d2 FROM (
+      |  SELECT query_id, cand_id, d2,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY d2, cand_id) AS rank
+      |  FROM scored) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   // -- x45: kNN-graph build (top-k neighbors for EVERY vector) -----------
 
   val KnnGraphK = 3
@@ -1987,6 +2085,7 @@ object DedupQueries {
     "x43_ann_pq_trained" -> x43AnnPqTrained,
     "x44_ann_pq_serve" -> x44AnnPqServe,
     "x45_knn_graph" -> x45KnnGraph,
+    "x46_ann_sq8" -> x46AnnSq8,
     "x40_ann_filtered" -> x40AnnFiltered,
   )
 
@@ -2013,6 +2112,7 @@ object DedupQueries {
     "x43_ann_pq_trained" -> x43Sql,
     "x44_ann_pq_serve" -> x44Sql,
     "x45_knn_graph" -> x45Sql,
+    "x46_ann_sq8" -> x46Sql,
     "x40_ann_filtered" -> x40Sql,
   )
 }

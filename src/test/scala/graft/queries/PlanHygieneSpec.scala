@@ -108,7 +108,8 @@ class PlanHygieneSpec extends AnyFunSuite {
       // per-source heaps in the block tasks: ≤ blocks × k rows per
       // source reach the window (56 label-0 vectors at sf0.001 →
       // ≤ ~1 300 records total; unbounded all-pairs ≥ 3 080 scored)
-      "x45_knn_graph" -> 2000L)
+      "x45_knn_graph" -> 2000L,
+      "x46_ann_sq8" -> 1000L) // codes scan, same bound as x38
     budgets.foreach { case (name, budget) =>
       val written = new java.util.concurrent.atomic.AtomicLong()
       val listener = new org.apache.spark.scheduler.SparkListener {
