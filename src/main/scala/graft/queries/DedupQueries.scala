@@ -890,13 +890,15 @@ object DedupQueries {
             (qid, cid, dotScaled(qe, ce) / (math.sqrt(qn) * math.sqrt(cn)))
           }
       }
-      // each candidate lives in exactly one inverted list, so (query,
-      // cand) pairs are unique within the scan and the bounded heap is
-      // exact (the dropDuplicates below is belt-and-braces only)
+      // each candidate lives in exactly ONE inverted list (rank-1
+      // assignment above), so (query, cand) pairs are unique within the
+      // scan and the bounded heap is exact with no post-hoc dedup. The
+      // invariant is enforced by AnnRecallSpec ("IVF assigns each
+      // vector to exactly one list") — if listing ever emits a
+      // candidate into two lists, that spec trips, not this plan.
       BoundedTopK.perQuery(rows, 5, (r: (Long, Long, Double)) => r._1)(
         cosineRankOrder)
     }.toDF("query_id", "cand_id", "cosine")
-      .dropDuplicates("query_id", "cand_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1534,13 +1536,18 @@ object DedupQueries {
     * math stays shortlist-sized. */
   val x42AnnPqRescore: QFn = (s, d) => {
     import s.implicits._
-    // checkpoint: the collection feeds BOTH the ADC scan and the
-    // stage-2 candidate fetch — one read, two consumers
-    val emb = embRows(Tables.embeddings(s, d)).localCheckpoint(true)
+    // NO checkpoint: the returned plan is consumed lazily by the
+    // caller, so an eager checkpoint here could never be released
+    // (ADVICE r6) — and at 100 TB you could not materialize the vector
+    // table anyway. The ADC scan and the stage-2 candidate fetch each
+    // scan the source; the query collect reads a vec_id<10 pushed-down
+    // slice. Scan-twice IS the scale-correct shape.
+    val emb = embRows(Tables.embeddings(s, d))
     val cb = s.sparkContext.broadcast(pqCodebooks)
     // one driver collect covers query vectors, norms and ADC LUTs
     val queriesB = s.sparkContext.broadcast(
-      emb.filter(_._1 < 10).collect().sortBy(_._1)
+      embRows(Tables.embeddings(s, d).where(col("vec_id") < 10))
+        .collect().sortBy(_._1)
         .map { case (qid, qe) =>
           val se = qe.map(scale1e6)
           (qid, qe, normScaled(qe),
@@ -1662,10 +1669,12 @@ object DedupQueries {
     * x42: codes column + KB LUTs; training is one bounded collect. */
   val x44AnnPqServe: QFn = (s, d) => {
     import s.implicits._
-    // checkpoint: feeds the training collect, the ADC scan AND the
-    // stage-2 candidate fetch — one read, three consumers
-    val emb = embRows(Tables.embeddings(s, d)).localCheckpoint(true)
-    val train = emb.filter(_._1 < PqTrainN).collect().sortBy(_._1)
+    // NO checkpoint (same reasoning as x42): the training collect reads
+    // a vec_id<PqTrainN pushed-down slice; the ADC scan and stage-2
+    // fetch re-scan the source inside the caller-executed plan
+    val emb = embRows(Tables.embeddings(s, d))
+    val train = embRows(Tables.embeddings(s, d).where(col("vec_id") < PqTrainN))
+      .collect().sortBy(_._1)
     val cbT = trainPqCodebooks(train.map(_._2.map(scale1e6)))
     val cb = s.sparkContext.broadcast(cbT)
     // the training collect covers the query batch (qids < 10 < TrainN)

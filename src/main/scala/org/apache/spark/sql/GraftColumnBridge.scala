@@ -25,9 +25,26 @@ object GraftColumnBridge {
     * when the frame will not be recomputed afterwards: a released
     * local checkpoint cannot be rebuilt (its lineage is truncated). */
   def releaseLocalCheckpoint(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      case p =>
+        // Only the plan ROOT may match: walking the whole tree would
+        // release every LogicalRDD a derived frame happens to embed —
+        // including checkpoint blocks still shared with other consumers,
+        // whose truncated-lineage RDDs then fail to recompute. Misuse
+        // must fail loudly here, not corrupt a sibling's plan later.
+        throw new IllegalArgumentException(
+          "releaseLocalCheckpoint: plan root is " +
+            s"${p.getClass.getSimpleName}, not a LogicalRDD — pass the " +
+            "directly-checkpointed frame, not one derived from it")
     }
+
+  /** True when `df` IS a materialized frame (plan root is the
+    * checkpoint/RDD node) — i.e. [[releaseLocalCheckpoint]] would accept
+    * it. Lets writers skip a redundant second materialization when the
+    * caller already checkpointed. */
+  def isMaterialized(df: Dataset[_]): Boolean =
+    df.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
 }

@@ -79,4 +79,69 @@ class CurationWarehouseSpec extends AnyFunSuite {
     assert(CurationWarehouse.fingerprints(spark, dir).count() == 2)
     assert(CurationWarehouse.signatures(spark, dir).count() == 2)
   }
+
+  test("single-writer lease: second writer fails fast; a crashed writer's stale lease is broken") {
+    val dir = java.nio.file.Files.createTempDirectory("warehouse").toString
+    CurationWarehouse.init(spark, dir,
+      CorpusPipeline.splitAssign(docsDF(
+        0L -> "stars and galaxies drift apart in the expanding universe")))
+
+    // an interleaved second ingest is exactly "the lease file exists
+    // while mine starts" — create it as the concurrent writer would
+    val lease = java.nio.file.Paths.get(dir, "claims", "LEASE")
+    java.nio.file.Files.createFile(lease)
+    val e = intercept[IllegalStateException] {
+      CurationWarehouse.ingest(spark, dir, docsDF(
+        5L -> "fresh content about oceans circulating heat around the globe"))
+    }
+    assert(e.getMessage.contains("lease"))
+    // mutual exclusion held: nothing was admitted, indexes untouched
+    assert(CurationWarehouse.docs(spark, dir).count() == 1)
+    assert(CurationWarehouse.fingerprints(spark, dir).count() == 1)
+
+    // a CRASHED writer's lease (older than the TTL) must not brick the
+    // warehouse: the next ingest breaks it atomically and proceeds
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - CurationWarehouse.LeaseTtlMs - 60000L))
+    val r = CurationWarehouse.ingest(spark, dir, docsDF(
+      5L -> "fresh content about oceans circulating heat around the globe"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(5L), r)
+    // the break left an audit file and the new lease was released
+    assert(!java.nio.file.Files.exists(lease))
+    val broken = new java.io.File(s"$dir/claims").list()
+      .count(_.startsWith("LEASE.broken."))
+    assert(broken == 1)
+  }
+
+  test("init refuses an already-initialized warehouse BEFORE writing — even pre-claims-protocol") {
+    val dir = java.nio.file.Files.createTempDirectory("warehouse").toString
+    CurationWarehouse.init(spark, dir,
+      CorpusPipeline.splitAssign(docsDF(0L -> "original corpus document zero")))
+    // simulate a warehouse created before the claims protocol: commits
+    // exist, claims/ absent (the old claims-only guard overwrote
+    // slice 0 in this state before the marker create could throw)
+    new scala.reflect.io.Directory(new java.io.File(s"$dir/claims"))
+      .deleteRecursively()
+    intercept[IllegalArgumentException] {
+      CurationWarehouse.init(spark, dir,
+        CorpusPipeline.splitAssign(docsDF(9L -> "clobbering corpus that must never land")))
+    }
+    val all = CurationWarehouse.docs(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(all == Seq(0L), s"slice 0 was clobbered: $all")
+  }
+
+  test("a crashed init (claim 0 held, nothing committed) is retryable, not bricked") {
+    val dir = java.nio.file.Files.createTempDirectory("warehouse").toString
+    // simulate the crash: claim 0 exists, no tables, no commit marker
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "claims"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "claims", "0"))
+    CurationWarehouse.init(spark, dir,
+      CorpusPipeline.splitAssign(docsDF(0L -> "document zero lands on the retried init")))
+    val all = CurationWarehouse.docs(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(all == Seq(0L), all)
+  }
 }

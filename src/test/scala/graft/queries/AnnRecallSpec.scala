@@ -136,6 +136,26 @@ class AnnRecallSpec extends AnyFunSuite {
       .sortBy { case (id, s) => (-s, id) }.take(K).map(_._1).toSeq
   }
 
+  test("IVF assigns each vector to exactly one inverted list (x15/x39 heap exactness)") {
+    // x15/x39 run their BoundedTopK heaps with NO post-hoc pair dedup:
+    // exactness rests on each candidate living in exactly one list, so
+    // (query, cand) appears at most once in the scored stream (ADVICE
+    // r6 — a duplicate could occupy a heap slot and evict a genuine
+    // top-k row). Guard the observable consequences on x15's output:
+    // no duplicate pairs, and every query fills exactly k ranks.
+    val out = graft.SparkEntry.queries("x15_ann_ivf")(
+      spark, "/root/testdata/sf0.001")
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.distinct.length == out.length,
+      "duplicate (query, cand) pairs in x15 output — a candidate was " +
+        "emitted into more than one inverted list")
+    val perQuery = out.groupBy(_._1).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 5),
+      s"a query under-filled k (heap slot stolen by a duplicate?): " +
+        perQuery.toMap)
+  }
+
   test("recall@10 vs brute force: curves and operating points pinned") {
     val lshCurve = (0 to 3).map(r => r -> lshRecall(r))
     val ivfCurve = Seq(1, 2, 3, 4, 8, 16).map(p => p -> ivfRecall(p))

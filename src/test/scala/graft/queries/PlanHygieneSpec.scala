@@ -98,7 +98,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       "x38_ann_pq" -> 1000L, // unbounded: ≥ 4 990
       "x43_ann_pq_trained" -> 1000L, // same scan shape as x38
       "x14_ann_lsh" -> 1000L, // bucket- AND partition-bounded
-      "x15_ann_ivf" -> 1500L, // list- AND partition-bounded
+      // list- AND partition-bounded; tightened r7 after the redundant
+      // post-heap dropDuplicates exchange was removed (measured 51)
+      "x15_ann_ivf" -> 500L,
       "x39_ann_ivfpq" -> 1500L,
       "x40_ann_filtered" -> 1000L,
       // stage-1 heap keeps ≤ 10 × 100 shortlist rows per partition and
@@ -126,6 +128,7 @@ class PlanHygieneSpec extends AnyFunSuite {
           .getMethod("listenerBus").invoke(spark.sparkContext)
         bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
       } finally spark.sparkContext.removeSparkListener(listener)
+      info(s"$name shuffled ${written.get()} records (budget $budget)")
       assert(written.get() <= budget,
         s"$name shuffled ${written.get()} records (budget $budget) — " +
           "top-k selection no longer partition-bounded?")
