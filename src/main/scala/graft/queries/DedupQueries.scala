@@ -1068,16 +1068,30 @@ object DedupQueries {
     * block count scales as sqrt(parallelism) exactly like x8, and the
     * per-source heaps keep the selection shuffle linear in the vector
     * count. */
-  val x45KnnGraph: QFn = (s, d) => {
+  /** The tenant's vectors as (id, double embedding, scaled norm) —
+    * shared by the graph build (x45) and the graph search (x47). */
+  private def tenantVectors(s: SparkSession, d: String) = {
     import s.implicits._
-    val bCount = KnnBlocks
-    val emb = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .where(col("label") === 0)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, e) =>
         val ed = e.map(_.toDouble); (id, ed, normScaled(ed))
       }
+  }
+
+  /** Block-parallel exact-kNN scoring kernel shared by x45 and x47's
+    * index build: x8's block-nested self-join (every unordered block
+    * pair meets in exactly one task), both directions scored in-task,
+    * a per-SOURCE BoundedTopK heap bounding emission to ≤ KnnBlocks × k
+    * rows per source. Returns (src_id, nbr_id, cosine) candidates; the
+    * caller applies the global rank-≤k window. */
+  private def knnBlockScored(s: SparkSession,
+      emb: org.apache.spark.sql.Dataset[(Long, Array[Double], Long)],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val bCount = KnnBlocks
     val replicated = emb.flatMap { case (id, e, n) =>
       val b = (id % bCount).toInt
       (0 until bCount).map { o =>
@@ -1107,9 +1121,14 @@ object DedupQueries {
           if (isDiag) directed(left.toSeq, left.toSeq)
           else directed(left.toSeq, right.toSeq) ++
             directed(right.toSeq, left.toSeq)
-        BoundedTopK.perQuery(rows, KnnGraphK,
+        BoundedTopK.perQuery(rows, k,
           (r: (Long, Long, Double)) => r._1)(cosineRankOrder)
-    }.toDF("src_id", "nbr_id", "cosine")
+    }
+    scored.toDF("src_id", "nbr_id", "cosine")
+  }
+
+  val x45KnnGraph: QFn = (s, d) => {
+    val scored = knnBlockScored(s, tenantVectors(s, d), KnnGraphK)
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1139,6 +1158,188 @@ object DedupQueries {
        |      ORDER BY cosine DESC, nbr_id) AS rank
        |  FROM scored) WHERE rank <= $KnnGraphK
        |ORDER BY src_id, rank""".stripMargin
+
+  // -- x47: graph-ANN serving — greedy beam search over the kNN graph ----
+
+  /** Graph degree for x47's index (denser than x45's k=3 presentation
+    * graph: beam search needs enough out-edges to navigate). */
+  val GraphDegree = 4
+  /** Beam width B: survivors per query per expansion round. */
+  val GraphBeamWidth = 3
+  /** Fixed expansion rounds R (unrolled in the oracle like x43's Lloyd
+    * iterations — a data-dependent stopping rule could not hash-match). */
+  val GraphBeamRounds = 2
+  /** Seeded entry points per query: the GraphEntryCount lowest tenant
+    * vec_ids after the query batch. */
+  val GraphEntryCount = 2
+  /** Query batch: the GraphQueryCount lowest tenant vec_ids. */
+  val GraphQueryCount = 10
+
+  /** x47 — the QUERY-TIME counterpart of x45 (VERDICT r6 #2 gap):
+    * greedy NSW-style beam search over the tenant's kNN graph, the
+    * serving shape of every graph-ANN stack (HNSW/NSW: enter at seeded
+    * points, repeatedly score the frontier's out-neighbors, keep the
+    * best B, stop after R hops). Expressed Spark-first as ITERATIVE
+    * JOINS against the graph table — the beam frames are tiny (queries
+    * × B rows) and broadcast onto the graph/vector scans, so each round
+    * is a map-side join; no driver-side traversal loop ever touches
+    * per-node state. The candidate-fetch join is x42's stage-2 shape:
+    * at 100 TB the graph and vector tables are id-bucketed warehouse
+    * tables and each round touches ≤ queries × B × degree rows of
+    * them. The index build here is inline ([[knnBlockScored]], shared
+    * with x45) because the registry contract is one self-contained
+    * DataFrame per key; a deployment would persist the graph as a
+    * table ([[graft.CurationWarehouse]]-style) and skip the rebuild.
+    * Everything is deterministic — (cosine DESC, cand_id) tiebreaks,
+    * fixed entries, fixed rounds — so the DuckDB oracle REPLAYS the
+    * beam hop by hop as unrolled CTEs and the result hash-matches at
+    * every SF. AnnRecallSpec's sf0.1 audit runs the same semantics at
+    * serving parameters and pins recall ABOVE x14/x15 at an equal
+    * exact-scoring budget. */
+  val x47AnnGraphSearch: QFn = (s, d) => {
+    import s.implicits._
+    val label0 = tenantVectors(s, d)
+    // the index: x45's build at GraphDegree — ONE instance, so the R
+    // per-round joins against it share identical exchange subplans and
+    // ReuseExchange computes the build once (the round-2 join must use
+    // NAME-resolved columns, not dataset-qualified refs: the frontier's
+    // lineage embeds round-1's graph subplan and `graph("src_id")`
+    // would trip the ambiguous-self-join check; after the scoring
+    // kernel's serialization boundary the names are unique). A
+    // deployment reads a persisted graph table here instead.
+    val wG = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    val graph = knnBlockScored(s, label0, GraphDegree)
+      .withColumn("rk", row_number().over(wG))
+      .where(col("rk") <= GraphDegree)
+      .select(col("src_id"), col("nbr_id"))
+    // bounded collect #1: the 12 lowest tenant ids fix the query batch
+    // and the seeded entries (oracle mirror: row_number() over vec_id)
+    val headIds = Tables.embeddings(s, d).where(col("label") === 0)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(GraphQueryCount + GraphEntryCount).as[Long].collect().sorted
+    val qIds = headIds.take(GraphQueryCount)
+    val entryIds = headIds.drop(GraphQueryCount)
+    // bounded collect #2: the query vectors + norms (broadcast to the
+    // scoring kernel, exactly like the x3/x42 query batches)
+    val queriesB = s.sparkContext.broadcast(
+      label0.filter(r => qIds.contains(r._1)).collect()
+        .map { case (id, e, n) => (id, (e, n)) }.toMap)
+    val embD = label0.toDF("cand_id", "cand_e", "cand_n")
+    // score a (query_id, cand_id) set: fetch candidate vectors by id
+    // (broadcast the tiny cand side), exact integer-scaled cosine
+    def scoreCands(c: org.apache.spark.sql.DataFrame) =
+      c.join(embD, "cand_id")
+        .select(col("query_id"), col("cand_id"), col("cand_e"), col("cand_n"))
+        .as[(Long, Long, Array[Double], Long)]
+        .mapPartitions { it =>
+          val qs = queriesB.value
+          it.map { case (qid, cid, ce, cn) =>
+            val (qe, qn) = qs(qid)
+            (qid, cid, dotScaled(qe, ce) / (math.sqrt(qn) * math.sqrt(cn)))
+          }
+        }.toDF("query_id", "cand_id", "cosine")
+    val wB = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val entryCands = qIds.flatMap(q => entryIds.map(en => (q, en))).toSeq
+      .toDF("query_id", "cand_id")
+    var beam = scoreCands(entryCands)
+    var visited = beam
+    for (_ <- 1 to GraphBeamRounds) {
+      // frontier = best B found so far; its out-neighbors join in; the
+      // frontier itself stays in the candidate set so the beam is
+      // monotone (best-so-far never regresses)
+      val frontier = beam.withColumn("rk", row_number().over(wB))
+        .where(col("rk") <= GraphBeamWidth)
+        .select(col("query_id"), col("cand_id"))
+      val nbrs = frontier.withColumnRenamed("cand_id", "hop_src")
+        .join(graph, col("hop_src") === col("src_id"))
+        .select(col("query_id"), col("nbr_id").as("cand_id"))
+      val cands = frontier.union(nbrs)
+        .where(col("cand_id") =!= col("query_id"))
+        .dropDuplicates("query_id", "cand_id")
+      val sc = scoreCands(cands)
+      visited = visited.union(sc)
+      beam = sc
+    }
+    // answer = best k of EVERYTHING scored along the walk (not just the
+    // final beam) — the visited set is what the budget bought
+    visited.dropDuplicates("query_id", "cand_id")
+      .withColumn("rank", row_number().over(wB))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle: replays the beam hop by hop — x45's exact graph CTE, then
+    * per round (score frontier∪neighbors, keep top-B) unrolled like
+    * x43's Lloyd training, final rank over the DISTINCT visited set. */
+  val x47Sql: String = {
+    val cosExpr = (qa: String, ca: String) =>
+      s"""CAST(list_sum(list_transform(range(1, length($qa.embedding) + 1),
+         |      i -> CAST(round(CAST($qa.embedding[i] AS DOUBLE) * CAST($ca.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+         |      / (sqrt($qa.norm_s) * sqrt($ca.norm_s))""".stripMargin
+    def scoreCte(sName: String, cName: String) =
+      s"""$sName AS (
+         |  SELECT c.query_id, c.cand_id,
+         |    ${cosExpr("q", "ce")} AS cosine
+         |  FROM $cName c
+         |  JOIN q ON q.query_id = c.query_id
+         |  JOIN e0 ce ON ce.vec_id = c.cand_id)"""
+    val rounds = (1 to GraphBeamRounds).map { r =>
+      s"""b$r AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, cand_id) AS rk
+         |    FROM s${r - 1}) WHERE rk <= $GraphBeamWidth),
+         |c$r AS (
+         |  SELECT DISTINCT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id FROM b$r
+         |    UNION ALL
+         |    SELECT b.query_id, g.nbr_id AS cand_id
+         |    FROM b$r b JOIN graph g ON g.src_id = b.cand_id)
+         |  WHERE cand_id <> query_id),
+         |${scoreCte(s"s$r", s"c$r")}"""
+    }.mkString(",\n")
+    val unionAll = (0 to GraphBeamRounds)
+      .map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+       |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s,
+       |    row_number() OVER (ORDER BY vec_id) AS pos
+       |  FROM embeddings WHERE label = 0),
+       |allp AS (
+       |  SELECT s.vec_id AS src_id, c.vec_id AS nbr_id,
+       |    ${cosExpr("s", "c")} AS cosine
+       |  FROM e0 s JOIN e0 c ON s.vec_id <> c.vec_id),
+       |graph AS (
+       |  SELECT src_id, nbr_id FROM (
+       |    SELECT src_id, nbr_id,
+       |      row_number() OVER (PARTITION BY src_id
+       |        ORDER BY cosine DESC, nbr_id) AS rk
+       |    FROM allp) WHERE rk <= $GraphDegree),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding, norm_s FROM e0
+       |  WHERE pos <= $GraphQueryCount),
+       |c0 AS (
+       |  SELECT q.query_id, ent.vec_id AS cand_id
+       |  FROM q CROSS JOIN (
+       |    SELECT vec_id FROM e0
+       |    WHERE pos > $GraphQueryCount
+       |      AND pos <= ${GraphQueryCount + GraphEntryCount}) ent),
+       |${scoreCte("s0", "c0")},
+       |$rounds,
+       |visited AS (
+       |  SELECT DISTINCT query_id, cand_id, cosine FROM ($unionAll))
+       |SELECT query_id, rank, cand_id, cosine FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM visited) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   // -- x23: k-means update step (embedding clustering) -------------------
 
@@ -2095,6 +2296,7 @@ object DedupQueries {
     "x44_ann_pq_serve" -> x44AnnPqServe,
     "x45_knn_graph" -> x45KnnGraph,
     "x46_ann_sq8" -> x46AnnSq8,
+    "x47_ann_graph_search" -> x47AnnGraphSearch,
     "x40_ann_filtered" -> x40AnnFiltered,
   )
 
@@ -2122,6 +2324,7 @@ object DedupQueries {
     "x44_ann_pq_serve" -> x44Sql,
     "x45_knn_graph" -> x45Sql,
     "x46_ann_sq8" -> x46Sql,
+    "x47_ann_graph_search" -> x47Sql,
     "x40_ann_filtered" -> x40Sql,
   )
 }

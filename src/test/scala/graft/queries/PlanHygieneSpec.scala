@@ -111,7 +111,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       // source reach the window (56 label-0 vectors at sf0.001 →
       // ≤ ~1 300 records total; unbounded all-pairs ≥ 3 080 scored)
       "x45_knn_graph" -> 2000L,
-      "x46_ann_sq8" -> 1000L) // codes scan, same bound as x38
+      "x46_ann_sq8" -> 1000L, // codes scan, same bound as x38
+      // two graph builds (fresh plan per round: replicate ×KnnBlocks +
+      // per-source heap emission) + tiny beam-window exchanges; every
+      // piece is tenant- or beam-bounded, measured 1229 at sf0.001
+      "x47_ann_graph_search" -> 3000L)
     budgets.foreach { case (name, budget) =>
       val written = new java.util.concurrent.atomic.AtomicLong()
       val listener = new org.apache.spark.scheduler.SparkListener {
