@@ -67,18 +67,36 @@ object ApSim {
     // timer). Compressed column batches are a few thousand large byte
     // buffers instead; recompute-on-eviction is safe here because the
     // catalog is a pure generator/file read (no read-overwrite hazard).
-    val catalog = (if (args.length > 5) {
+    //
+    // Past ~1 B rows the catalog no longer fits RAM+spill on one node
+    // (4.3 B rows ≈ 137 GB raw of incompressible doubles), so the 1000×
+    // probe regenerates it per visit instead: genCatalog is a pure
+    // spark.range + randn codegen stage that FUSES with the cone filter
+    // (no I/O, no cache), which is also the honest cluster shape — a
+    // 100 TB catalog is a partitioned scan, not a single-node cache.
+    val rawCatalog = if (args.length > 5) {
       val f = args(5)
       if (f.endsWith(".npy")) graft.sources.NumpyCatalog.read(spark, f)
       else spark.read.parquet(f)
-    } else DiaSim.genCatalog(spark, catSize, hemi = -1, seed = 42))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    catalog.count() // materialize before the visit loop
+    } else DiaSim.genCatalog(spark, catSize, hemi = -1, seed = 42)
+    val cacheable = catSize <= 600000000L &&
+      !sys.env.contains("SPARK_GRAFT_NO_CATALOG_CACHE")
+    val catalog =
+      if (cacheable) {
+        val c = rawCatalog
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        c.count() // materialize before the visit loop
+        c
+      } else {
+        println(s"""{"catalog":"regenerate-per-visit","rows":$catSize}""")
+        rawCatalog
+      }
 
     val startId = resumed.map(_.visitId).getOrElse(0)
-    val t0 = resumed.map(s => new Timestamp(s.visitTimeMillis + 45000L))
+    val intervalMs = cfg.visitIntervalSec * 1000L
+    val t0 = resumed.map(s => new Timestamp(s.visitTimeMillis + intervalMs))
       .getOrElse(Timestamp.valueOf("2026-01-01 01:00:00"))
-    val visits = VisitPipeline.visitTimes(t0, nVisits)
+    val visits = VisitPipeline.visitTimes(t0, nVisits, cfg.visitIntervalSec)
 
     val metricsLog = new MetricsLog(warehouse)
     // cycle over a few survey fields so revisits exercise the read/match/
@@ -95,7 +113,7 @@ object ApSim {
         s""""objectsRead":${stats.nObjectsRead},"objectsFiltered":${stats.nObjectsFiltered},""" +
         s""""sources":${stats.nSources},"forced":${stats.nForcedSources},""" +
         s""""transients":${stats.nTransients},"histSrc":${stats.historySources},""" +
-        s""""histFsrc":${stats.historyForced},"under45s":${sec < 45.0}}""")
+        s""""histFsrc":${stats.historyForced},"under45s":${sec < cfg.visitIntervalSec}}""")
       // amortized consolidation between visits (VERDICT r5 #5): keeps
       // mid-night file counts bounded so late-visit history reads don't
       // pay growing list/open costs; on a cluster this is a background

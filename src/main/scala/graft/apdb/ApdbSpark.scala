@@ -27,6 +27,10 @@ final case class ApdbConfig(
     maxEnvelopeRanges: Int = 64,
     fovDeg: Double = 3.52,
     regionPaddingArcsec: Double = 52.0,
+    /** Visit cadence in seconds (`config.py:49` `interval`) — both the
+      * simulated time step between visits and the real-time budget each
+      * visit is graded against. */
+    visitIntervalSec: Long = 45L,
     readSourcesMonths: Int = 12,
     readForcedSourcesMonths: Int = 6,
     /** Fraction of visits that read (forced) source history, over a
@@ -295,16 +299,29 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     mirror(srcs, "src_chunks", "DiaSourceChunks")
     mirror(fsrcs, "fsrc_chunks", "DiaForcedSourceChunks")
 
-    // 5. retention: drop expired chunk partitions (T8)
+    // 5. retention: drop expired chunk partitions (T8). Timed as the
+    //    reference's per-table delete_time (`metrics.md:70-83`) so the
+    //    nightly cleanup's cost is visible in the per-visit record.
     if (replicaChunkKeepDays > 0) {
       val minKeep = chunkId - replicaChunkKeepDays * 86400L / replicaChunkSeconds
-      Seq("obj_chunks", "src_chunks", "fsrc_chunks").foreach { t =>
-        val dir = new java.io.File(path(t))
-        if (dir.exists()) dir.listFiles().foreach { f =>
-          if (f.getName.startsWith("apdb_replica_chunk=")) {
-            val id = f.getName.stripPrefix("apdb_replica_chunk=").toLong
-            if (id < minKeep) { f.listFiles().foreach(_.delete()); f.delete() }
+      val chunkTables = Seq(
+        "obj_chunks" -> "DiaObjectChunks",
+        "src_chunks" -> "DiaSourceChunks",
+        "fsrc_chunks" -> "DiaForcedSourceChunks")
+      chunkTables.foreach { case (t, table) =>
+        timed("delete_time", table) {
+          var dropped = 0L
+          val dir = new java.io.File(path(t))
+          if (dir.exists()) dir.listFiles().foreach { f =>
+            if (f.getName.startsWith("apdb_replica_chunk=")) {
+              val id = f.getName.stripPrefix("apdb_replica_chunk=").toLong
+              if (id < minKeep) {
+                f.listFiles().foreach(_.delete()); f.delete(); dropped += 1
+              }
+            }
           }
+          emitRecord("delete_counts", table,
+            Seq("chunks_dropped" -> dropped.toDouble))
         }
       }
     }

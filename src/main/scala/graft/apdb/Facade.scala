@@ -83,6 +83,8 @@ object ApdbConfigIO {
     "src_read_period" -> ((c, v) => c.copy(srcReadPeriod = v.toInt)),
     "fillEmptyFields" -> ((c, v) => c.copy(fillEmptyFields = v.toBoolean)),
     "fill_empty_fields" -> ((c, v) => c.copy(fillEmptyFields = v.toBoolean)),
+    "visitIntervalSec" -> ((c, v) => c.copy(visitIntervalSec = v.toLong)),
+    "interval" -> ((c, v) => c.copy(visitIntervalSec = v.toLong)),
     "replicaChunkSeconds" -> ((c, v) => c.copy(replicaChunkSeconds = v.toLong)),
     "replicaChunkKeepDays" -> ((c, v) => c.copy(replicaChunkKeepDays = v.toInt)),
     "replica_chunk_keep_days" -> ((c, v) => c.copy(replicaChunkKeepDays = v.toInt)),

@@ -691,7 +691,10 @@ object DedupQueries {
     * as sqrt(parallelism) on a cluster). The LSH prefilter (x14) is the
     * sublinear alternative when approximate recall is acceptable. */
   val X8Blocks = 8
-  val x8EmbeddingDedup: QFn = (s, d) => {
+  /** x8's block-nested exact-cosine pair scan, unordered — shared with
+    * x48's component build. */
+  private[queries] def x8PairScan(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val bCount = X8Blocks
     val emb = embRows(Tables.embeddings(s, d))
@@ -724,8 +727,10 @@ object DedupQueries {
           if cos > 0.4
         } yield if (ua < va) (ua, va, cos) else (va, ua, cos)
     }.toDF("vec_a", "vec_b", "cosine")
-    pairs.orderBy(col("vec_a"), col("vec_b"))
+    pairs
   }
+  val x8EmbeddingDedup: QFn = (s, d) =>
+    x8PairScan(s, d).orderBy(col("vec_a"), col("vec_b"))
   val x8Sql =
     """WITH e AS (
       |  SELECT vec_id, embedding,
@@ -742,6 +747,66 @@ object DedupQueries {
       |    i -> CAST(round(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
       |    / (sqrt(a.norm_s) * sqrt(b.norm_s)) > 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // -- x48: semantic dedup — near-dup graph → components → keep-one ------
+
+  /** x48 — SemDeDup-style semantic deduplication over the embedding
+    * space, the composition a training pipeline actually ships (pairs
+    * alone — x8 — and cluster labels alone — x16 — are intermediate
+    * products; the kept/representative assignment is the dedup
+    * decision): the x8 near-duplicate pair scan (block-nested exact
+    * cosine, threshold 0.4) becomes an undirected graph,
+    * [[graft.operators.ConnectedComponents.starContract]] labels every
+    * vector with its component's minimum id in O(log² n) rounds
+    * regardless of component shape, and exactly one representative per
+    * component is KEPT — the min id as the deterministic stand-in for
+    * a quality-ranked pick. Vectors in no near-dup pair keep
+    * themselves. Scale: the pair scan is block-bounded (two blocks per
+    * task, x8), the contraction is round-bounded (pinned by the x22
+    * soak), and the label attach is one shuffle join on vec_id over
+    * ids-only frames — the embedding payload never rides the graph
+    * stages. */
+  val x48SemanticDedup: QFn = (s, d) => {
+    val edges = x8PairScan(s, d).select(col("vec_a"), col("vec_b"))
+    val labels = graft.operators.ConnectedComponents.starContract(s, edges)
+      .select(col("node").as("vec_id"), col("root"))
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("root"), col("vec_id")).as("rep_id"))
+      .withColumn("kept", col("vec_id") === col("rep_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: x8's exact pair scan as the edge set, transitive closure
+    * via recursive CTE (x16's shape), min-id labels, singletons kept. */
+  val x48Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+      |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s
+      |  FROM embeddings),
+      |prs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM e a, e b
+      |  WHERE a.vec_id < b.vec_id
+      |    AND CAST(list_sum(list_transform(range(1, length(a.embedding) + 1),
+      |      i -> CAST(round(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+      |      / (sqrt(a.norm_s) * sqrt(b.norm_s)) > 0.4),
+      |edges AS (
+      |  SELECT vec_a AS u, vec_b AS v FROM prs
+      |  UNION ALL SELECT vec_b, vec_a FROM prs),
+      |reach(vec_id, r) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT edges.u, reach.r FROM reach JOIN edges ON edges.v = reach.vec_id),
+      |labels AS (
+      |  SELECT vec_id, MIN(r) AS rep_id FROM reach GROUP BY vec_id)
+      |SELECT emb.vec_id,
+      |  COALESCE(l.rep_id, emb.vec_id) AS rep_id,
+      |  COALESCE(l.rep_id, emb.vec_id) = emb.vec_id AS kept
+      |FROM embeddings emb LEFT JOIN labels l USING (vec_id)
+      |ORDER BY emb.vec_id""".stripMargin
 
   // -- x14: LSH-bucketed ANN (scale path) --------------------------------
 
@@ -2287,6 +2352,7 @@ object DedupQueries {
     "x35_topk_sketch" -> x35TopkSketch,
     "x3_topk_similarity" -> x3TopkSimilarity,
     "x8_embedding_dedup" -> x8EmbeddingDedup,
+    "x48_semantic_dedup" -> x48SemanticDedup,
     "x14_ann_lsh" -> x14AnnLsh,
     "x15_ann_ivf" -> x15AnnIvf,
     "x38_ann_pq" -> x38AnnPq,
@@ -2315,6 +2381,7 @@ object DedupQueries {
     "x35_topk_sketch" -> x24Sql, // sketch is exact at this capacity/SF
     "x3_topk_similarity" -> x3Sql,
     "x8_embedding_dedup" -> x8Sql,
+    "x48_semantic_dedup" -> x48Sql,
     "x14_ann_lsh" -> x14Sql,
     "x15_ann_ivf" -> x15Sql,
     "x38_ann_pq" -> x38Sql,

@@ -1002,7 +1002,54 @@ object TextQueries {
        |WHERE cum_tokens <= $TokenBudget
        |ORDER BY source, doc_id""".stripMargin
 
+  // -- x49: BPE merge step — adjacent symbol-pair counts -----------------
+
+  /** x49 — the inner loop of BPE tokenizer training, distributed: the
+    * corpus collapses to a word-frequency table first (one shuffle on
+    * the word — production BPE trainers pre-aggregate words for exactly
+    * this reason: the pair explosion then runs over DISTINCT words, not
+    * the corpus), each word explodes into its adjacent character pairs
+    * weighted by the word's frequency, and the top-50 merge candidates
+    * come out through TakeOrderedAndProject (no full sort). Symbols are
+    * single characters — round 0 of the merge loop; later rounds would
+    * re-split on the learned merges. All string math is codegen'd
+    * column expressions; the explode is linear in word LENGTH. */
+  val x49BpePairCount: QFn = (s, d) => {
+    val wf = Tables.documents(s, d)
+      .select(explode(split(
+        regexp_replace(lower(col("text")), "[^a-z ]", " "), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    wf.select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 1)").as("sym_a"),
+        expr("substring(w, i + 1, 1)").as("sym_b"), col("f"))
+      .groupBy(col("sym_a"), col("sym_b"))
+      .agg(sum(col("f")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+      .limit(50)
+  }
+  val x49Sql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split(
+      |    regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' ')) AS w
+      |  FROM documents),
+      |wf AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM words WHERE length(w) >= 2 GROUP BY w),
+      |positions AS (
+      |  SELECT w, f, unnest(range(1, length(w))) AS i FROM wf),
+      |pairs AS (
+      |  SELECT substring(w, CAST(i AS INTEGER), 1) AS sym_a,
+      |    substring(w, CAST(i AS INTEGER) + 1, 1) AS sym_b, f
+      |  FROM positions)
+      |SELECT sym_a, sym_b, CAST(SUM(f) AS BIGINT) AS pair_count
+      |FROM pairs GROUP BY sym_a, sym_b
+      |ORDER BY pair_count DESC, sym_a, sym_b
+      |LIMIT 50""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "x49_bpe_pair_count" -> x49BpePairCount,
     "x25_pack_sequences" -> x25PackSequences,
     "x26_line_dedup" -> x26LineDedup,
     "x31_repeated_substrings" -> x31RepeatedSubstrings,
@@ -1026,6 +1073,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x49_bpe_pair_count" -> x49Sql,
     "x25_pack_sequences" -> x25Sql,
     "x26_line_dedup" -> x26Sql,
     "x31_repeated_substrings" -> x31Sql,

@@ -22,7 +22,7 @@ class EntrySpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without queries: ${o -- q}")
     assert(q.forall(_.matches("[a-z]\\d+_[a-z0-9_]+")))
-    assert(q.size >= 94)
+    assert(q.size >= 96)
     // since round 4 every key is fully oracle-checked — a new key
     // without an oracle would silently downgrade to a rows-only check
     assert(q == o, s"queries without oracles (rows-only): ${q -- o}")

@@ -329,4 +329,46 @@ class VisitPipelineSpec extends AnyFunSuite {
     // each transient id appears in exactly one visit
     assert(ids.where(col("nv") > 1).isEmpty)
   }
+
+  test("T8 retention drops expired replica chunks and times the delete") {
+    val dir = java.nio.file.Files.createTempDirectory("apdb_t8").toString
+    val cfg = ApdbConfig(warehouseDir = dir,
+      replicaChunkSeconds = 600L, replicaChunkKeepDays = 1)
+    val apdb = new ApdbSpark(spark, cfg)
+    apdb.makeSchema(drop = true)
+    import spark.implicits._
+    def objsAt(id: Long, ts: Timestamp) =
+      Seq((id, 10.0, -45.0)).toDF("diaObjectId", "ra", "dec")
+        .withColumn("nDiaSources", lit(1))
+        .withColumn("lastNonForcedSource", lit(ts))
+        .withColumn("pixelId", SparkGeo.pixelIndexRaDec(
+          cfg.pix, col("ra"), col("dec")))
+    def empty(t: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t)
+    val metrics = new MetricsLog(dir)
+    val ts1 = Timestamp.valueOf("2026-01-01 01:00:00")
+    val ts2 = Timestamp.valueOf("2026-01-03 01:00:00") // keep window passed
+    apdb.attachMetrics(metrics, 1, ts1)
+    apdb.store(ts1, objsAt(1L, ts1),
+      empty(Schemas.diaSource), empty(Schemas.diaForcedSource))
+    apdb.detachMetrics()
+    val chunkDir = new java.io.File(s"$dir/obj_chunks")
+    val chunk1 = ts1.getTime / 1000 / cfg.replicaChunkSeconds
+    assert(chunkDir.listFiles()
+      .exists(_.getName == s"apdb_replica_chunk=$chunk1"))
+    apdb.attachMetrics(metrics, 2, ts2)
+    apdb.store(ts2, objsAt(2L, ts2),
+      empty(Schemas.diaSource), empty(Schemas.diaForcedSource))
+    apdb.detachMetrics()
+    val partIds = chunkDir.listFiles()
+      .filter(_.getName.startsWith("apdb_replica_chunk="))
+      .map(_.getName.stripPrefix("apdb_replica_chunk=").toLong)
+    assert(!partIds.contains(chunk1), "expired chunk must be dropped")
+    assert(partIds.nonEmpty, "the live chunk must survive")
+    val log = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "metrics.log"))
+    assert(log.contains("\"name\": \"delete_time\""))
+    assert(log.contains("chunks_dropped"))
+  }
 }

@@ -485,4 +485,58 @@ class ExtSpec extends AnyFunSuite {
           "(and its jpg first-byte constant) no longer matches UTF-8 bytes")
     }
   }
+
+  test("semantic dedup: reps are component minima, kept = one per cluster") {
+    val out = DedupQueries.x48SemanticDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(out.length == nVec, "every vector gets a dedup decision")
+    // a representative is the minimum id of its component, so it keeps
+    // itself; every dropped vector points at a kept representative
+    val keptIds = out.filter(_._3).map(_._1).toSet
+    out.foreach { case (id, rep, kept) =>
+      assert(rep <= id, s"rep $rep of $id is not a component minimum")
+      assert(kept == (id == rep))
+      assert(keptIds.contains(rep), s"rep $rep of $id was itself dropped")
+    }
+    // the near-dup pair scan must actually merge something at this SF
+    assert(keptIds.size < nVec, "fixture contains near-dup embeddings")
+    // cross-check against the pair scan: paired vectors never BOTH kept
+    DedupQueries.x8PairScan(spark, sf).select(col("vec_a"), col("vec_b"))
+      .collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(!(keptIds.contains(a) && keptIds.contains(b)),
+          s"near-dup pair ($a,$b) both kept")
+      }
+  }
+
+  test("bpe pair count: exact counts on a hand-checkable recomputation") {
+    val out = TextQueries.x49BpePairCount(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 50)
+    // descending with (a,b) tiebreak — the deterministic top-50 contract
+    out.sliding(2).foreach { case Array(x, y) =>
+      assert(x._3 > y._3 ||
+        (x._3 == y._3 && (x._1 < y._1 || (x._1 == y._1 && x._2 <= y._2))))
+    }
+    // symbols are single lowercase characters at round 0
+    out.foreach { case (a, b, n) =>
+      assert(a.length == 1 && b.length == 1 && n > 0)
+      assert(a.head.isLower && b.head.isLower)
+    }
+    // independent recomputation of one pair's count, driver-side
+    val (pa, pb, pn) = out.head
+    val docs = Tables.documents(spark, sf).select(col("text"))
+      .collect().map(_.getString(0))
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { t =>
+      t.toLowerCase.map(c => if (c >= 'a' && c <= 'z') c else ' ')
+        .split(" ").filter(_.length >= 2)
+        .foreach(w => wf(w) = wf.getOrElse(w, 0L) + 1L)
+    }
+    val expect = wf.iterator.map { case (w, f) =>
+      f * w.sliding(2).count(p => p(0) == pa.head && p(1) == pb.head)
+    }.sum
+    assert(pn == expect, s"top pair ($pa,$pb): engine $pn vs recompute $expect")
+  }
 }
