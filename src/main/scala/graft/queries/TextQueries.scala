@@ -1048,7 +1048,59 @@ object TextQueries {
       |ORDER BY pair_count DESC, sym_a, sym_b
       |LIMIT 50""".stripMargin
 
+  // -- x50: training-mixture weights -------------------------------------
+
+  /** Global token budget the mixture is planned against (a constant so
+    * the key is deterministic at every SF; rates clamp at 1.0). */
+  val MixBudgetTokens = 50000L
+  /** Target mixture shares by language — the knob a training run sets
+    * (an English-heavy mix here, mirroring common public recipes). */
+  val mixTargets: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "de" -> 0.125, "es" -> 0.125, "fr" -> 0.125, "zh" -> 0.125)
+
+  /** x50 — data-mixing plan, the stage that turns a curated corpus into
+    * a training mixture: per language group, the available token mass,
+    * the budget share the mix targets, and the derived sampling rate /
+    * epoch factor (epochs > 1 means the group must be up-sampled —
+    * repeated — to hit its share; rate clamps at 1.0 because a single
+    * pass cannot emit more than it reads). One narrow aggregation over
+    * the corpus plus a broadcast of the constant target table; the
+    * heavy term (token counting) is map-side codegen'd column math. */
+  val x50MixtureWeights: QFn = (s, d) => {
+    import s.implicits._
+    val targets = mixTargets.toDF("lang", "target_share")
+    val avail = Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("avail_tokens"))
+    avail.join(broadcast(targets), Seq("lang"))
+      .withColumn("target_tokens",
+        col("target_share") * lit(MixBudgetTokens.toDouble))
+      .withColumn("epochs", col("target_tokens") / col("avail_tokens"))
+      .withColumn("sample_rate", least(lit(1.0), col("epochs")))
+      .orderBy(col("lang"))
+  }
+  val x50Sql: String = {
+    val values = mixTargets.map { case (l, w) =>
+      s"('$l', CAST($w AS DOUBLE))"
+    }.mkString(", ")
+    s"""WITH targets(lang, target_share) AS (VALUES $values),
+       |avail AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(length(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS avail_tokens
+       |  FROM documents GROUP BY lang)
+       |SELECT a.lang, a.n_docs, a.avail_tokens, t.target_share,
+       |  t.target_share * CAST($MixBudgetTokens AS DOUBLE) AS target_tokens,
+       |  t.target_share * CAST($MixBudgetTokens AS DOUBLE) / a.avail_tokens AS epochs,
+       |  least(CAST(1.0 AS DOUBLE),
+       |    t.target_share * CAST($MixBudgetTokens AS DOUBLE) / a.avail_tokens) AS sample_rate
+       |FROM avail a JOIN targets t USING (lang)
+       |ORDER BY a.lang""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "x50_mixture_weights" -> x50MixtureWeights,
     "x49_bpe_pair_count" -> x49BpePairCount,
     "x25_pack_sequences" -> x25PackSequences,
     "x26_line_dedup" -> x26LineDedup,
@@ -1073,6 +1125,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x50_mixture_weights" -> x50Sql,
     "x49_bpe_pair_count" -> x49Sql,
     "x25_pack_sequences" -> x25Sql,
     "x26_line_dedup" -> x26Sql,
