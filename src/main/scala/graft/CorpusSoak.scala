@@ -109,6 +109,62 @@ object CorpusSoak {
     require(rounds <= bound,
       s"star contraction took $rounds rounds on $nNodes nodes (bound $bound)")
 
+    // -- semantic dedup (x48's decision) at scale, composed the way a
+    // production pipeline runs it: exact twins collapse via a CONTENT
+    // HASH first (x1's shape — brute-force pair scoring over replicas
+    // would be quadratic in the replication factor for pairs that a
+    // hash finds for free), the sublinear LSH pair scan (x30) runs on
+    // the distinct vectors only, twin membership rides as star edges,
+    // and the keep-one decision labels EVERY replica. Pinned: the
+    // decision restricted to base ids is byte-identical to the
+    // unreplicated run's (replication-invariance, the same contract the
+    // doc-dedup phases above pin), and every replica maps to its base
+    // representative.
+    val t3 = System.nanoTime()
+    val baseEmb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val nBaseVec = baseEmb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val vecs = (0 until factor).map { k =>
+      baseEmb.select((col("vec_id") + lit(k * nBaseVec)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val nVecs = vecs.count()
+    // 1. content-hash collapse: min id per identical embedding
+    val crep = vecs.withColumn("h", xxhash64(col("embedding")))
+      .groupBy(col("h")).agg(min(col("vec_id")).as("crep"),
+        count(lit(1)).as("copies"))
+    require(crep.count() == nBaseVec,
+      "content-hash collapse must find exactly the base vectors")
+    val withRep = vecs.withColumn("h", xxhash64(col("embedding")))
+      .join(crep, "h")
+    val twinStars = withRep.where(col("vec_id") =!= col("crep"))
+      .select(col("vec_id").as("vec_a"), col("crep").as("vec_b"))
+    val distinctVecs = withRep.where(col("vec_id") === col("crep"))
+      .select(col("vec_id"), col("embedding"))
+    // 2. sublinear pair scan on distinct vectors only (x30's kernel)
+    val lshPairs = graft.queries.DedupQueries
+      .x30PairScan(spark, distinctVecs)
+      .select(col("vec_a"), col("vec_b"))
+    // 3. the x48 decision over every replica
+    val decision = graft.queries.DedupQueries.semanticDedupDecision(
+      spark, vecs.select(col("vec_id")),
+      twinStars.unionByName(lshPairs)).localCheckpoint(true)
+    val nKept = decision.where(col("kept")).count()
+    println(f"""{"phase":"semantic_dedup","vectors":$nVecs,"kept":$nKept,"sec":${(System.nanoTime() - t3) / 1e9}%.2f}""")
+    require(decision.count() == nVecs, "every replica gets a decision")
+    // replication-invariance: base-id decisions == the factor-1 run
+    val baseDecision = graft.queries.DedupQueries.semanticDedupDecision(
+      spark, baseEmb.select(col("vec_id")),
+      graft.queries.DedupQueries.x30PairScan(spark, baseEmb)
+        .select(col("vec_a"), col("vec_b")))
+    val baseProj = decision.where(col("vec_id") < nBaseVec)
+    require(baseProj.exceptAll(baseDecision).isEmpty &&
+      baseDecision.exceptAll(baseProj).isEmpty,
+      "semantic dedup decisions on base ids changed under replication")
+    // every replica points at a BASE representative (min id = base copy)
+    require(decision.where(col("rep_id") >= nBaseVec).isEmpty,
+      "a replica was chosen as representative over its base copy")
+
     // -- the FULL 12-stage curation pipeline over the N× corpus, timed
     // per stage (the broadcast side-inputs — language profiles, bench
     // grams, query vectors — intentionally come from the base table:

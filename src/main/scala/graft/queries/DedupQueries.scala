@@ -766,17 +766,27 @@ object DedupQueries {
     * soak), and the label attach is one shuffle join on vec_id over
     * ids-only frames — the embedding payload never rides the graph
     * stages. */
-  val x48SemanticDedup: QFn = (s, d) => {
-    val edges = x8PairScan(s, d).select(col("vec_a"), col("vec_b"))
-    val labels = graft.operators.ConnectedComponents.starContract(s, edges)
+  /** x48's decision layer, pair-source-agnostic: components of the
+    * near-dup graph → min-id representative → kept flag for EVERY id in
+    * `ids` (singletons keep themselves). The pair source is the
+    * pluggable half: x8's exact block scan here, x30's sublinear LSH
+    * scan at corpus scale (CorpusSoak runs that composition). */
+  private[graft] def semanticDedupDecision(s: SparkSession,
+      ids: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val labels = graft.operators.ConnectedComponents.starContract(s, pairs)
       .select(col("node").as("vec_id"), col("root"))
-    Tables.embeddings(s, d).select(col("vec_id"))
+    ids.select(col("vec_id"))
       .join(labels, Seq("vec_id"), "left_outer")
       .select(col("vec_id"),
         coalesce(col("root"), col("vec_id")).as("rep_id"))
       .withColumn("kept", col("vec_id") === col("rep_id"))
-      .orderBy(col("vec_id"))
   }
+
+  val x48SemanticDedup: QFn = (s, d) =>
+    semanticDedupDecision(s, Tables.embeddings(s, d),
+      x8PairScan(s, d).select(col("vec_a"), col("vec_b")))
+      .orderBy(col("vec_id"))
 
   /** Oracle: x8's exact pair scan as the edge set, transitive closure
     * via recursive CTE (x16's shape), min-id labels, singletons kept. */
@@ -2275,7 +2285,10 @@ object DedupQueries {
     * this shuffles n·(planes+1) rows by bucket instead of x8's n·B
     * block replication with per-task O(block²) scoring — the sublinear
     * recall-for-cost trade every production near-dup pipeline makes. */
-  val x30NeardupLsh: QFn = (s, d) => {
+  /** x30's bucket-join pair scan over an arbitrary (vec_id, embedding)
+    * frame — shared with CorpusSoak's scale-path semantic dedup. */
+  private[graft] def x30PairScan(s: SparkSession,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.plans.SpatialFunctions.dot_scaled
     // fully columnar — the scaled dots (norms, plane signs, pair
     // rescoring) are the native codegen'd dot_scaled expression, so the
@@ -2286,7 +2299,7 @@ object DedupQueries {
       when(dot_scaled(col("e"), planeCols(p)) >= 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    val e = Tables.embeddings(s, d)
+    val e = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("n", dot_scaled(col("e"), col("e")))
       .withColumn("bucket", bucketCol)
@@ -2302,8 +2315,11 @@ object DedupQueries {
         (dot_scaled(col("e_a"), col("e_b"))
           / (sqrt(col("n_a")) * sqrt(col("n_b")))).as("cosine"))
       .where(col("cosine") > 0.4)
-      .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  val x30NeardupLsh: QFn = (s, d) =>
+    x30PairScan(s, Tables.embeddings(s, d))
+      .orderBy(col("vec_a"), col("vec_b"))
 
   /** DuckDB oracle for x30: x14's literal hyperplane buckets, an
     * explicit 7-bucket unnest on the probe side, exact-integer cosine. */

@@ -510,6 +510,40 @@ class ExtSpec extends AnyFunSuite {
       }
   }
 
+  test("semantic dedup scale path: hash collapse + LSH pairs, replication-invariant") {
+    // the CorpusSoak composition at CI scale: replicate the vectors 3x,
+    // collapse exact twins by content hash, run the sublinear x30 pair
+    // scan on distinct vectors only, decide over every replica
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val n = base.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val vecs = (0 until 3).map { k =>
+      base.select((col("vec_id") + lit(k * n)).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+    val crep = vecs.withColumn("h", xxhash64(col("embedding")))
+      .groupBy(col("h")).agg(min(col("vec_id")).as("crep"))
+    val withRep = vecs.withColumn("h", xxhash64(col("embedding"))).join(crep, "h")
+    val twinStars = withRep.where(col("vec_id") =!= col("crep"))
+      .select(col("vec_id").as("vec_a"), col("crep").as("vec_b"))
+    val distinctVecs = withRep.where(col("vec_id") === col("crep"))
+      .select(col("vec_id"), col("embedding"))
+    assert(distinctVecs.count() == n, "hash collapse finds exactly the base set")
+    val decision = DedupQueries.semanticDedupDecision(spark,
+      vecs.select(col("vec_id")),
+      twinStars.unionByName(DedupQueries.x30PairScan(spark, distinctVecs)
+        .select(col("vec_a"), col("vec_b"))))
+    assert(decision.count() == 3 * n)
+    // no replica outranks its base copy
+    assert(decision.where(col("rep_id") >= n).isEmpty)
+    // restricted to base ids, the decision is byte-identical to the
+    // unreplicated run — replication-invariance
+    val baseDecision = DedupQueries.semanticDedupDecision(spark,
+      base.select(col("vec_id")),
+      DedupQueries.x30PairScan(spark, base).select(col("vec_a"), col("vec_b")))
+    val proj = decision.where(col("vec_id") < n)
+    assert(proj.exceptAll(baseDecision).isEmpty &&
+      baseDecision.exceptAll(proj).isEmpty)
+  }
+
   test("bpe pair count: exact counts on a hand-checkable recomputation") {
     val out = TextQueries.x49BpePairCount(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
