@@ -1162,7 +1162,7 @@ object DedupQueries {
     * a per-SOURCE BoundedTopK heap bounding emission to ≤ KnnBlocks × k
     * rows per source. Returns (src_id, nbr_id, cosine) candidates; the
     * caller applies the global rank-≤k window. */
-  private def knnBlockScored(s: SparkSession,
+  private[graft] def knnBlockScored(s: SparkSession,
       emb: org.apache.spark.sql.Dataset[(Long, Array[Double], Long)],
       k: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -1271,36 +1271,22 @@ object DedupQueries {
     * every SF. AnnRecallSpec's sf0.1 audit runs the same semantics at
     * serving parameters and pins recall ABOVE x14/x15 at an equal
     * exact-scoring budget. */
-  val x47AnnGraphSearch: QFn = (s, d) => {
+  /** The beam-search serving kernel, graph-source-agnostic — shared by
+    * x47 (inline build) and [[graft.VectorIndex.search]] (PERSISTED
+    * graph/vector tables, the deployment shape): iterative broadcast
+    * joins, (cosine DESC, cand_id) tiebreaks, monotone beam (the
+    * frontier stays in its own candidate set), answer = rank ≤ k of the
+    * DISTINCT visited set. `graph` = (src_id, nbr_id); `embD` =
+    * (cand_id, cand_e, cand_n); `queryVecs` is the bounded query batch
+    * with scaled norms. */
+  private[graft] def beamSearch(s: SparkSession,
+      graph: org.apache.spark.sql.DataFrame,
+      embD: org.apache.spark.sql.DataFrame,
+      queryVecs: Array[(Long, (Array[Double], Long))],
+      entryIds: Array[Long], beamWidth: Int, rounds: Int,
+      k: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val label0 = tenantVectors(s, d)
-    // the index: x45's build at GraphDegree — ONE instance, so the R
-    // per-round joins against it share identical exchange subplans and
-    // ReuseExchange computes the build once (the round-2 join must use
-    // NAME-resolved columns, not dataset-qualified refs: the frontier's
-    // lineage embeds round-1's graph subplan and `graph("src_id")`
-    // would trip the ambiguous-self-join check; after the scoring
-    // kernel's serialization boundary the names are unique). A
-    // deployment reads a persisted graph table here instead.
-    val wG = Window.partitionBy(col("src_id"))
-      .orderBy(col("cosine").desc, col("nbr_id"))
-    val graph = knnBlockScored(s, label0, GraphDegree)
-      .withColumn("rk", row_number().over(wG))
-      .where(col("rk") <= GraphDegree)
-      .select(col("src_id"), col("nbr_id"))
-    // bounded collect #1: the 12 lowest tenant ids fix the query batch
-    // and the seeded entries (oracle mirror: row_number() over vec_id)
-    val headIds = Tables.embeddings(s, d).where(col("label") === 0)
-      .select(col("vec_id")).orderBy(col("vec_id"))
-      .limit(GraphQueryCount + GraphEntryCount).as[Long].collect().sorted
-    val qIds = headIds.take(GraphQueryCount)
-    val entryIds = headIds.drop(GraphQueryCount)
-    // bounded collect #2: the query vectors + norms (broadcast to the
-    // scoring kernel, exactly like the x3/x42 query batches)
-    val queriesB = s.sparkContext.broadcast(
-      label0.filter(r => qIds.contains(r._1)).collect()
-        .map { case (id, e, n) => (id, (e, n)) }.toMap)
-    val embD = label0.toDF("cand_id", "cand_e", "cand_n")
+    val queriesB = s.sparkContext.broadcast(queryVecs.toMap)
     // score a (query_id, cand_id) set: fetch candidate vectors by id
     // (broadcast the tiny cand side), exact integer-scaled cosine
     def scoreCands(c: org.apache.spark.sql.DataFrame) =
@@ -1316,16 +1302,18 @@ object DedupQueries {
         }.toDF("query_id", "cand_id", "cosine")
     val wB = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    val entryCands = qIds.flatMap(q => entryIds.map(en => (q, en))).toSeq
+    val qIds = queryVecs.map(_._1)
+    val entryCands = qIds.flatMap(q =>
+      entryIds.filter(_ != q).map(en => (q, en))).toSeq
       .toDF("query_id", "cand_id")
     var beam = scoreCands(entryCands)
     var visited = beam
-    for (_ <- 1 to GraphBeamRounds) {
+    for (_ <- 1 to rounds) {
       // frontier = best B found so far; its out-neighbors join in; the
       // frontier itself stays in the candidate set so the beam is
       // monotone (best-so-far never regresses)
       val frontier = beam.withColumn("rk", row_number().over(wB))
-        .where(col("rk") <= GraphBeamWidth)
+        .where(col("rk") <= beamWidth)
         .select(col("query_id"), col("cand_id"))
       val nbrs = frontier.withColumnRenamed("cand_id", "hop_src")
         .join(graph, col("hop_src") === col("src_id"))
@@ -1341,9 +1329,43 @@ object DedupQueries {
     // final beam) — the visited set is what the budget bought
     visited.dropDuplicates("query_id", "cand_id")
       .withColumn("rank", row_number().over(wB))
-      .where(col("rank") <= 5)
+      .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  val x47AnnGraphSearch: QFn = (s, d) => {
+    import s.implicits._
+    val label0 = tenantVectors(s, d)
+    // the index: x45's build at GraphDegree — ONE instance, so the R
+    // per-round joins against it share identical exchange subplans and
+    // ReuseExchange computes the build once (the round-2 join must use
+    // NAME-resolved columns, not dataset-qualified refs: the frontier's
+    // lineage embeds round-1's graph subplan and `graph("src_id")`
+    // would trip the ambiguous-self-join check; after the scoring
+    // kernel's serialization boundary the names are unique). The
+    // registry contract is one self-contained DataFrame per key, so the
+    // build is inline here; [[graft.VectorIndex]] is the persisted
+    // build-once/serve-many form of exactly this kernel.
+    val wG = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    val graph = knnBlockScored(s, label0, GraphDegree)
+      .withColumn("rk", row_number().over(wG))
+      .where(col("rk") <= GraphDegree)
+      .select(col("src_id"), col("nbr_id"))
+    // bounded collect #1: the 12 lowest tenant ids fix the query batch
+    // and the seeded entries (oracle mirror: row_number() over vec_id)
+    val headIds = Tables.embeddings(s, d).where(col("label") === 0)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(GraphQueryCount + GraphEntryCount).as[Long].collect().sorted
+    val qIds = headIds.take(GraphQueryCount)
+    val entryIds = headIds.drop(GraphQueryCount)
+    // bounded collect #2: the query vectors + norms (broadcast to the
+    // scoring kernel, exactly like the x3/x42 query batches)
+    val queryVecs = label0.filter(r => qIds.contains(r._1)).collect()
+      .map { case (id, e, n) => (id, (e, n)) }
+    beamSearch(s, graph, label0.toDF("cand_id", "cand_e", "cand_n"),
+      queryVecs, entryIds, GraphBeamWidth, GraphBeamRounds, k = 5)
   }
 
   /** Oracle: replays the beam hop by hop — x45's exact graph CTE, then

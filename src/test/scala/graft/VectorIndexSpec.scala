@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{DedupQueries, Tables}
+
+/** The persisted graph-ANN index lifecycle: build once, serve many —
+  * and the serve path must agree exactly with x47's inline form. */
+class VectorIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("persisted index serves x47's exact results without a build stage") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vecidx").toString
+    val label0 = Tables.embeddings(spark, sf).where(col("label") === 0)
+      .select(col("vec_id"), col("embedding"))
+    VectorIndex.build(spark, dir, label0)
+
+    // x47's query convention: the GraphQueryCount lowest tenant ids
+    val qIds = label0.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(DedupQueries.GraphQueryCount).as[Long].collect().toSet
+    val queries = label0.where(col("vec_id").isin(qIds.toSeq: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+    val served = VectorIndex.search(spark, dir, queries)
+    // no build stage in the serve plan: the kNN kernel's groupByKey
+    // would show as MapGroups; serving is scans + joins + mapPartitions
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapGroups"),
+      "serve plan contains the graph-build kernel — index not persisted")
+
+    val inline = DedupQueries.x47AnnGraphSearch(spark, sf)
+    val a = served.collect().map(_.toString).toSeq
+    val b = inline.collect().map(_.toString).toSeq
+    assert(a == b, "persisted-index serving diverged from x47's inline form")
+
+    // serve-many: a second search is deterministic
+    val again = VectorIndex.search(spark, dir, queries)
+      .collect().map(_.toString).toSeq
+    assert(again == a)
+
+    // a fresh query (not in the head batch) gets k results from the
+    // persisted graph alone
+    val other = label0.orderBy(col("vec_id").desc).limit(1)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val r = VectorIndex.search(spark, dir, other, k = 3)
+    assert(r.count() == 3)
+  }
+
+  test("meta guards: a non-index dir fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("notidx").toString
+    import spark.implicits._
+    val q = Seq((0L, Array(1.0f))).toDF("query_id", "embedding")
+    intercept[Exception] { VectorIndex.search(spark, dir, q) }
+  }
+}

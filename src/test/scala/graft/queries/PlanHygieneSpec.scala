@@ -115,7 +115,17 @@ class PlanHygieneSpec extends AnyFunSuite {
       // two graph builds (fresh plan per round: replicate ×KnnBlocks +
       // per-source heap emission) + tiny beam-window exchanges; every
       // piece is tenant- or beam-bounded, measured 1229 at sf0.001
-      "x47_ann_graph_search" -> 3000L)
+      "x47_ann_graph_search" -> 3000L,
+      // pair-bounded, not corpus-bounded: the x8 block scan emits only
+      // threshold-passing pairs into the contraction (59 at sf0.001 —
+      // the unthresholded counterfactual is ~125 k scored pairs), and
+      // the contraction rounds shuffle the edge/label frontier;
+      // measured 5 740 total across all rounds
+      "x48_semantic_dedup" -> 12000L,
+      // word-frequency-bounded: the corpus collapses to distinct words
+      // before the pair explosion (measured 112; shuffling raw corpus
+      // tokens instead would move ≥ 10 k), top-50 is TakeOrdered
+      "x49_bpe_pair_count" -> 500L)
     budgets.foreach { case (name, budget) =>
       val written = new java.util.concurrent.atomic.AtomicLong()
       val listener = new org.apache.spark.scheduler.SparkListener {
