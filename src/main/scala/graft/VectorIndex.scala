@@ -103,4 +103,127 @@ object VectorIndex {
     DedupQueries.beamSearch(spark, graph, embD, queryVecs, entryIds,
       beamWidth, rounds, k)
   }
+
+  // -- PQ mode: persisted codes + trained books (x44's serving stack) ----
+
+  /** Build the PQ half of the index: train codebooks on the bounded
+    * `vec_id < trainN` sample (x43's FAISS-`train()` shape — one
+    * bounded collect, integer Lloyd rounds at the driver), then encode
+    * EVERY vector once and persist the 8-byte codes — the pay-once form
+    * of what x38/x42/x44 recompute inside each query's scan. Writes
+    * `pq_codes/` (cand_id, code), `pq_books/` (m, k, entry) and
+    * `vectors/` (shared with the graph mode: exact-rescore payload). */
+  def buildPq(spark: SparkSession, dir: String, emb: DataFrame,
+      trainN: Long = DedupQueries.PqTrainN): Unit = {
+    import spark.implicits._
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val ed = e.map(_.toDouble)
+        (id, ed, DedupQueries.dotScaled(ed, ed))
+      }
+    val train = rows.filter(_._1 < trainN).collect().sortBy(_._1)
+    require(train.nonEmpty, s"no vectors under vec_id < $trainN to train on")
+    val cbT = DedupQueries.trainPqCodebooks(
+      train.map(_._2.map(DedupQueries.scale1e6)))
+    val cb = spark.sparkContext.broadcast(cbT)
+    rows.map { case (id, e, _) =>
+      (id, DedupQueries.pqEncode(e.map(DedupQueries.scale1e6), cb.value))
+    }.toDF("cand_id", "code")
+      .repartition(col("cand_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/pq_codes")
+    cbT.zipWithIndex.flatMap { case (sub, m) =>
+      sub.zipWithIndex.map { case (entry, kk) => (m, kk, entry.toSeq) }
+    }.toSeq.toDF("m", "k", "entry")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/pq_books")
+    rows.toDF("cand_id", "cand_e", "cand_n")
+      .repartition(col("cand_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")
+    val n = spark.read.parquet(s"$dir/pq_codes").count()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "meta_pq.json"),
+      s"""{"subspaces":${DedupQueries.PqSubspaces},"k":${DedupQueries.PqK},"trainN":$trainN,"vectors":$n}""")
+  }
+
+  /** Serve from the persisted PQ index: per-query ADC LUTs computed at
+    * the driver from the PERSISTED books, a codes-column scan with a
+    * shortlist-bounded per-query heap, then exact cosine over only the
+    * shortlist's vectors — x42/x44's two-stage shape with the encode
+    * work already paid at build time. */
+  def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 5,
+      shortlist: Int = DedupQueries.RescoreShortlist): DataFrame = {
+    import spark.implicits._
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "meta_pq.json")),
+      s"$dir/meta_pq.json missing — not a PQ VectorIndex dir")
+    val cbT: Array[Array[Array[Long]]] = {
+      val flat = spark.read.parquet(s"$dir/pq_books")
+        .select(col("m"), col("k"), col("entry"))
+        .as[(Int, Int, Array[Long])].collect()
+      val out = Array.ofDim[Array[Long]](DedupQueries.PqSubspaces,
+        DedupQueries.PqK)
+      flat.foreach { case (m, kk, e) => out(m)(kk) = e }
+      require(out.forall(_.forall(_ != null)),
+        s"$dir/pq_books is incomplete")
+      out
+    }
+    val queryVecs = queries.select(col("query_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (qid, qe) =>
+        val qd = qe.map(_.toDouble)
+        val se = qd.map(DedupQueries.scale1e6)
+        (qid, qd, DedupQueries.normScaled(qd),
+          Array.tabulate(DedupQueries.PqSubspaces, DedupQueries.PqK) {
+            (m, kk) => DedupQueries.pqDist2(
+              se, m * DedupQueries.PqSubDim, cbT(m)(kk))
+          })
+      }
+    val queriesB = spark.sparkContext.broadcast(queryVecs)
+    val adcOrder: Ordering[(Long, Long, Long)] =
+      Ordering.fromLessThan { (x, y) =>
+        x._3 < y._3 || (x._3 == y._3 && x._2 < y._2)
+      }
+    val adcScored = spark.read.parquet(s"$dir/pq_codes")
+      .select(col("cand_id"), col("code"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = queriesB.value
+        val rows = it.flatMap { case (cid, code) =>
+          qs.iterator.collect { case (qid, _, _, lut) if qid != cid =>
+            var adc = 0L; var m = 0
+            while (m < DedupQueries.PqSubspaces) {
+              adc += lut(m)(code(m)); m += 1
+            }
+            (qid, cid, adc)
+          }
+        }
+        graft.operators.BoundedTopK.perQuery(rows, shortlist,
+          (r: (Long, Long, Long)) => r._1)(adcOrder)
+      }.toDF("query_id", "cand_id", "adc")
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    val short = adcScored.withColumn("adc_rank", row_number().over(wAdc))
+      .where(col("adc_rank") <= shortlist)
+      .select(col("query_id"), col("cand_id"))
+    val rescored = short
+      .join(spark.read.parquet(s"$dir/vectors"), "cand_id")
+      .select(col("query_id"), col("cand_id"), col("cand_e"), col("cand_n"))
+      .as[(Long, Long, Array[Double], Long)]
+      .mapPartitions { it =>
+        val qs = queriesB.value
+          .map { case (qid, qe, qn, _) => (qid, (qe, qn)) }.toMap
+        it.map { case (qid, cid, ce, cn) =>
+          val (qe, qn) = qs(qid)
+          (qid, cid,
+            DedupQueries.dotScaled(qe, ce) / (math.sqrt(qn) * math.sqrt(cn)))
+        }
+      }.toDF("query_id", "cand_id", "cosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -604,7 +604,7 @@ object DedupQueries {
     }
     s
   }
-  private[queries] def normScaled(a: Array[Double]): Long = dotScaled(a, a)
+  private[graft] def normScaled(a: Array[Double]): Long = dotScaled(a, a)
 
   private def embRows(df: org.apache.spark.sql.DataFrame) = {
     import df.sparkSession.implicits._
@@ -1528,13 +1528,13 @@ object DedupQueries {
       math.round(rng.nextGaussian() * 125000d))
   }
 
-  private[queries] def scale1e6(v: Double): Long = {
+  private[graft] def scale1e6(v: Double): Long = {
     val s = v * 1000000d
     (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toLong
   }
 
   /** Squared L2 between a scaled subvector and a codebook entry. */
-  private[queries] def pqDist2(se: Array[Long], off: Int, c: Array[Long]): Long = {
+  private[graft] def pqDist2(se: Array[Long], off: Int, c: Array[Long]): Long = {
     var d = 0L; var i = 0
     while (i < c.length) {
       val t = se(off + i) - c(i); d += t * t; i += 1
@@ -1544,7 +1544,7 @@ object DedupQueries {
 
   /** PQ encoding: nearest codebook entry per subspace (ties → lower
     * code) — shared by x38/x39. */
-  private[queries] def pqEncode(se: Array[Long],
+  private[graft] def pqEncode(se: Array[Long],
       cb: Array[Array[Array[Long]]]): Array[Int] =
     Array.tabulate(PqSubspaces) { m =>
       var bestK = 0
@@ -1667,7 +1667,7 @@ object DedupQueries {
     * TRUNCATED mean (Long division ≡ SQL trunc toward zero — sums stay
     * ≤ 256·4e6, exact in the oracle's double), and an empty cluster
     * keeps its previous entry. */
-  private[queries] def trainPqCodebooks(
+  private[graft] def trainPqCodebooks(
       train: Array[Array[Long]]): Array[Array[Array[Long]]] = {
     var cb = pqCodebooks.map(_.map(_.clone()))
     (0 until PqTrainIters).foreach { _ =>

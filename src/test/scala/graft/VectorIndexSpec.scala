@@ -56,6 +56,29 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(r.count() == 3)
   }
 
+  test("persisted PQ index serves x44's exact results from stored codes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    VectorIndex.buildPq(spark, dir, emb)
+
+    // x44's query convention: vec_id < 10 over the full table
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val served = VectorIndex.searchPq(spark, dir, queries)
+    // serving must not re-encode the corpus: the scan side reads the
+    // codes column (8 bytes/vector), never the embedding array
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      "PQ serve plan scans the raw embeddings table")
+
+    val inline = DedupQueries.x44AnnPqServe(spark, sf)
+    assert(served.collect().map(_.toString).toSeq ==
+      inline.collect().map(_.toString).toSeq,
+      "persisted-PQ serving diverged from x44's inline form")
+  }
+
   test("meta guards: a non-index dir fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notidx").toString
     import spark.implicits._
