@@ -226,4 +226,110 @@ object VectorIndex {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // -- IVF-PQ mode: list-PARTITIONED codes → serve-time partition prune --
+
+  private def nearestClusters(e: Array[Double], k: Int): Seq[Int] =
+    DedupQueries.ivfCentroids
+      .map { case (ci, c) => (ci, DedupQueries.dotScaled(e, c)) }
+      .sortBy { case (ci, dot) => (-dot, ci) }.take(k).map(_._1).toSeq
+
+  /** Build the IVF-PQ index: every vector assigned to its nearest
+    * coarse list and PQ-encoded once; the codes table is WRITTEN
+    * PARTITIONED BY the list id, which is the whole point — probing p
+    * of the `IvfClusters` lists at serve time becomes parquet partition
+    * pruning (the scan never opens the other lists' files), the
+    * warehouse-native form of FAISS's per-list storage. */
+  def buildIvfPq(spark: SparkSession, dir: String, emb: DataFrame,
+      books: Array[Array[Array[Long]]] = DedupQueries.pqCodebooks): Unit = {
+    import spark.implicits._
+    val cb = spark.sparkContext.broadcast(books)
+    emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val ed = e.map(_.toDouble)
+        (nearestClusters(ed, 1).head, id,
+          DedupQueries.pqEncode(ed.map(DedupQueries.scale1e6), cb.value))
+      }.toDF("list", "cand_id", "code")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("list").parquet(s"$dir/ivf_codes")
+    books.zipWithIndex.flatMap { case (sub, m) =>
+      sub.zipWithIndex.map { case (entry, kk) => (m, kk, entry.toSeq) }
+    }.toSeq.toDF("m", "k", "entry")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/ivf_books")
+    val n = spark.read.parquet(s"$dir/ivf_codes").count()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "meta_ivf.json"),
+      s"""{"clusters":${DedupQueries.IvfClusters},"vectors":$n}""")
+  }
+
+  /** Serve from the persisted IVF-PQ index: probe lists + ADC LUTs are
+    * computed at the driver from the query batch and the PERSISTED
+    * books; the codes scan carries `list IN (probed)` so parquet
+    * partition pruning skips every unprobed list's files (the spec
+    * asserts selectedPartitions < clusters); candidates are ranked by
+    * the same integer ADC as x39. */
+  def searchIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 5, probes: Int = DedupQueries.IvfProbes): DataFrame = {
+    import spark.implicits._
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "meta_ivf.json")),
+      s"$dir/meta_ivf.json missing — not an IVF-PQ VectorIndex dir")
+    val cbT: Array[Array[Array[Long]]] = {
+      val flat = spark.read.parquet(s"$dir/ivf_books")
+        .select(col("m"), col("k"), col("entry"))
+        .as[(Int, Int, Array[Long])].collect()
+      val out = Array.ofDim[Array[Long]](DedupQueries.PqSubspaces,
+        DedupQueries.PqK)
+      flat.foreach { case (m, kk, e) => out(m)(kk) = e }
+      require(out.forall(_.forall(_ != null)),
+        s"$dir/ivf_books is incomplete")
+      out
+    }
+    // one bounded collect: per-query probe lists + ADC LUTs
+    val queryProbes = queries.select(col("query_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .flatMap { case (qid, qe) =>
+        val qd = qe.map(_.toDouble)
+        val se = qd.map(DedupQueries.scale1e6)
+        val lut = Array.tabulate(DedupQueries.PqSubspaces,
+          DedupQueries.PqK) { (m, kk) =>
+          DedupQueries.pqDist2(se, m * DedupQueries.PqSubDim, cbT(m)(kk))
+        }
+        nearestClusters(qd, probes).map(c => (c, qid, lut))
+      }
+    val probedLists = queryProbes.map(_._1).distinct.toSeq
+    val qpB = spark.sparkContext.broadcast(queryProbes)
+    val adcOrder: Ordering[(Long, Long, Long)] =
+      Ordering.fromLessThan { (x, y) =>
+        x._3 < y._3 || (x._3 == y._3 && x._2 < y._2)
+      }
+    val scored = spark.read.parquet(s"$dir/ivf_codes")
+      // partition prune: only the probed lists' files are opened
+      .where(col("list").isin(probedLists: _*))
+      .select(col("list"), col("cand_id"), col("code"))
+      .as[(Int, Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = qpB.value
+        val rows = it.flatMap { case (cluster, cid, code) =>
+          qs.iterator
+            .filter { case (qc, qid, _) => qc == cluster && qid != cid }
+            .map { case (_, qid, lut) =>
+              var adc = 0L; var m = 0
+              while (m < DedupQueries.PqSubspaces) {
+                adc += lut(m)(code(m)); m += 1
+              }
+              (qid, cid, adc)
+            }
+        }
+        graft.operators.BoundedTopK.perQuery(rows, k,
+          (r: (Long, Long, Long)) => r._1)(adcOrder)
+      }.toDF("query_id", "cand_id", "adc")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -79,6 +79,42 @@ class VectorIndexSpec extends AnyFunSuite {
       "persisted-PQ serving diverged from x44's inline form")
   }
 
+  test("persisted IVF-PQ index prunes unprobed list partitions and matches x39") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    VectorIndex.buildIvfPq(spark, dir, emb)
+
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val served = VectorIndex.searchIvfPq(spark, dir, queries)
+
+    // the list partition column must actually prune the codes scan:
+    // 10 queries x 3 probes touch at most 16 (and here fewer) of the
+    // list=... partitions — the scan's selected partitions must be a
+    // strict subset of the clusters
+    // sparkPlan, not executedPlan: AQE wraps the executed tree in an
+    // AdaptiveSparkPlanExec whose query stages are leaf nodes, so a
+    // collect over it never sees the scans
+    val scans = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val codesScan = scans.find(_.metadata.get("Location")
+      .exists(_.contains("ivf_codes"))).get
+    assert(codesScan.metadata("PartitionFilters").contains("list"),
+      "codes scan carries no list partition filter")
+    val selected = codesScan.selectedPartitions.partitionCount
+    assert(selected < DedupQueries.IvfClusters,
+      s"scan opened $selected of ${DedupQueries.IvfClusters} lists — no pruning")
+
+    val inline = DedupQueries.x39AnnIvfPq(spark, sf)
+    assert(served.collect().map(_.toString).toSeq ==
+      inline.collect().map(_.toString).toSeq,
+      "persisted IVF-PQ serving diverged from x39's inline form")
+  }
+
   test("meta guards: a non-index dir fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notidx").toString
     import spark.implicits._
