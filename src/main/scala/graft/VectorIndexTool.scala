@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Operational CLI for the [[VectorIndex]] lifecycle — build a
+  * persisted ANN index from an embedding parquet, then serve query
+  * batches against it (the `write_index` / batch-search utility pair a
+  * vector-search deployment actually operates with).
+  *
+  * Usage:
+  *   runMain graft.VectorIndexTool build <graph|pq|ivfpq> <indexDir> <embParquet>
+  *   runMain graft.VectorIndexTool search <graph|pq|ivfpq> <indexDir> <queryParquet> <outParquet> [k]
+  *
+  * `embParquet` needs (vec_id, embedding); `queryParquet` needs
+  * (query_id, embedding) — or (vec_id, embedding), renamed on read.
+  * Results land at `outParquet` as (query_id, rank, cand_id, score).
+  */
+object VectorIndexTool {
+  private val usage =
+    "usage: VectorIndexTool build <graph|pq|ivfpq> <indexDir> <embParquet> | " +
+      "search <graph|pq|ivfpq> <indexDir> <queryParquet> <outParquet> [k]"
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** The tool body, session-injected (tests drive this directly). */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    require(args.length >= 4, usage)
+    val (mode, family, dir) = (args(0), args(1), args(2))
+    require(Set("graph", "pq", "ivfpq").contains(family),
+      s"unknown index family '$family' — $usage")
+    mode match {
+      case "build" =>
+        val emb = spark.read.parquet(args(3))
+          .select(col("vec_id"), col("embedding"))
+        family match {
+          case "graph" => VectorIndex.build(spark, dir, emb)
+          case "pq" => VectorIndex.buildPq(spark, dir, emb)
+          case "ivfpq" => VectorIndex.buildIvfPq(spark, dir, emb)
+        }
+        println(s"""{"built":"$family","dir":"$dir"}""")
+      case "search" =>
+        require(args.length >= 5, usage)
+        val k = if (args.length > 5) args(5).toInt else 5
+        val qRaw = spark.read.parquet(args(3))
+        val queries = (if (qRaw.columns.contains("query_id")) qRaw
+          else qRaw.withColumnRenamed("vec_id", "query_id"))
+          .select(col("query_id"), col("embedding"))
+        val out = family match {
+          case "graph" => VectorIndex.search(spark, dir, queries, k)
+          case "pq" => VectorIndex.searchPq(spark, dir, queries, k)
+          case "ivfpq" => VectorIndex.searchIvfPq(spark, dir, queries, k)
+        }
+        out.write.mode("overwrite").parquet(args(4))
+        println(s"""{"searched":"$family","queries":${queries.count()},"k":$k,"out":"${args(4)}"}""")
+      case other => throw new IllegalArgumentException(
+        s"unknown mode '$other' — $usage")
+    }
+  }
+}

@@ -115,6 +115,37 @@ class VectorIndexSpec extends AnyFunSuite {
       "persisted IVF-PQ serving diverged from x39's inline form")
   }
 
+  test("VectorIndexTool round-trips build + search through parquet on disk") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vtool").toString
+    val embSrc = "/root/testdata/sf0.001/embeddings.parquet"
+    // a 3-query batch written the way an operator would hand it over
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .write.parquet(s"$root/queries.parquet")
+    VectorIndexTool.run(spark, Array("build", "pq", s"$root/idx", embSrc))
+    VectorIndexTool.run(spark, Array("search", "pq", s"$root/idx",
+      s"$root/queries.parquet", s"$root/out.parquet", "4"))
+    val out = spark.read.parquet(s"$root/out.parquet")
+    assert(out.count() == 3 * 4)
+    assert(out.columns.sorted.toSeq ==
+      Seq("cand_id", "cosine", "query_id", "rank"))
+    // ranks are 1..k per query and scores weakly decrease with rank
+    val rows = out.orderBy(col("query_id"), col("rank"))
+      .collect().groupBy(_.getLong(out.columns.indexOf("query_id")))
+    rows.values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(out.columns.indexOf("rank")))
+      assert(byRank.map(_.getInt(out.columns.indexOf("rank"))).toSeq ==
+        (1 to 4))
+      val scores = byRank.map(_.getDouble(out.columns.indexOf("cosine")))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    intercept[IllegalArgumentException] {
+      VectorIndexTool.run(spark, Array("build", "hnsw", s"$root/idx", embSrc))
+    }
+  }
+
   test("meta guards: a non-index dir fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notidx").toString
     import spark.implicits._
