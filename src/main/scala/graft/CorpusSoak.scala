@@ -131,8 +131,7 @@ object CorpusSoak {
     val nVecs = vecs.count()
     // 1. content-hash collapse: min id per identical embedding
     val crep = vecs.withColumn("h", xxhash64(col("embedding")))
-      .groupBy(col("h")).agg(min(col("vec_id")).as("crep"),
-        count(lit(1)).as("copies"))
+      .groupBy(col("h")).agg(min(col("vec_id")).as("crep"))
     require(crep.count() == nBaseVec,
       "content-hash collapse must find exactly the base vectors")
     val withRep = vecs.withColumn("h", xxhash64(col("embedding")))
@@ -164,6 +163,12 @@ object CorpusSoak {
     // every replica points at a BASE representative (min id = base copy)
     require(decision.where(col("rep_id") >= nBaseVec).isEmpty,
       "a replica was chosen as representative over its base copy")
+    // both checkpoints are dead once the requires pass — release them
+    // before the 12-stage pipeline phase rather than stranding
+    // factor-sized block sets through it (the round-5 eviction-storm
+    // lesson this repo keeps re-learning)
+    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(vecs)
+    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(decision)
 
     // -- the FULL 12-stage curation pipeline over the N× corpus, timed
     // per stage (the broadcast side-inputs — language profiles, bench

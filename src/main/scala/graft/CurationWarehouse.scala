@@ -40,10 +40,14 @@ import graft.queries.DedupQueries
   * fail-if-exists at ingest/init start, deleted at the end). Without
   * it, two concurrent ingests could each admit the other's duplicates
   * — both read the indexes before either commits. A second writer now
-  * fails fast with `IllegalStateException` instead. A crashed writer's
-  * stale lease (older than [[LeaseTtlMs]]) is broken by an atomic
-  * RENAME — only one breaker can win, and breaking never deletes a
-  * fresh holder's lease the way delete+recreate could. Beneath the
+  * fails fast with `IllegalStateException` instead. Each lease carries
+  * its owner's unique TOKEN: release deletes only a lease still
+  * holding the releaser's token, and a crashed writer's stale lease
+  * (older than [[LeaseTtlMs]]) is broken by an atomic RENAME followed
+  * by a token check on the renamed file — only one breaker can win,
+  * an overtaken writer cannot delete its successor's lease, and a
+  * breaker that raced a fresh re-acquire renames the fresh lease
+  * straight back instead of stealing it. Beneath the
   * lease, the claim files and fail-if-exists commit markers still
   * bound the damage of any protocol violation to disjoint extra
   * slices, never clobbered files. */
@@ -93,32 +97,83 @@ object CurationWarehouse {
 
   private def leasePath(dir: String) = new Path(s"$dir/claims/LEASE")
 
-  /** Acquire the warehouse's single-writer lease, or throw. Must be
-    * held across the whole read-indexes → dedup → commit span: the
-    * duplicate-admission race lives between the index read and the
-    * marker create. */
-  private def acquireLease(spark: SparkSession, dir: String): Unit = {
+  /** Write our unique token into a freshly-created lease file. The
+    * create(fail-if-exists) is the atomic claim; the token is the
+    * OWNERSHIP PROOF that release/break verify against, so no writer
+    * can ever delete or break a lease it does not hold. */
+  private def tryCreateLease(f: org.apache.hadoop.fs.FileSystem,
+      p: Path, token: String): Boolean =
+    try {
+      val out = f.create(p, false)
+      out.write(token.getBytes("UTF-8")); out.close(); true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
+  private def leaseToken(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[String] =
+    scala.util.Try {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }.toOption
+
+  /** Acquire the warehouse's single-writer lease; returns the owner
+    * token to pass to [[releaseLease]]. Must be held across the whole
+    * read-indexes → dedup → commit span: the duplicate-admission race
+    * lives between the index read and the marker create.
+    *
+    * Stale-break protocol (a crashed writer's lease must not brick the
+    * warehouse): observe the holder's TOKEN, wait out the TTL evidence
+    * (mtime), atomically RENAME the lease aside, then VERIFY the
+    * renamed file still carries the observed stale token. The rename
+    * is what makes two breakers safe (only one wins); the post-rename
+    * token check is what makes breaker-vs-fresh-holder safe — if the
+    * stale holder released and a NEW writer re-acquired between our
+    * staleness check and our rename, the renamed file carries the new
+    * token, we rename it straight back and fail instead of stealing a
+    * live writer's lease. */
+  private def acquireLease(spark: SparkSession, dir: String): String = {
     val f = fs(spark, dir)
     f.mkdirs(new Path(dir, "claims"))
     val lease = leasePath(dir)
-    if (tryCreate(f, lease)) return
-    // held — break it only if provably stale (crashed writer), via an
-    // atomic rename so two breakers can't delete each other's fresh
-    // lease; then race on the normal create
+    val token = java.util.UUID.randomUUID().toString
+    if (tryCreateLease(f, lease, token)) return token
     val st = scala.util.Try(f.getFileStatus(lease)).toOption
-    val stale = st.exists(s =>
-      System.currentTimeMillis() - s.getModificationTime > LeaseTtlMs)
-    if (stale && f.rename(lease,
-        new Path(s"$dir/claims/LEASE.broken.${st.get.getModificationTime}"))
-      && tryCreate(f, lease)) return
+    val staleTok = if (st.exists(s =>
+      System.currentTimeMillis() - s.getModificationTime > LeaseTtlMs))
+      leaseToken(f, lease) else None
+    staleTok match {
+      case Some(observed) =>
+        val aside = new Path(
+          s"$dir/claims/LEASE.broken.${java.util.UUID.randomUUID()}")
+        if (f.rename(lease, aside)) {
+          if (leaseToken(f, aside).contains(observed)) {
+            // provably the stale holder's lease; claim for ourselves
+            if (tryCreateLease(f, lease, token)) return token
+          } else {
+            // we renamed a FRESH holder's lease (stale one released and
+            // someone new acquired in between) — put it back untouched
+            f.rename(aside, lease)
+          }
+        }
+      case None => // fresh, unreadable, or gone — never break
+    }
     throw new IllegalStateException(
       s"warehouse at $dir: another writer holds the single-writer lease " +
         "(claims/LEASE); concurrent ingests would re-admit each other's " +
         "duplicates. Retry after it finishes, or delete a stale lease.")
   }
 
-  private def releaseLease(spark: SparkSession, dir: String): Unit =
-    fs(spark, dir).delete(leasePath(dir), false)
+  /** Release ONLY our own lease: if the file no longer carries our
+    * token (a breaker legitimately took over after our TTL expired),
+    * leave it alone — deleting by path would evict the new holder. */
+  private def releaseLease(spark: SparkSession, dir: String,
+      token: String): Unit = {
+    val f = fs(spark, dir)
+    if (leaseToken(f, leasePath(dir)).contains(token))
+      f.delete(leasePath(dir), false)
+  }
 
   /** Reserve a slice id exclusively: atomically create `claims/<id>`
     * (fail-if-exists). A crashed attempt holds its claim forever, so
@@ -179,7 +234,7 @@ object CurationWarehouse {
     * overwrite it, so a crashed init is retryable rather than bricking
     * the warehouse. */
   def init(spark: SparkSession, dir: String, curated: DataFrame): Unit = {
-    acquireLease(spark, dir)
+    val lease = acquireLease(spark, dir)
     try {
       require(committed(spark, dir).isEmpty,
         s"warehouse at $dir is already initialized")
@@ -190,7 +245,7 @@ object CurationWarehouse {
           "with no committed slices — unreachable under the lease")
       } // else: reclaiming a crashed init's slice 0 (no commit exists)
       commitSlice(spark, dir, 0L, curated)
-    } finally releaseLease(spark, dir)
+    } finally releaseLease(spark, dir, lease)
   }
 
   /** Ingest a new document slice: exact dedup (in-batch + vs the fp
@@ -201,7 +256,7 @@ object CurationWarehouse {
     // the lease spans read-indexes → dedup → commit: that whole span is
     // the critical section (two ingests that both read the indexes
     // before either commits would each admit the other's duplicates)
-    acquireLease(spark, dir)
+    val lease = acquireLease(spark, dir)
     try {
       val fps = read(spark, dir, "fp").select("fp")
       val sigs = read(spark, dir, "sigs")
@@ -224,7 +279,7 @@ object CurationWarehouse {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], kept.schema)
       org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(kept)
       out
-    } finally releaseLease(spark, dir)
+    } finally releaseLease(spark, dir, lease)
   }
 
   def docs(spark: SparkSession, dir: String): DataFrame =

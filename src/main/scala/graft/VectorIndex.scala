@@ -78,7 +78,8 @@ object VectorIndex {
   def search(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int = 5, beamWidth: Int = DedupQueries.GraphBeamWidth,
       rounds: Int = DedupQueries.GraphBeamRounds,
-      entryCount: Int = DedupQueries.GraphEntryCount): DataFrame = {
+      entryCount: Int = DedupQueries.GraphEntryCount,
+      excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
     val (_, nVec) = meta(dir)
     val graph = spark.read.parquet(s"$dir/graph")
@@ -101,7 +102,7 @@ object VectorIndex {
     require(entryIds.nonEmpty, s"index at $dir has no entry candidates " +
       s"outside the query batch ($nVec vectors)")
     DedupQueries.beamSearch(spark, graph, embD, queryVecs, entryIds,
-      beamWidth, rounds, k)
+      beamWidth, rounds, k, excludeSelf)
   }
 
   // -- PQ mode: persisted codes + trained books (x44's serving stack) ----
@@ -122,7 +123,16 @@ object VectorIndex {
         val ed = e.map(_.toDouble)
         (id, ed, DedupQueries.dotScaled(ed, ed))
       }
-    val train = rows.filter(_._1 < trainN).collect().sortBy(_._1)
+    // column filter BEFORE the typed conversion: the predicate pushes to
+    // the parquet scan, so training collects a trainN-row slice instead
+    // of scanning+converting the whole corpus (x42/x44's r7 fix)
+    val train = emb.where(col("vec_id") < trainN)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val ed = e.map(_.toDouble)
+        (id, ed, DedupQueries.dotScaled(ed, ed))
+      }.collect().sortBy(_._1)
     require(train.nonEmpty, s"no vectors under vec_id < $trainN to train on")
     val cbT = DedupQueries.trainPqCodebooks(
       train.map(_._2.map(DedupQueries.scale1e6)))
@@ -151,8 +161,8 @@ object VectorIndex {
     * shortlist's vectors — x42/x44's two-stage shape with the encode
     * work already paid at build time. */
   def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int = 5,
-      shortlist: Int = DedupQueries.RescoreShortlist): DataFrame = {
+      k: Int = 5, shortlist: Int = DedupQueries.RescoreShortlist,
+      excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "meta_pq.json")),
@@ -190,7 +200,8 @@ object VectorIndex {
       .mapPartitions { it =>
         val qs = queriesB.value
         val rows = it.flatMap { case (cid, code) =>
-          qs.iterator.collect { case (qid, _, _, lut) if qid != cid =>
+          qs.iterator.collect {
+            case (qid, _, _, lut) if !excludeSelf || qid != cid =>
             var adc = 0L; var m = 0
             while (m < DedupQueries.PqSubspaces) {
               adc += lut(m)(code(m)); m += 1
@@ -270,7 +281,8 @@ object VectorIndex {
     * asserts selectedPartitions < clusters); candidates are ranked by
     * the same integer ADC as x39. */
   def searchIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int = 5, probes: Int = DedupQueries.IvfProbes): DataFrame = {
+      k: Int = 5, probes: Int = DedupQueries.IvfProbes,
+      excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "meta_ivf.json")),
@@ -313,7 +325,8 @@ object VectorIndex {
         val qs = qpB.value
         val rows = it.flatMap { case (cluster, cid, code) =>
           qs.iterator
-            .filter { case (qc, qid, _) => qc == cluster && qid != cid }
+            .filter { case (qc, qid, _) =>
+              qc == cluster && (!excludeSelf || qid != cid) }
             .map { case (_, qid, lut) =>
               var adc = 0L; var m = 0
               while (m < DedupQueries.PqSubspaces) {

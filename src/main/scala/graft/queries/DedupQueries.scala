@@ -1279,12 +1279,16 @@ object DedupQueries {
     * DISTINCT visited set. `graph` = (src_id, nbr_id); `embD` =
     * (cand_id, cand_e, cand_n); `queryVecs` is the bounded query batch
     * with scaled norms. */
+  /** `excludeSelf` drops candidates whose id EQUALS the query id — only
+    * meaningful when query ids are corpus ids (the x47 registry
+    * convention); a batch with its own fresh id space must pass false
+    * or a coincidental id collision silently hides a true neighbor. */
   private[graft] def beamSearch(s: SparkSession,
       graph: org.apache.spark.sql.DataFrame,
       embD: org.apache.spark.sql.DataFrame,
       queryVecs: Array[(Long, (Array[Double], Long))],
       entryIds: Array[Long], beamWidth: Int, rounds: Int,
-      k: Int): org.apache.spark.sql.DataFrame = {
+      k: Int, excludeSelf: Boolean = true): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val queriesB = s.sparkContext.broadcast(queryVecs.toMap)
     // score a (query_id, cand_id) set: fetch candidate vectors by id
@@ -1304,8 +1308,8 @@ object DedupQueries {
       .orderBy(col("cosine").desc, col("cand_id"))
     val qIds = queryVecs.map(_._1)
     val entryCands = qIds.flatMap(q =>
-      entryIds.filter(_ != q).map(en => (q, en))).toSeq
-      .toDF("query_id", "cand_id")
+      entryIds.filter(en => !excludeSelf || en != q).map(en => (q, en)))
+      .toSeq.toDF("query_id", "cand_id")
     var beam = scoreCands(entryCands)
     var visited = beam
     for (_ <- 1 to rounds) {
@@ -1318,8 +1322,9 @@ object DedupQueries {
       val nbrs = frontier.withColumnRenamed("cand_id", "hop_src")
         .join(graph, col("hop_src") === col("src_id"))
         .select(col("query_id"), col("nbr_id").as("cand_id"))
-      val cands = frontier.union(nbrs)
-        .where(col("cand_id") =!= col("query_id"))
+      val cands = (if (excludeSelf)
+        frontier.union(nbrs).where(col("cand_id") =!= col("query_id"))
+      else frontier.union(nbrs))
         .dropDuplicates("query_id", "cand_id")
       val sc = scoreCands(cands)
       visited = visited.union(sc)

@@ -31,7 +31,7 @@ class VectorIndexSpec extends AnyFunSuite {
     val queries = label0.where(col("vec_id").isin(qIds.toSeq: _*))
       .select(col("vec_id").as("query_id"), col("embedding"))
 
-    val served = VectorIndex.search(spark, dir, queries)
+    val served = VectorIndex.search(spark, dir, queries, excludeSelf = true)
     // no build stage in the serve plan: the kNN kernel's groupByKey
     // would show as MapGroups; serving is scans + joins + mapPartitions
     val plan = served.queryExecution.executedPlan.toString
@@ -44,7 +44,7 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(a == b, "persisted-index serving diverged from x47's inline form")
 
     // serve-many: a second search is deterministic
-    val again = VectorIndex.search(spark, dir, queries)
+    val again = VectorIndex.search(spark, dir, queries, excludeSelf = true)
       .collect().map(_.toString).toSeq
     assert(again == a)
 
@@ -66,7 +66,7 @@ class VectorIndexSpec extends AnyFunSuite {
     // x44's query convention: vec_id < 10 over the full table
     val queries = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val served = VectorIndex.searchPq(spark, dir, queries)
+    val served = VectorIndex.searchPq(spark, dir, queries, excludeSelf = true)
     // serving must not re-encode the corpus: the scan side reads the
     // codes column (8 bytes/vector), never the embedding array
     val plan = served.queryExecution.executedPlan.toString
@@ -88,7 +88,7 @@ class VectorIndexSpec extends AnyFunSuite {
 
     val queries = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val served = VectorIndex.searchIvfPq(spark, dir, queries)
+    val served = VectorIndex.searchIvfPq(spark, dir, queries, excludeSelf = true)
 
     // the list partition column must actually prune the codes scan:
     // 10 queries x 3 probes touch at most 16 (and here fewer) of the
@@ -144,6 +144,28 @@ class VectorIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       VectorIndexTool.run(spark, Array("build", "hnsw", s"$root/idx", embSrc))
     }
+  }
+
+  test("serve default keeps coincidental id collisions (fresh-id batches)") {
+    // a fresh query batch numbered 0..n-1 can collide with corpus ids;
+    // by default NO candidate is dropped for sharing the query's id, so
+    // a query that happens to equal corpus vector 0 still finds it
+    // (cosine 1.0 at rank 1). excludeSelf=true is the opt-in for
+    // batches whose ids ARE corpus ids (the registry convention above).
+    val d001 = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("collidx").toString
+    val emb = Tables.embeddings(spark, d001)
+      .select(col("vec_id"), col("embedding"))
+    VectorIndex.buildPq(spark, dir, emb)
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = VectorIndex.searchPq(spark, dir, q, k = 1).collect().head
+    assert(top.getLong(top.fieldIndex("cand_id")) == 0L)
+    assert(top.getDouble(top.fieldIndex("cosine")) == 1.0)
+    // the corpus-convention opt-in excludes it again
+    val top2 = VectorIndex.searchPq(spark, dir, q, k = 1,
+      excludeSelf = true).collect().head
+    assert(top2.getLong(top2.fieldIndex("cand_id")) != 0L)
   }
 
   test("meta guards: a non-index dir fails loudly") {
