@@ -818,6 +818,97 @@ object DedupQueries {
       |FROM embeddings emb LEFT JOIN labels l USING (vec_id)
       |ORDER BY emb.vec_id""".stripMargin
 
+  // -- x52: quality-aware near-dup keeper --------------------------------
+
+  /** x52 — the production dedup decision x48 approximates with min-id:
+    * within each near-duplicate cluster (x7's n-gram Jaccard graph →
+    * x22's star-contracted components), KEEP the highest-quality copy
+    * and drop the rest — the policy curation pipelines actually ship
+    * (dedup should discard the WORSE copy, not an arbitrary one).
+    *
+    * Quality is x10's deterministic heuristic scaled to an exact
+    * BIGINT (`q_s = round(quality_score·1e9)`) so the arg-max never
+    * compares raw floats across engines; ties break to the lower
+    * doc_id. Selection is `max(struct(q_s, −doc_id, doc_id))` per
+    * cluster — a map-side-combinable aggregate over ids-only rows (one
+    * shuffle on cluster_id; no window over the corpus, and the text
+    * payload never rides the graph stages). Singletons keep
+    * themselves. */
+  val x52QualityKeeper: QFn = (s, d) => {
+    val stop = TextQueries.langProfiles.flatMap(_._2).distinct
+    val set = stop.map(w => s"'$w'").mkString("(", ", ", ")")
+    val q = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN $set))").cast("long"))
+      .withColumn("n_alpha",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+      .withColumn("q_s", round(
+        ((col("n_stop") / col("n_tokens").cast("double")) * lit(0.5) +
+          least((col("n_alpha") / col("n_tokens").cast("double")) / lit(10.0),
+            lit(1.0)) * lit(0.5)) * lit(1000000000.0)).cast("long"))
+      .select(col("doc_id"), col("q_s"))
+    val pairs = x7Pairs(s, d).select(col("doc_a"), col("doc_b"))
+    val labels = graft.operators.ConnectedComponents.starContract(s, pairs)
+      .select(col("node").as("doc_id"), col("root"))
+    val lab = q.join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("q_s"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    val rep = lab.groupBy(col("cluster_id"))
+      .agg(max(struct(col("q_s"), (-col("doc_id")).as("neg_id"),
+        col("doc_id").as("rep"))).as("m"))
+      .select(col("cluster_id"), col("m.rep").as("rep_id"))
+    lab.join(rep, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("q_s"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: x7's pair CTE + x16's recursive closure for the clusters,
+    * x10's quality expression scaled to BIGINT, window arg-max per
+    * cluster (the declarative stand-in for the Spark side's
+    * max-of-struct aggregate). */
+  val x52Sql: String = {
+    val stop = TextQueries.langProfiles.flatMap(_._2).distinct
+    val set = stop.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH RECURSIVE $x7CteBody,
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, r) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.doc_id),
+       |labels AS (
+       |  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+       |q AS (
+       |  SELECT doc_id, CAST(round(
+       |    ((n_stop / CAST(n_tokens AS DOUBLE)) * 0.5 +
+       |      least((n_alpha / CAST(n_tokens AS DOUBLE)) / 10.0, 1.0) * 0.5)
+       |    * 1000000000.0) AS BIGINT) AS q_s
+       |  FROM (SELECT doc_id,
+       |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(length(list_filter(string_split(text, ' '),
+       |      t -> t IN $set)) AS BIGINT) AS n_stop,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha
+       |  FROM documents)),
+       |lab AS (
+       |  SELECT q.doc_id, q.q_s,
+       |    COALESCE(l.cluster_id, q.doc_id) AS cluster_id
+       |  FROM q LEFT JOIN labels l ON l.doc_id = q.doc_id),
+       |rep AS (
+       |  SELECT cluster_id, doc_id AS rep_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |      row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY q_s DESC, doc_id) AS rn
+       |    FROM lab) WHERE rn = 1)
+       |SELECT lab.doc_id, lab.cluster_id, lab.q_s, rep.rep_id,
+       |  lab.doc_id = rep.rep_id AS kept
+       |FROM lab JOIN rep USING (cluster_id)
+       |ORDER BY lab.doc_id""".stripMargin
+  }
+
   // -- x14: LSH-bucketed ANN (scale path) --------------------------------
 
   val LshPlanes = 6
@@ -2396,6 +2487,7 @@ object DedupQueries {
     "x3_topk_similarity" -> x3TopkSimilarity,
     "x8_embedding_dedup" -> x8EmbeddingDedup,
     "x48_semantic_dedup" -> x48SemanticDedup,
+    "x52_quality_keeper" -> x52QualityKeeper,
     "x14_ann_lsh" -> x14AnnLsh,
     "x15_ann_ivf" -> x15AnnIvf,
     "x38_ann_pq" -> x38AnnPq,
@@ -2425,6 +2517,7 @@ object DedupQueries {
     "x3_topk_similarity" -> x3Sql,
     "x8_embedding_dedup" -> x8Sql,
     "x48_semantic_dedup" -> x48Sql,
+    "x52_quality_keeper" -> x52Sql,
     "x14_ann_lsh" -> x14Sql,
     "x15_ann_ivf" -> x15Sql,
     "x38_ann_pq" -> x38Sql,

@@ -1099,7 +1099,131 @@ object TextQueries {
        |ORDER BY a.lang""".stripMargin
   }
 
+  // -- x51: BM25 retrieval top-k -----------------------------------------
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+  /** Fixed query term sets (the bounded "search request batch" — the
+    * analog of the ANN keys' 10-vector query convention). Mixes common
+    * terms (df ≈ 8% of docs) with the rare marker term `dup` so idf
+    * actually separates the rankings. */
+  val bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join"),
+    1L -> Seq("dup", "scan"),
+    2L -> Seq("customer", "filter", "window"),
+    3L -> Seq("stream", "batch"),
+    4L -> Seq("dup"))
+
+  /** x51 — BM25 top-k retrieval over the corpus (the search-index shape
+    * decontamination-by-retrieval and RAG-style curation both need):
+    * Lucene's BM25 form — idf = ln(1 + (N − df + ½)/(df + ½)),
+    * tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) — over whitespace terms.
+    *
+    * Float portability follows the house rules: idf's ln() is rounded
+    * to 6 decimals (x4's trick); everything after is exact IEEE
+    * arithmetic on identical expression trees, and each term's
+    * contribution is scaled ×1e6 and rounded to a BIGINT so the
+    * per-document SUM is integer-exact and summation-order-free.
+    *
+    * Scale shape: the query term set is broadcast (postings for
+    * non-query terms never leave the scan); df is aggregated only for
+    * query terms after that broadcast semi-join; the corpus-level
+    * (N, Σdl) scalars ride a broadcast cross join, not a collect; and
+    * per-query selection is heap-bounded before the ranking window
+    * (the ANN-family selection rule — window input is
+    * partitions × queries × k, not matching-docs). */
+  val x51Bm25TopK: QFn = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val qterms = bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val dfq = tf.join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val contrib = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))), 6))
+      .withColumn("wt", (col("tf") * lit(Bm25K1 + 1.0)) /
+        (col("tf") + lit(Bm25K1) *
+          (lit(1.0) - lit(Bm25B) + lit(Bm25B) * (col("dl") / avgdl))))
+      .withColumn("c",
+        round(col("idf") * col("wt") * lit(1000000.0)).cast("long"))
+    val score = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_s"))
+    val bounded = score.as[(Long, Long, Long)].mapPartitions { it =>
+      graft.operators.BoundedTopK.perQuery(it, Bm25TopK,
+        (r: (Long, Long, Long)) => r._1)(
+        Ordering.fromLessThan { (x, y) =>
+          x._3 > y._3 || (x._3 == y._3 && x._2 < y._2)
+        })
+    }.toDF("query_id", "doc_id", "score_s")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_s").desc, col("doc_id"))
+    bounded.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= Bm25TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_s"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val x51Sql: String = {
+    val qvals = bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"(CAST($q AS BIGINT), '$t')") }
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |dl AS (
+       |  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY 1, 2),
+       |q(query_id, term) AS (VALUES $qvals),
+       |dfq AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+       |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+       |contrib AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(round(
+       |      round(ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
+       |      * ((tf.tf * ${Bm25K1 + 1.0}) / (tf.tf + $Bm25K1 *
+       |          (1.0 - $Bm25B + $Bm25B *
+       |            (dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))))
+       |      * 1000000.0) AS BIGINT) AS c
+       |  FROM tf JOIN q ON q.term = tf.term
+       |  JOIN dfq ON dfq.term = tf.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats s),
+       |score AS (
+       |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_s
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, score_s FROM (
+       |  SELECT query_id, doc_id, score_s,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_s DESC, doc_id) AS rank
+       |  FROM score) WHERE rank <= $Bm25TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "x51_bm25_topk" -> x51Bm25TopK,
     "x50_mixture_weights" -> x50MixtureWeights,
     "x49_bpe_pair_count" -> x49BpePairCount,
     "x25_pack_sequences" -> x25PackSequences,
@@ -1125,6 +1249,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x51_bm25_topk" -> x51Sql,
     "x50_mixture_weights" -> x50Sql,
     "x49_bpe_pair_count" -> x49Sql,
     "x25_pack_sequences" -> x25Sql,
