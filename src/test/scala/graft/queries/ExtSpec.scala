@@ -573,4 +573,59 @@ class ExtSpec extends AnyFunSuite {
     }.sum
     assert(pn == expect, s"top pair ($pa,$pb): engine $pn vs recompute $expect")
   }
+
+  test("bm25: ranked lists well-formed, rare-term idf dominates") {
+    val out = TextQueries.x51Bm25TopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.keySet == TextQueries.bm25Queries.map(_._1).toSet)
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      // score non-increasing with rank; doc_id ascending inside ties
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+      }
+    }
+    // q4 = the single rare term: every hit must actually contain it,
+    // and the full TopK fills (df('dup') > TopK at sf0.01)
+    val dupDocs = Tables.documents(spark, sf)
+      .where(col("text").contains("dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val q4 = byQuery(4L)
+    assert(q4.length == TextQueries.Bm25TopK)
+    q4.foreach { case (_, _, docId, _) => assert(dupDocs.contains(docId)) }
+    // q1 = rare 'dup' + common 'scan': idf separates them by ~ln(N/df)
+    // ratio, so rank 1 must hit a 'dup' doc, not a scan-only doc
+    val q1Top = byQuery(1L).minBy(_._2)
+    assert(dupDocs.contains(q1Top._3),
+      s"q1 rank-1 doc ${q1Top._3} does not contain the rare term")
+  }
+
+  test("quality keeper: keeps exactly the best copy per near-dup cluster") {
+    val out = DedupQueries.x52QualityKeeper(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    val n = Tables.documents(spark, sf).count()
+    assert(out.length == n, "every document gets a decision")
+    out.groupBy(_._2).foreach { case (cluster, rows) =>
+      val kept = rows.filter(_._5)
+      assert(kept.length == 1, s"cluster $cluster keeps ${kept.length} docs")
+      val maxQ = rows.map(_._3).max
+      val winner = kept.head
+      assert(winner._3 == maxQ, s"cluster $cluster kept a non-best copy")
+      // tie → lowest doc_id among the max-quality copies
+      assert(winner._1 == rows.filter(_._3 == maxQ).map(_._1).min)
+      // rep_id column agrees with the kept flag for every member
+      rows.foreach(r => assert(r._4 == winner._1))
+    }
+    // the policy must actually differ from x48's min-id stand-in
+    // somewhere, or this key is a re-skin: at least one multi-doc
+    // cluster's winner is NOT the min doc_id
+    val multi = out.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "no multi-doc near-dup clusters at this SF")
+    assert(multi.exists { case (_, rows) =>
+      rows.filter(_._5).head._1 != rows.map(_._1).min
+    }, "quality arg-max never diverged from min-id — vacuous policy")
+  }
 }

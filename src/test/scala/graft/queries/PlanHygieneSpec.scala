@@ -24,7 +24,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     "j3_range_join_q3c", "j4_tile_pixel_overlap",
     "a8_mc_summary", "u3_camera_tiles", "w5_asof_lookup",
     "w7_asof_forward", // same 3-row literal probe grid as w5
-    "x18_length_quantiles")
+    "x18_length_quantiles",
+    // the (N, Σdl) corpus-scalar attach is a broadcast cross join
+    // against ONE row — the declarative alternative to a driver-side
+    // collect of the two aggregates
+    "x51_bm25_topk")
 
   test("no registered query plans a CartesianProduct") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
