@@ -1222,7 +1222,231 @@ object TextQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // -- x53: bigram-LM document scoring -----------------------------------
+
+  /** x53 — bigram language-model document scoring, the CCNet/KenLM-shaped
+    * perplexity quality gate of LLM data curation: train an add-one
+    * (Laplace) smoothed bigram LM on the corpus itself, then score every
+    * document by its total bigram log-probability. Low-probability docs
+    * (word salad, boilerplate the LM never saw) are the cut candidates.
+    *
+    * Scale shape: counts come from ONE corpus-wide groupBy on the bigram
+    * (map-side combined — the shuffle carries vocab² cells, not the token
+    * stream); the context counts c(a) and the vocabulary size are
+    * re-aggregated FROM that table, never from a second corpus pass (every
+    * token of a ≥2-token doc appears in some bigram, so the bigram table's
+    * a∪b IS the vocabulary). The count table is localCheckpointed
+    * (vocab²-bounded) so the scoring pass doesn't recompute it; the
+    * scoring join shuffles the bigram stream once, keyed by (a,b) — hot
+    * bigrams ("of the") are many-to-one against a 1-row build side, so
+    * skew means an uneven partition, not a blow-up, and AQE skew-split
+    * applies. Per-bigram log-probs are rounded to scaled BIGINTs so each
+    * document's SUM is integer-exact and summation-order-free (x4's ln
+    * trick).
+    */
+  val x53LmScore: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ")
+          .as("t"))
+      .where(size(col("t")) >= 2)
+    def bigrams = toks
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(1, size(t) - 1)")).as("i"))
+      .select(col("doc_id"), expr("t[i-1]").as("a"), expr("t[i]").as("b"))
+    val cab = bigrams.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true)
+    val ca = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val vocab = cab.select(col("a").as("w"))
+      .union(cab.select(col("b").as("w")))
+      .agg(countDistinct(col("w")).as("v"))
+    bigrams
+      .join(cab, Seq("a", "b"))
+      .join(ca, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(
+        log((col("c_ab") + lit(1.0)) / (col("c_a") + col("v")))
+          * lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_logp_s"))
+      .orderBy(col("doc_id"))
+  }
+  val x53Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(
+      |    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |docs2 AS (SELECT * FROM toks WHERE length(t) >= 2),
+      |big AS (
+      |  SELECT doc_id, t[CAST(i AS INTEGER)] AS a,
+      |    t[CAST(i AS INTEGER) + 1] AS b
+      |  FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS i
+      |        FROM docs2)),
+      |cab AS (
+      |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM big GROUP BY a, b),
+      |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+      |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM
+      |  (SELECT a AS w FROM cab UNION SELECT b FROM cab)),
+      |lp AS (
+      |  SELECT big.doc_id,
+      |    CAST(round(ln((cab.c_ab + 1.0) / (ca.c_a + v.v)) * 1000000.0)
+      |      AS BIGINT) AS lp
+      |  FROM big JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(lp) AS BIGINT) AS sum_logp_s
+      |FROM lp GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // -- x54: Count-Min sketch term frequencies ----------------------------
+
+  val CmsDepth = 4
+  val CmsWidth = 512
+  /** Fixed probe batch: frequent terms, a rare marker, and one absent
+    * term (est may exceed 0 for it — that IS the CMS overestimate). */
+  val cmsQueryTerms: Seq[String] =
+    Seq("the", "spark", "dup", "window", "vector", "zzzabsent")
+
+  /** x54 — Count-Min sketch term-frequency estimation, the streaming-
+    * friendly frequency summary (heavy-hitter pre-filter, join-cardinality
+    * hint) that completes the sketch family next to SpaceSaving (x35),
+    * the streaming histogram (x37) and HLL (x5). Each token occurrence
+    * increments d=4 hashed cells of a 4×512 grid; the estimate for a term
+    * is the MIN over its d cells — never below the true count.
+    *
+    * Scale shape: the sketch build is ONE pass over the token stream with
+    * map-side combine on (row, bucket) — only d×w = 2048 cells ever ride
+    * the shuffle, regardless of corpus size (the classic sketch
+    * mergeability argument, the same one x35/x37 pin). The d hashes per
+    * occurrence are codegen'd md5 column math ([[PortableHash]] so the
+    * oracle replays the exact grid); the probe batch is broadcast-tiny
+    * and the true-count comparison semi-joins the stream on a pushed
+    * `isin` filter. */
+  val x54CmsFreq: QFn = (s, d) => {
+    import s.implicits._
+    val bucketOf = PortableHash.hex60(
+      "concat(term, ':', CAST(j AS STRING))") + s" % $CmsWidth"
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val sketch = toks
+      .select(col("term"), explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"))
+      .select(col("j"), expr(bucketOf).as("bucket"))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+    val probes = cmsQueryTerms.toDF("term")
+      .select(col("term"), explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"))
+      .select(col("term"), col("j"), expr(bucketOf).as("bucket"))
+    // the sketch is the BUILD side (d×w cells, broadcast-tiny by
+    // construction); the probe batch is the preserved side of the left
+    // join, which cannot be the broadcast side
+    val est = probes.join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy(col("term")).agg(min(col("c")).as("cms_est"))
+    val trueCnt = toks.where(col("term").isin(cmsQueryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+    est.join(trueCnt, Seq("term"), "left")
+      .na.fill(0L, Seq("true_cnt"))
+      .select(col("term"), col("cms_est"), col("true_cnt"))
+      .orderBy(col("term"))
+  }
+  val x54Sql: String = {
+    val qvals = cmsQueryTerms.map(t => s"('$t')").mkString(", ")
+    val bucketOf = PortableHash.duckHex60(
+      "term || ':' || CAST(j AS VARCHAR)") + s" % $CmsWidth"
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+       |js AS (SELECT unnest(range(0, $CmsDepth)) AS j),
+       |sketch AS (
+       |  SELECT j, $bucketOf AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM toks, js GROUP BY 1, 2),
+       |q(term) AS (VALUES $qvals),
+       |probes AS (SELECT term, j, $bucketOf AS bucket FROM q, js),
+       |est AS (
+       |  SELECT term, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS cms_est
+       |  FROM probes p LEFT JOIN sketch s USING (j, bucket)
+       |  GROUP BY term),
+       |tc AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM toks
+       |  WHERE term IN (SELECT term FROM q) GROUP BY term)
+       |SELECT est.term, est.cms_est,
+       |  CAST(COALESCE(tc.true_cnt, 0) AS BIGINT) AS true_cnt
+       |FROM est LEFT JOIN tc USING (term)
+       |ORDER BY est.term""".stripMargin
+  }
+
+  // -- x55: positional phrase search -------------------------------------
+
+  /** Fixed phrase batch (the bounded "search request" convention). Mixes
+    * repeated-token phrases — the case where naive substring counting
+    * undercounts adjacent/overlapping matches — with 2- and 3-grams. */
+  val phraseDefs: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("table", "table"),
+    1L -> Seq("fast", "spark"),
+    2L -> Seq("group", "value", "sort"),
+    3L -> Seq("the", "line"),
+    4L -> Seq("a", "a"))
+
+  /** x55 — exact phrase search via a positional inverted index, the
+    * retrieval primitive next to x51's BM25 (benchmark decontamination by
+    * exact-phrase probe, span-level contamination audits). A phrase of
+    * length L matches at token position p iff term i of the phrase sits
+    * at p+i for all i — the classic positional-postings intersection,
+    * expressed relationally: every posting that matches ANY phrase term
+    * votes for the match start `pos − idx`, and a start with all L
+    * distinct idx votes is a hit. Overlapping matches count correctly
+    * ("a a" twice in "a a a"), which substring counting gets wrong.
+    *
+    * Scale shape: the phrase-term table is broadcast, so postings for
+    * non-phrase terms never leave the scan (x51's rule); what shuffles is
+    * only matching postings, keyed by (phrase, doc, start) with map-side
+    * combine. No window, no self-join of the postings list. */
+  val x55PhraseSearch: QFn = (s, d) => {
+    import s.implicits._
+    val pt = phraseDefs.flatMap { case (p, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (p, i, t, ts.size) }
+    }.toDF("phrase_id", "idx", "term", "plen")
+    val postings = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    postings.join(broadcast(pt), "term")
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("idx")).as("start"), col("idx"), col("plen"))
+      .groupBy(col("phrase_id"), col("doc_id"), col("start"), col("plen"))
+      .agg(countDistinct(col("idx")).as("n_idx"))
+      .where(col("n_idx") === col("plen"))
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("phrase_id"), col("doc_id"))
+  }
+  val x55Sql: String = {
+    val pvals = phraseDefs.flatMap { case (p, ts) =>
+      ts.zipWithIndex.map { case (t, i) =>
+        s"(CAST($p AS BIGINT), $i, '$t', ${ts.size})"
+      }
+    }.mkString(", ")
+    s"""WITH pt(phrase_id, idx, term, plen) AS (VALUES $pvals),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |posting AS (
+       |  SELECT doc_id, i - 1 AS pos, t[CAST(i AS INTEGER)] AS term
+       |  FROM (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i
+       |        FROM toks)),
+       |hits AS (
+       |  SELECT pt.phrase_id, p.doc_id, p.pos - pt.idx AS start, pt.plen,
+       |    pt.idx
+       |  FROM posting p JOIN pt ON pt.term = p.term),
+       |starts AS (
+       |  SELECT phrase_id, doc_id, start, plen,
+       |    COUNT(DISTINCT idx) AS n_idx
+       |  FROM hits GROUP BY phrase_id, doc_id, start, plen)
+       |SELECT phrase_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+       |FROM starts WHERE n_idx = plen
+       |GROUP BY phrase_id, doc_id
+       |ORDER BY phrase_id, doc_id""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "x55_phrase_search" -> x55PhraseSearch,
+    "x54_cms_freq" -> x54CmsFreq,
+    "x53_lm_score" -> x53LmScore,
     "x51_bm25_topk" -> x51Bm25TopK,
     "x50_mixture_weights" -> x50MixtureWeights,
     "x49_bpe_pair_count" -> x49BpePairCount,
@@ -1249,6 +1473,9 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x55_phrase_search" -> x55Sql,
+    "x54_cms_freq" -> x54Sql,
+    "x53_lm_score" -> x53Sql,
     "x51_bm25_topk" -> x51Sql,
     "x50_mixture_weights" -> x50Sql,
     "x49_bpe_pair_count" -> x49Sql,

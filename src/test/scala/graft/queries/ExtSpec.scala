@@ -628,4 +628,77 @@ class ExtSpec extends AnyFunSuite {
       rows.filter(_._5).head._1 != rows.map(_._1).min
     }, "quality arg-max never diverged from min-id — vacuous policy")
   }
+
+  test("bigram LM score: matches an exact driver-side recompute") {
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def tok(t: String): Array[String] = t.toLowerCase
+      .map(c => if (c >= 'a' && c <= 'z') c else ' ')
+      .split(" +").filter(_.nonEmpty)
+    val docToks = texts.map { case (id, t) => (id, tok(t)) }
+      .filter(_._2.length >= 2)
+    val cab = scala.collection.mutable.Map.empty[(String, String), Long]
+    val ca = scala.collection.mutable.Map.empty[String, Long]
+    docToks.foreach { case (_, ts) =>
+      ts.sliding(2).foreach { case Array(a, b) =>
+        cab((a, b)) = cab.getOrElse((a, b), 0L) + 1L
+        ca(a) = ca.getOrElse(a, 0L) + 1L
+      }
+    }
+    val v = cab.keysIterator.flatMap(p => Iterator(p._1, p._2)).toSet.size
+    val expect = docToks.map { case (id, ts) =>
+      val sum = ts.sliding(2).map { case Array(a, b) =>
+        math.round(math.log((cab((a, b)) + 1.0) / (ca(a) + v)) * 1e6)
+      }.sum
+      (id, ((ts.length - 1).toLong, sum))
+    }.toMap
+    val out = TextQueries.x53LmScore(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (id, (n, sum)) =>
+      assert(out(id) == ((n, sum)), s"doc $id: ${out(id)} vs ($n, $sum)")
+    }
+    // the gate must separate docs: scores are not all equal, and every
+    // log-prob sum is negative (probabilities < 1)
+    assert(out.values.map(_._2).toSet.size > 1)
+    assert(out.values.forall(_._2 < 0))
+  }
+
+  test("CMS estimates never undercount; absent term has zero true count") {
+    val out = TextQueries.x54CmsFreq(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == TextQueries.cmsQueryTerms.toSet)
+    out.foreach { case (term, est, actual) =>
+      assert(est >= actual, s"$term: CMS $est under true count $actual")
+    }
+    val absent = out.find(_._1 == "zzzabsent").get
+    assert(absent._3 == 0L, "fixture term unexpectedly present in corpus")
+    // frequent probes must really be present — otherwise the ≥ checks
+    // above are vacuous
+    assert(out.count(_._3 > 0) >= 4, s"too few present probe terms: $out")
+  }
+
+  test("phrase search: matches exact sliding-window counts, incl. overlap") {
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val expect = (for {
+      (pid, phrase) <- TextQueries.phraseDefs
+      (docId, toks) <- texts
+      n = toks.sliding(phrase.length)
+        .count(w => w.length == phrase.length && w.sameElements(phrase))
+      if n > 0
+    } yield ((pid, docId), n.toLong)).toMap
+    val out = TextQueries.x55PhraseSearch(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out == expect,
+      s"missing=${expect.keySet -- out.keySet} extra=${out.keySet -- expect.keySet}")
+    // overlap semantics must be exercised: some repeated-token phrase
+    // ("a a" / "table table") matches more than once in one doc
+    val rep = TextQueries.phraseDefs.filter(p => p._2.distinct.size < p._2.size)
+      .map(_._1).toSet
+    assert(expect.exists { case ((pid, _), n) => rep.contains(pid) && n > 1 },
+      "no overlapping repeated-token match at this SF — weak fixture")
+  }
 }

@@ -28,7 +28,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // the (N, Σdl) corpus-scalar attach is a broadcast cross join
     // against ONE row — the declarative alternative to a driver-side
     // collect of the two aggregates
-    "x51_bm25_topk")
+    "x51_bm25_topk",
+    // same one-row corpus-scalar pattern: the vocabulary size attaches
+    // to the scoring stream as a broadcast cross join against ONE row
+    "x53_lm_score")
 
   test("no registered query plans a CartesianProduct") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
@@ -129,7 +132,20 @@ class PlanHygieneSpec extends AnyFunSuite {
       // word-frequency-bounded: the corpus collapses to distinct words
       // before the pair explosion (measured 112; shuffling raw corpus
       // tokens instead would move ≥ 10 k), top-50 is TakeOrdered
-      "x49_bpe_pair_count" -> 500L)
+      "x49_bpe_pair_count" -> 500L,
+      // sketch-cell-bounded: the CMS build's shuffle carries at most
+      // d×w = 2048 cells + the probe batch regardless of corpus size
+      // (measured 1 426 at sf0.001; shuffling raw tokens would move
+      // ≥ 4 × corpus tokens ≈ 40 k+)
+      "x54_cms_freq" -> 4000L,
+      // matching-postings-bounded: non-phrase terms never leave the
+      // scan; only postings matching a phrase term shuffle, and they
+      // ride TWO hops (vote groupBy, then match groupBy). The phrase
+      // batch deliberately includes stopwords ("the", "a"), so votes ≈
+      // 10 k of sf0.001's 27.9 k tokens → measured 20 313 total; an
+      // unpruned plan would push the FULL positional index through the
+      // first hop alone (≥ 27.9 k, ≥ 55 k across both)
+      "x55_phrase_search" -> 25000L)
     budgets.foreach { case (name, budget) =>
       val written = new java.util.concurrent.atomic.AtomicLong()
       val listener = new org.apache.spark.scheduler.SparkListener {
