@@ -1443,7 +1443,74 @@ object TextQueries {
        |ORDER BY phrase_id, doc_id""".stripMargin
   }
 
+  // -- x56: hybrid retrieval — reciprocal-rank fusion --------------------
+
+  /** The standard RRF constant (Cormack et al.'s k = 60). */
+  val RrfK = 60
+  val RrfTopK = 10
+
+  /** x56 — hybrid retrieval by reciprocal-rank fusion: the lexical arm
+    * (x51's BM25 top-10) and the semantic arm (x3's brute-force cosine
+    * top-5, doc_id ≡ vec_id by the testdata id convention) fused by
+    * RRF — score(d) = Σ_arms 1/(k + rank_arm(d)) — the fusion rule
+    * hybrid search ships because it needs NO score normalization across
+    * incomparable scales (BM25 sums vs cosines), only ranks.
+    *
+    * Fusion is restricted to the bm25 query batch's ids (the semantic
+    * arm also serves ids 5–9, which have no lexical counterpart). Each
+    * arm contributes round(1e6/(k+rank)) as a BIGINT so the fused sum
+    * is integer-exact; docs found by only one arm get that arm's
+    * contribution alone (the standard convention).
+    *
+    * Scale shape: everything downstream of the two arms operates on
+    * queries × (10+5) rows — the arms themselves carry the scale story
+    * (x51: broadcast-pruned postings + bounded heaps; x3: scan with
+    * bounded per-query heaps), and the fusion join/window input is
+    * batch-bounded regardless of corpus size. */
+  val x56RrfFusion: QFn = (s, d) => {
+    val qids = bm25Queries.map(_._1)
+    def rrf(rank: Column): Column =
+      coalesce(round(lit(1000000.0) / (lit(RrfK) + rank)).cast("long"), lit(0L))
+    val lex = x51Bm25TopK(s, d)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val sem = graft.queries.DedupQueries.x3TopkSimilarity(s, d)
+      .where(col("query_id").isin(qids: _*))
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full")
+      .withColumn("rrf_s", rrf(col("lex_rank")) + rrf(col("sem_rank")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_s").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= RrfTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_s"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val x56Sql: String = {
+    val qids = bm25Queries.map(_._1).mkString(", ")
+    s"""WITH lex AS (
+       |  SELECT query_id, doc_id, rank AS lex_rank
+       |  FROM (${x51Sql.replace("\n", "\n  ")}) l),
+       |sem AS (
+       |  SELECT query_id, cand_id AS doc_id, rank AS sem_rank
+       |  FROM (${graft.queries.DedupQueries.x3Sql.replace("\n", "\n  ")}) s
+       |  WHERE query_id IN ($qids)),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |    COALESCE(CAST(round(1000000.0 / ($RrfK + lex_rank)) AS BIGINT), 0)
+       |    + COALESCE(CAST(round(1000000.0 / ($RrfK + sem_rank)) AS BIGINT), 0)
+       |      AS rrf_s
+       |  FROM lex FULL JOIN sem USING (query_id, doc_id))
+       |SELECT query_id, rank, doc_id, rrf_s FROM (
+       |  SELECT query_id, doc_id, rrf_s,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_s DESC, doc_id) AS rank
+       |  FROM fused) WHERE rank <= $RrfTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "x56_rrf_fusion" -> x56RrfFusion,
     "x55_phrase_search" -> x55PhraseSearch,
     "x54_cms_freq" -> x54CmsFreq,
     "x53_lm_score" -> x53LmScore,
@@ -1473,6 +1540,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x56_rrf_fusion" -> x56Sql,
     "x55_phrase_search" -> x55Sql,
     "x54_cms_freq" -> x54Sql,
     "x53_lm_score" -> x53Sql,

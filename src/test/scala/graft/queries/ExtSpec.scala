@@ -679,6 +679,37 @@ class ExtSpec extends AnyFunSuite {
     assert(out.count(_._3 > 0) >= 4, s"too few present probe terms: $out")
   }
 
+  test("RRF fusion: matches driver-side recompute from both arms") {
+    def rrf(rank: Long): Long = math.round(1e6 / (TextQueries.RrfK + rank))
+    val qids = TextQueries.bm25Queries.map(_._1).toSet
+    val lex = TextQueries.x51Bm25TopK(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getInt(1).toLong)).toMap
+    val sem = graft.queries.DedupQueries.x3TopkSimilarity(spark, sf)
+      .collect().filter(r => qids.contains(r.getLong(0)))
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getInt(1).toLong)).toMap
+    val scores = (lex.keySet ++ sem.keySet).map { k =>
+      k -> (lex.get(k).map(rrf).getOrElse(0L) +
+        sem.get(k).map(rrf).getOrElse(0L))
+    }.toMap
+    val expect = scores.groupBy(_._1._1).flatMap { case (q, m) =>
+      m.toSeq.map { case ((_, d), s) => (d, s) }
+        .sortBy { case (d, s) => (-s, d) }.take(TextQueries.RrfTopK)
+        .zipWithIndex.map { case ((d, s), i) => ((q, i + 1L), (d, s)) }
+    }
+    val out = TextQueries.x56RrfFusion(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(1).toLong),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(out == expect)
+    // the fusion must be a genuine hybrid: some fused row comes from the
+    // semantic arm alone and some from the lexical arm alone — otherwise
+    // one arm is dead weight and the test is vacuous
+    val fusedKeys = out.map { case ((q, _), (d, _)) => (q, d) }.toSet
+    assert(fusedKeys.exists(k => sem.contains(k) && !lex.contains(k)),
+      "no sem-only doc survived fusion")
+    assert(fusedKeys.exists(k => lex.contains(k) && !sem.contains(k)),
+      "no lex-only doc survived fusion")
+  }
+
   test("phrase search: matches exact sliding-window counts, incl. overlap") {
     val texts = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()

@@ -31,7 +31,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "x51_bm25_topk",
     // same one-row corpus-scalar pattern: the vocabulary size attaches
     // to the scoring stream as a broadcast cross join against ONE row
-    "x53_lm_score")
+    "x53_lm_score",
+    // embeds x51 as its lexical arm, inheriting its one-row cross join
+    "x56_rrf_fusion")
 
   test("no registered query plans a CartesianProduct") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
