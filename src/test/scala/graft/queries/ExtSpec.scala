@@ -732,4 +732,63 @@ class ExtSpec extends AnyFunSuite {
     assert(expect.exists { case ((pid, _), n) => rep.contains(pid) && n > 1 },
       "no overlapping repeated-token match at this SF — weak fixture")
   }
+
+  test("DSIR weights: target-language docs score above the rest") {
+    val langs = Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val out = TextQueries.x57DsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    // every doc with at least one alphabetic token is scored, each once
+    assert(out.map(_._1).distinct.length == out.length)
+    val (tgt, rest) = out.partition(r =>
+      langs(r._1) == TextQueries.DsirTargetLang)
+    assert(tgt.nonEmpty && rest.nonEmpty, "fixture must mix languages")
+    val meanT = tgt.map(_._2.toDouble).sum / tgt.length
+    val meanR = rest.map(_._2.toDouble).sum / rest.length
+    // the defining property of importance weights against a lang=en
+    // target: en docs must score decisively higher on average — their
+    // tokens hash into buckets whose target probability exceeds raw
+    assert(meanT > meanR,
+      s"target-lang mean $meanT not above non-target mean $meanR")
+    // and the separation must be usable for selection, not marginal:
+    // the top weight quartile must be decisively ENRICHED in the target
+    // language vs its corpus share (weights sum per token, so short
+    // target docs sit near zero — enrichment, not purity, is the claim)
+    val baseShare = out.count(r =>
+      langs(r._1) == TextQueries.DsirTargetLang).toDouble / out.length
+    val topQ = out.sortBy(-_._2).take(out.length / 4)
+    val enShare = topQ.count(r =>
+      langs(r._1) == TextQueries.DsirTargetLang).toDouble / topQ.length
+    assert(enShare >= 1.4 * baseShare,
+      s"top-quartile en share $enShare not >= 1.4x base $baseShare")
+  }
+
+  test("minhash calibration: estimator tracks exact Jaccard on candidates") {
+    val out = DedupQueries.x58MinhashCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(out.nonEmpty, "LSH produced no candidate pairs at this SF")
+    // the calibration table covers every x2 near-dup (x2 = the est>=0.5
+    // subset of the same candidate relation)
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    val x2 = DedupQueries.x2DedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(x2.subsetOf(pairs), s"x2 pairs missing: ${x2 -- pairs}")
+    out.foreach { case (a, b, est, exact, errS) =>
+      assert(a < b)
+      assert(est >= 0.0 && est <= 1.0, s"est $est out of range")
+      assert(exact >= 0.0 && exact <= 1.0, s"exact $exact out of range")
+      assert(errS == math.round(math.abs(est - exact) * 1e6))
+    }
+    // Broder: E[agree/64] = J, std <= sqrt(J(1-J)/64) <= 0.0625 — the
+    // MEAN absolute error across candidates must sit well inside that
+    val meanErr = out.map(r => math.abs(r._3 - r._4)).sum / out.length
+    assert(meanErr <= 0.10, s"mean |est - exact| = $meanErr: estimator broken")
+    // and near-certain signatures must be genuinely similar documents
+    out.filter(_._3 >= 0.95).foreach { case (a, b, _, exact, _) =>
+      assert(exact >= 0.5, s"pair ($a,$b) est>=0.95 but exact $exact")
+    }
+  }
 }

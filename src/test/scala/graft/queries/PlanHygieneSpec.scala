@@ -32,6 +32,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // same one-row corpus-scalar pattern: the vocabulary size attaches
     // to the scoring stream as a broadcast cross join against ONE row
     "x53_lm_score",
+    // one-row (tot_r, tot_t) scalar attach onto the B-bounded bucket
+    // table — the same declarative alternative to a driver collect
+    "x57_dsir_weights",
     // embeds x51 as its lexical arm, inheriting its one-row cross join
     "x56_rrf_fusion")
 
