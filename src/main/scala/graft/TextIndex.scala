@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{PortableHash, TextQueries}
+
+/** Persisted BM25 lexical index — the build-once / serve-many form of
+  * the x51 retrieval key, and the lexical sibling of [[VectorIndex]]
+  * (the lifecycle Lucene's segment files give a single node, restated
+  * as warehouse tables).
+  *
+  * Layout under `dir`:
+  *  - `postings/` — (doc_id, term, tf) rows WRITTEN PARTITIONED BY
+  *    `bucket` = hash(term) % [[TermBuckets]]. The partitioning is the
+  *    point: a query batch touches only its terms' buckets, so the
+  *    serve-time scan prunes every other partition's files — the
+  *    lexical analog of the IVF-PQ list prune (and of the engine's
+  *    pixel-bucket prune on the spatial side).
+  *  - `lengths/`  — (doc_id, dl) document lengths for the BM25 length
+  *    normalization.
+  *  - `meta.json` — (n_docs, sum_dl, buckets): the corpus scalars are
+  *    computed ONCE at build time; serving attaches them as a literal
+  *    one-row frame instead of re-aggregating the corpus per query
+  *    batch (x51's inline form must re-derive them because the registry
+  *    contract is one self-contained DataFrame per key).
+  *
+  * At 100 TB the postings table is a bucketed warehouse table; a serve
+  * touches `|query terms|` buckets of it plus the lengths of matching
+  * docs, and the tokenize+aggregate cost of building postings is paid
+  * once instead of per query batch. Scoring is
+  * [[TextQueries.bm25Score]] — the SAME kernel the inline key runs, so
+  * served rankings agree with x51 by construction.
+  */
+object TextIndex {
+
+  /** Postings partition count. 64 keeps per-bucket file counts sane at
+    * small SF while still pruning 98% of a uniform term distribution;
+    * a 100 TB deployment would raise it with corpus vocabulary. */
+  val TermBuckets = 64
+
+  /** Default result depth for the CLI (mirrors x51's). */
+  val DefaultK: Int = TextQueries.Bm25TopK
+
+  private def bucketCol = expr(PortableHash.hex60("term")) % TermBuckets
+
+  /** Build the index from (doc_id, text) rows: ONE tokenize pass feeds
+    * the postings aggregate; lengths and the corpus scalars come from a
+    * second narrow projection of the same input. Tokenization is x51's
+    * exactly (whitespace split, no normalization) — the index must
+    * reproduce the inline key's rankings bit-for-bit. */
+  def build(spark: SparkSession, dir: String, docs: DataFrame): Unit = {
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+      .localCheckpoint(true) // consumed by the write AND the stats agg
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketCol)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(s"$dir/postings")
+    dl.write.mode(SaveMode.Overwrite).parquet(s"$dir/lengths")
+    val row = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .collect()(0)
+    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(dl)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "meta.json"),
+      s"""{"n_docs":${row.getLong(0)},"sum_dl":${row.getLong(1)},"buckets":$TermBuckets}""")
+  }
+
+  private def meta(dir: String): (Long, Long, Int) = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "meta.json"))
+    def grab(k: String): Long =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(txt).getOrElse(
+        throw new IllegalStateException(
+          s"$dir/meta.json has no \"$k\" — not a TextIndex dir")
+      ).group(1).toLong
+    (grab("n_docs"), grab("sum_dl"), grab("buckets").toInt)
+  }
+
+  /** Serve a BM25 query batch from the PERSISTED index. The postings
+    * scan carries `bucket IN (query-term buckets)` — parquet partition
+    * pruning skips every other bucket's files — plus a pushed
+    * `term IN (...)` row filter; corpus scalars attach from meta as a
+    * one-row literal frame (no corpus aggregation in the serve plan).
+    * Returns (query_id, rank, doc_id, score_s), x51's exact shape. */
+  def search(spark: SparkSession, dir: String,
+      queryBatch: Seq[(Long, Seq[String])],
+      k: Int = TextQueries.Bm25TopK): DataFrame = {
+    import spark.implicits._
+    val (nDocs, sumDl, buckets) = meta(dir)
+    require(buckets == TermBuckets,
+      s"$dir built with $buckets buckets, this build expects $TermBuckets")
+    val terms = queryBatch.flatMap(_._2).distinct
+    val termBuckets = terms
+      .map(t => TextIndexHash.bucketOf(t, buckets)).distinct
+    val tf = spark.read.parquet(s"$dir/postings")
+      .where(col("bucket").isin(termBuckets: _*) &&
+        col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val dl = spark.read.parquet(s"$dir/lengths")
+    val stats = Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+    val qterms = queryBatch
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    TextQueries.bm25Score(spark, tf, dl, stats, qterms, k)
+  }
+}
+
+/** Driver-side twin of the postings bucket expression: the same
+  * md5-derived 60-bit hash [[PortableHash]] evaluates in SQL, computed
+  * in Scala so [[TextIndex.search]] can enumerate a query's buckets
+  * without a Spark job. A spec pins the two implementations equal. */
+object TextIndexHash {
+  def bucketOf(term: String, buckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val hex = md.take(8).map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+  }
+}

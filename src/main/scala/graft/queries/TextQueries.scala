@@ -1133,19 +1133,17 @@ object TextQueries {
     * per-query selection is heap-bounded before the ranking window
     * (the ANN-family selection rule — window input is
     * partitions × queries × k, not matching-docs). */
-  val x51Bm25TopK: QFn = (s, d) => {
+  /** Shared BM25 scoring kernel: rank a broadcast query-term batch
+    * against a (doc_id, term, tf) postings relation, a (doc_id, dl)
+    * lengths relation, and a ONE-ROW (n_docs, sum_dl) stats relation.
+    * [[x51Bm25TopK]] feeds it inline tokenization of the corpus;
+    * [[graft.TextIndex]] feeds it the PERSISTED postings/lengths tables
+    * plus build-time stats — identical expression tree either way, so
+    * the serve path agrees with the inline key by construction. */
+  private[graft] def bm25Score(s: SparkSession, tf: DataFrame,
+      dl: DataFrame, stats: DataFrame, qterms: DataFrame,
+      k: Int): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
-    val dl = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val qterms = bm25Queries
-      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
-      .toDF("query_id", "term")
     val dfq = tf.join(broadcast(qterms.select("term").distinct()), "term")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
@@ -1165,7 +1163,7 @@ object TextQueries {
     val score = contrib.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("score_s"))
     val bounded = score.as[(Long, Long, Long)].mapPartitions { it =>
-      graft.operators.BoundedTopK.perQuery(it, Bm25TopK,
+      graft.operators.BoundedTopK.perQuery(it, k,
         (r: (Long, Long, Long)) => r._1)(
         Ordering.fromLessThan { (x, y) =>
           x._3 > y._3 || (x._3 == y._3 && x._2 < y._2)
@@ -1174,9 +1172,25 @@ object TextQueries {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_s").desc, col("doc_id"))
     bounded.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= Bm25TopK)
+      .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_s"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  val x51Bm25TopK: QFn = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val qterms = bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    bm25Score(s, tf, dl, stats, qterms, Bm25TopK)
   }
 
   val x51Sql: String = {

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Tables, TextQueries}
+
+/** The persisted BM25 lexical index lifecycle: build once, serve many —
+  * served rankings must agree exactly with x51's inline form, and the
+  * postings scan must prune to the query terms' bucket partitions. */
+class TextIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("driver-side bucket hash equals the SQL bucket expression") {
+    import spark.implicits._
+    val words = TextQueries.bm25Queries.flatMap(_._2).distinct ++
+      Seq("the", "zebra", "Dup", "", "a b", "ümlaut", "123", "x" * 50)
+    val sqlBuckets = words.toDF("term")
+      .select(col("term"),
+        (expr(graft.queries.PortableHash.hex60("term")) %
+          TextIndex.TermBuckets).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    words.foreach { w =>
+      assert(TextIndexHash.bucketOf(w, TextIndex.TermBuckets)
+        == sqlBuckets(w), s"bucket mismatch for '$w'")
+    }
+  }
+
+  test("persisted index serves x51's exact ranking with a pruned scan") {
+    val dir = java.nio.file.Files.createTempDirectory("txtidx").toString
+    TextIndex.build(spark, dir,
+      Tables.documents(spark, sf).select("doc_id", "text"))
+
+    val served = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+
+    // the bucket partition column must actually prune the postings
+    // scan: the batch's 9 distinct terms touch at most 9 of the 64
+    // bucket partitions (sparkPlan, not executedPlan: AQE hides scans
+    // behind query-stage leaves)
+    val scans = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val postScan = scans.find(_.metadata.get("Location")
+      .exists(_.contains("postings"))).get
+    assert(postScan.metadata("PartitionFilters").contains("bucket"),
+      "postings scan carries no bucket partition filter")
+    val selected = postScan.selectedPartitions.partitionCount
+    val nTerms = TextQueries.bm25Queries.flatMap(_._2).distinct.size
+    assert(selected <= nTerms,
+      s"scan opened $selected bucket partitions for $nTerms terms")
+    // and the serve plan never tokenizes: no corpus explode stage
+    val plan = served.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Generate explode"),
+      "serve plan re-tokenizes the corpus — index not persisted")
+    assert(!scans.exists(_.metadata.get("Location")
+      .exists(_.contains("documents.parquet"))),
+      "serve plan scans the raw documents table")
+
+    val inline = TextQueries.x51Bm25TopK(spark, sf)
+    assert(served.collect().map(_.toString).toSeq ==
+      inline.collect().map(_.toString).toSeq,
+      "persisted BM25 serving diverged from x51's inline form")
+  }
+
+  test("serving an unknown term set returns empty, not an error") {
+    val dir = java.nio.file.Files.createTempDirectory("txtidx2").toString
+    TextIndex.build(spark, dir,
+      Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text"))
+    val out = TextIndex.search(spark, dir,
+      Seq(0L -> Seq("qqqzzznotaterm", "alsonotaterm")))
+    assert(out.collect().isEmpty)
+  }
+
+  test("TextIndexTool round-trips build + search through parquet on disk") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ttool").toString
+    val sfSmall = "/root/testdata/sf0.001"
+    TextQueries.bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+      .write.parquet(s"$root/queries.parquet")
+    TextIndexTool.run(spark, Array("build", s"$root/idx",
+      s"$sfSmall/documents.parquet"))
+    TextIndexTool.run(spark, Array("search", s"$root/idx",
+      s"$root/queries.parquet", s"$root/out.parquet"))
+    val out = spark.read.parquet(s"$root/out.parquet")
+    val inline = TextQueries.x51Bm25TopK(spark, sfSmall)
+    assert(out.orderBy(col("query_id"), col("rank"))
+      .collect().map(_.toString).toSeq ==
+      inline.collect().map(_.toString).toSeq)
+  }
+
+  test("meta guards: a non-index dir fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("notidx").toString
+    val e = intercept[Exception] {
+      TextIndex.search(spark, dir, TextQueries.bm25Queries)
+    }
+    assert(e.getMessage.contains("meta.json") ||
+      e.isInstanceOf[java.nio.file.NoSuchFileException])
+  }
+}
