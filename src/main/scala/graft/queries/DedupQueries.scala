@@ -1724,6 +1724,129 @@ object DedupQueries {
        |ORDER BY cluster, dim""".stripMargin
   }
 
+  // -- x59: k-means trained to convergence -------------------------------
+
+  val KmeansRounds = 3
+
+  /** x59 — k-means TRAINED, not stepped: [[KmeansRounds]] full Lloyd
+    * iterations from the seeded coarse centroids (x23 is the single
+    * update step; this is the loop a clustering deployment actually
+    * runs — MLlib's KMeans shape with the state kept at 1e6-scaled
+    * integers so every engine agrees bit-for-bit).
+    *
+    * The recurrence is exactly integer: assignments maximize
+    * Σ_dim es(v,d)·cs(c,d) over BIGINT products (order-free, no float
+    * summation anywhere), and each round's new centroid is
+    * round(sum_scaled / n) — ONE IEEE division + round per cell, which
+    * is deterministic across engines — with empty clusters carrying
+    * their previous centroid forward. The DuckDB oracle REPLAYS the
+    * same [[KmeansRounds]] rounds as unrolled CTE blocks from the same
+    * inlined seeds (x43's trained-codebook pattern: data-dependent
+    * training state is re-derived, never copied).
+    *
+    * Scale shape: per round, ONE broadcast of the 16×64 centroid table
+    * out and ONE map-side-combined (cluster, dim) aggregate back —
+    * 1024 cells ride each shuffle and each driver collect regardless
+    * of corpus size; the embedding table is scanned once per round.
+    * That is the canonical distributed-k-means cost model. */
+  val x59KmeansTrain: QFn = (s, d) => {
+    import s.implicits._
+    val nDim = 64
+    val es = embRows(Tables.embeddings(s, d))
+      .map { case (id, e) => (id, e.map(scale1e6)) }
+      .localCheckpoint(true) // scanned once per round, not re-decoded
+    var cs: Array[Array[Long]] =
+      ivfCentroids.map { case (_, c) => c.map(scale1e6) }
+    var agg: Array[((Int, Int), (Long, Long))] = Array.empty
+    for (_ <- 1 to KmeansRounds) {
+      val cb = s.sparkContext.broadcast(cs)
+      agg = es.flatMap { case (_, e) =>
+        val books = cb.value
+        var best = 0; var bestDot = Long.MinValue
+        var c = 0
+        while (c < books.length) {
+          var dot = 0L; var i = 0
+          val bc = books(c)
+          while (i < e.length) { dot += e(i) * bc(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        e.iterator.zipWithIndex.map { case (v, dim) => (best, dim, v) }
+      }.toDF("cluster", "dim", "scaled")
+        .groupBy(col("cluster"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("scaled")).as("ss"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      val next = cs.map(_.clone())
+      agg.foreach { case ((c, dim), (n, sum)) =>
+        // round half away from zero — DuckDB round()'s rule, NOT
+        // math.round's half-up (they differ at negative exact halves)
+        val q = sum.toDouble / n
+        next(c)(dim) =
+          (if (q >= 0) math.floor(q + 0.5) else math.ceil(q - 0.5)).toLong
+      }
+      cs = next
+    }
+    val n = agg.map { case ((c, _), (cnt, _)) => (c, cnt) }.toMap
+    val rows = for {
+      c <- 0 until ivfCentroids.length
+      dim <- 0 until nDim
+    } yield (c.toLong, dim.toLong, n.getOrElse(c, 0L), cs(c)(dim))
+    rows.toDF("cluster", "dim", "n_members", "c_s")
+      .orderBy(col("cluster"), col("dim"))
+  }
+
+  /** Oracle: the same [[KmeansRounds]] Lloyd rounds unrolled as CTE
+    * blocks — integer dot assignment with (dot DESC, cluster) tiebreak,
+    * round(sum/n) centroid update, empty clusters coalescing to their
+    * previous value. */
+  val x59Sql: String = {
+    val seeds = ivfCentroids.map { case (ci, c) =>
+      val arr = "[" + c.map(scale1e6).mkString(", ") + "]"
+      s"SELECT $ci AS cluster, CAST(i - 1 AS BIGINT) AS dim, " +
+        s"($arr)[CAST(i AS INTEGER)] AS cs " +
+        "FROM (SELECT unnest(range(1, 65)) AS i)"
+    }.mkString("\n  UNION ALL\n  ")
+    val rounds = (1 to KmeansRounds).map { r =>
+      val prev = if (r == 1) "c0" else s"c${r - 1}"
+      s"""dot$r AS (
+         |  SELECT e.vec_id, c.cluster, CAST(SUM(e.es * c.cs) AS BIGINT) AS dot
+         |  FROM es e JOIN $prev c ON c.dim = e.dim GROUP BY 1, 2),
+         |mem$r AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dot DESC, cluster) AS rk
+         |    FROM dot$r) WHERE rk = 1),
+         |agg$r AS (
+         |  SELECT m.cluster, e.dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(e.es) AS BIGINT) AS ss
+         |  FROM mem$r m JOIN es e USING (vec_id) GROUP BY 1, 2),
+         |c$r AS (
+         |  SELECT c.cluster, c.dim,
+         |    COALESCE(CAST(round(CAST(a.ss AS DOUBLE) / a.n) AS BIGINT),
+         |      c.cs) AS cs
+         |  FROM $prev c LEFT JOIN agg$r a
+         |    ON a.cluster = c.cluster AND a.dim = c.dim)""".stripMargin
+    }.mkString(",\n")
+    val last = s"c$KmeansRounds"
+    val lastAgg = s"agg$KmeansRounds"
+    s"""WITH es AS (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000)
+       |      AS BIGINT) AS es
+       |  FROM embeddings CROSS JOIN LATERAL
+       |    (SELECT unnest(range(1, length(embedding) + 1)) AS i) ix),
+       |c0 AS (
+       |  $seeds),
+       |$rounds
+       |SELECT CAST(c.cluster AS BIGINT) AS cluster, c.dim AS dim,
+       |  COALESCE(a.n, 0) AS n_members, c.cs AS c_s
+       |FROM $last c LEFT JOIN $lastAgg a
+       |  ON a.cluster = c.cluster AND a.dim = c.dim
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   // -- x38: product-quantization ANN (compressed-domain scale path) ------
 
   /** PQ geometry: 64-dim vectors split into `PqSubspaces` 8-dim
@@ -2608,6 +2731,7 @@ object DedupQueries {
     "x20_decontaminate" -> x20Decontaminate,
     "x34_decontaminate_bloom" -> x34DecontaminateBloom,
     "x23_kmeans_step" -> x23KmeansStep,
+    "x59_kmeans_train" -> x59KmeansTrain,
     "x24_vocab_topk" -> x24VocabTopk,
     "x35_topk_sketch" -> x35TopkSketch,
     "x3_topk_similarity" -> x3TopkSimilarity,
@@ -2639,6 +2763,7 @@ object DedupQueries {
     "x20_decontaminate" -> x20Sql,
     "x34_decontaminate_bloom" -> x20Sql, // identical result by construction
     "x23_kmeans_step" -> x23Sql,
+    "x59_kmeans_train" -> x59Sql,
     "x24_vocab_topk" -> x24Sql,
     "x35_topk_sketch" -> x24Sql, // sketch is exact at this capacity/SF
     "x3_topk_similarity" -> x3Sql,

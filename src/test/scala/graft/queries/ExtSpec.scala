@@ -733,6 +733,43 @@ class ExtSpec extends AnyFunSuite {
       "no overlapping repeated-token match at this SF — weak fixture")
   }
 
+  test("kmeans train: all vectors assigned, training beats the seeds") {
+    val out = DedupQueries.x59KmeansTrain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == DedupQueries.IvfClusters * 64)
+    // n_members is a per-cluster constant across dims, and the cluster
+    // sizes partition the corpus (every vector assigned exactly once)
+    val byCluster = out.groupBy(_._1)
+    byCluster.values.foreach { rs =>
+      assert(rs.map(_._3).distinct.length == 1,
+        "n_members varies across dims of one cluster")
+    }
+    val total = byCluster.values.map(_.head._3).sum
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(total == nVec, s"assigned $total of $nVec vectors")
+    // training must actually move centroids INTO the data: under each
+    // round's own (dot-argmax) assignment, the within-cluster sum of
+    // squared distances collapses from the random seeds (which sit far
+    // from every vector) to the trained means
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(_.getSeq[Float](1).toArray.map(f =>
+        DedupQueries.scale1e6(f.toDouble)))
+    val seeds = DedupQueries.ivfCentroids
+      .map { case (_, c) => c.map(DedupQueries.scale1e6) }
+    val trained = out.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._4).toArray).toArray
+    def wcss(cents: Array[Array[Long]]): BigInt =
+      emb.map { e =>
+        val c = cents.maxBy(c =>
+          c.zip(e).map { case (a, b) => BigInt(a) * b }.sum)
+        c.zip(e).map { case (a, b) => BigInt(a - b) * (a - b) }.sum
+      }.sum
+    val (wSeed, wTrained) = (wcss(seeds), wcss(trained))
+    assert(wTrained < wSeed,
+      s"training did not reduce WCSS: $wSeed -> $wTrained")
+  }
+
   test("DSIR weights: target-language docs score above the rest") {
     val langs = Tables.documents(spark, sf)
       .select("doc_id", "lang").collect()
