@@ -1847,6 +1847,106 @@ object DedupQueries {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // -- x60: cross-document duplicate spans (exact-substring dedup) -------
+
+  val SpanGram = 5 // anchor width in words
+  val SpanMaxDf = 20 // gram document-frequency cap (x7's discriminative trick)
+  val SpanMin = 8 // minimum reported shared span, in words
+
+  /** x60 — cross-document duplicate SPANS: for every document pair, the
+    * maximal exactly-shared word spans (length of the longest, count of
+    * those ≥ [[SpanMin]] words) — the exact-substring dedup primitive of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), which cuts repeated passages, not whole near-dup
+    * documents (x2/x7's granularity). Suffix arrays don't distribute;
+    * the same spans fall out of positional gram anchors: two docs
+    * sharing a span of L ≥ g words share exactly L−g+1 consecutive
+    * positional g-grams on one (posA − posB) diagonal, so maximal spans
+    * = maximal consecutive-position runs per (pair, diagonal) — the
+    * gather-scatter form a 1000-executor cluster can run.
+    *
+    * Scale shape: anchors join on an 8-byte gram hash with x7's
+    * document-frequency cap (boilerplate grams in > [[SpanMaxDf]] docs
+    * never enter the pair join, keeping it linear); the run-detection
+    * window partitions by (pair, diagonal) — its input is the matched
+    * anchors, already pair-bounded, never the corpus. All-integer
+    * output. */
+  val x60DupSpans: QFn = (s, d) => {
+    val g = SpanGram
+    val docs = Tables.documents(s, d)
+    val gramCols = (0 until g).map(i => s"w[pos+$i]").mkString(", ")
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= g)
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, size(w) - $g)")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(hex60(s"concat_ws(' ', $gramCols)")).as("h"))
+    val rare = grams.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("gram_df"))
+      .where(col("gram_df") <= SpanMaxDf)
+      .select(col("h"))
+    val kept = grams.join(rare, "h")
+    val m = kept.as("ga")
+      .join(kept.as("gb"), col("ga.h") === col("gb.h") &&
+        col("ga.doc_id") < col("gb.doc_id"))
+      .select(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"),
+        col("ga.pos").as("pa"), (col("ga.pos") - col("gb.pos")).as("diag"))
+    val wIsl = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    val runs = m.withColumn("isl", col("pa") - row_number().over(wIsl))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg((count(lit(1)) + lit(g - 1)).cast("long").as("span_words"))
+    runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span_words")).as("max_span_words"),
+        sum(when(col("span_words") >= SpanMin, 1L).otherwise(0L))
+          .as("n_spans"))
+      .where(col("max_span_words") >= SpanMin)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: same positional anchors (1-based DuckDB indexing), same
+    * df cap, same diagonal-island run detection. */
+  val x60Sql: String = {
+    val g = SpanGram
+    val gramConcat = (0 until g).map(i => s"w[i+$i]")
+      .mkString(" || ' ' || ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE length(string_split(text, ' ')) >= $g),
+       |grams AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    ${duckHex60(gramConcat)} AS h
+       |  FROM (SELECT doc_id, w, unnest(range(1, length(w) - $g + 2)) AS i
+       |        FROM words)),
+       |df AS (
+       |  SELECT h, COUNT(*) AS gram_df
+       |  FROM (SELECT DISTINCT doc_id, h FROM grams) GROUP BY h),
+       |kept AS (
+       |  SELECT g.doc_id, g.pos, g.h FROM grams g
+       |  JOIN df USING (h) WHERE df.gram_df <= $SpanMaxDf),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+       |    a.pos - b.pos AS diag
+       |  FROM kept a JOIN kept b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, diag, pa,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+       |      ORDER BY pa) AS isl
+       |  FROM m),
+       |runs AS (
+       |  SELECT doc_a, doc_b, diag, isl,
+       |    CAST(COUNT(*) + $g - 1 AS BIGINT) AS span_words
+       |  FROM isl GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b,
+       |  CAST(MAX(span_words) AS BIGINT) AS max_span_words,
+       |  CAST(SUM(CASE WHEN span_words >= $SpanMin THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_spans
+       |FROM runs GROUP BY 1, 2
+       |HAVING MAX(span_words) >= $SpanMin
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // -- x38: product-quantization ANN (compressed-domain scale path) ------
 
   /** PQ geometry: 64-dim vectors split into `PqSubspaces` 8-dim
@@ -2726,6 +2826,7 @@ object DedupQueries {
     "x58_minhash_calibration" -> x58MinhashCalibration,
     "x6_dedup_simhash" -> x6DedupSimhash,
     "x7_ngram_jaccard" -> x7NgramJaccard,
+    "x60_dup_spans" -> x60DupSpans,
     "x16_dup_clusters" -> x16DupClusters,
     "x22_dup_clusters_star" -> x22DupClustersStar,
     "x20_decontaminate" -> x20Decontaminate,
@@ -2758,6 +2859,7 @@ object DedupQueries {
     "x58_minhash_calibration" -> x58Sql,
     "x6_dedup_simhash" -> x6Sql,
     "x7_ngram_jaccard" -> x7Sql,
+    "x60_dup_spans" -> x60Sql,
     "x16_dup_clusters" -> x16Sql,
     "x22_dup_clusters_star" -> x16Sql, // identical labeling by design
     "x20_decontaminate" -> x20Sql,

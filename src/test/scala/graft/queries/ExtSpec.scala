@@ -733,6 +733,48 @@ class ExtSpec extends AnyFunSuite {
       "no overlapping repeated-token match at this SF — weak fixture")
   }
 
+  test("dup spans: reported spans are real, maximal where uncapped") {
+    val out = DedupQueries.x60DupSpans(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.nonEmpty, "no shared spans found at this SF — weak fixture")
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" "))).toMap
+    // exact longest-common-word-substring by DP, per reported pair
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      val dp = Array.ofDim[Int](b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length) {
+        var prev = 0
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = if (a(i - 1) == b(j - 1)) prev + 1 else 0
+          if (dp(j) > best) best = dp(j)
+          prev = cur
+        }
+      }
+      best
+    }
+    var exactCount = 0
+    out.foreach { case ((a, b), (maxSpan, nSpans)) =>
+      assert(maxSpan >= DedupQueries.SpanMin && nSpans >= 1)
+      val truth = lcs(texts(a), texts(b))
+      // the df cap can only SPLIT or DROP spans, never invent length
+      assert(maxSpan <= truth,
+        s"pair ($a,$b) reports $maxSpan but true LCS is $truth")
+      if (maxSpan == truth) exactCount += 1
+    }
+    // where no common-gram cap interferes the detector must be exact —
+    // that has to be the common case on this corpus
+    assert(exactCount * 2 > out.size,
+      s"only $exactCount of ${out.size} pairs exactly maximal")
+    // the corpus's planted near-dups share long passages — the detector
+    // must surface them as long spans, not gram-sized fragments
+    val longest = out.values.map(_._1).max
+    assert(longest >= 50, s"longest reported span only $longest words")
+  }
+
   test("kmeans train: all vectors assigned, training beats the seeds") {
     val out = DedupQueries.x59KmeansTrain(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
