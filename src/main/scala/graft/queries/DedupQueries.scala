@@ -1871,7 +1871,10 @@ object DedupQueries {
     * window partitions by (pair, diagonal) — its input is the matched
     * anchors, already pair-bounded, never the corpus. All-integer
     * output. */
-  val x60DupSpans: QFn = (s, d) => {
+  /** Maximal shared-span runs per (pair, diagonal): (doc_a, doc_b,
+    * diag, span_words, start_a). x60 aggregates these to pair-level
+    * statistics; x61 excises the covered ranges from the later doc. */
+  private[graft] def spanRuns(s: SparkSession, d: String): DataFrame = {
     val g = SpanGram
     val docs = Tables.documents(s, d)
     val gramCols = (0 until g).map(i => s"w[pos+$i]").mkString(", ")
@@ -1893,10 +1896,14 @@ object DedupQueries {
         col("ga.pos").as("pa"), (col("ga.pos") - col("gb.pos")).as("diag"))
     val wIsl = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
-    val runs = m.withColumn("isl", col("pa") - row_number().over(wIsl))
+    m.withColumn("isl", col("pa") - row_number().over(wIsl))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
-      .agg((count(lit(1)) + lit(g - 1)).cast("long").as("span_words"))
-    runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg((count(lit(1)) + lit(g - 1)).cast("long").as("span_words"),
+        min(col("pa")).as("start_a"))
+  }
+
+  val x60DupSpans: QFn = (s, d) => {
+    spanRuns(s, d).groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("span_words")).as("max_span_words"),
         sum(when(col("span_words") >= SpanMin, 1L).otherwise(0L))
           .as("n_spans"))
@@ -1904,13 +1911,13 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Oracle: same positional anchors (1-based DuckDB indexing), same
-    * df cap, same diagonal-island run detection. */
-  val x60Sql: String = {
+  /** Shared CTE chain of the span recipe up to `runs` — the x60 and x61
+    * oracles both start from it so they can never diverge. */
+  private def spanRunCtesSql: String = {
     val g = SpanGram
     val gramConcat = (0 until g).map(i => s"w[i+$i]")
       .mkString(" || ' ' || ")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |  WHERE length(string_split(text, ' ')) >= $g),
        |grams AS (
@@ -1936,8 +1943,15 @@ object DedupQueries {
        |  FROM m),
        |runs AS (
        |  SELECT doc_a, doc_b, diag, isl,
-       |    CAST(COUNT(*) + $g - 1 AS BIGINT) AS span_words
-       |  FROM isl GROUP BY 1, 2, 3, 4)
+       |    CAST(COUNT(*) + $g - 1 AS BIGINT) AS span_words,
+       |    CAST(MIN(pa) AS BIGINT) AS start_a
+       |  FROM isl GROUP BY 1, 2, 3, 4)""".stripMargin
+  }
+
+  /** Oracle: same positional anchors (1-based DuckDB indexing), same
+    * df cap, same diagonal-island run detection. */
+  val x60Sql: String = {
+    s"""WITH $spanRunCtesSql
        |SELECT doc_a, doc_b,
        |  CAST(MAX(span_words) AS BIGINT) AS max_span_words,
        |  CAST(SUM(CASE WHEN span_words >= $SpanMin THEN 1 ELSE 0 END)
@@ -1945,6 +1959,94 @@ object DedupQueries {
        |FROM runs GROUP BY 1, 2
        |HAVING MAX(span_words) >= $SpanMin
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -- x61: duplicate-span excision (the dedup APPLICATION) --------------
+
+  /** x61 — duplicate-span EXCISION: the cleaned corpus x60's detection
+    * feeds — every span ≥ [[SpanMin]] words that also occurs in an
+    * earlier document (lower doc_id) is removed from the LATER one
+    * (keep-first-occurrence, Lee et al.'s ExactSubstr removal policy),
+    * and every document comes back with its cleaned text and removed
+    * word count (0 and unchanged text for untouched docs).
+    *
+    * Scale shape: the span relation is x60's (pair-bounded); covered
+    * positions explode only spans (≤ doc length each), the anti-join
+    * against them is by (doc, pos), and text rebuild is one
+    * per-affected-doc aggregation (sorted-struct array_join — no
+    * window). The full corpus rides through exactly one left join at
+    * the end; untouched docs never shuffle their text. */
+  val x61SpanExcise: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val spans = spanRuns(s, d)
+      .where(col("span_words") >= SpanMin)
+      .select(col("doc_b").as("doc_id"),
+        (col("start_a") - col("diag")).as("start"), col("span_words"))
+    val covered = spans
+      .select(col("doc_id"),
+        explode(expr("sequence(start, start + span_words - 1)")).as("pos"))
+      .distinct()
+    val affected = spans.select(col("doc_id")).distinct()
+    val words = docs
+      .join(affected, "doc_id") // only affected docs tokenize
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "word")
+    val keptAgg = words
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, word))), x -> x.word), ' ')")
+          .as("cleaned"))
+    val cleanedAffected = affected
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    docs.select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(cleanedAffected, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cleaned"), col("text")).as("text_clean"),
+        (col("n_words") - coalesce(col("n_kept"), col("n_words")))
+          .as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: x60's span chain, covered-position union, anti-join, and
+    * an ORDER BY string_agg rebuild. */
+  val x61Sql: String = {
+    s"""WITH $spanRunCtesSql,
+       |spans AS (
+       |  SELECT doc_b AS doc_id, start_a - diag AS start, span_words
+       |  FROM runs WHERE span_words >= $SpanMin),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, CAST(start + x AS BIGINT) AS pos
+       |  FROM spans CROSS JOIN LATERAL
+       |    (SELECT unnest(range(0, span_words)) AS x) t),
+       |affected AS (SELECT DISTINCT doc_id FROM spans),
+       |wordsall AS (
+       |  SELECT d.doc_id, CAST(i - 1 AS BIGINT) AS pos, w[CAST(i AS INTEGER)] AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |        WHERE doc_id IN (SELECT doc_id FROM affected)) d
+       |  CROSS JOIN LATERAL
+       |    (SELECT unnest(range(1, length(w) + 1)) AS i) ix),
+       |keptagg AS (
+       |  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    string_agg(w.word, ' ' ORDER BY w.pos) AS cleaned
+       |  FROM wordsall w
+       |  ANTI JOIN covered c ON c.doc_id = w.doc_id AND c.pos = w.pos
+       |  GROUP BY 1),
+       |cleanaff AS (
+       |  SELECT a.doc_id, COALESCE(k.cleaned, '') AS cleaned,
+       |    COALESCE(k.n_kept, 0) AS n_kept
+       |  FROM affected a LEFT JOIN keptagg k USING (doc_id))
+       |SELECT d.doc_id,
+       |  COALESCE(c.cleaned, d.text) AS text_clean,
+       |  CAST(length(string_split(d.text, ' '))
+       |    - COALESCE(c.n_kept, length(string_split(d.text, ' ')))
+       |    AS BIGINT) AS n_removed
+       |FROM documents d LEFT JOIN cleanaff c USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   // -- x38: product-quantization ANN (compressed-domain scale path) ------
@@ -2827,6 +2929,7 @@ object DedupQueries {
     "x6_dedup_simhash" -> x6DedupSimhash,
     "x7_ngram_jaccard" -> x7NgramJaccard,
     "x60_dup_spans" -> x60DupSpans,
+    "x61_span_excise" -> x61SpanExcise,
     "x16_dup_clusters" -> x16DupClusters,
     "x22_dup_clusters_star" -> x22DupClustersStar,
     "x20_decontaminate" -> x20Decontaminate,
@@ -2860,6 +2963,7 @@ object DedupQueries {
     "x6_dedup_simhash" -> x6Sql,
     "x7_ngram_jaccard" -> x7Sql,
     "x60_dup_spans" -> x60Sql,
+    "x61_span_excise" -> x61Sql,
     "x16_dup_clusters" -> x16Sql,
     "x22_dup_clusters_star" -> x16Sql, // identical labeling by design
     "x20_decontaminate" -> x20Sql,

@@ -775,6 +775,47 @@ class ExtSpec extends AnyFunSuite {
     assert(longest >= 50, s"longest reported span only $longest words")
   }
 
+  test("span excise: later copies cleaned, earlier copies untouched") {
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val out = DedupQueries.x61SpanExcise(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == texts.size, "every doc must come back")
+    val pairs = DedupQueries.x60DupSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val laterDocs = pairs.map(_._2).toSet
+    val earlierOnly = pairs.map(_._1).toSet -- laterDocs
+    var removedTotal = 0L
+    out.foreach { case (id, clean, removed) =>
+      val orig = texts(id).split(" ")
+      val kept = if (clean.isEmpty) Array.empty[String] else clean.split(" ")
+      assert(removed == orig.length - kept.length,
+        s"doc $id: removed=$removed but ${orig.length}->${kept.length}")
+      // cleaned text is a subsequence of the original words
+      var i = 0
+      kept.foreach { w =>
+        while (i < orig.length && orig(i) != w) i += 1
+        assert(i < orig.length, s"doc $id: cleaned not a subsequence")
+        i += 1
+      }
+      // keep-first policy: only LATER copies (x60's doc_b side) change
+      if (removed > 0) assert(laterDocs.contains(id),
+        s"doc $id cleaned but is no pair's later copy")
+      if (earlierOnly.contains(id))
+        assert(removed == 0 && clean == texts(id),
+          s"earlier copy $id was modified")
+      removedTotal += removed
+    }
+    assert(removedTotal > 0, "no spans excised at this SF — weak fixture")
+    // every later copy with a >= SpanMin span actually lost words
+    laterDocs.foreach { id =>
+      val r = out.find(_._1 == id).get
+      assert(r._3 >= DedupQueries.SpanMin,
+        s"later copy $id lost only ${r._3} words")
+    }
+  }
+
   test("kmeans train: all vectors assigned, training beats the seeds") {
     val out = DedupQueries.x59KmeansTrain(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
