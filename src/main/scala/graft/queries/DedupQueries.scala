@@ -1749,9 +1749,29 @@ object DedupQueries {
     * 1024 cells ride each shuffle and each driver collect regardless
     * of corpus size; the embedding table is scanned once per round.
     * That is the canonical distributed-k-means cost model. */
-  val x59KmeansTrain: QFn = (s, d) => {
+  /** Integer argmax-dot cluster pick (shared by the training rounds
+    * and the x62 assignment pass): highest dot wins, ties to the
+    * lowest cluster — the SQL (dot DESC, cluster) rank rule. */
+  private def bestCluster(books: Array[Array[Long]],
+      e: Array[Long]): (Int, Long) = {
+    var best = 0; var bestDot = Long.MinValue
+    var c = 0
+    while (c < books.length) {
+      var dot = 0L; var i = 0
+      val bc = books(c)
+      while (i < e.length) { dot += e(i) * bc(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    (best, bestDot)
+  }
+
+  /** Run the [[KmeansRounds]] Lloyd rounds; returns the trained
+    * centroid table and the last round's (cluster, dim) → (n, sum)
+    * aggregate. x59 reports this state; x62 assigns under it. */
+  private[graft] def kmeansFit(s: SparkSession, d: String)
+      : (Array[Array[Long]], Array[((Int, Int), (Long, Long))]) = {
     import s.implicits._
-    val nDim = 64
     val es = embRows(Tables.embeddings(s, d))
       .map { case (id, e) => (id, e.map(scale1e6)) }
       .localCheckpoint(true) // scanned once per round, not re-decoded
@@ -1761,16 +1781,7 @@ object DedupQueries {
     for (_ <- 1 to KmeansRounds) {
       val cb = s.sparkContext.broadcast(cs)
       agg = es.flatMap { case (_, e) =>
-        val books = cb.value
-        var best = 0; var bestDot = Long.MinValue
-        var c = 0
-        while (c < books.length) {
-          var dot = 0L; var i = 0
-          val bc = books(c)
-          while (i < e.length) { dot += e(i) * bc(i); i += 1 }
-          if (dot > bestDot) { bestDot = dot; best = c }
-          c += 1
-        }
+        val best = bestCluster(cb.value, e)._1
         e.iterator.zipWithIndex.map { case (v, dim) => (best, dim, v) }
       }.toDF("cluster", "dim", "scaled")
         .groupBy(col("cluster"), col("dim"))
@@ -1787,6 +1798,13 @@ object DedupQueries {
       }
       cs = next
     }
+    (cs, agg)
+  }
+
+  val x59KmeansTrain: QFn = (s, d) => {
+    import s.implicits._
+    val nDim = 64
+    val (cs, agg) = kmeansFit(s, d)
     val n = agg.map { case ((c, _), (cnt, _)) => (c, cnt) }.toMap
     val rows = for {
       c <- 0 until ivfCentroids.length
@@ -1796,11 +1814,32 @@ object DedupQueries {
       .orderBy(col("cluster"), col("dim"))
   }
 
+  /** x62 — the assignment pass under the TRAINED centroids: every
+    * vector labeled with its final cluster and integer dot — the
+    * (vec_id, cluster) table SemDeDup-style pipelines partition work
+    * by after training. One broadcast + one distributed map over the
+    * corpus; no shuffle at all beyond the presentation sort. */
+  val x62KmeansAssign: QFn = (s, d) => {
+    import s.implicits._
+    val (cs, _) = kmeansFit(s, d)
+    val cb = s.sparkContext.broadcast(cs)
+    embRows(Tables.embeddings(s, d))
+      .map { case (id, e) =>
+        val (c, dot) = bestCluster(cb.value, e.map(scale1e6))
+        (id, c.toLong, dot)
+      }
+      .toDF("vec_id", "cluster", "dot_s")
+      .orderBy(col("vec_id"))
+  }
+
   /** Oracle: the same [[KmeansRounds]] Lloyd rounds unrolled as CTE
     * blocks — integer dot assignment with (dot DESC, cluster) tiebreak,
     * round(sum/n) centroid update, empty clusters coalescing to their
     * previous value. */
-  val x59Sql: String = {
+  /** Shared CTE chain of the k-means recipe (scaled embeddings, seed
+    * centroids, all [[KmeansRounds]] unrolled rounds) — the x59 and x62
+    * oracles both start from it. */
+  private def kmeansCtesSql: String = {
     val seeds = ivfCentroids.map { case (ci, c) =>
       val arr = "[" + c.map(scale1e6).mkString(", ") + "]"
       s"SELECT $ci AS cluster, CAST(i - 1 AS BIGINT) AS dim, " +
@@ -1829,9 +1868,7 @@ object DedupQueries {
          |  FROM $prev c LEFT JOIN agg$r a
          |    ON a.cluster = c.cluster AND a.dim = c.dim)""".stripMargin
     }.mkString(",\n")
-    val last = s"c$KmeansRounds"
-    val lastAgg = s"agg$KmeansRounds"
-    s"""WITH es AS (
+    s"""es AS (
        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
        |    CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000)
        |      AS BIGINT) AS es
@@ -1839,12 +1876,36 @@ object DedupQueries {
        |    (SELECT unnest(range(1, length(embedding) + 1)) AS i) ix),
        |c0 AS (
        |  $seeds),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val x59Sql: String = {
+    val last = s"c$KmeansRounds"
+    val lastAgg = s"agg$KmeansRounds"
+    s"""WITH $kmeansCtesSql
        |SELECT CAST(c.cluster AS BIGINT) AS cluster, c.dim AS dim,
        |  COALESCE(a.n, 0) AS n_members, c.cs AS c_s
        |FROM $last c LEFT JOIN $lastAgg a
        |  ON a.cluster = c.cluster AND a.dim = c.dim
        |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Oracle for x62: one more integer-dot assignment CTE against the
+    * final round's centroids. */
+  val x62Sql: String = {
+    val last = s"c$KmeansRounds"
+    s"""WITH $kmeansCtesSql,
+       |dotF AS (
+       |  SELECT e.vec_id, c.cluster, CAST(SUM(e.es * c.cs) AS BIGINT) AS dot
+       |  FROM es e JOIN $last c ON c.dim = e.dim GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT vec_id, cluster, dot,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dot DESC, cluster) AS rk
+       |  FROM dotF)
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dot AS dot_s
+       |FROM ranked WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
   }
 
   // -- x60: cross-document duplicate spans (exact-substring dedup) -------
@@ -2048,6 +2109,38 @@ object DedupQueries {
        |FROM documents d LEFT JOIN cleanaff c USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  // -- x63: dedup audit rollup -------------------------------------------
+
+  /** x63 — the curation AUDIT artifact: per source, the document count,
+    * span-excision loss (x61's removed words) and affected-document
+    * count — the per-slice accounting table a curation run publishes
+    * next to its output so downstream consumers can see WHERE the
+    * dedup bit (reference analog: the per-visit counter rows `ap_proto`
+    * appends to its metrics table). Composition key: the scale story is
+    * x60/x61's; the rollup itself is one map-side-combined aggregate
+    * over ids-and-counts (text_clean is pruned out of the join by
+    * Catalyst — the audit never carries document text). */
+  val x63DedupAudit: QFn = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    x61SpanExcise(s, d)
+      .join(docs, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_removed")).as("words_removed"),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L))
+          .as("docs_affected"))
+      .orderBy(col("source"))
+  }
+
+  val x63Sql: String =
+    s"""SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(x.n_removed) AS BIGINT) AS words_removed,
+       |  CAST(SUM(CASE WHEN x.n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_affected
+       |FROM (${x61Sql.replace("\n", "\n  ")}) x
+       |JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -- x38: product-quantization ANN (compressed-domain scale path) ------
 
@@ -2930,6 +3023,8 @@ object DedupQueries {
     "x7_ngram_jaccard" -> x7NgramJaccard,
     "x60_dup_spans" -> x60DupSpans,
     "x61_span_excise" -> x61SpanExcise,
+    "x63_dedup_audit" -> x63DedupAudit,
+    "x62_kmeans_assign" -> x62KmeansAssign,
     "x16_dup_clusters" -> x16DupClusters,
     "x22_dup_clusters_star" -> x22DupClustersStar,
     "x20_decontaminate" -> x20Decontaminate,
@@ -2964,6 +3059,8 @@ object DedupQueries {
     "x7_ngram_jaccard" -> x7Sql,
     "x60_dup_spans" -> x60Sql,
     "x61_span_excise" -> x61Sql,
+    "x63_dedup_audit" -> x63Sql,
+    "x62_kmeans_assign" -> x62Sql,
     "x16_dup_clusters" -> x16Sql,
     "x22_dup_clusters_star" -> x16Sql, // identical labeling by design
     "x20_decontaminate" -> x20Sql,

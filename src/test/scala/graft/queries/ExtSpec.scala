@@ -853,6 +853,55 @@ class ExtSpec extends AnyFunSuite {
       s"training did not reduce WCSS: $wSeed -> $wTrained")
   }
 
+  test("kmeans assign: labels partition the corpus per x59's counts") {
+    val assign = DedupQueries.x62KmeansAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(assign.length == nVec)
+    assert(assign.map(_._1).distinct.length == assign.length)
+    // exact driver-side replay of the training recurrence: scaled
+    // embeddings, 3 Lloyd rounds with half-away rounding, then the
+    // final argmax assignment — x62 must match it row for row
+    val es = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray
+        .map(f => DedupQueries.scale1e6(f.toDouble))))
+    var cs = DedupQueries.ivfCentroids
+      .map { case (_, c) => c.map(DedupQueries.scale1e6) }
+    def best(e: Array[Long]): (Int, Long) =
+      cs.zipWithIndex.map { case (c, ci) =>
+        (ci, c.zip(e).map { case (a, b) => a * b }.sum)
+      }.maxBy { case (ci, dot) => (dot, -ci) }
+    for (_ <- 1 to DedupQueries.KmeansRounds) {
+      val members = es.groupBy { case (_, e) => best(e)._1 }
+      val next = cs.map(_.clone())
+      members.foreach { case (c, vs) =>
+        for (dim <- cs(c).indices) {
+          val q = vs.map(_._2(dim)).sum.toDouble / vs.length
+          next(c)(dim) =
+            (if (q >= 0) math.floor(q + 0.5) else math.ceil(q - 0.5)).toLong
+        }
+      }
+      cs = next
+    }
+    val expect = es.map { case (id, e) =>
+      val (c, dot) = best(e); (id, c.toLong, dot)
+    }.sortBy(_._1).toSeq
+    assert(assign.sortBy(_._1).toSeq == expect,
+      "x62 assignment diverged from the driver-side Lloyd replay")
+  }
+
+  test("dedup audit: per-source rollup sums to x61's totals") {
+    val audit = DedupQueries.x63DedupAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val excise = DedupQueries.x61SpanExcise(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(audit.map(_._2).sum == excise.length)
+    assert(audit.map(_._3).sum == excise.map(_._2).sum)
+    assert(audit.map(_._4).sum == excise.count(_._2 > 0))
+    assert(audit.map(_._3).sum > 0, "audit shows zero removal — vacuous")
+  }
+
   test("DSIR weights: target-language docs score above the rest") {
     val langs = Tables.documents(spark, sf)
       .select("doc_id", "lang").collect()
