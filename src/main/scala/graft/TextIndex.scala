@@ -53,6 +53,12 @@ object TextIndex {
     val dl = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
       .localCheckpoint(true) // consumed by the write AND the stats agg
+    // fail BEFORE any table is written: an empty corpus would otherwise
+    // leave a half-built index (postings but no meta) and a null Σdl
+    val statsRow = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .collect()(0)
+    require(statsRow.getLong(0) > 0,
+      s"TextIndex.build: input has no documents — refusing to build $dir")
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -60,12 +66,10 @@ object TextIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(s"$dir/postings")
     dl.write.mode(SaveMode.Overwrite).parquet(s"$dir/lengths")
-    val row = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .collect()(0)
     org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(dl)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "meta.json"),
-      s"""{"n_docs":${row.getLong(0)},"sum_dl":${row.getLong(1)},"buckets":$TermBuckets}""")
+      s"""{"n_docs":${statsRow.getLong(0)},"sum_dl":${statsRow.getLong(1)},"buckets":$TermBuckets}""")
   }
 
   private def meta(dir: String): (Long, Long, Int) = {

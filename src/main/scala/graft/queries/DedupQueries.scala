@@ -2039,10 +2039,15 @@ object DedupQueries {
     * the end; untouched docs never shuffle their text. */
   val x61SpanExcise: QFn = (s, d) => {
     val docs = Tables.documents(s, d)
+    // span-bounded rows, checkpointed: three chains (covered positions,
+    // affected-doc list and through it the words join) would otherwise
+    // each re-run the gram self-join + run-detection window (x58's
+    // multi-consumer rule)
     val spans = spanRuns(s, d)
       .where(col("span_words") >= SpanMin)
       .select(col("doc_b").as("doc_id"),
         (col("start_a") - col("diag")).as("start"), col("span_words"))
+      .localCheckpoint(true)
     val covered = spans
       .select(col("doc_id"),
         explode(expr("sequence(start, start + span_words - 1)")).as("pos"))

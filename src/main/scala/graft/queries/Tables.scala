@@ -35,6 +35,15 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // cast(NTZ -> timestamp) interprets the wall-clock in the
+        // SESSION zone; every graft session pins UTC, and a non-UTC
+        // caller would silently shift every event by its zone offset
+        // (the nanos branch has no such dependence) — fail loudly
+        // instead of corrupting
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events: TIMESTAMP_NTZ data requires " +
+            "spark.sql.session.timeZone=UTC (got '" +
+            s.conf.get("spark.sql.session.timeZone") + "')")
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
