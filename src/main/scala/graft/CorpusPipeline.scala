@@ -13,7 +13,7 @@ import graft.queries.{DedupQueries, Tables, TextQueries}
   *   2. quality threshold (x10 heuristics)
   *   3. repetition filter (x21 Gopher-style repeated-n-gram rule)
   *   4. PII scrub (x27 regex redaction — before the in-pipeline
-  *      content hashing of stages 5-7; the id-keyed stages 8-9
+  *      content hashing of stages 5-8; the id-keyed stages 9-10
   *      deliberately fingerprint the original table text, see
   *      [[piiScrub]])
   *   5. exact dedup (x1 canonical-form content hash)
@@ -24,15 +24,19 @@ import graft.queries.{DedupQueries, Tables, TextQueries}
   *   7. line-level dedup (x26 C4 rule: a span that already occurred
   *      anywhere in the corpus is REMOVED from the document; docs that
   *      lose every span are dropped)
-  *   8. near-dup clustering (x7 pairs → x16 components), keep each
+  *   8. duplicate-span excision (x60/x61 ExactSubstr rule: maximal
+  *      shared runs ≥ SpanMin words cut from the later doc — catches
+  *      arbitrary-length plagiarized passages the fixed-width stages
+  *      6-7 quantize or miss)
+  *   9. near-dup clustering (x7 pairs → x16 components), keep each
   *      cluster's minimum SURVIVING member
-  *   9. semantic dedup (x30 embedding-LSH pairs → star-contraction
+  *  10. semantic dedup (x30 embedding-LSH pairs → star-contraction
   *      components; vec_id keys to doc_id for the embedded subset of
   *      the corpus — docs without an embedding pass through), keep
   *      each cluster's minimum surviving member
-  *  10. decontamination (x20 benchmark n-gram overlap)
-  *  11. per-source stratified sample (x17 ordering key)
-  *  12. train/val/test assignment (x28 hash split — an annotation, the
+  *  11. decontamination (x20 benchmark n-gram overlap)
+  *  12. per-source stratified sample (x17 ordering key)
+  *  13. train/val/test assignment (x28 hash split — an annotation, the
   *      one stage that widens the schema, so it runs last)
   *
   * Each filtering/rewriting stage is a DataFrame → DataFrame function
@@ -189,6 +193,47 @@ object CorpusPipeline {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** Cross-document duplicate-span excision over the CURRENT corpus
+    * (x60/x61's kernel, applied): every exactly-shared span ≥
+    * [[DedupQueries.SpanMin]] words is removed from the LATER document
+    * (keep-first — Lee et al.'s ExactSubstr policy), text rebuilt from
+    * the kept words, a doc excised to nothing drops out. Distinct from
+    * [[substringDedup]]/[[lineDedup]] (fixed-width windows, whole-doc
+    * or per-line granularity): this one finds MAXIMAL shared runs of
+    * any length on (pair, diagonal) anchors, so a 40-word plagiarized
+    * passage inside an otherwise-unique doc is cut exactly, not
+    * window-quantized. Span relation is pair-bounded and checkpointed;
+    * untouched docs ride through one left join. */
+  def spanExcise(docs: DataFrame): DataFrame = {
+    val spans = DedupQueries.spanRunsOf(docs)
+      .where(col("span_words") >= DedupQueries.SpanMin)
+      .select(col("doc_b").as("doc_id"),
+        (col("start_a") - col("diag")).as("start"), col("span_words"))
+      .localCheckpoint(true)
+    val covered = spans.select(col("doc_id"),
+        explode(expr("sequence(start, start + span_words - 1)")).as("pos"))
+      .distinct()
+    val affected = spans.select(col("doc_id")).distinct()
+      .withColumn("_aff", lit(true))
+    val words = docs.join(affected.drop("_aff"), "doc_id")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "word")
+    val cleaned = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(pos, word))), x -> x.word), ' ')")
+        .as("_clean"))
+    docs.join(cleaned, Seq("doc_id"), "left")
+      .join(affected, Seq("doc_id"), "left")
+      // affected + no kept words = excised to nothing -> drop the doc
+      .where(!coalesce(col("_aff"), lit(false)) || col("_clean").isNotNull)
+      .withColumn("text",
+        when(coalesce(col("_aff"), lit(false)), col("_clean"))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("_clean", "_aff")
+  }
+
   /** x28's deterministic hash split as a final annotation column
     * (shared expressions — thresholds/salt live in TextQueries). */
   def splitAssign(docs: DataFrame): DataFrame =
@@ -321,6 +366,7 @@ object CorpusPipeline {
       "exact_dedup" -> (exactDedup _),
       "substring_dedup" -> (substringDedup _),
       "line_dedup" -> (lineDedup _),
+      "span_excise" -> (spanExcise _),
       "near_dup_canonical" -> nearDupCanonical(s, d) _,
       "semantic_dedup" -> semanticDedup(s, d) _,
       "decontaminate" -> decontaminate(s, d) _,

@@ -1935,9 +1935,14 @@ object DedupQueries {
   /** Maximal shared-span runs per (pair, diagonal): (doc_a, doc_b,
     * diag, span_words, start_a). x60 aggregates these to pair-level
     * statistics; x61 excises the covered ranges from the later doc. */
-  private[graft] def spanRuns(s: SparkSession, d: String): DataFrame = {
+  private[graft] def spanRuns(s: SparkSession, d: String): DataFrame =
+    spanRunsOf(Tables.documents(s, d))
+
+  /** The span-run kernel over an arbitrary (doc_id, text) frame — the
+    * registry keys run it on the table; CorpusPipeline's span_excise
+    * stage runs it on the piped corpus. */
+  private[graft] def spanRunsOf(docs: DataFrame): DataFrame = {
     val g = SpanGram
-    val docs = Tables.documents(s, d)
     val gramCols = (0 until g).map(i => s"w[pos+$i]").mkString(", ")
     val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= g)

@@ -83,8 +83,8 @@ class CorpusPipelineSpec extends AnyFunSuite {
       lang = "en", minQuality = 0.2, samplePerSource = 50)
     assert(stats.map(_.stage) == Seq("language_filter", "quality_filter",
       "repetition_filter", "pii_scrub", "exact_dedup", "substring_dedup",
-      "line_dedup", "near_dup_canonical", "semantic_dedup", "decontaminate",
-      "stratified_sample", "split_assign"))
+      "line_dedup", "span_excise", "near_dup_canonical", "semantic_dedup",
+      "decontaminate", "stratified_sample", "split_assign"))
     stats.foreach(st => assert(st.rowsOut <= st.rowsIn, st.toString))
     assert(stats.head.rowsIn == 500)
     val out = curated.localCheckpoint(true)
@@ -271,5 +271,30 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val totalSpans = input.map { case (_, t) =>
       (t.split(" ").length - 1) / L + 1 }.sum
     assert(seen.size < totalSpans, "fixture exercised no dedup")
+  }
+
+  test("span excise stage agrees with x61 on the raw table") {
+    val docs = Tables.documents(spark, sf)
+    val got = CorpusPipeline.spanExcise(docs)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val x61 = graft.queries.DedupQueries.x61SpanExcise(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // same cleaned text per doc (x61 keeps fully-excised docs as empty
+    // rows; the stage drops them — the only allowed difference)
+    x61.foreach { case (id, clean, _) =>
+      if (clean.isEmpty) assert(!got.contains(id), s"empty doc $id kept")
+      else {
+        assert(got.contains(id), s"doc $id missing from stage output")
+        assert(got(id)._1 == clean, s"doc $id text diverges from x61")
+        assert(got(id)._2 == clean.length.toLong, s"doc $id n_chars stale")
+      }
+    }
+    assert(got.size <= x61.length)
+    // schema round-trips (the stage contract)
+    assert(CorpusPipeline.spanExcise(docs).columns.toSeq == docs.columns.toSeq)
+    // and it actually cut something at this SF
+    val removed = x61.map(_._3).sum
+    assert(removed > 0, "fixture exercised no excision")
   }
 }
