@@ -63,7 +63,12 @@ object CorpusSoak {
     val afterExact = timed("exact_dedup")(CorpusPipeline.exactDedup(corpus))
     val afterSub = timed("substring_dedup")(
       CorpusPipeline.substringDedup(afterExact))
-    timed("line_dedup")(CorpusPipeline.lineDedup(afterSub))
+    val afterLine = timed("line_dedup")(CorpusPipeline.lineDedup(afterSub))
+    // span excision sees the post-line-dedup corpus exactly as
+    // CorpusPipeline.run feeds it; by here the replica twins are gone
+    // (exact dedup), so the gram df-cap is measuring REAL sharing, not
+    // replication artifacts
+    timed("span_excise")(CorpusPipeline.spanExcise(afterLine))
     // sliding-window scoring over the FULL Nx corpus (the
     // n_tokens-per-doc row blowup is the stress here)
     val t0 = System.nanoTime()
