@@ -1630,7 +1630,53 @@ object TextQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // -- x64: leakage-safe split (cluster-level assignment) ----------------
+
+  /** x64 — leakage-safe train/val/test split: the assignment is a pure
+    * function of the near-dup CLUSTER id (x16's component label;
+    * singletons are their own cluster), so near-duplicate documents can
+    * never straddle train and test — the eval-contamination failure
+    * mode a doc-keyed split (x28) cannot rule out, and the reason
+    * production splits key on the canonical id. Same salt and 90/5/5
+    * thresholds as x28, applied to the cluster id: a singleton doc
+    * keeps exactly its x28 assignment; clustered docs inherit their
+    * canonical member's.
+    *
+    * Scale shape: x16's bounded-round propagation carries the scale
+    * story; the assignment itself is one ids-only left join plus pure
+    * column math — document text never enters the plan. */
+  val x64LeakageSafeSplit: QFn = (s, d) => {
+    val clusters = graft.queries.DedupQueries.x16DupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val bucket = expr(PortableHash.hex60(
+      "concat('x28:', CAST(cluster_id AS STRING))")) % 100
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        bucket.cast("long").as("bucket"),
+        splitNameCol(bucket).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x64Sql: String =
+    s"""SELECT doc_id, cluster_id, CAST(bucket AS BIGINT) AS bucket,
+       |  CASE WHEN bucket < 90 THEN 'train'
+       |       WHEN bucket < 95 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       |    ${PortableHash.duckHex60(
+            "'x28:' || CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)")} % 100
+       |      AS bucket
+       |  FROM documents d
+       |  LEFT JOIN (
+       |    ${graft.queries.DedupQueries.x16Sql.replace("\n", "\n    ")}) c
+       |    USING (doc_id))
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "x64_leakage_safe_split" -> x64LeakageSafeSplit,
     "x57_dsir_weights" -> x57DsirWeights,
     "x56_rrf_fusion" -> x56RrfFusion,
     "x55_phrase_search" -> x55PhraseSearch,
@@ -1662,6 +1708,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x64_leakage_safe_split" -> x64Sql,
     "x57_dsir_weights" -> x57Sql,
     "x56_rrf_fusion" -> x56Sql,
     "x55_phrase_search" -> x55Sql,

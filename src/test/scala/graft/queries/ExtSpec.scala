@@ -902,6 +902,37 @@ class ExtSpec extends AnyFunSuite {
     assert(audit.map(_._3).sum > 0, "audit shows zero removal — vacuous")
   }
 
+  test("leakage-safe split: no near-dup cluster straddles splits") {
+    val out = TextQueries.x64LeakageSafeSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length == nDocs)
+    // THE property: one split per cluster
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cid straddles splits: ${members.map(_._3).distinct}")
+    }
+    // singletons keep exactly their x28 assignment
+    val x28 = TextQueries.x28SplitAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val clustered = DedupQueries.x16DupClusters(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    out.filterNot(r => clustered.contains(r._1)).foreach { case (id, _, sp) =>
+      assert(sp == x28(id), s"singleton $id diverges from x28")
+    }
+    // the fixture must actually exercise the inheritance: some
+    // clustered doc's split differs from its own x28 assignment
+    assert(out.exists { case (id, cid, sp) =>
+      clustered.contains(id) && id != cid && sp != x28(id)
+    }, "no clustered doc inherited a different split — vacuous fixture")
+    // and the split proportions stay near 90/5/5
+    // loose sanity bound — cluster inheritance skews a 500-doc corpus
+    // a few points off 90/5/5 (observed 0.97 at sf0.01)
+    val trainShare = out.count(_._3 == "train").toDouble / out.length
+    assert(trainShare > 0.8 && trainShare < 1.0, s"train share $trainShare")
+    assert(out.exists(_._3 != "train"), "everything landed in train")
+  }
+
   test("DSIR weights: target-language docs score above the rest") {
     val langs = Tables.documents(spark, sf)
       .select("doc_id", "lang").collect()
