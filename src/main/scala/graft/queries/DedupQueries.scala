@@ -535,7 +535,7 @@ object DedupQueries {
     * distinct shuffle proportional to its own subset (the bench side is
     * 1/50 of the corpus — filtering after the shared distinct would
     * recompute the full-corpus shuffle per branch). */
-  private def gramsOf(docs: DataFrame): DataFrame =
+  private[queries] def gramsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 2)
@@ -596,13 +596,18 @@ object DedupQueries {
       .where(col("n_overlap") >= DecontamMinOverlap)
       .orderBy(col("doc_id"), col("bench_id"))
   }
-  val x20Sql =
-    s"""WITH grams AS (
+  /** The distinct (doc_id, hashed word bigram) CTE — the SQL mirror of
+    * [[gramsOf]], shared by x20's oracle and TextQueries' x65. */
+  private[queries] val gramsCteSql: String =
+    s"""grams AS (
        |  SELECT doc_id, unnest(list_distinct(
        |      list_transform(range(1, length(string_split(text, ' '))),
        |        i -> ${duckHex60("string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]")})))
        |      AS gram
-       |  FROM documents WHERE length(string_split(text, ' ')) >= 2)
+       |  FROM documents WHERE length(string_split(text, ' ')) >= 2)""".stripMargin
+
+  val x20Sql =
+    s"""WITH $gramsCteSql
        |SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_overlap
        |FROM grams c JOIN grams b ON c.gram = b.gram
        |WHERE b.doc_id % $DecontamEvery = 0 AND c.doc_id % $DecontamEvery <> 0

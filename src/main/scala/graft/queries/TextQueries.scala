@@ -1286,8 +1286,10 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_logp_s"))
       .orderBy(col("doc_id"))
   }
-  val x53Sql: String =
-    """WITH toks AS (
+  /** x53's CTE chain ending in per-bigram scaled log-probs (`lp`) plus a
+    * per-doc rollup (`lmscore`) — shared by x53's oracle and x68's. */
+  val x53CteBody: String =
+    """toks AS (
       |  SELECT doc_id, string_split(
       |    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ') AS t
       |  FROM documents),
@@ -1306,10 +1308,15 @@ object TextQueries {
       |  SELECT big.doc_id,
       |    CAST(round(ln((cab.c_ab + 1.0) / (ca.c_a + v.v)) * 1000000.0)
       |      AS BIGINT) AS lp
-      |  FROM big JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      |  CAST(SUM(lp) AS BIGINT) AS sum_logp_s
-      |FROM lp GROUP BY doc_id
+      |  FROM big JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v),
+      |lmscore AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(lp) AS BIGINT) AS sum_logp_s
+      |  FROM lp GROUP BY doc_id)""".stripMargin
+  val x53Sql: String =
+    s"""WITH $x53CteBody
+      |SELECT doc_id, n_bigrams, sum_logp_s
+      |FROM lmscore
       |ORDER BY doc_id""".stripMargin
 
   // -- x54: Count-Min sketch term frequencies ----------------------------
@@ -1675,7 +1682,269 @@ object TextQueries {
        |    USING (doc_id))
        |ORDER BY doc_id""".stripMargin
 
+  // -- x65: per-document contamination fraction ---------------------------
+
+  /** x65 — graded eval-set contamination score: for every corpus
+    * document, the fraction of its distinct word bigrams that also occur
+    * anywhere in the held-out benchmark slice (x20's every-50th-doc
+    * fixture). x20 answers "which docs cross the removal threshold";
+    * this is the CONTINUOUS per-doc overlap score contamination ANALYSES
+    * publish (the GPT-3/PaLM appendix shape: distribution of train–test
+    * overlap, not just a cut list) — the quantity you tune x20's
+    * threshold against.
+    *
+    * Scale shape: identical to x20 — the bench side collapses to a
+    * DISTINCT gram set (benchmark suites are tiny vs the corpus), is
+    * BROADCAST, and the corpus-side scan stays embarrassingly parallel:
+    * one left-semi probe + one map-side-combined per-doc count; the
+    * corpus never shuffles by gram. The left join that re-attaches
+    * zero-hit docs runs on per-doc COUNTS (rows = docs, not grams). */
+  val x65ContaminationFrac: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bench = DedupQueries.gramsOf(
+        docs.where(col("doc_id") % DedupQueries.DecontamEvery === 0))
+      .select(col("gram")).distinct()
+    val corpus = DedupQueries.gramsOf(
+      docs.where(col("doc_id") % DedupQueries.DecontamEvery =!= 0))
+    val totals = corpus.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = corpus.join(broadcast(bench), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contamination_frac",
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        col("contamination_frac"))
+      .orderBy(col("doc_id"))
+  }
+  val x65Sql: String =
+    s"""WITH ${DedupQueries.gramsCteSql},
+       |bench AS (SELECT DISTINCT gram FROM grams
+       |          WHERE doc_id % ${DedupQueries.DecontamEvery} = 0),
+       |corpus AS (SELECT doc_id, gram FROM grams
+       |           WHERE doc_id % ${DedupQueries.DecontamEvery} <> 0)
+       |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(COUNT(b.gram) AS BIGINT) AS n_hit,
+       |  COUNT(b.gram) / CAST(COUNT(*) AS DOUBLE) AS contamination_frac
+       |FROM corpus c LEFT JOIN bench b USING (gram)
+       |GROUP BY c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
+  // -- x66: Gopher-style quality rule battery ----------------------------
+
+  /** The Gopher rule-battery stopword list (Rae et al. 2021 §A.1.1 uses
+    * the, be, to, of, and, that, have, with): a doc must contain at
+    * least [[GopherMinStopwords]] of these. The article "a" is added
+    * because the synthetic fixture's vocabulary carries only {the, a}
+    * as function words — without it the rule is constant-false and the
+    * battery never exercises its pass branch. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopwords = 2
+
+  /** x66 — the Gopher/MassiveText quality RULE BATTERY (Rae et al. 2021
+    * §A.1.1), the standard web-corpus document filter: word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio (# and … ),
+    * fraction of words with an alphabetic character, and stopword
+    * presence — each rule as its own flag plus the conjunction, so
+    * downstream selection can relax single rules (x10 is a combined
+    * SCORE; this is the pass/fail battery production pipelines ship).
+    *
+    * Scale shape: pure per-row codegen'd column math over one scan —
+    * zero shuffles beyond the presentation sort, embarrassingly parallel
+    * at any corpus size; at 100 TB this runs as a map-only stage fused
+    * into whatever consumes it. */
+  val x66QualityRules: QFn = (s, d) => {
+    val stopArr = GopherStopwords.map(w => s"'$w'")
+      .mkString("array(", ", ", ")")
+    Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_word_chars",
+        expr("aggregate(w, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"))
+      .withColumn("n_alpha_words",
+        expr("size(filter(w, x -> x rlike '[a-zA-Z]'))").cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter($stopArr, sw -> array_contains(w, sw)))")
+          .cast("long"))
+      .withColumn("n_symbols",
+        (length(col("text")) - length(expr("replace(text, '#', '')")) +
+          expr("(length(text) - length(replace(text, '...', ''))) DIV 3"))
+          .cast("long"))
+      .withColumn("mean_word_len",
+        col("n_word_chars").cast("double") / col("n_words").cast("double"))
+      .withColumn("symbol_ratio",
+        col("n_symbols").cast("double") / col("n_words").cast("double"))
+      .withColumn("alpha_frac",
+        col("n_alpha_words").cast("double") / col("n_words").cast("double"))
+      .withColumn("rule_words", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("rule_mean_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("rule_symbols", col("symbol_ratio") < 0.1)
+      .withColumn("rule_alpha", col("alpha_frac") > 0.8)
+      .withColumn("rule_stop", col("n_stop") >= GopherMinStopwords)
+      .withColumn("pass_gopher",
+        col("rule_words") && col("rule_mean_len") && col("rule_symbols") &&
+          col("rule_alpha") && col("rule_stop"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_frac"), col("n_stop"),
+        col("rule_words"), col("rule_mean_len"), col("rule_symbols"),
+        col("rule_alpha"), col("rule_stop"), col("pass_gopher"))
+      .orderBy(col("doc_id"))
+  }
+  val x66Sql: String = {
+    val stopList = GopherStopwords.map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       |  n_stop, rule_words, rule_mean_len, rule_symbols, rule_alpha,
+       |  rule_stop,
+       |  (rule_words AND rule_mean_len AND rule_symbols AND rule_alpha
+       |    AND rule_stop) AS pass_gopher
+       |FROM (
+       |  SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       |    n_stop,
+       |    (n_words >= 50 AND n_words <= 100000) AS rule_words,
+       |    (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_mean_len,
+       |    (symbol_ratio < 0.1) AS rule_symbols,
+       |    (alpha_frac > 0.8) AS rule_alpha,
+       |    (n_stop >= $GopherMinStopwords) AS rule_stop
+       |  FROM (
+       |    SELECT doc_id, n_words,
+       |      n_word_chars / CAST(n_words AS DOUBLE) AS mean_word_len,
+       |      n_symbols / CAST(n_words AS DOUBLE) AS symbol_ratio,
+       |      n_alpha_words / CAST(n_words AS DOUBLE) AS alpha_frac,
+       |      n_stop
+       |    FROM (
+       |      SELECT doc_id,
+       |        CAST(length(w) AS BIGINT) AS n_words,
+       |        CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+       |          AS BIGINT) AS n_word_chars,
+       |        CAST(length(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+       |          AS BIGINT) AS n_alpha_words,
+       |        CAST(length(list_filter($stopList,
+       |          sw -> list_contains(w, sw))) AS BIGINT) AS n_stop,
+       |        CAST(length(text) - length(replace(text, '#', ''))
+       |          + (length(text) - length(replace(text, '...', ''))) // 3
+       |          AS BIGINT) AS n_symbols
+       |      FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+       |            FROM documents))))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -- x67: within-document duplicate-segment character fraction ---------
+
+  /** x67 — Gopher's "fraction of characters in duplicate lines" repetition
+    * signal, at x26's span granularity: per document, the fraction of
+    * characters living in segments whose content already occurred EARLIER
+    * IN THE SAME DOCUMENT (first occurrence is not duplicate). x21 flags
+    * repeated BIGRAMS, x26 dedups lines across the CORPUS; this is the
+    * within-doc, character-weighted form the Gopher battery (x66) cuts on.
+    *
+    * Scale shape: segments never leave their document — the row_number
+    * window partitions by (doc_id, line_h), so after the one shuffle by
+    * doc-scoped key every partition holds single-document groups;
+    * per-doc rollup is map-side combinable. Shares [[segmentSpans]] with
+    * x26 so the segmentation recipe can never diverge. */
+  val x67DupSegmentChars: QFn = (s, d) => {
+    val segs = segmentSpans(Tables.documents(s, d))
+      .select(col("doc_id"), col("seg"), col("line_h"),
+        length(col("line")).cast("long").as("n_chars"))
+    val w = Window.partitionBy(col("doc_id"), col("line_h"))
+      .orderBy(col("seg"))
+    segs.withColumn("occ", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("n_chars")).as("n_chars_total"),
+        sum(when(col("occ") > 1, col("n_chars")).otherwise(0L))
+          .as("n_chars_dup"))
+      .withColumn("dup_char_frac",
+        when(col("n_chars_total") > 0,
+          col("n_chars_dup").cast("double")
+            / col("n_chars_total").cast("double")).otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_segments"), col("n_chars_total"),
+        col("n_chars_dup"), col("dup_char_frac"))
+      .orderBy(col("doc_id"))
+  }
+  val x67Sql: String =
+    s"""WITH segs AS (
+       |  SELECT doc_id, seg,
+       |    array_to_string(list_slice(w, seg * $LineWords + 1,
+       |      seg * $LineWords + $LineWords), ' ') AS line
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+       |          unnest(range(0, (length(string_split(text, ' ')) - 1)
+       |            // $LineWords + 1)) AS seg
+       |        FROM documents
+       |        WHERE length(string_split(text, ' ')) >= 1)),
+       |occ AS (
+       |  SELECT doc_id, CAST(length(line) AS BIGINT) AS n_chars,
+       |    row_number() OVER (PARTITION BY doc_id,
+       |      ${PortableHash.duckHex60("line")} ORDER BY seg) AS occ
+       |  FROM segs)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       |  CAST(SUM(CASE WHEN occ > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS n_chars_dup,
+       |  CASE WHEN SUM(n_chars) > 0
+       |    THEN SUM(CASE WHEN occ > 1 THEN n_chars ELSE 0 END)
+       |      / CAST(SUM(n_chars) AS DOUBLE)
+       |    ELSE 0.0 END AS dup_char_frac
+       |FROM occ GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // -- x68: CCNet-style perplexity buckets --------------------------------
+
+  /** x68 — CCNet's head/middle/tail output (Wenzek et al. 2020): within
+    * each source (CCNet partitions by language; the corpus' per-domain
+    * `source` is the analogous stratum here), rank documents by the x53
+    * bigram-LM average log-probability and cut into TERTILES — `head`
+    * (most LM-like, kept for pretraining), `middle`, `tail` (cut or
+    * down-weighted). The bucket label, not the raw score, is what the
+    * curation pipeline joins on.
+    *
+    * Scale shape: x53 carries the heavy lifting (one corpus groupBy,
+    * vocab²-bounded shuffles); this adds one ids-only join for the
+    * source column and ONE window over (source) — per-doc score rows,
+    * never text or tokens. At 100 TB the ntile window shuffles one
+    * narrow row per document; the sort within each source partition is
+    * the irreducible cost of exact tertiles (an approximate variant
+    * would reuse x37's mergeable histogram to pick cut points). */
+  val x68PplBuckets: QFn = (s, d) => {
+    val scores = x53LmScore(s, d)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("avg_logp").desc, col("doc_id"))
+    scores.join(src, "doc_id")
+      .withColumn("avg_logp",
+        col("sum_logp_s").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .withColumn("ppl_bucket",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail"))
+      .select(col("source"), col("doc_id"), col("n_bigrams"),
+        col("sum_logp_s"), col("avg_logp"), col("bucket"), col("ppl_bucket"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+  val x68Sql: String =
+    s"""WITH $x53CteBody
+       |SELECT source, doc_id, n_bigrams, sum_logp_s, avg_logp,
+       |  CAST(bucket AS BIGINT) AS bucket,
+       |  CASE WHEN bucket = 1 THEN 'head'
+       |       WHEN bucket = 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       |FROM (
+       |  SELECT d.source, s.doc_id, s.n_bigrams, s.sum_logp_s,
+       |    s.sum_logp_s / CAST(s.n_bigrams AS DOUBLE) AS avg_logp,
+       |    ntile(3) OVER (PARTITION BY d.source
+       |      ORDER BY s.sum_logp_s / CAST(s.n_bigrams AS DOUBLE) DESC,
+       |        s.doc_id) AS bucket
+       |  FROM lmscore s JOIN documents d USING (doc_id))
+       |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "x68_ppl_buckets" -> x68PplBuckets,
+    "x67_dup_segment_chars" -> x67DupSegmentChars,
+    "x66_quality_rules" -> x66QualityRules,
+    "x65_contamination_frac" -> x65ContaminationFrac,
     "x64_leakage_safe_split" -> x64LeakageSafeSplit,
     "x57_dsir_weights" -> x57DsirWeights,
     "x56_rrf_fusion" -> x56RrfFusion,
@@ -1708,6 +1977,10 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x68_ppl_buckets" -> x68Sql,
+    "x67_dup_segment_chars" -> x67Sql,
+    "x66_quality_rules" -> x66Sql,
+    "x65_contamination_frac" -> x65Sql,
     "x64_leakage_safe_split" -> x64Sql,
     "x57_dsir_weights" -> x57Sql,
     "x56_rrf_fusion" -> x56Sql,

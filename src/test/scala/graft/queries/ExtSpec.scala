@@ -991,4 +991,113 @@ class ExtSpec extends AnyFunSuite {
       assert(exact >= 0.5, s"pair ($a,$b) est>=0.95 but exact $exact")
     }
   }
+
+  test("contamination fraction: graded score consistent with x20's cut") {
+    val frac = TextQueries.x65ContaminationFrac(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(frac.nonEmpty)
+    frac.foreach { case (id, nGrams, nHit, f) =>
+      assert(id % DedupQueries.DecontamEvery != 0, "bench doc in corpus side")
+      assert(nHit >= 0 && nHit <= nGrams, s"doc $id: $nHit of $nGrams")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(math.abs(f - nHit.toDouble / nGrams) < 1e-12)
+    }
+    // every doc x20 flags (>= threshold overlap with ONE bench doc) must
+    // score at least that overlap against the bench UNION here
+    val flagged = DedupQueries.x20Decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (id, rows) => id -> rows.map(_._2).max }
+    assert(flagged.nonEmpty, "x20 fixture found no contaminated docs")
+    val byId = frac.map(r => (r._1, r._3)).toMap
+    flagged.foreach { case (id, maxOverlap) =>
+      assert(byId(id) >= maxOverlap,
+        s"doc $id: union hit count ${byId(id)} < per-bench max $maxOverlap")
+    }
+    // the score must actually grade: some unflagged doc has 0 < frac
+    assert(frac.exists(r => !flagged.contains(r._1) && r._3 > 0),
+      "no sub-threshold contamination measured — score degenerates to x20")
+  }
+
+  test("quality rules: flags recompute from the text, battery non-trivial") {
+    val out = TextQueries.x66QualityRules(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length == nDocs)
+    val text = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val stop = TextQueries.GopherStopwords.toSet
+    out.take(200).foreach { r =>
+      val (id, nWords) = (r.getLong(0), r.getLong(1))
+      // split(text, ' ') keeps trailing empties in Spark SQL → limit -1
+      val w = text(id).split(" ", -1)
+      assert(nWords == w.length, s"doc $id word count")
+      val meanLen = w.map(_.length).sum.toDouble / w.length
+      assert(math.abs(r.getDouble(2) - meanLen) < 1e-9, s"doc $id mean len")
+      val alphaFrac = w.count(_.exists(_.isLetter)).toDouble / w.length
+      assert(math.abs(r.getDouble(4) - alphaFrac) < 1e-9, s"doc $id alpha")
+      val nStop = stop.count(w.contains)
+      assert(r.getLong(5) == nStop, s"doc $id stopwords")
+      assert(r.getBoolean(6) == (nWords >= 50 && nWords <= 100000))
+      assert(r.getBoolean(7) == (meanLen >= 3.0 && meanLen <= 10.0))
+      assert(r.getBoolean(10) == (nStop >= TextQueries.GopherMinStopwords))
+      assert(r.getBoolean(11) == (r.getBoolean(6) && r.getBoolean(7) &&
+        r.getBoolean(8) && r.getBoolean(9) && r.getBoolean(10)))
+    }
+    // the battery must separate, not rubber-stamp: both outcomes occur
+    assert(out.exists(_.getBoolean(11)), "no doc passes the battery")
+    assert(out.exists(r => !r.getBoolean(11)), "every doc passes — vacuous")
+  }
+
+  test("dup segment chars: fraction recomputes from the raw segmentation") {
+    val out = TextQueries.x67DupSegmentChars(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    val text = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    out.take(100).foreach { case (id, nSegs, total, dup, frac) =>
+      val segs = text(id).split(" ", -1).grouped(TextQueries.LineWords)
+        .map(_.mkString(" ")).toSeq
+      assert(nSegs == segs.length, s"doc $id segment count")
+      assert(total == segs.map(_.length).sum, s"doc $id total chars")
+      // duplicate chars: every occurrence AFTER the first of a content
+      val expectDup = segs.groupBy(identity).values
+        .map(g => (g.size - 1) * g.head.length).sum
+      assert(dup == expectDup, s"doc $id dup chars")
+      assert(dup <= total)
+      if (total > 0)
+        assert(math.abs(frac - dup.toDouble / total) < 1e-12)
+    }
+    // the corpus' planted near-dups repeat content ACROSS docs, not
+    // within — within-doc repetition must still occur somewhere (3-word
+    // spans recur in natural-ish synthetic text) but not dominate
+    assert(out.exists(_._4 > 0), "no within-doc duplicate segments found")
+    assert(out.count(_._5 > 0.5) < out.length / 2, "most docs >50% dup?")
+  }
+
+  test("ppl buckets: balanced tertiles ordered by average log-prob") {
+    val out = TextQueries.x68PplBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4), r.getLong(5),
+        r.getString(6)))
+    assert(out.nonEmpty)
+    // bucket id <-> name mapping is fixed
+    out.foreach { case (_, _, _, b, name) =>
+      assert(Seq(1L -> "head", 2L -> "middle", 3L -> "tail")
+        .toMap.apply(b) == name)
+    }
+    // every x53-scored doc appears exactly once
+    val scored = TextQueries.x53LmScore(spark, sf).count()
+    assert(out.length == scored)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      // ntile balance: sizes differ by at most 1
+      val sizes = rows.groupBy(_._4).view.mapValues(_.size)
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"source $src tertiles unbalanced: $sizes")
+      // CCNet ordering: every head score >= every middle >= every tail
+      def avgs(b: Long) = rows.filter(_._4 == b).map(_._3)
+      if (avgs(1).nonEmpty && avgs(2).nonEmpty)
+        assert(avgs(1).min >= avgs(2).max, s"source $src head < middle")
+      if (avgs(2).nonEmpty && avgs(3).nonEmpty)
+        assert(avgs(2).min >= avgs(3).max, s"source $src middle < tail")
+    }
+  }
 }
