@@ -36,7 +36,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // table — the same declarative alternative to a driver collect
     "x57_dsir_weights",
     // embeds x51 as its lexical arm, inheriting its one-row cross join
-    "x56_rrf_fusion")
+    "x56_rrf_fusion",
+    // embeds x53 as its scoring stage, inheriting its one-row cross join
+    "x68_ppl_buckets")
 
   test("no registered query plans a CartesianProduct") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
