@@ -23,11 +23,13 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.GeoQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.MiningQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.GeoQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
-      graft.queries.TextQueries.oracleSql
+      graft.queries.TextQueries.oracleSql ++
+      graft.queries.MiningQueries.oracleSql
 }

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.PortableHash.{hex60, duckHex60}
+
+/** Corpus-mining extensions past x68: string-similarity joins, phrase
+  * mining, dimensionality reduction, and dedup-driven reweighting —
+  * the operators a curation stack reaches for between "dedup" and
+  * "train". All arithmetic is the repo-standard portable form
+  * (integer counts, md5-derived randomness, `round(ln(...), 6)`) so
+  * every key carries an exact DuckDB oracle.
+  */
+object MiningQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  // -- x69: edit-distance similarity self-join ---------------------------
+
+  /** x69 — ED≤1 string-similarity self-join over customer names by
+    * deletion-neighborhood signatures (the FastSS construction): each
+    * name emits itself plus its |name| single-character-deletion
+    * variants; any two strings within Levenshtein distance 1 MUST share
+    * a signature (substitution at i ⟹ both deletion-at-i variants
+    * equal; insertion/deletion ⟹ the shorter string IS a deletion
+    * variant of the longer), so the signature equi-join is a COMPLETE
+    * candidate generator and the `levenshtein` refine makes the result
+    * exact — no all-pairs comparison anywhere.
+    *
+    * Scale shape: the shuffle is by signature — (len+1) rows per name,
+    * linear in the corpus — and signature groups are tiny for natural
+    * name data, with the dedup skew guard ([[DedupQueries.bucketSelfJoin]])
+    * sharding any boilerplate-hot signature in-plan. The refine is a
+    * codegen'd `levenshtein` on candidate pairs only. At 100 TB this is
+    * the canonical entity-resolution join: no candidate pair ever forms
+    * across signatures, so cluster-wide cost is Σ|group|², not N². */
+  val x69FuzzyJoin: QFn = (s, d) => {
+    val names = Tables.customer(s, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // i = 0 keeps the identity signature; i = k deletes character k
+    // deleting different characters of a run (e.g. the zero padding in
+    // 'Customer#000000042') yields the SAME variant — dedup (id, sig)
+    // up front or those duplicates multiply QUADRATICALLY in the join
+    // (each bucket pair forms dup_a × dup_b candidate rows)
+    val sigs = names
+      .select(col("id"), col("name"),
+        explode(expr("sequence(0, length(name))")).as("i"))
+      .select(col("id"), col("name"),
+        when(col("i") === 0, col("name"))
+          .otherwise(concat(expr("substring(name, 1, i - 1)"),
+            expr("substring(name, i + 1, length(name))"))).as("sig"))
+      .dropDuplicates("id", "sig")
+    val a = sigs.select(col("sig"), col("id").as("id_a"), col("name").as("name_a"))
+    val b = sigs.select(col("sig"), col("id").as("id_b"), col("name").as("name_b"))
+    DedupQueries.bucketSelfJoin(s, a, b, Seq("sig"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("edit_dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+      .dropDuplicates("id_a", "id_b")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  /** The oracle is the brute-force definition the signature join must
+    * reproduce exactly (cross join is fine at oracle scale). */
+  val x69Sql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+      |FROM customer a, customer b
+      |WHERE a.c_custkey < b.c_custkey
+      |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |  AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // -- x70: PMI collocation mining ---------------------------------------
+
+  /** Minimum bigram count for a collocation candidate — cuts the output
+    * to phrases with statistical support (the word2vec phrase-mining
+    * threshold δ). */
+  val PmiMinCount = 5
+
+  /** x70 — pointwise-mutual-information collocation mining (the
+    * word2vec/Mikolov phrase-detection preprocessing step): count word
+    * bigrams and unigrams over the corpus token stream, then score
+    * each frequent bigram by
+    * `pmi = ln( p(ab) / (p(a)·p(b)) )` with `p(ab) = c_ab/N_bigrams`
+    * and `p(w) = c_w/N_tokens`. High-PMI pairs are merged into phrase
+    * tokens before tokenizer/embedding training.
+    *
+    * Scale shape: two map-side-combined counting aggregations (bigram,
+    * unigram) — the only shuffles are by gram key, rows bounded by
+    * vocab² and vocab. The unigram table is vocab-sized and broadcast
+    * back onto the bigram table twice; the corpus-size scalars attach
+    * as one-row broadcast cross joins (the declarative alternative to
+    * a driver collect). Nothing ever shuffles per-token rows except
+    * the two counting exchanges. */
+  val x70PmiCollocations: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val uni = toks.select(explode(col("w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val big = toks.where(size(col("w")) >= 2)
+      .select(col("w"), explode(expr("sequence(0, size(w) - 2)")).as("i"))
+      .select(expr("w[i]").as("wa"), expr("w[i+1]").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_pair"))
+    val nTok = uni.agg(sum(col("c_w")).as("n_tok"))
+    val nBig = big.agg(sum(col("n_pair")).as("n_big"))
+    big.where(col("n_pair") >= PmiMinCount)
+      .join(broadcast(uni.select(col("w").as("wa"), col("c_w").as("c_a"))), "wa")
+      .join(broadcast(uni.select(col("w").as("wb"), col("c_w").as("c_b"))), "wb")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBig))
+      .select(col("wa"), col("wb"), col("n_pair"),
+        round(log(col("n_pair").cast("double") * col("n_tok") * col("n_tok")
+          / (col("n_big").cast("double") * col("c_a") * col("c_b"))), 6)
+          .as("pmi"))
+      .orderBy(col("wa"), col("wb"))
+  }
+  val x70Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |uni AS (
+       |  SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS c_w
+       |  FROM (SELECT unnest(w) AS u FROM toks) GROUP BY u),
+       |big AS (
+       |  SELECT w[i] AS wa, w[i + 1] AS wb, CAST(COUNT(*) AS BIGINT) AS n_pair
+       |  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM toks
+       |        WHERE length(w) >= 2)
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tok FROM uni),
+       |totb AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_big FROM big)
+       |SELECT wa, wb, n_pair,
+       |  round(ln(CAST(n_pair AS DOUBLE) * n_tok * n_tok
+       |    / (CAST(n_big AS DOUBLE) * ca.c_w * cb.c_w)), 6) AS pmi
+       |FROM big JOIN uni ca ON ca.w = big.wa
+       |JOIN uni cb ON cb.w = big.wb, tot, totb
+       |WHERE n_pair >= $PmiMinCount
+       |ORDER BY wa, wb""".stripMargin
+
+  // -- x72: Johnson–Lindenstrauss random projection -----------------------
+
+  /** Output dimensionality of the JL projection. */
+  val JlDims = 16
+
+  /** Input embedding dimensionality (the embeddings table contract). */
+  val EmbDims = 64
+
+  /** The ±1 projection matrix entry for (output dim i, input dim j) —
+    * md5-derived so the SAME matrix is constructible in any engine
+    * (here: computed once on the driver and baked into the plan as
+    * literals; the oracle derives it in SQL from the same md5). */
+  private def jlSign(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"jl_${i}_$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0
+    else -1.0
+  }
+
+  /** x72 — Johnson–Lindenstrauss random projection of the embedding
+    * column to [[JlDims]] dims with a seeded ±1 (Achlioptas) matrix:
+    * the standard cheap dimensionality reduction in front of clustering
+    * or LSH when 64–1024-dim embeddings are too wide to shuffle. The
+    * matrix entries are md5-derived, so Spark bakes them into the plan
+    * as LITERALS — the projection is pure codegen'd column math, no
+    * matrix table, no join, no UDF.
+    *
+    * Scale shape: map-only — zero data shuffle (spec-pinned alongside
+    * x27–x29); the one range exchange is the presentation sort. Long
+    * form (vec_id, dim, value) costs a 16× posexplode; a training
+    * pipeline that wants the wide row keeps the pre-explode array. */
+  val x72JlProjection: QFn = (s, d) => {
+    val projected = (0 until JlDims).map { i =>
+      (0 until EmbDims).map { j =>
+        element_at(col("embedding"), j + 1).cast("double") * lit(jlSign(i, j))
+      }.reduce(_ + _)
+    }
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(array(projected: _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        round(col("col"), 6).as("value"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+  val x72Sql: String =
+    s"""WITH sgn AS (
+       |  SELECT i, j,
+       |    CASE WHEN CAST('0x' || substr(md5(
+       |        'jl_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+       |        1, 15) AS BIGINT) % 2 = 0
+       |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sg
+       |  FROM range(0, $JlDims) t1(i), range(0, $EmbDims) t2(j)),
+       |e AS (
+       |  SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding, unnest(range(0, $EmbDims)) AS j
+       |        FROM embeddings))
+       |SELECT vec_id, CAST(i AS BIGINT) AS dim, round(SUM(x * sg), 6) AS value
+       |FROM e JOIN sgn USING (j)
+       |GROUP BY vec_id, i
+       |ORDER BY vec_id, dim""".stripMargin
+
+  // -- x73: soft-dedup reweighting ---------------------------------------
+
+  /** x73 — soft deduplication (down-weighting instead of removal): every
+    * document keeps a training weight `1 / |near-dup cluster|` from the
+    * x16 clustering, so each duplicate CLUSTER contributes one
+    * document's worth of gradient regardless of its copy count — the
+    * reweighting alternative to hard removal when near-dups carry
+    * complementary content. Singletons (docs in no near-dup pair) weigh
+    * 1.0.
+    *
+    * Scale shape: x16 carries the clustering cost; this adds one
+    * broadcast-sized join of per-cluster sizes back onto the corpus
+    * id stream (cluster labels are ids-only rows). */
+  val x73SoftDedupWeights: QFn = (s, d) => {
+    val clusters = DedupQueries.x16DupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("cluster_size"), lit(1L)).cast("double"), 6)
+          .as("weight"))
+      .orderBy(col("doc_id"))
+  }
+  val x73Sql: String =
+    s"""SELECT d.doc_id,
+       |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       |  CAST(COALESCE(c.cluster_size, 1) AS BIGINT) AS cluster_size,
+       |  round(CAST(1.0 AS DOUBLE)
+       |    / CAST(COALESCE(c.cluster_size, 1) AS DOUBLE), 6) AS weight
+       |FROM documents d
+       |LEFT JOIN (
+       |  ${DedupQueries.x16Sql.replace("\n", "\n  ")}) c
+       |  USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "x69_fuzzy_join" -> x69FuzzyJoin,
+    "x70_pmi_collocations" -> x70PmiCollocations,
+    "x72_jl_projection" -> x72JlProjection,
+    "x73_soft_dedup_weights" -> x73SoftDedupWeights)
+
+  val oracleSql: Map[String, String] = Map(
+    "x69_fuzzy_join" -> x69Sql,
+    "x70_pmi_collocations" -> x70Sql,
+    "x72_jl_projection" -> x72Sql,
+    "x73_soft_dedup_weights" -> x73Sql)
+}

@@ -38,7 +38,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // embeds x51 as its lexical arm, inheriting its one-row cross join
     "x56_rrf_fusion",
     // embeds x53 as its scoring stage, inheriting its one-row cross join
-    "x68_ppl_buckets")
+    "x68_ppl_buckets",
+    // two one-row corpus-scalar attaches (N_tokens, N_bigrams)
+    "x70_pmi_collocations")
 
   test("no registered query plans a CartesianProduct") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
@@ -55,7 +57,8 @@ class PlanHygieneSpec extends AnyFunSuite {
   // contract); the final presentation orderBy is the one allowed
   // range-partition exchange
   test("embarrassingly-parallel curation keys plan no data shuffle") {
-    Seq("x27_pii_scrub", "x28_split_assign", "x29_chunk_overlap")
+    Seq("x27_pii_scrub", "x28_split_assign", "x29_chunk_overlap",
+        "x72_jl_projection")
       .foreach { name =>
         val plan = graft.SparkEntry.queries(name)(spark, sf)
           .queryExecution.executedPlan.toString
