@@ -222,6 +222,74 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // -- x71: cross-corpus (A-vs-B) near-dup flagging ----------------------
+
+  /** x71 — incremental / cross-corpus near-duplicate flagging: the
+    * production dedup shape where a NEW slice (today's crawl) is checked
+    * against an EXISTING corpus without self-joining either side. The
+    * corpus splits by doc_id parity (even = existing, odd = new) as a
+    * deterministic stand-in for the slice boundary; candidates form only
+    * where a new doc's LSH band bucket collides with an existing doc's,
+    * verified by full-signature agreement — x2's estimator, two-sided.
+    * `CurationWarehouse.ingest` runs this join shape against its
+    * persisted band index; this key is its oracle-checkable form.
+    *
+    * Scale shape: at 100 TB the existing side is the warehouse band
+    * INDEX (bucket-partitioned parquet) and the new side a slice; the
+    * band join shuffles ids-only rows keyed by (band, bucket), hot
+    * buckets shard in-plan with the slice replicated into the shards
+    * ([[graft.operators.SaltedJoin.adaptive]] — the guard declares the
+    * warehouse side skewed), and signatures re-attach by id afterwards
+    * so the wide arrays never ride the candidate shuffle. */
+  val x71CrossCorpusDedup: QFn = (s, d) => {
+    val sigs = minhashSignatures(Tables.documents(s, d)).localCheckpoint(true)
+    val banded = bandBuckets(sigs)
+    val oldSide = banded.where(col("doc_id") % 2 === 0)
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_old"))
+    val newSide = banded.where(col("doc_id") % 2 === 1)
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_new"))
+    val cand = bucketJoin(s, oldSide, newSide, Seq("band", "bucket"))
+      .select(col("doc_new"), col("doc_old"))
+      .dropDuplicates("doc_new", "doc_old")
+    cand
+      .join(sigs.select(col("doc_id").as("doc_new"), col("sig").as("sig_a")), "doc_new")
+      .join(sigs.select(col("doc_id").as("doc_old"), col("sig").as("sig_b")), "doc_old")
+      .withColumn("est_jaccard", sigAgreement(col("sig_a"), col("sig_b")))
+      .where(col("est_jaccard") >= 0.5)
+      .select(col("doc_new"), col("doc_old"), col("est_jaccard"))
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+  val x71Sql: String = {
+    val p = MersennePrime
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE length(string_split(text, ' ')) >= 3),
+       |shingles AS (
+       |  SELECT doc_id,
+       |    ${duckHex60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} % $p AS hm
+       |  FROM (SELECT doc_id, w, unnest(range(1, length(w) - 1)) AS i
+       |        FROM words)),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigMinExprsSql
+       |  FROM shingles GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelectsSql),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+       |  FROM banded n JOIN banded o
+       |    ON n.band = o.band AND n.bucket = o.bucket
+       |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+       |eq AS (
+       |  SELECT doc_new, doc_old, ($eqSumSql) AS n_equal
+       |  FROM cand
+       |  JOIN sigs sa ON sa.doc_id = doc_new
+       |  JOIN sigs sb ON sb.doc_id = doc_old)
+       |SELECT doc_new, doc_old, n_equal / ${SigSize}.0 AS est_jaccard
+       |FROM eq WHERE n_equal / ${SigSize}.0 >= 0.5
+       |ORDER BY doc_new, doc_old""".stripMargin
+  }
+
   // -- x58: minhash estimator calibration --------------------------------
 
   /** x58 — estimator calibration for the x2 MinHash sketch: every LSH
@@ -3033,6 +3101,7 @@ object DedupQueries {
     "x30_neardup_lsh" -> x30NeardupLsh,
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_minhash" -> x2DedupMinhash,
+    "x71_cross_corpus_dedup" -> x71CrossCorpusDedup,
     "x58_minhash_calibration" -> x58MinhashCalibration,
     "x6_dedup_simhash" -> x6DedupSimhash,
     "x7_ngram_jaccard" -> x7NgramJaccard,
@@ -3069,6 +3138,7 @@ object DedupQueries {
     "x30_neardup_lsh" -> x30Sql,
     "x1_dedup_exact" -> x1Sql,
     "x2_dedup_minhash" -> x2Sql,
+    "x71_cross_corpus_dedup" -> x71Sql,
     "x58_minhash_calibration" -> x58Sql,
     "x6_dedup_simhash" -> x6Sql,
     "x7_ngram_jaccard" -> x7Sql,

@@ -118,6 +118,21 @@ class MiningSpec extends AnyFunSuite {
     assert(errs.max < 0.85, s"max cosine distortion ${errs.max}")
   }
 
+  test("x71 equals x2's pair set restricted to cross-parity pairs") {
+    // the A-vs-B join must find exactly the self-join's answers that
+    // straddle the slice boundary — no candidate lost to the split
+    val self = DedupQueries.x2DedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossTruth = self.collect {
+      case (a, b) if a % 2 != b % 2 =>
+        if (a % 2 == 1) (a, b) else (b, a) // (new=odd, old=even)
+    }
+    val cross = DedupQueries.x71CrossCorpusDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross == crossTruth,
+      s"missing=${(crossTruth -- cross).take(5)} extra=${(cross -- crossTruth).take(5)}")
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
