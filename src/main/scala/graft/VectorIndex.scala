@@ -345,4 +345,124 @@ object VectorIndex {
       .select(col("query_id"), col("rank"), col("cand_id"), col("adc"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // -- hierarchical (HNSW-style) mode ------------------------------------
+
+  /** Geometric level assignment (p = 1/4) from the portable 60-bit hash
+    * of the id — deterministic, engine-independent: level(v) ≥ ℓ iff
+    * 4^ℓ divides hex60(md5("hnsw:" + id)). Expected layer sizes decay
+    * n, n/4, n/16, … — HNSW's log-structured hierarchy without the
+    * insertion-order dependence of the online construction. */
+  private[graft] def hierLevel(id: Long, maxLevel: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"hnsw:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    var l = 0
+    var v = h
+    while (l < maxLevel && v % 4 == 0) { l += 1; v /= 4 }
+    l
+  }
+
+  /** Build the layered index: the base [[build]] (layer-0 graph over
+    * every vector + the scoring vectors) plus one kNN graph per upper
+    * layer over the level-ℓ subset, as long as a layer keeps ≥ 2
+    * members. Upper layers are GEOMETRICALLY smaller, so the extra
+    * build cost is a vanishing fraction of layer 0's. */
+  def buildHier(spark: SparkSession, dir: String, emb: DataFrame,
+      degree: Int = DedupQueries.GraphDegree, maxLevel: Int = 6): Unit = {
+    import spark.implicits._
+    build(spark, dir, emb, degree)
+    val vecs = spark.read.parquet(s"$dir/vectors")
+      .select(col("cand_id"), col("cand_e"), col("cand_n"))
+      .as[(Long, Array[Double], Long)]
+    val wG = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    var levels = 0
+    var l = 1
+    var continue = true
+    while (continue && l <= maxLevel) {
+      val subset = vecs.filter(t => hierLevel(t._1, maxLevel) >= l)
+      if (subset.take(2).length < 2) continue = false
+      else {
+        DedupQueries.knnBlockScored(spark, subset, degree)
+          .withColumn("rank", row_number().over(wG))
+          .where(col("rank") <= degree)
+          .select(col("src_id"), col("rank"), col("nbr_id"))
+          .repartition(col("src_id"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/graph_l$l")
+        levels = l
+        l += 1
+      }
+    }
+    val (deg, n) = meta(dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "meta.json"),
+      s"""{"degree":$deg,"vectors":$n,"levels":$levels,"maxLevel":$maxLevel}""")
+  }
+
+  /** Serve from the layered index: enter at the TOP layer's lowest ids,
+    * greedy-descend one layer at a time (beam 1–2 over the layer's
+    * graph, each query carrying its own best-so-far node down), then
+    * run the full beam search on layer 0 seeded per query. The descent
+    * replaces the flat form's fixed low-id entry points with entries
+    * already near the query, so layer-0 rounds start in the right
+    * neighborhood — the HNSW serving argument. Each per-layer step is
+    * a bounded (queries × beam) collect, per the serving contract. */
+  def searchHier(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 5, beamWidth: Int = DedupQueries.GraphBeamWidth,
+      rounds: Int = DedupQueries.GraphBeamRounds,
+      excludeSelf: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "meta.json"))
+    val levels = """"levels":(\d+)""".r.findFirstMatchIn(txt).getOrElse(
+      throw new IllegalStateException(
+        s"$dir/meta.json has no \"levels\" — build with buildHier")
+    ).group(1).toInt
+    val maxLevel = """"maxLevel":(\d+)""".r.findFirstMatchIn(txt)
+      .get.group(1).toInt
+    val embD = spark.read.parquet(s"$dir/vectors")
+    val queryVecs = queries.select(col("query_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        val ed = e.map(_.toDouble)
+        (id, (ed, DedupQueries.dotScaled(ed, ed)))
+      }
+    val qIds = queryVecs.map(_._1).toSet
+    // entries: the top layer's lowest ids outside the batch (bounded
+    // collect over the geometrically-small top layer)
+    val topIds = embD.select(col("cand_id")).as[Long]
+      .filter(id => hierLevel(id, maxLevel) >= levels)
+      .filter(id => !qIds.contains(id))
+      .collect().sorted.take(DedupQueries.GraphEntryCount)
+    require(topIds.nonEmpty,
+      s"$dir top layer has no entry candidates outside the query batch")
+    var seeds: Array[(Long, Long)] =
+      queryVecs.map(_._1).flatMap(q => topIds.map(en => (q, en)))
+    var l = levels
+    while (l >= 1) {
+      val graphL = spark.read.parquet(s"$dir/graph_l$l")
+        .select(col("src_id"), col("nbr_id"))
+      // greedy step at this layer: the best `beamWidth` nodes per query
+      // survive — carrying the full beam down keeps the entry DIVERSITY
+      // a single-seed descent loses (HNSW's efSearch > 1 argument)
+      val best = DedupQueries.beamSearchFrom(spark, graphL, embD,
+        queryVecs, seeds, beamWidth = beamWidth, rounds = 2,
+        k = beamWidth, excludeSelf)
+        .select(col("query_id"), col("cand_id"))
+        .as[(Long, Long)].collect()
+      // a query whose every seed was itself-excluded falls back to the
+      // top entries rather than entering layer 0 seedless
+      val bySeed = best.groupBy(_._1)
+      seeds = queryVecs.map(_._1).flatMap { q =>
+        bySeed.getOrElse(q, topIds.map((q, _))).toSeq
+      }
+      l -= 1
+    }
+    val graph0 = spark.read.parquet(s"$dir/graph")
+      .select(col("src_id"), col("nbr_id"))
+    DedupQueries.beamSearchFrom(spark, graph0, embD, queryVecs, seeds,
+      beamWidth, rounds, k, excludeSelf)
+  }
 }

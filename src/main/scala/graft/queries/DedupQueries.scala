@@ -1578,6 +1578,23 @@ object DedupQueries {
       queryVecs: Array[(Long, (Array[Double], Long))],
       entryIds: Array[Long], beamWidth: Int, rounds: Int,
       k: Int, excludeSelf: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val qIds = queryVecs.map(_._1)
+    val entryPairs = qIds.flatMap(q =>
+      entryIds.filter(en => !excludeSelf || en != q).map(en => (q, en)))
+    beamSearchFrom(s, graph, embD, queryVecs, entryPairs, beamWidth,
+      rounds, k, excludeSelf)
+  }
+
+  /** [[beamSearch]] with PER-QUERY entry seeds — the form a layered
+    * (HNSW-style) descent needs, where each query enters a layer at the
+    * node the layer above converged to. Seeds are (query_id, cand_id)
+    * pairs; bounded by queries × entries per the serving contract. */
+  private[graft] def beamSearchFrom(s: SparkSession,
+      graph: org.apache.spark.sql.DataFrame,
+      embD: org.apache.spark.sql.DataFrame,
+      queryVecs: Array[(Long, (Array[Double], Long))],
+      entryPairs: Array[(Long, Long)], beamWidth: Int, rounds: Int,
+      k: Int, excludeSelf: Boolean = true): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val queriesB = s.sparkContext.broadcast(queryVecs.toMap)
     // score a (query_id, cand_id) set: fetch candidate vectors by id
@@ -1595,9 +1612,8 @@ object DedupQueries {
         }.toDF("query_id", "cand_id", "cosine")
     val wB = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    val qIds = queryVecs.map(_._1)
-    val entryCands = qIds.flatMap(q =>
-      entryIds.filter(en => !excludeSelf || en != q).map(en => (q, en)))
+    val entryCands = entryPairs
+      .filter { case (q, en) => !excludeSelf || en != q }
       .toSeq.toDF("query_id", "cand_id")
     var beam = scoreCands(entryCands)
     var visited = beam

@@ -168,6 +168,140 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(top2.getLong(top2.fieldIndex("cand_id")) != 0L)
   }
 
+  test("hierarchical index: geometric layers, deterministic serving, recall") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vecidxh").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    VectorIndex.buildHier(spark, dir, emb)
+
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "meta.json"))
+    val levels = """"levels":(\d+)""".r.findFirstMatchIn(txt).get
+      .group(1).toInt
+    assert(levels >= 1, s"expected at least one upper layer, meta=$txt")
+    // layer populations decay (geometric p=1/4 in expectation)
+    var prev = spark.read.parquet(s"$dir/graph")
+      .select(col("src_id")).distinct.count()
+    for (l <- 1 to levels) {
+      val nl = spark.read.parquet(s"$dir/graph_l$l")
+        .select(col("src_id")).distinct.count()
+      assert(nl < prev, s"layer $l has $nl nodes, layer ${l - 1} $prev")
+      prev = nl
+    }
+
+    val queries = emb.orderBy(col("vec_id"))
+      .limit(DedupQueries.GraphQueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val k = 10
+    // a serving-grade budget (the defaults are the x47 oracle's tiny
+    // deterministic walk): beam 8 × 6 rounds over the degree-4 graph
+    val (bw, rr) = (8, 6)
+    val hier = VectorIndex.searchHier(spark, dir, queries, k = k,
+      beamWidth = bw, rounds = rr, excludeSelf = true).collect()
+    val qids = hier.map(_.getLong(0)).distinct
+    assert(qids.length == DedupQueries.GraphQueryCount)
+    qids.foreach { q =>
+      val ranks = hier.filter(_.getLong(0) == q)
+        .map(_.getInt(1).toLong).sorted
+      assert(ranks.toSeq == (1L to k).toSeq, s"query $q ranks $ranks")
+    }
+    // serve-many determinism
+    val again = VectorIndex.searchHier(spark, dir, queries, k = k,
+      beamWidth = bw, rounds = rr, excludeSelf = true).collect()
+    assert(again.map(_.toString).toSeq == hier.map(_.toString).toSeq)
+
+    // recall vs exact brute force, flat search as the baseline at the
+    // same layer-0 budget
+    val all = emb.as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble) }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truth = qids.map { q =>
+      val qe = all.find(_._1 == q).get._2
+      q -> all.filter(_._1 != q).map { case (c, ce) => (c, cosine(qe, ce)) }
+        .sortBy { case (c, cs) => (-cs, c) }.take(k).map(_._1).toSet
+    }.toMap
+    val flat = VectorIndex.search(spark, dir, queries, k = k,
+      beamWidth = bw, rounds = rr, excludeSelf = true).collect()
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      qids.map { q =>
+        val got = rows.filter(_.getLong(0) == q).map(r => r.getLong(2)).toSet
+        got.intersect(truth(q)).size.toDouble / k
+      }.sum / qids.length
+    val hr = recallOf(hier)
+    val fr = recallOf(flat)
+    // the corpus table is ISOTROPIC (within-label mean cos 0.004 ≈
+    // across 0.002), so graph navigation cannot systematically beat
+    // diverse fixed entries here — only sanity-bound the gap; the
+    // navigation claim is tested on planted clusters below
+    info(f"recall@10 (isotropic corpus): hier $hr%.3f vs flat $fr%.3f " +
+      f"(levels=$levels)")
+    assert(hr >= fr * 0.5, f"hier recall $hr%.3f collapsed vs flat $fr%.3f")
+  }
+
+  test("hierarchical descent beats flat entries on clustered data") {
+    import spark.implicits._
+    // planted structure: 16 well-separated clusters — the regime the
+    // HNSW hierarchy exists for (entry descends to the right cluster
+    // instead of walking from a fixed low-id entry that sits in
+    // cluster 0). Deterministic: noise from a per-id seeded Random.
+    val dim = 64
+    val clusters = 16
+    val perCluster = 40
+    val pts = (0 until clusters * perCluster).map { id =>
+      val c = id / perCluster
+      val rnd = new scala.util.Random(1000L + id)
+      val e = Array.tabulate(dim)(j =>
+        (if (j == c * 4 % dim) 4.0 else 0.0) + 0.3 * rnd.nextGaussian())
+      (id.toLong, e.map(_.toFloat))
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("vecidxc").toString
+    // degree 8: a degree-4 graph fragments 40-point clusters into
+    // pockets the beam cannot leave (visited plateaus near recall 0.5)
+    VectorIndex.buildHier(spark, dir, emb, degree = 8)
+
+    // queries: one point from each of 10 different clusters (never
+    // cluster 0, where the flat entries live)
+    val qids = (1 to 10).map(c => (c * perCluster + 7).toLong)
+    val queries = emb.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val k = 10
+    val (bw, rr) = (8, 4)
+    val hier = VectorIndex.searchHier(spark, dir, queries, k = k,
+      beamWidth = bw, rounds = rr, excludeSelf = true).collect()
+    val flat = VectorIndex.search(spark, dir, queries, k = k,
+      beamWidth = bw, rounds = rr, excludeSelf = true).collect()
+
+    val all = pts.map { case (id, e) => id -> e.map(_.toDouble) }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truth = qids.map { q =>
+      val qe = all.find(_._1 == q).get._2
+      q -> all.filter(_._1 != q).map { case (c, ce) => (c, cosine(qe, ce)) }
+        .sortBy { case (c, cs) => (-cs, c) }.take(k).map(_._1).toSet
+    }.toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      qids.map { q =>
+        val got = rows.filter(_.getLong(0) == q).map(_.getLong(2)).toSet
+        got.intersect(truth(q)).size.toDouble / k
+      }.sum / qids.length
+    val hr = recallOf(hier)
+    val fr = recallOf(flat)
+    info(f"recall@10 (16 planted clusters): hier $hr%.3f vs flat $fr%.3f")
+    assert(hr > fr, f"descent $hr%.3f did not beat fixed entries $fr%.3f")
+    assert(hr >= 0.8, f"hier recall $hr%.3f under 0.8 on separable clusters")
+  }
+
   test("meta guards: a non-index dir fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notidx").toString
     import spark.implicits._
