@@ -290,6 +290,106 @@ object DedupQueries {
        |ORDER BY doc_new, doc_old""".stripMargin
   }
 
+  // -- x74: source-graph PageRank ----------------------------------------
+
+  /** Fixed-point scale for x74's integer PageRank state (same exact-int
+    * trick as x59's centroid recurrence — no FP accumulation order to
+    * diverge between engines). */
+  private val PrScale = 1000000000000L // 1e12
+  private val PrRounds = 5
+
+  /** x74 — PageRank over the SOURCE graph induced by cross-source
+    * near-duplicate pairs (x7's verified pairs): sources sharing
+    * near-dup documents are linked with weight = pair count, and the
+    * stationary importance ranks which sources originate content vs
+    * mirror it — the crawl-prioritization / domain-quality-prior signal
+    * (Common Crawl-style pipelines rank domains exactly this way before
+    * fetch). Undirected edges, damping 0.85, [[PrRounds]] synchronous
+    * rounds from the uniform vector; ALL arithmetic is integer at
+    * [[PrScale]] (contribution = r·w div W, then 85/100 damping in
+    * integer div), so the oracle's unrolled-CTE replay is bit-exact —
+    * the x59 trick applied to a graph recurrence.
+    *
+    * Scale shape: the rank vector is one narrow row per source and the
+    * per-round cost is one edge join + one (v)-keyed sum — PageRank's
+    * standard Pregel shape; each round eagerly localCheckpoints
+    * (GC-managed) so the 5-round lineage never compounds. The
+    * node-count scalar rides a one-row broadcast cross join. Dup-pair
+    * edges are x7's (DF-capped grams, bounded candidates); the edge
+    * aggregation shuffles (u,v) id pairs only. */
+  val x74SourcePagerank: QFn = (s, d) => {
+    val docSrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val cross = x7Pairs(s, d).select(col("doc_a"), col("doc_b"))
+      .join(docSrc.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(docSrc.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .where(col("src_a") =!= col("src_b"))
+    val edges = cross.select(col("src_a").as("u"), col("src_b").as("v"))
+      .union(cross.select(col("src_b").as("u"), col("src_a").as("v")))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("wu"))
+    val nodes = docSrc.select(col("source")).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var rank = nodes.crossJoin(broadcast(nn))
+      .select(col("source"), expr(s"$PrScale div n").as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PrRounds) {
+      val contrib = edges
+        .join(rank.select(col("source").as("u"), col("r")), "u")
+        .join(outW, "u")
+        .select(col("v").as("source"), expr("(r * w) div wu").as("c"))
+        .groupBy(col("source")).agg(sum(col("c")).as("cs"))
+      rank = nodes.crossJoin(broadcast(nn))
+        .join(contrib, Seq("source"), "left")
+        .select(col("source"),
+          (expr(s"(15 * $PrScale) div (100 * n)")
+            + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    rank
+      .select(col("source"), col("r").as("rank_scaled"),
+        round(col("r").cast("double") / lit(PrScale.toDouble), 6).as("rank"))
+      .orderBy(col("source"))
+  }
+  // lazy: x7CteBody is defined further down the object body
+  lazy val x74Sql: String = {
+    val rounds = (1 to PrRounds).map { t =>
+      s"""c$t AS (
+         |  SELECT e.v AS source, CAST(SUM(r.r * e.w // o.wu) AS BIGINT) AS cs
+         |  FROM edges e JOIN r${t - 1} r ON r.source = e.u
+         |  JOIN outw o ON o.u = e.u
+         |  GROUP BY e.v),
+         |r$t AS (
+         |  SELECT nodes.source,
+         |    CAST((15 * $PrScale // (100 * nn.n))
+         |      + (85 * COALESCE(c.cs, 0) // 100) AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$t c USING (source))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $x7CteBody,
+       |e0 AS (
+       |  SELECT da.source AS src_a, db.source AS src_b
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b
+       |  WHERE da.source <> db.source),
+       |edges AS (
+       |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM (SELECT src_a AS u, src_b AS v FROM e0
+       |        UNION ALL SELECT src_b, src_a FROM e0)
+       |  GROUP BY u, v),
+       |outw AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM edges GROUP BY u),
+       |nodes AS (SELECT DISTINCT source FROM documents),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT source, CAST($PrScale // n AS BIGINT) AS r
+       |       FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT source, r AS rank_scaled,
+       |  round(CAST(r AS DOUBLE) / $PrScale.0, 6) AS rank
+       |FROM r$PrRounds
+       |ORDER BY source""".stripMargin
+  }
+
   // -- x58: minhash estimator calibration --------------------------------
 
   /** x58 — estimator calibration for the x2 MinHash sketch: every LSH
@@ -3118,6 +3218,7 @@ object DedupQueries {
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_minhash" -> x2DedupMinhash,
     "x71_cross_corpus_dedup" -> x71CrossCorpusDedup,
+    "x74_source_pagerank" -> x74SourcePagerank,
     "x58_minhash_calibration" -> x58MinhashCalibration,
     "x6_dedup_simhash" -> x6DedupSimhash,
     "x7_ngram_jaccard" -> x7NgramJaccard,
@@ -3155,6 +3256,7 @@ object DedupQueries {
     "x1_dedup_exact" -> x1Sql,
     "x2_dedup_minhash" -> x2Sql,
     "x71_cross_corpus_dedup" -> x71Sql,
+    "x74_source_pagerank" -> x74Sql,
     "x58_minhash_calibration" -> x58Sql,
     "x6_dedup_simhash" -> x6Sql,
     "x7_ngram_jaccard" -> x7Sql,

@@ -133,6 +133,34 @@ class MiningSpec extends AnyFunSuite {
       s"missing=${(crossTruth -- cross).take(5)} extra=${(cross -- crossTruth).take(5)}")
   }
 
+  test("x74 pagerank: mass conserved up to integer floors, linked beats isolated") {
+    val rows = DedupQueries.x74SourcePagerank(spark, sf).collect()
+    val scale = 1e12
+    val total = rows.map(_.getLong(1)).sum.toDouble / scale
+    // undirected edges ⇒ no dangling leak; only integer-floor loss
+    assert(total > 0.9 && total <= 1.0 + 1e-9, s"total rank mass $total")
+    val base = rows.map(_.getLong(1)).min
+    assert(rows.forall(_.getLong(1) >= base))
+    // any source participating in cross-source dup pairs must outrank
+    // the uniform floor a pair-free source sits at
+    val linked = DedupQueries.x7Pairs(spark, sf)
+      .join(Tables.documents(spark, sf)
+        .select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(Tables.documents(spark, sf)
+        .select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .where(col("sa") =!= col("sb"))
+      .select(explode(array(col("sa"), col("sb"))).as("s"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (linked.nonEmpty && linked.size < rows.length) {
+      val isolatedMax = rows.filter(r => !linked(r.getString(0)))
+        .map(_.getLong(1)).max
+      val linkedMin = rows.filter(r => linked(r.getString(0)))
+        .map(_.getLong(1)).min
+      assert(linkedMin > isolatedMax,
+        s"linked min $linkedMin <= isolated max $isolatedMax")
+    }
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)

@@ -40,7 +40,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // embeds x53 as its scoring stage, inheriting its one-row cross join
     "x68_ppl_buckets",
     // two one-row corpus-scalar attaches (N_tokens, N_bigrams)
-    "x70_pmi_collocations")
+    "x70_pmi_collocations",
+    // the node-count scalar attaches as a one-row cross join per round
+    "x74_source_pagerank")
 
   test("no registered query plans a CartesianProduct") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
