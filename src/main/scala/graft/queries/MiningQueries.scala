@@ -236,14 +236,84 @@ object MiningQueries {
        |  USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // -- x76: DoReMi-style domain reweighting ------------------------------
+
+  /** x76 — DoReMi-shaped domain reweighting (Xie et al. 2023): each
+    * source's mixture weight is its token mass boosted by
+    * `exp(excess loss)`, where excess = corpus-average bigram-LM
+    * log-prob minus the domain average (x53's scorer standing in for
+    * the proxy model) — domains the reference model finds HARD get
+    * up-weighted, exactly DoReMi's Group-DRO update at one step, then
+    * normalized to a distribution. x50 plans a mixture from FIXED
+    * target shares; this LEARNS the shares from measured hardness.
+    *
+    * Scale shape: x53 does the per-doc work (vocab²-bounded shuffles);
+    * this adds one ids-only source join, one per-domain aggregate
+    * (rows = domains), and two one-row scalar attaches — everything
+    * past the scorer is domain-cardinality, not corpus-cardinality. */
+  val x76DoremiWeights: QFn = (s, d) => {
+    val scores = TextQueries.x53LmScore(s, d)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val dom = scores.join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("sum_logp_s")).as("sum_logp_s"))
+    val tot = dom.agg(sum(col("sum_logp_s")).as("t_lp"),
+      sum(col("n_bigrams")).as("t_nb"))
+    // x53's log-probs are integer-scaled by 1e6 — unscale to natural
+    // log units BEFORE the exponential (exp of a micro-scaled excess
+    // overflows to Inf)
+    val ex = dom.crossJoin(broadcast(tot))
+      .withColumn("excess",
+        (col("t_lp").cast("double") / col("t_nb").cast("double")
+          - col("sum_logp_s").cast("double") / col("n_bigrams").cast("double"))
+          / lit(1000000.0))
+    val z = ex.agg(sum(col("n_bigrams").cast("double") * exp(col("excess")))
+      .as("z"))
+    ex.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        round(col("sum_logp_s").cast("double")
+          / col("n_bigrams").cast("double") / lit(1000000.0), 6)
+          .as("avg_logp"),
+        round(col("excess"), 6).as("excess"),
+        round(col("n_bigrams").cast("double") * exp(col("excess"))
+          / col("z"), 6).as("weight"))
+      .orderBy(col("source"))
+  }
+  val x76Sql: String =
+    s"""WITH ${TextQueries.x53CteBody},
+       |dom AS (
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(s.n_bigrams) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(s.sum_logp_s) AS BIGINT) AS sum_logp_s
+       |  FROM lmscore s JOIN documents d USING (doc_id)
+       |  GROUP BY d.source),
+       |tot AS (SELECT CAST(SUM(sum_logp_s) AS BIGINT) AS t_lp,
+       |               CAST(SUM(n_bigrams) AS BIGINT) AS t_nb FROM dom),
+       |ex AS (
+       |  SELECT dom.*, (CAST(t_lp AS DOUBLE) / t_nb
+       |    - CAST(sum_logp_s AS DOUBLE) / n_bigrams) / 1000000.0 AS excess
+       |  FROM dom CROSS JOIN tot),
+       |z AS (SELECT SUM(n_bigrams * exp(excess)) AS z FROM ex)
+       |SELECT source, n_docs, n_bigrams,
+       |  round(CAST(sum_logp_s AS DOUBLE) / n_bigrams / 1000000.0, 6)
+       |    AS avg_logp,
+       |  round(excess, 6) AS excess,
+       |  round(n_bigrams * exp(excess) / z, 6) AS weight
+       |FROM ex CROSS JOIN z
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "x69_fuzzy_join" -> x69FuzzyJoin,
+    "x76_doremi_weights" -> x76DoremiWeights,
     "x70_pmi_collocations" -> x70PmiCollocations,
     "x72_jl_projection" -> x72JlProjection,
     "x73_soft_dedup_weights" -> x73SoftDedupWeights)
 
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
+    "x76_doremi_weights" -> x76Sql,
     "x70_pmi_collocations" -> x70Sql,
     "x72_jl_projection" -> x72Sql,
     "x73_soft_dedup_weights" -> x73Sql)

@@ -161,6 +161,29 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("x76 DoReMi weights form a distribution and up-weight hard domains") {
+    val rows = MiningQueries.x76DoremiWeights(spark, sf).collect()
+    val total = rows.map(_.getDouble(5)).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"weights sum to $total")
+    // exact invariant: weight/token-share = exp(excess)·Σnb/Z is
+    // strictly increasing in excess (the sign-vs-share form is NOT
+    // guaranteed — Jensen moves the pivot off zero)
+    val tokens = rows.map(_.getLong(2)).sum.toDouble
+    val ratios = rows.map { r =>
+      (r.getDouble(4), r.getDouble(5) / (r.getLong(2) / tokens))
+    }.sortBy(_._1)
+    ratios.sliding(2).foreach {
+      case Array((e1, r1), (e2, r2)) =>
+        if (e2 > e1 + 1e-6)
+          assert(r2 > r1, s"boost not monotone in excess: " +
+            s"($e1,$r1) vs ($e2,$r2)")
+      case _ =>
+    }
+    // and the weighted mean excess is zero by construction
+    val meanE = rows.map(r => r.getLong(2) * r.getDouble(4)).sum / tokens
+    assert(math.abs(meanE) < 1e-4, s"weighted mean excess $meanE")
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)

@@ -42,7 +42,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // two one-row corpus-scalar attaches (N_tokens, N_bigrams)
     "x70_pmi_collocations",
     // the node-count scalar attaches as a one-row cross join per round
-    "x74_source_pagerank")
+    "x74_source_pagerank",
+    // embeds x53 + two one-row scalar attaches (corpus avg, partition Z)
+    "x76_doremi_weights")
 
   test("no registered query plans a CartesianProduct") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
