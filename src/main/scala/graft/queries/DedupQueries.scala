@@ -654,7 +654,7 @@ object DedupQueries {
     x7Pairs(s, d).orderBy(col("doc_a"), col("doc_b"))
   /** Shared CTE body producing the x7 gram/intersection relations —
     * reused by the x16 clustering oracle. */
-  private val x7CteBody: String =
+  private[graft] val x7CteBody: String =
     s"""allgrams AS (
       |  SELECT doc_id, unnest(list_distinct(
       |      list_transform(range(1, length(string_split(text, ' '))),

@@ -236,6 +236,81 @@ object MiningQueries {
        |  USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // -- x75: per-source dataset card --------------------------------------
+
+  /** x75 — the per-source DATASET CARD / datasheet rollup (Gebru et
+    * al.'s "Datasheets for Datasets" quantitative block): for every
+    * source, document and token counts, language spread (distinct
+    * langs + Shannon entropy of the language mix), and the near-dup
+    * exposure (docs participating in any x7 pair, as count and
+    * fraction) — the one-row-per-source summary a curation run
+    * publishes next to its output corpus.
+    *
+    * Scale shape: two map-side-combined per-source aggregates over
+    * narrow (source, lang, token-count) rows plus x7's pair table
+    * collapsed to DISTINCT member ids before the source join — the
+    * datasheet never shuffles text, and every join key is
+    * source/doc_id. */
+  val x75CorpusDatasheet: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("source"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+    val bySrc = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"))
+    val ent = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .join(bySrc.select(col("source"), col("n_docs")), "source")
+      .withColumn("p", col("c").cast("double") / col("n_docs").cast("double"))
+      .groupBy(col("source"))
+      .agg(round(-sum(col("p") * log(col("p"))), 6).as("lang_entropy"))
+    val dup = DedupQueries.x7Pairs(s, d)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+    bySrc.join(ent, "source")
+      .join(dup, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("lang_entropy"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        round(coalesce(col("n_dup_docs"), lit(0L)).cast("double")
+          / col("n_docs").cast("double"), 6).as("dup_frac"))
+      .orderBy(col("source"))
+  }
+  lazy val x75Sql: String =
+    s"""WITH ${DedupQueries.x7CteBody},
+       |base AS (
+       |  SELECT source, lang,
+       |    CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS toks
+       |  FROM documents),
+       |bysrc AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM base GROUP BY source),
+       |ent AS (
+       |  SELECT lc.source,
+       |    round(-SUM((CAST(c AS DOUBLE) / n_docs)
+       |      * ln(CAST(c AS DOUBLE) / n_docs)), 6) AS lang_entropy
+       |  FROM (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+       |        FROM base GROUP BY 1, 2) lc
+       |  JOIN bysrc USING (source) GROUP BY lc.source),
+       |dup AS (
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_dup_docs
+       |  FROM (SELECT DISTINCT doc_id FROM
+       |        (SELECT doc_a AS doc_id FROM pairs
+       |         UNION SELECT doc_b FROM pairs)) u
+       |  JOIN documents d USING (doc_id) GROUP BY d.source)
+       |SELECT b.source, n_docs, n_tokens, n_langs, lang_entropy,
+       |  CAST(COALESCE(n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       |  round(CAST(COALESCE(n_dup_docs, 0) AS DOUBLE) / n_docs, 6)
+       |    AS dup_frac
+       |FROM bysrc b JOIN ent USING (source) LEFT JOIN dup USING (source)
+       |ORDER BY source""".stripMargin
+
   // -- x76: DoReMi-style domain reweighting ------------------------------
 
   /** x76 — DoReMi-shaped domain reweighting (Xie et al. 2023): each
@@ -307,6 +382,7 @@ object MiningQueries {
   val queries: Map[String, QFn] = Map(
     "x69_fuzzy_join" -> x69FuzzyJoin,
     "x76_doremi_weights" -> x76DoremiWeights,
+    "x75_corpus_datasheet" -> x75CorpusDatasheet,
     "x70_pmi_collocations" -> x70PmiCollocations,
     "x72_jl_projection" -> x72JlProjection,
     "x73_soft_dedup_weights" -> x73SoftDedupWeights)
@@ -314,6 +390,7 @@ object MiningQueries {
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
     "x76_doremi_weights" -> x76Sql,
+    "x75_corpus_datasheet" -> x75Sql,
     "x70_pmi_collocations" -> x70Sql,
     "x72_jl_projection" -> x72Sql,
     "x73_soft_dedup_weights" -> x73Sql)
