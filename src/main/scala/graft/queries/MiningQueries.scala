@@ -311,6 +311,97 @@ object MiningQueries {
        |FROM bysrc b JOIN ent USING (source) LEFT JOIN dup USING (source)
        |ORDER BY source""".stripMargin
 
+  // -- x77: per-source quality-score calibration -------------------------
+
+  /** x77 — per-source quality calibration: x10's raw quality score is
+    * NOT comparable across sources (each domain's boilerplate shifts
+    * the scale), so production filters calibrate before applying one
+    * global threshold. Two standard forms, both emitted: the in-source
+    * PERCENTILE (percent_rank over the source stratum — CCNet applies
+    * its perplexity cut this way) and the in-source Z-SCORE
+    * ((score − source mean)/source stddev).
+    *
+    * Scale shape: one window + two windowed aggregates, all partitioned
+    * by source — one shuffle of narrow (doc_id, score) rows, no global
+    * sort anywhere (a GLOBAL percentile would be the classic
+    * single-partition window trap; a global view would reuse x37's
+    * mergeable histogram instead). */
+  val x77QualityQnorm: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextQueries.x10QualityScore(s, d)
+      .select(col("doc_id"), col("quality_score"))
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val wS = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score"), col("doc_id"))
+    val wA = Window.partitionBy(col("source"))
+    q.join(src, "doc_id")
+      .withColumn("pct_in_source", round(percent_rank().over(wS), 6))
+      .withColumn("src_mean", avg(col("quality_score")).over(wA))
+      .withColumn("src_std", stddev_pop(col("quality_score")).over(wA))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("pct_in_source"),
+        round(col("src_mean"), 6).as("src_mean"),
+        round(col("src_std"), 6).as("src_std"),
+        round(when(col("src_std") > 0,
+          (col("quality_score") - col("src_mean")) / col("src_std"))
+          .otherwise(lit(0.0)), 6).as("z_score"))
+      .orderBy(col("doc_id"))
+  }
+  lazy val x77Sql: String =
+    s"""WITH q AS (${TextQueries.x10Sql}),
+       |j AS (
+       |  SELECT q.doc_id, d.source, q.quality_score
+       |  FROM q JOIN documents d USING (doc_id)),
+       |w AS (
+       |  SELECT doc_id, source, quality_score,
+       |    round(percent_rank() OVER (PARTITION BY source
+       |      ORDER BY quality_score, doc_id), 6) AS pct_in_source,
+       |    AVG(quality_score) OVER (PARTITION BY source) AS m,
+       |    stddev_pop(quality_score) OVER (PARTITION BY source) AS sd
+       |  FROM j)
+       |SELECT doc_id, source, quality_score, pct_in_source,
+       |  round(m, 6) AS src_mean, round(sd, 6) AS src_std,
+       |  round(CASE WHEN sd > 0 THEN (quality_score - m) / sd
+       |             ELSE 0.0 END, 6) AS z_score
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  // -- x78: seeded deterministic corpus shuffle --------------------------
+
+  /** Shard count for the seeded shuffle (the number of output training
+    * files a run writes). */
+  val ShuffleShards = 8
+
+  /** x78 — seeded DETERMINISTIC corpus shuffle: every training run
+    * needs the corpus in a reproducible pseudo-random order,
+    * partitioned into a fixed number of shards (the "shuffle then
+    * shard" step before sequence packing). Order is the portable hash
+    * of the salted doc id — reshuffling is a salt change, and any
+    * engine (or the oracle) derives the identical permutation.
+    *
+    * Scale shape: hash + shard assignment are map-only column math;
+    * the one shuffle is the row_number window partitioned by shard —
+    * each shard sorts independently (no global sort), and shard count
+    * scales with output file targets, not corpus size. */
+  val x78SeededShuffle: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("h",
+        expr(hex60("concat('shuf:', CAST(doc_id AS STRING))")))
+      .withColumn("shard", (col("h") % ShuffleShards).cast("long"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+  val x78Sql: String =
+    s"""SELECT doc_id, CAST(h % $ShuffleShards AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY h % $ShuffleShards
+       |    ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM (SELECT doc_id,
+       |  ${duckHex60("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   // -- x76: DoReMi-style domain reweighting ------------------------------
 
   /** x76 — DoReMi-shaped domain reweighting (Xie et al. 2023): each
@@ -383,6 +474,8 @@ object MiningQueries {
     "x69_fuzzy_join" -> x69FuzzyJoin,
     "x76_doremi_weights" -> x76DoremiWeights,
     "x75_corpus_datasheet" -> x75CorpusDatasheet,
+    "x77_quality_qnorm" -> x77QualityQnorm,
+    "x78_seeded_shuffle" -> x78SeededShuffle,
     "x70_pmi_collocations" -> x70PmiCollocations,
     "x72_jl_projection" -> x72JlProjection,
     "x73_soft_dedup_weights" -> x73SoftDedupWeights)
@@ -391,6 +484,8 @@ object MiningQueries {
     "x69_fuzzy_join" -> x69Sql,
     "x76_doremi_weights" -> x76Sql,
     "x75_corpus_datasheet" -> x75Sql,
+    "x77_quality_qnorm" -> x77Sql,
+    "x78_seeded_shuffle" -> x78Sql,
     "x70_pmi_collocations" -> x70Sql,
     "x72_jl_projection" -> x72Sql,
     "x73_soft_dedup_weights" -> x73Sql)

@@ -184,6 +184,34 @@ class MiningSpec extends AnyFunSuite {
     assert(math.abs(meanE) < 1e-4, s"weighted mean excess $meanE")
   }
 
+  test("x77 calibration: percentiles span [0,1] and z-scores center per source") {
+    val rows = MiningQueries.x77QualityQnorm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rs) =>
+      val pcts = rs.map(_.getDouble(3))
+      assert(pcts.forall(p => p >= 0.0 && p <= 1.0))
+      assert(pcts.min == 0.0, s"$src min pct ${pcts.min}")
+      if (rs.length > 1) assert(math.abs(pcts.max - 1.0) < 1e-9)
+      val zMean = rs.map(_.getDouble(6)).sum / rs.length
+      assert(math.abs(zMean) < 1e-3, s"$src z-mean $zMean")
+    }
+  }
+
+  test("x78 shuffle: a permutation — contiguous positions, all docs, stable") {
+    val rows = MiningQueries.x78SeededShuffle(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length == n)
+    assert(rows.map(_.getLong(0)).distinct.length == n)
+    rows.groupBy(_.getLong(1)).foreach { case (shard, rs) =>
+      val pos = rs.map(_.getLong(2)).sorted
+      assert(pos.toSeq == (1L to rs.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    val again = MiningQueries.x78SeededShuffle(spark, sf).collect()
+    assert(again.map(_.toString).toSeq == rows.map(_.toString).toSeq)
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
