@@ -141,6 +141,11 @@ class VectorIndexSpec extends AnyFunSuite {
       val scores = byRank.map(_.getDouble(out.columns.indexOf("cosine")))
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
+    // the hierarchical family round-trips through the same CLI
+    VectorIndexTool.run(spark, Array("build", "hier", s"$root/hidx", embSrc))
+    VectorIndexTool.run(spark, Array("search", "hier", s"$root/hidx",
+      s"$root/queries.parquet", s"$root/hout.parquet", "3"))
+    assert(spark.read.parquet(s"$root/hout.parquet").count() == 3 * 3)
     intercept[IllegalArgumentException] {
       VectorIndexTool.run(spark, Array("build", "hnsw", s"$root/idx", embSrc))
     }
