@@ -346,6 +346,111 @@ object VectorIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // -- incremental insertion (the HNSW insert path) ----------------------
+
+  /** Insert a BOUNDED batch of new vectors into an existing flat graph
+    * index without rebuilding: each new vector's out-edges are its
+    * best `degree` nodes found by beam search over the CURRENT graph
+    * (exactly HNSW's insert — search first, link to what you found),
+    * reverse edges are offered to those neighbors, and every touched
+    * adjacency list is re-truncated to the best `degree` by exact
+    * cosine. Only the touched src_ids rewrite; the rest of the graph
+    * table carries over untouched.
+    *
+    * Scale shape: the batch is bounded (the insert analog of the
+    * serving contract — bulk growth is a rebuild, not N inserts); the
+    * beam search touches queries × beam × degree rows; the re-truncate
+    * rescoring joins only (touched src) × (degree + batch) candidate
+    * edges against the vectors table. The graph rewrite unions
+    * [untouched ∪ rescored ∪ new] — at warehouse scale with the graph
+    * bucketed by src_id this is a touched-bucket overwrite, the same
+    * dynamic-partition-overwrite shape the APDB snapshot merge uses. */
+  def insert(spark: SparkSession, dir: String, newEmb: DataFrame,
+      beamWidth: Int = DedupQueries.GraphBeamWidth,
+      rounds: Int = DedupQueries.GraphBeamRounds,
+      entryCount: Int = DedupQueries.GraphEntryCount): Unit = {
+    import spark.implicits._
+    val (degree, nVec) = meta(dir)
+    // a layered index would need per-layer link maintenance and its
+    // meta preserved — out of scope here; rebuild hier indexes
+    require(!java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "meta.json")).contains("\"levels\""),
+      s"$dir is a hierarchical index — insert supports flat graph " +
+        "indexes; rebuild with buildHier instead")
+    val newVecs = newEmb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        val ed = e.map(_.toDouble)
+        (id, ed, DedupQueries.dotScaled(ed, ed))
+      }
+    require(newVecs.nonEmpty, "insert batch is empty")
+    val newIds = newVecs.map(_._1).toSet
+    val existing = spark.read.parquet(s"$dir/vectors")
+    val dup = existing.select(col("cand_id")).as[Long]
+      .filter(id => newIds.contains(id)).take(1)
+    require(dup.isEmpty, s"insert batch reuses existing id ${dup.headOption}")
+
+    // 1. find each new vector's neighborhood on the CURRENT graph
+    val graph = spark.read.parquet(s"$dir/graph")
+      .select(col("src_id"), col("rank"), col("nbr_id"))
+    val entryIds = existing.select(col("cand_id"))
+      .orderBy(col("cand_id")).limit(entryCount).as[Long].collect()
+    val queryVecs = newVecs.map { case (id, e, n) => (id, (e, n)) }
+    val found = DedupQueries.beamSearchFrom(spark,
+      graph.select(col("src_id"), col("nbr_id")), existing, queryVecs,
+      queryVecs.map(_._1).flatMap(q => entryIds.map((q, _))),
+      beamWidth, rounds, degree, excludeSelf = false)
+      .select(col("query_id").as("src_id"), col("rank"),
+        col("cand_id").as("nbr_id"))
+      .localCheckpoint(true)
+
+    // 2. append the batch to the vectors table FIRST (rescoring below
+    // reads it back so reverse edges can score against new vectors)
+    newVecs.toSeq.toDF("cand_id", "cand_e", "cand_n")
+      .repartition(col("cand_id"))
+      .write.mode(SaveMode.Append).parquet(s"$dir/vectors")
+    val vecsAll = spark.read.parquet(s"$dir/vectors")
+
+    // 3. touched neighbors: offered a reverse edge, re-truncate their
+    // adjacency (old edges ∪ offered) to the best `degree` by exact
+    // cosine — bounded: (batch × degree) sources × (degree + batch)
+    val offered = found.select(col("nbr_id").as("src_id"),
+      col("src_id").as("nbr_id"))
+    val touchedIds = offered.select(col("src_id")).distinct()
+    val candEdges = graph.join(touchedIds, "src_id")
+      .select(col("src_id"), col("nbr_id"))
+      .union(offered).dropDuplicates("src_id", "nbr_id")
+    val scored = candEdges
+      .join(vecsAll.select(col("cand_id").as("src_id"),
+        col("cand_e").as("e_s"), col("cand_n").as("n_s")), "src_id")
+      .join(vecsAll.select(col("cand_id").as("nbr_id"),
+        col("cand_e").as("e_n"), col("cand_n").as("n_n")), "nbr_id")
+      .as[(Long, Long, Array[Double], Long, Array[Double], Long)]
+      // columns reorder after the joins: the second join key leads —
+      // the row is (nbr_id, src_id, e_s, n_s, e_n, n_n)
+      .map { case (nbr, srcId, eS, nS, eN, nN) =>
+        (srcId, nbr,
+          DedupQueries.dotScaled(eS, eN) / (math.sqrt(nS) * math.sqrt(nN)))
+      }.toDF("src_id", "nbr_id", "cosine")
+    val wG = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    val rescored = scored.withColumn("rank", row_number().over(wG))
+      .where(col("rank") <= degree)
+      .select(col("src_id"), col("rank"), col("nbr_id"))
+
+    // 4. rewrite: untouched ∪ rescored ∪ the new nodes' edges
+    val untouched = graph.join(touchedIds, Seq("src_id"), "left_anti")
+    val newGraph = untouched.union(rescored).union(found)
+      .repartition(col("src_id"))
+      .localCheckpoint(true) // materialize BEFORE overwriting its input
+    newGraph.write.mode(SaveMode.Overwrite).parquet(s"$dir/graph")
+    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(newGraph)
+    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(found)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "meta.json"),
+      s"""{"degree":$degree,"vectors":${nVec + newVecs.length}}""")
+  }
+
   // -- hierarchical (HNSW-style) mode ------------------------------------
 
   /** Geometric level assignment (p = 1/4) from the portable 60-bit hash

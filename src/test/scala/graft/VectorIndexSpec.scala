@@ -307,6 +307,72 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(hr >= 0.8, f"hier recall $hr%.3f under 0.8 on separable clusters")
   }
 
+  test("incremental insert: grown index serves on par with batch-built") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val even = emb.where(col("vec_id") % 2 === 0)
+    val odd = emb.where(col("vec_id") % 2 === 1)
+    val grownDir = java.nio.file.Files.createTempDirectory("vgrow").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("vfull").toString
+    VectorIndex.build(spark, grownDir, even)
+    VectorIndex.insert(spark, grownDir, odd)
+    VectorIndex.build(spark, fullDir, emb)
+
+    val n = emb.count()
+    assert(spark.read.parquet(s"$grownDir/vectors").count() == n)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(grownDir, "meta.json")).contains(s""""vectors":$n"""))
+    // adjacency invariants: every node capped at degree, every
+    // inserted node fully linked
+    val g = spark.read.parquet(s"$grownDir/graph")
+    val degs = g.groupBy(col("src_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(degs.values.max <= DedupQueries.GraphDegree)
+    val oddIds = odd.select(col("vec_id")).as[Long].collect()
+    oddIds.foreach(id => assert(degs.getOrElse(id, 0L) > 0,
+      s"inserted $id has no out-edges"))
+
+    val queries = emb.orderBy(col("vec_id"))
+      .limit(DedupQueries.GraphQueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (k, bw, rr) = (10, 8, 6)
+    val servedG = VectorIndex.search(spark, grownDir, queries, k = k,
+      beamWidth = bw, rounds = rr, excludeSelf = true).collect()
+    val servedF = VectorIndex.search(spark, fullDir, queries, k = k,
+      beamWidth = bw, rounds = rr, excludeSelf = true).collect()
+    val all = emb.as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble) }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val qids = servedG.map(_.getLong(0)).distinct
+    val truth = qids.map { q =>
+      val qe = all.find(_._1 == q).get._2
+      q -> all.filter(_._1 != q).map { case (c, ce) => (c, cosine(qe, ce)) }
+        .sortBy { case (c, cs) => (-cs, c) }.take(k).map(_._1).toSet
+    }.toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      qids.map { q =>
+        val got = rows.filter(_.getLong(0) == q).map(_.getLong(2)).toSet
+        got.intersect(truth(q)).size.toDouble / k
+      }.sum / qids.length
+    val (rg, rf) = (recallOf(servedG), recallOf(servedF))
+    info(f"recall@10: grown $rg%.3f vs batch-built $rf%.3f")
+    assert(rg >= rf - 0.1,
+      f"incrementally-grown recall $rg%.3f collapsed vs batch $rf%.3f")
+
+    // the guard: inserting into a hier index is refused
+    val hDir = java.nio.file.Files.createTempDirectory("vgrowh").toString
+    VectorIndex.buildHier(spark, hDir, even)
+    intercept[IllegalArgumentException] {
+      VectorIndex.insert(spark, hDir, odd)
+    }
+  }
+
   test("meta guards: a non-index dir fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notidx").toString
     import spark.implicits._
