@@ -619,7 +619,11 @@ object DedupQueries {
   /** x7 pair relation WITHOUT the presentation sort — x16 consumes this
     * as its edge list (a range-exchange + sampling job would otherwise
     * run just to feed an unordered union). */
-  private[graft] def x7Pairs(s: SparkSession, d: String): DataFrame = {
+  /** The x7 gram-intersection computation WITHOUT the Jaccard cut —
+    * (doc_a, doc_b, n_inter, na, nb, jaccard) for every candidate pair
+    * sharing ≥ 1 DF-capped gram. x7 cuts it on Jaccard, x79 on
+    * containment. */
+  private[graft] def x7Scored(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // grams are hashed to 8-byte ints inside the projection (same
     // md5-derived hash the oracle reproduces), so the distinct + DF-join
@@ -647,11 +651,37 @@ object DedupQueries {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("n_inter") / (col("na") + col("nb") - col("n_inter")).cast("double"))
+  }
+
+  private[graft] def x7Pairs(s: SparkSession, d: String): DataFrame =
+    x7Scored(s, d)
       .where(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
-  }
   val x7NgramJaccard: QFn = (s, d) =>
     x7Pairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** x79 — CONTAINMENT dedup (Broder's containment coefficient):
+    * `C = |A∩B| / min(|A|,|B|)` flags pairs where the smaller gram set
+    * sits (almost) inside the larger — quotation, aggregation, and
+    * partial-mirror duplication that symmetric Jaccard structurally
+    * misses (a 50-gram doc fully contained in a 500-gram doc has
+    * J ≈ 0.1 but C = 1.0). Same gram/intersection machinery as x7,
+    * WITHOUT the Jaccard threshold; cut at C ≥ 0.8.
+    *
+    * Scale shape: identical to x7 — DF-capped grams bound every
+    * posting list, the intersection join shuffles hashed-gram longs,
+    * and the containment filter is column math on the joined counts.
+    * (The candidate set is pre-threshold, so this key is WHY x7's
+    * scored form is factored out: both cuts share one plan shape.) */
+  val x79Containment: QFn = (s, d) =>
+    x7Scored(s, d)
+      .withColumn("containment",
+        round(col("n_inter") / least(col("na"), col("nb")).cast("double"), 6))
+      .where(col("containment") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("na"),
+        col("nb"), col("containment"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
   /** Shared CTE body producing the x7 gram/intersection relations —
     * reused by the x16 clustering oracle. */
   private[graft] val x7CteBody: String =
@@ -682,6 +712,24 @@ object DedupQueries {
   val x7Sql =
     s"""WITH $x7CteBody
       |SELECT doc_a, doc_b, n_inter, jaccard FROM pairs
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** x79's oracle reads the PRE-threshold inter/sizes CTEs of the x7
+    * body (the trailing `pairs` CTE goes unused — its Jaccard cut is
+    * exactly what containment must bypass). */
+  val x79Sql: String =
+    s"""WITH $x7CteBody
+      |SELECT doc_a, doc_b, n_inter, na, nb, containment, jaccard FROM (
+      |  SELECT doc_a, doc_b, n_inter,
+      |    CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+      |    round(n_inter / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+      |      AS containment,
+      |    round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6)
+      |      AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b)
+      |WHERE containment >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // -- x20: decontamination (benchmark n-gram overlap) -------------------
@@ -3219,6 +3267,7 @@ object DedupQueries {
     "x2_dedup_minhash" -> x2DedupMinhash,
     "x71_cross_corpus_dedup" -> x71CrossCorpusDedup,
     "x74_source_pagerank" -> x74SourcePagerank,
+    "x79_containment" -> x79Containment,
     "x58_minhash_calibration" -> x58MinhashCalibration,
     "x6_dedup_simhash" -> x6DedupSimhash,
     "x7_ngram_jaccard" -> x7NgramJaccard,
@@ -3257,6 +3306,7 @@ object DedupQueries {
     "x2_dedup_minhash" -> x2Sql,
     "x71_cross_corpus_dedup" -> x71Sql,
     "x74_source_pagerank" -> x74Sql,
+    "x79_containment" -> x79Sql,
     "x58_minhash_calibration" -> x58Sql,
     "x6_dedup_simhash" -> x6Sql,
     "x7_ngram_jaccard" -> x7Sql,

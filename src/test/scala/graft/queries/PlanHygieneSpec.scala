@@ -80,7 +80,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     val budgets = Map(
       "x26_line_dedup" -> 2, "x31_repeated_substrings" -> 2,
       "x17_stratified_sample" -> 1, "x32_weighted_sample" -> 1,
-      "x33_budget_select" -> 1)
+      "x33_budget_select" -> 1,
+      // one per-shard window (x78) / per-source windows sharing one
+      // exchange (x77) — no global sort in either
+      "x78_seeded_shuffle" -> 1, "x77_quality_qnorm" -> 1)
     budgets.foreach { case (name, hashBudget) =>
       val plan = graft.SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
