@@ -84,12 +84,20 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(stats.map(_.stage) == Seq("language_filter", "quality_filter",
       "repetition_filter", "pii_scrub", "exact_dedup", "substring_dedup",
       "line_dedup", "span_excise", "near_dup_canonical", "semantic_dedup",
-      "decontaminate", "stratified_sample", "split_assign"))
+      "decontaminate", "stratified_sample", "split_assign",
+      "shuffle_shard"))
     stats.foreach(st => assert(st.rowsOut <= st.rowsIn, st.toString))
     assert(stats.head.rowsIn == 500)
     val out = curated.localCheckpoint(true)
     val n = out.count()
     assert(n > 0, "pipeline removed everything")
+
+    // the publish stage laid out contiguous per-shard positions
+    out.select(col("shard"), col("shard_pos")).collect()
+      .groupBy(_.getLong(0)).foreach { case (shard, rs) =>
+        assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq,
+          s"shard $shard positions not contiguous")
+      }
 
     // no exact duplicates survive (canonical-form fingerprint unique)
     val fps = out.groupBy(
@@ -135,9 +143,10 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(perSource.forall(_.getLong(1) <= 50))
 
     // schema preserved: curated corpus is still a documents table, plus
-    // the final split annotation
+    // the final split + publish-layout annotations
     assert(out.columns.toSet ==
-      Tables.documents(spark, sf).columns.toSet + "split")
+      Tables.documents(spark, sf).columns.toSet
+        ++ Set("split", "shard", "shard_pos"))
     assert(out.select("split").distinct().collect().map(_.getString(0)).toSet
       .subsetOf(Set("train", "validation", "test")))
   }
