@@ -714,6 +714,57 @@ object DedupQueries {
       |SELECT doc_a, doc_b, n_inter, jaccard FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** x80 — per-document n-gram NOVELTY: the fraction of a doc's
+    * distinct word bigrams whose FIRST corpus occurrence (by doc_id
+    * order) is this doc — the originality signal dedup pipelines use
+    * to separate content originators from recombinators, and the
+    * memorization-risk proxy (low-novelty docs are mostly re-seen
+    * text). Uses the x7 gram recipe BEFORE the DF cap: novelty must
+    * see boilerplate grams — they are exactly what makes a doc
+    * non-novel.
+    *
+    * Scale shape: one shuffle by hashed gram for the min-doc_id
+    * aggregate, one gram-keyed join back (both sides the same narrow
+    * (gram, doc_id) longs), one map-side-combined per-doc rollup —
+    * linear in corpus gram volume, no pair join anywhere. */
+  val x80GramNovelty: QFn = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, size(w) - 2)")).as("i"))
+      .select(col("doc_id"), expr(hex60("concat(w[i], '_', w[i+1])")).as("gram"))
+      .distinct()
+    val first = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel") / col("n_grams").cast("double"), 6))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
+      .orderBy(col("doc_id"))
+  }
+  val x80Sql: String =
+    s"""WITH allgrams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |      list_transform(range(1, length(string_split(text, ' '))),
+      |        i -> ${duckHex60("string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]")})))
+      |      AS gram
+      |  FROM documents),
+      |first AS (SELECT gram, MIN(doc_id) AS first_doc
+      |          FROM allgrams GROUP BY gram)
+      |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN f.first_doc = a.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  round(SUM(CASE WHEN f.first_doc = a.doc_id THEN 1 ELSE 0 END)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+      |FROM allgrams a JOIN first f USING (gram)
+      |GROUP BY a.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
   /** x79's oracle reads the PRE-threshold inter/sizes CTEs of the x7
     * body (the trailing `pairs` CTE goes unused — its Jaccard cut is
     * exactly what containment must bypass). */
@@ -3268,6 +3319,7 @@ object DedupQueries {
     "x71_cross_corpus_dedup" -> x71CrossCorpusDedup,
     "x74_source_pagerank" -> x74SourcePagerank,
     "x79_containment" -> x79Containment,
+    "x80_gram_novelty" -> x80GramNovelty,
     "x58_minhash_calibration" -> x58MinhashCalibration,
     "x6_dedup_simhash" -> x6DedupSimhash,
     "x7_ngram_jaccard" -> x7NgramJaccard,
@@ -3307,6 +3359,7 @@ object DedupQueries {
     "x71_cross_corpus_dedup" -> x71Sql,
     "x74_source_pagerank" -> x74Sql,
     "x79_containment" -> x79Sql,
+    "x80_gram_novelty" -> x80Sql,
     "x58_minhash_calibration" -> x58Sql,
     "x6_dedup_simhash" -> x6Sql,
     "x7_ngram_jaccard" -> x7Sql,
