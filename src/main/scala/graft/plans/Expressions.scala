@@ -138,6 +138,75 @@ case class DotScaledExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static codegen entry point for [[BoundedLevenshteinExpr]] — banded
+  * O(k·min(n,m)) edit-distance with early exit, vs the O(n·m) full DP
+  * of the built-in `levenshtein`. For a similarity join that only asks
+  * "is ED ≤ k" (k tiny), the bound is the whole cost model: a band of
+  * 2k+1 cells per row and a bail-out the moment a row's minimum
+  * exceeds k. Distances above k all collapse to k+1. */
+object StringKernel {
+  def boundedLev(ua: org.apache.spark.unsafe.types.UTF8String,
+      ub: org.apache.spark.unsafe.types.UTF8String, k: Int): Int = {
+    val a = ua.toString; val b = ub.toString
+    val n = a.length; val m = b.length
+    val inf = k + 1
+    if (math.abs(n - m) > k) return inf
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= k) j else inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      cur(0) = if (i <= k) i else inf
+      val lo = math.max(1, i - k); val hi = math.min(m, i + k)
+      var rowMin = cur(0)
+      j = lo
+      while (j <= hi) {
+        var c = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+        if (prev(j) + 1 < c) c = prev(j) + 1
+        if (cur(j - 1) + 1 < c) c = cur(j - 1) + 1
+        if (c > inf) c = inf
+        cur(j) = c
+        if (c < rowMin) rowMin = c
+        j += 1
+      }
+      if (rowMin >= inf) return inf
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    math.min(prev(m), inf)
+  }
+}
+
+/** `bounded_levenshtein(a, b, k)` — edit distance clamped at k+1 with
+  * a banded DP and per-row early exit; the refine kernel for ED≤k
+  * similarity joins (x69). Semantically: equal to `levenshtein(a, b)`
+  * whenever that is ≤ k, and exactly k+1 otherwise — so
+  * `bounded_levenshtein(a, b, k) <= k` ⟺ `levenshtein(a, b) <= k`,
+  * at O(k·len) instead of O(len²). */
+case class BoundedLevenshteinExpr(left: Expression, right: Expression,
+    bound: Int) extends BinaryExpression with Serializable {
+  require(bound >= 0, s"bounded_levenshtein bound must be >= 0, got $bound")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "bounded_levenshtein"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringKernel.boundedLev(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], bound)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.StringKernel.boundedLev($a, $b, $bound)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SpatialFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -165,4 +234,8 @@ object SpatialFunctions {
   def z_interleave(x: Column, y: Column): Column =
     column(ZInterleaveExpr(expression(x.cast("long")),
       expression(y.cast("long"))))
+
+  def bounded_levenshtein(a: Column, b: Column, k: Int): Column =
+    column(BoundedLevenshteinExpr(expression(a.cast("string")),
+      expression(b.cast("string")), k))
 }

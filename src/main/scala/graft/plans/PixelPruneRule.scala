@@ -168,6 +168,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Cast(y, org.apache.spark.sql.types.LongType))
         case _ => throw new IllegalArgumentException("z_interleave(x, y)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bounded_levenshtein"),
+      new ExpressionInfo(classOf[BoundedLevenshteinExpr].getName,
+        "bounded_levenshtein"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b, Literal(k, _)) => BoundedLevenshteinExpr(
+          Cast(a, StringType), Cast(b, StringType), k.toString.toInt)
+        case _ => throw new IllegalArgumentException(
+          "bounded_levenshtein(a, b, kLiteral)")
+      }))
     def requireFoldableInt(e: Expression, fn: String): Int = e match {
       case other if other.foldable && (other.dataType match {
         case _: org.apache.spark.sql.types.IntegerType |

@@ -53,10 +53,12 @@ object MiningQueries {
       .dropDuplicates("id", "sig")
     val a = sigs.select(col("sig"), col("id").as("id_a"), col("name").as("name_a"))
     val b = sigs.select(col("sig"), col("id").as("id_b"), col("name").as("name_b"))
+    // refine with the banded O(k·len) kernel, not the built-in O(len²)
+    // full DP — exact for every decision the ≤1 filter makes
     DedupQueries.bucketSelfJoin(s, a, b, Seq("sig"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("edit_dist",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .withColumn("edit_dist", graft.plans.SpatialFunctions
+        .bounded_levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
       .where(col("edit_dist") <= 1)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
       .dropDuplicates("id_a", "id_b")

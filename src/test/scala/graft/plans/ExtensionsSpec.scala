@@ -407,4 +407,42 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("capacity"), err.getMessage)
   }
+
+  test("bounded_levenshtein: exact within bound, clamped above, SQL-registered") {
+    // reference full DP
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val rnd = new scala.util.Random(7)
+    def str() = (0 until rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    import org.apache.spark.unsafe.types.UTF8String
+    for (_ <- 1 to 3000; k <- 0 to 3) {
+      val (a, b) = (str(), str())
+      val got = StringKernel.boundedLev(
+        UTF8String.fromString(a), UTF8String.fromString(b), k)
+      val want = math.min(lev(a, b), k + 1)
+      assert(got == want, s"boundedLev('$a','$b',$k) = $got, want $want")
+    }
+    // SQL registration + codegen path
+    val rows = spark.sql(
+      """SELECT bounded_levenshtein(a, b, 1) AS d FROM (VALUES
+        |  ('kitten', 'sitten'), ('kitten', 'mittens'), ('abc', 'abc')
+        |) AS t(a, b)""".stripMargin).collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(1, 2, 0), rows)
+    // non-literal bound fails fast
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT bounded_levenshtein('a', 'b', length('ab'))").collect()
+    }
+    assert(e2.getMessage.contains("bounded_levenshtein"), e2.getMessage)
+  }
 }
