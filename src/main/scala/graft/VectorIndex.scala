@@ -240,7 +240,7 @@ object VectorIndex {
 
   // -- IVF-PQ mode: list-PARTITIONED codes → serve-time partition prune --
 
-  private def nearestClusters(e: Array[Double], k: Int): Seq[Int] =
+  private[graft] def nearestClusters(e: Array[Double], k: Int): Seq[Int] =
     DedupQueries.ivfCentroids
       .map { case (ci, c) => (ci, DedupQueries.dotScaled(e, c)) }
       .sortBy { case (ci, dot) => (-dot, ci) }.take(k).map(_._1).toSeq
@@ -316,10 +316,19 @@ object VectorIndex {
       Ordering.fromLessThan { (x, y) =>
         x._3 < y._3 || (x._3 == y._3 && x._2 < y._2)
       }
-    val scored = spark.read.parquet(s"$dir/ivf_codes")
+    // base codes ∪ stream-ingested codes (VectorIngest) — `list` is a
+    // partition column in both, so probe pruning opens only the probed
+    // lists' files either way
+    val baseCodes = spark.read.parquet(s"$dir/ivf_codes")
+      .select(col("list"), col("cand_id"), col("code"))
+    val streamDir = java.nio.file.Paths.get(dir, "ivf_codes_stream")
+    val codes = if (java.nio.file.Files.exists(streamDir))
+      baseCodes.unionByName(spark.read.parquet(streamDir.toString)
+        .select(col("list"), col("cand_id"), col("code")))
+    else baseCodes
+    val scored = codes
       // partition prune: only the probed lists' files are opened
       .where(col("list").isin(probedLists: _*))
-      .select(col("list"), col("cand_id"), col("code"))
       .as[(Int, Long, Array[Int])]
       .mapPartitions { it =>
         val qs = qpB.value
