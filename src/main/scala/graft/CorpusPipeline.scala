@@ -379,17 +379,8 @@ object CorpusPipeline {
     * salted doc id), so republish ≡ same layout; a reshuffle is a salt
     * change. Widens the schema (shard, shard_pos) and never drops a
     * row, so it runs last, after split_assign. */
-  private[graft] def shuffleShard(c: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("shuffle_h"), col("doc_id"))
-    c.withColumn("shuffle_h", expr(graft.queries.PortableHash.hex60(
-        "concat('shuf:', CAST(doc_id AS STRING))")))
-      .withColumn("shard",
-        (col("shuffle_h") % graft.queries.MiningQueries.ShuffleShards)
-          .cast("long"))
-      .withColumn("shard_pos", row_number().over(w).cast("long"))
-      .drop("shuffle_h")
-  }
+  private[graft] def shuffleShard(c: DataFrame): DataFrame =
+    graft.queries.MiningQueries.shuffleShardCols(c)
 
   /** Run the pipeline; returns (curated corpus, per-stage stats). */
   def run(s: SparkSession, d: String, lang: String = "en",

@@ -318,12 +318,16 @@ object VectorIndex {
       }
     // base codes ∪ stream-ingested codes (VectorIngest) — `list` is a
     // partition column in both, so probe pruning opens only the probed
-    // lists' files either way
+    // lists' files either way. The streamed read carries an EXPLICIT
+    // schema: a stream dir holding only _SUCCESS (zero-row first batch)
+    // must serve as empty, not fail schema inference.
     val baseCodes = spark.read.parquet(s"$dir/ivf_codes")
       .select(col("list"), col("cand_id"), col("code"))
     val streamDir = java.nio.file.Paths.get(dir, "ivf_codes_stream")
     val codes = if (java.nio.file.Files.exists(streamDir))
-      baseCodes.unionByName(spark.read.parquet(streamDir.toString)
+      baseCodes.unionByName(spark.read
+        .schema("ingest_batch LONG, list INT, cand_id LONG, code ARRAY<INT>")
+        .parquet(streamDir.toString)
         .select(col("list"), col("cand_id"), col("code")))
     else baseCodes
     val scored = codes
@@ -349,7 +353,13 @@ object VectorIndex {
       }.toDF("query_id", "cand_id", "adc")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
+    // LOAD-BEARING dedup, not belt-and-braces: an at-least-once feed
+    // may re-deliver a base vector under a different ingest batch, and
+    // a duplicated (query, cand) would otherwise occupy two top-k
+    // slots; rows here are already heap-bounded (partitions × queries
+    // × k), so this exchange is tiny
+    scored.dropDuplicates("query_id", "cand_id")
+      .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("adc"))
       .orderBy(col("query_id"), col("rank"))
@@ -394,6 +404,8 @@ object VectorIndex {
       }
     require(newVecs.nonEmpty, "insert batch is empty")
     val newIds = newVecs.map(_._1).toSet
+    require(newIds.size == newVecs.length,
+      "insert batch contains duplicate vec_ids")
     val existing = spark.read.parquet(s"$dir/vectors")
     val dup = existing.select(col("cand_id")).as[Long]
       .filter(id => newIds.contains(id)).take(1)

@@ -147,7 +147,11 @@ case class DotScaledExpr(left: Expression, right: Expression)
 object StringKernel {
   def boundedLev(ua: org.apache.spark.unsafe.types.UTF8String,
       ub: org.apache.spark.unsafe.types.UTF8String, k: Int): Int = {
-    val a = ua.toString; val b = ub.toString
+    // CODE POINTS, not UTF-16 code units: the builtin levenshtein (and
+    // DuckDB's) count supplementary-plane characters as one edit, and
+    // the "<= k iff levenshtein <= k" contract must hold there too
+    val a = ua.toString.codePoints.toArray
+    val b = ub.toString.codePoints.toArray
     val n = a.length; val m = b.length
     val inf = k + 1
     if (math.abs(n - m) > k) return inf
@@ -163,7 +167,7 @@ object StringKernel {
       var rowMin = cur(0)
       j = lo
       while (j <= hi) {
-        var c = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+        var c = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
         if (prev(j) + 1 < c) c = prev(j) + 1
         if (cur(j - 1) + 1 < c) c = cur(j - 1) + 1
         if (c > inf) c = inf

@@ -173,10 +173,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BoundedLevenshteinExpr].getName,
         "bounded_levenshtein"),
       (args: Seq[Expression]) => args match {
-        case Seq(a, b, Literal(k, _)) => BoundedLevenshteinExpr(
-          Cast(a, StringType), Cast(b, StringType), k.toString.toInt)
+        // only integral literals: a NULL or fractional bound must hit
+        // the contract error below, not NPE/NumberFormatException
+        case Seq(a, b, Literal(k: Int, _)) => BoundedLevenshteinExpr(
+          Cast(a, StringType), Cast(b, StringType), k)
+        case Seq(a, b, Literal(k: Long, _)) => BoundedLevenshteinExpr(
+          Cast(a, StringType), Cast(b, StringType), k.toInt)
         case _ => throw new IllegalArgumentException(
-          "bounded_levenshtein(a, b, kLiteral)")
+          "bounded_levenshtein(a, b, kLiteral) — k must be an integer literal")
       }))
     def requireFoldableInt(e: Expression, fn: String): Int = e match {
       case other if other.foldable && (other.dataType match {

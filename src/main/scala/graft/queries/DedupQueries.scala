@@ -334,10 +334,18 @@ object DedupQueries {
       .select(col("source"), expr(s"$PrScale div n").as("r"))
       .localCheckpoint(true)
     for (_ <- 1 to PrRounds) {
+      // (r*w) div wu without forming r*w: r ≈ 1e12 scaled, so the raw
+      // product overflows Long once an edge carries >9.2e6 pairs (two
+      // big mirrors at corpus scale). The split form is the exact
+      // identity floor(r·w/wu) = (r div wu)·w + ((r mod wu)·w) div wu,
+      // whose largest intermediate is (wu-1)·w — safe for weights to
+      // ~3e9. (The oracle keeps the direct form: DuckDB's SUM runs in
+      // HUGEINT and the identity guarantees equal values.)
       val contrib = edges
         .join(rank.select(col("source").as("u"), col("r")), "u")
         .join(outW, "u")
-        .select(col("v").as("source"), expr("(r * w) div wu").as("c"))
+        .select(col("v").as("source"),
+          expr("(r div wu) * w + ((r % wu) * w) div wu").as("c"))
         .groupBy(col("source")).agg(sum(col("c")).as("cs"))
       rank = nodes.crossJoin(broadcast(nn))
         .join(contrib, Seq("source"), "left")

@@ -173,15 +173,20 @@ object MiningQueries {
     * form (vec_id, dim, value) costs a 16× posexplode; a training
     * pipeline that wants the wide row keeps the pre-explode array. */
   val x72JlProjection: QFn = (s, d) => {
+    // each term integer-scales at 1e6 BEFORE summation (the dot_scaled
+    // convention) — the sum is a Long, so its value is independent of
+    // accumulation order and the oracle matches bit-exactly instead of
+    // relying on both engines folding doubles in the same order
     val projected = (0 until JlDims).map { i =>
       (0 until EmbDims).map { j =>
-        element_at(col("embedding"), j + 1).cast("double") * lit(jlSign(i, j))
+        round(element_at(col("embedding"), j + 1).cast("double")
+          * lit(jlSign(i, j) * 1000000.0)).cast("long")
       }.reduce(_ + _)
     }
     Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(array(projected: _*)))
       .select(col("vec_id"), col("pos").cast("long").as("dim"),
-        round(col("col"), 6).as("value"))
+        (col("col").cast("double") / lit(1000000.0)).as("value"))
       .orderBy(col("vec_id"), col("dim"))
   }
   val x72Sql: String =
@@ -196,7 +201,9 @@ object MiningQueries {
        |  SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS x
        |  FROM (SELECT vec_id, embedding, unnest(range(0, $EmbDims)) AS j
        |        FROM embeddings))
-       |SELECT vec_id, CAST(i AS BIGINT) AS dim, round(SUM(x * sg), 6) AS value
+       |SELECT vec_id, CAST(i AS BIGINT) AS dim,
+       |  CAST(SUM(CAST(round(x * sg * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |    / 1000000.0 AS value
        |FROM e JOIN sgn USING (j)
        |GROUP BY vec_id, i
        |ORDER BY vec_id, dim""".stripMargin
@@ -384,17 +391,26 @@ object MiningQueries {
     * the one shuffle is the row_number window partitioned by shard —
     * each shard sorts independently (no global sort), and shard count
     * scales with output file targets, not corpus size. */
-  val x78SeededShuffle: QFn = (s, d) => {
+  /** The seeded shuffle-then-shard recipe itself, over any frame with
+    * a doc_id — ONE definition shared by the x78 key and
+    * [[graft.CorpusPipeline]]'s publish stage, so the oracle-checked
+    * recipe and the pipeline stage cannot silently drift. Adds
+    * (shard, shard_pos). */
+  def shuffleShardCols(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-      .withColumn("h",
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_h"), col("doc_id"))
+    df.withColumn("shuffle_h",
         expr(hex60("concat('shuf:', CAST(doc_id AS STRING))")))
-      .withColumn("shard", (col("h") % ShuffleShards).cast("long"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-    docs.withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos"))
-      .orderBy(col("doc_id"))
+      .withColumn("shard", (col("shuffle_h") % ShuffleShards).cast("long"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("shuffle_h")
   }
+
+  val x78SeededShuffle: QFn = (s, d) =>
+    shuffleShardCols(Tables.documents(s, d).select(col("doc_id")))
+      .select(col("doc_id"), col("shard"), col("shard_pos").as("pos"))
+      .orderBy(col("doc_id"))
   val x78Sql: String =
     s"""SELECT doc_id, CAST(h % $ShuffleShards AS BIGINT) AS shard,
        |  CAST(row_number() OVER (PARTITION BY h % $ShuffleShards

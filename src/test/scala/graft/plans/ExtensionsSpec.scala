@@ -444,5 +444,10 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT bounded_levenshtein('a', 'b', length('ab'))").collect()
     }
     assert(e2.getMessage.contains("bounded_levenshtein"), e2.getMessage)
+    // code POINTS, not UTF-16 units: a supplementary-plane char is one
+    // edit away from an ASCII char (two code units would say two)
+    assert(StringKernel.boundedLev(
+      UTF8String.fromString("😀"), UTF8String.fromString("a"), 1)
+      == 1)
   }
 }

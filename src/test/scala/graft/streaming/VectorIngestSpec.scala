@@ -84,5 +84,16 @@ class VectorIngestSpec extends AnyFunSuite {
     val b = VectorIndex.searchIvfPq(spark, full, queries, k = 5)
       .collect().map(_.toString).toSeq
     assert(a == b, "streamed-grown index diverged from batch-built")
+
+    // an at-least-once feed re-delivering BASE vectors must not let a
+    // duplicated candidate occupy two top-k slots
+    VectorIngest.appendBatch(spark, grown,
+      emb.where(col("vec_id") < 50), batchId = 99L)
+    val dup = VectorIndex.searchIvfPq(spark, grown, queries, k = 5).collect()
+    dup.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val cands = rs.map(_.getLong(2))
+      assert(cands.distinct.length == cands.length,
+        s"query $q top-k repeats a candidate: ${cands.toSeq}")
+    }
   }
 }
