@@ -162,7 +162,14 @@ class PlanHygieneSpec extends AnyFunSuite {
       // 10 k of sf0.001's 27.9 k tokens → measured 20 313 total; an
       // unpruned plan would push the FULL positional index through the
       // first hop alone (≥ 27.9 k, ≥ 55 k across both)
-      "x55_phrase_search" -> 25000L)
+      "x55_phrase_search" -> 25000L,
+      // signature-bounded: ≤ names × (len+1) deduped signature rows
+      // ride the self-join (150 names × 19 at sf0.001), candidates are
+      // genuine shared-signature pairs only (measured 9 136 total);
+      // without the per-id signature dedup the digit-run duplicates
+      // multiply candidate rows quadratically within buckets (the
+      // pre-fix shape)
+      "x69_fuzzy_join" -> 15000L)
     budgets.foreach { case (name, budget) =>
       val written = new java.util.concurrent.atomic.AtomicLong()
       val listener = new org.apache.spark.scheduler.SparkListener {
