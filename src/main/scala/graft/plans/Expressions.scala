@@ -109,6 +109,65 @@ object VectorKernel {
   }
 }
 
+/** Static kernel for [[JlProjectExpr]]: one call projects the whole
+  * embedding row to `outDims` scaled-long sums. Rounding per TERM is
+  * half-away-from-zero (the SQL `round()` rule), then terms sum as
+  * longs — identical arithmetic to the unrolled
+  * `Σ round(xⱼ·sgnᵢⱼ·1e6)` literal-tree form, but the 1024-term tree
+  * (≈3 s of one-time Janino codegen) becomes a single static call. */
+object JlKernel {
+  def project(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      signs: Array[Byte], outDims: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val inDims = signs.length / outDims
+    val out = new Array[Long](outDims)
+    var i = 0
+    while (i < outDims) {
+      val base = i * inDims
+      var s = 0L
+      var j = 0
+      while (j < inDims) {
+        val v = a.getDouble(j) * signs(base + j) * 1000000d
+        s += (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+        j += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `jl_project(embedding)` — seeded ±1 Johnson–Lindenstrauss projection
+  * to `outDims` scaled longs (÷1e6 for the real value). The sign matrix
+  * rides the plan as a codegen reference object (flat row-major bytes),
+  * so plan size and codegen time are independent of dims — the
+  * Catalyst-native replacement for unrolling dims×dims `round()` terms
+  * into the plan (x72's original form, which paid ~3 s of one-time
+  * whole-stage-codegen compilation for a 16×64 matrix and would not
+  * scale to 1024-dim embeddings at all). */
+case class JlProjectExpr(child: Expression, signs: Array[Byte], outDims: Int)
+    extends UnaryExpression with Serializable {
+  require(outDims > 0 && signs.length % outDims == 0,
+    s"sign matrix length ${signs.length} not divisible by outDims $outDims")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "jl_project"
+
+  override protected def nullSafeEval(a: Any): Any =
+    JlKernel.project(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      signs, outDims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jlSigns", signs, "byte[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.plans.JlKernel.project($a, $ref, $outDims)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `dot_scaled(a, b)` — THE exact-integer scaled dot product of the
   * engine (Σ round(aᵢ·bᵢ·1e6) as a long; summation-order-independent,
   * so every engine computes the identical value — the property all
@@ -242,4 +301,7 @@ object SpatialFunctions {
   def bounded_levenshtein(a: Column, b: Column, k: Int): Column =
     column(BoundedLevenshteinExpr(expression(a.cast("string")),
       expression(b.cast("string")), k))
+
+  def jl_project(emb: Column, signs: Array[Byte], outDims: Int): Column =
+    column(JlProjectExpr(expression(emb.cast("array<double>")), signs, outDims))
 }

@@ -160,31 +160,36 @@ object MiningQueries {
     else -1.0
   }
 
+  /** The sign matrix, flat row-major (±1 bytes), shipped to executors
+    * as ONE codegen reference object by [[graft.plans.JlProjectExpr]]. */
+  private lazy val jlSigns: Array[Byte] =
+    Array.tabulate(JlDims * EmbDims)(k =>
+      jlSign(k / EmbDims, k % EmbDims).toByte)
+
   /** x72 — Johnson–Lindenstrauss random projection of the embedding
     * column to [[JlDims]] dims with a seeded ±1 (Achlioptas) matrix:
     * the standard cheap dimensionality reduction in front of clustering
     * or LSH when 64–1024-dim embeddings are too wide to shuffle. The
-    * matrix entries are md5-derived, so Spark bakes them into the plan
-    * as LITERALS — the projection is pure codegen'd column math, no
-    * matrix table, no join, no UDF.
+    * matrix entries are md5-derived, so the SAME matrix is
+    * constructible in any engine; it rides the plan as one reference
+    * object inside the native codegen'd [[graft.plans.JlProjectExpr]]
+    * — no matrix table, no join, no UDF, and (unlike the earlier
+    * unrolled-literal form) no dims×dims expression tree: the 16×64
+    * unroll cost ~3 s of one-time Janino compilation and would be
+    * outright un-compilable at 1024-dim embeddings.
     *
     * Scale shape: map-only — zero data shuffle (spec-pinned alongside
     * x27–x29); the one range exchange is the presentation sort. Long
     * form (vec_id, dim, value) costs a 16× posexplode; a training
-    * pipeline that wants the wide row keeps the pre-explode array. */
+    * pipeline that wants the wide row keeps the pre-explode array.
+    * Each term integer-scales at 1e6 BEFORE summation (the dot_scaled
+    * convention) — the sum is a Long, so its value is independent of
+    * accumulation order and the oracle matches bit-exactly instead of
+    * relying on both engines folding doubles in the same order. */
   val x72JlProjection: QFn = (s, d) => {
-    // each term integer-scales at 1e6 BEFORE summation (the dot_scaled
-    // convention) — the sum is a Long, so its value is independent of
-    // accumulation order and the oracle matches bit-exactly instead of
-    // relying on both engines folding doubles in the same order
-    val projected = (0 until JlDims).map { i =>
-      (0 until EmbDims).map { j =>
-        round(element_at(col("embedding"), j + 1).cast("double")
-          * lit(jlSign(i, j) * 1000000.0)).cast("long")
-      }.reduce(_ + _)
-    }
     Tables.embeddings(s, d)
-      .select(col("vec_id"), posexplode(array(projected: _*)))
+      .select(col("vec_id"), posexplode(graft.plans.SpatialFunctions
+        .jl_project(col("embedding"), jlSigns, JlDims)))
       .select(col("vec_id"), col("pos").cast("long").as("dim"),
         (col("col").cast("double") / lit(1000000.0)).as("value"))
       .orderBy(col("vec_id"), col("dim"))
@@ -488,6 +493,373 @@ object MiningQueries {
        |FROM ex CROSS JOIN z
        |ORDER BY source""".stripMargin
 
+  // -- x81: per-source boilerplate line removal --------------------------
+
+  /** A span is boilerplate within its source when at least this many
+    * DISTINCT documents of that source contain it. */
+  val BoilerMinDocs = 2
+
+  /** x81 — per-source boilerplate detection (the CCNet/jusText shape):
+    * a line that recurs across documents OF THE SAME SOURCE is template
+    * chrome (headers, footers, nav), not content — distinct from x26's
+    * corpus-wide keep-first line dedup, which would KEEP the first copy
+    * of a footer; here every occurrence of a high-DF-within-source line
+    * is flagged. Output is the per-doc audit (span count, boilerplate
+    * span count, fraction) a curation stage filters or rewrites on.
+    * Segmentation is THE shared [[TextQueries.segmentSpans]] recipe.
+    *
+    * Scale shape: two shuffles, both keyed by (source, line_h) — the
+    * DF aggregation (map-side combined, distinct-doc counting collapses
+    * per partition first) and the flag join. The boilerplate side of
+    * the join has at most one row per key, so a hot span fans out only
+    * to its probe-side occurrences (no row explosion; AQE handles
+    * probe-side skew). Nothing corpus-wide ever broadcasts. */
+  val x81Boilerplate: QFn = (s, d) => {
+    val segs = TextQueries.segmentSpans(
+        Tables.documents(s, d), carry = Seq("source"))
+      .select(col("doc_id"), col("source"), col("line_h"))
+    val boiler = segs.groupBy(col("source"), col("line_h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= BoilerMinDocs)
+      .select(col("source"), col("line_h"), lit(1L).as("is_boiler"))
+    segs.join(boiler, Seq("source", "line_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler_lines"))
+      .select(col("doc_id"), col("n_lines"), col("n_boiler_lines"),
+        (col("n_boiler_lines").cast("double") / col("n_lines").cast("double"))
+          .as("boiler_fraction"))
+      .orderBy(col("doc_id"))
+  }
+  val x81Sql: String = {
+    val lw = TextQueries.LineWords
+    s"""WITH segs AS (
+       |  SELECT doc_id, source,
+       |    ${PortableHash.duckHex60(
+              s"array_to_string(list_slice(w, seg * $lw + 1, seg * $lw + $lw), ' ')")} AS line_h
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w,
+       |          unnest(range(0, (length(string_split(text, ' ')) - 1) // $lw + 1)) AS seg
+       |        FROM documents
+       |        WHERE length(string_split(text, ' ')) >= 1)),
+       |boiler AS (
+       |  SELECT source, line_h FROM (
+       |    SELECT source, line_h, COUNT(DISTINCT doc_id) AS n_docs
+       |    FROM segs GROUP BY source, line_h)
+       |  WHERE n_docs >= $BoilerMinDocs)
+       |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN b.line_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_boiler_lines,
+       |  CAST(SUM(CASE WHEN b.line_h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS boiler_fraction
+       |FROM segs s LEFT JOIN boiler b
+       |  ON s.source = b.source AND s.line_h = b.line_h
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
+  // -- x82: retrieval quality evaluation (MRR / precision@k) -------------
+
+  /** Cut-off k for the retrieval metrics. */
+  val EvalK = 10
+
+  /** x82 — retrieval EVALUATION: given label-relevance ground truth
+    * (a candidate is relevant to a query iff it shares the query's
+    * label — the standard proxy qrels on an embedded corpus), run the
+    * exact brute-force cosine top-[[EvalK]] per query and score it with
+    * the two workhorse IR metrics: reciprocal rank of the first
+    * relevant hit (integer-scaled, exact) and precision@k. This is the
+    * measurement harness every ANN family (x14/x15/x38…x47) is tuned
+    * against, expressed as a first-class operator.
+    *
+    * Scale shape: identical to x3 — queries broadcast, candidates
+    * stream through the primitive dot kernel, a k-bounded per-query
+    * heap ([[graft.operators.BoundedTopK]]) caps the selection shuffle
+    * at partitions × queries × k rows; the metric rollup then touches
+    * queries × k rows only. */
+  val x82RetrievalEval: QFn = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .map { case (id, lab, e) => (id, lab, e.map(_.toDouble)) }
+    val queries = s.sparkContext.broadcast(
+      emb.filter(_._1 < 10).collect().sortBy(_._1)
+        .map { case (id, lab, e) => (id, lab, e, DedupQueries.normScaled(e)) })
+    val scored = emb.mapPartitions { it =>
+      val qs = queries.value
+      val rows = it.flatMap { case (cid, clab, ce) =>
+        lazy val cn = DedupQueries.normScaled(ce)
+        qs.iterator.collect { case (qid, qlab, qe, qn) if qid != cid =>
+          (qid, qlab, cid, clab,
+            DedupQueries.dotScaled(qe, ce) / (math.sqrt(qn) * math.sqrt(cn)))
+        }
+      }
+      graft.operators.BoundedTopK.perQuery(rows, EvalK,
+        (r: (Long, Int, Long, Int, Double)) => r._1)(
+        Ordering.fromLessThan { (x, y) =>
+          x._5 > y._5 || (x._5 == y._5 && x._3 < y._3)
+        })
+    }.toDF("query_id", "q_label", "cand_id", "c_label", "cosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= EvalK)
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(min(when(col("c_label") === col("q_label"), col("rank"))).as("frr"),
+        sum(when(col("c_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_rel_at_k"))
+      .select(col("query_id"), col("q_label").cast("long").as("q_label"),
+        coalesce(col("frr"), lit(0)).cast("long").as("first_rel_rank"),
+        coalesce(expr("1000000 DIV frr"), lit(0L)).cast("long").as("rr_scaled"),
+        col("n_rel_at_k"),
+        (col("n_rel_at_k").cast("double") / lit(EvalK.toDouble)).as("p_at_k"))
+      .orderBy(col("query_id"))
+  }
+  val x82Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+       |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS q_label,
+       |    c.vec_id AS cand_id, c.label AS c_label,
+       |    CAST(list_sum(list_transform(range(1, length(q.embedding) + 1),
+       |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+       |      / (sqrt(q.norm_s) * sqrt(c.norm_s)) AS cosine
+       |  FROM e q, e c
+       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |top AS (
+       |  SELECT query_id, q_label, c_label,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(q_label AS BIGINT) AS q_label,
+       |  CAST(COALESCE(MIN(CASE WHEN c_label = q_label THEN rank END), 0)
+       |    AS BIGINT) AS first_rel_rank,
+       |  CAST(COALESCE(1000000 // MIN(CASE WHEN c_label = q_label THEN rank END), 0)
+       |    AS BIGINT) AS rr_scaled,
+       |  CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_rel_at_k,
+       |  CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST($EvalK AS DOUBLE) AS p_at_k
+       |FROM top WHERE rank <= $EvalK
+       |GROUP BY query_id, q_label
+       |ORDER BY query_id""".stripMargin
+
+  // -- x83: triangle counting on the co-occurrence graph -----------------
+
+  /** x83 — triangle count over the part co-occurrence graph (an edge
+    * joins two parts appearing in the same order): the classic graph
+    * statistic behind clustering-coefficient/community analysis of the
+    * near-dup or co-citation graphs a curation stack builds. Counted by
+    * DEGREE-ORDERED ORIENTATION (each undirected edge directed from its
+    * lower-(degree, id) endpoint), the MapReduce-era standard: every
+    * wedge is enumerated at its lowest-degree vertex, so per-vertex
+    * wedge work is bounded by out-degree ≤ O(√m) instead of the raw
+    * degree — a hub of degree 10⁶ contributes √-bounded wedges, not
+    * 10¹² — and each triangle is found exactly once (no ÷3, no ÷6).
+    *
+    * Scale shape: pair generation is per-order local (order groups are
+    * small by schema); the wedge self-join shuffles oriented edges by
+    * source; the closing check is an edge-keyed semi-join. No step is
+    * ever quadratic in a vertex's raw degree. */
+  val x83TriangleCount: QFn = (s, d) => {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .dropDuplicates("okey", "part")
+    val edges = op.as("a").join(op.as("b"), "okey")
+      .where(col("a.part") < col("b.part"))
+      .select(col("a.part").as("u"), col("b.part").as("v"))
+      .dropDuplicates("u", "v")
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+    // orient low-(deg, id) -> high-(deg, id); u < v always, so ties in
+    // degree orient by id
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv")), col("u"))
+        .otherwise(col("v")).as("src"),
+      when(col("du") < col("dv") || (col("du") === col("dv")), col("v"))
+        .otherwise(col("u")).as("dst"),
+      when(col("du") < col("dv") || (col("du") === col("dv")), col("dv"))
+        .otherwise(col("du")).as("ddst"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"), "src")
+      .where(col("e1.ddst") < col("e2.ddst") ||
+        (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst")))
+      .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
+    val tri = wedges.join(oriented.select("src", "dst"), Seq("src", "dst"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+  val x83Sql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.part AS u, b.part AS v
+      |  FROM op a JOIN op b USING (okey) WHERE a.part < b.part)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+      |    (SELECT u AS n FROM edges UNION SELECT v FROM edges)) AS n_nodes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+      |  (SELECT CAST(COUNT(*) AS BIGINT)
+      |   FROM edges e1
+      |   JOIN edges e2 ON e2.u = e1.v
+      |   JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin
+
+  // -- x84: integer batch-perceptron quality classifier ------------------
+
+  /** Batch-perceptron training rounds. */
+  val PerceptronRounds = 3
+
+  /** x84 — TRAINED quality/language classifier, the fastText-style
+    * "reference vs web" discriminator of the LLaMA/CCNet pipelines, as
+    * an integer-exact batch perceptron: y = +1 for English documents,
+    * features x = (1, n_words, n_chars, n_'e'), and each round applies
+    * the batch update w ← w + Σ_{yᵢ(w·xᵢ)≤0} yᵢxᵢ. All arithmetic is
+    * Long-exact, so — like the x59 Lloyd loop — the oracle can REPLAY
+    * training round by round as unrolled CTEs and hash-match the
+    * weights bit-for-bit.
+    *
+    * Scale shape: each round is ONE map-side-combined aggregation over
+    * the corpus producing a single 5-long row (the feature-sum deltas +
+    * misclassified count); the weight vector lives on the driver,
+    * bounded by rounds × features — the exact shape of distributed
+    * linear-model training (parameter broadcast down, gradient sums
+    * up). The feature frame is computed once and persisted across
+    * rounds. */
+  val x84PerceptronQuality: QFn = (s, d) => {
+    import s.implicits._
+    val feats = Tables.documents(s, d).select(
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      lit(1L).as("f0"),
+      size(split(col("text"), " ")).cast("long").as("f1"),
+      length(col("text")).cast("long").as("f2"),
+      (length(col("text")) - length(translate(col("text"), "e", "")))
+        .cast("long").as("f3"))
+    feats.persist()
+    try {
+      val w = Array(0L, 0L, 0L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      for (r <- 1 to PerceptronRounds) {
+        val margin = col("y") * (lit(w(0)) * col("f0") + lit(w(1)) * col("f1")
+          + lit(w(2)) * col("f2") + lit(w(3)) * col("f3"))
+        val row = feats.agg(
+          sum(when(margin <= 0, col("y") * col("f0")).otherwise(0L)).as("s0"),
+          sum(when(margin <= 0, col("y") * col("f1")).otherwise(0L)).as("s1"),
+          sum(when(margin <= 0, col("y") * col("f2")).otherwise(0L)).as("s2"),
+          sum(when(margin <= 0, col("y") * col("f3")).otherwise(0L)).as("s3"),
+          sum(when(margin <= 0, 1L).otherwise(0L)).as("n_mis"))
+          .collect()(0)
+        val nMis = row.getLong(4)
+        for (j <- 0 to 3) w(j) += row.getLong(j)
+        for (j <- 0 to 3) out += ((r.toLong, j.toLong, w(j), nMis))
+      }
+      out.toSeq.toDF("round", "widx", "weight", "n_mis")
+        .orderBy(col("round"), col("widx"))
+    } finally feats.unpersist()
+  }
+  val x84Sql: String = {
+    val dot = (p: String) =>
+      s"($p.w0 * f0 + $p.w1 * f1 + $p.w2 * f2 + $p.w3 * f3)"
+    val rounds = (1 to PerceptronRounds).map { r =>
+      val prev = s"w${r - 1}"
+      val sums = (0 to 3).map(j =>
+        s"""CAST(SUM(CASE WHEN y * ${dot("p")} <= 0 THEN y * f$j ELSE 0 END) AS BIGINT) AS s$j""")
+        .mkString(",\n    ")
+      s"""d$r AS (
+         |  SELECT $sums,
+         |    CAST(SUM(CASE WHEN y * ${dot("p")} <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mis
+         |  FROM feats CROSS JOIN $prev p),
+         |w$r AS (
+         |  SELECT p.w0 + d.s0 AS w0, p.w1 + d.s1 AS w1,
+         |         p.w2 + d.s2 AS w2, p.w3 + d.s3 AS w3, d.n_mis
+         |  FROM $prev p CROSS JOIN d$r d)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to PerceptronRounds).flatMap { r =>
+      (0 to 3).map(j =>
+        s"SELECT CAST($r AS BIGINT) AS round, CAST($j AS BIGINT) AS widx, " +
+          s"CAST(w$j AS BIGINT) AS weight, n_mis FROM w$r")
+    }.mkString("\nUNION ALL\n")
+    s"""WITH feats AS (
+       |  SELECT CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+       |              ELSE CAST(-1 AS BIGINT) END AS y,
+       |    CAST(1 AS BIGINT) AS f0,
+       |    CAST(length(string_split(text, ' ')) AS BIGINT) AS f1,
+       |    CAST(length(text) AS BIGINT) AS f2,
+       |    CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS f3
+       |  FROM documents),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+       |$rounds
+       |$finalSel
+       |ORDER BY round, widx""".stripMargin
+  }
+
+  // -- x85: column profiler ----------------------------------------------
+
+  /** x85 — one-pass column profiler (the data-quality sweep run before
+    * any corpus lands in the warehouse): per numeric column of
+    * `lineitem`, row/null/distinct counts and integer-scaled min/max.
+    * Monetary columns scale ×100 (exact cents), so every statistic is
+    * a BIGINT and hash-comparable across engines.
+    *
+    * Scale shape: a single aggregation; the multi-column exact
+    * COUNT(DISTINCT) expands the input (one replica per profiled
+    * column — the exact-answer trade, x5's HLL sketch is the
+    * one-replica approximate path), but partial aggregation collapses
+    * each replica map-side before the one exchange. Long-form output
+    * is a 6-row explode of the single result row. */
+  val x85ColumnProfile: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey").cast("long").as("okey"),
+      col("l_partkey").cast("long").as("pkey"),
+      col("l_suppkey").cast("long").as("skey"),
+      round(col("l_quantity")).cast("long").as("qty"),
+      round(col("l_extendedprice") * 100).cast("long").as("eprice"),
+      round(col("l_discount") * 100).cast("long").as("disc"))
+    val cols = Seq("okey", "pkey", "skey", "qty", "eprice", "disc")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_dist"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"${c}_nulls").as("n_nulls"), col(s"${c}_dist").as("n_distinct"),
+          col(s"${c}_min").as("min_s"), col(s"${c}_max").as("max_s"))
+      }: _*)).as("r"))
+      .select(col("r.col_name"), col("r.n_rows"), col("r.n_nulls"),
+        col("r.n_distinct"), col("r.min_s"), col("r.max_s"))
+      .orderBy(col("col_name"))
+  }
+  val x85Sql: String = {
+    val defs = Seq(
+      "okey" -> "CAST(l_orderkey AS BIGINT)",
+      "pkey" -> "CAST(l_partkey AS BIGINT)",
+      "skey" -> "CAST(l_suppkey AS BIGINT)",
+      "qty" -> "CAST(round(l_quantity) AS BIGINT)",
+      "eprice" -> "CAST(round(l_extendedprice * 100) AS BIGINT)",
+      "disc" -> "CAST(round(l_discount * 100) AS BIGINT)")
+    defs.map { case (n, e) =>
+      s"""SELECT '$n' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $e IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $e) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($e) AS BIGINT) AS min_s, CAST(MAX($e) AS BIGINT) AS max_s
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+  }
+
   val queries: Map[String, QFn] = Map(
     "x69_fuzzy_join" -> x69FuzzyJoin,
     "x76_doremi_weights" -> x76DoremiWeights,
@@ -496,7 +868,12 @@ object MiningQueries {
     "x78_seeded_shuffle" -> x78SeededShuffle,
     "x70_pmi_collocations" -> x70PmiCollocations,
     "x72_jl_projection" -> x72JlProjection,
-    "x73_soft_dedup_weights" -> x73SoftDedupWeights)
+    "x73_soft_dedup_weights" -> x73SoftDedupWeights,
+    "x81_boilerplate" -> x81Boilerplate,
+    "x82_retrieval_eval" -> x82RetrievalEval,
+    "x83_triangle_count" -> x83TriangleCount,
+    "x84_perceptron_quality" -> x84PerceptronQuality,
+    "x85_column_profile" -> x85ColumnProfile)
 
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
@@ -506,5 +883,10 @@ object MiningQueries {
     "x78_seeded_shuffle" -> x78Sql,
     "x70_pmi_collocations" -> x70Sql,
     "x72_jl_projection" -> x72Sql,
-    "x73_soft_dedup_weights" -> x73Sql)
+    "x73_soft_dedup_weights" -> x73Sql,
+    "x81_boilerplate" -> x81Sql,
+    "x82_retrieval_eval" -> x82Sql,
+    "x83_triangle_count" -> x83Sql,
+    "x84_perceptron_quality" -> x84Sql,
+    "x85_column_profile" -> x85Sql)
 }

@@ -668,16 +668,18 @@ object TextQueries {
     * share it (span width, slicing, hash live here only). Output:
     * (doc_id, seg, line, line_h); consumers that only need the hash
     * let Catalyst prune the text column away. */
-  def segmentSpans(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+  def segmentSpans(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val kept = carry.map(col)
+    docs.select(col("doc_id") +: kept :+ split(col("text"), " ").as("w"): _*)
       .where(size(col("w")) >= 1)
-      .select(col("doc_id"),
-        explode(expr(s"sequence(0, (size(w) - 1) DIV $LineWords)")).as("seg"),
-        col("w"))
-      .select(col("doc_id"), col("seg"),
+      .select(col("doc_id") +: kept :+
+        explode(expr(s"sequence(0, (size(w) - 1) DIV $LineWords)")).as("seg") :+
+        col("w"): _*)
+      .select(col("doc_id") +: kept :+ col("seg") :+
         expr(s"concat_ws(' ', slice(w, seg * $LineWords + 1, $LineWords))")
-          .as("line"))
+          .as("line"): _*)
       .withColumn("line_h", expr(PortableHash.hex60("line")))
+  }
   val x26LineDedup: QFn = (s, d) => {
     val segs = segmentSpans(Tables.documents(s, d))
       .select("doc_id", "seg", "line_h")

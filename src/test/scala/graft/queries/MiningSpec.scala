@@ -212,6 +212,130 @@ class MiningSpec extends AnyFunSuite {
     assert(again.map(_.toString).toSeq == rows.map(_.toString).toSeq)
   }
 
+  test("x81 boilerplate: per-doc counts match a driver-side replay") {
+    val segs = TextQueries.segmentSpans(
+        Tables.documents(spark, sf), carry = Seq("source"))
+      .select(col("doc_id"), col("source"), col("line"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val boiler = segs.groupBy(r => (r._2, r._3))
+      .filter { case (_, occ) => occ.map(_._1).distinct.length >= 2 }
+      .keySet
+    val truth = segs.groupBy(_._1).map { case (doc, rs) =>
+      doc -> (rs.length.toLong,
+        rs.count(r => boiler((r._2, r._3))).toLong)
+    }
+    val got = MiningQueries.x81Boilerplate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == truth)
+    // the corpus genuinely exercises the flag path
+    assert(got.values.map(_._2).sum > 0, "no boilerplate flagged at sf0.001")
+    val fracs = MiningQueries.x81Boilerplate(spark, sf).collect()
+      .map(_.getDouble(3))
+    assert(fracs.forall(f => f >= 0.0 && f <= 1.0))
+  }
+
+  test("x82 retrieval eval matches a driver-side exact replay") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dotS(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) {
+        val v = a(i) * b(i) * 1000000d
+        s += (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+        i += 1
+      }
+      s
+    }
+    val truth = emb.filter(_._1 < 10).sortBy(_._1).map { case (qid, qlab, qe) =>
+      val qn = math.sqrt(dotS(qe, qe).toDouble)
+      val ranked = emb.filter(_._1 != qid)
+        .map { case (cid, clab, ce) =>
+          (cid, clab, dotS(qe, ce) / (qn * math.sqrt(dotS(ce, ce).toDouble)))
+        }
+        .sortBy { case (cid, _, cos) => (-cos, cid) }.take(10)
+      val rel = ranked.zipWithIndex.filter { case ((_, clab, _), _) => clab == qlab }
+      val frr = rel.headOption.map(_._2 + 1).getOrElse(0)
+      (qid, qlab.toLong, frr.toLong,
+        if (frr > 0) 1000000L / frr else 0L, rel.length.toLong)
+    }
+    val got = MiningQueries.x82RetrievalEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == truth.toSeq,
+      s"x82 mismatch:\n got=${got.take(3).mkString(",")}\n want=${truth.take(3).mkString(",")}")
+  }
+
+  test("x83 triangle count matches brute force; orientation finds each once") {
+    val row = MiningQueries.x83TriangleCount(spark, sf).collect().head
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = op.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nTri = edges.toSeq.map { case (u, v) =>
+      adj.getOrElse(u, Set.empty).count(w => w > v && edges((v, w)))
+    }.sum
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).size
+    assert(row.getLong(0) == nodes.toLong, s"nodes ${row.getLong(0)} != $nodes")
+    assert(row.getLong(1) == edges.size.toLong)
+    assert(row.getLong(2) == nTri.toLong,
+      s"triangles ${row.getLong(2)} != $nTri")
+    assert(nTri > 0, "sf0.001 co-occurrence graph has no triangles")
+  }
+
+  test("x84 perceptron: weights replay exactly; round 1 is the full batch sum") {
+    val feats = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect().map { r =>
+        val text = r.getString(1)
+        val y = if (r.getString(0) == "en") 1L else -1L
+        (y, Array(1L, text.split(" ", -1).length.toLong, text.length.toLong,
+          text.count(_ == 'e').toLong))
+      }
+    val w = Array(0L, 0L, 0L, 0L)
+    val truth = (1 to MiningQueries.PerceptronRounds).flatMap { r =>
+      val mis = feats.filter { case (y, x) =>
+        y * (0 to 3).map(j => w(j) * x(j)).sum <= 0
+      }
+      for (j <- 0 to 3) w(j) += mis.map { case (y, x) => y * x(j) }.sum
+      (0 to 3).map(j => (r.toLong, j.toLong, w(j), mis.length.toLong))
+    }
+    val got = MiningQueries.x84PerceptronQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == truth,
+      s"x84 mismatch: got=${got.take(4).mkString(",")} want=${truth.take(4).mkString(",")}")
+    // round 1 from w=0: every margin is 0 => the whole corpus updates
+    assert(got.take(4).forall(_._4 == feats.length.toLong))
+  }
+
+  test("x85 profile matches driver-side statistics per column") {
+    val li = Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+    def scaled(r: org.apache.spark.sql.Row): Map[String, Long] = Map(
+      "okey" -> r.getLong(0), "pkey" -> r.getLong(1), "skey" -> r.getLong(2),
+      "qty" -> math.round(r.getDouble(3)),
+      "eprice" -> math.round(r.getDouble(4) * 100),
+      "disc" -> math.round(r.getDouble(5) * 100))
+    val byCol = li.map(scaled)
+    val got = MiningQueries.x85ColumnProfile(spark, sf).collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      val c = r.getString(0)
+      val vals = byCol.map(_(c))
+      assert(r.getLong(1) == li.length.toLong)
+      assert(r.getLong(2) == 0L)
+      assert(r.getLong(3) == vals.distinct.length.toLong, s"$c distinct")
+      assert(r.getLong(4) == vals.min, s"$c min")
+      assert(r.getLong(5) == vals.max, s"$c max")
+    }
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
