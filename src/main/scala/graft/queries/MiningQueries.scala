@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.PortableHash.{hex60, duckHex60}
@@ -650,21 +650,31 @@ object MiningQueries {
 
   // -- x83: triangle counting on the co-occurrence graph -----------------
 
+  /** Minimum distinct co-occurrences for a co-occurrence edge — the
+    * association-mining SUPPORT threshold. One shared order between two
+    * random parts is noise; requiring ≥2 keeps genuinely associated
+    * pairs and (measured) collapses the sf0.1 graph from 1.2 M edges
+    * to 3.6 k. */
+  val TriMinSupport = 2
+
   /** x83 — triangle count over the part co-occurrence graph (an edge
-    * joins two parts appearing in the same order): the classic graph
-    * statistic behind clustering-coefficient/community analysis of the
-    * near-dup or co-citation graphs a curation stack builds. Counted by
-    * DEGREE-ORDERED ORIENTATION (each undirected edge directed from its
-    * lower-(degree, id) endpoint), the MapReduce-era standard: every
-    * wedge is enumerated at its lowest-degree vertex, so per-vertex
-    * wedge work is bounded by out-degree ≤ O(√m) instead of the raw
-    * degree — a hub of degree 10⁶ contributes √-bounded wedges, not
-    * 10¹² — and each triangle is found exactly once (no ÷3, no ÷6).
+    * joins two parts appearing together in ≥ [[TriMinSupport]] distinct
+    * orders): the classic graph statistic behind clustering-coefficient
+    * and community analysis of the near-dup or co-citation graphs a
+    * curation stack builds. Counted by DEGREE-ORDERED ORIENTATION (each
+    * undirected edge directed from its lower-(degree, id) endpoint),
+    * the MapReduce-era standard: every wedge is enumerated at its
+    * lowest-degree vertex, so per-vertex wedge work is bounded by
+    * out-degree ≤ O(√m) instead of the raw degree — a hub of degree 10⁶
+    * contributes √-bounded wedges, not 10¹² — and each triangle is
+    * found exactly once (no ÷3, no ÷6).
     *
     * Scale shape: pair generation is per-order local (order groups are
-    * small by schema); the wedge self-join shuffles oriented edges by
-    * source; the closing check is an edge-keyed semi-join. No step is
-    * ever quadratic in a vertex's raw degree. */
+    * small by schema) and the support cut happens IN the pair aggregate
+    * — the unsupported 1.2 M-edge noise never becomes graph input; the
+    * wedge self-join shuffles oriented edges by source; the closing
+    * check is an edge-keyed semi-join. No step is ever quadratic in a
+    * vertex's raw degree. */
   val x83TriangleCount: QFn = (s, d) => {
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
@@ -672,7 +682,9 @@ object MiningQueries {
     val edges = op.as("a").join(op.as("b"), "okey")
       .where(col("a.part") < col("b.part"))
       .select(col("a.part").as("u"), col("b.part").as("v"))
-      .dropDuplicates("u", "v")
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+      .where(col("support") >= TriMinSupport)
+      .select(col("u"), col("v"))
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -701,11 +713,14 @@ object MiningQueries {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
   val x83Sql: String =
-    """WITH op AS (
+    s"""WITH op AS (
       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
       |edges AS (
-      |  SELECT DISTINCT a.part AS u, b.part AS v
-      |  FROM op a JOIN op b USING (okey) WHERE a.part < b.part)
+      |  SELECT u, v FROM (
+      |    SELECT a.part AS u, b.part AS v, COUNT(*) AS support
+      |    FROM op a JOIN op b USING (okey) WHERE a.part < b.part
+      |    GROUP BY a.part, b.part)
+      |  WHERE support >= $TriMinSupport)
       |SELECT
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
       |    (SELECT u AS n FROM edges UNION SELECT v FROM edges)) AS n_nodes,
@@ -860,6 +875,232 @@ object MiningQueries {
     }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
   }
 
+  // -- x86: winnowing fingerprints (MOSS) --------------------------------
+
+  /** Winnowing gram width (words per k-gram). */
+  val WinnowK = 3
+  /** Winnowing window: one fingerprint selected per [[WinnowW]]
+    * consecutive gram hashes. */
+  val WinnowW = 4
+
+  /** x86 — winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
+    * the MOSS algorithm): hash every [[WinnowK]]-word gram, slide a
+    * [[WinnowW]]-gram window, keep each window's MINIMUM hash. The
+    * guarantee x12's "every n-th gram" sampling lacks: any shared run
+    * of ≥ w+k-1 words between two documents is CAUGHT (some window
+    * inside the run selects the same fingerprint in both), at an
+    * expected density of 2/(w+1) — the local-sampling property
+    * plagiarism/overlap detection at corpus scale rests on. Output is
+    * the distinct (doc, fingerprint) set, the joinable artifact.
+    *
+    * Scale shape: one hash exchange (the per-doc window sort) + the
+    * distinct's exchange over ~n/w selected rows per doc; grams never
+    * leave their document, no pair join anywhere — overlap detection
+    * downstream is a fingerprint equi-join. Ties inside a window are
+    * harmless by construction: the SELECTED VALUE is the min hash, so
+    * both engines emit the same fingerprint no matter which position
+    * carried it. */
+  val x86Winnowing: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= WinnowK)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(w) - $WinnowK)")).as("pos"), col("w"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"concat_ws(' ', slice(w, pos + 1, $WinnowK))").as("gram"))
+      .withColumn("gram_h", expr(PortableHash.hex60("gram")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(WinnowW - 1), 0)
+    grams.withColumn("fp_h", min(col("gram_h")).over(win))
+      .where(col("pos") >= WinnowW - 1)
+      .select(col("doc_id"), col("fp_h")).distinct()
+      .orderBy(col("doc_id"), col("fp_h"))
+  }
+  val x86Sql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, seg AS pos,
+       |    ${PortableHash.duckHex60(
+            s"array_to_string(list_slice(w, seg + 1, seg + $WinnowK), ' ')")} AS gram_h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+       |          unnest(range(0, length(string_split(text, ' ')) - $WinnowK + 1)) AS seg
+       |        FROM documents
+       |        WHERE length(string_split(text, ' ')) >= $WinnowK)),
+       |sel AS (
+       |  SELECT doc_id, pos,
+       |    MIN(gram_h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS fp_h
+       |  FROM grams)
+       |SELECT DISTINCT doc_id, fp_h FROM sel
+       |WHERE pos >= ${WinnowW - 1}
+       |ORDER BY doc_id, fp_h""".stripMargin
+
+  // -- x87: content-defined chunking -------------------------------------
+
+  /** Expected CDC chunk length in words (boundary probability 1/mod). */
+  val CdcMod = 8
+
+  /** x87 — content-defined chunking (the rsync/FastCDC boundary rule):
+    * a chunk boundary falls AFTER word i whenever the hash of the
+    * trailing bigram (wᵢ₋₁, wᵢ) ≡ 0 mod [[CdcMod]]. Because boundaries
+    * depend only on LOCAL content, an insertion early in a document
+    * shifts every x29-style fixed-offset chunk but re-synchronizes CDC
+    * chunks within ~one chunk of the edit — the property that makes
+    * chunk-hash dedup across near-identical documents (and incremental
+    * storage) work. Output: every chunk with its width, content hash,
+    * and corpus-wide copy count (the storage-dedup measure).
+    *
+    * Scale shape: boundary detection is a per-doc lag + running-sum
+    * window (one hash exchange); chunk content re-slices the word
+    * array by (start, len) via a doc-keyed join rather than dragging
+    * arrays through the window shuffle; the copy count is one
+    * chunk-hash-keyed aggregate joined back onto chunk rows. Linear
+    * throughout, no pair join. */
+  val x87CdcChunks: QFn = (s, d) => x87CdcChunksOn(s, Tables.documents(s, d))
+
+  /** x87's kernel over any (doc_id, text) frame — the spec re-chunks an
+    * edited document through it to demonstrate boundary re-sync. */
+  def x87CdcChunksOn(s: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 1)
+    val tok = words
+      .select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bounded = tok
+      .withColumn("prev", lag(col("word"), 1).over(ord))
+      .withColumn("b",
+        when(col("prev").isNotNull &&
+          expr(PortableHash.hex60("concat(prev, ' ', word)")) % CdcMod === 0,
+          1L).otherwise(0L))
+      .withColumn("chunk_id",
+        coalesce(sum(col("b")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val spans = bounded.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(min(col("pos")).as("start"), count(lit(1)).as("n_words"))
+    val chunks = spans.join(words, "doc_id")
+      .select(col("doc_id"), col("chunk_id"), col("n_words"),
+        expr(s"${PortableHash.hex60(
+          "concat_ws(' ', slice(w, start + 1, n_words))")}").as("chunk_h"))
+    val copies = chunks.groupBy(col("chunk_h"))
+      .agg(count(lit(1)).as("n_copies"))
+    chunks.join(copies, "chunk_h")
+      .select(col("doc_id"), col("chunk_id"), col("n_words"),
+        col("chunk_h"), col("n_copies"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+  val x87Sql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, w FROM
+       |    (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  WHERE length(w) >= 1),
+       |tok AS (
+       |  SELECT doc_id, i - 1 AS pos, w[i] AS word
+       |  FROM (SELECT doc_id, w, unnest(range(1, length(w) + 1)) AS i
+       |        FROM words)),
+       |bounded AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(word) OVER (PARTITION BY doc_id ORDER BY pos)
+       |        IS NOT NULL
+       |      AND ${PortableHash.duckHex60(
+            "lag(word) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' || word")} % $CdcMod = 0
+       |      THEN 1 ELSE 0 END AS b
+       |  FROM tok),
+       |chunked AS (
+       |  SELECT doc_id, pos,
+       |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM bounded),
+       |spans AS (
+       |  SELECT doc_id, chunk_id, MIN(pos) AS start,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words
+       |  FROM chunked GROUP BY doc_id, chunk_id),
+       |chunks AS (
+       |  SELECT s.doc_id, CAST(s.chunk_id AS BIGINT) AS chunk_id, s.n_words,
+       |    ${PortableHash.duckHex60(
+            "array_to_string(list_slice(w.w, s.start + 1, s.start + s.n_words), ' ')")} AS chunk_h
+       |  FROM spans s JOIN words w ON s.doc_id = w.doc_id)
+       |SELECT doc_id, chunk_id, n_words, chunk_h,
+       |  CAST(COUNT(*) OVER (PARTITION BY chunk_h) AS BIGINT) AS n_copies
+       |FROM chunks
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // -- x88: 1-bit binary-sign ANN ----------------------------------------
+
+  /** x88 — binary sign quantization ANN: each 64-dim embedding packs to
+    * 64 BITS (sign per dimension, two 32-bit words so every value stays
+    * positive BIGINT arithmetic in both engines), and candidates rank
+    * by Hamming distance — popcount of XOR, the cheapest distance in
+    * existence. This is the 1-bit endpoint of the quantization ladder
+    * (x38/x43 PQ at 0.5 bits/dim → x46 SQ8 at 8 → this at 1): the
+    * sign-random-projection estimate of cosine (Charikar 2002), at 8
+    * bytes/vector and pure integer distance.
+    *
+    * Scale shape: code packing is codegen'd column math on the scan
+    * (no raw embedding ever shuffles); scoring streams candidates
+    * through a per-query k-bounded heap exactly like x3/x46, so the
+    * selection shuffle is partitions × queries × k rows. */
+  val x88AnnBinary: QFn = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def half(off: Int): Column =
+      (0 until 32).map { j =>
+        when(element_at(col("embedding"), j + off + 1).cast("double") > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val codes = Tables.embeddings(s, d)
+      .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+      .as[(Long, Long, Long)]
+    val queries = s.sparkContext.broadcast(
+      codes.filter(_._1 < 10).collect().sortBy(_._1))
+    val scored = codes.mapPartitions { it =>
+      val qs = queries.value
+      val rows = it.flatMap { case (cid, clo, chi) =>
+        qs.iterator.collect { case (qid, qlo, qhi) if qid != cid =>
+          (qid, cid, (java.lang.Long.bitCount(qlo ^ clo)
+            + java.lang.Long.bitCount(qhi ^ chi)).toLong)
+        }
+      }
+      graft.operators.BoundedTopK.perQuery(rows, 10,
+        (r: (Long, Long, Long)) => r._1)(
+        Ordering.fromLessThan { (x, y) =>
+          x._3 < y._3 || (x._3 == y._3 && x._2 < y._2)
+        })
+    }.toDF("query_id", "cand_id", "hamming")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("hamming"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val x88Sql: String =
+    """WITH c AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(1, 33),
+      |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+      |        THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END))
+      |      AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(33, 65),
+      |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+      |        THEN CAST(1 AS BIGINT) << (i - 33) ELSE CAST(0 AS BIGINT) END))
+      |      AS BIGINT) AS hi
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, cc.vec_id AS cand_id,
+      |    CAST(bit_count(xor(q.lo, cc.lo)) + bit_count(xor(q.hi, cc.hi))
+      |      AS BIGINT) AS hamming
+      |  FROM c q, c cc
+      |  WHERE q.vec_id < 10 AND q.vec_id <> cc.vec_id)
+      |SELECT query_id, rank, cand_id, hamming FROM (
+      |  SELECT query_id, cand_id, hamming,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY hamming, cand_id) AS rank
+      |  FROM scored) WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "x69_fuzzy_join" -> x69FuzzyJoin,
     "x76_doremi_weights" -> x76DoremiWeights,
@@ -873,7 +1114,10 @@ object MiningQueries {
     "x82_retrieval_eval" -> x82RetrievalEval,
     "x83_triangle_count" -> x83TriangleCount,
     "x84_perceptron_quality" -> x84PerceptronQuality,
-    "x85_column_profile" -> x85ColumnProfile)
+    "x85_column_profile" -> x85ColumnProfile,
+    "x86_winnowing" -> x86Winnowing,
+    "x87_cdc_chunks" -> x87CdcChunks,
+    "x88_ann_binary" -> x88AnnBinary)
 
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
@@ -888,5 +1132,8 @@ object MiningQueries {
     "x82_retrieval_eval" -> x82Sql,
     "x83_triangle_count" -> x83Sql,
     "x84_perceptron_quality" -> x84Sql,
-    "x85_column_profile" -> x85Sql)
+    "x85_column_profile" -> x85Sql,
+    "x86_winnowing" -> x86Sql,
+    "x87_cdc_chunks" -> x87Sql,
+    "x88_ann_binary" -> x88Sql)
 }

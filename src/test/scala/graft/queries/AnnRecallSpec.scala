@@ -403,6 +403,34 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(sq8 >= 0.78, f"SQ8 recall $sq8%.3f below pin")
   }
 
+  test("x88 binary sign codes: 1 bit/dim Hamming recall") {
+    // the operator's own packing: sign bit per dim, two 32-bit words
+    val codes = vecs.map { case (id, e) =>
+      var lo = 0L; var hi = 0L
+      for (j <- 0 until 32) if (e(j) > 0) lo |= (1L << j)
+      for (j <- 0 until 32) if (e(j + 32) > 0) hi |= (1L << j)
+      id -> ((lo, hi))
+    }.toMap
+    val bin = recallOf { qid =>
+      val (ql, qh) = codes(qid)
+      vecs.filter(_._1 != qid).map { c =>
+        val (cl, ch) = codes(c._1)
+        (c._1, (java.lang.Long.bitCount(ql ^ cl)
+          + java.lang.Long.bitCount(qh ^ ch)).toLong)
+      }.sortBy { case (id, h) => (h, id) }.take(K).map(_._1).toSeq
+    }
+    info(f"x88 binary recall@10: $bin%.3f (1 bit/dim)")
+    // sign-random-projection cosine estimate (Charikar 2002) at 64
+    // bits: measured 0.14 on the isotropic table — 28× the K/N random
+    // floor (0.005) from 8 BYTES/vector, and 2× PQ's raw ADC (0.07)
+    // at the same code size. The isotropic table is the worst case:
+    // top-10 neighbors sit at weak cosines, where the ±1-bit angle
+    // estimator's ~1/√64 noise floor dominates — the 1-bit code is a
+    // SHORTLIST stage (compose with exact rescore, as x42 does for
+    // PQ), not a ranker. Pinned measured-minus-margin.
+    assert(bin >= 0.10, f"x88 binary recall $bin%.3f below pin 0.10")
+  }
+
   test("x43 trained codebooks beat the seeded floor (recall and MSE)") {
     val seeded = pqRecallWith(DedupQueries.pqCodebooks)
     val trained = pqRecallWith(trainedCb)

@@ -272,10 +272,11 @@ class MiningSpec extends AnyFunSuite {
     val op = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val edges = op.groupBy(_._1).values.flatMap { items =>
+    val support = op.groupBy(_._1).values.flatMap { items =>
       val ps = items.map(_._2).distinct.sorted
       for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
-    }.toSet
+    }.groupBy(identity).map { case (e, os) => e -> os.size }
+    val edges = support.filter(_._2 >= MiningQueries.TriMinSupport).keySet
     val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     val nTri = edges.toSeq.map { case (u, v) =>
       adj.getOrElse(u, Set.empty).count(w => w > v && edges((v, w)))
@@ -334,6 +335,99 @@ class MiningSpec extends AnyFunSuite {
       assert(r.getLong(4) == vals.min, s"$c min")
       assert(r.getLong(5) == vals.max, s"$c max")
     }
+  }
+
+  test("x86 winnowing: driver replay + the shared-run guarantee") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val k = MiningQueries.WinnowK; val w = MiningQueries.WinnowW
+    val truth = docs.flatMap { case (id, text) =>
+      val words = text.split(" ", -1)
+      if (words.length < k) Seq.empty
+      else {
+        val hashes = (0 to words.length - k)
+          .map(p => hex60(words.slice(p, p + k).mkString(" ")))
+        (w - 1 until hashes.length)
+          .map(p => (id, hashes.slice(p - w + 1, p + 1).min)).distinct
+      }
+    }.toSet
+    val got = MiningQueries.x86Winnowing(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"missing=${(truth -- got).take(3)} extra=${(got -- truth).take(3)}")
+    // the winnowing guarantee on a real shared run: two docs sharing a
+    // w+k-1-word run must share a fingerprint. Build the check from any
+    // exact-duplicate pair in the corpus (full text = a shared run).
+    val dupPair = docs.groupBy(_._2).values.find(_.length >= 2)
+    dupPair.foreach { ds =>
+      val fps = ds.map(d => got.collect { case (id, f) if id == d._1 => f }.toSet)
+      assert(fps.head.intersect(fps(1)).nonEmpty,
+        "exact-duplicate docs share no winnowing fingerprint")
+    }
+  }
+
+  test("x87 CDC chunks: lossless cover, boundary rule, edit locality") {
+    val rows = MiningQueries.x87CdcChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // chunks tile each doc exactly: widths sum to the word count and
+    // chunk ids are contiguous from 0
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val n = docs(id).split(" ", -1).length.toLong
+      assert(rs.map(_._3).sum == n, s"doc $id chunks cover ${rs.map(_._3).sum}/$n words")
+      assert(rs.map(_._2).sorted.toSeq == (0L until rs.length.toLong).toSeq)
+    }
+    // copy counts are consistent with the hash multiset
+    val byHash = rows.groupBy(_._4)
+    rows.foreach { r => assert(r._5 == byHash(r._4).length.toLong) }
+    // edit locality — the CDC point: re-chunking a doc with one word
+    // prepended preserves every boundary after the first resync, so
+    // all but O(1) of the original chunk hashes survive; a fixed-width
+    // chunker (x29's shape) would lose them all
+    val (did, text) = docs.maxBy(_._2.length)
+    import spark.implicits._
+    val edited = Seq((did, "zzedit " + text), (did + 1000000L, text))
+      .toDF("doc_id", "text")
+    val rechunk = MiningQueries.x87CdcChunksOn(spark, edited).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val orig = rechunk.filter(_._1 == did + 1000000L).map(_._2).toSet
+    val edit = rechunk.filter(_._1 == did).map(_._2).toSet
+    val shared = orig.intersect(edit).size
+    assert(shared >= orig.size - 2,
+      s"edit destroyed chunk sharing: $shared of ${orig.size} survive")
+  }
+
+  test("x88 binary ANN: exact hamming replay; recall beats the random floor") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def pack(e: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      for (j <- 0 until 32) if (e(j) > 0) lo |= (1L << j)
+      for (j <- 0 until 32) if (e(j + 32) > 0) hi |= (1L << j)
+      (lo, hi)
+    }
+    val codes = emb.map { case (id, e) => (id, pack(e)) }
+    val truth = codes.filter(_._1 < 10).sortBy(_._1).flatMap { case (qid, (ql, qh)) =>
+      codes.filter(_._1 != qid)
+        .map { case (cid, (cl, ch)) =>
+          (cid, (java.lang.Long.bitCount(ql ^ cl)
+            + java.lang.Long.bitCount(qh ^ ch)).toLong)
+        }
+        .sortBy { case (cid, h) => (h, cid) }.take(10).zipWithIndex
+        .map { case ((cid, h), i) => (qid, (i + 1).toLong, cid, h) }
+    }.toSeq
+    val got = MiningQueries.x88AnnBinary(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == truth)
   }
 
   test("x73 weights: every near-dup cluster contributes total weight ~1") {

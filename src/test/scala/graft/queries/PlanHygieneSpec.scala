@@ -44,7 +44,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // the node-count scalar attaches as a one-row cross join per round
     "x74_source_pagerank",
     // embeds x53 + two one-row scalar attaches (corpus avg, partition Z)
-    "x76_doremi_weights")
+    "x76_doremi_weights",
+    // three one-row scalar results (node/edge/triangle counts) joined
+    // into the single output row — broadcast cross joins of 1×1 frames
+    "x83_triangle_count")
 
   test("no registered query plans a CartesianProduct") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
@@ -169,7 +172,12 @@ class PlanHygieneSpec extends AnyFunSuite {
       // without the per-id signature dedup the digit-run duplicates
       // multiply candidate rows quadratically within buckets (the
       // pre-fix shape)
-      "x69_fuzzy_join" -> 15000L)
+      "x69_fuzzy_join" -> 15000L,
+      // x3's scan shape with label columns riding the heap rows; the
+      // metric rollup re-shuffles only queries × k rows
+      "x82_retrieval_eval" -> 1500L,
+      // packed-code scan (two longs/vector), same heap bound as x3/x46
+      "x88_ann_binary" -> 1000L)
     budgets.foreach { case (name, budget) =>
       val written = new java.util.concurrent.atomic.AtomicLong()
       val listener = new org.apache.spark.scheduler.SparkListener {
