@@ -1101,6 +1101,115 @@ object MiningQueries {
       |  FROM scored) WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // -- x89: corpus snapshot diff -----------------------------------------
+
+  /** x89 — corpus snapshot DIFF (the data-versioning primitive behind
+    * incremental curation: what changed between yesterday's crawl and
+    * today's): full-outer join of two snapshots on doc id comparing
+    * content fingerprints → added / removed / changed / unchanged per
+    * document. The synthetic corpus has one vintage, so the two
+    * snapshots derive deterministically from doc_id (x27's fixture
+    * pattern — the oracle re-derives the same snapshots): old = ids
+    * ≢1 (mod 4), new = ids ≢2 (mod 4) with every id ≡0 (mod 5)
+    * re-edited.
+    *
+    * Scale shape: both sides collapse to (doc_id, fp) on the scan —
+    * text never shuffles; one doc_id-keyed full-outer join (the id is
+    * unique per side, no explosion); status is pure column math. At
+    * 100 TB this is the manifest-diff pattern: narrow hash rows,
+    * partition-prunable by id range. */
+  val x89DatasetDiff: QFn = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val oldFp = docs.where(pmod(col("doc_id"), lit(4)) =!= 1)
+      .select(col("doc_id"), md5(col("text")).as("fp_old"))
+    val newFp = docs.where(pmod(col("doc_id"), lit(4)) =!= 2)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp_new"))
+    oldFp.join(newFp, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy(col("doc_id"))
+  }
+  val x89Sql: String =
+    """WITH o AS (
+      |  SELECT doc_id, md5(text) AS fp_old FROM documents
+      |  WHERE doc_id % 4 <> 1),
+      |n AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+      |      AS fp_new
+      |  FROM documents WHERE doc_id % 4 <> 2)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.fp_old IS NULL THEN 'added'
+      |       WHEN n.fp_new IS NULL THEN 'removed'
+      |       WHEN o.fp_old <> n.fp_new THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // -- x90: T5-style span-corruption masks -------------------------------
+
+  /** Corruption rate, percent of tokens masked. */
+  val CorruptPct = 15
+
+  /** x90 — seeded span-corruption statistics (the T5/BERT denoising
+    * data prep): each word is masked with probability
+    * [[CorruptPct]]% by the portable hash of (doc_id, position) — the
+    * same everywhere, so the mask is reproducible across engines and
+    * restarts — and consecutive masked words form SPANS, each replaced
+    * by one sentinel at training time. Output per doc: token count,
+    * masked count, span count (= sentinels consumed) and the resulting
+    * corruption fraction — the quantities a denoising-objective data
+    * builder must budget (sentinel vocabulary, target length).
+    *
+    * Scale shape: the mask is pure column math on the exploded token
+    * stream; span starts are a per-doc lag window (one hash exchange);
+    * the rollup is map-side combined. Linear, no joins. */
+  val x90SpanCorruption: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("m",
+        (expr(PortableHash.hex60(
+          "concat(cast(doc_id as string), ':', cast(pos as string))"))
+          % 100 < CorruptPct).cast("long"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok.withColumn("prev_m", lag(col("m"), 1, 0L).over(ord))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("m")).as("n_masked"),
+        sum(when(col("m") === 1 && col("prev_m") === 0, 1L).otherwise(0L))
+          .as("n_spans"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+        (col("n_masked").cast("double") / col("n_tokens").cast("double"))
+          .as("corrupt_frac"))
+      .orderBy(col("doc_id"))
+  }
+  val x90Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    CASE WHEN ${PortableHash.duckHex60(
+            "CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 100 < $CorruptPct
+       |      THEN 1 ELSE 0 END AS m
+       |  FROM (SELECT doc_id, unnest(range(1, length(string_split(text, ' ')) + 1)) AS i
+       |        FROM documents)),
+       |marked AS (
+       |  SELECT doc_id, m,
+       |    COALESCE(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS prev_m
+       |  FROM tok)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(m) AS BIGINT) AS n_masked,
+       |  CAST(SUM(CASE WHEN m = 1 AND prev_m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_spans,
+       |  CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS corrupt_frac
+       |FROM marked GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "x69_fuzzy_join" -> x69FuzzyJoin,
     "x76_doremi_weights" -> x76DoremiWeights,
@@ -1117,7 +1226,9 @@ object MiningQueries {
     "x85_column_profile" -> x85ColumnProfile,
     "x86_winnowing" -> x86Winnowing,
     "x87_cdc_chunks" -> x87CdcChunks,
-    "x88_ann_binary" -> x88AnnBinary)
+    "x88_ann_binary" -> x88AnnBinary,
+    "x89_dataset_diff" -> x89DatasetDiff,
+    "x90_span_corruption" -> x90SpanCorruption)
 
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
@@ -1135,5 +1246,7 @@ object MiningQueries {
     "x85_column_profile" -> x85Sql,
     "x86_winnowing" -> x86Sql,
     "x87_cdc_chunks" -> x87Sql,
-    "x88_ann_binary" -> x88Sql)
+    "x88_ann_binary" -> x88Sql,
+    "x89_dataset_diff" -> x89Sql,
+    "x90_span_corruption" -> x90Sql)
 }

@@ -430,6 +430,47 @@ class MiningSpec extends AnyFunSuite {
     assert(got == truth)
   }
 
+  test("x89 diff statuses follow the snapshot rules exactly") {
+    val got = MiningQueries.x89DatasetDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == ids)
+    got.foreach { case (id, st) =>
+      val want =
+        if (id % 4 == 1) "added"
+        else if (id % 4 == 2) "removed"
+        else if (id % 5 == 0) "changed"
+        else "unchanged"
+      assert(st == want, s"doc $id: got $st want $want")
+    }
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(got.map(_._2).toSet))
+  }
+
+  test("x90 span corruption: mask replays, rate ~15%, spans bound masked runs") {
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val truth = docs.map { case (id, text) =>
+      val mask = text.split(" ", -1).indices
+        .map(p => hex60(s"$id:$p") % 100 < MiningQueries.CorruptPct)
+      val spans = mask.indices.count(i => mask(i) && (i == 0 || !mask(i - 1)))
+      id -> (mask.length.toLong, mask.count(identity).toLong, spans.toLong)
+    }.toMap
+    val got = MiningQueries.x90SpanCorruption(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == truth)
+    val (tok, masked) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    val rate = masked.toDouble / tok
+    assert(rate > 0.12 && rate < 0.18, s"corpus mask rate $rate")
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
