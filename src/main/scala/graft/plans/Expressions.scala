@@ -298,6 +298,10 @@ object SpatialFunctions {
     column(ZInterleaveExpr(expression(x.cast("long")),
       expression(y.cast("long"))))
 
+  def hilbert_index(x: Column, y: Column): Column =
+    column(HilbertIndexExpr(expression(x.cast("long")),
+      expression(y.cast("long"))))
+
   def bounded_levenshtein(a: Column, b: Column, k: Int): Column =
     column(BoundedLevenshteinExpr(expression(a.cast("string")),
       expression(b.cast("string")), k))

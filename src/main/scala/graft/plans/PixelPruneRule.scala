@@ -169,6 +169,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("z_interleave(x, y)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndexExpr].getName, "hilbert_index"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x, y) => HilbertIndexExpr(
+          Cast(x, org.apache.spark.sql.types.LongType),
+          Cast(y, org.apache.spark.sql.types.LongType))
+        case _ => throw new IllegalArgumentException("hilbert_index(x, y)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bounded_levenshtein"),
       new ExpressionInfo(classOf[BoundedLevenshteinExpr].getName,
         "bounded_levenshtein"),

@@ -103,6 +103,14 @@ object ZOrderLayout {
     * in the Spark schema property, like the pixel index metadata). */
   val XMetadataKey = "graft.z.x"
   val YMetadataKey = "graft.z.y"
+  /** Which space-filling curve produced the column ("z" / "hilbert") —
+    * [[ZPruneRule]] must decompose boxes with the SAME curve the write
+    * used or the injected ranges select the wrong rows. Absent on
+    * tables written before the key existed ⇒ treated as "z" (the only
+    * curve that ever wrote without it). */
+  val CurveMetadataKey = "graft.z.curve"
+  val CurveZ = "z"
+  val CurveHilbert = "hilbert"
 
   /** Add the interleaved `zName` column, range-partition by it into
     * `numFiles` curve segments, sort within each: ready for
@@ -133,6 +141,7 @@ object ZOrderLayout {
     val meta = new MetadataBuilder()
       .putString(XMetadataKey, x.toString)
       .putString(YMetadataKey, y.toString)
+      .putString(CurveMetadataKey, CurveZ)
       .build()
     df.withColumn(zName,
         SpatialFunctions.z_interleave(

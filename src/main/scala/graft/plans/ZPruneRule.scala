@@ -118,12 +118,28 @@ object ZPruneRule extends Rule[LogicalPlan] {
           // require BOTH axes bounded: a half-open box degenerates to
           // stripes covering most of the curve — not worth a predicate
           case (Some((xLo, xHi)), Some((yLo, yHi))) =>
-            val ranges = ZCurve.boxRanges(xLo, xHi, yLo, yHi, maxRanges)
-            val zPred = ranges.map { case (lo, hi) =>
-              And(GreaterThanOrEqual(attr, Literal(lo)),
-                LessThan(attr, Literal(hi)))
-            }.reduceLeft[Expression]((a, b) => Or(a, b))
-            Filter(And(zPred, cond), child)
+            // decompose with the curve the WRITE used (metadata-pinned;
+            // absent = z, the only curve that ever wrote without the key)
+            val curve =
+              if (attr.metadata.contains(ZOrderLayout.CurveMetadataKey))
+                attr.metadata.getString(ZOrderLayout.CurveMetadataKey)
+              else ZOrderLayout.CurveZ
+            val ranges = curve match {
+              case ZOrderLayout.CurveHilbert =>
+                Some(HilbertCurve.boxRanges(xLo, xHi, yLo, yHi, maxRanges))
+              case ZOrderLayout.CurveZ =>
+                Some(ZCurve.boxRanges(xLo, xHi, yLo, yHi, maxRanges))
+              // unknown curve: provenance we cannot honor — never
+              // inject ranges computed in the wrong id space
+              case _ => None
+            }
+            ranges.fold(f: LogicalPlan) { rs =>
+              val zPred = rs.map { case (lo, hi) =>
+                And(GreaterThanOrEqual(attr, Literal(lo)),
+                  LessThan(attr, Literal(hi)))
+              }.reduceLeft[Expression]((a, b) => Or(a, b))
+              Filter(And(zPred, cond), child)
+            }
           case _ => f
         }
       }

@@ -540,9 +540,9 @@ object CoreQueries {
   /** x36 box bounds: users [100, 300] × ts [Jan 8, Jan 12) 2024. */
   val ZUserLo = 100L
   val ZUserHi = 300L
-  private val ZTsLo = java.time.LocalDateTime.of(2024, 1, 8, 0, 0)
+  private[queries] val ZTsLo = java.time.LocalDateTime.of(2024, 1, 8, 0, 0)
     .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
-  private val ZTsHi = java.time.LocalDateTime.of(2024, 1, 12, 0, 0)
+  private[queries] val ZTsHi = java.time.LocalDateTime.of(2024, 1, 12, 0, 0)
     .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
 
   /** x36 — multi-dimensional layout scan: the (user × time-window) box

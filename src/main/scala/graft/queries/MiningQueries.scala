@@ -1210,6 +1210,44 @@ object MiningQueries {
        |FROM marked GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // -- x91: Hilbert-curve layout scan ------------------------------------
+
+  /** x91 — x36's box query through the HILBERT access path:
+    * `hilbert_index(user_id, minute)` ([[graft.plans.HilbertIndexExpr]],
+    * codegen'd) linearizes the two dimensions and
+    * [[graft.plans.HilbertCurve.boxRanges]] decomposes the same box
+    * into curve ranges — at the same maxRanges budget the Hilbert
+    * cover carries ~½ the fragments of x36's z cover (HilbertSpec
+    * measures 1.95×), so a clustered table serves the box with fewer
+    * pushed disjuncts and fewer false-positive row groups. The exact
+    * box predicate refines, so the result — and the oracle — are
+    * identical to x36's. `HilbertLayout.cluster` + `ZPruneRule` give
+    * unmodified SQL the same ranges automatically (spec-pinned). */
+  val x91HilbertScan: QFn = (s, d) => {
+    import graft.plans.{HilbertCurve, SpatialFunctions}
+    val tLoMin = CoreQueries.ZTsLo / 60000000L
+    val tHiMin = CoreQueries.ZTsHi / 60000000L
+    val ranges = HilbertCurve.boxRanges(CoreQueries.ZUserLo,
+      CoreQueries.ZUserHi, tLoMin, tHiMin, maxRanges = 16)
+    val ev = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("h", SpatialFunctions.hilbert_index(
+        col("user_id"), expr("us div 60000000")))
+    val hPrune = ranges.map { case (lo, hi) =>
+      col("h") >= lo && col("h") < hi
+    }.reduce(_ || _)
+    ev.where(hPrune)
+      .where(col("user_id").between(CoreQueries.ZUserLo, CoreQueries.ZUserHi) &&
+        col("us") >= CoreQueries.ZTsLo && col("us") < CoreQueries.ZTsHi)
+      .select(col("event_id"), col("user_id"), col("us"))
+      .orderBy(col("event_id"))
+  }
+  val x91Sql: String =
+    s"""SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+       |WHERE user_id BETWEEN ${CoreQueries.ZUserLo} AND ${CoreQueries.ZUserHi}
+       |  AND epoch_us(ts) >= ${CoreQueries.ZTsLo} AND epoch_us(ts) < ${CoreQueries.ZTsHi}
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "x69_fuzzy_join" -> x69FuzzyJoin,
     "x76_doremi_weights" -> x76DoremiWeights,
@@ -1228,7 +1266,8 @@ object MiningQueries {
     "x87_cdc_chunks" -> x87CdcChunks,
     "x88_ann_binary" -> x88AnnBinary,
     "x89_dataset_diff" -> x89DatasetDiff,
-    "x90_span_corruption" -> x90SpanCorruption)
+    "x90_span_corruption" -> x90SpanCorruption,
+    "x91_hilbert_scan" -> x91HilbertScan)
 
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
@@ -1248,5 +1287,6 @@ object MiningQueries {
     "x87_cdc_chunks" -> x87Sql,
     "x88_ann_binary" -> x88Sql,
     "x89_dataset_diff" -> x89Sql,
-    "x90_span_corruption" -> x90Sql)
+    "x90_span_corruption" -> x90Sql,
+    "x91_hilbert_scan" -> x91Sql)
 }
