@@ -115,6 +115,59 @@ class VectorIndexSpec extends AnyFunSuite {
       "persisted IVF-PQ serving diverged from x39's inline form")
   }
 
+  test("binary index: exact with a full shortlist, rescore beats raw hamming") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("binidx").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    VectorIndex.buildBinary(spark, dir, emb)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+    // serving reads the 8-byte codes table, never the raw embeddings
+    // (queries excepted — they arrive as a collected batch)
+    val served = VectorIndex.searchBinary(spark, dir, queries, k = 10,
+      shortlist = 100, excludeSelf = true)
+    assert(!served.queryExecution.executedPlan.toString
+      .contains("embeddings.parquet"),
+      "binary serve plan scans the raw embeddings table")
+
+    // ground truth: exact cosine top-10, x3's arithmetic and tiebreak
+    val all = emb.as[(Long, Array[Float])].collect()
+      .map { case (id, e) => (id, e.map(_.toDouble)) }
+    def norm(e: Array[Double]) = math.sqrt(DedupQueries.normScaled(e).toDouble)
+    val truth = all.filter(_._1 < 10).sortBy(_._1).map { case (qid, qe) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (cid, ce) =>
+          (cid, DedupQueries.dotScaled(qe, ce) / (norm(qe) * norm(ce)))
+        }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(10).map(_._1).toSeq
+    }.toMap
+
+    // shortlist >= corpus: the rescore sees everything => exact top-k
+    val full = VectorIndex.searchBinary(spark, dir, queries, k = 10,
+      shortlist = all.length, excludeSelf = true)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(full == truth, "full-shortlist binary search is not exact")
+
+    // bounded shortlist: rescoring the hamming shortlist must recall at
+    // least as much as ranking BY hamming (the raw x88 order) does
+    def recallOf(m: Map[Long, Seq[Long]]): Double =
+      truth.map { case (q, t) =>
+        m(q).toSet.intersect(t.toSet).size.toDouble / 10
+      }.sum / truth.size
+    val servedTop = served.collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val x88Top = graft.queries.MiningQueries.x88AnnBinary(spark, sf)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val (rServed, rRaw) = (recallOf(servedTop), recallOf(x88Top))
+    info(f"binary index recall@10: rescored(100)=$rServed%.2f raw-hamming=$rRaw%.2f")
+    assert(rServed >= rRaw,
+      f"rescore $rServed%.2f under raw hamming $rRaw%.2f")
+  }
+
   test("VectorIndexTool round-trips build + search through parquet on disk") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("vtool").toString
