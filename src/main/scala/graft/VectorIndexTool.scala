@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   * vector-search deployment actually operates with).
   *
   * Usage:
-  *   runMain graft.VectorIndexTool build <graph|hier|pq|ivfpq> <indexDir> <embParquet>
-  *   runMain graft.VectorIndexTool search <graph|hier|pq|ivfpq> <indexDir> <queryParquet> <outParquet> [k]
+  *   runMain graft.VectorIndexTool build <graph|hier|pq|ivfpq|bin> <indexDir> <embParquet>
+  *   runMain graft.VectorIndexTool search <graph|hier|pq|ivfpq|bin> <indexDir> <queryParquet> <outParquet> [k]
   *
   * `embParquet` needs (vec_id, embedding); `queryParquet` needs
   * (query_id, embedding) — or (vec_id, embedding), renamed on read.
@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndexTool {
   private val usage =
-    "usage: VectorIndexTool build <graph|hier|pq|ivfpq> <indexDir> <embParquet> | " +
-      "search <graph|hier|pq|ivfpq> <indexDir> <queryParquet> <outParquet> [k]"
+    "usage: VectorIndexTool build <graph|hier|pq|ivfpq|bin> <indexDir> <embParquet> | " +
+      "search <graph|hier|pq|ivfpq|bin> <indexDir> <queryParquet> <outParquet> [k]"
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -37,7 +37,7 @@ object VectorIndexTool {
   def run(spark: SparkSession, args: Array[String]): Unit = {
     require(args.length >= 4, usage)
     val (mode, family, dir) = (args(0), args(1), args(2))
-    require(Set("graph", "hier", "pq", "ivfpq").contains(family),
+    require(Set("graph", "hier", "pq", "ivfpq", "bin").contains(family),
       s"unknown index family '$family' — $usage")
     mode match {
       case "build" =>
@@ -48,6 +48,7 @@ object VectorIndexTool {
           case "hier" => VectorIndex.buildHier(spark, dir, emb)
           case "pq" => VectorIndex.buildPq(spark, dir, emb)
           case "ivfpq" => VectorIndex.buildIvfPq(spark, dir, emb)
+          case "bin" => VectorIndex.buildBinary(spark, dir, emb)
         }
         println(s"""{"built":"$family","dir":"$dir"}""")
       case "search" =>
@@ -62,6 +63,7 @@ object VectorIndexTool {
           case "hier" => VectorIndex.searchHier(spark, dir, queries, k)
           case "pq" => VectorIndex.searchPq(spark, dir, queries, k)
           case "ivfpq" => VectorIndex.searchIvfPq(spark, dir, queries, k)
+          case "bin" => VectorIndex.searchBinary(spark, dir, queries, k)
         }
         out.write.mode("overwrite").parquet(args(4))
         println(s"""{"searched":"$family","queries":${queries.count()},"k":$k,"out":"${args(4)}"}""")

@@ -199,6 +199,11 @@ class VectorIndexSpec extends AnyFunSuite {
     VectorIndexTool.run(spark, Array("search", "hier", s"$root/hidx",
       s"$root/queries.parquet", s"$root/hout.parquet", "3"))
     assert(spark.read.parquet(s"$root/hout.parquet").count() == 3 * 3)
+    // and the binary family
+    VectorIndexTool.run(spark, Array("build", "bin", s"$root/bidx", embSrc))
+    VectorIndexTool.run(spark, Array("search", "bin", s"$root/bidx",
+      s"$root/queries.parquet", s"$root/bout.parquet", "3"))
+    assert(spark.read.parquet(s"$root/bout.parquet").count() == 3 * 3)
     intercept[IllegalArgumentException] {
       VectorIndexTool.run(spark, Array("build", "hnsw", s"$root/idx", embSrc))
     }
