@@ -1248,6 +1248,124 @@ object MiningQueries {
        |  AND epoch_us(ts) >= ${CoreQueries.ZTsLo} AND epoch_us(ts) < ${CoreQueries.ZTsHi}
        |ORDER BY event_id""".stripMargin
 
+  // -- x92: binary shortlist + exact rescore -----------------------------
+
+  /** x92 — the binary ANN SERVING composition (x88 ∘ x42's rescore):
+    * Hamming over 8-byte sign codes shortlists
+    * [[DedupQueries.RescoreShortlist]] candidates per query, exact
+    * cosine re-ranks ONLY the shortlist. The cheapest two-stage stack
+    * in the family — no training, no codebooks, scan cost 8 bytes and
+    * one popcount per vector — and the recall audit's point that the
+    * 1-bit code is a shortlist stage, not a ranker, made operational
+    * (VectorIndexSpec measures 0.25 → 0.83 recall@10 from the same
+    * composition served off the persisted index).
+    *
+    * Scale shape: stage 1 is x88's bounded-heap scan at shortlist
+    * width; stage 2 joins queries × shortlist ids back to the vector
+    * table — quantization noise only has to keep neighbors IN the
+    * shortlist, never rank them. */
+  val x92AnnBinRescore: QFn = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def half(off: Int): Column =
+      (0 until 32).map { j =>
+        when(element_at(col("embedding"), j + off + 1).cast("double") > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val codes = Tables.embeddings(s, d)
+      .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+      .as[(Long, Long, Long)]
+    val full = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) => (id, e.map(_.toDouble)) }
+    val queries = s.sparkContext.broadcast(
+      full.filter(_._1 < 10).collect().sortBy(_._1)
+        .map { case (id, e) => (id, e, DedupQueries.normScaled(e)) })
+    val qCodes = s.sparkContext.broadcast(
+      codes.filter(_._1 < 10).collect().sortBy(_._1))
+    val hamScored = codes.mapPartitions { it =>
+      val qs = qCodes.value
+      val rows = it.flatMap { case (cid, clo, chi) =>
+        qs.iterator.collect { case (qid, qlo, qhi) if qid != cid =>
+          (qid, cid, (java.lang.Long.bitCount(qlo ^ clo)
+            + java.lang.Long.bitCount(qhi ^ chi)).toLong)
+        }
+      }
+      graft.operators.BoundedTopK.perQuery(rows,
+        DedupQueries.RescoreShortlist, (r: (Long, Long, Long)) => r._1)(
+        Ordering.fromLessThan { (x, y) =>
+          x._3 < y._3 || (x._3 == y._3 && x._2 < y._2)
+        })
+    }.toDF("query_id", "cand_id", "hamming")
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("cand_id"))
+    val short = hamScored.withColumn("rk", row_number().over(wHam))
+      .where(col("rk") <= DedupQueries.RescoreShortlist)
+      .select(col("query_id"), col("cand_id"))
+    val fullDf = full.toDF("vec_id", "ce")
+    val rescored = short.join(fullDf, short("cand_id") === fullDf("vec_id"))
+      .select(col("query_id"), col("cand_id"), col("ce"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = queries.value.map { case (id, e, n) => id -> ((e, n)) }.toMap
+        it.map { case (qid, cid, ce) =>
+          val (qe, qn) = qs(qid)
+          (qid, cid, DedupQueries.dotScaled(qe, ce)
+            / (math.sqrt(qn) * math.sqrt(DedupQueries.normScaled(ce))))
+        }
+      }.toDF("query_id", "cand_id", "cosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val x92Sql: String =
+    s"""WITH c AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(1, 33),
+      |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+      |        THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END))
+      |      AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(33, 65),
+      |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+      |        THEN CAST(1 AS BIGINT) << (i - 33) ELSE CAST(0 AS BIGINT) END))
+      |      AS BIGINT) AS hi
+      |  FROM embeddings),
+      |ham AS (
+      |  SELECT q.vec_id AS query_id, cc.vec_id AS cand_id,
+      |    CAST(bit_count(xor(q.lo, cc.lo)) + bit_count(xor(q.hi, cc.hi))
+      |      AS BIGINT) AS hamming
+      |  FROM c q, c cc
+      |  WHERE q.vec_id < 10 AND q.vec_id <> cc.vec_id),
+      |short AS (
+      |  SELECT query_id, cand_id FROM (
+      |    SELECT query_id, cand_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY hamming, cand_id) AS rk
+      |    FROM ham) WHERE rk <= ${DedupQueries.RescoreShortlist}),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+      |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s
+      |  FROM embeddings),
+      |rescored AS (
+      |  SELECT sh.query_id, sh.cand_id,
+      |    CAST(list_sum(list_transform(range(1, length(q.embedding) + 1),
+      |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(cc.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+      |      / (sqrt(q.norm_s) * sqrt(cc.norm_s)) AS cosine
+      |  FROM short sh
+      |  JOIN e q ON q.vec_id = sh.query_id
+      |  JOIN e cc ON cc.vec_id = sh.cand_id)
+      |SELECT query_id, rank, cand_id, cosine FROM (
+      |  SELECT query_id, cand_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM rescored) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "x69_fuzzy_join" -> x69FuzzyJoin,
     "x76_doremi_weights" -> x76DoremiWeights,
@@ -1267,7 +1385,8 @@ object MiningQueries {
     "x88_ann_binary" -> x88AnnBinary,
     "x89_dataset_diff" -> x89DatasetDiff,
     "x90_span_corruption" -> x90SpanCorruption,
-    "x91_hilbert_scan" -> x91HilbertScan)
+    "x91_hilbert_scan" -> x91HilbertScan,
+    "x92_ann_bin_rescore" -> x92AnnBinRescore)
 
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
@@ -1288,5 +1407,6 @@ object MiningQueries {
     "x88_ann_binary" -> x88Sql,
     "x89_dataset_diff" -> x89Sql,
     "x90_span_corruption" -> x90Sql,
-    "x91_hilbert_scan" -> x91Sql)
+    "x91_hilbert_scan" -> x91Sql,
+    "x92_ann_bin_rescore" -> x92Sql)
 }

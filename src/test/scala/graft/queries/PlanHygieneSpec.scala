@@ -177,7 +177,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       // metric rollup re-shuffles only queries × k rows
       "x82_retrieval_eval" -> 1500L,
       // packed-code scan (two longs/vector), same heap bound as x3/x46
-      "x88_ann_binary" -> 1000L)
+      "x88_ann_binary" -> 1000L,
+      // stage-1 heap keeps ≤ 10 × 100 shortlist rows per partition and
+      // the rescore join moves shortlist-sized sides (x42's bound)
+      "x92_ann_bin_rescore" -> 4500L)
     budgets.foreach { case (name, budget) =>
       val written = new java.util.concurrent.atomic.AtomicLong()
       val listener = new org.apache.spark.scheduler.SparkListener {
