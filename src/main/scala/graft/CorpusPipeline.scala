@@ -177,6 +177,36 @@ object CorpusPipeline {
     * collision harmless (a destructive stage must never delete on hash
     * equality alone) — then one by doc_id for the rebuild. Span
     * segmentation is shared with x26 ([[TextQueries.segmentSpans]]). */
+  /** Per-source boilerplate strip (x81's detection, applied): spans
+    * recurring in ≥ [[graft.queries.MiningQueries.BoilerMinDocs]]
+    * distinct docs of the SAME source are template chrome — EVERY
+    * occurrence is removed (unlike [[lineDedup]]/[[spanExcise]], whose
+    * keep-first policy is for genuine content: a footer's first copy
+    * is just as worthless as its thousandth). Text is rebuilt from the
+    * surviving spans; an all-boilerplate doc drops out. Runs AFTER
+    * exact_dedup so replicated corpora (the soak's twin stress) don't
+    * read their own copies as per-source templates.
+    *
+    * Scale shape: x81's two (source, line_h)-keyed shuffles plus the
+    * per-doc rebuild aggregation — linear, no pair join. */
+  def boilerplateStrip(docs: DataFrame): DataFrame = {
+    val segs = TextQueries.segmentSpans(docs, carry = Seq("source"))
+    val boiler = segs
+      .groupBy(col("source"), col("line_h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= graft.queries.MiningQueries.BoilerMinDocs)
+      .select(col("source"), col("line_h"), lit(true).as("_boiler"))
+    val rebuilt = segs.join(boiler, Seq("source", "line_h"), "left")
+      .where(col("_boiler").isNull)
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(seg, line))), x -> x.line), ' ')")
+        .as("_new_text"))
+    docs.join(rebuilt, "doc_id") // inner: all-boilerplate docs drop out
+      .withColumn("text", col("_new_text")).drop("_new_text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   def lineDedup(docs: DataFrame): DataFrame = {
     val segs = TextQueries.segmentSpans(docs)
     val w = org.apache.spark.sql.expressions.Window
@@ -364,6 +394,7 @@ object CorpusPipeline {
       "repetition_filter" -> repetitionFilter(s, d, maxFraction = 0.5) _,
       "pii_scrub" -> (piiScrub _),
       "exact_dedup" -> (exactDedup _),
+      "boilerplate_strip" -> (boilerplateStrip _),
       "substring_dedup" -> (substringDedup _),
       "line_dedup" -> (lineDedup _),
       "span_excise" -> (spanExcise _),

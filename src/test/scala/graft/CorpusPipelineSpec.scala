@@ -82,7 +82,8 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val (curated, stats) = CorpusPipeline.run(spark, sf,
       lang = "en", minQuality = 0.2, samplePerSource = 50)
     assert(stats.map(_.stage) == Seq("language_filter", "quality_filter",
-      "repetition_filter", "pii_scrub", "exact_dedup", "substring_dedup",
+      "repetition_filter", "pii_scrub", "exact_dedup", "boilerplate_strip",
+      "substring_dedup",
       "line_dedup", "span_excise", "near_dup_canonical", "semantic_dedup",
       "decontaminate", "stratified_sample", "split_assign",
       "shuffle_shard"))
@@ -149,6 +150,35 @@ class CorpusPipelineSpec extends AnyFunSuite {
         ++ Set("split", "shard", "shard_pos"))
     assert(out.select("split").distinct().collect().map(_.getString(0)).toSet
       .subsetOf(Set("train", "validation", "test")))
+  }
+
+  test("boilerplate strip removes exactly the flagged spans, others byte-identical") {
+    val docs = Tables.documents(spark, sf)
+    val out = CorpusPipeline.boilerplateStrip(docs).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("text")))).toMap
+    // driver replay of x81's detection over the same segmentation
+    val segs = graft.queries.TextQueries
+      .segmentSpans(docs, carry = Seq("source"))
+      .select(col("doc_id"), col("source"), col("seg"), col("line"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val boiler = segs.groupBy(r => (r._2, r._4))
+      .filter { case (_, occ) => occ.map(_._1).distinct.length >=
+        graft.queries.MiningQueries.BoilerMinDocs }
+      .keySet
+    val truth = segs.groupBy(_._1).flatMap { case (id, rs) =>
+      val kept = rs.sortBy(_._3).filterNot(r => boiler((r._2, r._4)))
+      if (kept.isEmpty) None else Some(id -> kept.map(_._4).mkString(" "))
+    }
+    assert(out == truth)
+    // the corpus genuinely exercises both paths: some doc was rewritten
+    val original = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.exists { case (id, t) => original(id) != t },
+      "no doc was rewritten — stage untested at this SF")
+    assert(out.exists { case (id, t) => original(id) == t },
+      "every doc was rewritten — threshold suspiciously low")
   }
 
   test("substring dedup drops exactly the no-novel-window docs") {
