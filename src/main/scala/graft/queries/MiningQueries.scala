@@ -751,15 +751,23 @@ object MiningQueries {
     * linear-model training (parameter broadcast down, gradient sums
     * up). The feature frame is computed once and persisted across
     * rounds. */
-  val x84PerceptronQuality: QFn = (s, d) => {
-    import s.implicits._
-    val feats = Tables.documents(s, d).select(
+  /** The shared feature frame: (source, y, f0..f3) — x84 trains on it,
+    * x93 evaluates on it. */
+  private def perceptronFeats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("source"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
       lit(1L).as("f0"),
       size(split(col("text"), " ")).cast("long").as("f1"),
       length(col("text")).cast("long").as("f2"),
       (length(col("text")) - length(translate(col("text"), "e", "")))
         .cast("long").as("f3"))
+
+  /** Run the batch-perceptron rounds; returns (final weights, per-round
+    * audit rows). One bounded 5-long collect per round. */
+  private def perceptronTrain(s: SparkSession, d: String)
+      : (Array[Long], Seq[(Long, Long, Long, Long)]) = {
+    val feats = perceptronFeats(s, d)
     feats.persist()
     try {
       val w = Array(0L, 0L, 0L, 0L)
@@ -778,11 +786,19 @@ object MiningQueries {
         for (j <- 0 to 3) w(j) += row.getLong(j)
         for (j <- 0 to 3) out += ((r.toLong, j.toLong, w(j), nMis))
       }
-      out.toSeq.toDF("round", "widx", "weight", "n_mis")
-        .orderBy(col("round"), col("widx"))
+      (w, out.toSeq)
     } finally feats.unpersist()
   }
-  val x84Sql: String = {
+
+  val x84PerceptronQuality: QFn = (s, d) => {
+    import s.implicits._
+    perceptronTrain(s, d)._2.toDF("round", "widx", "weight", "n_mis")
+      .orderBy(col("round"), col("widx"))
+  }
+  /** The shared oracle CTE chain: feats + w0 + the unrolled training
+    * rounds (w[[PerceptronRounds]] = final weights). x84 selects the
+    * per-round audit from it, x93 the final-weight evaluation. */
+  private def perceptronCtes: String = {
     val dot = (p: String) =>
       s"($p.w0 * f0 + $p.w1 * f1 + $p.w2 * f2 + $p.w3 * f3)"
     val rounds = (1 to PerceptronRounds).map { r =>
@@ -799,13 +815,8 @@ object MiningQueries {
          |         p.w2 + d.s2 AS w2, p.w3 + d.s3 AS w3, d.n_mis
          |  FROM $prev p CROSS JOIN d$r d)""".stripMargin
     }.mkString(",\n")
-    val finalSel = (1 to PerceptronRounds).flatMap { r =>
-      (0 to 3).map(j =>
-        s"SELECT CAST($r AS BIGINT) AS round, CAST($j AS BIGINT) AS widx, " +
-          s"CAST(w$j AS BIGINT) AS weight, n_mis FROM w$r")
-    }.mkString("\nUNION ALL\n")
-    s"""WITH feats AS (
-       |  SELECT CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+    s"""feats AS (
+       |  SELECT source, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
        |              ELSE CAST(-1 AS BIGINT) END AS y,
        |    CAST(1 AS BIGINT) AS f0,
        |    CAST(length(string_split(text, ' ')) AS BIGINT) AS f1,
@@ -814,10 +825,63 @@ object MiningQueries {
        |  FROM documents),
        |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
        |              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val x84Sql: String = {
+    val finalSel = (1 to PerceptronRounds).flatMap { r =>
+      (0 to 3).map(j =>
+        s"SELECT CAST($r AS BIGINT) AS round, CAST($j AS BIGINT) AS widx, " +
+          s"CAST(w$j AS BIGINT) AS weight, n_mis FROM w$r")
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $perceptronCtes
        |$finalSel
        |ORDER BY round, widx""".stripMargin
   }
+
+  // -- x93: classifier evaluation (per-source confusion matrix) ----------
+
+  /** x93 — the evaluation report for x84's trained classifier: apply
+    * the final-round weights (prediction = sign(w·x), ties to −1) and
+    * roll up the confusion matrix PER SOURCE — the per-domain error
+    * analysis (which crawl sources the language/quality filter
+    * misfires on) every production filter ships next to its weights.
+    * Train → evaluate closes the classifier lifecycle the same way
+    * x43 → x44 closes PQ's.
+    *
+    * Scale shape: training is x84's bounded per-round aggregates; the
+    * evaluation is ONE map-side-combined per-source aggregate over the
+    * feature stream — weights ride the plan as literals, nothing joins.
+    * All counts are Longs; the oracle replays training through the
+    * same unrolled CTEs and scores with w[[PerceptronRounds]]. */
+  val x93PerceptronEval: QFn = (s, d) => {
+    val w = perceptronTrain(s, d)._1
+    val score = lit(w(0)) * col("f0") + lit(w(1)) * col("f1") +
+      lit(w(2)) * col("f2") + lit(w(3)) * col("f3")
+    perceptronFeats(s, d)
+      .withColumn("pred", when(score > 0, 1L).otherwise(-1L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === -1 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === -1 && col("pred") === -1, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("y") === 1 && col("pred") === -1, 1L).otherwise(0L)).as("fn"))
+      .orderBy(col("source"))
+  }
+  val x93Sql: String =
+    s"""WITH $perceptronCtes,
+       |scored AS (
+       |  SELECT source, y,
+       |    CASE WHEN w.w0 * f0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3 > 0
+       |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS pred
+       |  FROM feats CROSS JOIN w$PerceptronRounds w)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN y = -1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN y = -1 AND pred = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |  CAST(SUM(CASE WHEN y = 1 AND pred = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |FROM scored GROUP BY source
+       |ORDER BY source""".stripMargin
 
   // -- x85: column profiler ----------------------------------------------
 
@@ -1386,7 +1450,8 @@ object MiningQueries {
     "x89_dataset_diff" -> x89DatasetDiff,
     "x90_span_corruption" -> x90SpanCorruption,
     "x91_hilbert_scan" -> x91HilbertScan,
-    "x92_ann_bin_rescore" -> x92AnnBinRescore)
+    "x92_ann_bin_rescore" -> x92AnnBinRescore,
+    "x93_perceptron_eval" -> x93PerceptronEval)
 
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
@@ -1408,5 +1473,6 @@ object MiningQueries {
     "x89_dataset_diff" -> x89Sql,
     "x90_span_corruption" -> x90Sql,
     "x91_hilbert_scan" -> x91Sql,
-    "x92_ann_bin_rescore" -> x92Sql)
+    "x92_ann_bin_rescore" -> x92Sql,
+    "x93_perceptron_eval" -> x93Sql)
 }

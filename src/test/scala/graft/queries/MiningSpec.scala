@@ -471,6 +471,42 @@ class MiningSpec extends AnyFunSuite {
     assert(rate > 0.12 && rate < 0.18, s"corpus mask rate $rate")
   }
 
+  test("x93 confusion matrix replays driver-side and tiles the corpus") {
+    val feats = Tables.documents(spark, sf)
+      .select(col("source"), col("lang"), col("text")).collect().map { r =>
+        val text = r.getString(2)
+        val y = if (r.getString(1) == "en") 1L else -1L
+        (r.getString(0), y,
+          Array(1L, text.split(" ", -1).length.toLong, text.length.toLong,
+            text.count(_ == 'e').toLong))
+      }
+    val w = Array(0L, 0L, 0L, 0L)
+    for (_ <- 1 to MiningQueries.PerceptronRounds) {
+      val mis = feats.filter { case (_, y, x) =>
+        y * (0 to 3).map(j => w(j) * x(j)).sum <= 0
+      }
+      for (j <- 0 to 3) w(j) += mis.map { case (_, y, x) => y * x(j) }.sum
+    }
+    val truth = feats.groupBy(_._1).map { case (src, rs) =>
+      val scored = rs.map { case (_, y, x) =>
+        (y, if ((0 to 3).map(j => w(j) * x(j)).sum > 0) 1L else -1L)
+      }
+      src -> (rs.length.toLong,
+        scored.count { case (y, p) => y == 1 && p == 1 }.toLong,
+        scored.count { case (y, p) => y == -1 && p == 1 }.toLong,
+        scored.count { case (y, p) => y == -1 && p == -1 }.toLong,
+        scored.count { case (y, p) => y == 1 && p == -1 }.toLong)
+    }
+    val got = MiningQueries.x93PerceptronEval(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == truth)
+    // the four cells tile every source's docs
+    got.foreach { case (src, (n, tp, fp, tn, fn)) =>
+      assert(tp + fp + tn + fn == n, s"$src cells don't tile $n docs")
+    }
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
