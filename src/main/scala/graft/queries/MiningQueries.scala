@@ -1430,6 +1430,72 @@ object MiningQueries {
       |  FROM rescored) WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // -- x94: semantic decontamination -------------------------------------
+
+  /** Cosine-to-benchmark threshold above which a corpus vector is
+    * flagged as contaminated. */
+  val SemDecontThreshold = 0.40
+
+  /** x94 — SEMANTIC decontamination (the embedding-space counterpart of
+    * x20/x34/x65's n-gram overlap): each corpus embedding is scored by
+    * its maximum cosine to the held-out benchmark slice (vec_id < 50)
+    * and flagged above [[SemDecontThreshold]] — catching paraphrased /
+    * translated / reformatted benchmark leakage that shares no n-gram
+    * with the original, the contamination mode the GPT-4-era data
+    * reports check for. Output carries the argmax benchmark id so a
+    * flag is auditable back to the exact benchmark item.
+    *
+    * Scale shape: the benchmark side is SMALL by definition —
+    * broadcast once, scored in a map-only pass over the corpus scan
+    * (running max per row, no heap, no shuffle but the presentation
+    * sort); a 10⁹-vector corpus against a 10⁵-item benchmark suite is
+    * one GEMM-shaped scan. Contrast x34: there the BENCHMARK grams fit
+    * a bloom; here the benchmark VECTORS fit a broadcast. */
+  val x94SemanticDecontaminate: QFn = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) => (id, e.map(_.toDouble)) }
+    val bench = s.sparkContext.broadcast(
+      emb.filter(_._1 < 50).collect().sortBy(_._1)
+        .map { case (id, e) => (id, e, DedupQueries.normScaled(e)) })
+    emb.filter(_._1 >= 50).mapPartitions { it =>
+      val bs = bench.value
+      it.map { case (cid, ce) =>
+        val cn = math.sqrt(DedupQueries.normScaled(ce).toDouble)
+        var bestId = -1L
+        var bestCos = Double.NegativeInfinity
+        bs.foreach { case (bid, be, bn) =>
+          val cos = DedupQueries.dotScaled(ce, be) / (cn * math.sqrt(bn))
+          if (cos > bestCos) { bestCos = cos; bestId = bid }
+        }
+        (cid, bestId, bestCos, if (bestCos > SemDecontThreshold) 1L else 0L)
+      }
+    }.toDF("vec_id", "bench_id", "cosine", "flagged")
+      .orderBy(col("vec_id"))
+  }
+  val x94Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+       |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT c.vec_id, b.vec_id AS bench_id,
+       |    CAST(list_sum(list_transform(range(1, length(c.embedding) + 1),
+       |      i -> CAST(round(CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+       |      / (sqrt(c.norm_s) * sqrt(b.norm_s)) AS cosine
+       |  FROM e c, e b WHERE c.vec_id >= 50 AND b.vec_id < 50)
+       |SELECT vec_id, bench_id, cosine,
+       |  CASE WHEN cosine > $SemDecontThreshold THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS flagged
+       |FROM (SELECT vec_id, bench_id, cosine,
+       |        row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cosine DESC, bench_id) AS rk
+       |      FROM scored) WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "x69_fuzzy_join" -> x69FuzzyJoin,
     "x76_doremi_weights" -> x76DoremiWeights,
@@ -1451,7 +1517,8 @@ object MiningQueries {
     "x90_span_corruption" -> x90SpanCorruption,
     "x91_hilbert_scan" -> x91HilbertScan,
     "x92_ann_bin_rescore" -> x92AnnBinRescore,
-    "x93_perceptron_eval" -> x93PerceptronEval)
+    "x93_perceptron_eval" -> x93PerceptronEval,
+    "x94_semantic_decontaminate" -> x94SemanticDecontaminate)
 
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
@@ -1474,5 +1541,6 @@ object MiningQueries {
     "x90_span_corruption" -> x90Sql,
     "x91_hilbert_scan" -> x91Sql,
     "x92_ann_bin_rescore" -> x92Sql,
-    "x93_perceptron_eval" -> x93Sql)
+    "x93_perceptron_eval" -> x93Sql,
+    "x94_semantic_decontaminate" -> x94Sql)
 }

@@ -507,6 +507,34 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("x94 semantic decontamination: argmax replay, both flag paths live") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dotS(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) {
+        val v = a(i) * b(i) * 1000000d
+        s += (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+        i += 1
+      }
+      s
+    }
+    val bench = emb.filter(_._1 < 50).sortBy(_._1)
+    val truth = emb.filter(_._1 >= 50).sortBy(_._1).map { case (cid, ce) =>
+      val cn = math.sqrt(dotS(ce, ce).toDouble)
+      val (bid, cos) = bench.map { case (b, be) =>
+        (b, dotS(ce, be) / (cn * math.sqrt(dotS(be, be).toDouble)))
+      }.maxBy { case (b, c) => (c, -b) }
+      (cid, bid, cos > MiningQueries.SemDecontThreshold)
+    }
+    val got = MiningQueries.x94SemanticDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3) == 1L))
+    assert(got.toSeq == truth.toSeq)
+    assert(got.exists(_._3) && got.exists(!_._3),
+      "threshold does not exercise both flag paths at this SF")
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
