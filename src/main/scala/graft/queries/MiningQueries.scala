@@ -1496,6 +1496,102 @@ object MiningQueries {
        |      FROM scored) WHERE rk = 1
        |ORDER BY vec_id""".stripMargin
 
+  // -- x95: per-label centroid outlier screen ----------------------------
+
+  /** x95 — embedding OUTLIER screen (the SemDeDup/CCNet-style
+    * distance-to-centroid quality filter, and the cheap data-poisoning
+    * tripwire): each vector's squared distance to its LABEL's centroid,
+    * ranked within the label; the top 5 % per label flag as outliers.
+    * All arithmetic is integer-exact: vectors scale at 1e3 and the
+    * distance is the n²-scaled form D = Σⱼ(n·xⱼ − Sⱼ)² (n = label
+    * count, Sⱼ = label dim-sum) — no division anywhere, so the oracle
+    * matches bit-for-bit. The 1e3 scale bounds D ≤ dims·(n·4e3)²:
+    * safe in a Long to n ≈ 50 k per label; beyond that a production
+    * run divides first and accepts float ranking (documented here, not
+    * needed at any test SF).
+    *
+    * Scale shape: label stats are labels × dims cells (one map-side
+    * combined aggregate, driver-bounded broadcast — x43's pattern);
+    * the distance pass is map-only; the per-label ranking window
+    * shuffles narrow (id, label, D) rows by label. The rank-based cut
+    * needs no magic distance threshold. */
+  val x95CentroidOutliers: QFn = (s, d) => {
+    import s.implicits._
+    val sv = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .map { case (id, lab, e) =>
+        // half-away-from-zero, the SQL round() rule (math.round is
+        // half-up and diverges on negative embedding values)
+        (id, lab, e.map { x =>
+          val v = x.toDouble * 1000
+          (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+        })
+      }
+    val stats = sv.flatMap { case (_, lab, xs) =>
+        xs.zipWithIndex.map { case (x, j) => (lab, j, x, 1L) }
+      }.groupByKey { case (lab, j, _, _) => (lab, j) }
+      .mapValues { case (_, _, x, _) => (x, 1L) }
+      .reduceGroups((a, b) => (a._1 + b._1, a._2 + b._2))
+      .map { case ((lab, j), (sum, _)) => (lab, j, sum) }
+      .collect()
+    val counts = sv.groupByKey(_._2).count().collect().toMap
+    val sums = stats.groupBy(_._1).map { case (lab, rs) =>
+      lab -> rs.sortBy(_._2).map(_._3)
+    }
+    val bc = s.sparkContext.broadcast((sums, counts))
+    val dist = sv.map { case (id, lab, xs) =>
+      val (sm, cn) = (bc.value._1(lab), bc.value._2(lab))
+      var dd = 0L
+      var j = 0
+      while (j < xs.length) {
+        val t = cn * xs(j) - sm(j)
+        dd += t * t
+        j += 1
+      }
+      (id, lab.toLong, dd, cn)
+    }.toDF("vec_id", "label", "d2n2", "n_label")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("d2n2").desc, col("vec_id"))
+    dist.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("flagged",
+        when(col("rank") <= greatest(lit(1L), expr("n_label DIV 20")), 1L)
+          .otherwise(0L))
+      .select(col("vec_id"), col("label"), col("d2n2"), col("rank"),
+        col("flagged"))
+      .orderBy(col("vec_id"))
+  }
+  val x95Sql: String =
+    """WITH sv AS (
+      |  SELECT vec_id, label,
+      |    list_transform(range(1, length(embedding) + 1),
+      |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS xs
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT label, i, CAST(SUM(xs[i]) AS BIGINT) AS s
+      |  FROM sv CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+      |  GROUP BY label, i),
+      |cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM sv GROUP BY label),
+      |dist AS (
+      |  SELECT v.vec_id, CAST(v.label AS BIGINT) AS label,
+      |    CAST(SUM((c.n * v.xs[d.i] - d.s) * (c.n * v.xs[d.i] - d.s)) AS BIGINT) AS d2n2,
+      |    CAST(MIN(c.n) AS BIGINT) AS n_label
+      |  FROM sv v
+      |  JOIN dims d ON d.label = v.label
+      |  JOIN cnt c ON c.label = v.label
+      |  GROUP BY v.vec_id, v.label),
+      |ranked AS (
+      |  SELECT vec_id, label, d2n2,
+      |    CAST(row_number() OVER (PARTITION BY label
+      |      ORDER BY d2n2 DESC, vec_id) AS BIGINT) AS rank, n_label
+      |  FROM dist)
+      |SELECT vec_id, label, d2n2, rank,
+      |  CASE WHEN rank <= greatest(CAST(1 AS BIGINT), n_label // 20)
+      |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS flagged
+      |FROM ranked
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "x69_fuzzy_join" -> x69FuzzyJoin,
     "x76_doremi_weights" -> x76DoremiWeights,
@@ -1518,7 +1614,8 @@ object MiningQueries {
     "x91_hilbert_scan" -> x91HilbertScan,
     "x92_ann_bin_rescore" -> x92AnnBinRescore,
     "x93_perceptron_eval" -> x93PerceptronEval,
-    "x94_semantic_decontaminate" -> x94SemanticDecontaminate)
+    "x94_semantic_decontaminate" -> x94SemanticDecontaminate,
+    "x95_centroid_outliers" -> x95CentroidOutliers)
 
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
@@ -1542,5 +1639,6 @@ object MiningQueries {
     "x91_hilbert_scan" -> x91Sql,
     "x92_ann_bin_rescore" -> x92Sql,
     "x93_perceptron_eval" -> x93Sql,
-    "x94_semantic_decontaminate" -> x94Sql)
+    "x94_semantic_decontaminate" -> x94Sql,
+    "x95_centroid_outliers" -> x95Sql)
 }

@@ -535,6 +535,41 @@ class MiningSpec extends AnyFunSuite {
       "threshold does not exercise both flag paths at this SF")
   }
 
+  test("x95 centroid outliers: integer distances replay; 5% flagged per label") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map { x =>
+          val v = x.toDouble * 1000
+          (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+        }.toArray))
+    val byLab = emb.groupBy(_._2)
+    val truth = byLab.toSeq.flatMap { case (lab, rs) =>
+      val n = rs.length.toLong
+      val sums = Array.tabulate(rs.head._3.length)(j => rs.map(_._3(j)).sum)
+      val dists = rs.map { case (id, _, xs) =>
+        id -> xs.indices.map { j =>
+          val t = n * xs(j) - sums(j); t * t
+        }.sum
+      }
+      val ranked = dists.sortBy { case (id, dd) => (-dd, id) }.zipWithIndex
+      val cut = math.max(1L, n / 20)
+      ranked.map { case ((id, dd), i) =>
+        (id, lab.toLong, dd, (i + 1).toLong, if (i + 1 <= cut) 1L else 0L)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = MiningQueries.x95CentroidOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == truth)
+    // exactly ceil-free 5% (n DIV 20, min 1) flagged per label
+    got.groupBy(_._2).foreach { case (lab, rs) =>
+      val n = rs.length.toLong
+      assert(rs.count(_._5 == 1L).toLong == math.max(1L, n / 20),
+        s"label $lab flag count")
+    }
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
