@@ -1592,6 +1592,76 @@ object MiningQueries {
       |FROM ranked
       |ORDER BY vec_id""".stripMargin
 
+  // -- x96: Zipf rank-frequency profile ----------------------------------
+
+  /** Points fitted (top-N vocabulary terms). */
+  val ZipfTopN = 1000
+
+  /** x96 — Zipf rank–frequency profile: OLS fit of ln(freq) against
+    * ln(rank) over the top-[[ZipfTopN]] vocabulary — the corpus-health
+    * check (natural language sits near slope −1; slopes far off flag
+    * boilerplate floods, spam, or generator loops before any deeper
+    * stage runs). Log points are integer-scaled at 1e3 (the x53
+    * convention, scale chosen so every OLS moment stays Long-exact —
+    * n·Σxy bounds at ~10¹⁴), so both engines sum identical integers
+    * and the fit is deterministic to the final rounded division.
+    *
+    * Scale shape: one vocab-keyed counting shuffle (map-side combined)
+    * → TakeOrderedAndProject keeps N rows → the rank window runs over
+    * those N rows only (bounded by construction — never the
+    * single-partition-window-over-the-corpus trap) → one 5-cell moment
+    * aggregate. */
+  val x96ZipfProfile: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(ZipfTopN)
+    val w = Window.orderBy(col("freq").desc, col("w"))
+    val pts = top.withColumn("rank", row_number().over(w))
+      .select(
+        expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT)").as("lx"),
+        expr("CAST(round(ln(CAST(freq AS DOUBLE)) * 1000) AS BIGINT)").as("ly"))
+    pts.agg(count(lit(1)).as("n"), sum(col("lx")).as("sx"),
+        sum(col("ly")).as("sy"),
+        sum(expr("lx * lx")).as("sxx"), sum(expr("lx * ly")).as("sxy"))
+      .withColumn("slope",
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+      .withColumn("intercept",
+        round((col("sy").cast("double")
+          - col("slope") * col("sx").cast("double"))
+          / (col("n").cast("double") * 1000.0), 6))
+      .select(col("n").as("n_terms"), col("slope"), col("intercept"))
+  }
+  val x96Sql: String =
+    s"""WITH vocab AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |topn AS (
+       |  SELECT freq, rank FROM (
+       |    SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rank
+       |    FROM vocab)
+       |  WHERE rank <= $ZipfTopN),
+       |pts AS (
+       |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS lx,
+       |         CAST(round(ln(CAST(freq AS DOUBLE)) * 1000) AS BIGINT) AS ly
+       |  FROM topn),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(lx) AS BIGINT) AS sx,
+       |    CAST(SUM(ly) AS BIGINT) AS sy, CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+       |    CAST(SUM(lx * ly) AS BIGINT) AS sxy
+       |  FROM pts)
+       |SELECT n AS n_terms,
+       |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       |  round((CAST(sy AS DOUBLE)
+       |    - round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) * CAST(sx AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * 1000.0), 6) AS intercept
+       |FROM agg""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "x69_fuzzy_join" -> x69FuzzyJoin,
     "x76_doremi_weights" -> x76DoremiWeights,
@@ -1615,7 +1685,8 @@ object MiningQueries {
     "x92_ann_bin_rescore" -> x92AnnBinRescore,
     "x93_perceptron_eval" -> x93PerceptronEval,
     "x94_semantic_decontaminate" -> x94SemanticDecontaminate,
-    "x95_centroid_outliers" -> x95CentroidOutliers)
+    "x95_centroid_outliers" -> x95CentroidOutliers,
+    "x96_zipf_profile" -> x96ZipfProfile)
 
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
@@ -1640,5 +1711,6 @@ object MiningQueries {
     "x92_ann_bin_rescore" -> x92Sql,
     "x93_perceptron_eval" -> x93Sql,
     "x94_semantic_decontaminate" -> x94Sql,
-    "x95_centroid_outliers" -> x95Sql)
+    "x95_centroid_outliers" -> x95Sql,
+    "x96_zipf_profile" -> x96Sql)
 }

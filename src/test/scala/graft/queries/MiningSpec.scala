@@ -570,6 +570,29 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("x96 Zipf fit replays driver-side; slope is negative and sane") {
+    val freqs = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (w, f) => (-f, w) }.take(MiningQueries.ZipfTopN)
+    val pts = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.round(math.log(i + 1.0) * 1000), math.round(math.log(f.toDouble) * 1000))
+    }
+    val n = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxx, sxy) = (pts.map(p => p._1 * p._1).sum, pts.map(p => p._1 * p._2).sum)
+    val slope = BigDecimal((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = MiningQueries.x96ZipfProfile(spark, sf).collect().head
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1) - slope) < 1e-9,
+      s"slope ${row.getDouble(1)} != replay $slope")
+    // corpus health: rank-frequency decays (negative slope), and the
+    // synthetic vocabulary is flatter than natural language's -1
+    assert(row.getDouble(1) < 0.0 && row.getDouble(1) > -2.0)
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
