@@ -1662,6 +1662,72 @@ object MiningQueries {
        |    / (CAST(n AS DOUBLE) * 1000.0), 6) AS intercept
        |FROM agg""".stripMargin
 
+  // -- x97: embedding drift monitor --------------------------------------
+
+  /** x97 — embedding DRIFT monitor: per label, the squared distance
+    * between the centroid of the "old" snapshot half (even vec_ids)
+    * and the "new" half (odd vec_ids) — the training-data drift check
+    * an MLOps pipeline runs between corpus versions (x89 diffs
+    * membership; this detects DISTRIBUTION movement even when ids are
+    * stable). Per-dimension means are exact-integer sums divided once
+    * (IEEE, identical in both engines), re-scaled to 1e6 ints, and the
+    * drift is the Long-exact sum of squared int diffs — deterministic
+    * with no float accumulation anywhere.
+    *
+    * Scale shape: everything collapses to labels × dims cells in ONE
+    * map-side-combined aggregate (the half is a column, not a second
+    * scan); the drift rollup runs on those cells — corpus-size-
+    * independent past the single scan. */
+  val x97CentroidDrift: QFn = (s, d) => {
+    val cells = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")))
+      .select(col("label").cast("long").as("label"),
+        (col("vec_id") % 2 === 0).cast("int").as("old_half"),
+        col("pos"),
+        expr("CAST(round(CAST(col AS DOUBLE) * 1000) AS BIGINT)").as("xs"),
+        col("vec_id"))
+      .groupBy(col("label"), col("old_half"), col("pos"))
+      .agg(sum(col("xs")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_s",
+        expr("CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000) AS BIGINT)"))
+    val old = cells.where(col("old_half") === 1)
+      .select(col("label"), col("pos"), col("mean_s").as("m_old"),
+        col("n").as("n_old"))
+    val neu = cells.where(col("old_half") === 0)
+      .select(col("label"), col("pos"), col("mean_s").as("m_new"),
+        col("n").as("n_new"))
+    old.join(neu, Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(min(col("n_old")).as("n_old"), min(col("n_new")).as("n_new"),
+        sum((col("m_old") - col("m_new")) * (col("m_old") - col("m_new")))
+          .as("drift_s"))
+      .orderBy(col("label"))
+  }
+  val x97Sql: String =
+    """WITH cells AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS old_half,
+      |    i - 1 AS pos,
+      |    CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+      |  GROUP BY 1, 2, 3),
+      |means AS (
+      |  SELECT label, old_half, pos, n,
+      |    CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000) AS BIGINT) AS mean_s
+      |  FROM cells)
+      |SELECT o.label, CAST(MIN(o.n) AS BIGINT) AS n_old,
+      |  CAST(MIN(nw.n) AS BIGINT) AS n_new,
+      |  CAST(SUM((o.mean_s - nw.mean_s) * (o.mean_s - nw.mean_s)) AS BIGINT)
+      |    AS drift_s
+      |FROM means o JOIN means nw
+      |  ON o.label = nw.label AND o.pos = nw.pos
+      |  AND o.old_half = 1 AND nw.old_half = 0
+      |GROUP BY o.label
+      |ORDER BY o.label""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "x69_fuzzy_join" -> x69FuzzyJoin,
     "x76_doremi_weights" -> x76DoremiWeights,
@@ -1686,7 +1752,8 @@ object MiningQueries {
     "x93_perceptron_eval" -> x93PerceptronEval,
     "x94_semantic_decontaminate" -> x94SemanticDecontaminate,
     "x95_centroid_outliers" -> x95CentroidOutliers,
-    "x96_zipf_profile" -> x96ZipfProfile)
+    "x96_zipf_profile" -> x96ZipfProfile,
+    "x97_centroid_drift" -> x97CentroidDrift)
 
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
@@ -1712,5 +1779,6 @@ object MiningQueries {
     "x93_perceptron_eval" -> x93Sql,
     "x94_semantic_decontaminate" -> x94Sql,
     "x95_centroid_outliers" -> x95Sql,
-    "x96_zipf_profile" -> x96Sql)
+    "x96_zipf_profile" -> x96Sql,
+    "x97_centroid_drift" -> x97Sql)
 }

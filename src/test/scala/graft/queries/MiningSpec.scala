@@ -593,6 +593,37 @@ class MiningSpec extends AnyFunSuite {
     assert(row.getDouble(1) < 0.0 && row.getDouble(1) > -2.0)
   }
 
+  test("x97 centroid drift replays driver-side; same-distribution halves sit low") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map { x =>
+          val v = x.toDouble * 1000
+          (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+        }.toArray))
+    def meanS(rs: Array[(Long, Int, Array[Long])]): Array[Long] = {
+      val n = rs.length.toDouble
+      Array.tabulate(rs.head._3.length) { j =>
+        val v = rs.map(_._3(j)).sum / n * 1000
+        (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+      }
+    }
+    val truth = emb.groupBy(_._2).map { case (lab, rs) =>
+      val (o, nn) = rs.partition(_._1 % 2 == 0)
+      val (mo, mn) = (meanS(o), meanS(nn))
+      lab.toLong -> (o.length.toLong, nn.length.toLong,
+        mo.indices.map { j => val t = mo(j) - mn(j); t * t }.sum)
+    }
+    val got = MiningQueries.x97CentroidDrift(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == truth)
+    // both halves draw from the same distribution: the mean drift must
+    // sit far below the within-label spread (x95's distances are ~1e9
+    // at the same 1e6 mean scale) — a sanity floor, not a pin
+    assert(got.values.forall(_._3 > 0))
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
