@@ -1728,6 +1728,50 @@ object MiningQueries {
       |GROUP BY o.label
       |ORDER BY o.label""".stripMargin
 
+  // -- x98: source overlap matrix ----------------------------------------
+
+  /** x98 — source OVERLAP matrix: near-dup pair counts aggregated to
+    * the (source, source) level — the mirror/aggregator detection
+    * artifact (two crawl sources sharing many near-dup docs are
+    * mirrors, scrapers, or syndication partners; the diagonal is a
+    * source's internal redundancy). x74 turns these edges into a
+    * PageRank prior; this publishes the raw matrix the analyst reads,
+    * with the mean Jaccard per cell (integer-scaled mean of rounded
+    * per-pair scores) as the strength. Symmetric cells canonicalize as
+    * (least, greatest).
+    *
+    * Scale shape: x7's pair machinery carries the cost; this adds two
+    * ids-only source joins and one (src, src)-keyed map-side-combined
+    * aggregate — the matrix is sources², tiny by construction. */
+  val x98SourceOverlap: QFn = (s, d) => {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    DedupQueries.x7Pairs(s, d)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+        "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"),
+        expr("CAST(round(jaccard * 1000000) AS BIGINT)").as("j_s"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(SUM(j_s) DIV COUNT(*) AS BIGINT)").as("mean_j_s"))
+      .orderBy(col("src_lo"), col("src_hi"))
+  }
+  val x98Sql: String =
+    s"""WITH ${DedupQueries.x7CteBody},
+       |cells AS (
+       |  SELECT least(da.source, db.source) AS src_lo,
+       |    greatest(da.source, db.source) AS src_hi,
+       |    CAST(round(p.jaccard * 1000000) AS BIGINT) AS j_s
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b)
+       |SELECT src_lo, src_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(j_s) // COUNT(*) AS BIGINT) AS mean_j_s
+       |FROM cells GROUP BY src_lo, src_hi
+       |ORDER BY src_lo, src_hi""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "x69_fuzzy_join" -> x69FuzzyJoin,
     "x76_doremi_weights" -> x76DoremiWeights,
@@ -1753,7 +1797,8 @@ object MiningQueries {
     "x94_semantic_decontaminate" -> x94SemanticDecontaminate,
     "x95_centroid_outliers" -> x95CentroidOutliers,
     "x96_zipf_profile" -> x96ZipfProfile,
-    "x97_centroid_drift" -> x97CentroidDrift)
+    "x97_centroid_drift" -> x97CentroidDrift,
+    "x98_source_overlap" -> x98SourceOverlap)
 
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
@@ -1780,5 +1825,6 @@ object MiningQueries {
     "x94_semantic_decontaminate" -> x94Sql,
     "x95_centroid_outliers" -> x95Sql,
     "x96_zipf_profile" -> x96Sql,
-    "x97_centroid_drift" -> x97Sql)
+    "x97_centroid_drift" -> x97Sql,
+    "x98_source_overlap" -> x98Sql)
 }

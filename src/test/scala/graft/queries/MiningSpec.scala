@@ -624,6 +624,27 @@ class MiningSpec extends AnyFunSuite {
     assert(got.values.forall(_._3 > 0))
   }
 
+  test("x98 source overlap: cells recount from x7 pairs, matrix symmetric-canonical") {
+    val src = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = DedupQueries.x7Pairs(spark, sf)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val truth = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, rs) =>
+      val js = rs.map { case (_, _, j) => math.round(j * 1000000) }
+      k -> (rs.length.toLong, js.sum / js.length)
+    }
+    val got = MiningQueries.x98SourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == truth)
+    got.keys.foreach { case (lo, hi) => assert(lo <= hi) }
+    assert(got.nonEmpty)
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
