@@ -1772,6 +1772,102 @@ object MiningQueries {
        |FROM cells GROUP BY src_lo, src_hi
        |ORDER BY src_lo, src_hi""".stripMargin
 
+  // -- x99: length-bias audit --------------------------------------------
+
+  /** x99 — selection-bias AUDIT: Pearson correlation between document
+    * length and the short-token (≤3 chars) ratio — the
+    * stopword-density proxy quality filters cut on — as a 1e3-scaled
+    * integer, over the whole corpus. Quality heuristics that
+    * correlate with length silently re-weight the corpus toward long
+    * documents when thresholded — the classic curation pitfall this
+    * one-row audit catches before a cut is chosen. All five moments
+    * accumulate as exact Longs (scales chosen to bound n·Σy² well
+    * inside a Long at every SF); the correlation is one rounded
+    * division at the end.
+    *
+    * Scale shape: single scan → one map-side-combined 5-cell moment
+    * aggregate; no shuffle carries more than the partial-aggregate
+    * cells. */
+  val x99LengthBias: QFn = (s, d) => {
+    val pts = Tables.documents(s, d)
+      .select(col("n_chars").as("x"),
+        expr("CAST(size(filter(split(text, ' '), t -> length(t) <= 3)) * 1000 " +
+          "DIV size(split(text, ' ')) AS BIGINT)").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"), sum(expr("x * y")).as("sxy"))
+      .select(col("n").as("n_docs"),
+        expr("CAST(sx * 1000 DIV n AS BIGINT)").as("mean_len_s"),
+        expr("CAST(sy DIV n AS BIGINT)").as("mean_ratio_s"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("corr"))
+  }
+  val x99Sql: String =
+    """WITH pts AS (
+      |  SELECT n_chars AS x,
+      |    CAST(length(list_filter(string_split(text, ' '),
+      |        t -> length(t) <= 3)) * 1000
+      |      // length(string_split(text, ' ')) AS BIGINT) AS y
+      |  FROM documents),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy, CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM pts)
+      |SELECT n AS n_docs,
+      |  CAST(sx * 1000 // n AS BIGINT) AS mean_len_s,
+      |  CAST(sy // n AS BIGINT) AS mean_ratio_s,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+      |FROM m""".stripMargin
+
+  // -- x100: dedup method comparison -------------------------------------
+
+  /** x100 — the dedup-method COMPARISON table: pair counts found by
+    * each of the four text near-dup detectors over the same corpus —
+    * exact content hash (x1's rule, counted as Σ(group−1) merged
+    * docs), MinHash-LSH (x2), SimHash (x6) and n-gram Jaccard (x7) —
+    * the one-table summary a curation team reads when choosing (and
+    * cross-checking) its dedup stack; big disagreements between
+    * methods are themselves a data-quality signal.
+    *
+    * Scale shape: each arm is its oracle-checked operator's own plan
+    * (this key adds one count aggregate per arm and a 4-row union);
+    * nothing new shuffles. */
+  val x100DedupCompare: QFn = (s, d) => {
+    def arm(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_pairs"))
+        .select(lit(name).as("method"), col("n_pairs"))
+    val exact = Tables.documents(s, d)
+      .groupBy(md5(col("text"))).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_pairs"))
+      .select(lit("exact").as("method"), col("n_pairs"))
+    exact
+      .unionAll(arm("minhash", DedupQueries.x2DedupMinhash(s, d)))
+      .unionAll(arm("ngram", DedupQueries.x7NgramJaccard(s, d)))
+      .unionAll(arm("simhash", DedupQueries.x6DedupSimhash(s, d)))
+      .orderBy(col("method"))
+  }
+  lazy val x100Sql: String = {
+    def wrap(sql: String) =
+      s"(SELECT CAST(COUNT(*) AS BIGINT) FROM ($sql))"
+    s"""SELECT 'exact' AS method,
+       |  (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
+       |    (SELECT COUNT(*) AS c FROM documents GROUP BY md5(text))
+       |   WHERE c > 1) AS n_pairs
+       |UNION ALL
+       |SELECT 'minhash', ${wrap(DedupQueries.x2Sql)}
+       |UNION ALL
+       |SELECT 'ngram', ${wrap(DedupQueries.x7Sql)}
+       |UNION ALL
+       |SELECT 'simhash', ${wrap(DedupQueries.x6Sql)}
+       |ORDER BY method""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     "x69_fuzzy_join" -> x69FuzzyJoin,
     "x76_doremi_weights" -> x76DoremiWeights,
@@ -1798,7 +1894,9 @@ object MiningQueries {
     "x95_centroid_outliers" -> x95CentroidOutliers,
     "x96_zipf_profile" -> x96ZipfProfile,
     "x97_centroid_drift" -> x97CentroidDrift,
-    "x98_source_overlap" -> x98SourceOverlap)
+    "x98_source_overlap" -> x98SourceOverlap,
+    "x99_length_bias" -> x99LengthBias,
+    "x100_dedup_compare" -> x100DedupCompare)
 
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
@@ -1826,5 +1924,7 @@ object MiningQueries {
     "x95_centroid_outliers" -> x95Sql,
     "x96_zipf_profile" -> x96Sql,
     "x97_centroid_drift" -> x97Sql,
-    "x98_source_overlap" -> x98Sql)
+    "x98_source_overlap" -> x98Sql,
+    "x99_length_bias" -> x99Sql,
+    "x100_dedup_compare" -> x100Sql)
 }

@@ -645,6 +645,42 @@ class MiningSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("x99 length-bias correlation replays driver-side, |corr| <= 1") {
+    val pts = Tables.documents(spark, sf)
+      .select(col("n_chars"), col("text")).collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        (r.getLong(0), toks.count(_.length <= 3).toLong * 1000 / toks.length)
+      }
+    val n = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val corr = BigDecimal((n * sxy - sx * sy).toDouble
+        / (math.sqrt((n * sxx - sx * sx).toDouble)
+          * math.sqrt((n * syy - sy * sy).toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = MiningQueries.x99LengthBias(spark, sf).collect().head
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == sx * 1000 / n)
+    assert(row.getLong(2) == sy / n)
+    assert(math.abs(row.getDouble(3) - corr) < 1e-9)
+    assert(math.abs(row.getDouble(3)) <= 1.0)
+  }
+
+  test("x100 comparison arms equal each method's own pair count") {
+    val got = MiningQueries.x100DedupCompare(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("exact", "minhash", "ngram", "simhash"))
+    assert(got("minhash") == DedupQueries.x2DedupMinhash(spark, sf).count())
+    assert(got("ngram") == DedupQueries.x7NgramJaccard(spark, sf).count())
+    assert(got("simhash") == DedupQueries.x6DedupSimhash(spark, sf).count())
+    val exact = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0)).groupBy(identity).values
+      .map(g => (g.length - 1).toLong).sum
+    assert(got("exact") == exact)
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
