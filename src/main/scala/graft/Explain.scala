@@ -16,7 +16,9 @@ object Explain {
         "j1_s2o_match", "j3_pixel_range_join", "w1_latest_version",
         "a4_stat_avg", "x3_topk_similarity",
         // round-4 flagships: sketch aggregate, bloom probe, curve scan
-        "x35_topk_sketch", "x34_decontaminate_bloom", "x36_zorder_scan")
+        "x35_topk_sketch", "x34_decontaminate_bloom", "x36_zorder_scan",
+        // round-7 flagships: hilbert access path, binary two-stage ANN
+        "x91_hilbert_scan", "x92_ann_bin_rescore")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -65,7 +65,10 @@ class PlanHygieneSpec extends AnyFunSuite {
   // range-partition exchange
   test("embarrassingly-parallel curation keys plan no data shuffle") {
     Seq("x27_pii_scrub", "x28_split_assign", "x29_chunk_overlap",
-        "x72_jl_projection")
+        "x72_jl_projection",
+        // benchmark broadcast + running argmax per row: the scoring
+        // pass itself must never shuffle
+        "x94_semantic_decontaminate")
       .foreach { name =>
         val plan = graft.SparkEntry.queries(name)(spark, sf)
           .queryExecution.executedPlan.toString
