@@ -1868,6 +1868,92 @@ object MiningQueries {
        |ORDER BY method""".stripMargin
   }
 
+  // -- x101: best-passage extraction -------------------------------------
+
+  /** Passage window width in words. */
+  val PassageW = 10
+
+  /** x101 — best-PASSAGE extraction (the snippet/passage-selection step
+    * of RAG serving and search result rendering): for each query of
+    * the shared [[TextQueries.bm25Queries]] batch, the [[PassageW]]-word
+    * window with the most query-term occurrences per document —
+    * anchored at a term hit (a maximal fixed-width window can always
+    * start at a hit; anchoring makes the argmax well-defined and the
+    * snippet readable), earliest anchor on ties — and the top-5
+    * documents per query by hit count. x51 ranks DOCUMENTS; this
+    * locates the evidence INSIDE them.
+    *
+    * Scale shape: non-matching tokens die at the broadcast term join
+    * (the x55 move — the positional stream never shuffles corpus-wide);
+    * the window count is a per-(query, doc) self-join of HIT positions
+    * only (term-frequency-bounded, never O(doc length²)); the two
+    * ranking windows run over df-bounded rows. */
+  val x101PassageExtract: QFn = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qdf = TextQueries.bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "word")
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("word"))
+    val hits = tok.join(broadcast(qdf), "word")
+      .select(col("query_id"), col("doc_id"), col("pos"))
+    val starts = hits.select(col("query_id"), col("doc_id"),
+      col("pos").as("start"))
+    val win = starts.join(hits, Seq("query_id", "doc_id"))
+      .where(col("pos") >= col("start") &&
+        col("pos") < col("start") + PassageW)
+      .groupBy(col("query_id"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("n_hits"))
+    val wBest = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("n_hits").desc, col("start"))
+    val best = win.withColumn("rk", row_number().over(wBest))
+      .where(col("rk") === 1)
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+    best.withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("query_id").cast("long").as("query_id"), col("rank"),
+        col("doc_id"), col("start").as("best_start"), col("n_hits"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  lazy val x101Sql: String = {
+    val qRows = TextQueries.bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $qRows),
+       |tok AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+       |          unnest(range(1, length(string_split(text, ' ')) + 1)) AS i
+       |        FROM documents)),
+       |hits AS (
+       |  SELECT q.query_id, t.doc_id, t.pos
+       |  FROM tok t JOIN q ON t.word = q.term),
+       |win AS (
+       |  SELECT s.query_id, s.doc_id, s.pos AS start,
+       |    CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM hits s JOIN hits m
+       |    ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+       |    AND m.pos >= s.pos AND m.pos < s.pos + $PassageW
+       |  GROUP BY s.query_id, s.doc_id, s.pos),
+       |best AS (
+       |  SELECT query_id, doc_id, start, n_hits,
+       |    row_number() OVER (PARTITION BY query_id, doc_id
+       |      ORDER BY n_hits DESC, start) AS rk
+       |  FROM win)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+       |  start AS best_start, n_hits
+       |FROM (SELECT query_id, doc_id, start, n_hits,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY n_hits DESC, doc_id) AS BIGINT) AS rank
+       |      FROM best WHERE rk = 1)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     "x69_fuzzy_join" -> x69FuzzyJoin,
     "x76_doremi_weights" -> x76DoremiWeights,
@@ -1896,7 +1982,8 @@ object MiningQueries {
     "x97_centroid_drift" -> x97CentroidDrift,
     "x98_source_overlap" -> x98SourceOverlap,
     "x99_length_bias" -> x99LengthBias,
-    "x100_dedup_compare" -> x100DedupCompare)
+    "x100_dedup_compare" -> x100DedupCompare,
+    "x101_passage_extract" -> x101PassageExtract)
 
   val oracleSql: Map[String, String] = Map(
     "x69_fuzzy_join" -> x69Sql,
@@ -1926,5 +2013,6 @@ object MiningQueries {
     "x97_centroid_drift" -> x97Sql,
     "x98_source_overlap" -> x98Sql,
     "x99_length_bias" -> x99Sql,
-    "x100_dedup_compare" -> x100Sql)
+    "x100_dedup_compare" -> x100Sql,
+    "x101_passage_extract" -> x101Sql)
 }

@@ -681,6 +681,38 @@ class MiningSpec extends AnyFunSuite {
     assert(got("exact") == exact)
   }
 
+  test("x101 passage extraction replays; hit-anchored max equals global max") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val W = MiningQueries.PassageW
+    val truth = TextQueries.bm25Queries.flatMap { case (qid, terms) =>
+      val ts = terms.toSet
+      val perDoc = docs.flatMap { case (id, words) =>
+        val hitPos = words.indices.filter(i => ts(words(i)))
+        if (hitPos.isEmpty) None
+        else {
+          val scored = hitPos.map(st =>
+            (st, hitPos.count(p => p >= st && p < st + W)))
+          val (bs, bh) = scored.maxBy { case (st, h) => (h, -st) }
+          // the anchoring claim: no window anywhere beats a hit-anchored one
+          val globalMax = (0 until words.length)
+            .map(st => hitPos.count(p => p >= st && p < st + W)).max
+          assert(globalMax == bh, s"doc $id query $qid anchor suboptimal")
+          Some((id, bs.toLong, bh.toLong))
+        }
+      }
+      perDoc.sortBy { case (id, _, h) => (-h, id) }.take(5).zipWithIndex
+        .map { case ((id, bs, bh), i) =>
+          (qid, (i + 1).toLong, id, bs, bh)
+        }
+    }
+    val got = MiningQueries.x101PassageExtract(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == truth)
+    assert(got.nonEmpty)
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
