@@ -3320,6 +3320,178 @@ object DedupQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // -- x102: ensemble ANN (union of sublinear shortlists + rescore) -------
+
+  /** x102 — ENSEMBLE ANN serving: the union of three independent
+    * sublinear candidate generators — LSH radius-1 multiprobe (x14's
+    * buckets), IVF 3-probe lists (x15's), and the binary Hamming
+    * top-100 (x92's stage 1) — exactly rescored once. Each generator
+    * misses different neighbors (hyperplane locality vs coarse-cluster
+    * locality vs sign-bit locality), so the union's recall dominates
+    * every arm at the combined candidate budget (AnnRecallSpec pins
+    * recall ≥ each arm and the measured operating point) — the
+    * multi-retriever union-then-rerank shape production search runs,
+    * here for vectors.
+    *
+    * Scale shape: one membership pass (bucket + cluster per candidate,
+    * emitted only into matching queries' sets — bucket/list-bounded),
+    * one heap-bounded Hamming pass, a distinct over per-query
+    * candidate ids, and a rescore join that moves queries × |union|
+    * id-fetches. No stage scans more than the operators it composes. */
+  val x102AnnEnsemble: QFn = (s, d) => {
+    import s.implicits._
+    val emb = embRows(Tables.embeddings(s, d))
+    def memberCluster(e: Array[Double]): Int =
+      ivfCentroids.map { case (ci, c) => (ci, dotScaled(e, c)) }
+        .maxBy { case (ci, dot) => (dot, -ci) }._1
+    def probeClusters(e: Array[Double]): Set[Int] =
+      ivfCentroids.map { case (ci, c) => (ci, dotScaled(e, c)) }
+        .sortBy { case (ci, dot) => (-dot, ci) }
+        .take(IvfProbes).map(_._1).toSet
+    val queries = s.sparkContext.broadcast(
+      emb.filter(_._1 < 10).collect().sortBy(_._1).map { case (id, e) =>
+        val b = lshBucketOf(e)
+        val probes = (0 until LshPlanes).map(p => b ^ (1L << p)).toSet + b
+        val (lo, hi) = graft.VectorIndex.signPack(e)
+        (id, e, normScaled(e), probes, probeClusters(e), lo, hi)
+      })
+    val memberCands = emb.mapPartitions { it =>
+      val qs = queries.value
+      it.flatMap { case (cid, ce) =>
+        val b = lshBucketOf(ce)
+        val cl = memberCluster(ce)
+        qs.iterator.collect { case (qid, _, _, pb, pc, _, _)
+            if qid != cid && (pb.contains(b) || pc.contains(cl)) =>
+          (qid, cid)
+        }
+      }
+    }.toDF("query_id", "cand_id")
+    val binScored = emb.mapPartitions { it =>
+      val qs = queries.value
+      val rows = it.flatMap { case (cid, ce) =>
+        val (cl, ch) = graft.VectorIndex.signPack(ce)
+        qs.iterator.collect { case (qid, _, _, _, _, ql, qh) if qid != cid =>
+          (qid, cid, (java.lang.Long.bitCount(ql ^ cl)
+            + java.lang.Long.bitCount(qh ^ ch)).toLong)
+        }
+      }
+      graft.operators.BoundedTopK.perQuery(rows, RescoreShortlist,
+        (r: (Long, Long, Long)) => r._1)(
+        Ordering.fromLessThan { (x, y) =>
+          x._3 < y._3 || (x._3 == y._3 && x._2 < y._2)
+        })
+    }.toDF("query_id", "cand_id", "hamming")
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("cand_id"))
+    val binShort = binScored.withColumn("rk", row_number().over(wHam))
+      .where(col("rk") <= RescoreShortlist)
+      .select(col("query_id"), col("cand_id"))
+    val cands = memberCands.unionAll(binShort)
+      .dropDuplicates("query_id", "cand_id")
+    val fullDf = emb.toDF("vec_id", "ce")
+    val rescored = cands.join(fullDf, cands("cand_id") === fullDf("vec_id"))
+      .select(col("query_id"), col("cand_id"), col("ce"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = queries.value
+          .map { case (qid, qe, qn, _, _, _, _) => qid -> ((qe, qn)) }.toMap
+        it.map { case (qid, cid, ce) =>
+          val (qe, qn) = qs(qid)
+          (qid, cid, dotScaled(qe, ce)
+            / (math.sqrt(qn) * math.sqrt(normScaled(ce))))
+        }
+      }.toDF("query_id", "cand_id", "cosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  lazy val x102Sql: String = {
+    def planeDot(p: Int): String = {
+      val arr = "[" + hyperplanes(p).mkString(", ") + "]"
+      s"CAST(list_sum(list_transform(range(1, length(embedding) + 1), " +
+        s"i -> CAST(round(CAST(embedding[i] AS DOUBLE) * ($arr)[i] * 1000000) AS BIGINT))) AS BIGINT)"
+    }
+    val bucketExpr = (0 until LshPlanes).map { p =>
+      s"(CASE WHEN ${planeDot(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString(" | ")
+    val probeList = "[bucket" +
+      (0 until LshPlanes).map(p => s", xor(bucket, ${1L << p})").mkString + "]"
+    val clusterDots = ivfCentroids.map { case (ci, c) =>
+      val arr = "[" + c.mkString(", ") + "]"
+      s"SELECT vec_id, $ci AS cluster, CAST(list_sum(list_transform(range(1, length(embedding) + 1), " +
+        s"i -> CAST(round(CAST(embedding[i] AS DOUBLE) * ($arr)[i] * 1000000) AS BIGINT))) AS BIGINT) AS dot FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+       |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s,
+       |    $bucketExpr AS bucket,
+       |    CAST(list_sum(list_transform(range(1, 33),
+       |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+       |        THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END))
+       |      AS BIGINT) AS lo,
+       |    CAST(list_sum(list_transform(range(33, 65),
+       |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+       |        THEN CAST(1 AS BIGINT) << (i - 33) ELSE CAST(0 AS BIGINT) END))
+       |      AS BIGINT) AS hi
+       |  FROM embeddings),
+       |lshq AS (
+       |  SELECT vec_id AS query_id, unnest($probeList) AS bucket
+       |  FROM e WHERE vec_id < 10),
+       |lshc AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id
+       |  FROM e c JOIN lshq q ON c.bucket = q.bucket
+       |  WHERE q.query_id <> c.vec_id),
+       |cd AS (
+       |  $clusterDots),
+       |ranked AS (
+       |  SELECT vec_id, cluster,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rk
+       |  FROM cd),
+       |member AS (SELECT vec_id, cluster FROM ranked WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cluster FROM ranked
+       |  WHERE rk <= $IvfProbes AND vec_id < 10),
+       |ivfc AS (
+       |  SELECT p.query_id, m.vec_id AS cand_id
+       |  FROM probes p JOIN member m ON m.cluster = p.cluster
+       |  WHERE p.query_id <> m.vec_id),
+       |ham AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+       |      AS BIGINT) AS hamming
+       |  FROM e q, e c
+       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |binc AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, cand_id) AS rk
+       |    FROM ham) WHERE rk <= $RescoreShortlist),
+       |cands AS (
+       |  SELECT DISTINCT query_id, cand_id FROM (
+       |    SELECT * FROM lshc
+       |    UNION ALL SELECT * FROM ivfc
+       |    UNION ALL SELECT * FROM binc)),
+       |rescored AS (
+       |  SELECT cs.query_id, cs.cand_id,
+       |    CAST(list_sum(list_transform(range(1, length(q.embedding) + 1),
+       |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+       |      / (sqrt(q.norm_s) * sqrt(c.norm_s)) AS cosine
+       |  FROM cands cs
+       |  JOIN e q ON q.vec_id = cs.query_id
+       |  JOIN e c ON c.vec_id = cs.cand_id)
+       |SELECT query_id, rank, cand_id, cosine FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM rescored) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     "x30_neardup_lsh" -> x30NeardupLsh,
     "x1_dedup_exact" -> x1DedupExact,
@@ -3356,6 +3528,7 @@ object DedupQueries {
     "x44_ann_pq_serve" -> x44AnnPqServe,
     "x45_knn_graph" -> x45KnnGraph,
     "x46_ann_sq8" -> x46AnnSq8,
+    "x102_ann_ensemble" -> x102AnnEnsemble,
     "x47_ann_graph_search" -> x47AnnGraphSearch,
     "x40_ann_filtered" -> x40AnnFiltered,
   )
@@ -3396,6 +3569,7 @@ object DedupQueries {
     "x44_ann_pq_serve" -> x44Sql,
     "x45_knn_graph" -> x45Sql,
     "x46_ann_sq8" -> x46Sql,
+    "x102_ann_ensemble" -> x102Sql,
     "x47_ann_graph_search" -> x47Sql,
     "x40_ann_filtered" -> x40Sql,
   )

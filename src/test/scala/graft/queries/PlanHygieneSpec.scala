@@ -183,7 +183,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       "x88_ann_binary" -> 1000L,
       // stage-1 heap keeps ≤ 10 × 100 shortlist rows per partition and
       // the rescore join moves shortlist-sized sides (x42's bound)
-      "x92_ann_bin_rescore" -> 4500L)
+      "x92_ann_bin_rescore" -> 4500L,
+      // three bounded arms (bucket-, list-, heap-bounded) + the union
+      // distinct + the rescore id-join; measured 3 419 at sf0.001 —
+      // the unbounded counterfactual is ≥ 3 × 4 990 scored rows
+      "x102_ann_ensemble" -> 8000L)
     budgets.foreach { case (name, budget) =>
       val written = new java.util.concurrent.atomic.AtomicLong()
       val listener = new org.apache.spark.scheduler.SparkListener {
