@@ -1730,6 +1730,47 @@ object DedupQueries {
        |  FROM scored) WHERE rank <= $KnnGraphK
        |ORDER BY src_id, rank""".stripMargin
 
+  // -- x103: mutual-kNN filter over the x45 graph ------------------------
+
+  /** x103 — MUTUAL kNN (reciprocal-nearest-neighbor) filter over x45's
+    * graph: keep exactly the pairs where a ∈ kNN(b) AND b ∈ kNN(a) —
+    * the standard precision filter in semantic dedup and agglomerative
+    * clustering (a one-directional edge often just means b sits in a
+    * dense region; reciprocity is the strong-tie signal). Output is
+    * the canonical pair with BOTH ranks, the asymmetry evidence
+    * downstream thresholds read.
+    *
+    * Scale shape: x45 carries the construction cost; this adds one
+    * self-join of the k-bounded edge list on the canonical pair key —
+    * ≤ n·k rows per side, never the vector payload. */
+  val x103MutualKnn: QFn = (s, d) => {
+    val g = x45KnnGraph(s, d)
+      .select(col("src_id"), col("nbr_id"), col("rank"), col("cosine"))
+    val fwd = g.where(col("src_id") < col("nbr_id"))
+      .select(col("src_id").as("vec_a"), col("nbr_id").as("vec_b"),
+        col("rank").cast("long").as("rank_ab"), col("cosine"))
+    val rev = g.where(col("src_id") > col("nbr_id"))
+      .select(col("nbr_id").as("vec_a"), col("src_id").as("vec_b"),
+        col("rank").cast("long").as("rank_ba"))
+    fwd.join(rev, Seq("vec_a", "vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("rank_ab"), col("rank_ba"),
+        col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+  lazy val x103Sql: String =
+    s"""WITH knn AS (SELECT * FROM ($x45Sql)),
+       |fwd AS (
+       |  SELECT src_id AS vec_a, nbr_id AS vec_b,
+       |    CAST(rank AS BIGINT) AS rank_ab, cosine
+       |  FROM knn WHERE src_id < nbr_id),
+       |rev AS (
+       |  SELECT nbr_id AS vec_a, src_id AS vec_b,
+       |    CAST(rank AS BIGINT) AS rank_ba
+       |  FROM knn WHERE src_id > nbr_id)
+       |SELECT f.vec_a, f.vec_b, f.rank_ab, r.rank_ba, f.cosine
+       |FROM fwd f JOIN rev r ON f.vec_a = r.vec_a AND f.vec_b = r.vec_b
+       |ORDER BY f.vec_a, f.vec_b""".stripMargin
+
   // -- x47: graph-ANN serving — greedy beam search over the kNN graph ----
 
   /** Graph degree for x47's index (denser than x45's k=3 presentation
@@ -3529,6 +3570,7 @@ object DedupQueries {
     "x45_knn_graph" -> x45KnnGraph,
     "x46_ann_sq8" -> x46AnnSq8,
     "x102_ann_ensemble" -> x102AnnEnsemble,
+    "x103_mutual_knn" -> x103MutualKnn,
     "x47_ann_graph_search" -> x47AnnGraphSearch,
     "x40_ann_filtered" -> x40AnnFiltered,
   )
@@ -3570,6 +3612,7 @@ object DedupQueries {
     "x45_knn_graph" -> x45Sql,
     "x46_ann_sq8" -> x46Sql,
     "x102_ann_ensemble" -> x102Sql,
+    "x103_mutual_knn" -> x103Sql,
     "x47_ann_graph_search" -> x47Sql,
     "x40_ann_filtered" -> x40Sql,
   )

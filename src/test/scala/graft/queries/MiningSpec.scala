@@ -713,6 +713,24 @@ class MiningSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("x103 mutual kNN: exactly the reciprocal edges of x45's graph") {
+    val edges = DedupQueries.x45KnnGraph(spark, sf)
+      .select("src_id", "nbr_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    val truth = edges.keySet.collect {
+      case (a, b) if a < b && edges.contains((b, a)) =>
+        (a, b, edges((a, b)), edges((b, a)))
+    }
+    val got = DedupQueries.x103MutualKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == truth,
+      s"missing=${(truth -- got).take(3)} extra=${(got -- truth).take(3)}")
+    assert(got.nonEmpty, "graph has no reciprocal pairs at this SF")
+    // reciprocal pairs are a strict subset: one-directional edges exist
+    assert(got.size < edges.size)
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
