@@ -1771,6 +1771,109 @@ object DedupQueries {
        |FROM fwd f JOIN rev r ON f.vec_a = r.vec_a AND f.vec_b = r.vec_b
        |ORDER BY f.vec_a, f.vec_b""".stripMargin
 
+  // -- x104: kNN label-agreement audit -----------------------------------
+
+  /** Audit sample size (query ids below this bound). */
+  val KnnAuditN = 300L
+  /** Neighbors consulted per audited vector. */
+  val KnnAuditK = 10
+
+  /** x104 — kNN LABEL-AGREEMENT audit (the Confident-Learning-style
+    * label-noise detector, and the embedding-quality probe): for each
+    * audited vector, the majority label among its exact top-10 cosine
+    * neighbors (tie → smallest label), compared to its own label. A
+    * disagreeing vector is either mislabeled or embedded badly —
+    * either way it is the row a data-quality queue reviews first.
+    *
+    * Scale shape: the audit SAMPLE is the query batch (bounded
+    * broadcast, the x3 convention at 300 ids); candidates stream the
+    * primitive dot kernel through k-bounded per-query heaps, the
+    * majority vote touches sample × k rows. Auditing a full corpus is
+    * x45's kNN-graph build plus this vote — the sample form is what a
+    * continuous data-quality monitor actually runs. */
+  val x104KnnLabelAudit: QFn = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .map { case (id, lab, e) => (id, lab, e.map(_.toDouble)) }
+    val queries = s.sparkContext.broadcast(
+      emb.filter(_._1 < KnnAuditN).collect().sortBy(_._1)
+        .map { case (id, lab, e) => (id, lab, e, normScaled(e)) })
+    val scored = emb.mapPartitions { it =>
+      val qs = queries.value
+      val rows = it.flatMap { case (cid, clab, ce) =>
+        lazy val cn = normScaled(ce)
+        qs.iterator.collect { case (qid, _, qe, qn) if qid != cid =>
+          (qid, cid, clab, dotScaled(qe, ce) / (math.sqrt(qn) * math.sqrt(cn)))
+        }
+      }
+      graft.operators.BoundedTopK.perQuery(rows, KnnAuditK,
+        (r: (Long, Long, Int, Double)) => r._1)(
+        Ordering.fromLessThan { (x, y) =>
+          x._4 > y._4 || (x._4 == y._4 && x._2 < y._2)
+        })
+    }.toDF("query_id", "cand_id", "c_label", "cosine")
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val votes = scored.withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= KnnAuditK)
+      .groupBy(col("query_id"), col("c_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("c_label"))
+    val pred = votes.withColumn("vr", row_number().over(wVote))
+      .where(col("vr") === 1)
+      .select(col("query_id"),
+        col("c_label").cast("long").as("pred_label"),
+        col("n_votes"))
+    val own = Tables.embeddings(s, d)
+      .where(col("vec_id") < KnnAuditN)
+      .select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("label"))
+    own.join(pred, "query_id")
+      .select(col("query_id"), col("label"), col("pred_label"),
+        col("n_votes"),
+        (col("label") === col("pred_label")).cast("long").as("agree"))
+      .orderBy(col("query_id"))
+  }
+  val x104Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+       |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    c.label AS c_label,
+       |    CAST(list_sum(list_transform(range(1, length(q.embedding) + 1),
+       |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+       |      / (sqrt(q.norm_s) * sqrt(c.norm_s)) AS cosine
+       |  FROM e q, e c
+       |  WHERE q.vec_id < $KnnAuditN AND q.vec_id <> c.vec_id),
+       |top AS (
+       |  SELECT query_id, c_label FROM (
+       |    SELECT query_id, c_label,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, cand_id) AS rk
+       |    FROM scored) WHERE rk <= $KnnAuditK),
+       |votes AS (
+       |  SELECT query_id, c_label, CAST(COUNT(*) AS BIGINT) AS n_votes
+       |  FROM top GROUP BY query_id, c_label),
+       |pred AS (
+       |  SELECT query_id, CAST(c_label AS BIGINT) AS pred_label, n_votes
+       |  FROM (SELECT query_id, c_label, n_votes,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY n_votes DESC, c_label) AS vr
+       |        FROM votes) WHERE vr = 1)
+       |SELECT o.vec_id AS query_id, CAST(o.label AS BIGINT) AS label,
+       |  p.pred_label, p.n_votes,
+       |  CASE WHEN o.label = p.pred_label THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS agree
+       |FROM embeddings o JOIN pred p ON p.query_id = o.vec_id
+       |WHERE o.vec_id < $KnnAuditN
+       |ORDER BY query_id""".stripMargin
+
   // -- x47: graph-ANN serving — greedy beam search over the kNN graph ----
 
   /** Graph degree for x47's index (denser than x45's k=3 presentation
@@ -3571,6 +3674,7 @@ object DedupQueries {
     "x46_ann_sq8" -> x46AnnSq8,
     "x102_ann_ensemble" -> x102AnnEnsemble,
     "x103_mutual_knn" -> x103MutualKnn,
+    "x104_knn_label_audit" -> x104KnnLabelAudit,
     "x47_ann_graph_search" -> x47AnnGraphSearch,
     "x40_ann_filtered" -> x40AnnFiltered,
   )
@@ -3613,6 +3717,7 @@ object DedupQueries {
     "x46_ann_sq8" -> x46Sql,
     "x102_ann_ensemble" -> x102Sql,
     "x103_mutual_knn" -> x103Sql,
+    "x104_knn_label_audit" -> x104Sql,
     "x47_ann_graph_search" -> x47Sql,
     "x40_ann_filtered" -> x40Sql,
   )

@@ -731,6 +731,41 @@ class MiningSpec extends AnyFunSuite {
     assert(got.size < edges.size)
   }
 
+  test("x104 kNN label audit replays driver-side; agreement beats chance") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dotS(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) {
+        val v = a(i) * b(i) * 1000000d
+        s += (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+        i += 1
+      }
+      s
+    }
+    val truth = emb.filter(_._1 < DedupQueries.KnnAuditN).sortBy(_._1)
+      .map { case (qid, qlab, qe) =>
+        val qn = math.sqrt(dotS(qe, qe).toDouble)
+        val top = emb.filter(_._1 != qid).map { case (cid, clab, ce) =>
+          (cid, clab, dotS(qe, ce) / (qn * math.sqrt(dotS(ce, ce).toDouble)))
+        }.sortBy { case (cid, _, cos) => (-cos, cid) }
+          .take(DedupQueries.KnnAuditK)
+        val votes = top.groupBy(_._2).map { case (l, vs) => (l, vs.length) }
+        val (pl, nv) = votes.toSeq.maxBy { case (l, n) => (n, -l) }
+        (qid, qlab.toLong, pl.toLong, nv.toLong,
+          if (qlab.toLong == pl.toLong) 1L else 0L)
+      }
+    val got = DedupQueries.x104KnnLabelAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == truth.toSeq)
+    // isotropic embeddings: agreement hovers near the label prior, but
+    // the audit must not be degenerate (some agree, some disagree)
+    assert(got.exists(_._5 == 1L) && got.exists(_._5 == 0L))
+  }
+
   test("x73 weights: every near-dup cluster contributes total weight ~1") {
     val rows = MiningQueries.x73SoftDedupWeights(spark, sf).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)

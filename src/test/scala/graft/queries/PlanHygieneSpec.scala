@@ -187,7 +187,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       // three bounded arms (bucket-, list-, heap-bounded) + the union
       // distinct + the rescore id-join; measured 3 419 at sf0.001 —
       // the unbounded counterfactual is ≥ 3 × 4 990 scored rows
-      "x102_ann_ensemble" -> 8000L)
+      "x102_ann_ensemble" -> 8000L,
+      // 300-query audit batch through the same bounded heaps: selection
+      // is partitions × 300 × 10 rows, the vote rollup sample × k
+      "x104_knn_label_audit" -> 30000L)
     budgets.foreach { case (name, budget) =>
       val written = new java.util.concurrent.atomic.AtomicLong()
       val listener = new org.apache.spark.scheduler.SparkListener {
