@@ -105,23 +105,52 @@ object Bench {
         }
         SparkEntry.queries.filter { case (k, _) => args.contains(k) }
       }
+    // Per-key min-of-two (VERDICT r7 "next" #2): each new expression
+    // family (ANN kernels in r6, the z-order/hilbert codegen family in
+    // r7) pays one-time codegen/JIT on whichever registry key happens to
+    // run it first, so single-shot timings depend on Map iteration order.
+    // Running every key twice back-to-back and reporting the min makes
+    // the record the PLAN's cost, structurally, instead of chasing each
+    // new family with another warm-up line. Both raw runs are preserved
+    // in bench_full.json for drift audits.
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val sec =
+      def once(): Double = {
+        val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
-      name -> sec
+      }
+      val r1 = once()
+      val r2 = if (r1 < 0) -1.0 else once()
+      val sec = if (r1 < 0 || r2 < 0) -1.0 else math.min(r1, r2)
+      (name, sec, r1, r2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val ok = results.values.filter(_ >= 0)
+    val ok = results.collect { case (_, v, _, _) if v >= 0 => v }
     val failures = results.count(_._2 < 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"calibration_s":$calibration,"calibration_par_s":$calibrationPar,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"calibration_s":$calibration,"calibration_par_s":$calibrationPar,"sf":"$sfDir"}"""
+    println(line)
+    // Full record to a file (VERDICT r7 "next" #3): the driver's stdout
+    // capture truncates to a tail (59 of 151 keys survived in r7), which
+    // blocks complete round-over-round audits. Write the whole per-key
+    // map — min plus both raw runs — where the driver can pick it up.
+    val runsJson = results.map { case (k, _, r1, r2) =>
+      s"\"" + k + s"\":[$r1,$r2]"
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failures":$failures,"calibration_s":$calibration,"calibration_par_s":$calibrationPar,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -244,6 +244,10 @@ object VectorIndex {
     * words (so every stored value is plain positive BIGINT arithmetic
     * in any engine that reads the table). */
   private[graft] def signPack(e: Array[Double]): (Long, Long) = {
+    require(e.length == 64,
+      s"binary index packs exactly 64 sign bits but embedding has ${e.length} " +
+        "dimensions — pad/truncate the column to 64 dims (or use the PQ/IVF " +
+        "modes, which accept any width) before buildBinary/searchBinary")
     var lo = 0L; var hi = 0L
     var j = 0
     while (j < 32) { if (e(j) > 0) lo |= (1L << j); j += 1 }

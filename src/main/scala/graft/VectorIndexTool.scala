@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
 object VectorIndexTool {
   private val usage =
     "usage: VectorIndexTool build <graph|hier|pq|ivfpq|bin> <indexDir> <embParquet> | " +
-      "search <graph|hier|pq|ivfpq|bin> <indexDir> <queryParquet> <outParquet> [k]"
+      "search <graph|hier|pq|ivfpq|bin> <indexDir> <queryParquet> <outParquet> [k] [excludeSelf] " +
+      "(excludeSelf=true drops cand_id==query_id matches — bin family only; " +
+      "without it a query that is also an index member returns itself at rank 1)"
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -54,6 +56,9 @@ object VectorIndexTool {
       case "search" =>
         require(args.length >= 5, usage)
         val k = if (args.length > 5) args(5).toInt else 5
+        val excludeSelf = args.length > 6 && args(6).toBoolean
+        require(!excludeSelf || family == "bin",
+          s"excludeSelf is only supported by the bin family — $usage")
         val qRaw = spark.read.parquet(args(3))
         val queries = (if (qRaw.columns.contains("query_id")) qRaw
           else qRaw.withColumnRenamed("vec_id", "query_id"))
@@ -63,7 +68,8 @@ object VectorIndexTool {
           case "hier" => VectorIndex.searchHier(spark, dir, queries, k)
           case "pq" => VectorIndex.searchPq(spark, dir, queries, k)
           case "ivfpq" => VectorIndex.searchIvfPq(spark, dir, queries, k)
-          case "bin" => VectorIndex.searchBinary(spark, dir, queries, k)
+          case "bin" => VectorIndex.searchBinary(spark, dir, queries, k,
+            excludeSelf = excludeSelf)
         }
         out.write.mode("overwrite").parquet(args(4))
         println(s"""{"searched":"$family","queries":${queries.count()},"k":$k,"out":"${args(4)}"}""")

@@ -166,6 +166,18 @@ case class JlProjectExpr(child: Expression, signs: Array[Byte], outDims: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // Array[Byte] compares by reference under case-class equality, which
+  // would make two structurally identical jl_project expressions never
+  // canonicalize (defeating Catalyst CSE/reuse). Compare matrix CONTENT.
+  override def equals(other: Any): Boolean = other match {
+    case that: JlProjectExpr =>
+      child == that.child && outDims == that.outDims &&
+        java.util.Arrays.equals(signs, that.signs)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + outDims) + java.util.Arrays.hashCode(signs)
 }
 
 /** `dot_scaled(a, b)` — THE exact-integer scaled dot product of the

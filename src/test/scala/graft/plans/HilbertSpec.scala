@@ -70,8 +70,10 @@ class HilbertSpec extends AnyFunSuite {
   test("boxRanges exact at the full 31-bit domain (volume + membership)") {
     val rng = new scala.util.Random(23)
     (1 to 40).foreach { _ =>
-      val xLo = math.abs(rng.nextLong()) % (HilbertCurve.AxisMax - 40)
-      val yLo = math.abs(rng.nextLong()) % (HilbertCurve.AxisMax - 40)
+      // >>> 1 (not math.abs): abs(Long.MinValue) is negative, which would
+      // trip boxRanges' domain require on an astronomically unlucky draw
+      val xLo = (rng.nextLong() >>> 1) % (HilbertCurve.AxisMax - 40)
+      val yLo = (rng.nextLong() >>> 1) % (HilbertCurve.AxisMax - 40)
       val xHi = xLo + rng.nextInt(32); val yHi = yLo + rng.nextInt(32)
       val ranges = HilbertCurve.boxRanges(xLo, xHi, yLo, yHi,
         maxRanges = Int.MaxValue)
