@@ -69,11 +69,14 @@ object ApSim {
     // catalog is a pure generator/file read (no read-overwrite hazard).
     //
     // Past ~1 B rows the catalog no longer fits RAM+spill on one node
-    // (4.3 B rows ≈ 137 GB raw of incompressible doubles), so the 1000×
-    // probe regenerates it per visit instead: genCatalog is a pure
-    // spark.range + randn codegen stage that FUSES with the cone filter
-    // (no I/O, no cache), which is also the honest cluster shape — a
-    // 100 TB catalog is a partitioned scan, not a single-node cache.
+    // (4.3 B rows ≈ 137 GB raw of incompressible doubles). Round 7
+    // regenerated it per visit — a 37 s/visit full-catalog scan that
+    // dominated the 1000× probe (VERDICT r7 "next" #1). Now the
+    // too-big-to-cache path persists the catalog ONCE as a
+    // pixel-bucketed parquet table inside the warehouse and each visit
+    // reads only the FOV envelope's buckets (CatalogStore — the same
+    // two-phase S2 pruning obj_last uses), so per-visit catalog cost is
+    // proportional to FOV rows, the plan a 100 TB cluster runs.
     val fromFile = args.length > 5
     val rawCatalog = if (fromFile) {
       val f = args(5)
@@ -87,16 +90,24 @@ object ApSim {
     val cacheable =
       (fromFile || catSize <= 600000000L) &&
         !sys.env.contains("SPARK_GRAFT_NO_CATALOG_CACHE")
-    val catalog =
+    val catalogFor: Vec3 => org.apache.spark.sql.DataFrame =
       if (cacheable) {
         val c = rawCatalog
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         c.count() // materialize before the visit loop
-        c
+        _ => c
       } else {
-        println(s"""{"catalog":"regenerate-per-visit","rows":${
-          if (fromFile) -1 else catSize}}""")
-        rawCatalog
+        if (!CatalogStore.exists(warehouse)) {
+          val p0 = System.nanoTime()
+          val n = CatalogStore.write(spark, rawCatalog, warehouse, cfg)
+          println(s"""{"catalog":"persisted-bucketed","rows":$n,"sec":${
+            (System.nanoTime() - p0) / 1e9}}""")
+        } else {
+          println(s"""{"catalog":"resume-persisted-bucketed"}""")
+        }
+        val padRad = math.toRadians(cfg.regionPaddingArcsec / 3600.0)
+        pt => CatalogStore.readFov(spark, warehouse,
+          Circle(pt, cfg.fovRad / 2).padded(padRad), cfg)
       }
 
     val startId = resumed.map(_.visitId).getOrElse(0)
@@ -113,8 +124,8 @@ object ApSim {
       val pointing = Generators.sphereXyz(1, hemi = -1,
         seed = 5000L + (visitId % 3)).head
       val w0 = System.nanoTime()
-      val stats = VisitPipeline.visit(apdb, catalog, visitId, ts, pointing,
-        metrics = Some(metricsLog))
+      val stats = VisitPipeline.visit(apdb, catalogFor(pointing), visitId, ts,
+        pointing, metrics = Some(metricsLog))
       val sec = (System.nanoTime() - w0) / 1e9
       println(s"""{"visit":${stats.visitId},"sec":$sec,""" +
         s""""objectsRead":${stats.nObjectsRead},"objectsFiltered":${stats.nObjectsFiltered},""" +
