@@ -82,7 +82,11 @@ object ApSim {
       val f = args(5)
       if (f.endsWith(".npy")) graft.sources.NumpyCatalog.read(spark, f)
       else spark.read.parquet(f)
-    } else DiaSim.genCatalog(spark, catSize, hemi = -1, seed = 42)
+    } else DiaSim.genCatalog(spark, catSize, hemi = -1, seed = 42,
+      // billion-row catalogs: smaller generation slices so the
+      // persisted write's per-partition sort stays in memory
+      slices = if (catSize > 600000000L)
+        math.min(2048L, catSize / 8000000L).toInt else 0)
     // the catSize gate applies only to GENERATED catalogs (it is the
     // generation size — it says nothing about a file's row count);
     // file catalogs keep the always-cache behavior with the env knob
@@ -99,7 +103,8 @@ object ApSim {
       } else {
         if (!CatalogStore.exists(warehouse)) {
           val p0 = System.nanoTime()
-          val n = CatalogStore.write(spark, rawCatalog, warehouse, cfg)
+          val n = CatalogStore.write(spark, rawCatalog, warehouse, cfg,
+            coLocate = false) // too big to cache ⇒ too big to double on disk
           println(s"""{"catalog":"persisted-bucketed","rows":$n,"sec":${
             (System.nanoTime() - p0) / 1e9}}""")
         } else {

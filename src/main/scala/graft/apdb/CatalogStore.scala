@@ -48,16 +48,30 @@ object CatalogStore {
 
   /** One-time build: index every row with the configured pixel scheme,
     * co-locate by bucket (one shuffle — the only time the full catalog
-    * moves), sort by pixelId within buckets, write. Returns row count. */
+    * moves), sort by pixelId within buckets, write. Returns row count.
+    *
+    * `coLocate = false` skips the bucket shuffle: each input partition
+    * sorts itself by (bucket, pixelId) and writes its own file per
+    * bucket — Spark's default sort-based dynamic-partition write, one
+    * open writer per task, bounded memory. Peak disk = output only
+    * (the shuffle variant transiently doubles it with shuffle files),
+    * at the cost of ~inputPartitions files per bucket instead of one.
+    * That is the right trade exactly when the catalog is too big to
+    * cache — the case ApSim uses it for — and per-file pixelId sorting
+    * keeps row-group stats tight either way. */
   def write(spark: SparkSession, catalog: DataFrame, warehouse: String,
-      cfg: ApdbConfig): Long = {
+      cfg: ApdbConfig, coLocate: Boolean = true): Long = {
     val indexed = catalog
       .withColumn("pixelId",
         SparkGeo.pixelIndexSky(cfg.skyPix, col("x"), col("y"), col("z")))
       .withColumn("pix_bucket", shiftright(col("pixelId"), cfg.pixBucketShift))
-    indexed
-      .repartition(col("pix_bucket"))
-      .sortWithinPartitions(col("pixelId"))
+    val arranged =
+      if (coLocate)
+        indexed.repartition(col("pix_bucket"))
+          .sortWithinPartitions(col("pixelId"))
+      else
+        indexed.sortWithinPartitions(col("pix_bucket"), col("pixelId"))
+    arranged
       .write.mode(SaveMode.Overwrite)
       .partitionBy("pix_bucket")
       .parquet(dir(warehouse))

@@ -18,8 +18,13 @@ object DiaSim {
     * uniform on the hemisphere (z <= 0 when hemi < 0), seeded — a
     * single spark.range stage, no shuffle. */
   def genCatalog(spark: SparkSession, n: Long, hemi: Int = -1,
-      seed: Long = 42L): DataFrame = {
-    val base = spark.range(n).toDF("sourceIdx")
+      seed: Long = 42L, slices: Int = 0): DataFrame = {
+    // slices > 0 overrides default parallelism — the persisted-catalog
+    // write sorts each input partition in memory, so billion-row
+    // catalogs need more, smaller slices than cores
+    val range = if (slices > 0) spark.range(0L, n, 1L, slices)
+      else spark.range(n)
+    val base = range.toDF("sourceIdx")
       .withColumn("gx", randn(seed))
       .withColumn("gy", randn(seed + 1))
       .withColumn("gz", randn(seed + 2))

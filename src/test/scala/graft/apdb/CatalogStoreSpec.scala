@@ -71,6 +71,22 @@ class CatalogStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle-free write (coLocate=false) serves the same FOV rows") {
+    val (dirA, cfgA) = freshWarehouse("shufA")
+    val (dirB, cfgB) = freshWarehouse("shufB")
+    val catalog = DiaSim
+      .genCatalog(spark, 100000L, hemi = -1, seed = 7, slices = 8)
+      .localCheckpoint(true)
+    CatalogStore.write(spark, catalog, dirA, cfgA)
+    CatalogStore.write(spark, catalog, dirB, cfgB, coLocate = false)
+    val region = Circle(pointing, cfgA.fovRad / 2)
+    def rows(d: String, c: ApdbConfig) =
+      CatalogStore.readFov(spark, d, region, c)
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(dirA, cfgA) == rows(dirB, cfgB))
+    assert(rows(dirA, cfgA).nonEmpty)
+  }
+
   test("visit pipeline over the pruned read matches the cached-catalog run") {
     val (dirA, cfgA) = freshWarehouse("mem")
     val (dirB, cfgB) = freshWarehouse("persist")
