@@ -1,0 +1,26 @@
+#!/bin/bash
+# Fixed-heap soak/probe launcher for graft.ApSim (BASELINE.md runs).
+# Pre-touched fixed heap: first-touch page faults move to startup, the
+# rest of RAM stays page cache (the round-6 reclaim-storm fix).
+#
+#   scripts/soak.sh <warehouseDir> <nVisits> <catalogSize> [detFraction] [heap]
+#
+# e.g. scripts/soak.sh /tmp/apdb_probe500x 10 2150000000 0.9 48g
+set -euo pipefail
+cd "$(dirname "$0")/.."
+WAREHOUSE=${1:?warehouse dir}
+VISITS=${2:?visit count}
+CATSIZE=${3:?catalog size}
+DETFRAC=${4:-0.9}
+HEAP=${5:-48g}
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Xms"$HEAP" -Xmx"$HEAP" -XX:+AlwaysPreTouch \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.ApSim "$WAREHOUSE" "$VISITS" "$CATSIZE" "$DETFRAC"

@@ -99,6 +99,57 @@ class TextIndexSpec extends AnyFunSuite {
       inline.collect().map(_.toString).toSeq)
   }
 
+  test("incremental append ≡ batch rebuild, replay-idempotent, uncommitted invisible") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val half = docs.where(col("doc_id") % 2 === 0)
+    val rest = docs.where(col("doc_id") % 2 === 1)
+
+    // rebuilt-from-scratch reference over the full corpus
+    val full = java.nio.file.Files.createTempDirectory("txtfull").toString
+    TextIndex.build(spark, full, docs)
+    val want = TextIndex.search(spark, full, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+
+    // base on half, then append the rest incrementally
+    val inc = java.nio.file.Files.createTempDirectory("txtinc").toString
+    TextIndex.build(spark, inc, half)
+    TextIndex.append(spark, inc, rest, batchId = 0L)
+    val got = TextIndex.search(spark, inc, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+    assert(got == want,
+      "incremental index rankings diverged from batch rebuild")
+
+    // replay (kill-and-resume): re-running the SAME batch overwrites its
+    // own partitions — no double count, identical rankings
+    TextIndex.append(spark, inc, rest, batchId = 0L)
+    assert(TextIndex.search(spark, inc, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want,
+      "replayed batch changed rankings — append not idempotent")
+
+    // a batch whose marker is missing (killed before commit) must be
+    // invisible: simulate by deleting the marker
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(inc, "meta_delta_batch_0.json"))
+    val baseOnly = TextIndex.search(spark, inc, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+    val halfIdx = java.nio.file.Files.createTempDirectory("txthalf").toString
+    TextIndex.build(spark, halfIdx, half)
+    assert(baseOnly == TextIndex.search(spark, halfIdx,
+      TextQueries.bm25Queries).collect().map(_.toString).toSeq,
+      "uncommitted delta partitions leaked into serving")
+    // ...and the replay after the simulated crash restores the union
+    TextIndex.append(spark, inc, rest, batchId = 0L)
+    assert(TextIndex.search(spark, inc, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want)
+
+    // doc_id collisions refuse loudly (a different batch id re-sending
+    // indexed docs would double-count postings)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.append(spark, inc, rest.limit(5), batchId = 1L)
+    }
+    assert(e.getMessage.contains("double-count"))
+  }
+
   test("meta guards: a non-index dir fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notidx").toString
     val e = intercept[Exception] {
