@@ -98,9 +98,15 @@ object VisitPipeline {
     def record(name: String, table: String, kv: Seq[(String, Double)]): Unit =
       metrics.foreach(_.record(visitTime, name, visitId, table, kv))
 
-    // 1. DIA detections for this visit
-    val detections = DiaSim.makeSources(spark, catalog, pointing, cfg, visitId)
-      .localCheckpoint(true) // one materialization; reused 4 times below
+    // 1. DIA detections for this visit — timed separately because this
+    //    stage contains the catalog access (cached scan, FOV-pruned
+    //    persisted read, or regeneration), the term the 1000×-scale
+    //    analysis decomposes on
+    val (detections, detectSec) = timedSec {
+      DiaSim.makeSources(spark, catalog, pointing, cfg, visitId)
+        .localCheckpoint(true) // one materialization; reused 4 times below
+    }
+    timer("detect_time", "all", detectSec)
 
     // 2. padded region (F5: exact dilation for circles, geom.py:300-301)
     val region = Circle(pointing, cfg.fovRad / 2)

@@ -41,11 +41,16 @@ object VectorIngest {
       books: Array[Array[Array[Long]]] = DedupQueries.pqCodebooks): Unit = {
     import spark.implicits._
     val cb = spark.sparkContext.broadcast(books)
+    // coarse-assign under the index's CURRENT persisted centroids (a
+    // rebalanceIvf between batches re-trains them; batches before/after
+    // land consistently with how serving will probe)
+    val cents = spark.sparkContext.broadcast(
+      VectorIndex.loadIvfCentroids(spark, dir))
     batch.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, e) =>
         val ed = e.map(_.toDouble)
-        (batchId, VectorIndex.nearestClusters(ed, 1).head, id,
+        (batchId, VectorIndex.nearestIn(cents.value, ed, 1).head, id,
           DedupQueries.pqEncode(ed.map(DedupQueries.scale1e6), cb.value))
       }.toDF("ingest_batch", "list", "cand_id", "code")
       .write.mode(SaveMode.Overwrite)
@@ -55,6 +60,14 @@ object VectorIngest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch", "list")
       .parquet(s"$dir/ivf_codes_stream")
+    // the maintenance payload rides along (same idempotent layout):
+    // rebalanceIvf re-trains/re-assigns on true embeddings, never codes
+    batch.select(lit(batchId).as("ingest_batch"),
+        col("vec_id").as("cand_id"), col("embedding"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(s"$dir/ivf_vectors_stream")
   }
 
   /** Attach the feed to the index: every micro-batch appends via
