@@ -677,14 +677,16 @@ object VectorIndex {
 
   // -- incremental insertion (the HNSW insert path) ----------------------
 
-  /** Insert a BOUNDED batch of new vectors into an existing flat graph
-    * index without rebuilding: each new vector's out-edges are its
-    * best `degree` nodes found by beam search over the CURRENT graph
-    * (exactly HNSW's insert — search first, link to what you found),
-    * reverse edges are offered to those neighbors, and every touched
-    * adjacency list is re-truncated to the best `degree` by exact
-    * cosine. Only the touched src_ids rewrite; the rest of the graph
-    * table carries over untouched.
+  /** Insert a BOUNDED batch of new vectors into an existing graph
+    * index — flat or hierarchical — without rebuilding: each new
+    * vector's out-edges are its best `degree` nodes found by beam
+    * search over the CURRENT graph (exactly HNSW's insert — search
+    * first, link to what you found), reverse edges are offered to
+    * those neighbors, and every touched adjacency list is re-truncated
+    * to the best `degree` by exact cosine. Hierarchical indexes repeat
+    * that linkage on every layer the id's deterministic geometric draw
+    * places it on. Only the touched src_ids rewrite; the rest of each
+    * graph table carries over untouched.
     *
     * Scale shape: the batch is bounded (the insert analog of the
     * serving contract — bulk growth is a rebuild, not N inserts); the
@@ -700,12 +702,16 @@ object VectorIndex {
       entryCount: Int = DedupQueries.GraphEntryCount): Unit = {
     import spark.implicits._
     val (degree, nVec) = meta(dir)
-    // a layered index would need per-layer link maintenance and its
-    // meta preserved — out of scope here; rebuild hier indexes
-    require(!java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, "meta.json")).contains("\"levels\""),
-      s"$dir is a hierarchical index — insert supports flat graph " +
-        "indexes; rebuild with buildHier instead")
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "meta.json"))
+    // hierarchical indexes insert per layer (VERDICT r7 #6): each new
+    // vector's layer membership is the DETERMINISTIC geometric draw
+    // hierLevel already makes from the portable hash, so growth and
+    // from-scratch builds place every id on the same layers
+    val levels = """"levels":(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(0)
+    val maxLevel = """"maxLevel":(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(0)
     val newVecs = newEmb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
       .map { case (id, e) =>
@@ -721,28 +727,98 @@ object VectorIndex {
       .filter(id => newIds.contains(id)).take(1)
     require(dup.isEmpty, s"insert batch reuses existing id ${dup.headOption}")
 
-    // 1. find each new vector's neighborhood on the CURRENT graph
-    val graph = spark.read.parquet(s"$dir/graph")
-      .select(col("src_id"), col("rank"), col("nbr_id"))
+    // layer-0 entries come from the PRE-insert corpus
     val entryIds = existing.select(col("cand_id"))
       .orderBy(col("cand_id")).limit(entryCount).as[Long].collect()
-    val queryVecs = newVecs.map { case (id, e, n) => (id, (e, n)) }
-    val found = DedupQueries.beamSearchFrom(spark,
-      graph.select(col("src_id"), col("nbr_id")), existing, queryVecs,
-      queryVecs.map(_._1).flatMap(q => entryIds.map((q, _))),
-      beamWidth, rounds, degree, excludeSelf = false)
-      .select(col("query_id").as("src_id"), col("rank"),
-        col("cand_id").as("nbr_id"))
-      .localCheckpoint(true)
 
-    // 2. append the batch to the vectors table FIRST (rescoring below
+    // append the batch to the vectors table FIRST (linkage rescoring
     // reads it back so reverse edges can score against new vectors)
     newVecs.toSeq.toDF("cand_id", "cand_e", "cand_n")
       .repartition(col("cand_id"))
       .write.mode(SaveMode.Append).parquet(s"$dir/vectors")
     val vecsAll = spark.read.parquet(s"$dir/vectors")
 
-    // 3. touched neighbors: offered a reverse edge, re-truncate their
+    if (levels == 0) {
+      // flat: every new vector links into the one graph from the fixed
+      // low-id entries (the flat serving convention)
+      linkIntoGraph(spark, s"$dir/graph", vecsAll, newVecs,
+        newVecs.map(_._1).flatMap(q => entryIds.map((q, _))),
+        degree, beamWidth, rounds)
+    } else {
+      // hierarchical: descend the layers top-down exactly as serving
+      // does, linking each layer's new members on the way and carrying
+      // every batch vector's beam down as the seeds for the next layer
+      // — HNSW's insert. Linking from fixed low-id entries instead
+      // collapses recall on clustered data (grown 0.60 vs 0.96
+      // from-scratch, measured building this spec): the low-id entries
+      // sit in one cluster and layer-0 beam search cannot navigate out.
+      // An id whose draw exceeds the built level count joins the layers
+      // that exist — extending the hierarchy itself is a rebuild
+      // decision.
+      import spark.implicits._
+      val queryVecs = newVecs.map { case (id, e, n) => (id, (e, n)) }
+      val topIds = vecsAll.select(col("cand_id")).as[Long]
+        .filter(id => hierLevel(id, maxLevel) >= levels)
+        .filter(id => !newIds.contains(id))
+        .collect().sorted.take(entryCount)
+      require(topIds.nonEmpty,
+        s"$dir top layer has no pre-existing members to enter from")
+      var seeds: Array[(Long, Long)] =
+        newVecs.map(_._1).flatMap(q => topIds.map(en => (q, en)))
+      (levels to 1 by -1).foreach { l =>
+        val sub = newVecs.filter(v => hierLevel(v._1, maxLevel) >= l)
+        if (sub.nonEmpty) {
+          val subIds = sub.map(_._1).toSet
+          linkIntoGraph(spark, s"$dir/graph_l$l", vecsAll, sub,
+            seeds.filter { case (q, _) => subIds.contains(q) },
+            degree, beamWidth, rounds)
+        }
+        // advance ALL batch queries' seeds through this layer's
+        // (post-link) graph — the serving descent, beam carried down
+        val graphL = spark.read.parquet(s"$dir/graph_l$l")
+          .select(col("src_id"), col("nbr_id"))
+        val best = DedupQueries.beamSearchFrom(spark, graphL, vecsAll,
+          queryVecs, seeds, beamWidth = beamWidth, rounds = 2,
+          k = beamWidth, excludeSelf = false)
+          .select(col("query_id"), col("cand_id"))
+          .as[(Long, Long)].collect()
+        val bySeed = best.groupBy(_._1)
+        seeds = newVecs.map(_._1).flatMap { q =>
+          bySeed.getOrElse(q, topIds.map((q, _))).toSeq
+        }
+      }
+      linkIntoGraph(spark, s"$dir/graph", vecsAll, newVecs, seeds,
+        degree, beamWidth, rounds)
+    }
+    val metaTail =
+      if (levels > 0) s""","levels":$levels,"maxLevel":$maxLevel"""
+      else ""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "meta.json"),
+      s"""{"degree":$degree,"vectors":${nVec + newVecs.length}$metaTail}""")
+  }
+
+  /** Link a bounded batch into ONE graph table — the HNSW insert move
+    * (search first, link to what you found, offer reverse edges,
+    * re-truncate touched adjacencies), shared by the flat index and
+    * every layer of the hierarchical one. */
+  private def linkIntoGraph(spark: SparkSession, graphPath: String,
+      vecsAll: DataFrame, batch: Array[(Long, Array[Double], Long)],
+      seeds: Array[(Long, Long)], degree: Int, beamWidth: Int,
+      rounds: Int): Unit = {
+    import spark.implicits._
+    // 1. find each new vector's neighborhood on the CURRENT graph
+    val graph = spark.read.parquet(graphPath)
+      .select(col("src_id"), col("rank"), col("nbr_id"))
+    val queryVecs = batch.map { case (id, e, n) => (id, (e, n)) }
+    val found = DedupQueries.beamSearchFrom(spark,
+      graph.select(col("src_id"), col("nbr_id")), vecsAll, queryVecs,
+      seeds, beamWidth, rounds, degree, excludeSelf = false)
+      .select(col("query_id").as("src_id"), col("rank"),
+        col("cand_id").as("nbr_id"))
+      .localCheckpoint(true)
+
+    // 2. touched neighbors: offered a reverse edge, re-truncate their
     // adjacency (old edges ∪ offered) to the best `degree` by exact
     // cosine — bounded: (batch × degree) sources × (degree + batch)
     val offered = found.select(col("nbr_id").as("src_id"),
@@ -769,17 +845,14 @@ object VectorIndex {
       .where(col("rank") <= degree)
       .select(col("src_id"), col("rank"), col("nbr_id"))
 
-    // 4. rewrite: untouched ∪ rescored ∪ the new nodes' edges
+    // 3. rewrite: untouched ∪ rescored ∪ the new nodes' edges
     val untouched = graph.join(touchedIds, Seq("src_id"), "left_anti")
     val newGraph = untouched.union(rescored).union(found)
       .repartition(col("src_id"))
       .localCheckpoint(true) // materialize BEFORE overwriting its input
-    newGraph.write.mode(SaveMode.Overwrite).parquet(s"$dir/graph")
+    newGraph.write.mode(SaveMode.Overwrite).parquet(graphPath)
     org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(newGraph)
     org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(found)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "meta.json"),
-      s"""{"degree":$degree,"vectors":${nVec + newVecs.length}}""")
   }
 
   // -- hierarchical (HNSW-style) mode ------------------------------------

@@ -423,12 +423,81 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(rg >= rf - 0.1,
       f"incrementally-grown recall $rg%.3f collapsed vs batch $rf%.3f")
 
-    // the guard: inserting into a hier index is refused
-    val hDir = java.nio.file.Files.createTempDirectory("vgrowh").toString
-    VectorIndex.buildHier(spark, hDir, even)
-    intercept[IllegalArgumentException] {
-      VectorIndex.insert(spark, hDir, odd)
+  }
+
+  test("hier insert: grown layers serve within 0.1 of from-scratch build") {
+    import spark.implicits._
+    // the planted-cluster corpus from the descent test — the regime
+    // where the hierarchy (and therefore correct per-layer linkage of
+    // inserted nodes) actually carries the recall
+    val dim = 64
+    val clusters = 16
+    val perCluster = 40
+    val pts = (0 until clusters * perCluster).map { id =>
+      val c = id / perCluster
+      val rnd = new scala.util.Random(1000L + id)
+      val e = Array.tabulate(dim)(j =>
+        (if (j == c * 4 % dim) 4.0 else 0.0) + 0.3 * rnd.nextGaussian())
+      (id.toLong, e.map(_.toFloat))
     }
+    val emb = pts.toDF("vec_id", "embedding")
+    val even = emb.where(col("vec_id") % 2 === 0)
+    val odd = emb.where(col("vec_id") % 2 === 1)
+    val grownDir = java.nio.file.Files.createTempDirectory("vgrowh").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("vfullh").toString
+    VectorIndex.buildHier(spark, grownDir, even, degree = 8)
+    VectorIndex.insert(spark, grownDir, odd)
+    VectorIndex.buildHier(spark, fullDir, emb, degree = 8)
+
+    // the grown index's layer membership must match the deterministic
+    // hash draw: every inserted id of level ≥ ℓ has out-edges in
+    // graph_lℓ
+    val metaTxt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(grownDir, "meta.json"))
+    val levels = """"levels":(\d+)""".r
+      .findFirstMatchIn(metaTxt).get.group(1).toInt
+    val maxLevel = """"maxLevel":(\d+)""".r
+      .findFirstMatchIn(metaTxt).get.group(1).toInt
+    assert(levels >= 1, s"planted corpus built no upper layers: $metaTxt")
+    val oddIds = odd.select(col("vec_id")).as[Long].collect()
+    (1 to levels).foreach { l =>
+      val srcs = spark.read.parquet(s"$grownDir/graph_l$l")
+        .select(col("src_id")).as[Long].collect().toSet
+      oddIds.filter(id => VectorIndex.hierLevel(id, maxLevel) >= l)
+        .foreach(id => assert(srcs.contains(id),
+          s"inserted $id (level ≥ $l) missing from graph_l$l"))
+    }
+
+    val qids = (1 to 10).map(c => (c * perCluster + 7).toLong)
+    val queries = emb.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val k = 10
+    val (bw, rr) = (8, 4)
+    val grown = VectorIndex.searchHier(spark, grownDir, queries, k = k,
+      beamWidth = bw, rounds = rr, excludeSelf = true).collect()
+    val full = VectorIndex.searchHier(spark, fullDir, queries, k = k,
+      beamWidth = bw, rounds = rr, excludeSelf = true).collect()
+    val all = pts.map { case (id, e) => id -> e.map(_.toDouble) }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truth = qids.map { q =>
+      val qe = all.find(_._1 == q).get._2
+      q -> all.filter(_._1 != q).map { case (c, ce) => (c, cosine(qe, ce)) }
+        .sortBy { case (c, cs) => (-cs, c) }.take(k).map(_._1).toSet
+    }.toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      qids.map { q =>
+        val got = rows.filter(_.getLong(0) == q).map(_.getLong(2)).toSet
+        got.intersect(truth(q)).size.toDouble / k
+      }.sum / qids.length
+    val (rg, rf) = (recallOf(grown), recallOf(full))
+    info(f"hier recall@10: grown $rg%.3f vs from-scratch $rf%.3f")
+    assert(rg >= rf - 0.1,
+      f"grown-hier recall $rg%.3f collapsed vs from-scratch $rf%.3f")
   }
 
   test("meta guards: a non-index dir fails loudly") {
