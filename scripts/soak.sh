@@ -3,9 +3,12 @@
 # Pre-touched fixed heap: first-touch page faults move to startup, the
 # rest of RAM stays page cache (the round-6 reclaim-storm fix).
 #
-#   scripts/soak.sh <warehouseDir> <nVisits> <catalogSize> [detFraction] [heap]
+#   scripts/soak.sh <warehouseDir> <nVisits> <catalogSize> [detFraction] [heap] [catalogFile]
 #
 # e.g. scripts/soak.sh /tmp/apdb_probe500x 10 2150000000 0.9 48g
+# catalogFile (parquet or .npy) feeds ApSim's sources_file path; pair
+# with SPARK_GRAFT_NO_CATALOG_CACHE=1 to exercise the persisted
+# pixel-bucketed catalog path on a file-provided catalog.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 WAREHOUSE=${1:?warehouse dir}
@@ -13,6 +16,7 @@ VISITS=${2:?visit count}
 CATSIZE=${3:?catalog size}
 DETFRAC=${4:-0.9}
 HEAP=${5:-48g}
+CATFILE=${6:-}
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
@@ -23,4 +27,4 @@ exec java $ADD_OPENS \
   -Xms"$HEAP" -Xmx"$HEAP" -XX:+AlwaysPreTouch \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.ApSim "$WAREHOUSE" "$VISITS" "$CATSIZE" "$DETFRAC"
+  graft.ApSim "$WAREHOUSE" "$VISITS" "$CATSIZE" "$DETFRAC" ${CATFILE:+/dev/null "$CATFILE"}

@@ -1521,6 +1521,79 @@ object DedupQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // -- x106: IVF list-mass drift (the maintenance trigger as a query) ----
+
+  /** Trained-layout id boundary for x106: vectors below it stand in for
+    * the corpus the coarse layout was trained on, the rest for what
+    * streamed in afterward (the VectorIngestSpec base/feed split). */
+  val IvfDriftTrainedN = 250L
+
+  /** x106 — IVF list-mass drift: every vector coarse-assigned to its
+    * rank-1 seeded centroid (x15's membership rule), then per list the
+    * trained-slice mass vs the full-corpus mass, with the
+    * total-variation numerator as EXACT integer cross-products
+    * (|n_trained·Σcurrent − n_current·Σtrained| — no float fractions,
+    * so every engine computes the identical value). This is
+    * [[graft.VectorIndex.ivfDrift]]'s trigger restated as a registry
+    * query: the table a maintenance scheduler would scan to decide
+    * which indexes re-train tonight.
+    *
+    * Scale shape: one map-only assignment pass (broadcast centroids) +
+    * one map-side-combined groupBy on the 16 list ids; the totals
+    * attach as a one-row broadcast cross join (the x57 scalar
+    * pattern). Shuffle carries list-count cells, never vectors. */
+  val x106IvfDrift: QFn = (s, d) => {
+    import s.implicits._
+    val cb = s.sparkContext.broadcast(ivfCentroids)
+    val assigned = embRows(Tables.embeddings(s, d))
+      .map { case (id, e) =>
+        val best = cb.value.map { case (ci, c) => (ci, dotScaled(e, c)) }
+          .minBy { case (ci, dot) => (-dot, ci) }._1
+        (id, best)
+      }.toDF("vec_id", "cluster")
+    val agg = assigned.groupBy(col("cluster")).agg(
+      sum(when(col("vec_id") < IvfDriftTrainedN, 1L).otherwise(0L))
+        .as("n_trained"),
+      count(lit(1)).as("n_current"))
+    val tot = agg.agg(sum(col("n_trained")).as("tot_trained"),
+      sum(col("n_current")).as("tot_current"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("n_trained"), col("n_current"),
+        abs(col("n_trained") * col("tot_current") -
+          col("n_current") * col("tot_trained")).as("drift_num"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Oracle: the x15 membership CTE, per-list conditional counts, and
+    * the same integer cross-product drift numerator. */
+  val x106Sql: String = {
+    val clusterDots = ivfCentroids.map { case (ci, c) =>
+      val arr = "[" + c.mkString(", ") + "]"
+      s"SELECT vec_id, $ci AS cluster, CAST(list_sum(list_transform(range(1, length(embedding) + 1), " +
+        s"i -> CAST(round(CAST(embedding[i] AS DOUBLE) * ($arr)[i] * 1000000) AS BIGINT))) AS BIGINT) AS dot FROM embeddings"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH cd AS (
+       |  $clusterDots),
+       |ranked AS (
+       |  SELECT vec_id, cluster,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rk
+       |  FROM cd),
+       |member AS (SELECT vec_id, cluster FROM ranked WHERE rk = 1),
+       |agg AS (
+       |  SELECT cluster,
+       |    CAST(SUM(CASE WHEN vec_id < $IvfDriftTrainedN THEN 1 ELSE 0 END) AS BIGINT) AS n_trained,
+       |    CAST(COUNT(*) AS BIGINT) AS n_current
+       |  FROM member GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(n_trained) AS BIGINT) AS tot_trained,
+       |    CAST(SUM(n_current) AS BIGINT) AS tot_current FROM agg)
+       |SELECT CAST(a.cluster AS BIGINT) AS cluster, a.n_trained, a.n_current,
+       |  CAST(abs(a.n_trained * t.tot_current - a.n_current * t.tot_trained) AS BIGINT) AS drift_num
+       |FROM agg a CROSS JOIN tot t
+       |ORDER BY cluster""".stripMargin
+  }
+
   // -- x46: scalar-quantized ANN (SQ8 — the other compressed format) -----
 
   /** x46 — scalar 8-bit quantization ANN: per-dimension affine int8
@@ -3680,6 +3753,7 @@ object DedupQueries {
     "x52_quality_keeper" -> x52QualityKeeper,
     "x14_ann_lsh" -> x14AnnLsh,
     "x15_ann_ivf" -> x15AnnIvf,
+    "x106_ivf_drift" -> x106IvfDrift,
     "x38_ann_pq" -> x38AnnPq,
     "x39_ann_ivfpq" -> x39AnnIvfPq,
     "x42_ann_pq_rescore" -> x42AnnPqRescore,
@@ -3723,6 +3797,7 @@ object DedupQueries {
     "x52_quality_keeper" -> x52Sql,
     "x14_ann_lsh" -> x14Sql,
     "x15_ann_ivf" -> x15Sql,
+    "x106_ivf_drift" -> x106Sql,
     "x38_ann_pq" -> x38Sql,
     "x39_ann_ivfpq" -> x39Sql,
     "x42_ann_pq_rescore" -> x42Sql,

@@ -1238,6 +1238,50 @@ object TextQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // -- x105: incremental-index BM25 (delta-union serving form) -----------
+
+  /** x105 — BM25 served over a DELTA-UNIONED index: postings, lengths
+    * and corpus scalars are built independently for two disjoint corpus
+    * halves (the persisted base + an appended batch — TextIndex.append's
+    * layout) and only UNIONED at serve time, then scored by the same
+    * [[bm25Score]] kernel. The key pins the algebra the incremental
+    * lexical index rests on: per-doc tf/dl rows partition across deltas
+    * and the (N, Σdl) scalars are sums, so a delta-unioned serve is
+    * byte-identical to a monolithic rebuild — which is exactly what the
+    * oracle (x51's own SQL) asserts.
+    *
+    * Scale shape: each half's postings aggregate is map-side combined
+    * within its own batch (at warehouse scale, already persisted —
+    * building them here stands in for reading `postings` ∪
+    * `postings_delta`); the union adds no shuffle beyond x51's own
+    * score aggregation. */
+  val x105Bm25Incremental: QFn = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    def half(par: Int): (DataFrame, DataFrame) = {
+      val h = docs.where(col("doc_id") % 2 === par)
+      val dl = h.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      val tf = h
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      (tf, dl)
+    }
+    val (tf0, dl0) = half(0)
+    val (tf1, dl1) = half(1)
+    val dl = dl0.unionByName(dl1)
+    // scalars: each half aggregates itself; the serve-side fold is a sum
+    val stats = dl0.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .unionByName(
+        dl1.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val qterms = bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    bm25Score(s, tf0.unionByName(tf1), dl, stats, qterms, Bm25TopK)
+  }
+
   // -- x53: bigram-LM document scoring -----------------------------------
 
   /** x53 — bigram language-model document scoring, the CCNet/KenLM-shaped
@@ -1954,6 +1998,7 @@ object TextQueries {
     "x54_cms_freq" -> x54CmsFreq,
     "x53_lm_score" -> x53LmScore,
     "x51_bm25_topk" -> x51Bm25TopK,
+    "x105_bm25_incremental" -> x105Bm25Incremental,
     "x50_mixture_weights" -> x50MixtureWeights,
     "x49_bpe_pair_count" -> x49BpePairCount,
     "x25_pack_sequences" -> x25PackSequences,
@@ -1990,6 +2035,9 @@ object TextQueries {
     "x54_cms_freq" -> x54Sql,
     "x53_lm_score" -> x53Sql,
     "x51_bm25_topk" -> x51Sql,
+    // the delta-union serve must equal the monolithic build EXACTLY —
+    // the oracle is x51's own SQL
+    "x105_bm25_incremental" -> x51Sql,
     "x50_mixture_weights" -> x50Sql,
     "x49_bpe_pair_count" -> x49Sql,
     "x25_pack_sequences" -> x25Sql,

@@ -47,7 +47,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     "x76_doremi_weights",
     // three one-row scalar results (node/edge/triangle counts) joined
     // into the single output row — broadcast cross joins of 1×1 frames
-    "x83_triangle_count")
+    "x83_triangle_count",
+    // one-row (Σtrained, Σcurrent) totals attach — the x57 pattern
+    "x106_ivf_drift",
+    // embeds x51's one-row corpus-scalar attach (delta-summed form)
+    "x105_bm25_incremental")
 
   test("no registered query plans a CartesianProduct") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
