@@ -21,7 +21,8 @@ object VectorIndexTool {
     "usage: VectorIndexTool build <graph|hier|pq|ivfpq|bin> <indexDir> <embParquet> | " +
       "search <graph|hier|pq|ivfpq|bin> <indexDir> <queryParquet> <outParquet> [k] [excludeSelf] " +
       "(excludeSelf=true drops cand_id==query_id matches — bin family only; " +
-      "without it a query that is also an index member returns itself at rank 1)"
+      "without it a query that is also an index member returns itself at rank 1) | " +
+      "drift ivfpq <indexDir> | maintain ivfpq <indexDir> [bound]"
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -37,12 +38,13 @@ object VectorIndexTool {
 
   /** The tool body, session-injected (tests drive this directly). */
   def run(spark: SparkSession, args: Array[String]): Unit = {
-    require(args.length >= 4, usage)
+    require(args.length >= 3, usage)
     val (mode, family, dir) = (args(0), args(1), args(2))
     require(Set("graph", "hier", "pq", "ivfpq", "bin").contains(family),
       s"unknown index family '$family' — $usage")
     mode match {
       case "build" =>
+        require(args.length >= 4, usage)
         val emb = spark.read.parquet(args(3))
           .select(col("vec_id"), col("embedding"))
         family match {
@@ -73,6 +75,15 @@ object VectorIndexTool {
         }
         out.write.mode("overwrite").parquet(args(4))
         println(s"""{"searched":"$family","queries":${queries.count()},"k":$k,"out":"${args(4)}"}""")
+      case "drift" =>
+        require(family == "ivfpq", s"drift applies to ivfpq — $usage")
+        println(s"""{"drift":${VectorIndex.ivfDrift(spark, dir)},"dir":"$dir"}""")
+      case "maintain" =>
+        require(family == "ivfpq", s"maintain applies to ivfpq — $usage")
+        val bound = if (args.length > 3) args(3).toDouble else 0.2
+        val ran = VectorIndex.maintainIvf(spark, dir, bound)
+        println(s"""{"rebalanced":$ran,"bound":$bound,"drift":${
+          VectorIndex.ivfDrift(spark, dir)},"dir":"$dir"}""")
       case other => throw new IllegalArgumentException(
         s"unknown mode '$other' — $usage")
     }
