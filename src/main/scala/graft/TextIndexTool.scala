@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   *   runMain graft.TextIndexTool build <indexDir> <docsParquet>
+  *   runMain graft.TextIndexTool append <indexDir> <docsParquet> <batchId>
   *   runMain graft.TextIndexTool search <indexDir> <queryParquet> <outParquet> [k]
   *
   * `docsParquet` needs (doc_id, text); `queryParquet` is a flat
@@ -17,6 +18,7 @@ import org.apache.spark.sql.functions._
 object TextIndexTool {
   private val usage =
     "usage: TextIndexTool build <indexDir> <docsParquet> | " +
+      "append <indexDir> <docsParquet> <batchId> | " +
       "search <indexDir> <queryParquet> <outParquet> [k]"
 
   def main(args: Array[String]): Unit = {
@@ -40,6 +42,12 @@ object TextIndexTool {
         TextIndex.build(spark, dir,
           spark.read.parquet(args(2)).select(col("doc_id"), col("text")))
         println(s"""{"built":"bm25","dir":"$dir"}""")
+      case "append" =>
+        require(args.length >= 4, usage)
+        TextIndex.append(spark, dir,
+          spark.read.parquet(args(2)).select(col("doc_id"), col("text")),
+          batchId = args(3).toLong)
+        println(s"""{"appended":"bm25","dir":"$dir","batch":${args(3)}}""")
       case "search" =>
         require(args.length >= 4, usage)
         val k = if (args.length > 4) args(4).toInt else TextIndex.DefaultK

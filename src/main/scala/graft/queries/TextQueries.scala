@@ -1878,6 +1878,130 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -- x107: the curation funnel report ----------------------------------
+
+  /** x107 — the curation FUNNEL: documents surviving each gate of the
+    * standard sequential curation path — raw → language keep (x9's
+    * argmax rule, English) → Gopher rule battery (x66's conjunction) →
+    * exact dedup keep-first (x1's content hash) — with per-stage drop
+    * counts. This is the one-table report every curation run publishes
+    * (and the first thing reviewed when a corpus shrinks unexpectedly):
+    * WHERE the documents went, stage by stage, with the stages nested
+    * so each row's denominator is the previous row's survivors.
+    *
+    * Scale shape: every flag is per-row column math computed in ONE
+    * corpus scan; the whole funnel reduces in a single
+    * map-side-combined aggregate (the dedup stage counts distinct
+    * hashes among survivors — the only non-trivial state, and it is
+    * hash-cardinality-, not corpus-, sized), then unpivots a one-row
+    * frame into the four report rows. */
+  val x107CurationFunnel: QFn = (s, d) => {
+    val langs = langProfiles.map(_._1)
+    val scored = langProfiles.foldLeft(
+      Tables.documents(s, d).withColumn("w", split(col("text"), " "))) {
+      case (df, (lang, words)) =>
+        val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
+        df.withColumn(s"score_$lang",
+          expr(s"size(filter(w, t -> t IN $set))"))
+    }
+    // en is first in the profile order, so it wins every tie (x9's rule)
+    val langEn = col("score_en") > 0 &&
+      langs.filter(_ != "en")
+        .map(o => col("score_en") >= col(s"score_$o")).reduce(_ && _)
+    val stopArr = GopherStopwords.map(w => s"'$w'")
+      .mkString("array(", ", ", ")")
+    val flags = scored
+      .withColumn("lang_en", langEn)
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_word_chars",
+        expr("aggregate(w, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"))
+      .withColumn("n_alpha_words",
+        expr("size(filter(w, x -> x rlike '[a-zA-Z]'))").cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter($stopArr, sw -> array_contains(w, sw)))")
+          .cast("long"))
+      .withColumn("n_symbols",
+        (length(col("text")) - length(expr("replace(text, '#', '')")) +
+          expr("(length(text) - length(replace(text, '...', ''))) DIV 3"))
+          .cast("long"))
+      .withColumn("pass_gopher",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          (col("n_word_chars").cast("double") / col("n_words")) >= 3.0 &&
+          (col("n_word_chars").cast("double") / col("n_words")) <= 10.0 &&
+          (col("n_symbols").cast("double") / col("n_words")) < 0.1 &&
+          (col("n_alpha_words").cast("double") / col("n_words")) > 0.8 &&
+          col("n_stop") >= GopherMinStopwords)
+      .withColumn("h", md5(col("text")))
+    flags.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("lang_en"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("lang_en") && col("pass_gopher"), 1L).otherwise(0L))
+          .as("n2"),
+        countDistinct(when(col("lang_en") && col("pass_gopher"), col("h")))
+          .as("n3"))
+      .select(expr(
+        "stack(4, " +
+          "CAST(0 AS BIGINT), 'raw', n0, CAST(0 AS BIGINT), " +
+          "CAST(1 AS BIGINT), 'lang_en', n1, n0 - n1, " +
+          "CAST(2 AS BIGINT), 'gopher_rules', n2, n1 - n2, " +
+          "CAST(3 AS BIGINT), 'exact_dedup', n3, n2 - n3) " +
+          "AS (stage, gate, n_docs, n_dropped)"))
+      .orderBy(col("stage"))
+  }
+
+  /** Oracle: the same flags in one scan, the same single aggregate, the
+    * same four-row unpivot. */
+  val x107Sql: String = {
+    val scoreExprs = langProfiles.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"CAST(length(list_filter(w, t -> t IN $set)) AS BIGINT) AS score_$lang"
+    }.mkString(",\n    ")
+    val langs = langProfiles.map(_._1)
+    val langEn = (s"score_en > 0" +:
+      langs.filter(_ != "en").map(o => s"score_en >= score_$o"))
+      .mkString(" AND ")
+    val stopList = GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH f AS (
+       |  SELECT doc_id, md5(text) AS h,
+       |    $scoreExprs,
+       |    CAST(length(w) AS BIGINT) AS n_words,
+       |    CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+       |      AS BIGINT) AS n_word_chars,
+       |    CAST(length(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+       |      AS BIGINT) AS n_alpha_words,
+       |    CAST(length(list_filter($stopList, sw -> list_contains(w, sw)))
+       |      AS BIGINT) AS n_stop,
+       |    CAST(length(text) - length(replace(text, '#', ''))
+       |      + (length(text) - length(replace(text, '...', ''))) // 3
+       |      AS BIGINT) AS n_symbols
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+       |        FROM documents)),
+       |g AS (
+       |  SELECT h, ($langEn) AS lang_en,
+       |    (n_words >= 50 AND n_words <= 100000
+       |      AND n_word_chars / CAST(n_words AS DOUBLE) >= 3.0
+       |      AND n_word_chars / CAST(n_words AS DOUBLE) <= 10.0
+       |      AND n_symbols / CAST(n_words AS DOUBLE) < 0.1
+       |      AND n_alpha_words / CAST(n_words AS DOUBLE) > 0.8
+       |      AND n_stop >= $GopherMinStopwords) AS pass_gopher
+       |  FROM f),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+       |    CAST(SUM(CASE WHEN lang_en THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN lang_en AND pass_gopher THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n2,
+       |    CAST(COUNT(DISTINCT CASE WHEN lang_en AND pass_gopher THEN h END)
+       |      AS BIGINT) AS n3
+       |  FROM g)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS gate, n0 AS n_docs,
+       |    CAST(0 AS BIGINT) AS n_dropped FROM a
+       |  UNION ALL SELECT CAST(1 AS BIGINT), 'lang_en', n1, n0 - n1 FROM a
+       |  UNION ALL SELECT CAST(2 AS BIGINT), 'gopher_rules', n2, n1 - n2 FROM a
+       |  UNION ALL SELECT CAST(3 AS BIGINT), 'exact_dedup', n3, n2 - n3 FROM a)
+       |ORDER BY stage""".stripMargin
+  }
+
   // -- x67: within-document duplicate-segment character fraction ---------
 
   /** x67 — Gopher's "fraction of characters in duplicate lines" repetition
@@ -1999,6 +2123,7 @@ object TextQueries {
     "x53_lm_score" -> x53LmScore,
     "x51_bm25_topk" -> x51Bm25TopK,
     "x105_bm25_incremental" -> x105Bm25Incremental,
+    "x107_curation_funnel" -> x107CurationFunnel,
     "x50_mixture_weights" -> x50MixtureWeights,
     "x49_bpe_pair_count" -> x49BpePairCount,
     "x25_pack_sequences" -> x25PackSequences,
@@ -2038,6 +2163,7 @@ object TextQueries {
     // the delta-union serve must equal the monolithic build EXACTLY —
     // the oracle is x51's own SQL
     "x105_bm25_incremental" -> x51Sql,
+    "x107_curation_funnel" -> x107Sql,
     "x50_mixture_weights" -> x50Sql,
     "x49_bpe_pair_count" -> x49Sql,
     "x25_pack_sequences" -> x25Sql,
