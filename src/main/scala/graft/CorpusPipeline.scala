@@ -413,6 +413,26 @@ object CorpusPipeline {
   private[graft] def shuffleShard(c: DataFrame): DataFrame =
     graft.queries.MiningQueries.shuffleShardCols(c)
 
+  /** Post-pipeline publication (round 8): the curated corpus does not
+    * end as parquet alone — it ships as SERVING artifacts. Builds the
+    * persisted BM25 [[TextIndex]] over the curated text and the
+    * IVF-PQ [[VectorIndex]] over the curated documents' embeddings
+    * (vec_id ≡ doc_id, the same identification the semantic-dedup
+    * stage relies on), so retrieval serves exactly what curation kept
+    * — the index can never drift from the published corpus because it
+    * is built from the same frame in the same job. Returns the
+    * artifact row counts. */
+  def publishIndexes(s: SparkSession, d: String, curated: DataFrame,
+      outDir: String): Map[String, Long] = {
+    val text = curated.select(col("doc_id"), col("text"))
+    TextIndex.build(s, s"$outDir/text_index", text)
+    val emb = graft.queries.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .join(curated.select(col("doc_id").as("vec_id")), "vec_id")
+    VectorIndex.buildIvfPq(s, s"$outDir/vector_index", emb)
+    Map("text_docs" -> text.count(), "vectors" -> emb.count())
+  }
+
   /** Run the pipeline; returns (curated corpus, per-stage stats). */
   def run(s: SparkSession, d: String, lang: String = "en",
       minQuality: Double = 0.25, samplePerSource: Int = 100): (DataFrame, Seq[StageStat]) = {
@@ -444,6 +464,9 @@ object CorpusPipeline {
     curated.write.mode("overwrite").parquet(s"$outDir/corpus")
     stats.foreach(st => println(
       s"""{"stage":"${st.stage}","rows_in":${st.rowsIn},"rows_out":${st.rowsOut}}"""))
+    val published = publishIndexes(spark, sfDir, curated, outDir)
+    println(s"""{"stage":"publish_indexes","text_docs":${
+      published("text_docs")},"vectors":${published("vectors")}}""")
     spark.stop()
   }
 }

@@ -150,6 +150,25 @@ class CorpusPipelineSpec extends AnyFunSuite {
         ++ Set("split", "shard", "shard_pos"))
     assert(out.select("split").distinct().collect().map(_.getString(0)).toSet
       .subsetOf(Set("train", "validation", "test")))
+
+    // publication: the curated corpus ships as serving artifacts, and
+    // both indexes serve EXACTLY the curated set — never a doc that
+    // curation dropped
+    val pubDir = java.nio.file.Files.createTempDirectory("publish").toString
+    val published = CorpusPipeline.publishIndexes(spark, sf, out, pubDir)
+    assert(published("text_docs") == n)
+    val lexical = TextIndex.search(spark, s"$pubDir/text_index",
+      graft.queries.TextQueries.bm25Queries)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(lexical.nonEmpty)
+    lexical.foreach(id => assert(survivors(id),
+      s"text index served dropped doc $id"))
+    val served = spark.read.parquet(s"$pubDir/vector_index/ivf_codes")
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    assert(served.nonEmpty)
+    assert(served.subsetOf(survivors),
+      "vector index carries codes for docs curation dropped")
+    assert(served.size == published("vectors"))
   }
 
   test("boilerplate strip removes exactly the flagged spans, others byte-identical") {
