@@ -184,6 +184,22 @@ object CorpusSoak {
     CorpusPipeline.stages(spark, sfDir).foreach { case (name, fn) =>
       cur = timed(s"pipeline_$name")(fn(cur))
     }
+
+    // -- publication (round 8): the curated survivors become serving
+    // artifacts — BM25 postings + IVF-PQ codes — in the same job.
+    // Cost scales with SURVIVORS (post-dedup the replicas are gone),
+    // not with the N× input: the phase's scale claim.
+    val t4 = System.nanoTime()
+    val pubDir = java.nio.file.Files
+      .createTempDirectory("soak_publish").toString
+    // replicas carry offset doc_ids with no embedding rows; publish the
+    // base-id survivors (the real corpus identity after dedup)
+    val publishable = cur.where(col("doc_id") < nBase)
+    val published = CorpusPipeline.publishIndexes(
+      spark, sfDir, publishable, pubDir)
+    println(f"""{"phase":"publish_indexes","text_docs":${
+      published("text_docs")},"vectors":${published("vectors")},"sec":${
+      (System.nanoTime() - t4) / 1e9}%.2f}""")
     spark.stop()
   }
 }
