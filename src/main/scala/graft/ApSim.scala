@@ -101,13 +101,22 @@ object ApSim {
         c.count() // materialize before the visit loop
         _ => c
       } else {
+        val tag = if (fromFile) s"file:${args(5)}" else s"gen:$catSize:seed42"
         if (!CatalogStore.exists(warehouse)) {
           val p0 = System.nanoTime()
           val n = CatalogStore.write(spark, rawCatalog, warehouse, cfg,
-            coLocate = false) // too big to cache ⇒ too big to double on disk
+            coLocate = false, // too big to cache ⇒ too big to double on disk
+            sourceTag = tag)
           println(s"""{"catalog":"persisted-bucketed","rows":$n,"sec":${
             (System.nanoTime() - p0) / 1e9}}""")
         } else {
+          // a rerun with a DIFFERENT catalog spec must not silently
+          // serve the stale persisted catalog
+          val have = CatalogStore.sourceTag(warehouse)
+          require(have.contains(tag),
+            s"warehouse $warehouse holds a persisted catalog from " +
+              s"'${have.getOrElse("?")}' but this run asked for '$tag' — " +
+              "delete the warehouse (or its catalog/ dir) to rebuild")
           println(s"""{"catalog":"resume-persisted-bucketed"}""")
         }
         val padRad = math.toRadians(cfg.regionPaddingArcsec / 3600.0)

@@ -424,13 +424,22 @@ object CorpusPipeline {
     * artifact row counts. */
   def publishIndexes(s: SparkSession, d: String, curated: DataFrame,
       outDir: String): Map[String, Long] = {
-    val text = curated.select(col("doc_id"), col("text"))
-    TextIndex.build(s, s"$outDir/text_index", text)
+    TextIndex.build(s, s"$outDir/text_index",
+      curated.select(col("doc_id"), col("text")))
     val emb = graft.queries.Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .join(curated.select(col("doc_id").as("vec_id")), "vec_id")
+      .localCheckpoint(true) // buildIvfPq consumes it twice (codes + vectors)
     VectorIndex.buildIvfPq(s, s"$outDir/vector_index", emb)
-    Map("text_docs" -> text.count(), "vectors" -> emb.count())
+    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(emb)
+    // counts come from the metas the builders just wrote — no extra jobs
+    def grab(path: String, key: String): Long =
+      (s""""$key":(\\d+)""").r
+        .findFirstMatchIn(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(path))).get.group(1).toLong
+    Map(
+      "text_docs" -> grab(s"$outDir/text_index/meta.json", "n_docs"),
+      "vectors" -> grab(s"$outDir/vector_index/meta_ivf.json", "vectors"))
   }
 
   /** Run the pipeline; returns (curated corpus, per-stage stats). */

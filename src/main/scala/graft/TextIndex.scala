@@ -139,36 +139,55 @@ object TextIndex {
     val dl = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
       .localCheckpoint(true)
-    val statsRow = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .collect()(0)
-    require(statsRow.getLong(0) > 0,
-      s"TextIndex.append: batch $batchId has no documents")
-    val clash = dl
-      .join(lengthsAll(spark, dir, excludeBatch = Some(batchId))
-        .select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .limit(1).count()
-    require(clash == 0,
-      s"TextIndex.append: batch $batchId contains doc_ids already in the " +
-        "index — appending would double-count their postings; rebuild instead")
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", bucketCol)
-      .withColumn("ingest_batch", lit(batchId))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch", "bucket")
-      .parquet(s"$dir/postings_delta")
-    dl.withColumn("ingest_batch", lit(batchId))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(s"$dir/lengths_delta")
-    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(dl)
-    // marker LAST: scalars + commit in one atomic-enough file create
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, s"meta_delta_batch_$batchId.json"),
+    // finally-released: the refusal paths below must not strand the
+    // eager checkpoint's blocks (a crash-looping stream retrying a
+    // clashing batch would otherwise accumulate them forever)
+    val statsRow =
+      try {
+        val row = dl
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+          .collect()(0)
+        require(row.getLong(0) > 0,
+          s"TextIndex.append: batch $batchId has no documents")
+        val clash = dl
+          .join(lengthsAll(spark, dir, excludeBatch = Some(batchId))
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .limit(1).count()
+        require(clash == 0,
+          s"TextIndex.append: batch $batchId contains doc_ids already in " +
+            "the index — appending would double-count their postings; " +
+            "rebuild instead")
+        docs.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("bucket", bucketCol)
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch", "bucket")
+          .parquet(s"$dir/postings_delta")
+        dl.withColumn("ingest_batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(s"$dir/lengths_delta")
+        row
+      } finally {
+        org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(dl)
+      }
+    // marker LAST, via temp + atomic rename: a crash mid-write must
+    // never leave a present-but-truncated marker (which would read as
+    // "committed" with corrupt scalars)
+    val marker =
+      java.nio.file.Paths.get(dir, s"meta_delta_batch_$batchId.json")
+    val tmp = java.nio.file.Paths.get(dir,
+      s".meta_delta_batch_$batchId.json.tmp")
+    java.nio.file.Files.writeString(tmp,
       s"""{"n_docs":${statsRow.getLong(0)},"sum_dl":${statsRow.getLong(1)}}""")
+    java.nio.file.Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Attach a (doc_id, text) stream: every micro-batch appends via

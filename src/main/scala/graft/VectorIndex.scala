@@ -359,6 +359,24 @@ object VectorIndex {
   private[graft] def nearestClusters(e: Array[Double], k: Int): Seq[Int] =
     nearestIn(DedupQueries.ivfCentroids, e, k)
 
+  /** The index's OWN PQ codebooks (persisted at build). Streamed
+    * ingest MUST encode with these, not the global defaults: an index
+    * built with trained books whose stream encodes with the seeded
+    * defaults would ADC-score every streamed vector against the wrong
+    * quantizer — silently garbage distances. */
+  private[graft] def loadIvfBooks(spark: SparkSession,
+      dir: String): Array[Array[Array[Long]]] = {
+    import spark.implicits._
+    val flat = spark.read.parquet(s"$dir/ivf_books")
+      .select(col("m"), col("k"), col("entry"))
+      .as[(Int, Int, Array[Long])].collect()
+    val out = Array.ofDim[Array[Long]](DedupQueries.PqSubspaces,
+      DedupQueries.PqK)
+    flat.foreach { case (m, kk, e) => out(m)(kk) = e }
+    require(out.forall(_.forall(_ != null)), s"$dir/ivf_books is incomplete")
+    out
+  }
+
   /** The index's OWN coarse centroids (persisted at build / re-trained
     * by [[rebalanceIvf]]); falls back to the fixed seeded set for dirs
     * written before centroids were persisted. */
@@ -439,17 +457,7 @@ object VectorIndex {
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "meta_ivf.json")),
       s"$dir/meta_ivf.json missing — not an IVF-PQ VectorIndex dir")
-    val cbT: Array[Array[Array[Long]]] = {
-      val flat = spark.read.parquet(s"$dir/ivf_books")
-        .select(col("m"), col("k"), col("entry"))
-        .as[(Int, Int, Array[Long])].collect()
-      val out = Array.ofDim[Array[Long]](DedupQueries.PqSubspaces,
-        DedupQueries.PqK)
-      flat.foreach { case (m, kk, e) => out(m)(kk) = e }
-      require(out.forall(_.forall(_ != null)),
-        s"$dir/ivf_books is incomplete")
-      out
-    }
+    val cbT = loadIvfBooks(spark, dir)
     // probe against the index's PERSISTED centroids (re-trained layouts
     // keep serving without code changes)
     val cents = loadIvfCentroids(spark, dir)
@@ -543,6 +551,10 @@ object VectorIndex {
     * signal that coarse assignment no longer matches the corpus. */
   def ivfDrift(spark: SparkSession, dir: String): Double = {
     import spark.implicits._
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "ivf_list_mass")),
+      s"$dir has no ivf_list_mass table (built before maintenance " +
+        "support) — rebuild with buildIvfPq to enable drift tracking")
     val trained = spark.read.parquet(s"$dir/ivf_list_mass")
       .as[(Int, Long)].collect().toMap
     val current = ivfListMass(spark, dir)
@@ -594,6 +606,17 @@ object VectorIndex {
       trainN: Long = DedupQueries.PqTrainN,
       rounds: Int = DedupQueries.KmeansRounds): Unit = {
     import spark.implicits._
+    // a code without its maintenance payload would silently VANISH in
+    // the inner join below and then lose its stream copy to the
+    // fold-in cleanup — refuse instead (cause: a crash between a
+    // batch's codes and vectors writes; the streamed batch replays and
+    // repairs it, a backfill caller must re-append)
+    val orphans = allIvfCodes(spark, dir)
+      .join(allIvfVectors(spark, dir), Seq("cand_id"), "left_anti")
+      .limit(1).count()
+    require(orphans == 0,
+      s"$dir has codes without ivf_vectors rows (a half-written batch?) " +
+        "— replay/re-append the batch before rebalancing")
     val listed = allIvfCodes(spark, dir)
       .join(allIvfVectors(spark, dir), Seq("cand_id"))
     // bounded training sample, stratified per list so drifted lists are
@@ -627,6 +650,13 @@ object VectorIndex {
       }
     }
     val centsB = spark.sparkContext.broadcast(cents)
+    // crash protocol: serving requires meta_ivf.json, so dropping it
+    // FIRST and rewriting it LAST turns a kill mid-rewrite into a loud
+    // "not an IVF-PQ dir" refusal instead of silently serving a
+    // truncated codes table (the marker-last rule CatalogStore and
+    // TextIndex.append follow)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "meta_ivf.json"))
     // re-assignment of every vector under the new centroids;
     // localCheckpoint breaks lineage BEFORE the overwrite reads the
     // same paths (the consolidateNight move). dropDuplicates folds

@@ -46,6 +46,16 @@ object CatalogStore {
   def exists(warehouse: String): Boolean =
     java.nio.file.Files.exists(metaPath(warehouse))
 
+  /** The source tag recorded at write time (e.g. "gen:<n>:<seed>" or
+    * "file:<path>") — resume paths compare it so a rerun with a
+    * DIFFERENT catalog spec fails loudly instead of silently serving
+    * the stale persisted catalog. */
+  def sourceTag(warehouse: String): Option[String] =
+    if (!exists(warehouse)) None
+    else """"source":"([^"]*)"""".r
+      .findFirstMatchIn(java.nio.file.Files.readString(metaPath(warehouse)))
+      .map(_.group(1))
+
   /** One-time build: index every row with the configured pixel scheme,
     * co-locate by bucket (one shuffle — the only time the full catalog
     * moves), sort by pixelId within buckets, write. Returns row count.
@@ -60,7 +70,8 @@ object CatalogStore {
     * cache — the case ApSim uses it for — and per-file pixelId sorting
     * keeps row-group stats tight either way. */
   def write(spark: SparkSession, catalog: DataFrame, warehouse: String,
-      cfg: ApdbConfig, coLocate: Boolean = true): Long = {
+      cfg: ApdbConfig, coLocate: Boolean = true,
+      sourceTag: String = ""): Long = {
     val indexed = catalog
       .withColumn("pixelId",
         SparkGeo.pixelIndexSky(cfg.skyPix, col("x"), col("y"), col("z")))
@@ -77,7 +88,7 @@ object CatalogStore {
       .parquet(dir(warehouse))
     val n = spark.read.schema(schema).parquet(dir(warehouse)).count()
     java.nio.file.Files.writeString(metaPath(warehouse),
-      s"""{"rows":$n,"pixLevel":${cfg.pixLevel},"pixMode":"${cfg.pixMode}","pixBucketShift":${cfg.pixBucketShift}}""")
+      s"""{"rows":$n,"pixLevel":${cfg.pixLevel},"pixMode":"${cfg.pixMode}","pixBucketShift":${cfg.pixBucketShift},"source":"$sourceTag"}""")
     n
   }
 

@@ -2641,7 +2641,13 @@ object DedupQueries {
     * pay the span chain once per (session, table dir) and re-read the
     * checkpointed result after that, the way the soak pipeline shares
     * its stage outputs. The x61 registry key itself stays UNmemoized so
-    * its bench reading remains the chain's real cost, not a cache hit. */
+    * its bench reading remains the chain's real cost, not a cache hit.
+    *
+    * Contract: registry table dirs are IMMUTABLE for a session's
+    * lifetime (the driver's testdata contract) — a dir regenerated
+    * mid-session would serve the memoized pre-rewrite frame. Entries
+    * (one corpus-sized frame per (session, dir)) live until the
+    * session stops; the registry sees at most a handful of dirs. */
   private val x61Shared = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]
   private def x61CleanedShared(s: SparkSession, d: String): DataFrame =

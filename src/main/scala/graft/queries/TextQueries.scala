@@ -1896,42 +1896,16 @@ object TextQueries {
     * hash-cardinality-, not corpus-, sized), then unpivots a one-row
     * frame into the four report rows. */
   val x107CurationFunnel: QFn = (s, d) => {
-    val langs = langProfiles.map(_._1)
-    val scored = langProfiles.foldLeft(
-      Tables.documents(s, d).withColumn("w", split(col("text"), " "))) {
-      case (df, (lang, words)) =>
-        val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
-        df.withColumn(s"score_$lang",
-          expr(s"size(filter(w, t -> t IN $set))"))
-    }
-    // en is first in the profile order, so it wins every tie (x9's rule)
-    val langEn = col("score_en") > 0 &&
-      langs.filter(_ != "en")
-        .map(o => col("score_en") >= col(s"score_$o")).reduce(_ && _)
-    val stopArr = GopherStopwords.map(w => s"'$w'")
-      .mkString("array(", ", ", ")")
-    val flags = scored
-      .withColumn("lang_en", langEn)
-      .withColumn("n_words", size(col("w")).cast("long"))
-      .withColumn("n_word_chars",
-        expr("aggregate(w, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"))
-      .withColumn("n_alpha_words",
-        expr("size(filter(w, x -> x rlike '[a-zA-Z]'))").cast("long"))
-      .withColumn("n_stop",
-        expr(s"size(filter($stopArr, sw -> array_contains(w, sw)))")
-          .cast("long"))
-      .withColumn("n_symbols",
-        (length(col("text")) - length(expr("replace(text, '#', '')")) +
-          expr("(length(text) - length(replace(text, '...', ''))) DIV 3"))
-          .cast("long"))
-      .withColumn("pass_gopher",
-        col("n_words") >= 50 && col("n_words") <= 100000 &&
-          (col("n_word_chars").cast("double") / col("n_words")) >= 3.0 &&
-          (col("n_word_chars").cast("double") / col("n_words")) <= 10.0 &&
-          (col("n_symbols").cast("double") / col("n_words")) < 0.1 &&
-          (col("n_alpha_words").cast("double") / col("n_words")) > 0.8 &&
-          col("n_stop") >= GopherMinStopwords)
-      .withColumn("h", md5(col("text")))
+    // COMPOSE the gates, never re-derive them: the funnel joins x9's
+    // own detected_lang and x66's own pass_gopher frames, so a
+    // threshold change in either operator flows into this report by
+    // construction (the x63-composes-x61 rule)
+    val flags = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(x9Langid(s, d).select(col("doc_id"),
+        (col("detected_lang") === "en").as("lang_en")), "doc_id")
+      .join(x66QualityRules(s, d)
+        .select(col("doc_id"), col("pass_gopher")), "doc_id")
     flags.agg(
         count(lit(1)).as("n0"),
         sum(when(col("lang_en"), 1L).otherwise(0L)).as("n1"),
@@ -1949,42 +1923,17 @@ object TextQueries {
       .orderBy(col("stage"))
   }
 
-  /** Oracle: the same flags in one scan, the same single aggregate, the
-    * same four-row unpivot. */
+  /** Oracle: subquery-wraps x9's and x66's OWN SQL (the composition
+    * rule — the funnel can never drift from the gates it reports on),
+    * then the same single aggregate and four-row unpivot. */
   val x107Sql: String = {
-    val scoreExprs = langProfiles.map { case (lang, words) =>
-      val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
-      s"CAST(length(list_filter(w, t -> t IN $set)) AS BIGINT) AS score_$lang"
-    }.mkString(",\n    ")
-    val langs = langProfiles.map(_._1)
-    val langEn = (s"score_en > 0" +:
-      langs.filter(_ != "en").map(o => s"score_en >= score_$o"))
-      .mkString(" AND ")
-    val stopList = GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH f AS (
-       |  SELECT doc_id, md5(text) AS h,
-       |    $scoreExprs,
-       |    CAST(length(w) AS BIGINT) AS n_words,
-       |    CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
-       |      AS BIGINT) AS n_word_chars,
-       |    CAST(length(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
-       |      AS BIGINT) AS n_alpha_words,
-       |    CAST(length(list_filter($stopList, sw -> list_contains(w, sw)))
-       |      AS BIGINT) AS n_stop,
-       |    CAST(length(text) - length(replace(text, '#', ''))
-       |      + (length(text) - length(replace(text, '...', ''))) // 3
-       |      AS BIGINT) AS n_symbols
-       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
-       |        FROM documents)),
-       |g AS (
-       |  SELECT h, ($langEn) AS lang_en,
-       |    (n_words >= 50 AND n_words <= 100000
-       |      AND n_word_chars / CAST(n_words AS DOUBLE) >= 3.0
-       |      AND n_word_chars / CAST(n_words AS DOUBLE) <= 10.0
-       |      AND n_symbols / CAST(n_words AS DOUBLE) < 0.1
-       |      AND n_alpha_words / CAST(n_words AS DOUBLE) > 0.8
-       |      AND n_stop >= $GopherMinStopwords) AS pass_gopher
-       |  FROM f),
+    s"""WITH g AS (
+       |  SELECT md5(d.text) AS h,
+       |    (l.detected_lang = 'en') AS lang_en,
+       |    q.pass_gopher
+       |  FROM documents d
+       |  JOIN (${x9Sql.replace("\n", "\n    ")}) l USING (doc_id)
+       |  JOIN (${x66Sql.replace("\n", "\n    ")}) q USING (doc_id)),
        |a AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
        |    CAST(SUM(CASE WHEN lang_en THEN 1 ELSE 0 END) AS BIGINT) AS n1,

@@ -35,12 +35,16 @@ object VectorIngest {
 
   /** Encode and land ONE micro-batch, idempotently (see object doc).
     * Callable directly for backfill; foreachBatch binds it for
-    * streams. */
+    * streams. Codes are produced with the INDEX'S persisted codebooks
+    * (a trained-books index would otherwise ADC-score streamed vectors
+    * against the wrong quantizer — silently garbage distances); the
+    * `books` override exists for tests that probe mismatch behavior. */
   def appendBatch(spark: SparkSession, dir: String, batch: DataFrame,
       batchId: Long,
-      books: Array[Array[Array[Long]]] = DedupQueries.pqCodebooks): Unit = {
+      books: Array[Array[Array[Long]]] = null): Unit = {
     import spark.implicits._
-    val cb = spark.sparkContext.broadcast(books)
+    val cb = spark.sparkContext.broadcast(
+      if (books != null) books else VectorIndex.loadIvfBooks(spark, dir))
     // coarse-assign under the index's CURRENT persisted centroids (a
     // rebalanceIvf between batches re-trains them; batches before/after
     // land consistently with how serving will probe)
