@@ -150,6 +150,56 @@ class TextIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("double-count"))
   }
 
+  test("streaming ingest: kill-and-resume appends exactly once") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val base = docs.where(col("doc_id") < 30)
+    val feed = docs.where(col("doc_id") >= 30)
+    val dir = java.nio.file.Files.createTempDirectory("txtstream").toString
+    TextIndex.build(spark, dir, base)
+
+    // file-source staging + checkpoint restarts (VectorIngestSpec's
+    // kill-and-resume shape)
+    val inDir = s"$dir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val chk = s"$dir/chk"
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("tstage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(inDir, name))
+    }
+    def runOnce(): Unit = {
+      val q = TextIndex.ingest(spark, dir,
+        spark.readStream.schema(feed.schema).parquet(inDir), chk)
+      q.processAllAvailable(); q.stop()
+    }
+    stage(feed.where(col("doc_id") < 40), "f1.parquet")
+    runOnce() // run 1, then the "kill"
+    stage(feed.where(col("doc_id") >= 40), "f2.parquet")
+    runOnce() // resume from the SAME checkpoint: f1 must not re-append
+
+    // exactly-once: every feed doc indexed exactly once across restarts
+    val delta = spark.read.parquet(s"$dir/lengths_delta")
+      .select("doc_id").as[Long].collect()
+    assert(delta.length == delta.distinct.length,
+      "restart double-appended a batch")
+    assert(delta.toSet == feed.select("doc_id").as[Long].collect().toSet)
+
+    // the grown index ranks exactly like a monolithic rebuild
+    val full = java.nio.file.Files.createTempDirectory("txtfull2").toString
+    TextIndex.build(spark, full, docs)
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq ==
+      TextIndex.search(spark, full, TextQueries.bm25Queries)
+        .collect().map(_.toString).toSeq,
+      "stream-grown index diverged from monolithic rebuild")
+  }
+
   test("meta guards: a non-index dir fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notidx").toString
     val e = intercept[Exception] {
