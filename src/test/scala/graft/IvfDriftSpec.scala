@@ -163,5 +163,25 @@ class IvfDriftSpec extends AnyFunSuite {
         .withColumnRenamed("vec_id", "query_id"), k = 3)
       .select("cand_id").as[Long].collect().toSet
     assert(postIds.nonEmpty)
+
+    // a batch whose vectors payload is missing (killed between the two
+    // stream writes) must make rebalance REFUSE, not silently drop the
+    // orphaned codes during the fold-in
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(java.nio.file.Paths.get(dir, "ivf_vectors_stream", "ingest_batch=50")
+      .toFile)
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.rebalanceIvf(spark, dir)
+    }
+    assert(e.getMessage.contains("half-written"))
+    // replaying the batch repairs it and rebalance proceeds
+    VectorIngest.appendBatch(spark, dir,
+      fresh.toDF("vec_id", "embedding"), batchId = 50L)
+    VectorIndex.rebalanceIvf(spark, dir)
+    assert(spark.read.parquet(s"$dir/ivf_codes").count() ==
+      all.length + fresh.length)
   }
 }
