@@ -22,7 +22,8 @@ object VectorIndexTool {
       "search <graph|hier|pq|ivfpq|bin> <indexDir> <queryParquet> <outParquet> [k] [excludeSelf] " +
       "(excludeSelf=true drops cand_id==query_id matches — bin family only; " +
       "without it a query that is also an index member returns itself at rank 1) | " +
-      "drift ivfpq <indexDir> | maintain ivfpq <indexDir> [bound]"
+      "drift ivfpq <indexDir> | maintain ivfpq <indexDir> [bound] | " +
+      "insert <graph|hier> <indexDir> <embParquet>"
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -75,6 +76,13 @@ object VectorIndexTool {
         }
         out.write.mode("overwrite").parquet(args(4))
         println(s"""{"searched":"$family","queries":${queries.count()},"k":$k,"out":"${args(4)}"}""")
+      case "insert" =>
+        require(args.length >= 4, usage)
+        require(family == "graph" || family == "hier",
+          s"insert applies to graph/hier — $usage")
+        VectorIndex.insert(spark, dir, spark.read.parquet(args(3))
+          .select(col("vec_id"), col("embedding")))
+        println(s"""{"inserted":"$family","dir":"$dir"}""")
       case "drift" =>
         require(family == "ivfpq", s"drift applies to ivfpq — $usage")
         println(s"""{"drift":${VectorIndex.ivfDrift(spark, dir)},"dir":"$dir"}""")

@@ -207,6 +207,20 @@ class VectorIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       VectorIndexTool.run(spark, Array("build", "hnsw", s"$root/idx", embSrc))
     }
+    // the insert verb grows an existing graph index from the CLI
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .where(col("vec_id") >= 480)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .write.parquet(s"$root/grow.parquet")
+    VectorIndexTool.run(spark,
+      Array("insert", "hier", s"$root/hidx", s"$root/grow.parquet"))
+    VectorIndexTool.run(spark, Array("search", "hier", s"$root/hidx",
+      s"$root/queries.parquet", s"$root/hout2.parquet", "3"))
+    assert(spark.read.parquet(s"$root/hout2.parquet").count() == 3 * 3)
+    intercept[IllegalArgumentException] {
+      VectorIndexTool.run(spark,
+        Array("insert", "pq", s"$root/idx", s"$root/grow.parquet"))
+    }
   }
 
   test("serve default keeps coincidental id collisions (fresh-id batches)") {
