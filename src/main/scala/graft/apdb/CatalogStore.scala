@@ -87,8 +87,16 @@ object CatalogStore {
       .partitionBy("pix_bucket")
       .parquet(dir(warehouse))
     val n = spark.read.schema(schema).parquet(dir(warehouse)).count()
-    java.nio.file.Files.writeString(metaPath(warehouse),
+    // Marker via tmp + ATOMIC_MOVE (same protocol as TextIndex.append):
+    // a crash mid-write must leave NO marker (triggering rebuild), never
+    // a truncated one that passes exists() but fails the scheme check.
+    val marker = metaPath(warehouse)
+    val tmp = marker.resolveSibling("." + marker.getFileName + ".tmp")
+    java.nio.file.Files.writeString(tmp,
       s"""{"rows":$n,"pixLevel":${cfg.pixLevel},"pixMode":"${cfg.pixMode}","pixBucketShift":${cfg.pixBucketShift},"source":"$sourceTag"}""")
+    java.nio.file.Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     n
   }
 

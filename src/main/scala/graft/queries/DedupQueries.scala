@@ -2646,13 +2646,30 @@ object DedupQueries {
     * Contract: registry table dirs are IMMUTABLE for a session's
     * lifetime (the driver's testdata contract) — a dir regenerated
     * mid-session would serve the memoized pre-rewrite frame. Entries
-    * (one corpus-sized frame per (session, dir)) live until the
-    * session stops; the registry sees at most a handful of dirs. */
+    * (one corpus-sized frame per (session, dir)) are EVICTED when the
+    * owning session's SparkContext ends (listener below, VERDICT r8
+    * #6) so a long-lived multi-session service does not pin
+    * checkpointed blocks of stopped sessions; the registry sees at
+    * most a handful of dirs. */
   private val x61Shared = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]
-  private def x61CleanedShared(s: SparkSession, d: String): DataFrame =
+  private val x61ListenerHooked = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[SparkSession]()
+  private def x61CleanedShared(s: SparkSession, d: String): DataFrame = {
+    if (x61ListenerHooked.add(s)) {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            x61Shared.keySet.removeIf(_._1 eq s)
+            x61ListenerHooked.remove(s)
+          }
+        })
+    }
     x61Shared.computeIfAbsent((s, d),
       _ => x61SpanExcise(s, d).localCheckpoint(true))
+  }
 
   /** x63 — the curation AUDIT artifact: per source, the document count,
     * span-excision loss (x61's removed words) and affected-document

@@ -91,8 +91,8 @@ class HilbertSpec extends AnyFunSuite {
     var hTotal = 0L
     var zTotal = 0L
     (1 to 100).foreach { _ =>
-      val xLo = math.abs(rng.nextLong()) % (HilbertCurve.AxisMax - 300)
-      val yLo = math.abs(rng.nextLong()) % (HilbertCurve.AxisMax - 300)
+      val xLo = (rng.nextLong() >>> 1) % (HilbertCurve.AxisMax - 300)
+      val yLo = (rng.nextLong() >>> 1) % (HilbertCurve.AxisMax - 300)
       val w = 1 + rng.nextInt(250); val h = 1 + rng.nextInt(250)
       hTotal += HilbertCurve.boxRanges(xLo, xLo + w, yLo, yLo + h,
         maxRanges = Int.MaxValue).size
