@@ -602,10 +602,37 @@ object VectorIndex {
     * duplicate of a base row, which serving already deduplicates by
     * (query, cand) — the same at-least-once contract the ingest path
     * documents. */
+  /** Test seam: runs after [[rebalanceIvf]] snapshots the stream batch
+    * dirs and before any consolidation read — lets a spec land a
+    * "mid-rebalance" ingest batch deterministically to pin the
+    * only-delete-what-you-read contract. No-op in production. */
+  private[graft] var postEnumerateHook: () => Unit = () => ()
+
   def rebalanceIvf(spark: SparkSession, dir: String,
       trainN: Long = DedupQueries.PqTrainN,
       rounds: Int = DedupQueries.KmeansRounds): Unit = {
     import spark.implicits._
+    // Snapshot the stream batch partition dirs NOW: only these are
+    // guaranteed to be in the consolidation read below, so only these
+    // may be deleted afterwards. A batch an ingest lands mid-rebalance
+    // stays on disk and folds in on the NEXT run; if its rows also got
+    // swept into this run's scans the duplicate is collapsed by the
+    // rewrite's dropDuplicates / serving's (query, cand) dedup. The
+    // previous wholesale rm raced a live ingest into silent loss.
+    val consolidatedBatchDirs =
+      Seq("ivf_codes_stream", "ivf_vectors_stream").flatMap { t =>
+        val p = java.nio.file.Paths.get(dir, t)
+        if (!java.nio.file.Files.exists(p)) Seq.empty
+        else {
+          val s = java.nio.file.Files.list(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.filter(_.getFileName.toString
+              .startsWith("ingest_batch=")).toVector
+          } finally s.close()
+        }
+      }
+    postEnumerateHook()
     // a code without its maintenance payload would silently VANISH in
     // the inner join below and then lose its stream copy to the
     // fold-in cleanup — refuse instead (cause: a crash between a
@@ -617,8 +644,33 @@ object VectorIndex {
     require(orphans == 0,
       s"$dir has codes without ivf_vectors rows (a half-written batch?) " +
         "— replay/re-append the batch before rebalancing")
-    val listed = allIvfCodes(spark, dir)
+    // Self-heal the crashed-rebalance state: a kill mid ivf_codes
+    // overwrite leaves vectors whose codes are gone (meta_ivf.json is
+    // already dropped, so serving refuses loudly — but a rerun here
+    // used to consolidate those vectors AWAY, permanent loss). Their
+    // embeddings are intact in ivf_vectors and the books are persisted,
+    // so re-encode the missing codes instead of dropping the rows.
+    val codeless = allIvfVectors(spark, dir)
+      .join(allIvfCodes(spark, dir).select(col("cand_id")),
+        Seq("cand_id"), "left_anti")
+    val listedBase = allIvfCodes(spark, dir)
       .join(allIvfVectors(spark, dir), Seq("cand_id"))
+    val listed =
+      if (codeless.isEmpty) listedBase
+      else {
+        val booksB = spark.sparkContext.broadcast(loadIvfBooks(spark, dir))
+        val oldCentsB =
+          spark.sparkContext.broadcast(loadIvfCentroids(spark, dir))
+        val repaired = codeless.select(col("cand_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .map { case (cid, e) =>
+            val ed = e.map(_.toDouble)
+            (nearestIn(oldCentsB.value, ed, 1).head, cid,
+              DedupQueries.pqEncode(
+                ed.map(DedupQueries.scale1e6), booksB.value), e)
+          }.toDF("list", "cand_id", "code", "embedding")
+        listedBase.unionByName(repaired)
+      }
     // bounded training sample, stratified per list so drifted lists are
     // represented however lopsided the current layout is
     val perList = math.max(1L,
@@ -677,16 +729,23 @@ object VectorIndex {
     reassigned.select(col("cand_id"), col("embedding"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/ivf_vectors")
     org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(reassigned)
-    // streamed codes + vectors are folded into the base now
+    // Only the batch dirs enumerated BEFORE the consolidation read are
+    // folded-in for certain — delete exactly those; later-landing
+    // batches stay for the next rebalance (ADVICE r8 race fix). The
+    // top-level stream dir goes too once no subdirectory remains (a
+    // mid-write batch shows up as a _temporary/ingest_batch= child and
+    // blocks the sweep).
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    consolidatedBatchDirs.foreach { p =>
+      if (java.nio.file.Files.exists(p)) rm(p.toFile)
+    }
     Seq("ivf_codes_stream", "ivf_vectors_stream").foreach { t =>
       val p = java.nio.file.Paths.get(dir, t)
-      if (java.nio.file.Files.exists(p)) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(p.toFile)
-      }
+      if (java.nio.file.Files.exists(p) &&
+        p.toFile.listFiles().forall(!_.isDirectory)) rm(p.toFile)
     }
     writeIvfLayout(spark, dir, cents)
     val n = spark.read.parquet(s"$dir/ivf_codes").count()

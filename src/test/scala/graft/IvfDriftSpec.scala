@@ -184,4 +184,91 @@ class IvfDriftSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/ivf_codes").count() ==
       all.length + fresh.length)
   }
+
+  test("crashed-rebalance self-heal and mid-rebalance ingest survival") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = (0 until 200).map { i =>
+      (i.toLong, Array.fill(dims)((rng.nextGaussian() / 8.0).toFloat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivfcrash").toString
+    val books = DedupQueries.trainPqCodebooks(
+      base.take(128).map(_._2.map(f =>
+        DedupQueries.scale1e6(f.toDouble))).toArray)
+    VectorIndex.buildIvfPq(spark, dir, base.toDF("vec_id", "embedding"),
+      books)
+
+    // Simulate a kill mid ivf_codes overwrite: meta_ivf.json is already
+    // dropped (the marker-first protocol) and some list partitions of
+    // the codes table never made it to disk — their vectors survive
+    // only in ivf_vectors.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "meta_ivf.json"))
+    val listDirs = java.nio.file.Paths.get(dir, "ivf_codes").toFile
+      .listFiles().filter(_.getName.startsWith("list="))
+    assert(listDirs.length > 2, "fixture needs several list partitions")
+    val lost = spark.read.parquet(listDirs.take(2).map(_.toString): _*)
+      .select("cand_id").as[Long].collect().toSet
+    assert(lost.nonEmpty)
+    listDirs.take(2).foreach(rm)
+
+    // The rerun must re-encode the lost codes from ivf_vectors with the
+    // persisted books — not consolidate the vectors away.
+    VectorIndex.rebalanceIvf(spark, dir)
+    val healedIds = spark.read.parquet(s"$dir/ivf_codes")
+      .select("cand_id").as[Long].collect()
+    assert(healedIds.length == base.length, "self-heal lost rows")
+    assert(healedIds.toSet == base.map(_._1).toSet,
+      "self-heal did not restore the lost cand_ids")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "meta_ivf.json")))
+    // healed codes still serve: a lost id queried against itself comes
+    // back as its own top candidate
+    val probe = lost.head
+    val probeEmb = base.find(_._1 == probe).get._2
+    val top = VectorIndex.searchIvfPq(spark, dir,
+      Seq((probe, probeEmb)).toDF("query_id", "embedding"), k = 1,
+      probes = DedupQueries.IvfClusters)
+      .select("cand_id").as[Long].collect()
+    assert(top.headOption.contains(probe),
+      s"healed id $probe does not serve itself (got ${top.toSeq})")
+
+    // A batch landing AFTER rebalance snapshots the stream dirs must
+    // never be deleted-without-fold-in: it either survives on disk for
+    // the next run or is consolidated — its rows always serve.
+    val late = (0 until 15).map { j =>
+      (9000L + j, Array.fill(dims)((rng.nextGaussian() / 8.0).toFloat))
+    }
+    VectorIndex.postEnumerateHook = () =>
+      VectorIngest.appendBatch(spark, dir,
+        late.toDF("vec_id", "embedding"), batchId = 77L, books)
+    try VectorIndex.rebalanceIvf(spark, dir)
+    finally VectorIndex.postEnumerateHook = () => ()
+    val lateCodesDir = java.nio.file.Paths.get(dir,
+      "ivf_codes_stream", "ingest_batch=77")
+    val lateVecsDir = java.nio.file.Paths.get(dir,
+      "ivf_vectors_stream", "ingest_batch=77")
+    assert(java.nio.file.Files.exists(lateCodesDir) &&
+      java.nio.file.Files.exists(lateVecsDir),
+      "mid-rebalance batch was deleted before a fold-in it missed")
+    val lateProbe = VectorIndex.searchIvfPq(spark, dir,
+      Seq((9000L, late.head._2)).toDF("query_id", "embedding"), k = 1,
+      probes = DedupQueries.IvfClusters)
+      .select("cand_id").as[Long].collect()
+    assert(lateProbe.headOption.contains(9000L),
+      "mid-rebalance batch does not serve")
+    // the NEXT rebalance folds it in exactly once
+    VectorIndex.rebalanceIvf(spark, dir)
+    assert(!java.nio.file.Files.exists(lateCodesDir) &&
+      !java.nio.file.Files.exists(lateVecsDir))
+    val finalCodes = spark.read.parquet(s"$dir/ivf_codes")
+    assert(finalCodes.count() == base.length + late.length)
+    assert(finalCodes.select("cand_id").distinct().count() ==
+      base.length + late.length,
+      "fold-in duplicated a mid-rebalance batch's rows")
+  }
 }
