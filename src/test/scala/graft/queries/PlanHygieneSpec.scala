@@ -156,6 +156,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       // the contraction rounds shuffle the edge/label frontier;
       // measured 5 740 total across all rounds
       "x48_semantic_dedup" -> 12000L,
+      // cell-bounded x48: the kmeans rounds shuffle ≤ 1024 agg cells
+      // each, the per-cell block scan shuffles n × Ring × Blocks
+      // replicated rows (500 × 3 × 4 = 6 000 at sf0.001) plus the
+      // threshold-passing pairs and contraction frontier
+      "x108_semantic_dedup_cells" -> 16000L,
       // word-frequency-bounded: the corpus collapses to distinct words
       // before the pair explosion (measured 112; shuffling raw corpus
       // tokens instead would move ≥ 10 k), top-50 is TakeOrdered
