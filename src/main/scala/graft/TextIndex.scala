@@ -136,6 +136,7 @@ object TextIndex {
       batchId: Long): Unit = {
     require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "meta.json")),
       s"TextIndex.append: $dir has no meta.json — build the base index first")
+    requireNoPendingCompact(dir, "append")
     val dl = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
       .localCheckpoint(true)
@@ -190,6 +191,134 @@ object TextIndex {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  // -- delta compaction (VERDICT r8 #3: the lifecycle's third verb) ------
+
+  /** Test seam: runs immediately after [[compact]] writes its commit
+    * marker and before the swap — lets a spec kill the job at the
+    * worst instant deterministically. No-op in production. */
+  private[graft] var compactCrashHook: () => Unit = () => ()
+
+  private def compactMarker(dir: String) =
+    java.nio.file.Paths.get(dir, "meta_compact.json")
+
+  /** Refuse to serve/append across a half-finished compaction: between
+    * the commit marker and the final cleanup the on-disk state mixes
+    * folded and unfolded rows, and reading it would double-count. */
+  private def requireNoPendingCompact(dir: String, op: String): Unit =
+    require(!java.nio.file.Files.exists(compactMarker(dir)),
+      s"TextIndex.$op: $dir has a committed-but-unfinished compaction " +
+        "(meta_compact.json present) — run TextIndex.compact(dir) to " +
+        "finish it first")
+
+  /** Fold every COMMITTED delta batch into the base postings/lengths
+    * tables and rewrite meta — the segment-merge verb between
+    * [[append]] (which accumulates per-batch partitions forever) and a
+    * full [[build]] (reference analog: the nightly DiaObject copy/
+    * delete consolidation, `log2influx.py:197-204`). Serving is
+    * byte-identical before and after: the folded tables hold the same
+    * (doc_id, term, tf)/(doc_id, dl) row sets and the integer BM25
+    * kernel is summation-order-free.
+    *
+    * Crash protocol (two-phase): the consolidated tables are staged to
+    * `postings_next`/`lengths_next` while serving still reads the old
+    * layout — a kill before the marker leaves only dead staging dirs,
+    * and a rerun restarts cleanly. The atomic `meta_compact.json` write
+    * is THE commit point: it records the new scalars and the folded
+    * batch ids, after which [[search]]/[[append]] refuse (the
+    * intermediate swap states double-count) and re-running compact
+    * replays the remaining idempotent steps — dir renames are atomic,
+    * deletes idempotent, meta rewritten from the marker, marker removed
+    * last. Batches appended AFTER the marker was cut are untouched and
+    * fold on the next cycle.
+    *
+    * Returns the number of delta batches folded (0 = nothing to do). */
+  def compact(spark: SparkSession, dir: String): Int = {
+    // resume a committed-but-unfinished cycle before anything else
+    if (java.nio.file.Files.exists(compactMarker(dir)))
+      return finishCompact(dir)
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "meta.json")),
+      s"TextIndex.compact: $dir has no meta.json — not a TextIndex dir")
+    val batches = committedBatches(dir)
+    if (batches.isEmpty) return 0
+    val (nDocsBase, sumDlBase, buckets) = meta(dir)
+    val (nDocs, sumDl) = batches.foldLeft((nDocsBase, sumDlBase)) {
+      case ((n, s), b) => val (dn, ds) = deltaMeta(dir, b); (n + dn, s + ds)
+    }
+    // phase 1 — stage the folded tables; serving still reads the old
+    // layout. One file per bucket: compaction is also where the
+    // append-cycle file growth resets.
+    val postAll = spark.read.parquet(s"$dir/postings")
+      .select(col("doc_id"), col("term"), col("tf"), col("bucket"))
+      .unionByName(spark.read.parquet(s"$dir/postings_delta")
+        .where(col("ingest_batch").isin(batches: _*))
+        .select(col("doc_id"), col("term"), col("tf"), col("bucket")))
+    postAll.repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(s"$dir/postings_next")
+    lengthsAll(spark, dir).coalesce(
+      math.max(1, spark.sparkContext.defaultParallelism / 4))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lengths_next")
+    // phase 2 — THE commit point (atomic marker, same protocol as
+    // append's batch markers)
+    val tmp = java.nio.file.Paths.get(dir, ".meta_compact.json.tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"n_docs":$nDocs,"sum_dl":$sumDl,"buckets":$buckets,"folded":[${batches.mkString(",")}]}""")
+    java.nio.file.Files.move(tmp, compactMarker(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    compactCrashHook()
+    // phase 3 — idempotent finish
+    finishCompact(dir)
+  }
+
+  /** Replay the post-commit steps of a compaction cycle; every step is
+    * idempotent, so a kill anywhere in here is repaired by calling it
+    * (or [[compact]]) again. */
+  private def finishCompact(dir: String): Int = {
+    val txt = java.nio.file.Files.readString(compactMarker(dir))
+    def grab(k: String): Long =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    val folded = """"folded":\[([0-9,]*)\]""".r.findFirstMatchIn(txt).get
+      .group(1).split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+    def rm(f: java.io.File): Unit =
+      if (f.exists()) {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+    Seq("postings", "lengths").foreach { t =>
+      val next = java.nio.file.Paths.get(dir, s"${t}_next")
+      if (java.nio.file.Files.exists(next)) {
+        rm(java.nio.file.Paths.get(dir, t).toFile)
+        java.nio.file.Files.move(next, java.nio.file.Paths.get(dir, t))
+      }
+    }
+    folded.foreach { b =>
+      rm(java.nio.file.Paths.get(dir, "postings_delta", s"ingest_batch=$b")
+        .toFile)
+      rm(java.nio.file.Paths.get(dir, "lengths_delta", s"ingest_batch=$b")
+        .toFile)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, s"meta_delta_batch_$b.json"))
+    }
+    // drop now-empty delta roots so the layout returns to the as-built
+    // shape (a batch appended after the commit marker keeps its root)
+    Seq("postings_delta", "lengths_delta").foreach { t =>
+      val p = java.nio.file.Paths.get(dir, t)
+      if (java.nio.file.Files.exists(p) &&
+        p.toFile.listFiles().forall(!_.isDirectory)) rm(p.toFile)
+    }
+    val metaTmp = java.nio.file.Paths.get(dir, ".meta.json.tmp")
+    java.nio.file.Files.writeString(metaTmp,
+      s"""{"n_docs":${grab("n_docs")},"sum_dl":${grab("sum_dl")},"buckets":${grab("buckets")}}""")
+    java.nio.file.Files.move(metaTmp,
+      java.nio.file.Paths.get(dir, "meta.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.delete(compactMarker(dir))
+    folded.size
+  }
+
   /** Attach a (doc_id, text) stream: every micro-batch appends via
     * [[append]]; restart with the same checkpoint replays the killed
     * batch into its own partitions — exactly-once by layout. */
@@ -215,6 +344,7 @@ object TextIndex {
       queryBatch: Seq[(Long, Seq[String])],
       k: Int = TextQueries.Bm25TopK): DataFrame = {
     import spark.implicits._
+    requireNoPendingCompact(dir, "search")
     val (nDocsBase, sumDlBase, buckets) = meta(dir)
     require(buckets == TermBuckets,
       s"$dir built with $buckets buckets, this build expects $TermBuckets")

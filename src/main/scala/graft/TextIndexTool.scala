@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   runMain graft.TextIndexTool build <indexDir> <docsParquet>
   *   runMain graft.TextIndexTool append <indexDir> <docsParquet> <batchId>
+  *   runMain graft.TextIndexTool compact <indexDir>
   *   runMain graft.TextIndexTool search <indexDir> <queryParquet> <outParquet> [k]
   *
   * `docsParquet` needs (doc_id, text); `queryParquet` is a flat
@@ -19,6 +20,7 @@ object TextIndexTool {
   private val usage =
     "usage: TextIndexTool build <indexDir> <docsParquet> | " +
       "append <indexDir> <docsParquet> <batchId> | " +
+      "compact <indexDir> | " +
       "search <indexDir> <queryParquet> <outParquet> [k]"
 
   def main(args: Array[String]): Unit = {
@@ -35,10 +37,14 @@ object TextIndexTool {
 
   /** The tool body, session-injected (tests drive this directly). */
   def run(spark: SparkSession, args: Array[String]): Unit = {
-    require(args.length >= 3, usage)
+    require(args.length >= 2, usage)
     val (mode, dir) = (args(0), args(1))
     mode match {
+      case "compact" =>
+        val folded = TextIndex.compact(spark, dir)
+        println(s"""{"compacted":"bm25","dir":"$dir","folded_batches":$folded}""")
       case "build" =>
+        require(args.length >= 3, usage)
         TextIndex.build(spark, dir,
           spark.read.parquet(args(2)).select(col("doc_id"), col("text")))
         println(s"""{"built":"bm25","dir":"$dir"}""")

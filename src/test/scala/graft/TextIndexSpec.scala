@@ -200,6 +200,88 @@ class TextIndexSpec extends AnyFunSuite {
       "stream-grown index diverged from monolithic rebuild")
   }
 
+  test("compact: identical serving, bounded files across cycles, crash-resumable") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    def countFiles(p: String): Int = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) 0
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(q => q.toString.endsWith(".parquet")).count().toInt
+        finally s.close()
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("txtcomp").toString
+    TextIndex.build(spark, dir, docs.where(col("doc_id") % 5 === 0))
+    (1 to 3).foreach { m =>
+      TextIndex.append(spark, dir,
+        docs.where(col("doc_id") % 5 === m), batchId = m.toLong)
+    }
+    val want = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+    assert(countFiles(s"$dir/postings_delta") > 0)
+
+    // fold: serving must be byte-identical, deltas gone, scalars rolled
+    assert(TextIndex.compact(spark, dir) == 3)
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want,
+      "compaction changed served rankings")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "postings_delta")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "lengths_delta")))
+    val filesAfterC1 = countFiles(s"$dir/postings")
+
+    // nothing to fold → no-op
+    assert(TextIndex.compact(spark, dir) == 0)
+
+    // a second append/compact cycle lands at the SAME file count — the
+    // growth append accumulates is reset every cycle
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") % 5 === 4), batchId = 10L)
+    val want2 = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+    assert(TextIndex.compact(spark, dir) == 1)
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want2)
+    assert(countFiles(s"$dir/postings") == filesAfterC1,
+      "postings file count grows across append/compact cycles")
+    // fully folded index serves exactly like a monolithic rebuild
+    val full = java.nio.file.Files.createTempDirectory("txtcompfull").toString
+    TextIndex.build(spark, full, docs)
+    assert(want2 == TextIndex.search(spark, full, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq,
+      "compacted index diverged from monolithic rebuild")
+
+    // kill at the worst instant — right after the commit marker: serve
+    // and append must refuse (intermediate state double-counts), and
+    // re-running compact finishes the cycle
+    val crash = java.nio.file.Files.createTempDirectory("txtcrash").toString
+    TextIndex.build(spark, crash, docs.where(col("doc_id") < 100))
+    TextIndex.append(spark, crash,
+      docs.where(col("doc_id") >= 100 && col("doc_id") < 150), batchId = 0L)
+    val wantCrash = TextIndex.search(spark, crash, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+    TextIndex.compactCrashHook =
+      () => throw new RuntimeException("injected kill")
+    try intercept[RuntimeException] { TextIndex.compact(spark, crash) }
+    finally TextIndex.compactCrashHook = () => ()
+    val eS = intercept[IllegalArgumentException] {
+      TextIndex.search(spark, crash, TextQueries.bm25Queries)
+    }
+    assert(eS.getMessage.contains("unfinished compaction"))
+    val eA = intercept[IllegalArgumentException] {
+      TextIndex.append(spark, crash,
+        docs.where(col("doc_id") >= 150).limit(5), batchId = 1L)
+    }
+    assert(eA.getMessage.contains("unfinished compaction"))
+    assert(TextIndex.compact(spark, crash) == 1,
+      "re-run did not finish the committed cycle")
+    assert(TextIndex.search(spark, crash, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == wantCrash,
+      "crash-resumed compaction changed served rankings")
+  }
+
   test("meta guards: a non-index dir fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notidx").toString
     val e = intercept[Exception] {
