@@ -115,13 +115,13 @@ object Bench {
     // in bench_full.json for drift audits.
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
-        // Drain pending GC work BEFORE the timed region: the registry's
-        // localCheckpoint blocks are weak-ref/ContextCleaner-managed, so
-        // a key can otherwise pay a major GC (and the cleaner's block
-        // removals) accrued by the keys before it — the r8 x60 warm-run
-        // anomaly's shape (one key's second run 3× its first, walk-order
-        // dependent, not reproducible in isolation).
-        System.gc()
+        // (Deliberately NO System.gc() here: forcing a full GC before
+        // each timed run was measured r9 and made every key ~20% slower
+        // — post-full-GC execution pays reallocation/ref-processing
+        // costs inside the timed region. The r8 x60 warm-run anomaly
+        // (run 2 = 3× run 1, walk-order dependent, unreproducible in
+        // isolation or at r9 HEAD) matches a major GC landing mid-run;
+        // min-of-two absorbs it.)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch {

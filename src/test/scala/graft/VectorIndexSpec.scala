@@ -514,6 +514,97 @@ class VectorIndexSpec extends AnyFunSuite {
       f"grown-hier recall $rg%.3f collapsed vs from-scratch $rf%.3f")
   }
 
+  test("hier insert promotes new top layers; promoted layer == from-scratch") {
+    import spark.implicits._
+    val dim = 64
+    val clusters = 16
+    val perCluster = 40
+    val pts = (0 until clusters * perCluster).map { id =>
+      val c = id / perCluster
+      val rnd = new scala.util.Random(3000L + id)
+      val e = Array.tabulate(dim)(j =>
+        (if (j == c * 4 % dim) 4.0 else 0.0) + 0.3 * rnd.nextGaussian())
+      (id.toLong, e.map(_.toFloat))
+    }
+    val maxLevel = 6
+    val ids = pts.map(_._1)
+    val lvl = ids.map(id => id -> VectorIndex.hierLevel(id, maxLevel)).toMap
+    // engineer a base whose level-3 population is exactly ONE member, so
+    // buildHier stops below 3; the insert batch then restores the rest
+    // and the grown corpus deserves the layer the base never built
+    val high = ids.filter(lvl(_) >= 3)
+    assert(high.size >= 2,
+      s"fixture needs ≥ 2 level-3 draws among ${ids.size} ids, got ${high.size}")
+    val holdOut = high.drop(1).toSet
+    val emb = pts.toDF("vec_id", "embedding")
+    val base = emb.where(!col("vec_id").isin(holdOut.toSeq: _*))
+    val batch = emb.where(col("vec_id").isin(holdOut.toSeq: _*))
+    val grownDir = java.nio.file.Files.createTempDirectory("vpromo").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("vpromof").toString
+    VectorIndex.buildHier(spark, grownDir, base, degree = 8)
+    val levelsBase = """"levels":(\d+)""".r.findFirstMatchIn(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(grownDir, "meta.json"))).get.group(1).toInt
+    assert(levelsBase < 3,
+      s"base unexpectedly built level 3 with one member ($levelsBase)")
+
+    VectorIndex.insert(spark, grownDir, batch)
+    val metaTxt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(grownDir, "meta.json"))
+    val levelsGrown = """"levels":(\d+)""".r
+      .findFirstMatchIn(metaTxt).get.group(1).toInt
+    assert(levelsGrown >= 3,
+      s"insert did not promote the hierarchy past $levelsBase: $metaTxt")
+
+    // every PROMOTED layer is built by buildHier's exact rule over the
+    // deterministic level subset, so it must equal the from-scratch
+    // build's layer row-for-row
+    VectorIndex.buildHier(spark, fullDir, emb, degree = 8)
+    val levelsFull = """"levels":(\d+)""".r.findFirstMatchIn(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(fullDir, "meta.json"))).get.group(1).toInt
+    assert(levelsGrown == levelsFull,
+      s"grown levels $levelsGrown != from-scratch $levelsFull")
+    ((levelsBase + 1) to levelsGrown).foreach { l =>
+      def rows(d: String) = spark.read.parquet(s"$d/graph_l$l")
+        .select(col("src_id"), col("rank"), col("nbr_id"))
+        .collect().map(_.toString).toSet
+      assert(rows(grownDir) == rows(fullDir),
+        s"promoted graph_l$l differs from the from-scratch layer")
+    }
+
+    // recall parity with the from-scratch build (the #7 done-bar)
+    val qids = (1 to 10).map(c => (c * perCluster + 7).toLong)
+    val queries = emb.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val k = 10
+    val grown = VectorIndex.searchHier(spark, grownDir, queries, k = k,
+      beamWidth = 8, rounds = 4, excludeSelf = true).collect()
+    val full = VectorIndex.searchHier(spark, fullDir, queries, k = k,
+      beamWidth = 8, rounds = 4, excludeSelf = true).collect()
+    val all = pts.map { case (id, e) => id -> e.map(_.toDouble) }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truth = qids.map { q =>
+      val qe = all.find(_._1 == q).get._2
+      q -> all.filter(_._1 != q).map { case (c, ce) => (c, cosine(qe, ce)) }
+        .sortBy { case (c, cs) => (-cs, c) }.take(k).map(_._1).toSet
+    }.toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      qids.map { q =>
+        val got = rows.filter(_.getLong(0) == q).map(_.getLong(2)).toSet
+        got.intersect(truth(q)).size.toDouble / k
+      }.sum / qids.length
+    val (rg, rf) = (recallOf(grown), recallOf(full))
+    info(f"promotion recall@10: grown $rg%.3f vs from-scratch $rf%.3f")
+    assert(rg >= rf - 0.1,
+      f"grown-with-promotion recall $rg%.3f collapsed vs from-scratch $rf%.3f")
+  }
+
   test("meta guards: a non-index dir fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notidx").toString
     import spark.implicits._
