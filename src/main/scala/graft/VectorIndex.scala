@@ -754,11 +754,15 @@ object VectorIndex {
       s"""{"clusters":${DedupQueries.IvfClusters},"vectors":$n}""")
   }
 
+  /** Default rebalance trigger for [[maintainIvf]]/[[MaintenanceTool]]:
+    * total-variation drift above this re-trains the coarse layout. */
+  val DefaultDriftBound = 0.2
+
   /** Maintenance gate: rebalance iff the drift metric exceeds `bound`.
     * Returns whether a rebalance ran — the hook a scheduled nightly
     * job calls after each ingest window. */
   def maintainIvf(spark: SparkSession, dir: String,
-      bound: Double = 0.2): Boolean = {
+      bound: Double = DefaultDriftBound): Boolean = {
     val drift = ivfDrift(spark, dir)
     if (drift <= bound) false
     else { rebalanceIvf(spark, dir); true }

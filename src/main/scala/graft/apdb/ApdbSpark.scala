@@ -304,22 +304,9 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     //    nightly cleanup's cost is visible in the per-visit record.
     if (replicaChunkKeepDays > 0) {
       val minKeep = chunkId - replicaChunkKeepDays * 86400L / replicaChunkSeconds
-      val chunkTables = Seq(
-        "obj_chunks" -> "DiaObjectChunks",
-        "src_chunks" -> "DiaSourceChunks",
-        "fsrc_chunks" -> "DiaForcedSourceChunks")
       chunkTables.foreach { case (t, table) =>
         timed("delete_time", table) {
-          var dropped = 0L
-          val dir = new java.io.File(path(t))
-          if (dir.exists()) dir.listFiles().foreach { f =>
-            if (f.getName.startsWith("apdb_replica_chunk=")) {
-              val id = f.getName.stripPrefix("apdb_replica_chunk=").toLong
-              if (id < minKeep) {
-                f.listFiles().foreach(_.delete()); f.delete(); dropped += 1
-              }
-            }
-          }
+          val dropped = dropChunksBefore(t, minKeep)
           emitRecord("delete_counts", table,
             Seq("chunks_dropped" -> dropped.toDouble))
         }
@@ -327,6 +314,38 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     }
     cached.unpersist()
     refreshViews()
+  }
+
+  private val chunkTables = Seq(
+    "obj_chunks" -> "DiaObjectChunks",
+    "src_chunks" -> "DiaSourceChunks",
+    "fsrc_chunks" -> "DiaForcedSourceChunks")
+
+  private def dropChunksBefore(t: String, minKeep: Long): Long = {
+    var dropped = 0L
+    val dir = new java.io.File(path(t))
+    if (dir.exists()) dir.listFiles().foreach { f =>
+      if (f.getName.startsWith("apdb_replica_chunk=")) {
+        val id = f.getName.stripPrefix("apdb_replica_chunk=").toLong
+        if (id < minKeep) {
+          f.listFiles().foreach(_.delete()); f.delete(); dropped += 1
+        }
+      }
+    }
+    dropped
+  }
+
+  /** Standalone chunk retention (T8) as of a given wall-clock time —
+    * the same partition drop store() runs per visit, invocable from
+    * the nightly maintenance job so retention fires even on nights the
+    * ingest path is idle. Returns chunks dropped per CDC table. */
+  def dropExpiredChunks(asOf: Timestamp): Map[String, Long] = {
+    if (replicaChunkKeepDays <= 0) return chunkTables.map(_._2 -> 0L).toMap
+    val minKeep = asOf.getTime / 1000 / replicaChunkSeconds -
+      replicaChunkKeepDays * 86400L / replicaChunkSeconds
+    chunkTables.map { case (t, table) =>
+      table -> dropChunksBefore(t, minKeep)
+    }.toMap
   }
 
   /** MJD (TAI≈UTC for the simulated era, SURVEY §7.4) from a timestamp. */

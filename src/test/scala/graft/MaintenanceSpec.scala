@@ -1,0 +1,141 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.apdb.{ApdbConfig, ApdbSpark, Schemas, SparkGeo}
+import graft.queries.{DedupQueries, Tables, TextQueries}
+import graft.streaming.VectorIngest
+
+/** The unified nightly maintenance job (VERDICT r8 #4): one call runs
+  * drift-gated IVF rebalance, BM25 delta compaction, chunk retention
+  * and APDB consolidation over whatever estate is present — each verb
+  * fires exactly once per night's accumulated work, and serving on
+  * every estate member stays correct across the pass. */
+class MaintenanceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dims = 64
+
+  test("nightly pass: four verbs fire exactly once, serving green throughout") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+
+    // -- vector estate: base corpus + a drifted ingest ------------------
+    val base = (0 until 300).map { i =>
+      (i.toLong, Array.fill(dims)((rng.nextGaussian() / 8.0).toFloat))
+    }
+    val centers = Array.fill(12) {
+      val v = Array.fill(dims)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val drifted = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 10).map { j =>
+        (1000L + ci * 100L + j,
+          c.zip(Array.fill(dims)(rng.nextGaussian() / 16.0))
+            .map { case (a, b) => (a + b).toFloat })
+      }
+    }
+    val vecDir = java.nio.file.Files.createTempDirectory("mnt_vec").toString
+    val books = DedupQueries.trainPqCodebooks(
+      base.take(256).map(_._2.map(f =>
+        DedupQueries.scale1e6(f.toDouble))).toArray)
+    VectorIndex.buildIvfPq(spark, vecDir,
+      base.toDF("vec_id", "embedding"), books)
+    drifted.grouped(60).zipWithIndex.foreach { case (b, i) =>
+      VectorIngest.appendBatch(spark, vecDir,
+        b.toSeq.toDF("vec_id", "embedding"), batchId = i.toLong, books)
+    }
+
+    // -- text estate: base index + two delta batches --------------------
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val txtDir = java.nio.file.Files.createTempDirectory("mnt_txt").toString
+    TextIndex.build(spark, txtDir, docs.where(col("doc_id") % 3 === 0))
+    TextIndex.append(spark, txtDir,
+      docs.where(col("doc_id") % 3 === 1), batchId = 1L)
+    TextIndex.append(spark, txtDir,
+      docs.where(col("doc_id") % 3 === 2), batchId = 2L)
+    val txtWant = TextIndex.search(spark, txtDir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+
+    // -- apdb estate: one visit whose chunk the nightly cut expires -----
+    val wh = java.nio.file.Files.createTempDirectory("mnt_apdb").toString
+    val cfg = ApdbConfig(warehouseDir = wh,
+      replicaChunkSeconds = 600L, replicaChunkKeepDays = 1)
+    val store = new ApdbSpark(spark, cfg)
+    store.makeSchema(drop = true)
+    val ts1 = Timestamp.valueOf("2026-01-01 01:00:00")
+    val objs = Seq((1L, 10.0, -45.0)).toDF("diaObjectId", "ra", "dec")
+      .withColumn("nDiaSources", lit(1))
+      .withColumn("lastNonForcedSource", lit(ts1))
+      .withColumn("pixelId", SparkGeo.pixelIndexRaDec(
+        cfg.pix, col("ra"), col("dec")))
+    def empty(t: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t)
+    store.store(ts1, objs, empty(Schemas.diaSource),
+      empty(Schemas.diaForcedSource))
+    val nightCut = Timestamp.valueOf("2026-01-03 01:00:00")
+
+    // -- the nightly pass ----------------------------------------------
+    val report = MaintenanceTool.runNightly(spark,
+      vectorDir = Some(vecDir), textDir = Some(txtDir),
+      apdbStore = Some(store), asOf = Some(nightCut),
+      driftBound = 0.05)
+    assert(report.ivfDrift.exists(_ > 0.05),
+      s"drifted ingest did not move the metric: ${report.ivfDrift}")
+    assert(report.ivfRebalanced, "drift above bound must trigger rebalance")
+    assert(report.textBatchesFolded == 2,
+      s"expected 2 folded BM25 batches, got ${report.textBatchesFolded}")
+    assert(report.apdbChunksDropped("DiaObjectChunks") == 1,
+      s"expected the expired chunk dropped: ${report.apdbChunksDropped}")
+    assert(report.apdbTablesConsolidated)
+    assert(report.json.contains("\"ivf_rebalanced\":true"))
+
+    // -- serving green on every estate member ---------------------------
+    // vector: the consolidated index serves a drifted id as its own top
+    // candidate with full probes, and the stream tables are folded
+    val probe = drifted.head
+    val top = VectorIndex.searchIvfPq(spark, vecDir,
+      Seq((probe._1, probe._2)).toDF("query_id", "embedding"), k = 1,
+      probes = DedupQueries.IvfClusters)
+      .select("cand_id").as[Long].collect()
+    assert(top.headOption.contains(probe._1))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(vecDir, "ivf_codes_stream")))
+    // text: byte-identical rankings after the fold
+    assert(TextIndex.search(spark, txtDir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == txtWant)
+    // apdb: object still served from the consolidated snapshot
+    assert(store.objectsLast.count() == 1)
+
+    // -- a second night with no new work: every verb no-ops -------------
+    val again = MaintenanceTool.runNightly(spark,
+      vectorDir = Some(vecDir), textDir = Some(txtDir),
+      apdbStore = Some(store), asOf = Some(nightCut),
+      driftBound = 0.05)
+    assert(!again.ivfRebalanced,
+      s"rebalance re-fired on a fresh layout (drift ${again.ivfDrift})")
+    assert(again.textBatchesFolded == 0)
+    assert(again.apdbChunksDropped.values.forall(_ == 0L))
+  }
+
+  test("apdb estate without a nightly cut refuses loudly") {
+    val wh = java.nio.file.Files.createTempDirectory("mnt_req").toString
+    val store = new ApdbSpark(spark, ApdbConfig(warehouseDir = wh))
+    val e = intercept[IllegalArgumentException] {
+      MaintenanceTool.runNightly(spark, apdbStore = Some(store))
+    }
+    assert(e.getMessage.contains("asOf"))
+  }
+}
