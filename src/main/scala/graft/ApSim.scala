@@ -31,9 +31,14 @@ object ApSim {
     val detFraction = if (args.length > 3) args(3).toDouble else 1.0
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // cluster-shape knob: decouple shuffle width from local cores (a
+    // 1000-executor deployment runs partitions ≫ cores; README's
+    // 512-vs-32 validation runs drive it through this)
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
