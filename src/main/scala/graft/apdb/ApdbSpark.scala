@@ -176,23 +176,52 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     else named.select(columns.map(col): _*)
   }
 
+  /** Padded-FOV pixel buckets (the shared coarse-prune set of
+    * getDiaObjects / CatalogStore.readFov / the history reads). */
+  private def fovBuckets(region: Region): Seq[Long] =
+    SparkGeo.coarsen(skyPix.envelope(region), maxEnvelopeRanges)
+      .flatMap { case (lo, hi) =>
+        (lo >> pixBucketShift) to ((hi - 1) >> pixBucketShift)
+      }.distinct
+
   /** DiaSource history for an ID set with a months cutoff
-    * (README.md:130-140). `ids` joins semi (scales past isin lists). */
-  def getDiaSources(ids: DataFrame, visitTime: Timestamp): DataFrame = {
+    * (README.md:130-140). `ids` joins semi (scales past isin lists).
+    *
+    * `region`: optional padded-FOV coarse prune on top of the exact
+    * ID semi-join. The reference contract is ids-only (README.md:130),
+    * but when the ids came from a region read (the visit pipeline),
+    * every matching source also lies inside the PADDED region — a
+    * source sits within the match radius of its in-FOV object, and the
+    * padding covers that offset — so bucket pruning the scan is
+    * result-identical while cutting it from table-sized to FOV-sized:
+    * the term that turns a whole-sky history table into a per-visit
+    * read at survey scale (the r9 50-visit soak measured this read
+    * linear in rows scanned). Callers whose ids are NOT region-derived
+    * leave it None and keep the exact contract. */
+  def getDiaSources(ids: DataFrame, visitTime: Timestamp,
+      region: Option[Region] = None): DataFrame = {
     val cutoff = mjd(visitTime) - readSourcesMonths * 30.0
-    val base = readOrEmpty("sources", srcSchema)
+    val scanned = readOrEmpty("sources", srcSchema)
       .where(col("mjd_bucket") >= math.floor(cutoff / 30.0).toLong)
+    val spatial = region.fold(scanned)(r =>
+      scanned.where(col("pix_bucket").isin(fovBuckets(r): _*)))
+    val base = spatial
       .where(col("midpointMjdTai") >= cutoff)
       .join(ids.select(col(ids.columns.head).as("diaObjectId")), Seq("diaObjectId"), "left_semi")
       .drop("pix_bucket", "mjd_bucket")
     if (clientNaming) AfwRenames.toClient(Schemas.DiaSource, base) else base
   }
 
-  /** DiaForcedSource history (README.md:143-155, shorter window). */
-  def getDiaForcedSources(ids: DataFrame, visitTime: Timestamp): DataFrame = {
+  /** DiaForcedSource history (README.md:143-155, shorter window).
+    * `region` as in [[getDiaSources]]. */
+  def getDiaForcedSources(ids: DataFrame, visitTime: Timestamp,
+      region: Option[Region] = None): DataFrame = {
     val cutoff = mjd(visitTime) - readForcedSourcesMonths * 30.0
-    val base = readOrEmpty("fsources", fsrcSchema)
+    val scanned = readOrEmpty("fsources", fsrcSchema)
       .where(col("mjd_bucket") >= math.floor(cutoff / 30.0).toLong)
+    val spatial = region.fold(scanned)(r =>
+      scanned.where(col("pix_bucket").isin(fovBuckets(r): _*)))
+    val base = spatial
       .where(col("midpointMjdTai") >= cutoff)
       .join(ids.select(col(ids.columns.head).as("diaObjectId")), Seq("diaObjectId"), "left_semi")
       .drop("pix_bucket", "mjd_bucket")

@@ -189,11 +189,17 @@ object VisitPipeline {
     val (histSrc, histFsrc, histSec) =
       if (!doReadSrc) (0L, 0L, 0.0)
       else {
+        // ids came from the padded-region read, so every history row
+        // lies inside the padded FOV — pass the region so the history
+        // scan bucket-prunes to FOV size instead of table size (the
+        // r9 soak's one growing term)
         val (hs, srcSelectSec) =
-          timedSec(apdb.getDiaSources(matchedIds, visitTime).count())
+          timedSec(apdb.getDiaSources(matchedIds, visitTime,
+            region = Some(padded)).count())
         timer("select_time", "DiaSource", srcSelectSec)
         val (hf, fsrcSelectSec) =
-          timedSec(apdb.getDiaForcedSources(matchedIds, visitTime).count())
+          timedSec(apdb.getDiaForcedSources(matchedIds, visitTime,
+            region = Some(padded)).count())
         timer("select_time", "DiaForcedSource", fsrcSelectSec)
         (hs, hf, srcSelectSec + fsrcSelectSec)
       }

@@ -49,6 +49,48 @@ class ScaleSpec extends AnyFunSuite {
       s"sources: ${before("sources")} -> ${after("sources")}")
   }
 
+  test("region-pruned history reads are result-identical to the ids-only contract") {
+    // multi-pointing workload so the sources table holds history OUTSIDE
+    // any one visit's FOV — the case the bucket prune must not clip
+    val dir = java.nio.file.Files.createTempDirectory("apdb_histprune").toString
+    val cfg = ApdbConfig(warehouseDir = dir,
+      transientPerVisit = 5, falsePerVisit = 45)
+    val apdb = new ApdbSpark(spark, cfg)
+    apdb.makeSchema(drop = true)
+    val catalog = DiaSim.genCatalog(spark, 50000L, hemi = -1, seed = 17)
+      .localCheckpoint(true)
+    val pointings = (0 until 3).map(i =>
+      graft.geom.Generators.sphereXyz(1, hemi = -1, seed = 5000L + i).head)
+    val vs = VisitPipeline.visitTimes(
+      Timestamp.valueOf("2026-05-01 01:00:00"), 6)
+    vs.foreach { case (id, ts) =>
+      VisitPipeline.visit(apdb, catalog, id, ts, pointings(id % 3))
+    }
+    // revisit pointing 0's FOV: its matched ids and padded region
+    val ts = Timestamp.valueOf("2026-05-01 01:10:00")
+    val padded = graft.geom.Circle(pointings(0), cfg.fovRad / 2)
+      .padded(math.toRadians(cfg.regionPaddingArcsec / 3600.0))
+    val ids = apdb.getDiaObjects(padded).select(col("diaObjectId"))
+      .localCheckpoint(true)
+    assert(ids.count() > 0, "fixture: revisit must match objects")
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(sortedRows(apdb.getDiaSources(ids, ts, Some(padded))) ==
+      sortedRows(apdb.getDiaSources(ids, ts)),
+      "bucket-pruned DiaSource history differs from the ids-only read")
+    assert(sortedRows(apdb.getDiaForcedSources(ids, ts, Some(padded))) ==
+      sortedRows(apdb.getDiaForcedSources(ids, ts)),
+      "bucket-pruned DiaForcedSource history differs from ids-only read")
+    // and the prune actually restricts the scan: other pointings' rows
+    // exist in buckets the padded FOV never touches
+    val allBuckets = spark.read.parquet(s"$dir/sources")
+      .select("pix_bucket").distinct().count()
+    val fovRead = apdb.getDiaSources(ids, ts, Some(padded))
+    assert(allBuckets > 1, "fixture must span multiple pixel buckets")
+    assert(fovRead.count() ==
+      apdb.getDiaSources(ids, ts).count())
+  }
+
   test("incremental compaction rewrites only fragmented partitions, preserves rows") {
     val dir = java.nio.file.Files.createTempDirectory("apdb_inc").toString
     val apdb = new ApdbSpark(spark, ApdbConfig(warehouseDir = dir,
