@@ -70,8 +70,17 @@ object Schemas {
     case DiaForcedSource => diaForcedSource
   }
 
-  /** First transient DiaObject id (`_executors.py:60-61`). */
-  val TransientStartId: Long = 1000000000L
+  /** First transient DiaObject id. The reference pins 1 000 000 000
+    * (`ap_proto.py:84`), which encodes the CONTRACT "above every
+    * variable-source id" for its 4.3 M-source catalog — but the
+    * literal value breaks at ≥ 1 B-row catalogs: the r9 1000× soak
+    * (4.3 B sourceIdx values) caught visit-2 history reads returning
+    * rows for FRESH transient ids because variable ids ≥ 1e9 collided
+    * with the transient range (and an obj_last upsert under a collided
+    * id would silently merge two different objects). 4e12 keeps the
+    * contract at any catalog this engine targets while leaving ids
+    * well inside Long. */
+  val TransientStartId: Long = 4000000000000L
   /** Sentinel for detections outside the tile region
     * (`_executors.py:57-58`). */
   val OutsiderId: Long = -666L
