@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
   *
   *  1. IVF drift check → [[VectorIndex.rebalanceIvf]] iff the metric
   *     exceeds the bound (x106's trigger semantics),
-  *  2. [[TextIndex.compact]] — fold committed BM25 delta batches,
+  *  2. [[TextIndex.maintain]] — tier-gated BM25 consolidation
+  *     (O(deltas) merge on ordinary nights; the O(base) fold only when
+  *     accumulated deltas reach [[TextIndex.FullFoldRatio]] of the
+  *     base — the lexical analog of verb 1's drift gate),
   *  3. APDB chunk retention ([[graft.apdb.ApdbSpark.dropExpiredChunks]],
   *     T8) as of the nightly cut,
   *  4. APDB file consolidation ([[graft.apdb.ApdbSpark.consolidateNight]]
@@ -35,14 +38,21 @@ object MaintenanceTool {
   final case class Report(
       ivfDrift: Option[Double],
       ivfRebalanced: Boolean,
+      textAction: String,
       textBatchesFolded: Int,
       apdbChunksDropped: Map[String, Long],
       apdbTablesConsolidated: Boolean) {
     def json: String = {
       val drops = apdbChunksDropped.toSeq.sortBy(_._1)
         .map { case (t, n) => s""""$t":$n""" }.mkString("{", ",", "}")
-      s"""{"ivf_drift":${ivfDrift.map(d => f"$d%.4f").getOrElse("null")},""" +
+      // Locale.ROOT: the default locale's decimal comma would make the
+      // nightly log line invalid JSON
+      val drift = ivfDrift
+        .map(d => String.format(java.util.Locale.ROOT, "%.4f", d))
+        .getOrElse("null")
+      s"""{"ivf_drift":$drift,""" +
         s""""ivf_rebalanced":$ivfRebalanced,""" +
+        s""""text_action":"$textAction",""" +
         s""""text_batches_folded":$textBatchesFolded,""" +
         s""""apdb_chunks_dropped":$drops,""" +
         s""""apdb_consolidated":$apdbTablesConsolidated}"""
@@ -66,7 +76,11 @@ object MaintenanceTool {
     val drift = vectorDir.map(d => VectorIndex.ivfDrift(spark, d))
     val rebalanced = drift.exists(_ > driftBound)
     if (rebalanced) VectorIndex.rebalanceIvf(spark, vectorDir.get)
-    val folded = textDir.map(d => TextIndex.compact(spark, d)).getOrElse(0)
+    // tier-gated, like the drift gate above: one tiny nightly delta
+    // must not trigger an O(index) base rewrite (TextIndex.maintain
+    // decides none/merge/full from marker metadata alone)
+    val text = textDir.map(d => TextIndex.maintain(spark, d))
+      .getOrElse(TextIndex.MaintainResult("none", 0))
     require(apdbStore.isEmpty || asOf.isDefined,
       "MaintenanceTool.runNightly: an APDB estate needs the nightly cut " +
         "time (asOf) for chunk retention")
@@ -75,7 +89,8 @@ object MaintenanceTool {
       case _ => Map.empty[String, Long]
     }
     apdbStore.foreach(_.consolidateNight())
-    Report(drift, rebalanced, folded, dropped, apdbStore.isDefined)
+    Report(drift, rebalanced, text.action, text.batchesFolded, dropped,
+      apdbStore.isDefined)
   }
 
   /** CLI: `runMain graft.MaintenanceTool [--vector <dir>] [--text <dir>]

@@ -91,14 +91,41 @@ object TextIndex {
     * replay overwrites the partitions and drops the marker — the same
     * exactly-once-by-layout move [[graft.streaming.VectorIngest]]
     * makes, plus a marker because BM25 also needs the batch's SCALARS
-    * (n_docs/Σdl) to land atomically with its rows. */
+    * (n_docs/Σdl) to land atomically with its rows.
+    *
+    * Tiering (negative ids): [[mergeDeltas]] writes a MERGED segment
+    * under a reserved id < 0 whose marker lists the batch ids it
+    * folded. The effective committed set excludes every folded id, so
+    * the instant the merged marker lands (one atomic rename) readers
+    * switch from the small batches to the merged segment — the
+    * leftover small-batch dirs/markers are dead weight that
+    * [[cleanupFoldedDeltas]] removes idempotently. */
   private[graft] def committedBatches(dir: String): Seq[Long] = {
+    val all = allMarkerIds(dir)
+    val folded = all.filter(_ < 0).flatMap(foldedList(dir, _)).toSet
+    all.filterNot(folded).sorted
+  }
+
+  private def allMarkerIds(dir: String): Seq[Long] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).getOrElse(Array.empty)
       .map(_.getName)
       .collect { case s if s.startsWith("meta_delta_batch_") && s.endsWith(".json") =>
         s.stripPrefix("meta_delta_batch_").stripSuffix(".json").toLong
-      }.sorted.toSeq
+      }.toSeq
+  }
+
+  /** The batch ids a merged segment's marker records as folded (empty
+    * for plain append batches, whose markers carry no `folded` key; a
+    * marker deleted since the listing — cleanup of a nested merge
+    * removes inner markers mid-iteration — reads as empty too). */
+  private def foldedList(dir: String, batch: Long): Seq[Long] = {
+    val p = java.nio.file.Paths.get(dir, s"meta_delta_batch_$batch.json")
+    if (!java.nio.file.Files.exists(p)) return Nil
+    val txt = java.nio.file.Files.readString(p)
+    """"folded":\[([0-9,\-]*)\]""".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+      .getOrElse(Nil)
   }
 
   private def deltaMeta(dir: String, batch: Long): (Long, Long) = {
@@ -198,6 +225,11 @@ object TextIndex {
     * worst instant deterministically. No-op in production. */
   private[graft] var compactCrashHook: () => Unit = () => ()
 
+  /** Test seam: runs right after [[compact]]/[[mergeDeltas]] snapshot
+    * the committed-batch list and before any table read — the window a
+    * concurrent append can land in. No-op in production. */
+  private[graft] var compactSnapshotHook: () => Unit = () => ()
+
   private def compactMarker(dir: String) =
     java.nio.file.Paths.get(dir, "meta_compact.json")
 
@@ -228,8 +260,14 @@ object TextIndex {
     * intermediate swap states double-count) and re-running compact
     * replays the remaining idempotent steps — dir renames are atomic,
     * deletes idempotent, meta rewritten from the marker, marker removed
-    * last. Batches appended AFTER the marker was cut are untouched and
-    * fold on the next cycle.
+    * last. Batches appended AFTER the batch-list snapshot (including
+    * during the long phase-1 writes) are untouched in BOTH staged
+    * tables and fold on the next cycle.
+    *
+    * Cost is O(base + deltas) — the whole index rewrites. Callers on a
+    * nightly cadence should go through [[maintain]], which runs the
+    * O(deltas) [[mergeDeltas]] tier instead until the accumulated
+    * deltas justify a base rewrite.
     *
     * Returns the number of delta batches folded (0 = nothing to do). */
   def compact(spark: SparkSession, dir: String): Int = {
@@ -239,15 +277,25 @@ object TextIndex {
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "meta.json")),
       s"TextIndex.compact: $dir has no meta.json — not a TextIndex dir")
+    // finish any pending merge cleanup FIRST: finishCompact deletes the
+    // folded merged markers, and a batch whose own marker still lingered
+    // would otherwise re-surface as committed afterwards (double count)
+    cleanupFoldedDeltas(dir)
     val batches = committedBatches(dir)
     if (batches.isEmpty) return 0
+    compactSnapshotHook()
     val (nDocsBase, sumDlBase, buckets) = meta(dir)
     val (nDocs, sumDl) = batches.foldLeft((nDocsBase, sumDlBase)) {
       case ((n, s), b) => val (dn, ds) = deltaMeta(dir, b); (n + dn, s + ds)
     }
     // phase 1 — stage the folded tables; serving still reads the old
     // layout. One file per bucket: compaction is also where the
-    // append-cycle file growth resets.
+    // append-cycle file growth resets. BOTH staged tables filter to the
+    // SNAPSHOTTED batch list — a batch whose append commits during this
+    // (long) write must fold on the NEXT cycle, in neither table: a
+    // re-enumeration here would put its dl rows in the new base while
+    // the marker's folded list (and finishCompact's deletes) miss it,
+    // double-counting its lengths forever.
     val postAll = spark.read.parquet(s"$dir/postings")
       .select(col("doc_id"), col("term"), col("tf"), col("bucket"))
       .unionByName(spark.read.parquet(s"$dir/postings_delta")
@@ -256,8 +304,12 @@ object TextIndex {
     postAll.repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(s"$dir/postings_next")
-    lengthsAll(spark, dir).coalesce(
-      math.max(1, spark.sparkContext.defaultParallelism / 4))
+    spark.read.parquet(s"$dir/lengths")
+      .unionByName(spark.read.parquet(s"$dir/lengths_delta")
+        .where(col("ingest_batch").isin(batches: _*))
+        .select(col("doc_id"), col("dl")))
+      .coalesce(
+        math.max(1, spark.sparkContext.defaultParallelism / 4))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/lengths_next")
     // phase 2 — THE commit point (atomic marker, same protocol as
     // append's batch markers)
@@ -279,7 +331,7 @@ object TextIndex {
     val txt = java.nio.file.Files.readString(compactMarker(dir))
     def grab(k: String): Long =
       s""""$k":(\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
-    val folded = """"folded":\[([0-9,]*)\]""".r.findFirstMatchIn(txt).get
+    val folded = """"folded":\[([0-9,\-]*)\]""".r.findFirstMatchIn(txt).get
       .group(1).split(",").filter(_.nonEmpty).map(_.toLong).toSeq
     def rm(f: java.io.File): Unit =
       if (f.exists()) {
@@ -317,6 +369,150 @@ object TextIndex {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     java.nio.file.Files.delete(compactMarker(dir))
     folded.size
+  }
+
+  // -- tiered merge (VERDICT r9 #2: nightly cost ∝ new data) -------------
+
+  /** Merge policy defaults for [[maintain]]: fold the base only when
+    * the accumulated deltas reach [[FullFoldRatio]] of it (by Σdl, the
+    * postings-volume proxy the markers already carry — the decision is
+    * metadata-only, no Spark job); below that, squash ≥
+    * [[MergeMinBatches]] committed batches into ONE merged segment at
+    * O(deltas) cost. The classic two-level LSM shape: nightly work is
+    * proportional to NEW data, and the O(base) rewrite amortizes to
+    * ~once per 1/ratio nights of appends. */
+  val MergeMinBatches = 2
+  val FullFoldRatio = 0.2
+
+  /** Test seam like [[compactCrashHook]]: runs after [[mergeDeltas]]
+    * moves the staged segment into the delta layout and BEFORE its
+    * commit marker lands. No-op in production. */
+  private[graft] var mergeCrashHook: () => Unit = () => ()
+
+  /** Squash every committed delta batch into ONE merged segment —
+    * the O(deltas) tier between [[append]] and a full [[compact]].
+    * The merged segment lives in the SAME `postings_delta/lengths_delta`
+    * layout under a reserved id < 0, so serving/compaction treat it as
+    * just another committed batch; its marker additionally records the
+    * folded ids, and [[committedBatches]] excludes those the instant
+    * the marker lands (one atomic rename = the commit point). The
+    * folded batches' dirs/markers become dead weight removed by the
+    * idempotent cleanup — a kill anywhere leaves either the old state
+    * (no marker: half-staged segment is invisible and the rerun
+    * overwrites it, same id) or the new one (marker present: folded
+    * batches excluded; rerun finishes the deletes).
+    *
+    * Returns the number of batches folded (0 = fewer than 2 committed
+    * batches — nothing worth squashing). */
+  def mergeDeltas(spark: SparkSession, dir: String): Int = {
+    requireNoPendingCompact(dir, "mergeDeltas")
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "meta.json")),
+      s"TextIndex.mergeDeltas: $dir has no meta.json — not a TextIndex dir")
+    cleanupFoldedDeltas(dir)
+    val batches = committedBatches(dir)
+    if (batches.size < 2) return 0
+    compactSnapshotHook()
+    // deterministic reserved id: a killed merge reruns over the same
+    // batch set, lands on the same id, and overwrites its own debris
+    val mergedId = math.min(0L, batches.min) - 1L
+    val (nDocs, sumDl) = batches.foldLeft((0L, 0L)) {
+      case ((n, s), b) => val (dn, ds) = deltaMeta(dir, b); (n + dn, s + ds)
+    }
+    def rm(f: java.io.File): Unit =
+      if (f.exists()) {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+    // stage outside the live layout (Spark refuses read+overwrite of
+    // the same path), then one dir rename per table moves the segment
+    // into place — still invisible until the marker
+    val stageP = java.nio.file.Paths.get(dir, "postings_merge_stage")
+    val stageL = java.nio.file.Paths.get(dir, "lengths_merge_stage")
+    spark.read.parquet(s"$dir/postings_delta")
+      .where(col("ingest_batch").isin(batches: _*))
+      .select(col("doc_id"), col("term"), col("tf"), col("bucket"))
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(stageP.toString)
+    spark.read.parquet(s"$dir/lengths_delta")
+      .where(col("ingest_batch").isin(batches: _*))
+      .select(col("doc_id"), col("dl"))
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+      .write.mode(SaveMode.Overwrite).parquet(stageL.toString)
+    val destP = java.nio.file.Paths.get(dir, "postings_delta",
+      s"ingest_batch=$mergedId")
+    val destL = java.nio.file.Paths.get(dir, "lengths_delta",
+      s"ingest_batch=$mergedId")
+    rm(destP.toFile); java.nio.file.Files.move(stageP, destP)
+    rm(destL.toFile); java.nio.file.Files.move(stageL, destL)
+    mergeCrashHook()
+    // commit point: the merged marker (scalars + folded list) in one
+    // atomic rename — readers switch to the segment instantly
+    val marker = java.nio.file.Paths.get(dir,
+      s"meta_delta_batch_$mergedId.json")
+    val tmp = java.nio.file.Paths.get(dir,
+      s".meta_delta_batch_$mergedId.json.tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"n_docs":$nDocs,"sum_dl":$sumDl,"folded":[${batches.mkString(",")}]}""")
+    java.nio.file.Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    cleanupFoldedDeltas(dir)
+    batches.size
+  }
+
+  /** Remove the dead dirs/markers of batches a committed merged
+    * segment already folded. Idempotent; dirs first, marker last, so a
+    * kill mid-cleanup leaves the batch still excluded (its id stays in
+    * the folded list) and the rerun finishes. */
+  private[graft] def cleanupFoldedDeltas(dir: String): Unit = {
+    def rm(f: java.io.File): Unit =
+      if (f.exists()) {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+    val all = allMarkerIds(dir).toSet
+    allMarkerIds(dir).filter(_ < 0).foreach { m =>
+      foldedList(dir, m).filter(all).foreach { b =>
+        rm(java.nio.file.Paths.get(dir, "postings_delta",
+          s"ingest_batch=$b").toFile)
+        rm(java.nio.file.Paths.get(dir, "lengths_delta",
+          s"ingest_batch=$b").toFile)
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(dir, s"meta_delta_batch_$b.json")): Unit
+      }
+    }
+  }
+
+  /** What [[maintain]] did. `action`: "none" (nothing committed / one
+    * lone batch / below both thresholds), "merge" (O(deltas) squash),
+    * or "full" (base rewrite — deltas reached `fullFoldRatio` of the
+    * base, or a committed-but-unfinished compaction was resumed). */
+  final case class MaintainResult(action: String, batchesFolded: Int)
+
+  /** The nightly policy verb: pick the cheapest safe consolidation.
+    * Decision is metadata-only (marker scalars vs base meta), then at
+    * most one of [[compact]]/[[mergeDeltas]] runs — so a night with one
+    * tiny delta costs a directory listing, not an index rewrite. */
+  def maintain(spark: SparkSession, dir: String,
+      mergeMinBatches: Int = MergeMinBatches,
+      fullFoldRatio: Double = FullFoldRatio): MaintainResult = {
+    // a committed-but-unfinished compaction outranks policy: serving
+    // refuses until it finishes
+    if (java.nio.file.Files.exists(compactMarker(dir)))
+      return MaintainResult("full", finishCompact(dir))
+    cleanupFoldedDeltas(dir)
+    val batches = committedBatches(dir)
+    if (batches.isEmpty) return MaintainResult("none", 0)
+    val (_, sumDlBase, _) = meta(dir)
+    val deltaSumDl = batches.map(deltaMeta(dir, _)._2).sum
+    if (sumDlBase == 0L ||
+      deltaSumDl.toDouble / sumDlBase >= fullFoldRatio)
+      MaintainResult("full", compact(spark, dir))
+    else if (batches.size >= mergeMinBatches)
+      MaintainResult("merge", mergeDeltas(spark, dir))
+    else MaintainResult("none", 0)
   }
 
   /** Attach a (doc_id, text) stream: every micro-batch appends via

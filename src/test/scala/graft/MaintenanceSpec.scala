@@ -56,17 +56,31 @@ class MaintenanceSpec extends AnyFunSuite {
         b.toSeq.toDF("vec_id", "embedding"), batchId = i.toLong, books)
     }
 
-    // -- text estate: base index + two delta batches --------------------
+    // -- text estate: a big base + two SMALL delta batches (an ordinary
+    // night: deltas well under FullFoldRatio of the base, so the gate
+    // must pick the O(deltas) merge and leave the base files alone) ----
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
     val txtDir = java.nio.file.Files.createTempDirectory("mnt_txt").toString
-    TextIndex.build(spark, txtDir, docs.where(col("doc_id") % 3 === 0))
+    TextIndex.build(spark, txtDir, docs.where(col("doc_id") % 20 < 18))
     TextIndex.append(spark, txtDir,
-      docs.where(col("doc_id") % 3 === 1), batchId = 1L)
+      docs.where(col("doc_id") % 20 === 18), batchId = 1L)
     TextIndex.append(spark, txtDir,
-      docs.where(col("doc_id") % 3 === 2), batchId = 2L)
+      docs.where(col("doc_id") % 20 === 19), batchId = 2L)
     val txtWant = TextIndex.search(spark, txtDir, TextQueries.bm25Queries)
       .collect().map(_.toString).toSeq
+    def baseFiles(): Seq[(String, Long, Long)] = {
+      val root = java.nio.file.Paths.get(txtDir, "postings")
+      val s = java.nio.file.Files.walk(root)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(q => q.toString.endsWith(".parquet"))
+        .map(q => (root.relativize(q).toString,
+          java.nio.file.Files.size(q),
+          java.nio.file.Files.getLastModifiedTime(q).toMillis))
+        .toSeq.sortBy(_._1)
+      finally s.close()
+    }
+    val txtBaseBefore = baseFiles()
 
     // -- apdb estate: one visit whose chunk the nightly cut expires -----
     val wh = java.nio.file.Files.createTempDirectory("mnt_apdb").toString
@@ -95,8 +109,13 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(report.ivfDrift.exists(_ > 0.05),
       s"drifted ingest did not move the metric: ${report.ivfDrift}")
     assert(report.ivfRebalanced, "drift above bound must trigger rebalance")
+    assert(report.textAction == "merge",
+      s"small-delta night must take the merge tier: ${report.textAction}")
     assert(report.textBatchesFolded == 2,
       s"expected 2 folded BM25 batches, got ${report.textBatchesFolded}")
+    assert(baseFiles() == txtBaseBefore,
+      "a small-delta night rewrote the BM25 base postings — the tier " +
+        "gate must keep nightly cost proportional to new data")
     assert(report.apdbChunksDropped("DiaObjectChunks") == 1,
       s"expected the expired chunk dropped: ${report.apdbChunksDropped}")
     assert(report.apdbTablesConsolidated)
@@ -126,7 +145,8 @@ class MaintenanceSpec extends AnyFunSuite {
       driftBound = 0.05)
     assert(!again.ivfRebalanced,
       s"rebalance re-fired on a fresh layout (drift ${again.ivfDrift})")
-    assert(again.textBatchesFolded == 0)
+    assert(again.textAction == "none" && again.textBatchesFolded == 0,
+      s"second night re-consolidated the lone merged segment: ${again.textAction}")
     assert(again.apdbChunksDropped.values.forall(_ == 0L))
   }
 

@@ -282,6 +282,182 @@ class TextIndexSpec extends AnyFunSuite {
       "crash-resumed compaction changed served rankings")
   }
 
+  test("compact folds exactly the snapshotted batches — a concurrent append survives") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtrace").toString
+    TextIndex.build(spark, dir, docs.where(col("doc_id") < 40))
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") >= 40 && col("doc_id") < 60), batchId = 0L)
+    // the race window: an append COMMITS between compact's batch-list
+    // snapshot and its (long, at scale) staged-table writes
+    TextIndex.compactSnapshotHook = () =>
+      TextIndex.append(spark, dir, docs.where(col("doc_id") >= 60),
+        batchId = 1L)
+    try assert(TextIndex.compact(spark, dir) == 1,
+      "compact must fold only the snapshotted batch")
+    finally TextIndex.compactSnapshotHook = () => ()
+    // the late batch is untouched: marker + both delta dirs survive
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "meta_delta_batch_1.json")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "postings_delta", "ingest_batch=1")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "lengths_delta", "ingest_batch=1")))
+    // the folded base holds each snapshot doc's dl exactly once and
+    // NONE of the late batch's (the r9 bug folded the late lengths in)
+    val baseLens = spark.read.parquet(s"$dir/lengths")
+      .select("doc_id").as[Long].collect()
+    assert(baseLens.length == baseLens.distinct.length,
+      "duplicate dl rows in the folded base")
+    assert(baseLens.toSet ==
+      docs.where(col("doc_id") < 60).select("doc_id").as[Long]
+        .collect().toSet,
+      "folded base lengths diverge from the snapshotted batches")
+    // serving counts every doc's dl exactly once ≡ monolithic rebuild
+    val full = java.nio.file.Files.createTempDirectory("txtracefull").toString
+    TextIndex.build(spark, full, docs)
+    val want = TextIndex.search(spark, full, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want,
+      "serving after the racy compact diverged from monolithic rebuild")
+    // the late batch folds on the NEXT cycle, exactly once
+    assert(TextIndex.compact(spark, dir) == 1)
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want,
+      "second-cycle fold of the late batch changed rankings")
+  }
+
+  private def fileIdentity(p: String): Seq[(String, Long, Long)] = {
+    val root = java.nio.file.Paths.get(p)
+    val s = java.nio.file.Files.walk(root)
+    try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(q => q.toString.endsWith(".parquet"))
+      .map(q => (root.relativize(q).toString, java.nio.file.Files.size(q),
+        java.nio.file.Files.getLastModifiedTime(q).toMillis))
+      .toSeq.sortBy(_._1)
+    finally s.close()
+  }
+
+  test("mergeDeltas: O(deltas) squash — base untouched, serving identical, crash-resumable") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtmerge").toString
+    TextIndex.build(spark, dir, docs.where(col("doc_id") % 10 < 7))
+    (7 to 9).foreach { m =>
+      TextIndex.append(spark, dir,
+        docs.where(col("doc_id") % 10 === m), batchId = m.toLong)
+    }
+    val want = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+    val baseBefore = fileIdentity(s"$dir/postings")
+
+    assert(TextIndex.mergeDeltas(spark, dir) == 3)
+    assert(fileIdentity(s"$dir/postings") == baseBefore,
+      "merge rewrote the base postings — must be O(deltas), not O(base)")
+    assert(TextIndex.committedBatches(dir) == Seq(-1L),
+      s"expected one merged segment: ${TextIndex.committedBatches(dir)}")
+    (7 to 9).foreach { m =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, s"meta_delta_batch_$m.json")),
+        s"folded batch $m's marker survived cleanup")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "postings_delta", s"ingest_batch=$m")))
+    }
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want,
+      "merge changed served rankings")
+
+    // nested: a later batch merges WITH the previous merged segment
+    // (disjoint negative doc_ids so the collision check passes)
+    TextIndex.append(spark, dir,
+      Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(((col("doc_id") * -1) - 1).as("doc_id"), col("text"))
+        .limit(20), batchId = 10L)
+    val want2 = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+    assert(TextIndex.mergeDeltas(spark, dir) == 2,
+      "nested merge must fold the merged segment + the new batch")
+    assert(TextIndex.committedBatches(dir) == Seq(-2L))
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want2)
+    // full compact folds the nested segment; scalars stay exact
+    assert(TextIndex.compact(spark, dir) == 1)
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want2,
+      "post-merge full fold changed rankings")
+
+    // crash between the segment move and the marker: uncommitted stays
+    // invisible; the rerun lands on the same id and finishes
+    val crash = java.nio.file.Files.createTempDirectory("txtmcrash").toString
+    TextIndex.build(spark, crash, docs.where(col("doc_id") % 10 < 8))
+    (8 to 9).foreach { m =>
+      TextIndex.append(spark, crash,
+        docs.where(col("doc_id") % 10 === m), batchId = m.toLong)
+    }
+    val wantC = TextIndex.search(spark, crash, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+    TextIndex.mergeCrashHook = () => throw new RuntimeException("injected kill")
+    try intercept[RuntimeException] { TextIndex.mergeDeltas(spark, crash) }
+    finally TextIndex.mergeCrashHook = () => ()
+    assert(TextIndex.committedBatches(crash) == Seq(8L, 9L),
+      "half-staged merged segment leaked into the committed set")
+    assert(TextIndex.search(spark, crash, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == wantC,
+      "serving changed under a crashed merge")
+    assert(TextIndex.mergeDeltas(spark, crash) == 2)
+    assert(TextIndex.committedBatches(crash) == Seq(-1L))
+    assert(TextIndex.search(spark, crash, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == wantC,
+      "resumed merge changed rankings")
+  }
+
+  test("maintain: metadata-only gating picks none / merge / full") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtpolicy").toString
+    // base = 18/20 of the corpus; two tiny deltas ≈ 5% each of it
+    TextIndex.build(spark, dir, docs.where(col("doc_id") % 20 < 18))
+    assert(TextIndex.maintain(spark, dir) ==
+      TextIndex.MaintainResult("none", 0), "empty delta set must no-op")
+
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") % 20 === 18), batchId = 0L)
+    val baseBefore = fileIdentity(s"$dir/postings")
+    assert(TextIndex.maintain(spark, dir) ==
+      TextIndex.MaintainResult("none", 0),
+      "one lone small batch must not trigger any rewrite")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "meta_delta_batch_0.json")),
+      "no-op night must leave the delta untouched")
+
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") % 20 === 19), batchId = 1L)
+    val want = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+    assert(TextIndex.maintain(spark, dir) ==
+      TextIndex.MaintainResult("merge", 2),
+      "two small batches below the ratio must MERGE, not fold the base")
+    assert(fileIdentity(s"$dir/postings") == baseBefore,
+      "merge-tier night rewrote the base postings")
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want)
+
+    // a delta at >= FullFoldRatio of the base triggers the full fold
+    val big = java.nio.file.Files.createTempDirectory("txtbig").toString
+    TextIndex.build(spark, big, docs.where(col("doc_id") % 3 === 0))
+    TextIndex.append(spark, big,
+      docs.where(col("doc_id") % 3 =!= 0), batchId = 0L)
+    val wantBig = TextIndex.search(spark, big, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+    assert(TextIndex.maintain(spark, big) ==
+      TextIndex.MaintainResult("full", 1),
+      "2x-base delta must trigger the base fold")
+    assert(TextIndex.committedBatches(big).isEmpty)
+    assert(TextIndex.search(spark, big, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == wantBig)
+  }
+
   test("meta guards: a non-index dir fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notidx").toString
     val e = intercept[Exception] {
