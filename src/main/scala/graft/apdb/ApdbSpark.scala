@@ -187,13 +187,16 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
   /** DiaSource history for an ID set with a months cutoff
     * (README.md:130-140). `ids` joins semi (scales past isin lists).
     *
-    * `region`: optional padded-FOV coarse prune on top of the exact
-    * ID semi-join. The reference contract is ids-only (README.md:130),
-    * but when the ids came from a region read (the visit pipeline),
-    * every matching source also lies inside the PADDED region — a
-    * source sits within the match radius of its in-FOV object, and the
-    * padding covers that offset — so bucket pruning the scan is
-    * result-identical while cutting it from table-sized to FOV-sized:
+    * `region`: optional coarse prune on top of the exact ID semi-join.
+    * The reference contract is ids-only (README.md:130), but when the
+    * ids came from a region read (the visit pipeline), every matching
+    * source lies inside the region padded TWICE by the association
+    * radius — a matched object can sit up to one radius outside the
+    * FOV, and its sources scatter up to another radius around the
+    * object — so callers must pass the DOUBLY-padded region
+    * (`fov.padded(r).padded(r)`, as VisitPipeline does); with that,
+    * bucket pruning the scan is strictly result-identical while
+    * cutting it from table-sized to FOV-sized:
     * the term that turns a whole-sky history table into a per-visit
     * read at survey scale (the r9 50-visit soak measured this read
     * linear in rows scanned). Callers whose ids are NOT region-derived

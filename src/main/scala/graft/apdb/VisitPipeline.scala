@@ -110,7 +110,16 @@ object VisitPipeline {
 
     // 2. padded region (F5: exact dilation for circles, geom.py:300-301)
     val region = Circle(pointing, cfg.fovRad / 2)
-    val padded = region.padded(math.toRadians(cfg.regionPaddingArcsec / 3600.0))
+    val padRad = math.toRadians(cfg.regionPaddingArcsec / 3600.0)
+    val padded = region.padded(padRad)
+    // history-prune region: one MORE padding level than the object read.
+    // A matched object can sit up to padRad outside the FOV, and its
+    // historical sources scatter up to another association radius around
+    // the object — so a history row can lie ~2x padRad outside the FOV.
+    // Pruning history scans with `padded` alone would rely on coarse-
+    // bucket slop to cover that second offset; padding again makes the
+    // bucket prune strictly result-identical to the ids-only contract.
+    val historyRegion = padded.padded(padRad)
 
     // 3. spatial read: latest objects in envelope (S2), then exact
     //    region filter (F4) — two-phase
@@ -126,6 +135,19 @@ object VisitPipeline {
     // 4. transient ID assignment (stateful counter, ap_proto.py:329-332)
     val state = VisitStateStore.read(cfg.warehouseDir)
       .getOrElse(VisitState(0, 0L, Schemas.TransientStartId - 1, 0L))
+    // Resume guard: a state persisted under an OLDER (smaller)
+    // TransientStartId would keep allocating ids below the current
+    // constant — still colliding with variable ids at billion-row
+    // catalogs (the defect the 4e12 bump fixed), and id-space
+    // classification (diaObjectId >= TransientStartId) would
+    // misclassify its transients as variables. Refuse loudly; the
+    // operator must rebuild the catalog or migrate its ids.
+    require(state.lastObjectId >= Schemas.TransientStartId - 1,
+      s"VisitPipeline: resumed lastObjectId ${state.lastObjectId} is " +
+        s"below TransientStartId ${Schemas.TransientStartId} — this " +
+        "catalog was written under an older id-space constant; rebuild " +
+        "it (makeSchema(drop = true)) or migrate its transient ids " +
+        "before resuming")
     // rank only within the transient partition so ids are 1..nTransients
     val wTrans = Window.partitionBy(col("is_transient"))
       .orderBy(col("x"), col("y"), col("z"))
@@ -190,16 +212,17 @@ object VisitPipeline {
       if (!doReadSrc) (0L, 0L, 0.0)
       else {
         // ids came from the padded-region read, so every history row
-        // lies inside the padded FOV — pass the region so the history
+        // lies inside the DOUBLY-padded FOV (object offset + source
+        // scatter, see historyRegion above) — pass it so the history
         // scan bucket-prunes to FOV size instead of table size (the
         // r9 soak's one growing term)
         val (hs, srcSelectSec) =
           timedSec(apdb.getDiaSources(matchedIds, visitTime,
-            region = Some(padded)).count())
+            region = Some(historyRegion)).count())
         timer("select_time", "DiaSource", srcSelectSec)
         val (hf, fsrcSelectSec) =
           timedSec(apdb.getDiaForcedSources(matchedIds, visitTime,
-            region = Some(padded)).count())
+            region = Some(historyRegion)).count())
         timer("select_time", "DiaForcedSource", fsrcSelectSec)
         (hs, hf, srcSelectSec + fsrcSelectSec)
       }

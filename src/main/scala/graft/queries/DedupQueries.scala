@@ -1240,9 +1240,10 @@ object DedupQueries {
   val X108Ring = 3
 
   /** x108's edge build — exact-cosine near-dup pairs restricted to
-    * vectors sharing a k-means cell: every vector lands in its TOP-2
-    * cells (nearest = home, runner-up = the adjacent-cell ring, so
-    * near-dups straddling one Voronoi boundary still meet), and x8's
+    * vectors sharing a k-means cell: every vector lands in its top-R
+    * cells (R = [[X108Ring]] = 3: nearest = home plus a 2-cell
+    * adjacent ring, so near-dups straddling Voronoi boundaries still
+    * meet — 0.85 drop-recall vs 0.60 at R=2), and x8's
     * block-nested kernel runs per cell. A pair costs compute only when
     * both ids share a cell, so total work is Σ_cell |cell|² instead of
     * n² — the SemDeDup shape as actually run at corpus scale (cells ~
@@ -1305,7 +1306,7 @@ object DedupQueries {
   /** x108 — SemDeDup with the edge set CLUSTER-BOUNDED (VERDICT r8 #1):
     * the same decision layer as x48 (components → min-id representative
     * → kept flag) but edges come from [[x108CellPairScan]] — pairs
-    * within trained k-means cells plus the top-2 ring — instead of
+    * within trained k-means cells plus the [[X108Ring]]-cell (top-3) ring — instead of
     * x8's exact O(n²) block scan. This is the plan you RUN at 100 TB;
     * x48 stays as the exact arm the recall note compares against.
     * Reference analog: coarse spatial index → exact refine
@@ -1315,8 +1316,9 @@ object DedupQueries {
       x108CellPairScan(s, d))
       .orderBy(col("vec_id"))
 
-  /** Oracle: replay the k-means rounds (x59's CTE chain), take top-2
-    * cells per vector, exact-cosine pairs within shared cells, then
+  /** Oracle: replay the k-means rounds (x59's CTE chain), take the
+    * top-[[X108Ring]] (3) cells per vector, exact-cosine pairs within
+    * shared cells, then
     * the x48 closure/labeling. */
   // lazy: KmeansRounds/ivfCentroids are declared LATER in this object;
   // a strict val here would bake in their pre-init defaults

@@ -68,24 +68,28 @@ class ScaleSpec extends AnyFunSuite {
     }
     // revisit pointing 0's FOV: its matched ids and padded region
     val ts = Timestamp.valueOf("2026-05-01 01:10:00")
+    val padRad = math.toRadians(cfg.regionPaddingArcsec / 3600.0)
     val padded = graft.geom.Circle(pointings(0), cfg.fovRad / 2)
-      .padded(math.toRadians(cfg.regionPaddingArcsec / 3600.0))
+      .padded(padRad)
+    // history prune takes the DOUBLY-padded region (object offset +
+    // source scatter — the getDiaSources contract, as VisitPipeline)
+    val histRegion = padded.padded(padRad)
     val ids = apdb.getDiaObjects(padded).select(col("diaObjectId"))
       .localCheckpoint(true)
     assert(ids.count() > 0, "fixture: revisit must match objects")
     def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
-    assert(sortedRows(apdb.getDiaSources(ids, ts, Some(padded))) ==
+    assert(sortedRows(apdb.getDiaSources(ids, ts, Some(histRegion))) ==
       sortedRows(apdb.getDiaSources(ids, ts)),
       "bucket-pruned DiaSource history differs from the ids-only read")
-    assert(sortedRows(apdb.getDiaForcedSources(ids, ts, Some(padded))) ==
+    assert(sortedRows(apdb.getDiaForcedSources(ids, ts, Some(histRegion))) ==
       sortedRows(apdb.getDiaForcedSources(ids, ts)),
       "bucket-pruned DiaForcedSource history differs from ids-only read")
     // and the prune actually restricts the scan: other pointings' rows
     // exist in buckets the padded FOV never touches
     val allBuckets = spark.read.parquet(s"$dir/sources")
       .select("pix_bucket").distinct().count()
-    val fovRead = apdb.getDiaSources(ids, ts, Some(padded))
+    val fovRead = apdb.getDiaSources(ids, ts, Some(histRegion))
     assert(allBuckets > 1, "fixture must span multiple pixel buckets")
     assert(fovRead.count() ==
       apdb.getDiaSources(ids, ts).count())

@@ -330,6 +330,23 @@ class VisitPipelineSpec extends AnyFunSuite {
     assert(ids.where(col("nv") > 1).isEmpty)
   }
 
+  test("resume refuses a state persisted under an older TransientStartId") {
+    val apdb = freshApdb("resume_old_const")
+    val catalog = DiaSim.genCatalog(spark, 50000L, hemi = -1, seed = 9)
+      .localCheckpoint(true)
+    // a warehouse written under the reference's 1e9 constant: its
+    // counter sits far below the current TransientStartId, so resuming
+    // would allocate still-colliding ids and misclassify old transients
+    VisitPipeline.VisitStateStore.write(apdb.config.warehouseDir,
+      VisitPipeline.VisitState(3, 0L, 1000000005L, 3000000L))
+    val t = Timestamp.valueOf("2026-03-01 01:00:00")
+    val e = intercept[IllegalArgumentException] {
+      VisitPipeline.visit(apdb, catalog, 4, t, pointing)
+    }
+    assert(e.getMessage.contains("TransientStartId"),
+      s"guard must name the id-space constant: ${e.getMessage}")
+  }
+
   test("T8 retention drops expired replica chunks and times the delete") {
     val dir = java.nio.file.Files.createTempDirectory("apdb_t8").toString
     val cfg = ApdbConfig(warehouseDir = dir,
