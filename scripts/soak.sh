@@ -23,8 +23,13 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+# GC_LOG=<path> turns on unified GC logging (spike forensics);
+# SOAK_CFG=<file> passes a pex.config-style override file (e.g. the
+# months-window run); both optional.
+GCFLAGS=${GC_LOG:+-Xlog:gc*,safepoint:file=$GC_LOG:time,uptime,level,tags}
+exec java $ADD_OPENS $GCFLAGS \
   -Xms"$HEAP" -Xmx"$HEAP" -XX:+AlwaysPreTouch \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.ApSim "$WAREHOUSE" "$VISITS" "$CATSIZE" "$DETFRAC" ${CATFILE:+/dev/null "$CATFILE"}
+  graft.ApSim "$WAREHOUSE" "$VISITS" "$CATSIZE" "$DETFRAC" \
+  ${CATFILE:+"${SOAK_CFG:-/dev/null}" "$CATFILE"}

@@ -163,10 +163,22 @@ object ApSim {
           s""""partitions":${done.values.sum},"sec":${(System.nanoTime() - c0) / 1e9}}""")
       }
     }
-    // end-of-night consolidation (DiaObjectNightly analog): compact the
-    // per-visit file fragments so the next night's scans stay fast
+    // end-of-night estate maintenance (DiaObjectNightly analog), on the
+    // record: ONE nightly job — drift-gated IVF rebalance / tier-gated
+    // BM25 consolidation when those estates are co-located with the
+    // APDB (env knobs), chunk retention at the night cut, and the
+    // per-visit-fragment consolidation — so the soak measures the
+    // night-boundary cost alongside the visit budget instead of as a
+    // separate invocation.
     val before = apdb.fileCounts.values.sum
-    apdb.consolidateNight()
+    val nightCut = new Timestamp(visits.last._2.getTime)
+    val n0 = System.nanoTime()
+    val report = MaintenanceTool.runNightly(spark,
+      vectorDir = sys.env.get("SPARK_GRAFT_VECTOR_DIR"),
+      textDir = sys.env.get("SPARK_GRAFT_TEXT_DIR"),
+      apdbStore = Some(apdb), asOf = Some(nightCut))
+    println(s"""{"night_job":${report.json},"sec":${
+      (System.nanoTime() - n0) / 1e9}}""")
     println(s"""{"consolidation":"done","filesBefore":$before,"filesAfter":${apdb.fileCounts.values.sum}}""")
     spark.stop()
   }

@@ -31,8 +31,12 @@ final case class ApdbConfig(
       * simulated time step between visits and the real-time budget each
       * visit is graded against. */
     visitIntervalSec: Long = 45L,
-    readSourcesMonths: Int = 12,
-    readForcedSourcesMonths: Int = 6,
+    /** History-read windows (README.md:136-155). Double, in months:
+      * the reference's configs are integer months, but compressed-time
+      * soaks need sub-month windows to demonstrate bounded reads
+      * within one simulated night (cutoff math is day-based anyway). */
+    readSourcesMonths: Double = 12.0,
+    readForcedSourcesMonths: Double = 6.0,
     /** Fraction of visits that read (forced) source history, over a
       * repeating period (`config.py:79-86`): visit reads history iff
       * `visit % srcReadPeriod < round(srcReadPeriod * srcReadDutyCycle)`

@@ -65,10 +65,10 @@ object ApdbConfigIO {
     "FOV_deg" -> ((c, v) => c.copy(fovDeg = v.toDouble)),
     "regionPaddingArcsec" -> ((c, v) => c.copy(regionPaddingArcsec = v.toDouble)),
     "detector_region_padding" -> ((c, v) => c.copy(regionPaddingArcsec = v.toDouble)),
-    "readSourcesMonths" -> ((c, v) => c.copy(readSourcesMonths = v.toInt)),
-    "read_sources_months" -> ((c, v) => c.copy(readSourcesMonths = v.toInt)),
-    "readForcedSourcesMonths" -> ((c, v) => c.copy(readForcedSourcesMonths = v.toInt)),
-    "read_forced_sources_months" -> ((c, v) => c.copy(readForcedSourcesMonths = v.toInt)),
+    "readSourcesMonths" -> ((c, v) => c.copy(readSourcesMonths = v.toDouble)),
+    "read_sources_months" -> ((c, v) => c.copy(readSourcesMonths = v.toDouble)),
+    "readForcedSourcesMonths" -> ((c, v) => c.copy(readForcedSourcesMonths = v.toDouble)),
+    "read_forced_sources_months" -> ((c, v) => c.copy(readForcedSourcesMonths = v.toDouble)),
     "forcedCutoffDays" -> ((c, v) => c.copy(forcedCutoffDays = v.toInt)),
     "forced_cutoff_days" -> ((c, v) => c.copy(forcedCutoffDays = v.toInt)),
     "transientPerVisit" -> ((c, v) => c.copy(transientPerVisit = v.toDouble)),
