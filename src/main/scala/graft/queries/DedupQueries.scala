@@ -1252,9 +1252,9 @@ object DedupQueries {
     * ((cell, blockPair) keys). A pair whose members share both cells
     * appears twice → distinct before the decision layer. */
   private[graft] def x108CellPairScan(s: SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String, k: Int = IvfClusters): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val (cs, _) = kmeansFit(s, d)
+    val (cs, _) = kmeansFit(s, d, k)
     val cb = s.sparkContext.broadcast(cs)
     val bCount = X108Blocks
     val celled = embRows(Tables.embeddings(s, d))
@@ -1571,11 +1571,18 @@ object DedupQueries {
     * those lists. The k-means refinement step is omitted deliberately
     * (seeded random centroids keep the operator deterministic); at scale
     * the lists are the shuffle key exactly like LSH buckets in x14. */
-  /** Fixed seeded coarse centroids shared by x15 and its oracle. */
-  lazy val ivfCentroids: Array[(Int, Array[Double])] = {
+  /** Seeded coarse centroids for an arbitrary cell count — one rng
+    * stream, so `kmeansSeeds(k)` is prefix-stable: the first
+    * [[IvfClusters]] rows equal [[ivfCentroids]] for every k ≥ 16.
+    * This is the x108 cell-count knob's seed rule (k ≈ √n at warehouse
+    * sizes; see the README's k-ladder measurement). */
+  def kmeansSeeds(k: Int): Array[(Int, Array[Double])] = {
     val rng = new scala.util.Random(4242)
-    Array.tabulate(IvfClusters)(i => (i, Array.fill(64)(rng.nextGaussian())))
+    Array.tabulate(k)(i => (i, Array.fill(64)(rng.nextGaussian())))
   }
+
+  /** Fixed seeded coarse centroids shared by x15 and its oracle. */
+  lazy val ivfCentroids: Array[(Int, Array[Double])] = kmeansSeeds(IvfClusters)
 
   val x15AnnIvf: QFn = (s, d) => {
     import s.implicits._
@@ -2398,7 +2405,9 @@ object DedupQueries {
     * inlined seeds (x43's trained-codebook pattern: data-dependent
     * training state is re-derived, never copied).
     *
-    * Scale shape: per round, ONE broadcast of the 16×64 centroid table
+    * Scale shape: per round, ONE broadcast of the k×64 centroid table
+    * (k = [[IvfClusters]] = 16 at the shipping keys; the `k` parameter
+    * is the x108 cell-count knob, seeds via [[kmeansSeeds]])
     * out and ONE map-side-combined (cluster, dim) aggregate back —
     * 1024 cells ride each shuffle and each driver collect regardless
     * of corpus size; the embedding table is scanned once per round.
@@ -2423,14 +2432,15 @@ object DedupQueries {
   /** Run the [[KmeansRounds]] Lloyd rounds; returns the trained
     * centroid table and the last round's (cluster, dim) → (n, sum)
     * aggregate. x59 reports this state; x62 assigns under it. */
-  private[graft] def kmeansFit(s: SparkSession, d: String)
+  private[graft] def kmeansFit(s: SparkSession, d: String,
+      k: Int = IvfClusters)
       : (Array[Array[Long]], Array[((Int, Int), (Long, Long))]) = {
     import s.implicits._
     val es = embRows(Tables.embeddings(s, d))
       .map { case (id, e) => (id, e.map(scale1e6)) }
       .localCheckpoint(true) // scanned once per round, not re-decoded
     var cs: Array[Array[Long]] =
-      ivfCentroids.map { case (_, c) => c.map(scale1e6) }
+      kmeansSeeds(k).map { case (_, c) => c.map(scale1e6) }
     var agg: Array[((Int, Int), (Long, Long))] = Array.empty
     for (_ <- 1 to KmeansRounds) {
       val cb = s.sparkContext.broadcast(cs)

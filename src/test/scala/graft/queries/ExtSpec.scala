@@ -531,6 +531,24 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(cellDrops.subsetOf(exactDrops),
       s"x108 dropped ids x48 keeps: ${(cellDrops -- exactDrops).take(5)}")
+
+    // re-pin at a second cell count (the k-knob, VERDICT r9 gap #3):
+    // containment is a k-invariant — cells at ANY k can only restrict
+    // the edge set, never invent pairs, so edges and drops at k=64 must
+    // be subsets of the exact arm (k=16 and k=64 partitions are not
+    // nested, so no cross-k containment is asserted)
+    val cellEdges64 = DedupQueries.x108CellPairScan(spark, sf, k = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cellEdges64.subsetOf(exactEdges),
+      s"k=64 cell scan invented edges: ${(cellEdges64 -- exactEdges).take(5)}")
+    assert(cellEdges64.nonEmpty, "k=64 finds no in-cell near-dup pairs")
+    val cellDrops64 = DedupQueries.semanticDedupDecision(spark,
+        Tables.embeddings(spark, sf),
+        DedupQueries.x108CellPairScan(spark, sf, k = 64))
+      .where(!col("kept")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(cellDrops64.subsetOf(exactDrops),
+      s"k=64 dropped ids x48 keeps: ${(cellDrops64 -- exactDrops).take(5)}")
   }
 
   test("semantic dedup scale path: hash collapse + LSH pairs, replication-invariant") {
