@@ -56,8 +56,9 @@ object CurationWarehouse {
   /** A lease older than this is considered abandoned by a crashed
     * writer and may be broken. Generous vs any real slice ingest; a
     * stuck-but-alive writer past this bound has already violated the
-    * operational contract. */
-  val LeaseTtlMs: Long = 30L * 60L * 1000L
+    * operational contract. (The protocol lives in [[WriterLease]]
+    * since round 10 — the index-maintenance verbs share it.) */
+  val LeaseTtlMs: Long = WriterLease.TtlMs
 
   private def fpOf(docs: DataFrame): DataFrame =
     CorpusPipeline.piiScrub(docs)
@@ -95,85 +96,19 @@ object CurationWarehouse {
       case _: java.nio.file.FileAlreadyExistsException => false
     }
 
-  private def leasePath(dir: String) = new Path(s"$dir/claims/LEASE")
-
-  /** Write our unique token into a freshly-created lease file. The
-    * create(fail-if-exists) is the atomic claim; the token is the
-    * OWNERSHIP PROOF that release/break verify against, so no writer
-    * can ever delete or break a lease it does not hold. */
-  private def tryCreateLease(f: org.apache.hadoop.fs.FileSystem,
-      p: Path, token: String): Boolean =
-    try {
-      val out = f.create(p, false)
-      out.write(token.getBytes("UTF-8")); out.close(); true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-    }
-
-  private def leaseToken(f: org.apache.hadoop.fs.FileSystem,
-      p: Path): Option[String] =
-    scala.util.Try {
-      val in = f.open(p)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    }.toOption
-
   /** Acquire the warehouse's single-writer lease; returns the owner
     * token to pass to [[releaseLease]]. Must be held across the whole
     * read-indexes → dedup → commit span: the duplicate-admission race
-    * lives between the index read and the marker create.
-    *
-    * Stale-break protocol (a crashed writer's lease must not brick the
-    * warehouse): observe the holder's TOKEN, wait out the TTL evidence
-    * (mtime), atomically RENAME the lease aside, then VERIFY the
-    * renamed file still carries the observed stale token. The rename
-    * is what makes two breakers safe (only one wins); the post-rename
-    * token check is what makes breaker-vs-fresh-holder safe — if the
-    * stale holder released and a NEW writer re-acquired between our
-    * staleness check and our rename, the renamed file carries the new
-    * token, we rename it straight back and fail instead of stealing a
-    * live writer's lease. */
-  private def acquireLease(spark: SparkSession, dir: String): String = {
-    val f = fs(spark, dir)
-    f.mkdirs(new Path(dir, "claims"))
-    val lease = leasePath(dir)
-    val token = java.util.UUID.randomUUID().toString
-    if (tryCreateLease(f, lease, token)) return token
-    val st = scala.util.Try(f.getFileStatus(lease)).toOption
-    val staleTok = if (st.exists(s =>
-      System.currentTimeMillis() - s.getModificationTime > LeaseTtlMs))
-      leaseToken(f, lease) else None
-    staleTok match {
-      case Some(observed) =>
-        val aside = new Path(
-          s"$dir/claims/LEASE.broken.${java.util.UUID.randomUUID()}")
-        if (f.rename(lease, aside)) {
-          if (leaseToken(f, aside).contains(observed)) {
-            // provably the stale holder's lease; claim for ourselves
-            if (tryCreateLease(f, lease, token)) return token
-          } else {
-            // we renamed a FRESH holder's lease (stale one released and
-            // someone new acquired in between) — put it back untouched
-            f.rename(aside, lease)
-          }
-        }
-      case None => // fresh, unreadable, or gone — never break
-    }
-    throw new IllegalStateException(
-      s"warehouse at $dir: another writer holds the single-writer lease " +
-        "(claims/LEASE); concurrent ingests would re-admit each other's " +
-        "duplicates. Retry after it finishes, or delete a stale lease.")
-  }
+    * lives between the index read and the marker create. Protocol
+    * (atomic claim, token ownership, TTL stale-break): [[WriterLease]]. */
+  private def acquireLease(spark: SparkSession, dir: String): String =
+    WriterLease.acquire(spark, dir,
+      "concurrent ingests would re-admit each other's duplicates.")
 
-  /** Release ONLY our own lease: if the file no longer carries our
-    * token (a breaker legitimately took over after our TTL expired),
-    * leave it alone — deleting by path would evict the new holder. */
+  /** Release ONLY our own lease — see [[WriterLease.release]]. */
   private def releaseLease(spark: SparkSession, dir: String,
-      token: String): Unit = {
-    val f = fs(spark, dir)
-    if (leaseToken(f, leasePath(dir)).contains(token))
-      f.delete(leasePath(dir), false)
-  }
+      token: String): Unit =
+    WriterLease.release(spark, dir, token)
 
   /** Reserve a slice id exclusively: atomically create `claims/<id>`
     * (fail-if-exists). A crashed attempt holds its claim forever, so

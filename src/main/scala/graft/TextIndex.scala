@@ -271,6 +271,18 @@ object TextIndex {
     *
     * Returns the number of delta batches folded (0 = nothing to do). */
   def compact(spark: SparkSession, dir: String): Int = {
+    // single-writer lease (round 10 parity with warehouse ingest): the
+    // crash protocol makes a RERUN safe, not a CONCURRENT twin — two
+    // live compactions stage into the same _next dirs. Appends need no
+    // lease: their safety vs a running compaction is the snapshot
+    // protocol above (spec-pinned), and refusal mid-swap is explicit.
+    val lease = WriterLease.acquire(spark, dir,
+      "two concurrent consolidations would interleave staged tables.")
+    try compactLocked(spark, dir)
+    finally WriterLease.release(spark, dir, lease)
+  }
+
+  private def compactLocked(spark: SparkSession, dir: String): Int = {
     // resume a committed-but-unfinished cycle before anything else
     if (java.nio.file.Files.exists(compactMarker(dir)))
       return finishCompact(dir)
@@ -405,6 +417,15 @@ object TextIndex {
     * Returns the number of batches folded (0 = fewer than 2 committed
     * batches — nothing worth squashing). */
   def mergeDeltas(spark: SparkSession, dir: String): Int = {
+    // same single-writer lease as compact: two live merges share the
+    // fixed *_merge_stage paths and possibly the same reserved id
+    val lease = WriterLease.acquire(spark, dir,
+      "two concurrent consolidations would interleave staged tables.")
+    try mergeDeltasLocked(spark, dir)
+    finally WriterLease.release(spark, dir, lease)
+  }
+
+  private def mergeDeltasLocked(spark: SparkSession, dir: String): Int = {
     requireNoPendingCompact(dir, "mergeDeltas")
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "meta.json")),

@@ -611,6 +611,20 @@ object VectorIndex {
   def rebalanceIvf(spark: SparkSession, dir: String,
       trainN: Long = DedupQueries.PqTrainN,
       rounds: Int = DedupQueries.KmeansRounds): Unit = {
+    // single-writer lease (round 10 parity with warehouse ingest): the
+    // self-heal below repairs a CRASHED rebalance, not a concurrent
+    // twin — two live runs would overwrite ivf_codes with different
+    // re-trained layouts. Stream ingests stay lease-free: the batch-dir
+    // snapshot below is what makes them safe (spec-pinned race).
+    val lease = WriterLease.acquire(spark, dir,
+      "two concurrent rebalances would overwrite each other's " +
+        "ivf_codes rewrite.")
+    try rebalanceIvfLocked(spark, dir, trainN, rounds)
+    finally WriterLease.release(spark, dir, lease)
+  }
+
+  private def rebalanceIvfLocked(spark: SparkSession, dir: String,
+      trainN: Long, rounds: Int): Unit = {
     import spark.implicits._
     // Snapshot the stream batch partition dirs NOW: only these are
     // guaranteed to be in the consolidation read below, so only these

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Single-writer lease over a directory-rooted store.
+  *
+  * Extracted from [[CurationWarehouse]] (where it serializes ingests,
+  * round 7) so every estate mutator shares ONE protocol (round 10's
+  * lease parity): the index-maintenance verbs ([[TextIndex.compact]],
+  * [[TextIndex.mergeDeltas]], [[VectorIndex.rebalanceIvf]]) are
+  * crash-safe against kill-and-rerun but NOT against two LIVE
+  * invocations — both stage into the same fixed `_next`/`_stage` paths
+  * or overwrite the same codes table, so a cron double-fire of the
+  * nightly job would interleave two writers' staging. The lease turns
+  * that corruption into a fast, retriable refusal. Appends stay
+  * lease-free on the index estates: concurrent-append-during-
+  * consolidation safety is by snapshot protocol (spec-pinned), and
+  * stream ingests are serialized by the stream itself.
+  *
+  * Protocol (unchanged from the warehouse original): the lease is
+  * `claims/LEASE` under the store dir, created fail-if-exists — the
+  * atomic claim. It carries its owner's unique TOKEN: release deletes
+  * only a lease still holding the releaser's token, and a crashed
+  * writer's stale lease (older than [[TtlMs]]) is broken by an atomic
+  * RENAME followed by a token re-check of the renamed file — an
+  * overtaken writer cannot delete its successor's lease, and a breaker
+  * that raced a fresh re-acquire renames the fresh lease straight
+  * back instead of stealing it.
+  */
+object WriterLease {
+
+  /** A lease older than this is considered abandoned by a crashed
+    * writer and may be broken. Generous against long consolidations:
+    * a healthy writer finishes far sooner; a wrongly-broken LIVE
+    * writer is still safe against the new holder because markers and
+    * claim files are fail-if-exists. */
+  val TtlMs: Long = 30L * 60L * 1000L
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def leasePath(dir: String) = new Path(s"$dir/claims/LEASE")
+
+  /** Write our unique token into a freshly-created lease file. The
+    * create(fail-if-exists) is the atomic claim; the token is the
+    * OWNERSHIP PROOF that release/break verify against, so no writer
+    * can ever delete or break a lease it does not hold. */
+  private def tryCreateLease(f: org.apache.hadoop.fs.FileSystem,
+      p: Path, token: String): Boolean =
+    try {
+      val out = f.create(p, false)
+      out.write(token.getBytes("UTF-8")); out.close(); true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
+  private def leaseToken(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[String] =
+    scala.util.Try {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }.toOption
+
+  /** Acquire the store's single-writer lease; returns the owner token
+    * to pass to [[release]]. Must be held across the writer's whole
+    * read-decide-commit span.
+    *
+    * Stale-break protocol (a crashed writer's lease must not brick the
+    * store): observe the holder's TOKEN, wait out the TTL evidence
+    * (mtime), atomically RENAME the lease aside, then VERIFY the
+    * renamed file still carries the observed stale token. The rename
+    * is what makes two breakers safe (only one wins); the post-rename
+    * token check is what makes breaker-vs-fresh-holder safe — if the
+    * stale holder released and a NEW writer re-acquired between our
+    * staleness check and our rename, the renamed file carries the new
+    * token, we rename it straight back and fail instead of stealing a
+    * live writer's lease.
+    *
+    * @param why appended to the refusal message: what the exclusion
+    *            protects (ends with a period). */
+  def acquire(spark: SparkSession, dir: String, why: String): String = {
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir, "claims"))
+    val lease = leasePath(dir)
+    val token = java.util.UUID.randomUUID().toString
+    if (tryCreateLease(f, lease, token)) return token
+    val st = scala.util.Try(f.getFileStatus(lease)).toOption
+    val staleTok = if (st.exists(s =>
+      System.currentTimeMillis() - s.getModificationTime > TtlMs))
+      leaseToken(f, lease) else None
+    staleTok match {
+      case Some(observed) =>
+        val aside = new Path(
+          s"$dir/claims/LEASE.broken.${java.util.UUID.randomUUID()}")
+        if (f.rename(lease, aside)) {
+          if (leaseToken(f, aside).contains(observed)) {
+            // provably the stale holder's lease; claim for ourselves
+            if (tryCreateLease(f, lease, token)) return token
+          } else {
+            // we renamed a FRESH holder's lease (stale one released and
+            // someone new acquired in between) — put it back untouched
+            f.rename(aside, lease)
+          }
+        }
+      case None => // fresh, unreadable, or gone — never break
+    }
+    throw new IllegalStateException(
+      s"$dir: another writer holds the single-writer lease " +
+        s"(claims/LEASE); $why Retry after it finishes, or delete a " +
+        "stale lease.")
+  }
+
+  /** Release ONLY our own lease: if the file no longer carries our
+    * token (a breaker legitimately took over after our TTL expired),
+    * leave it alone — deleting by path would evict the new holder. */
+  def release(spark: SparkSession, dir: String, token: String): Unit = {
+    val f = fs(spark, dir)
+    if (leaseToken(f, leasePath(dir)).contains(token))
+      f.delete(leasePath(dir), false)
+  }
+}

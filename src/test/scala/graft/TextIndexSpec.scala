@@ -458,6 +458,56 @@ class TextIndexSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq == wantBig)
   }
 
+  test("consolidation verbs hold the single-writer lease (round 10 parity)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtlease").toString
+    TextIndex.build(spark, dir, docs.where(col("doc_id") % 5 === 0))
+    (1 to 2).foreach { m =>
+      TextIndex.append(spark, dir,
+        docs.where(col("doc_id") % 5 === m), batchId = m.toLong)
+    }
+    val want = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+
+    // a concurrent consolidator's live lease → both verbs refuse fast,
+    // on-disk state untouched (serving identical), lease NOT stolen
+    val lease = java.nio.file.Paths.get(dir, "claims", "LEASE")
+    java.nio.file.Files.createDirectories(lease.getParent)
+    java.nio.file.Files.write(lease, "other-writer".getBytes)
+    Seq(() => TextIndex.compact(spark, dir),
+        () => TextIndex.mergeDeltas(spark, dir)).foreach { verb =>
+      val e = intercept[IllegalStateException](verb())
+      assert(e.getMessage.contains("lease"))
+    }
+    assert(java.nio.file.Files.readString(lease) == "other-writer",
+      "refused verb must not delete the holder's lease")
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want)
+
+    // append stays lease-free BY DESIGN (snapshot protocol covers it)
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") % 5 === 3), batchId = 3L)
+
+    // holder releases → verbs run and release their own lease after
+    java.nio.file.Files.delete(lease)
+    assert(TextIndex.mergeDeltas(spark, dir) == 3)
+    assert(!java.nio.file.Files.exists(lease),
+      "mergeDeltas must release its lease")
+    assert(TextIndex.compact(spark, dir) >= 1)
+    assert(!java.nio.file.Files.exists(lease),
+      "compact must release its lease")
+
+    // a FAILED verb releases too: poison the layout so the locked body
+    // throws past the lease acquire (meta.json gone mid-flight)
+    val meta = java.nio.file.Paths.get(dir, "meta.json")
+    val metaBak = java.nio.file.Paths.get(dir, "meta.json.bak")
+    java.nio.file.Files.move(meta, metaBak)
+    intercept[Exception](TextIndex.compact(spark, dir))
+    assert(!java.nio.file.Files.exists(lease),
+      "a failed compact must still release its lease")
+    java.nio.file.Files.move(metaBak, meta)
+  }
+
   test("meta guards: a non-index dir fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notidx").toString
     val e = intercept[Exception] {

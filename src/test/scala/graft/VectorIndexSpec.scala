@@ -611,4 +611,25 @@ class VectorIndexSpec extends AnyFunSuite {
     val q = Seq((0L, Array(1.0f))).toDF("query_id", "embedding")
     intercept[Exception] { VectorIndex.search(spark, dir, q) }
   }
+
+  test("rebalanceIvf holds the single-writer lease (round 10 parity)") {
+    // the lease is acquired BEFORE any index read, so refusal and
+    // release-on-failure are pinnable on a bare dir
+    val dir = java.nio.file.Files.createTempDirectory("ivflease").toString
+    val lease = java.nio.file.Paths.get(dir, "claims", "LEASE")
+    java.nio.file.Files.createDirectories(lease.getParent)
+    java.nio.file.Files.write(lease, "other-writer".getBytes)
+    val e = intercept[IllegalStateException] {
+      VectorIndex.rebalanceIvf(spark, dir)
+    }
+    assert(e.getMessage.contains("lease"))
+    assert(java.nio.file.Files.readString(lease) == "other-writer",
+      "refused rebalance must not delete the holder's lease")
+    // holder gone → the verb acquires, fails on the empty dir, and
+    // must still release its own lease on the way out
+    java.nio.file.Files.delete(lease)
+    intercept[Exception] { VectorIndex.rebalanceIvf(spark, dir) }
+    assert(!java.nio.file.Files.exists(lease),
+      "a failed rebalance must still release its lease")
+  }
 }
