@@ -114,6 +114,19 @@ object ApSim {
             sourceTag = tag)
           println(s"""{"catalog":"persisted-bucketed","rows":$n,"sec":${
             (System.nanoTime() - p0) / 1e9}}""")
+          // Writeback barrier: flush the multi-GB bulk write's dirty
+          // pages BEFORE the latency-sensitive visit loop. Without it
+          // the kernel's background writeback races the early visits'
+          // parquet inserts — the r10 soak's only budget breaches were
+          // single 27 s insert stalls in visits 5-15 with GC exonerated
+          // at ≤2.5 s/visit (BASELINE.md forensics). Production does
+          // the same bulk-load/serve separation; the cost is paid once,
+          // on the record, at startup.
+          val s0 = System.nanoTime()
+          val rc = scala.util.Try(
+            scala.sys.process.Process(Seq("sync")).!).getOrElse(-1)
+          println(s"""{"catalog_sync":${if (rc == 0) "\"done\"" else "\"unavailable\""},"sec":${
+            (System.nanoTime() - s0) / 1e9}}""")
         } else {
           // a rerun with a DIFFERENT catalog spec must not silently
           // serve the stale persisted catalog

@@ -330,6 +330,45 @@ class TextIndexSpec extends AnyFunSuite {
       "second-cycle fold of the late batch changed rankings")
   }
 
+  test("mergeDeltas folds exactly the snapshotted batches — a concurrent append survives") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtmrace").toString
+    TextIndex.build(spark, dir, docs.where(col("doc_id") < 40))
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") >= 40 && col("doc_id") < 50), batchId = 0L)
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") >= 50 && col("doc_id") < 60), batchId = 1L)
+    // the race window: an append COMMITS between the merge's batch-list
+    // snapshot and its staged-segment writes (same seam compact pins)
+    TextIndex.compactSnapshotHook = () =>
+      TextIndex.append(spark, dir, docs.where(col("doc_id") >= 60),
+        batchId = 2L)
+    try assert(TextIndex.mergeDeltas(spark, dir) == 2,
+      "merge must fold only the snapshotted batches")
+    finally TextIndex.compactSnapshotHook = () => ()
+    // the late batch is untouched beside the merged segment — BOTH are
+    // committed, the folded two are gone
+    assert(TextIndex.committedBatches(dir).sorted == Seq(-1L, 2L),
+      s"committed set after racy merge: ${TextIndex.committedBatches(dir)}")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "postings_delta", "ingest_batch=2")))
+    // serving ≡ monolithic rebuild (every doc's postings + dl once)
+    val full = java.nio.file.Files.createTempDirectory("txtmracefull").toString
+    TextIndex.build(spark, full, docs)
+    val want = TextIndex.search(spark, full, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want,
+      "serving after the racy merge diverged from monolithic rebuild")
+    // the late batch folds on the NEXT cycle (nested merge), once
+    assert(TextIndex.mergeDeltas(spark, dir) == 2)
+    assert(TextIndex.committedBatches(dir) == Seq(-2L))
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want,
+      "second-cycle fold of the late batch changed rankings")
+  }
+
   private def fileIdentity(p: String): Seq[(String, Long, Long)] = {
     val root = java.nio.file.Paths.get(p)
     val s = java.nio.file.Files.walk(root)
