@@ -115,13 +115,13 @@ object ApSim {
           println(s"""{"catalog":"persisted-bucketed","rows":$n,"sec":${
             (System.nanoTime() - p0) / 1e9}}""")
           // Writeback barrier: flush the multi-GB bulk write's dirty
-          // pages BEFORE the latency-sensitive visit loop. Without it
-          // the kernel's background writeback races the early visits'
-          // parquet inserts — the r10 soak's only budget breaches were
-          // single 27 s insert stalls in visits 5-15 with GC exonerated
-          // at ≤2.5 s/visit (BASELINE.md forensics). Production does
-          // the same bulk-load/serve separation; the cost is paid once,
-          // on the record, at startup.
+          // pages BEFORE the latency-sensitive visit loop — the
+          // bulk-load/serve separation a production rollout does
+          // anyway, paid once on the record at startup. (Hygiene, not
+          // the r10 spike fix: the soak's budget misses were canary-
+          // pinned to episodic HOST slowdowns, position-random across
+          // runs and independent of this barrier — BASELINE.md
+          // forensics.)
           val s0 = System.nanoTime()
           val rc = scala.util.Try(
             scala.sys.process.Process(Seq("sync")).!).getOrElse(-1)
