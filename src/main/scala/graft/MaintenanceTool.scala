@@ -41,7 +41,14 @@ object MaintenanceTool {
       textAction: String,
       textBatchesFolded: Int,
       apdbChunksDropped: Map[String, Long],
-      apdbTablesConsolidated: Boolean) {
+      apdbTablesConsolidated: Boolean,
+      // per-verb wall seconds (r10): the nightly budget decomposed, so
+      // an operator sees WHICH estate's consolidation grew night-over-
+      // night without re-running anything. Keys: ivf/text/retention/
+      // consolidate — absent estate members simply report ~0.
+      verbSecs: Map[String, Double] = Map.empty) {
+    private def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", d)
     def json: String = {
       val drops = apdbChunksDropped.toSeq.sortBy(_._1)
         .map { case (t, n) => s""""$t":$n""" }.mkString("{", ",", "}")
@@ -50,12 +57,15 @@ object MaintenanceTool {
       val drift = ivfDrift
         .map(d => String.format(java.util.Locale.ROOT, "%.4f", d))
         .getOrElse("null")
+      val verbs = verbSecs.toSeq.sortBy(_._1)
+        .map { case (v, s) => s""""$v":${fmt(s)}""" }.mkString("{", ",", "}")
       s"""{"ivf_drift":$drift,""" +
         s""""ivf_rebalanced":$ivfRebalanced,""" +
         s""""text_action":"$textAction",""" +
         s""""text_batches_folded":$textBatchesFolded,""" +
         s""""apdb_chunks_dropped":$drops,""" +
-        s""""apdb_consolidated":$apdbTablesConsolidated}"""
+        s""""apdb_consolidated":$apdbTablesConsolidated,""" +
+        s""""verb_secs":$verbs}"""
     }
   }
 
@@ -73,24 +83,38 @@ object MaintenanceTool {
       apdbStore: Option[graft.apdb.ApdbSpark] = None,
       asOf: Option[java.sql.Timestamp] = None,
       driftBound: Double = VectorIndex.DefaultDriftBound): Report = {
-    val drift = vectorDir.map(d => VectorIndex.ivfDrift(spark, d))
-    val rebalanced = drift.exists(_ > driftBound)
-    if (rebalanced) VectorIndex.rebalanceIvf(spark, vectorDir.get)
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val ((drift, rebalanced), ivfSec) = timed {
+      val d = vectorDir.map(v => VectorIndex.ivfDrift(spark, v))
+      val r = d.exists(_ > driftBound)
+      if (r) VectorIndex.rebalanceIvf(spark, vectorDir.get)
+      (d, r)
+    }
     // tier-gated, like the drift gate above: one tiny nightly delta
     // must not trigger an O(index) base rewrite (TextIndex.maintain
     // decides none/merge/full from marker metadata alone)
-    val text = textDir.map(d => TextIndex.maintain(spark, d))
-      .getOrElse(TextIndex.MaintainResult("none", 0))
+    val (text, textSec) = timed {
+      textDir.map(d => TextIndex.maintain(spark, d))
+        .getOrElse(TextIndex.MaintainResult("none", 0))
+    }
     require(apdbStore.isEmpty || asOf.isDefined,
       "MaintenanceTool.runNightly: an APDB estate needs the nightly cut " +
         "time (asOf) for chunk retention")
-    val dropped = (apdbStore, asOf) match {
-      case (Some(a), Some(t)) => a.dropExpiredChunks(t)
-      case _ => Map.empty[String, Long]
+    val (dropped, retSec) = timed {
+      (apdbStore, asOf) match {
+        case (Some(a), Some(t)) => a.dropExpiredChunks(t)
+        case _ => Map.empty[String, Long]
+      }
     }
-    apdbStore.foreach(_.consolidateNight())
+    val (_, conSec) = timed { apdbStore.foreach(_.consolidateNight()) }
     Report(drift, rebalanced, text.action, text.batchesFolded, dropped,
-      apdbStore.isDefined)
+      apdbStore.isDefined,
+      Map("ivf" -> ivfSec, "text" -> textSec,
+        "retention" -> retSec, "consolidate" -> conSec))
   }
 
   /** CLI: `runMain graft.MaintenanceTool [--vector <dir>] [--text <dir>]

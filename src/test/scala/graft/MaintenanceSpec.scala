@@ -120,6 +120,12 @@ class MaintenanceSpec extends AnyFunSuite {
       s"expected the expired chunk dropped: ${report.apdbChunksDropped}")
     assert(report.apdbTablesConsolidated)
     assert(report.json.contains("\"ivf_rebalanced\":true"))
+    // the nightly budget decomposes per verb in the log line (r10):
+    // all four verbs timed, the rebalancing night's ivf term dominant
+    assert(Seq("ivf", "text", "retention", "consolidate")
+      .forall(report.verbSecs.contains), s"verbs: ${report.verbSecs.keys}")
+    assert(report.json.contains("\"verb_secs\":{\"consolidate\":"))
+    assert(report.verbSecs("ivf") > 0.0)
 
     // -- serving green on every estate member ---------------------------
     // vector: the consolidated index serves a drifted id as its own top
