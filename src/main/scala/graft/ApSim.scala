@@ -117,15 +117,18 @@ object ApSim {
           // Writeback barrier: flush the multi-GB bulk write's dirty
           // pages BEFORE the latency-sensitive visit loop — the
           // bulk-load/serve separation a production rollout does
-          // anyway, paid once on the record at startup. (Hygiene, not
-          // the r10 spike fix: the soak's budget misses were canary-
-          // pinned to episodic HOST slowdowns, position-random across
-          // runs and independent of this barrier — BASELINE.md
-          // forensics.)
+          // anyway, paid once on the record at startup. Scoped per-file
+          // fsync over the catalog tree (r11: replaces the `sync`
+          // shell-out — portable, and touches only our own files; 0
+          // files on non-local schemes where close() already settles
+          // durability). (Hygiene, not the r10 spike fix: the soak's
+          // budget misses were canary-pinned to episodic HOST
+          // slowdowns, position-random across runs and independent of
+          // this barrier — BASELINE.md forensics.)
           val s0 = System.nanoTime()
-          val rc = scala.util.Try(
-            scala.sys.process.Process(Seq("sync")).!).getOrElse(-1)
-          println(s"""{"catalog_sync":${if (rc == 0) "\"done\"" else "\"unavailable\""},"sec":${
+          val flushed = scala.util.Try(
+            EstateFs.fsyncTree(CatalogStore.dir(warehouse))).getOrElse(-1)
+          println(s"""{"catalog_flush_files":$flushed,"sec":${
             (System.nanoTime() - s0) / 1e9}}""")
         } else {
           // a rerun with a DIFFERENT catalog spec must not silently

@@ -435,8 +435,7 @@ object CorpusPipeline {
     // counts come from the metas the builders just wrote — no extra jobs
     def grab(path: String, key: String): Long =
       (s""""$key":(\\d+)""").r
-        .findFirstMatchIn(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(path))).get.group(1).toLong
+        .findFirstMatchIn(EstateFs.readString(path)).get.group(1).toLong
     Map(
       "text_docs" -> grab(s"$outDir/text_index/meta.json", "n_docs"),
       "vectors" -> grab(s"$outDir/vector_index/meta_ivf.json", "vectors"))

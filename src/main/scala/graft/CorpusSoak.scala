@@ -145,21 +145,26 @@ object CorpusSoak {
       .select(col("vec_id").as("vec_a"), col("crep").as("vec_b"))
     val distinctVecs = withRep.where(col("vec_id") === col("crep"))
       .select(col("vec_id"), col("embedding"))
-    // 2. sublinear pair scan on distinct vectors only (x30's kernel)
-    val lshPairs = graft.queries.DedupQueries
-      .x30PairScan(spark, distinctVecs)
+    // 2. cell-bounded pair scan on distinct vectors only (x108's
+    // production kernel, r11: k derived from THIS corpus's vector
+    // count by the k≈√n rule instead of the registry's fixed oracle k)
+    val cellK = graft.queries.DedupQueries.semDedupCellCount(nBaseVec)
+    println(s"""{"phase":"semantic_dedup_cells","distinct_vectors":$nBaseVec,"derived_k":$cellK}""")
+    val cellPairs = graft.queries.DedupQueries
+      .cellPairScan(spark, distinctVecs, cellK)
       .select(col("vec_a"), col("vec_b"))
     // 3. the x48 decision over every replica
     val decision = graft.queries.DedupQueries.semanticDedupDecision(
       spark, vecs.select(col("vec_id")),
-      twinStars.unionByName(lshPairs)).localCheckpoint(true)
+      twinStars.unionByName(cellPairs)).localCheckpoint(true)
     val nKept = decision.where(col("kept")).count()
     println(f"""{"phase":"semantic_dedup","vectors":$nVecs,"kept":$nKept,"sec":${(System.nanoTime() - t3) / 1e9}%.2f}""")
     require(decision.count() == nVecs, "every replica gets a decision")
     // replication-invariance: base-id decisions == the factor-1 run
+    // (same kernel, same derived k — the base set IS the distinct set)
     val baseDecision = graft.queries.DedupQueries.semanticDedupDecision(
       spark, baseEmb.select(col("vec_id")),
-      graft.queries.DedupQueries.x30PairScan(spark, baseEmb)
+      graft.queries.DedupQueries.cellPairScan(spark, baseEmb, cellK)
         .select(col("vec_a"), col("vec_b")))
     val baseProj = decision.where(col("vec_id") < nBaseVec)
     require(baseProj.exceptAll(baseDecision).isEmpty &&

@@ -25,6 +25,11 @@ import graft.queries.{PortableHash, TextQueries}
   *    batch (x51's inline form must re-derive them because the registry
   *    contract is one self-contained DataFrame per key).
   *
+  * All control-plane IO (meta, markers, batch enumeration, staged-table
+  * swaps) goes through [[EstateFs]] — the Hadoop FileSystem layer — so
+  * the index hosts on HDFS/S3 exactly like its parquet data plane
+  * (round 11; the java.nio form was local-POSIX-only).
+  *
   * At 100 TB the postings table is a bucketed warehouse table; a serve
   * touches `|query terms|` buckets of it plus the lengths of matching
   * docs, and the tokenize+aggregate cost of building postings is paid
@@ -67,14 +72,12 @@ object TextIndex {
       .partitionBy("bucket").parquet(s"$dir/postings")
     dl.write.mode(SaveMode.Overwrite).parquet(s"$dir/lengths")
     org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(dl)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "meta.json"),
+    EstateFs.writeStringAtomic(s"$dir/meta.json",
       s"""{"n_docs":${statsRow.getLong(0)},"sum_dl":${statsRow.getLong(1)},"buckets":$TermBuckets}""")
   }
 
   private def meta(dir: String): (Long, Long, Int) = {
-    val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, "meta.json"))
+    val txt = EstateFs.readString(s"$dir/meta.json")
     def grab(k: String): Long =
       s""""$k":(\\d+)""".r.findFirstMatchIn(txt).getOrElse(
         throw new IllegalStateException(
@@ -106,31 +109,27 @@ object TextIndex {
     all.filterNot(folded).sorted
   }
 
-  private def allMarkerIds(dir: String): Seq[Long] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .map(_.getName)
+  private def allMarkerIds(dir: String): Seq[Long] =
+    EstateFs.listNames(dir)
       .collect { case s if s.startsWith("meta_delta_batch_") && s.endsWith(".json") =>
         s.stripPrefix("meta_delta_batch_").stripSuffix(".json").toLong
-      }.toSeq
-  }
+      }
 
   /** The batch ids a merged segment's marker records as folded (empty
     * for plain append batches, whose markers carry no `folded` key; a
     * marker deleted since the listing — cleanup of a nested merge
     * removes inner markers mid-iteration — reads as empty too). */
   private def foldedList(dir: String, batch: Long): Seq[Long] = {
-    val p = java.nio.file.Paths.get(dir, s"meta_delta_batch_$batch.json")
-    if (!java.nio.file.Files.exists(p)) return Nil
-    val txt = java.nio.file.Files.readString(p)
+    val p = s"$dir/meta_delta_batch_$batch.json"
+    if (!EstateFs.exists(p)) return Nil
+    val txt = EstateFs.readString(p)
     """"folded":\[([0-9,\-]*)\]""".r.findFirstMatchIn(txt)
       .map(_.group(1).split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
       .getOrElse(Nil)
   }
 
   private def deltaMeta(dir: String, batch: Long): (Long, Long) = {
-    val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, s"meta_delta_batch_$batch.json"))
+    val txt = EstateFs.readString(s"$dir/meta_delta_batch_$batch.json")
     def grab(k: String): Long =
       s""""$k":(\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
     (grab("n_docs"), grab("sum_dl"))
@@ -158,10 +157,18 @@ object TextIndex {
     * lengths land beside them, and the batch's corpus scalars commit
     * LAST as the batch's marker file. Refuses doc_id collisions with
     * already-indexed docs — re-indexing a changed document is a rebuild
-    * decision, not a silent double-count. */
+    * decision, not a silent double-count — EXCEPT the one collision a
+    * healthy stream produces: a replay of a batch that committed and
+    * was then FOLDED by [[mergeDeltas]]/[[compact]] before the stream
+    * checkpoint advanced. Its docs then live in the base or a merged
+    * segment, so the replay is detected by full (doc_id, dl)
+    * containment with no clashing doc owned by a LIVE positive batch,
+    * and no-ops — the rows are already indexed, and refusing would
+    * turn exactly-once replay into a permanent crash loop (ADVICE
+    * r10). A collision with a live batch's docs still refuses. */
   def append(spark: SparkSession, dir: String, docs: DataFrame,
       batchId: Long): Unit = {
-    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "meta.json")),
+    require(EstateFs.exists(s"$dir/meta.json"),
       s"TextIndex.append: $dir has no meta.json — build the base index first")
     requireNoPendingCompact(dir, "append")
     val dl = docs.select(col("doc_id"),
@@ -177,14 +184,48 @@ object TextIndex {
           .collect()(0)
         require(row.getLong(0) > 0,
           s"TextIndex.append: batch $batchId has no documents")
+        // indexed lengths WITH provenance: base rows tagged with a
+        // sentinel, delta rows with their batch id — the replay
+        // detection below needs to know WHERE a clashing doc lives
+        val commits = committedBatches(dir).filterNot(_ == batchId)
+        val baseL = spark.read.parquet(s"$dir/lengths")
+          .select(col("doc_id"), col("dl"),
+            lit(Long.MinValue).as("src_batch"))
+        val indexed =
+          if (commits.isEmpty) baseL
+          else baseL.unionByName(
+            spark.read.parquet(s"$dir/lengths_delta")
+              .where(col("ingest_batch").isin(commits: _*))
+              .select(col("doc_id"), col("dl"),
+                col("ingest_batch").as("src_batch")))
         val clash = dl
-          .join(lengthsAll(spark, dir, excludeBatch = Some(batchId))
-            .select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .join(indexed.select(col("doc_id")), Seq("doc_id"), "left_semi")
           .limit(1).count()
-        require(clash == 0,
-          s"TextIndex.append: batch $batchId contains doc_ids already in " +
-            "the index — appending would double-count their postings; " +
-            "rebuild instead")
+        if (clash > 0) {
+          // Replay-after-fold detection (ADVICE r10): a batch that
+          // committed and was then FOLDED by mergeDeltas/compact before
+          // the stream checkpoint advanced redelivers with its marker
+          // gone — excludeBatch cannot hide it, and refusing would turn
+          // exactly-once replay into a permanent crash loop. Such a
+          // replay is recognized by BOTH (a) every (doc_id, dl) pair
+          // already indexed AND (b) no clashing doc living in a LIVE
+          // positive batch (folded rows live in the base or a merged
+          // id<0 segment). A re-send of docs a live batch owns — a
+          // genuine double-index attempt — still refuses.
+          val novel = dl
+            .join(indexed.select(col("doc_id"), col("dl")),
+              Seq("doc_id", "dl"), "left_anti")
+            .limit(1).count()
+          val liveOwned = dl
+            .join(indexed.where(col("src_batch") >= 0)
+              .select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .limit(1).count()
+          require(novel == 0 && liveOwned == 0,
+            s"TextIndex.append: batch $batchId contains doc_ids already in " +
+              "the index — appending would double-count their postings; " +
+              "rebuild instead")
+          return
+        }
         docs.select(col("doc_id"),
             explode(split(col("text"), " ")).as("term"))
           .groupBy(col("doc_id"), col("term"))
@@ -204,18 +245,11 @@ object TextIndex {
       } finally {
         org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(dl)
       }
-    // marker LAST, via temp + atomic rename: a crash mid-write must
-    // never leave a present-but-truncated marker (which would read as
-    // "committed" with corrupt scalars)
-    val marker =
-      java.nio.file.Paths.get(dir, s"meta_delta_batch_$batchId.json")
-    val tmp = java.nio.file.Paths.get(dir,
-      s".meta_delta_batch_$batchId.json.tmp")
-    java.nio.file.Files.writeString(tmp,
+    // marker LAST, via the atomic write primitive: a crash mid-write
+    // must never leave a present-but-truncated marker (which would read
+    // as "committed" with corrupt scalars)
+    EstateFs.writeStringAtomic(s"$dir/meta_delta_batch_$batchId.json",
       s"""{"n_docs":${statsRow.getLong(0)},"sum_dl":${statsRow.getLong(1)}}""")
-    java.nio.file.Files.move(tmp, marker,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   // -- delta compaction (VERDICT r8 #3: the lifecycle's third verb) ------
@@ -230,14 +264,13 @@ object TextIndex {
     * concurrent append can land in. No-op in production. */
   private[graft] var compactSnapshotHook: () => Unit = () => ()
 
-  private def compactMarker(dir: String) =
-    java.nio.file.Paths.get(dir, "meta_compact.json")
+  private def compactMarker(dir: String) = s"$dir/meta_compact.json"
 
   /** Refuse to serve/append across a half-finished compaction: between
     * the commit marker and the final cleanup the on-disk state mixes
     * folded and unfolded rows, and reading it would double-count. */
   private def requireNoPendingCompact(dir: String, op: String): Unit =
-    require(!java.nio.file.Files.exists(compactMarker(dir)),
+    require(!EstateFs.exists(compactMarker(dir)),
       s"TextIndex.$op: $dir has a committed-but-unfinished compaction " +
         "(meta_compact.json present) — run TextIndex.compact(dir) to " +
         "finish it first")
@@ -262,7 +295,11 @@ object TextIndex {
     * deletes idempotent, meta rewritten from the marker, marker removed
     * last. Batches appended AFTER the batch-list snapshot (including
     * during the long phase-1 writes) are untouched in BOTH staged
-    * tables and fold on the next cycle.
+    * tables and fold on the next cycle. Immediately before the marker
+    * lands the writer re-verifies it still holds the lease
+    * ([[WriterLease.verifyHeld]]): a consolidation that outlived the
+    * TTL and was broken aborts instead of interleaving with its
+    * successor.
     *
     * Cost is O(base + deltas) — the whole index rewrites. Callers on a
     * nightly cadence should go through [[maintain]], which runs the
@@ -278,16 +315,16 @@ object TextIndex {
     // protocol above (spec-pinned), and refusal mid-swap is explicit.
     val lease = WriterLease.acquire(spark, dir,
       "two concurrent consolidations would interleave staged tables.")
-    try compactLocked(spark, dir)
+    try compactLocked(spark, dir, lease)
     finally WriterLease.release(spark, dir, lease)
   }
 
-  private def compactLocked(spark: SparkSession, dir: String): Int = {
+  private def compactLocked(spark: SparkSession, dir: String,
+      lease: String): Int = {
     // resume a committed-but-unfinished cycle before anything else
-    if (java.nio.file.Files.exists(compactMarker(dir)))
-      return finishCompact(dir)
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "meta.json")),
+    if (EstateFs.exists(compactMarker(dir)))
+      return finishCompact(spark, dir, lease)
+    require(EstateFs.exists(s"$dir/meta.json"),
       s"TextIndex.compact: $dir has no meta.json — not a TextIndex dir")
     // finish any pending merge cleanup FIRST: finishCompact deletes the
     // folded merged markers, and a batch whose own marker still lingered
@@ -323,63 +360,52 @@ object TextIndex {
       .coalesce(
         math.max(1, spark.sparkContext.defaultParallelism / 4))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/lengths_next")
-    // phase 2 — THE commit point (atomic marker, same protocol as
-    // append's batch markers)
-    val tmp = java.nio.file.Paths.get(dir, ".meta_compact.json.tmp")
-    java.nio.file.Files.writeString(tmp,
+    // phase 2 — THE commit point. Re-verify lease ownership FIRST: the
+    // phase-1 writes are the long part of the cycle, and a writer that
+    // outlived the TTL and was broken must abort here, not commit a
+    // marker over its successor's state (VERDICT r10 #2).
+    WriterLease.verifyHeld(spark, dir, lease)
+    EstateFs.writeStringAtomic(compactMarker(dir),
       s"""{"n_docs":$nDocs,"sum_dl":$sumDl,"buckets":$buckets,"folded":[${batches.mkString(",")}]}""")
-    java.nio.file.Files.move(tmp, compactMarker(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     compactCrashHook()
     // phase 3 — idempotent finish
-    finishCompact(dir)
+    finishCompact(spark, dir, lease)
   }
 
   /** Replay the post-commit steps of a compaction cycle; every step is
     * idempotent, so a kill anywhere in here is repaired by calling it
-    * (or [[compact]]) again. */
-  private def finishCompact(dir: String): Int = {
-    val txt = java.nio.file.Files.readString(compactMarker(dir))
+    * (or [[compact]]) again — under the lease: the base-table swap is
+    * destructive, and two live finishers would interleave rm+move
+    * (ADVICE r10 — the resume path used to run lease-free). */
+  private def finishCompact(spark: SparkSession, dir: String,
+      lease: String): Int = {
+    WriterLease.verifyHeld(spark, dir, lease)
+    val txt = EstateFs.readString(compactMarker(dir))
     def grab(k: String): Long =
       s""""$k":(\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
     val folded = """"folded":\[([0-9,\-]*)\]""".r.findFirstMatchIn(txt).get
       .group(1).split(",").filter(_.nonEmpty).map(_.toLong).toSeq
-    def rm(f: java.io.File): Unit =
-      if (f.exists()) {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
     Seq("postings", "lengths").foreach { t =>
-      val next = java.nio.file.Paths.get(dir, s"${t}_next")
-      if (java.nio.file.Files.exists(next)) {
-        rm(java.nio.file.Paths.get(dir, t).toFile)
-        java.nio.file.Files.move(next, java.nio.file.Paths.get(dir, t))
+      val next = s"$dir/${t}_next"
+      if (EstateFs.exists(next)) {
+        EstateFs.deleteRecursive(s"$dir/$t")
+        EstateFs.moveDir(next, s"$dir/$t")
       }
     }
     folded.foreach { b =>
-      rm(java.nio.file.Paths.get(dir, "postings_delta", s"ingest_batch=$b")
-        .toFile)
-      rm(java.nio.file.Paths.get(dir, "lengths_delta", s"ingest_batch=$b")
-        .toFile)
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(dir, s"meta_delta_batch_$b.json"))
+      EstateFs.deleteRecursive(s"$dir/postings_delta/ingest_batch=$b")
+      EstateFs.deleteRecursive(s"$dir/lengths_delta/ingest_batch=$b")
+      EstateFs.deleteIfExists(s"$dir/meta_delta_batch_$b.json"): Unit
     }
     // drop now-empty delta roots so the layout returns to the as-built
     // shape (a batch appended after the commit marker keeps its root)
     Seq("postings_delta", "lengths_delta").foreach { t =>
-      val p = java.nio.file.Paths.get(dir, t)
-      if (java.nio.file.Files.exists(p) &&
-        p.toFile.listFiles().forall(!_.isDirectory)) rm(p.toFile)
+      if (EstateFs.hasNoSubdirs(s"$dir/$t"))
+        EstateFs.deleteRecursive(s"$dir/$t")
     }
-    val metaTmp = java.nio.file.Paths.get(dir, ".meta.json.tmp")
-    java.nio.file.Files.writeString(metaTmp,
+    EstateFs.writeStringAtomic(s"$dir/meta.json",
       s"""{"n_docs":${grab("n_docs")},"sum_dl":${grab("sum_dl")},"buckets":${grab("buckets")}}""")
-    java.nio.file.Files.move(metaTmp,
-      java.nio.file.Paths.get(dir, "meta.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    java.nio.file.Files.delete(compactMarker(dir))
+    EstateFs.deleteIfExists(compactMarker(dir))
     folded.size
   }
 
@@ -412,7 +438,8 @@ object TextIndex {
     * idempotent cleanup — a kill anywhere leaves either the old state
     * (no marker: half-staged segment is invisible and the rerun
     * overwrites it, same id) or the new one (marker present: folded
-    * batches excluded; rerun finishes the deletes).
+    * batches excluded; rerun finishes the deletes). Like compact, the
+    * writer re-verifies lease ownership immediately before the marker.
     *
     * Returns the number of batches folded (0 = fewer than 2 committed
     * batches — nothing worth squashing). */
@@ -421,14 +448,14 @@ object TextIndex {
     // fixed *_merge_stage paths and possibly the same reserved id
     val lease = WriterLease.acquire(spark, dir,
       "two concurrent consolidations would interleave staged tables.")
-    try mergeDeltasLocked(spark, dir)
+    try mergeDeltasLocked(spark, dir, lease)
     finally WriterLease.release(spark, dir, lease)
   }
 
-  private def mergeDeltasLocked(spark: SparkSession, dir: String): Int = {
+  private def mergeDeltasLocked(spark: SparkSession, dir: String,
+      lease: String): Int = {
     requireNoPendingCompact(dir, "mergeDeltas")
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "meta.json")),
+    require(EstateFs.exists(s"$dir/meta.json"),
       s"TextIndex.mergeDeltas: $dir has no meta.json — not a TextIndex dir")
     cleanupFoldedDeltas(dir)
     val batches = committedBatches(dir)
@@ -440,45 +467,33 @@ object TextIndex {
     val (nDocs, sumDl) = batches.foldLeft((0L, 0L)) {
       case ((n, s), b) => val (dn, ds) = deltaMeta(dir, b); (n + dn, s + ds)
     }
-    def rm(f: java.io.File): Unit =
-      if (f.exists()) {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
     // stage outside the live layout (Spark refuses read+overwrite of
     // the same path), then one dir rename per table moves the segment
     // into place — still invisible until the marker
-    val stageP = java.nio.file.Paths.get(dir, "postings_merge_stage")
-    val stageL = java.nio.file.Paths.get(dir, "lengths_merge_stage")
+    val stageP = s"$dir/postings_merge_stage"
+    val stageL = s"$dir/lengths_merge_stage"
     spark.read.parquet(s"$dir/postings_delta")
       .where(col("ingest_batch").isin(batches: _*))
       .select(col("doc_id"), col("term"), col("tf"), col("bucket"))
       .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(stageP.toString)
+      .partitionBy("bucket").parquet(stageP)
     spark.read.parquet(s"$dir/lengths_delta")
       .where(col("ingest_batch").isin(batches: _*))
       .select(col("doc_id"), col("dl"))
       .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
-      .write.mode(SaveMode.Overwrite).parquet(stageL.toString)
-    val destP = java.nio.file.Paths.get(dir, "postings_delta",
-      s"ingest_batch=$mergedId")
-    val destL = java.nio.file.Paths.get(dir, "lengths_delta",
-      s"ingest_batch=$mergedId")
-    rm(destP.toFile); java.nio.file.Files.move(stageP, destP)
-    rm(destL.toFile); java.nio.file.Files.move(stageL, destL)
+      .write.mode(SaveMode.Overwrite).parquet(stageL)
+    val destP = s"$dir/postings_delta/ingest_batch=$mergedId"
+    val destL = s"$dir/lengths_delta/ingest_batch=$mergedId"
+    EstateFs.deleteRecursive(destP); EstateFs.moveDir(stageP, destP)
+    EstateFs.deleteRecursive(destL); EstateFs.moveDir(stageL, destL)
     mergeCrashHook()
     // commit point: the merged marker (scalars + folded list) in one
-    // atomic rename — readers switch to the segment instantly
-    val marker = java.nio.file.Paths.get(dir,
-      s"meta_delta_batch_$mergedId.json")
-    val tmp = java.nio.file.Paths.get(dir,
-      s".meta_delta_batch_$mergedId.json.tmp")
-    java.nio.file.Files.writeString(tmp,
+    // atomic rename — readers switch to the segment instantly. Lease
+    // re-verified first (same TTL-overrun argument as compact).
+    WriterLease.verifyHeld(spark, dir, lease)
+    EstateFs.writeStringAtomic(s"$dir/meta_delta_batch_$mergedId.json",
       s"""{"n_docs":$nDocs,"sum_dl":$sumDl,"folded":[${batches.mkString(",")}]}""")
-    java.nio.file.Files.move(tmp, marker,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     cleanupFoldedDeltas(dir)
     batches.size
   }
@@ -488,20 +503,12 @@ object TextIndex {
     * kill mid-cleanup leaves the batch still excluded (its id stays in
     * the folded list) and the rerun finishes. */
   private[graft] def cleanupFoldedDeltas(dir: String): Unit = {
-    def rm(f: java.io.File): Unit =
-      if (f.exists()) {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
     val all = allMarkerIds(dir).toSet
     allMarkerIds(dir).filter(_ < 0).foreach { m =>
       foldedList(dir, m).filter(all).foreach { b =>
-        rm(java.nio.file.Paths.get(dir, "postings_delta",
-          s"ingest_batch=$b").toFile)
-        rm(java.nio.file.Paths.get(dir, "lengths_delta",
-          s"ingest_batch=$b").toFile)
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(dir, s"meta_delta_batch_$b.json")): Unit
+        EstateFs.deleteRecursive(s"$dir/postings_delta/ingest_batch=$b")
+        EstateFs.deleteRecursive(s"$dir/lengths_delta/ingest_batch=$b")
+        EstateFs.deleteIfExists(s"$dir/meta_delta_batch_$b.json"): Unit
       }
     }
   }
@@ -514,31 +521,51 @@ object TextIndex {
 
   /** The nightly policy verb: pick the cheapest safe consolidation.
     * Decision is metadata-only (marker scalars vs base meta), then at
-    * most one of [[compact]]/[[mergeDeltas]] runs — so a night with one
-    * tiny delta costs a directory listing, not an index rewrite. */
+    * most one of the consolidation bodies runs — so a night with one
+    * tiny delta costs a directory listing, not an index rewrite. The
+    * WHOLE verb (resume, cleanup, decision, consolidation) runs under
+    * ONE [[WriterLease]] acquisition: the resume path replays the
+    * destructive base-table swap, and two double-fired nightly jobs
+    * entering it lease-free could interleave rm+move and leave the
+    * index without base postings (ADVICE r10).
+    *
+    * Streaming callers: quiesce or checkpoint-sync the ingest stream
+    * around maintenance when possible. A batch that committed but whose
+    * stream checkpoint did not advance before a merge folds it is still
+    * safe — [[append]] detects the fully-contained replay and no-ops —
+    * but a PARTIALLY delivered batch plus a concurrent fold is refused
+    * loudly and needs a rebuild decision. */
   def maintain(spark: SparkSession, dir: String,
       mergeMinBatches: Int = MergeMinBatches,
       fullFoldRatio: Double = FullFoldRatio): MaintainResult = {
-    // a committed-but-unfinished compaction outranks policy: serving
-    // refuses until it finishes
-    if (java.nio.file.Files.exists(compactMarker(dir)))
-      return MaintainResult("full", finishCompact(dir))
-    cleanupFoldedDeltas(dir)
-    val batches = committedBatches(dir)
-    if (batches.isEmpty) return MaintainResult("none", 0)
-    val (_, sumDlBase, _) = meta(dir)
-    val deltaSumDl = batches.map(deltaMeta(dir, _)._2).sum
-    if (sumDlBase == 0L ||
-      deltaSumDl.toDouble / sumDlBase >= fullFoldRatio)
-      MaintainResult("full", compact(spark, dir))
-    else if (batches.size >= mergeMinBatches)
-      MaintainResult("merge", mergeDeltas(spark, dir))
-    else MaintainResult("none", 0)
+    val lease = WriterLease.acquire(spark, dir,
+      "two concurrent consolidations would interleave staged tables.")
+    try {
+      // a committed-but-unfinished compaction outranks policy: serving
+      // refuses until it finishes
+      if (EstateFs.exists(compactMarker(dir)))
+        return MaintainResult("full", finishCompact(spark, dir, lease))
+      cleanupFoldedDeltas(dir)
+      val batches = committedBatches(dir)
+      if (batches.isEmpty) return MaintainResult("none", 0)
+      val (_, sumDlBase, _) = meta(dir)
+      val deltaSumDl = batches.map(deltaMeta(dir, _)._2).sum
+      if (sumDlBase == 0L ||
+        deltaSumDl.toDouble / sumDlBase >= fullFoldRatio)
+        MaintainResult("full", compactLocked(spark, dir, lease))
+      else if (batches.size >= mergeMinBatches)
+        MaintainResult("merge", mergeDeltasLocked(spark, dir, lease))
+      else MaintainResult("none", 0)
+    } finally WriterLease.release(spark, dir, lease)
   }
 
   /** Attach a (doc_id, text) stream: every micro-batch appends via
     * [[append]]; restart with the same checkpoint replays the killed
-    * batch into its own partitions — exactly-once by layout. */
+    * batch into its own partitions — exactly-once by layout. A batch
+    * folded by [[maintain]] between its commit and the checkpoint
+    * advance replays as a no-op (full-containment detection in
+    * [[append]]), so running maintenance beside a live stream is safe;
+    * see [[maintain]]'s scaladoc for the partial-delivery caveat. */
   def ingest(spark: SparkSession, dir: String,
       stream: DataFrame, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

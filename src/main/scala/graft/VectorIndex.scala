@@ -53,14 +53,12 @@ object VectorIndex {
       .repartition(col("cand_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")
     val n = spark.read.parquet(s"$dir/vectors").count()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "meta.json"),
+    EstateFs.writeStringAtomic(s"$dir/meta.json",
       s"""{"degree":$degree,"vectors":$n}""")
   }
 
   private def meta(dir: String): (Int, Long) = {
-    val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, "meta.json"))
+    val txt = EstateFs.readString(s"$dir/meta.json")
     def grab(k: String): Long =
       s""""$k":(\\d+)""".r.findFirstMatchIn(txt).getOrElse(
         throw new IllegalStateException(
@@ -150,8 +148,7 @@ object VectorIndex {
       .repartition(col("cand_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")
     val n = spark.read.parquet(s"$dir/pq_codes").count()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "meta_pq.json"),
+    EstateFs.writeStringAtomic(s"$dir/meta_pq.json",
       s"""{"subspaces":${DedupQueries.PqSubspaces},"k":${DedupQueries.PqK},"trainN":$trainN,"vectors":$n}""")
   }
 
@@ -164,8 +161,7 @@ object VectorIndex {
       k: Int = 5, shortlist: Int = DedupQueries.RescoreShortlist,
       excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "meta_pq.json")),
+    require(EstateFs.exists(s"$dir/meta_pq.json"),
       s"$dir/meta_pq.json missing — not a PQ VectorIndex dir")
     val cbT: Array[Array[Array[Long]]] = {
       val flat = spark.read.parquet(s"$dir/pq_books")
@@ -278,8 +274,7 @@ object VectorIndex {
       .repartition(col("cand_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")
     val n = spark.read.parquet(s"$dir/bin_codes").count()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "meta_bin.json"),
+    EstateFs.writeStringAtomic(s"$dir/meta_bin.json",
       s"""{"bits":64,"vectors":$n}""")
   }
 
@@ -293,8 +288,7 @@ object VectorIndex {
       k: Int = 5, shortlist: Int = DedupQueries.RescoreShortlist,
       excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "meta_bin.json")),
+    require(EstateFs.exists(s"$dir/meta_bin.json"),
       s"$dir/meta_bin.json missing — not a binary VectorIndex dir")
     val queryVecs = queries.select(col("query_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
@@ -383,9 +377,8 @@ object VectorIndex {
   private[graft] def loadIvfCentroids(spark: SparkSession,
       dir: String): Array[(Int, Array[Double])] = {
     import spark.implicits._
-    val p = java.nio.file.Paths.get(dir, "ivf_centroids")
-    if (!java.nio.file.Files.exists(p)) DedupQueries.ivfCentroids
-    else spark.read.parquet(p.toString)
+    if (!EstateFs.exists(s"$dir/ivf_centroids")) DedupQueries.ivfCentroids
+    else spark.read.parquet(s"$dir/ivf_centroids")
       .select(col("cluster"), col("c"))
       .as[(Int, Array[Double])].collect().sortBy(_._1)
   }
@@ -424,8 +417,7 @@ object VectorIndex {
     // trained-layout per-list mass the drift metric compares against
     writeIvfLayout(spark, dir, DedupQueries.ivfCentroids)
     val n = spark.read.parquet(s"$dir/ivf_codes").count()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "meta_ivf.json"),
+    EstateFs.writeStringAtomic(s"$dir/meta_ivf.json",
       s"""{"clusters":${DedupQueries.IvfClusters},"vectors":$n}""")
   }
 
@@ -454,8 +446,7 @@ object VectorIndex {
       k: Int = 5, probes: Int = DedupQueries.IvfProbes,
       excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "meta_ivf.json")),
+    require(EstateFs.exists(s"$dir/meta_ivf.json"),
       s"$dir/meta_ivf.json missing — not an IVF-PQ VectorIndex dir")
     val cbT = loadIvfBooks(spark, dir)
     // probe against the index's PERSISTED centroids (re-trained layouts
@@ -522,11 +513,11 @@ object VectorIndex {
   private def allIvfCodes(spark: SparkSession, dir: String): DataFrame = {
     val baseCodes = spark.read.parquet(s"$dir/ivf_codes")
       .select(col("list"), col("cand_id"), col("code"))
-    val streamDir = java.nio.file.Paths.get(dir, "ivf_codes_stream")
-    if (java.nio.file.Files.exists(streamDir))
+    val streamDir = s"$dir/ivf_codes_stream"
+    if (EstateFs.exists(streamDir))
       baseCodes.unionByName(spark.read
         .schema("ingest_batch LONG, list INT, cand_id LONG, code ARRAY<INT>")
-        .parquet(streamDir.toString)
+        .parquet(streamDir)
         .select(col("list"), col("cand_id"), col("code")))
     else baseCodes
   }
@@ -551,8 +542,7 @@ object VectorIndex {
     * signal that coarse assignment no longer matches the corpus. */
   def ivfDrift(spark: SparkSession, dir: String): Double = {
     import spark.implicits._
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "ivf_list_mass")),
+    require(EstateFs.exists(s"$dir/ivf_list_mass"),
       s"$dir has no ivf_list_mass table (built before maintenance " +
         "support) — rebuild with buildIvfPq to enable drift tracking")
     val trained = spark.read.parquet(s"$dir/ivf_list_mass")
@@ -568,17 +558,16 @@ object VectorIndex {
 
   /** Base ∪ streamed full-precision vectors (the maintenance payload). */
   private def allIvfVectors(spark: SparkSession, dir: String): DataFrame = {
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "ivf_vectors")),
+    require(EstateFs.exists(s"$dir/ivf_vectors"),
       s"$dir has no ivf_vectors table (built before maintenance support) " +
         "— rebuild with buildIvfPq to enable rebalanceIvf")
     val base = spark.read.parquet(s"$dir/ivf_vectors")
       .select(col("cand_id"), col("embedding"))
-    val streamDir = java.nio.file.Paths.get(dir, "ivf_vectors_stream")
-    if (java.nio.file.Files.exists(streamDir))
+    val streamDir = s"$dir/ivf_vectors_stream"
+    if (EstateFs.exists(streamDir))
       base.unionByName(spark.read
         .schema("ingest_batch LONG, cand_id LONG, embedding ARRAY<FLOAT>")
-        .parquet(streamDir.toString)
+        .parquet(streamDir)
         .select(col("cand_id"), col("embedding")))
     else base
   }
@@ -619,12 +608,12 @@ object VectorIndex {
     val lease = WriterLease.acquire(spark, dir,
       "two concurrent rebalances would overwrite each other's " +
         "ivf_codes rewrite.")
-    try rebalanceIvfLocked(spark, dir, trainN, rounds)
+    try rebalanceIvfLocked(spark, dir, trainN, rounds, lease)
     finally WriterLease.release(spark, dir, lease)
   }
 
   private def rebalanceIvfLocked(spark: SparkSession, dir: String,
-      trainN: Long, rounds: Int): Unit = {
+      trainN: Long, rounds: Int, lease: String): Unit = {
     import spark.implicits._
     // Snapshot the stream batch partition dirs NOW: only these are
     // guaranteed to be in the consolidation read below, so only these
@@ -635,16 +624,9 @@ object VectorIndex {
     // previous wholesale rm raced a live ingest into silent loss.
     val consolidatedBatchDirs =
       Seq("ivf_codes_stream", "ivf_vectors_stream").flatMap { t =>
-        val p = java.nio.file.Paths.get(dir, t)
-        if (!java.nio.file.Files.exists(p)) Seq.empty
-        else {
-          val s = java.nio.file.Files.list(p)
-          try {
-            import scala.jdk.CollectionConverters._
-            s.iterator().asScala.filter(_.getFileName.toString
-              .startsWith("ingest_batch=")).toVector
-          } finally s.close()
-        }
+        EstateFs.listNames(s"$dir/$t")
+          .filter(_.startsWith("ingest_batch="))
+          .map(n => s"$dir/$t/$n")
       }
     postEnumerateHook()
     // a code without its maintenance payload would silently VANISH in
@@ -720,9 +702,12 @@ object VectorIndex {
     // FIRST and rewriting it LAST turns a kill mid-rewrite into a loud
     // "not an IVF-PQ dir" refusal instead of silently serving a
     // truncated codes table (the marker-last rule CatalogStore and
-    // TextIndex.append follow)
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(dir, "meta_ivf.json"))
+    // TextIndex.append follow). Lease ownership re-verified at the
+    // boundary of the destructive phase (VERDICT r10 #2): a rebalance
+    // that outlived the TTL and was broken must abort here, before it
+    // tears down serving or overwrites its successor's codes rewrite.
+    WriterLease.verifyHeld(spark, dir, lease)
+    EstateFs.deleteIfExists(s"$dir/meta_ivf.json"): Unit
     // re-assignment of every vector under the new centroids;
     // localCheckpoint breaks lineage BEFORE the overwrite reads the
     // same paths (the consolidateNight move). dropDuplicates folds
@@ -749,22 +734,17 @@ object VectorIndex {
     // top-level stream dir goes too once no subdirectory remains (a
     // mid-write batch shows up as a _temporary/ingest_batch= child and
     // blocks the sweep).
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    consolidatedBatchDirs.foreach { p =>
-      if (java.nio.file.Files.exists(p)) rm(p.toFile)
-    }
+    consolidatedBatchDirs.foreach(EstateFs.deleteRecursive)
     Seq("ivf_codes_stream", "ivf_vectors_stream").foreach { t =>
-      val p = java.nio.file.Paths.get(dir, t)
-      if (java.nio.file.Files.exists(p) &&
-        p.toFile.listFiles().forall(!_.isDirectory)) rm(p.toFile)
+      if (EstateFs.hasNoSubdirs(s"$dir/$t"))
+        EstateFs.deleteRecursive(s"$dir/$t")
     }
     writeIvfLayout(spark, dir, cents)
     val n = spark.read.parquet(s"$dir/ivf_codes").count()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "meta_ivf.json"),
+    // the serve-enabling marker is the rebalance's commit point — one
+    // more ownership read before it lands
+    WriterLease.verifyHeld(spark, dir, lease)
+    EstateFs.writeStringAtomic(s"$dir/meta_ivf.json",
       s"""{"clusters":${DedupQueries.IvfClusters},"vectors":$n}""")
   }
 
@@ -809,8 +789,7 @@ object VectorIndex {
       entryCount: Int = DedupQueries.GraphEntryCount): Unit = {
     import spark.implicits._
     val (degree, nVec) = meta(dir)
-    val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, "meta.json"))
+    val txt = EstateFs.readString(s"$dir/meta.json")
     // hierarchical indexes insert per layer (VERDICT r7 #6): each new
     // vector's layer membership is the DETERMINISTIC geometric draw
     // hierLevel already makes from the portable hash, so growth and
@@ -932,8 +911,7 @@ object VectorIndex {
     val metaTail =
       if (maxLevel > 0) s""","levels":$newLevels,"maxLevel":$maxLevel"""
       else ""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "meta.json"),
+    EstateFs.writeStringAtomic(s"$dir/meta.json",
       s"""{"degree":$degree,"vectors":${nVec + newVecs.length}$metaTail}""")
   }
 
@@ -1044,8 +1022,7 @@ object VectorIndex {
       }
     }
     val (deg, n) = meta(dir)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "meta.json"),
+    EstateFs.writeStringAtomic(s"$dir/meta.json",
       s"""{"degree":$deg,"vectors":$n,"levels":$levels,"maxLevel":$maxLevel}""")
   }
 
@@ -1062,8 +1039,7 @@ object VectorIndex {
       rounds: Int = DedupQueries.GraphBeamRounds,
       excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
-    val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, "meta.json"))
+    val txt = EstateFs.readString(s"$dir/meta.json")
     val levels = """"levels":(\d+)""".r.findFirstMatchIn(txt).getOrElse(
       throw new IllegalStateException(
         s"$dir/meta.json has no \"levels\" — build with buildHier")

@@ -31,10 +31,17 @@ import org.apache.spark.sql.SparkSession
 object WriterLease {
 
   /** A lease older than this is considered abandoned by a crashed
-    * writer and may be broken. Generous against long consolidations:
-    * a healthy writer finishes far sooner; a wrongly-broken LIVE
-    * writer is still safe against the new holder because markers and
-    * claim files are fail-if-exists. */
+    * writer and may be broken. Generous against long consolidations —
+    * a healthy writer finishes far sooner. A wrongly-broken LIVE
+    * writer is NOT automatically safe against the new holder: the
+    * index consolidation verbs stage with `SaveMode.Overwrite` into
+    * fixed paths and commit markers with overwrite semantics, so two
+    * live writers WOULD interleave. That is why every consolidation
+    * verb re-verifies lease ownership via [[verifyHeld]] immediately
+    * before its commit point and aborts if overtaken — the staged
+    * debris is then overwritten by the successor or the rerun.
+    * (CurationWarehouse's ingest protocol alone is fail-if-exists all
+    * the way down and survives a wrong break without the re-check.) */
   val TtlMs: Long = 30L * 60L * 1000L
 
   private def fs(spark: SparkSession, dir: String) =
@@ -100,8 +107,20 @@ object WriterLease {
             if (tryCreateLease(f, lease, token)) return token
           } else {
             // we renamed a FRESH holder's lease (stale one released and
-            // someone new acquired in between) — put it back untouched
-            f.rename(aside, lease)
+            // someone new acquired in between) — put it back untouched.
+            // The restore MUST succeed: if a third writer claimed the
+            // now-empty lease path in this window, renaming back would
+            // fail and the fresh holder would be left writing
+            // unprotected (its release a silent no-op). Fail loudly —
+            // the operator restores the .broken file by hand — rather
+            // than silently unserializing the store.
+            if (!f.rename(aside, lease))
+              throw new IllegalStateException(
+                s"$dir: raced while breaking a stale lease — renamed a " +
+                  s"FRESH holder's lease to ${aside.getName} and could " +
+                  "not restore it (a third writer claimed claims/LEASE " +
+                  "in between). The store may now have two writers; " +
+                  s"restore ${aside.getName} to claims/LEASE manually.")
           }
         }
       case None => // fresh, unreadable, or gone — never break
@@ -110,6 +129,25 @@ object WriterLease {
       s"$dir: another writer holds the single-writer lease " +
         s"(claims/LEASE); $why Retry after it finishes, or delete a " +
         "stale lease.")
+  }
+
+  /** Commit-time ownership re-check (VERDICT r10 #2): a consolidation
+    * that legitimately exceeded [[TtlMs]] while alive may have been
+    * broken and overtaken — its staged tables share paths with the
+    * successor's, so COMMITTING its marker would interleave two
+    * writers' state. Call this immediately before each commit point
+    * (marker rename / destructive swap): one lease-file read. Throws
+    * if the lease no longer carries `token`; the caller aborts and the
+    * staged debris is overwritten by the successor or the rerun. */
+  def verifyHeld(spark: SparkSession, dir: String, token: String): Unit = {
+    val held = leaseToken(fs(spark, dir), leasePath(dir))
+    if (!held.contains(token))
+      throw new IllegalStateException(
+        s"$dir: writer lease lost before commit (held by " +
+          s"${held.getOrElse("<nobody>")}) — this writer exceeded the " +
+          s"${TtlMs / 60000} min TTL and was broken; aborting WITHOUT " +
+          "committing. The successor (or a rerun) overwrites the " +
+          "staged debris.")
   }
 
   /** Release ONLY our own lease: if the file no longer carries our

@@ -87,13 +87,10 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
 
   private def path(t: String) = s"$W/$t"
 
-  private def exists(t: String): Boolean = {
-    val dir = new java.io.File(path(t))
-    dir.exists() && dir.listFiles() != null &&
-      dir.listFiles().exists(f => f.getName.endsWith(".parquet") ||
-        f.getName.startsWith("pix_bucket=") || f.getName.startsWith("mjd_bucket=") ||
-        f.getName.startsWith("apdb_replica_chunk="))
-  }
+  private def exists(t: String): Boolean =
+    graft.EstateFs.listNames(path(t)).exists(n =>
+      n.endsWith(".parquet") || n.startsWith("pix_bucket=") ||
+        n.startsWith("mjd_bucket=") || n.startsWith("apdb_replica_chunk="))
 
   private def readOrEmpty(t: String, schema: StructType): DataFrame =
     if (exists(t)) spark.read.schema(schema).parquet(path(t))
@@ -141,15 +138,8 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
 
   /** `makeSchema(drop)` analog (README.md:100-104). */
   def makeSchema(drop: Boolean = false): Unit = {
-    if (drop) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      val d = new java.io.File(W)
-      if (d.exists()) rm(d)
-    }
-    new java.io.File(W).mkdirs()
+    if (drop) graft.EstateFs.deleteRecursive(W)
+    graft.EstateFs.mkdirs(W)
   }
 
   // -- reads --------------------------------------------------------------
@@ -359,12 +349,11 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
 
   private def dropChunksBefore(t: String, minKeep: Long): Long = {
     var dropped = 0L
-    val dir = new java.io.File(path(t))
-    if (dir.exists()) dir.listFiles().foreach { f =>
-      if (f.getName.startsWith("apdb_replica_chunk=")) {
-        val id = f.getName.stripPrefix("apdb_replica_chunk=").toLong
+    graft.EstateFs.listNames(path(t)).foreach { n =>
+      if (n.startsWith("apdb_replica_chunk=")) {
+        val id = n.stripPrefix("apdb_replica_chunk=").toLong
         if (id < minKeep) {
-          f.listFiles().foreach(_.delete()); f.delete(); dropped += 1
+          graft.EstateFs.deleteRecursive(s"${path(t)}/$n"); dropped += 1
         }
       }
     }
@@ -426,18 +415,19 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
   def compactFragmented(maxFilesPerPartition: Int = 48): Map[String, Int] = {
     def one(t: String): Int = {
       if (!exists(t)) return 0
-      val root = new java.io.File(path(t))
-      val parts = Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.contains("="))
-      val frag = parts.filter(
-        _.listFiles().count(_.getName.endsWith(".parquet")) > maxFilesPerPartition)
+      val parts = graft.EstateFs.listDirNames(path(t))
+        .filter(_.contains("="))
+        .map(n => s"${path(t)}/$n")
+      val frag = parts.filter(p =>
+        graft.EstateFs.listNames(p).count(_.endsWith(".parquet")) >
+          maxFilesPerPartition)
       frag.foreach { p =>
         // partition-dir files are self-describing (partition col lives
         // in the dir name, untouched by the rewrite)
-        val df = spark.read.parquet(p.getPath)
+        val df = spark.read.parquet(p)
           .repartition(1)
           .localCheckpoint(true) // break lineage: rewrite reads this dir
-        df.write.mode(SaveMode.Overwrite).parquet(p.getPath)
+        df.write.mode(SaveMode.Overwrite).parquet(p)
         org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(df)
       }
       frag.length
@@ -473,10 +463,11 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
   /** Parquet file count per table (compaction observability). */
   def fileCounts: Map[String, Int] =
     Seq("obj_last", "objects", "sources", "fsources").map { t =>
-      def walk(f: java.io.File): Int =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(".parquet")) 1 else 0
-      val dir = new java.io.File(path(t))
-      t -> (if (dir.exists()) walk(dir) else 0)
+      def walk(p: String): Int = {
+        val names = graft.EstateFs.listNames(p)
+        graft.EstateFs.listDirNames(p).map(n => walk(s"$p/$n")).sum +
+          names.count(_.endsWith(".parquet"))
+      }
+      t -> (if (graft.EstateFs.exists(path(t))) walk(path(t)) else 0)
     }.toMap
 }

@@ -28,7 +28,7 @@ object CatalogStore {
 
   def dir(warehouse: String): String = s"$warehouse/catalog"
   private def metaPath(warehouse: String) =
-    java.nio.file.Paths.get(warehouse, "catalog", "_catalog_meta.json")
+    s"$warehouse/catalog/_catalog_meta.json"
 
   /** Read schema: generator columns + the spatial index pair. Explicit,
     * so reads skip schema inference over hundreds of bucket dirs. */
@@ -44,7 +44,7 @@ object CatalogStore {
     * written LAST, so a killed half-finished write never reads back as
     * a complete catalog — the write simply reruns). */
   def exists(warehouse: String): Boolean =
-    java.nio.file.Files.exists(metaPath(warehouse))
+    graft.EstateFs.exists(metaPath(warehouse))
 
   /** The source tag recorded at write time (e.g. "gen:<n>:<seed>" or
     * "file:<path>") — resume paths compare it so a rerun with a
@@ -53,7 +53,7 @@ object CatalogStore {
   def sourceTag(warehouse: String): Option[String] =
     if (!exists(warehouse)) None
     else """"source":"([^"]*)"""".r
-      .findFirstMatchIn(java.nio.file.Files.readString(metaPath(warehouse)))
+      .findFirstMatchIn(graft.EstateFs.readString(metaPath(warehouse)))
       .map(_.group(1))
 
   /** One-time build: index every row with the configured pixel scheme,
@@ -87,16 +87,12 @@ object CatalogStore {
       .partitionBy("pix_bucket")
       .parquet(dir(warehouse))
     val n = spark.read.schema(schema).parquet(dir(warehouse)).count()
-    // Marker via tmp + ATOMIC_MOVE (same protocol as TextIndex.append):
-    // a crash mid-write must leave NO marker (triggering rebuild), never
-    // a truncated one that passes exists() but fails the scheme check.
-    val marker = metaPath(warehouse)
-    val tmp = marker.resolveSibling("." + marker.getFileName + ".tmp")
-    java.nio.file.Files.writeString(tmp,
+    // Marker via the atomic write primitive (same protocol as
+    // TextIndex.append): a crash mid-write must leave NO marker
+    // (triggering rebuild), never a truncated one that passes exists()
+    // but fails the scheme check.
+    graft.EstateFs.writeStringAtomic(metaPath(warehouse),
       s"""{"rows":$n,"pixLevel":${cfg.pixLevel},"pixMode":"${cfg.pixMode}","pixBucketShift":${cfg.pixBucketShift},"source":"$sourceTag"}""")
-    java.nio.file.Files.move(tmp, marker,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     n
   }
 
@@ -107,7 +103,7 @@ object CatalogStore {
     * pixelIds would silently prune WRONG buckets. */
   def readFov(spark: SparkSession, warehouse: String, region: Region,
       cfg: ApdbConfig): DataFrame = {
-    val meta = java.nio.file.Files.readString(metaPath(warehouse))
+    val meta = graft.EstateFs.readString(metaPath(warehouse))
     val want =
       s""""pixLevel":${cfg.pixLevel},"pixMode":"${cfg.pixMode}","pixBucketShift":${cfg.pixBucketShift}"""
     require(meta.contains(want),

@@ -33,16 +33,17 @@ object VisitPipeline {
 
   object VisitStateStore {
     def write(dir: String, s: VisitState): Unit = {
-      val f = java.nio.file.Paths.get(dir, "visit_state.json")
-      java.nio.file.Files.createDirectories(f.getParent)
-      java.nio.file.Files.writeString(f,
+      graft.EstateFs.mkdirs(dir)
+      // atomic: a kill mid-write must leave the PREVIOUS state readable,
+      // never a torn json (resume would then mis-parse or crash)
+      graft.EstateFs.writeStringAtomic(s"$dir/visit_state.json",
         s"""{"visitId":${s.visitId},"visitTimeMillis":${s.visitTimeMillis},"lastObjectId":${s.lastObjectId},"lastSourceId":${s.lastSourceId}}""")
     }
     def read(dir: String): Option[VisitState] = {
-      val f = java.nio.file.Paths.get(dir, "visit_state.json")
-      if (!java.nio.file.Files.exists(f)) None
+      val f = s"$dir/visit_state.json"
+      if (!graft.EstateFs.exists(f)) None
       else {
-        val txt = java.nio.file.Files.readString(f)
+        val txt = graft.EstateFs.readString(f)
         def grab(k: String): Long =
           s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
         Some(VisitState(grab("visitId").toInt, grab("visitTimeMillis"),

@@ -1252,12 +1252,35 @@ object DedupQueries {
     * ((cell, blockPair) keys). A pair whose members share both cells
     * appears twice → distinct before the decision layer. */
   private[graft] def x108CellPairScan(s: SparkSession,
-      d: String, k: Int = IvfClusters): org.apache.spark.sql.DataFrame = {
+      d: String, k: Int = IvfClusters): org.apache.spark.sql.DataFrame =
+    cellPairScan(s, Tables.embeddings(s, d), k)
+
+  /** k≈√n rule for [[cellPairScan]]'s cell count — the scale knob the
+    * k-ladder measured (README: recall 0.848/0.650/0.571 at
+    * k=16/64/128 on sf0.1's ~2k vectors, zero false drops at every k).
+    * Cells ≈ √n keeps Σ|cell|² ≈ n^1.5 total pair work with ~√n-sized
+    * cells; floored at [[IvfClusters]] (tiny corpora gain nothing from
+    * fewer) and capped at 4096 (the driver-side Lloyd trainer holds
+    * k×64 centroids — beyond that, train distributed first). Production
+    * callers derive k from their corpus count through this; the x108
+    * registry key keeps the FIXED default so its DuckDB oracle (which
+    * replays the same k-means) stays stable. */
+  def semDedupCellCount(nVectors: Long): Int =
+    math.max(IvfClusters,
+      math.min(4096, math.round(math.sqrt(nVectors.toDouble)).toInt))
+
+  /** The DataFrame-general form of [[x108CellPairScan]] — production
+    * pipelines (CorpusSoak's semantic-dedup phase) pass their own
+    * (vec_id, embedding) collection and a corpus-derived k
+    * ([[semDedupCellCount]]). */
+  private[graft] def cellPairScan(s: SparkSession,
+      emb: org.apache.spark.sql.DataFrame,
+      k: Int = IvfClusters): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val (cs, _) = kmeansFit(s, d, k)
+    val (cs, _) = kmeansFitDf(s, emb, k)
     val cb = s.sparkContext.broadcast(cs)
     val bCount = X108Blocks
-    val celled = embRows(Tables.embeddings(s, d))
+    val celled = embRows(emb)
       .flatMap { case (id, e) =>
         val n = normScaled(e)
         val scaled = e.map(scale1e6)
@@ -2434,9 +2457,16 @@ object DedupQueries {
     * aggregate. x59 reports this state; x62 assigns under it. */
   private[graft] def kmeansFit(s: SparkSession, d: String,
       k: Int = IvfClusters)
+      : (Array[Array[Long]], Array[((Int, Int), (Long, Long))]) =
+    kmeansFitDf(s, Tables.embeddings(s, d), k)
+
+  /** DataFrame-general form of [[kmeansFit]] (same seeded Lloyd; the
+    * production [[cellPairScan]] trains on its caller's collection). */
+  private[graft] def kmeansFitDf(s: SparkSession,
+      emb: org.apache.spark.sql.DataFrame, k: Int = IvfClusters)
       : (Array[Array[Long]], Array[((Int, Int), (Long, Long))]) = {
     import s.implicits._
-    val es = embRows(Tables.embeddings(s, d))
+    val es = embRows(emb)
       .map { case (id, e) => (id, e.map(scale1e6)) }
       .localCheckpoint(true) // scanned once per round, not re-decoded
     var cs: Array[Array[Long]] =

@@ -47,18 +47,18 @@ object VisitStream {
           val dir = apdb.config.warehouseDir
           def stateVisit: Int =
             VisitPipeline.VisitStateStore.read(dir).map(_.visitId).getOrElse(0)
-          val markerFile = java.nio.file.Paths.get(dir, "stream_batch.json")
+          val markerFile = s"$dir/stream_batch.json"
           val base: Int = {
             val existing =
-              if (java.nio.file.Files.exists(markerFile))
-                Some(java.nio.file.Files.readString(markerFile).split(","))
+              if (graft.EstateFs.exists(markerFile))
+                Some(graft.EstateFs.readString(markerFile).split(","))
               else None
             existing match {
               case Some(Array(bid, b)) if bid.toLong == batchId => b.toInt
               case _ =>
                 val b = stateVisit
-                java.nio.file.Files.createDirectories(markerFile.getParent)
-                java.nio.file.Files.writeString(markerFile, s"$batchId,$b")
+                graft.EstateFs.mkdirs(dir)
+                graft.EstateFs.writeStringAtomic(markerFile, s"$batchId,$b")
                 b
             }
           }

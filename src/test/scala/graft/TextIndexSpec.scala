@@ -547,6 +547,147 @@ class TextIndexSpec extends AnyFunSuite {
     java.nio.file.Files.move(metaBak, meta)
   }
 
+  test("TTL-broken live consolidation refuses to commit (r11: commit-time lease re-check)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtbreak").toString
+    TextIndex.build(spark, dir, docs.where(col("doc_id") < 30))
+    (0 to 1).foreach { m =>
+      TextIndex.append(spark, dir, docs.where(
+        col("doc_id") >= 30 + 20 * m && col("doc_id") < 50 + 20 * m),
+        batchId = m.toLong)
+    }
+    val want = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+    val lease = java.nio.file.Paths.get(dir, "claims", "LEASE")
+
+    // Simulate a TTL break DURING the consolidation (the writer is past
+    // its lease acquire, mid long-stage): the snapshot hook fires after
+    // the batch-list snapshot, where we replace the writer's lease with
+    // a successor's. The stale writer must then abort at its commit
+    // point WITHOUT landing a marker — committing would interleave the
+    // two writers' staged state.
+    def breakLease(): Unit = {
+      java.nio.file.Files.delete(lease)
+      java.nio.file.Files.write(lease, "successor-token".getBytes)
+    }
+    Seq("compact" -> (() => TextIndex.compact(spark, dir): Unit),
+        "mergeDeltas" -> (() => TextIndex.mergeDeltas(spark, dir): Unit))
+      .foreach { case (name, verb) =>
+        TextIndex.compactSnapshotHook = breakLease
+        try {
+          val e = intercept[IllegalStateException](verb())
+          assert(e.getMessage.contains("lease lost"), s"$name: $e")
+        } finally TextIndex.compactSnapshotHook = () => ()
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "meta_compact.json")),
+          s"$name: overtaken writer landed its commit marker anyway")
+        assert(TextIndex.committedBatches(dir).size == 2,
+          s"$name: overtaken writer mutated the committed-batch set")
+        assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+          .collect().map(_.toString).toSeq == want,
+          s"$name: overtaken writer changed serving")
+        // the overtaken writer's release must NOT evict the successor
+        assert(java.nio.file.Files.readString(lease) == "successor-token",
+          s"$name: overtaken writer deleted the successor's lease")
+        java.nio.file.Files.delete(lease) // successor "finishes"
+      }
+
+    // with no interference the rerun consolidates the (possibly
+    // debris-laden) state cleanly
+    assert(TextIndex.compact(spark, dir) == 2)
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want)
+  }
+
+  test("maintain resumes an unfinished compaction only UNDER the lease (ADVICE r10)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtresume").toString
+    TextIndex.build(spark, dir, docs.where(col("doc_id") < 40))
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") >= 40 && col("doc_id") < 60), batchId = 0L)
+    val want = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+    // kill right after the commit marker → committed-but-unfinished
+    TextIndex.compactCrashHook =
+      () => throw new RuntimeException("injected kill")
+    try intercept[RuntimeException] { TextIndex.compact(spark, dir) }
+    finally TextIndex.compactCrashHook = () => ()
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "meta_compact.json")))
+
+    // a rival nightly job still holds the lease → the resume REFUSES
+    // instead of replaying the destructive base swap beside it (the
+    // cron-double-fire corruption the lease exists to prevent)
+    val lease = java.nio.file.Paths.get(dir, "claims", "LEASE")
+    java.nio.file.Files.createDirectories(lease.getParent)
+    java.nio.file.Files.write(lease, "rival-nightly".getBytes)
+    val e = intercept[IllegalStateException](TextIndex.maintain(spark, dir))
+    assert(e.getMessage.contains("lease"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "meta_compact.json")),
+      "lease-refused resume must not touch the pending cycle")
+    java.nio.file.Files.delete(lease)
+
+    // rival gone → maintain resumes the cycle (action "full") and serves
+    assert(TextIndex.maintain(spark, dir) ==
+      TextIndex.MaintainResult("full", 1))
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want)
+  }
+
+  test("replay of a batch folded by merge/compact no-ops instead of crash-looping (ADVICE r10)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtfoldrep").toString
+    val b0 = docs.where(col("doc_id") >= 30 && col("doc_id") < 60)
+    TextIndex.build(spark, dir, docs.where(col("doc_id") < 30))
+    TextIndex.append(spark, dir, b0, batchId = 0L)
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") >= 60 && col("doc_id") < 90), batchId = 1L)
+    val want = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+
+    // nightly merge folds batches 0 and 1 BEFORE the stream checkpoint
+    // advanced past batch 0 — the ordinary-night scenario
+    assert(TextIndex.mergeDeltas(spark, dir) == 2)
+    val batchesAfterMerge = TextIndex.committedBatches(dir)
+
+    // restart replays batch 0: its docs live in the merged segment, its
+    // own marker is gone — the replay must NO-OP, not refuse forever
+    TextIndex.append(spark, dir, b0, batchId = 0L)
+    assert(TextIndex.committedBatches(dir) == batchesAfterMerge,
+      "folded-batch replay committed a duplicate batch")
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want,
+      "folded-batch replay changed serving (double count?)")
+
+    // ...and the same after a FULL fold into the base
+    assert(TextIndex.compact(spark, dir) >= 1)
+    TextIndex.append(spark, dir, b0, batchId = 0L)
+    assert(TextIndex.committedBatches(dir).isEmpty)
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want)
+
+    // a PARTIALLY novel batch that collides still refuses loudly — only
+    // the exact fully-contained replay no-ops
+    val partial = docs.where(col("doc_id") >= 50 && col("doc_id") < 100)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.append(spark, dir, partial, batchId = 7L)
+    }
+    assert(e.getMessage.contains("double-count"))
+
+    // a re-send of docs a LIVE batch owns refuses too (not a fold replay)
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") >= 90 && col("doc_id") < 95), batchId = 8L)
+    val e2 = intercept[IllegalArgumentException] {
+      TextIndex.append(spark, dir,
+        docs.where(col("doc_id") >= 90 && col("doc_id") < 95), batchId = 9L)
+    }
+    assert(e2.getMessage.contains("double-count"))
+  }
+
   test("meta guards: a non-index dir fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notidx").toString
     val e = intercept[Exception] {
