@@ -1275,7 +1275,8 @@ object DedupQueries {
     * ([[semDedupCellCount]]). */
   private[graft] def cellPairScan(s: SparkSession,
       emb: org.apache.spark.sql.DataFrame,
-      k: Int = IvfClusters): org.apache.spark.sql.DataFrame = {
+      k: Int = IvfClusters,
+      threshold: Double = 0.4): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val (cs, _) = kmeansFitDf(s, emb, k)
     val cb = s.sparkContext.broadcast(cs)
@@ -1321,7 +1322,7 @@ object DedupQueries {
           (va, ve, vn) <- rs.iterator
           if !isDiag || ua < va
           cos = dotScaled(ue, ve) / (math.sqrt(un) * math.sqrt(vn))
-          if cos > 0.4
+          if cos > threshold
         } yield if (ua < va) (ua, va) else (va, ua)
     }.toDF("vec_a", "vec_b").distinct()
   }

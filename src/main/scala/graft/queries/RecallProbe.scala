@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Recall ladders at a NON-TOY vector count (VERDICT r10 missing #2):
+  * every published recall figure (x46 SQ8 0.83, x92 binary+rescore
+  * 0.58, x102 ensemble 0.81, x108's k-ladder 0.848/0.650/0.571 at
+  * k=16/64/128) was pinned on the sf0.1 embeddings table — 2 000
+  * isotropic vectors. This main re-measures the same ladders, through
+  * the operators' OWN kernels (the AnnRecallSpec discipline), on a
+  * seeded 50 000-vector fixture with PLANTED cluster structure
+  * (reference analog: part_sim's MC study sweeps pixel levels,
+  * `bin.src/part_sim.py:63-66` — one more scale point to show the
+  * trade curves hold as cells/buckets get dense).
+  *
+  * Fixture: C=240 unit-sphere centers (seeded gaussian), vector i =
+  * normalize(8·center(i % C) + gauss) — same-cluster cosine ≈ 0.5
+  * (straddling x108's 0.4 near-dup threshold, so the dedup ladder has
+  * real edges), cross-cluster ≈ ±0.06. Clustered data is the
+  * complementary regime to sf0.1's isotropy: cells/buckets go DENSE,
+  * which is exactly what the k≈√n rule is supposed to survive.
+  *
+  * Run: `sbt "runMain graft.queries.RecallProbe [nVectors]"`,
+  * grep `[recall50k]`. ~6 min at 50 000 on local[32].
+  */
+object RecallProbe {
+
+  private val Dims = 64
+  private val Centers = 240
+  private val K = 10
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 50000
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def log(s: String): Unit = println(s"[recall50k] $s")
+
+    // ---- seeded fixture with planted clusters --------------------------
+    val rnd = new scala.util.Random(424242L)
+    def gauss(): Double = rnd.nextGaussian()
+    val centers = Array.fill(Centers) {
+      val c = Array.fill(Dims)(gauss())
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / norm)
+    }
+    // last 10% are PLANTED NEAR-DUPS (jittered copies of the first ids,
+    // cosine ≈ 0.95) — the ground truth for the production-threshold
+    // (0.9) dedup ladder; everything else relates at the cluster level
+    // (≈ 0.5 in-cluster) or below
+    val nDup = n / 10
+    val baseRaw: Array[Array[Double]] = Array.tabulate(n - nDup) { i =>
+      val c = centers(i % Centers)
+      Array.tabulate(Dims)(j => 8.0 * c(j) + gauss())
+    }
+    val vecs: Array[(Long, Array[Double])] = Array.tabulate(n) { i =>
+      val raw =
+        if (i < n - nDup) baseRaw(i)
+        else baseRaw(i - (n - nDup)).map(_ + 0.45 * gauss())
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(_ / norm))
+    }
+    val emb = vecs.toSeq
+      .map { case (id, e) => (id, e.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+      .repartition(32).localCheckpoint(true)
+    log(s"""{"fixture":{"n":$n,"dims":$Dims,"centers":$Centers,"seed":424242}}""")
+
+    val queries = vecs.take(10) // ids 0..9 = clusters 0..9, all distinct
+    val norms: Array[Double] =
+      vecs.map { case (_, e) => math.sqrt(DedupQueries.normScaled(e).toDouble) }
+    def cos(q: (Long, Array[Double]), cid: Long): Double =
+      DedupQueries.dotScaled(q._2, vecs(cid.toInt)._2) /
+        (norms(q._1.toInt) * norms(cid.toInt))
+
+    val trueTop: Map[Long, Set[Long]] = queries.map { q =>
+      q._1 -> vecs.iterator.filter(_._1 != q._1)
+        .map(c => (c._1, cos(q, c._1)))
+        .toArray.sortBy { case (id, s) => (-s, id) }.take(K).map(_._1).toSet
+    }.toMap
+    def recallOf(retrieved: Long => Seq[Long]): Double =
+      queries.map { q =>
+        retrieved(q._1).toSet.intersect(trueTop(q._1)).size.toDouble / K
+      }.sum / queries.length
+
+    // ---- x46 SQ8 (8 bits/dim scalar quantization) ----------------------
+    {
+      val scaled = vecs.map { case (_, e) => e.map(DedupQueries.scale1e6) }
+      val mins = Array.tabulate(Dims)(j => scaled.iterator.map(_(j)).min)
+      val maxs = Array.tabulate(Dims)(j => scaled.iterator.map(_(j)).max)
+      def enc(sv: Array[Long]): Array[Int] = Array.tabulate(Dims) { j =>
+        val r = maxs(j) - mins(j)
+        if (r == 0L) 0 else (((sv(j) - mins(j)) * 255L) / r).toInt
+      }
+      val codes = scaled.map(enc)
+      val sq8 = recallOf { qid =>
+        val qc = codes(qid.toInt)
+        vecs.iterator.filter(_._1 != qid).map { c =>
+          val cc = codes(c._1.toInt)
+          var d2 = 0L; var j = 0
+          while (j < Dims) { val t = (qc(j) - cc(j)).toLong; d2 += t * t; j += 1 }
+          (c._1, d2)
+        }.toArray.sortBy { case (id, d) => (d, id) }.take(K).map(_._1).toSeq
+      }
+      log(f"""{"x46_sq8_recall":$sq8%.3f}""")
+    }
+
+    // ---- x88/x92 binary sign codes: raw Hamming + rescore-100 ----------
+    val binCodes = vecs.map { case (_, e) => graft.VectorIndex.signPack(e) }
+    def hammingTop(qid: Long, depth: Int): Seq[Long] = {
+      val (ql, qh) = binCodes(qid.toInt)
+      vecs.iterator.filter(_._1 != qid).map { c =>
+        val (cl, ch) = binCodes(c._1.toInt)
+        (c._1, (java.lang.Long.bitCount(ql ^ cl)
+          + java.lang.Long.bitCount(qh ^ ch)).toLong)
+      }.toArray.sortBy { case (id, h) => (h, id) }.take(depth).map(_._1).toSeq
+    }
+    val binRaw = recallOf(hammingTop(_, K))
+    val binRescore = recallOf { qid =>
+      // exact rescore of the shortlist ≡ shortlist ∩ truth (rescore is
+      // exact within it) — AnnRecallSpec's equivalence
+      hammingTop(qid, DedupQueries.RescoreShortlist)
+    }
+    log(f"""{"x88_binary_raw_recall":$binRaw%.3f,"x92_binary_rescore100_recall":$binRescore%.3f}""")
+
+    // ---- x14 LSH multiprobe / x15 IVF probe curves ----------------------
+    val bucketOf = vecs.map { case (_, e) => DedupQueries.lshBucketOf(e) }
+    def lshRecall(radius: Int): Double = recallOf { qid =>
+      val q = vecs(qid.toInt)
+      val qb = bucketOf(qid.toInt)
+      vecs.iterator.filter(c => c._1 != qid &&
+        java.lang.Long.bitCount(bucketOf(c._1.toInt) ^ qb) <= radius)
+        .map(c => (c._1, cos(q, c._1)))
+        .toArray.sortBy { case (id, s) => (-s, id) }.take(K).map(_._1).toSeq
+    }
+    val clusterRank = vecs.map { case (_, e) =>
+      DedupQueries.ivfCentroids
+        .map { case (ci, c) => (ci, DedupQueries.dotScaled(e, c)) }
+        .sortBy { case (ci, dot) => (-dot, ci) }.map(_._1)
+    }
+    val memberOf = clusterRank.map(_.head)
+    def ivfRecall(nprobe: Int): Double = recallOf { qid =>
+      val q = vecs(qid.toInt)
+      val probed = clusterRank(qid.toInt).take(nprobe).toSet
+      vecs.iterator.filter(c => c._1 != qid && probed(memberOf(c._1.toInt)))
+        .map(c => (c._1, cos(q, c._1)))
+        .toArray.sortBy { case (id, s) => (-s, id) }.take(K).map(_._1).toSeq
+    }
+    val lshCurve = (0 to 3).map(r => f"\"r$r\":${lshRecall(r)}%.3f").mkString(",")
+    val ivfCurve = Seq(1, 2, 3, 8).map(p => f"\"p$p\":${ivfRecall(p)}%.3f").mkString(",")
+    log(s"""{"x14_lsh_recall":{$lshCurve},"x15_ivf_recall":{$ivfCurve}}""")
+
+    // ---- x102 ensemble: lsh r=1 ∪ ivf p=3 ∪ binary shortlist-100 --------
+    {
+      val ensemble = queries.map { q =>
+        val qb = bucketOf(q._1.toInt)
+        val lsh = vecs.iterator.filter(c => c._1 != q._1 &&
+          java.lang.Long.bitCount(bucketOf(c._1.toInt) ^ qb) <= 1)
+          .map(_._1).toSet
+        val probed = clusterRank(q._1.toInt).take(DedupQueries.IvfProbes).toSet
+        val ivf = vecs.iterator.filter(c => c._1 != q._1 &&
+          probed(memberOf(c._1.toInt))).map(_._1).toSet
+        val bin = hammingTop(q._1, DedupQueries.RescoreShortlist).toSet
+        (lsh ++ ivf ++ bin).intersect(trueTop(q._1)).size.toDouble / K
+      }.sum / queries.length
+      log(f"""{"x102_ensemble_recall":$ensemble%.3f}""")
+    }
+
+    // ---- x108 k-ladder at k≈√n (cell-bounded SemDeDup vs exact arm) -----
+    // Two thresholds: the ORACLE's aggressive 0.4 (dense regime — on
+    // clustered data the in-cluster 0.5-cosine cliques percolate into
+    // giant components, so DROP recall is trivially high and EDGE recall
+    // is the discriminating number), and a PRODUCTION 0.9 where the
+    // edges are exactly the planted jittered-copy pairs and drop recall
+    // measures real dedup. False edges/drops are structurally zero
+    // (cells only restrict the exact-cosine edge set) — verified, not
+    // assumed.
+    val ids = emb.select(col("vec_id"))
+    val sqrtK = DedupQueries.semDedupCellCount(n)
+    def pairsWith(k: Int, thr: Double): (org.apache.spark.sql.DataFrame, Double) = {
+      val t0 = System.nanoTime()
+      val p = DedupQueries.cellPairScan(spark, emb, k, thr)
+        .localCheckpoint(true)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (p, sec)
+    }
+    def dropsOf(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+      DedupQueries.semanticDedupDecision(spark, ids, pairs)
+        .where(!col("kept")).select(col("vec_id")).as[Long].collect().toSet
+    Seq(0.4, 0.9).foreach { thr =>
+      // exact arm: ONE cell = the unrestricted block-nested scan (top-R
+      // of a single cell is that cell) — x48's semantics at 50k scale
+      val (exactPairs, exactSec) = pairsWith(1, thr)
+      val nExact = exactPairs.count()
+      val exactDrops = dropsOf(exactPairs)
+      log(f"""{"x108_exact_arm":{"threshold":$thr%.1f,"edges":$nExact,"drops":${exactDrops.size},"sec":$exactSec%.1f}}""")
+      Seq(16, 64, sqrtK, 512).distinct.foreach { k =>
+        val (pairs, sec) = pairsWith(k, thr)
+        val nK = pairs.count()
+        val hit = pairs.join(exactPairs, Seq("vec_a", "vec_b"), "left_semi")
+          .count()
+        val falseEdges = nK - hit
+        val drops = dropsOf(pairs)
+        val dropRecall =
+          if (exactDrops.isEmpty) 1.0
+          else drops.intersect(exactDrops).size.toDouble / exactDrops.size
+        val falseDrops = (drops -- exactDrops).size
+        log(f"""{"x108_k":$k,"threshold":$thr%.1f,"sqrt_n_k":$sqrtK,"edge_recall":${hit.toDouble / math.max(1L, nExact)}%.3f,"false_edges":$falseEdges,"drop_recall":$dropRecall%.3f,"false_drops":$falseDrops,"drops":${drops.size},"sec":$sec%.1f}""")
+        org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(pairs)
+      }
+      org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(exactPairs)
+    }
+
+    spark.stop()
+  }
+}

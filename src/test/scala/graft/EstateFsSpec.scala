@@ -51,6 +51,17 @@ class EstateFsSpec extends AnyFunSuite {
     assert(EstateFs.listNames(s"$dir/nowhere").isEmpty)
   }
 
+  test("fsyncTree flushes exactly the local files under a dir (0 on non-local or absent)") {
+    val dir = tmpUri("fsync")
+    EstateFs.writeStringAtomic(s"$dir/a.txt", "x")
+    EstateFs.mkdirs(s"$dir/sub")
+    EstateFs.writeStringAtomic(s"$dir/sub/b.txt", "y")
+    // LocalFileSystem writes a .crc sibling per file — count is >= the
+    // two payloads, and every flushed file is regular (no crash)
+    assert(EstateFs.fsyncTree(dir) >= 2)
+    assert(EstateFs.fsyncTree(s"$dir/nowhere") == 0)
+  }
+
   test("TextIndex full lifecycle on an explicit file:// URI (build/append/merge/compact/serve)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")

@@ -569,6 +569,13 @@ class TextIndexSpec extends AnyFunSuite {
     // two writers' staged state.
     def breakLease(): Unit = {
       java.nio.file.Files.delete(lease)
+      // drop the Hadoop LocalFileSystem checksum sibling too: a raw
+      // java.nio rewrite under a stale .crc would make the lease read
+      // as UNREADABLE (ChecksumException → None) rather than as the
+      // successor's token — the refusal still fires, but this test is
+      // about the token-mismatch path specifically
+      java.nio.file.Files.deleteIfExists(
+        lease.resolveSibling(".LEASE.crc"))
       java.nio.file.Files.write(lease, "successor-token".getBytes)
     }
     Seq("compact" -> (() => TextIndex.compact(spark, dir): Unit),
