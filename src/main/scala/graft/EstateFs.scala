@@ -27,11 +27,16 @@ import org.apache.spark.sql.SparkSession
   *    as a DIRECT single-stream create instead. A single object PUT is
   *    all-or-nothing at visibility time, so the old/new/never-torn
   *    guarantee holds by a different mechanism; what is lost is only
-  *    rename atomicity the posture no longer uses. Staged-DIRECTORY
-  *    swaps ([[moveDir]]) still require rename and refuse under the
-  *    posture — on an object store the consolidation verbs must stage
-  *    to a versioned location instead (documented in README; the verbs
-  *    themselves stay rename-based until that backend exists).
+  *    rename atomicity the posture no longer uses.
+  *  - **no directory renames anywhere** (round 11): the consolidation
+  *    verbs stage to VERSIONED paths and flip the served version in
+  *    the marker/meta write itself (TextIndex `pv`; merge segments
+  *    write directly into their reserved partition dir; VectorIndex
+  *    rewrites in place behind its marker-last protocol) — so under
+  *    the posture flag the ENTIRE estate lifecycle runs on a bare
+  *    object store. The one remaining rename is [[WriterLease]]'s
+  *    stale-break aside-move, which degrades to "never break, ask an
+  *    operator" where rename is unavailable.
   */
 object EstateFs {
 
@@ -162,23 +167,4 @@ object EstateFs {
     n
   }
 
-  /** Rename `src` onto a NON-EXISTENT `dst`, failing loudly on any
-    * refusal — the staged-directory swap move (postings_next → postings,
-    * merge_stage → ingest_batch=…). Directory rename is atomic on HDFS
-    * and local FS; object stores without it must use a different
-    * staging backend (see class doc). */
-  def moveDir(src: String, dst: String): Unit = {
-    val s = new Path(src); val d = new Path(dst)
-    val f = fs(s)
-    // Hadoop rename onto an EXISTING directory nests src INSIDE it
-    // (posix-mv semantics) — never what a staged-table swap wants;
-    // refuse up front so a protocol bug surfaces as an error, not as a
-    // silently mis-nested layout
-    require(!f.exists(d),
-      s"EstateFs.moveDir: destination $dst already exists — the caller " +
-        "must delete it first (staged swaps are delete-then-rename)")
-    require(f.rename(s, d),
-      s"EstateFs.moveDir: rename $src -> $dst refused by the filesystem " +
-        "(destination exists, source missing, or FS without rename)")
-  }
 }

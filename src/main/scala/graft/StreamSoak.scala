@@ -111,8 +111,6 @@ object StreamSoak {
     val t0Wall = System.nanoTime()
     var nextDocId = nBase.toLong
     var nextVecId = nBase.toLong
-    var uniqueTexts = 0L
-    var dupTexts = 0L
     def feedBatch(b: Int): Unit = {
       val docs = (0 until docsPerBatch).map { j =>
         val id = nextDocId + j
@@ -134,8 +132,9 @@ object StreamSoak {
       val ts = new Timestamp(1700000000000L + b.toLong * 1000L)
       val dedupRows = (0 until docsPerBatch).map { j =>
         val dup = rnd.nextInt(5) == 0 && b > 0
-        val id = if (dup) { dupTexts += 1; (nextDocId - docsPerBatch + j) - docsPerBatch.toLong }
-        else { uniqueTexts += 1; nextDocId - docsPerBatch + j }
+        val id =
+          if (dup) (nextDocId - docsPerBatch + j) - docsPerBatch.toLong
+          else nextDocId - docsPerBatch + j
         (id, docText(id), ts)
       }
       dedupRows.toDF("doc_id", "text", "ingest_time").coalesce(1)
@@ -171,14 +170,9 @@ object StreamSoak {
     }
 
     var qText = textStream(); var qVec = vecStream(); var qDedup = dedupStream()
-    def drainTo(target: Long): Unit = {
-      // wait until every stream has consumed all files fed so far
-      def done(q: org.apache.spark.sql.streaming.StreamingQuery): Boolean = {
-        q.processAllAvailable(); true
-      }
-      done(qText); done(qVec); done(qDedup)
-      require(target >= 0) // target kept for the log shape
-    }
+    // block until every stream has consumed all files fed so far
+    def drainAll(): Unit =
+      Seq(qText, qVec, qDedup).foreach(_.processAllAvailable())
 
     val maintains = scala.collection.mutable.ArrayBuffer.empty[String]
     val killAt = batches / 2
@@ -208,7 +202,7 @@ object StreamSoak {
         qText = textStream()
       }
     }
-    drainTo(batches)
+    drainAll()
     val wallSec = (System.nanoTime() - t0Wall) / 1e9
 
     // ---- exactly-once predicates against the soaked store ---------------
@@ -216,7 +210,9 @@ object StreamSoak {
     // deltas (maintains folded most of them into the base)
     val textBatches = TextIndex.committedBatches(textDir)
     val lengthsCount = {
-      val base = spark.read.parquet(s"$textDir/lengths")
+      // base path resolved through the version pointer — the nightlies'
+      // full folds bumped pv (rename-free compaction, r11)
+      val base = spark.read.parquet(TextIndex.tablePaths(textDir)._2)
       val total =
         if (textBatches.isEmpty) base
         else base.unionByName(

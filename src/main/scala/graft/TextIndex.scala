@@ -74,6 +74,44 @@ object TextIndex {
     org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(dl)
     EstateFs.writeStringAtomic(s"$dir/meta.json",
       s"""{"n_docs":${statsRow.getLong(0)},"sum_dl":${statsRow.getLong(1)},"buckets":$TermBuckets}""")
+    // a rebuild over a previously-compacted dir resets pv to 0 — drop
+    // the now-unreferenced versioned tables
+    dropStaleTables(dir, 0)
+  }
+
+  /** Current version of the BASE postings/lengths tables, recorded in
+    * meta.json as `pv` (absent/0 = the as-built unversioned layout).
+    * [[compact]] stages its folded tables under `postings_v{pv+1}` /
+    * `lengths_v{pv+1}` and FLIPS `pv` in one atomic meta write — the
+    * whole consolidation lifecycle is RENAME-FREE (round 11), so it
+    * runs on object stores exactly as on HDFS/local: markers and meta
+    * are [[EstateFs.writeStringAtomic]] (posture-aware), staged tables
+    * are plain parquet writes to fresh paths, and old versions are
+    * deleted after the flip. */
+  private def pvOf(dir: String): Int =
+    """"pv":(\d+)""".r
+      .findFirstMatchIn(EstateFs.readString(s"$dir/meta.json"))
+      .map(_.group(1).toInt).getOrElse(0)
+
+  /** Resolved (postings, lengths) base-table paths at the CURRENT
+    * version — every base read goes through this. */
+  private[graft] def tablePaths(dir: String): (String, String) = {
+    val v = pvOf(dir)
+    if (v == 0) (s"$dir/postings", s"$dir/lengths")
+    else (s"$dir/postings_v$v", s"$dir/lengths_v$v")
+  }
+
+  /** Drop every base-table dir that is not the `keepPv` version —
+    * idempotent post-flip cleanup (and build's stale-version sweep). */
+  private def dropStaleTables(dir: String, keepPv: Int): Unit = {
+    val keep = Set(
+      if (keepPv == 0) "postings" else s"postings_v$keepPv",
+      if (keepPv == 0) "lengths" else s"lengths_v$keepPv")
+    EstateFs.listNames(dir).foreach { nme =>
+      val isBase = nme == "postings" || nme == "lengths" ||
+        nme.matches("postings_v\\d+") || nme.matches("lengths_v\\d+")
+      if (isBase && !keep(nme)) EstateFs.deleteRecursive(s"$dir/$nme")
+    }
   }
 
   private def meta(dir: String): (Long, Long, Int) = {
@@ -99,7 +137,7 @@ object TextIndex {
     * Tiering (negative ids): [[mergeDeltas]] writes a MERGED segment
     * under a reserved id < 0 whose marker lists the batch ids it
     * folded. The effective committed set excludes every folded id, so
-    * the instant the merged marker lands (one atomic rename) readers
+    * the instant the merged marker lands (one atomic write) readers
     * switch from the small batches to the merged segment — the
     * leftover small-batch dirs/markers are dead weight that
     * [[cleanupFoldedDeltas]] removes idempotently. */
@@ -140,7 +178,7 @@ object TextIndex {
     * OWN half-written partitions during a replay). */
   private def lengthsAll(spark: SparkSession, dir: String,
       excludeBatch: Option[Long] = None): DataFrame = {
-    val base = spark.read.parquet(s"$dir/lengths")
+    val base = spark.read.parquet(tablePaths(dir)._2)
     val batches = committedBatches(dir).filterNot(excludeBatch.contains)
     if (batches.isEmpty) base
     else base.unionByName(
@@ -188,7 +226,7 @@ object TextIndex {
         // sentinel, delta rows with their batch id — the replay
         // detection below needs to know WHERE a clashing doc lives
         val commits = committedBatches(dir).filterNot(_ == batchId)
-        val baseL = spark.read.parquet(s"$dir/lengths")
+        val baseL = spark.read.parquet(tablePaths(dir)._2)
           .select(col("doc_id"), col("dl"),
             lit(Long.MinValue).as("src_batch"))
         val indexed =
@@ -284,16 +322,18 @@ object TextIndex {
     * (doc_id, term, tf)/(doc_id, dl) row sets and the integer BM25
     * kernel is summation-order-free.
     *
-    * Crash protocol (two-phase): the consolidated tables are staged to
-    * `postings_next`/`lengths_next` while serving still reads the old
-    * layout — a kill before the marker leaves only dead staging dirs,
-    * and a rerun restarts cleanly. The atomic `meta_compact.json` write
-    * is THE commit point: it records the new scalars and the folded
-    * batch ids, after which [[search]]/[[append]] refuse (the
-    * intermediate swap states double-count) and re-running compact
-    * replays the remaining idempotent steps — dir renames are atomic,
-    * deletes idempotent, meta rewritten from the marker, marker removed
-    * last. Batches appended AFTER the batch-list snapshot (including
+    * Crash protocol (two-phase, RENAME-FREE since r11 — object-store
+    * safe): the consolidated tables are staged under the NEXT version
+    * (`postings_v{pv+1}`/`lengths_v{pv+1}`) while serving still
+    * resolves the current `pv` — a kill before the marker leaves only
+    * dead staging dirs, and a rerun restarts cleanly. The atomic
+    * `meta_compact.json` write is THE commit point: it records the new
+    * scalars, the new `pv`, and the folded batch ids, after which
+    * [[search]]/[[append]] refuse (the intermediate states
+    * double-count) and re-running compact replays the remaining
+    * idempotent steps — the atomic meta write flips the served version,
+    * deletes are idempotent, marker removed last. Batches appended
+    * AFTER the batch-list snapshot (including
     * during the long phase-1 writes) are untouched in BOTH staged
     * tables and fold on the next cycle. Immediately before the marker
     * lands the writer re-verifies it still holds the lease
@@ -310,7 +350,7 @@ object TextIndex {
   def compact(spark: SparkSession, dir: String): Int = {
     // single-writer lease (round 10 parity with warehouse ingest): the
     // crash protocol makes a RERUN safe, not a CONCURRENT twin — two
-    // live compactions stage into the same _next dirs. Appends need no
+    // live compactions stage into the same next-version dirs. Appends need no
     // lease: their safety vs a running compaction is the snapshot
     // protocol above (spec-pinned), and refusal mid-swap is explicit.
     val lease = WriterLease.acquire(spark, dir,
@@ -337,36 +377,40 @@ object TextIndex {
     val (nDocs, sumDl) = batches.foldLeft((nDocsBase, sumDlBase)) {
       case ((n, s), b) => val (dn, ds) = deltaMeta(dir, b); (n + dn, s + ds)
     }
-    // phase 1 — stage the folded tables; serving still reads the old
-    // layout. One file per bucket: compaction is also where the
-    // append-cycle file growth resets. BOTH staged tables filter to the
-    // SNAPSHOTTED batch list — a batch whose append commits during this
-    // (long) write must fold on the NEXT cycle, in neither table: a
-    // re-enumeration here would put its dl rows in the new base while
-    // the marker's folded list (and finishCompact's deletes) miss it,
-    // double-counting its lengths forever.
-    val postAll = spark.read.parquet(s"$dir/postings")
+    val (postPath, lenPath) = tablePaths(dir)
+    val newPv = pvOf(dir) + 1
+    // phase 1 — stage the folded tables under the NEXT version while
+    // serving still reads the current one (no rename anywhere: the
+    // version flip in meta is the swap — object-store-safe). One file
+    // per bucket: compaction is also where the append-cycle file growth
+    // resets. BOTH staged tables filter to the SNAPSHOTTED batch list —
+    // a batch whose append commits during this (long) write must fold
+    // on the NEXT cycle, in neither table: a re-enumeration here would
+    // put its dl rows in the new base while the marker's folded list
+    // (and finishCompact's deletes) miss it, double-counting its
+    // lengths forever.
+    val postAll = spark.read.parquet(postPath)
       .select(col("doc_id"), col("term"), col("tf"), col("bucket"))
       .unionByName(spark.read.parquet(s"$dir/postings_delta")
         .where(col("ingest_batch").isin(batches: _*))
         .select(col("doc_id"), col("term"), col("tf"), col("bucket")))
     postAll.repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(s"$dir/postings_next")
-    spark.read.parquet(s"$dir/lengths")
+      .partitionBy("bucket").parquet(s"$dir/postings_v$newPv")
+    spark.read.parquet(lenPath)
       .unionByName(spark.read.parquet(s"$dir/lengths_delta")
         .where(col("ingest_batch").isin(batches: _*))
         .select(col("doc_id"), col("dl")))
       .coalesce(
         math.max(1, spark.sparkContext.defaultParallelism / 4))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lengths_next")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lengths_v$newPv")
     // phase 2 — THE commit point. Re-verify lease ownership FIRST: the
     // phase-1 writes are the long part of the cycle, and a writer that
     // outlived the TTL and was broken must abort here, not commit a
     // marker over its successor's state (VERDICT r10 #2).
     WriterLease.verifyHeld(spark, dir, lease)
     EstateFs.writeStringAtomic(compactMarker(dir),
-      s"""{"n_docs":$nDocs,"sum_dl":$sumDl,"buckets":$buckets,"folded":[${batches.mkString(",")}]}""")
+      s"""{"n_docs":$nDocs,"sum_dl":$sumDl,"buckets":$buckets,"pv":$newPv,"folded":[${batches.mkString(",")}]}""")
     compactCrashHook()
     // phase 3 — idempotent finish
     finishCompact(spark, dir, lease)
@@ -374,9 +418,13 @@ object TextIndex {
 
   /** Replay the post-commit steps of a compaction cycle; every step is
     * idempotent, so a kill anywhere in here is repaired by calling it
-    * (or [[compact]]) again — under the lease: the base-table swap is
-    * destructive, and two live finishers would interleave rm+move
-    * (ADVICE r10 — the resume path used to run lease-free). */
+    * (or [[compact]]) again — under the lease: the cleanup deletes are
+    * destructive, and two live finishers would interleave (ADVICE r10 —
+    * the resume path used to run lease-free). Rename-free (r11): the
+    * meta write below IS the base-table swap — readers resolve the base
+    * paths through `pv`, so one atomic meta write flips the served
+    * version; old-version tables, folded deltas, and the marker are
+    * then removed idempotently. */
   private def finishCompact(spark: SparkSession, dir: String,
       lease: String): Int = {
     WriterLease.verifyHeld(spark, dir, lease)
@@ -385,13 +433,11 @@ object TextIndex {
       s""""$k":(\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
     val folded = """"folded":\[([0-9,\-]*)\]""".r.findFirstMatchIn(txt).get
       .group(1).split(",").filter(_.nonEmpty).map(_.toLong).toSeq
-    Seq("postings", "lengths").foreach { t =>
-      val next = s"$dir/${t}_next"
-      if (EstateFs.exists(next)) {
-        EstateFs.deleteRecursive(s"$dir/$t")
-        EstateFs.moveDir(next, s"$dir/$t")
-      }
-    }
+    val newPv = grab("pv")
+    // THE swap: flip the served version in one atomic meta write
+    EstateFs.writeStringAtomic(s"$dir/meta.json",
+      s"""{"n_docs":${grab("n_docs")},"sum_dl":${grab("sum_dl")},"buckets":${grab("buckets")},"pv":$newPv}""")
+    dropStaleTables(dir, newPv.toInt)
     folded.foreach { b =>
       EstateFs.deleteRecursive(s"$dir/postings_delta/ingest_batch=$b")
       EstateFs.deleteRecursive(s"$dir/lengths_delta/ingest_batch=$b")
@@ -403,8 +449,6 @@ object TextIndex {
       if (EstateFs.hasNoSubdirs(s"$dir/$t"))
         EstateFs.deleteRecursive(s"$dir/$t")
     }
-    EstateFs.writeStringAtomic(s"$dir/meta.json",
-      s"""{"n_docs":${grab("n_docs")},"sum_dl":${grab("sum_dl")},"buckets":${grab("buckets")}}""")
     EstateFs.deleteIfExists(compactMarker(dir))
     folded.size
   }
@@ -433,7 +477,7 @@ object TextIndex {
     * layout under a reserved id < 0, so serving/compaction treat it as
     * just another committed batch; its marker additionally records the
     * folded ids, and [[committedBatches]] excludes those the instant
-    * the marker lands (one atomic rename = the commit point). The
+    * the marker lands (one atomic write = the commit point). The
     * folded batches' dirs/markers become dead weight removed by the
     * idempotent cleanup — a kill anywhere leaves either the old state
     * (no marker: half-staged segment is invisible and the rerun
@@ -444,8 +488,8 @@ object TextIndex {
     * Returns the number of batches folded (0 = fewer than 2 committed
     * batches — nothing worth squashing). */
   def mergeDeltas(spark: SparkSession, dir: String): Int = {
-    // same single-writer lease as compact: two live merges share the
-    // fixed *_merge_stage paths and possibly the same reserved id
+    // same single-writer lease as compact: two live merges write the
+    // same reserved segment dir (deterministic merged id)
     val lease = WriterLease.acquire(spark, dir,
       "two concurrent consolidations would interleave staged tables.")
     try mergeDeltasLocked(spark, dir, lease)
@@ -467,29 +511,30 @@ object TextIndex {
     val (nDocs, sumDl) = batches.foldLeft((0L, 0L)) {
       case ((n, s), b) => val (dn, ds) = deltaMeta(dir, b); (n + dn, s + ds)
     }
-    // stage outside the live layout (Spark refuses read+overwrite of
-    // the same path), then one dir rename per table moves the segment
-    // into place — still invisible until the marker
-    val stageP = s"$dir/postings_merge_stage"
-    val stageL = s"$dir/lengths_merge_stage"
+    // stage DIRECTLY into the merged segment's partition dir (rename-
+    // free, r11): the reads above filter to the SNAPSHOTTED positive
+    // batch ids, so writing under ingest_batch=<mergedId> never
+    // overlaps them (the file listing predates the write, and the
+    // reserved id is outside the filter); Overwrite truncates only this
+    // segment's own debris from a killed prior run. The segment stays
+    // INVISIBLE until its marker lands — committedBatches reads
+    // markers, not dirs.
+    val destP = s"$dir/postings_delta/ingest_batch=$mergedId"
+    val destL = s"$dir/lengths_delta/ingest_batch=$mergedId"
     spark.read.parquet(s"$dir/postings_delta")
       .where(col("ingest_batch").isin(batches: _*))
       .select(col("doc_id"), col("term"), col("tf"), col("bucket"))
       .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(stageP)
+      .partitionBy("bucket").parquet(destP)
     spark.read.parquet(s"$dir/lengths_delta")
       .where(col("ingest_batch").isin(batches: _*))
       .select(col("doc_id"), col("dl"))
       .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
-      .write.mode(SaveMode.Overwrite).parquet(stageL)
-    val destP = s"$dir/postings_delta/ingest_batch=$mergedId"
-    val destL = s"$dir/lengths_delta/ingest_batch=$mergedId"
-    EstateFs.deleteRecursive(destP); EstateFs.moveDir(stageP, destP)
-    EstateFs.deleteRecursive(destL); EstateFs.moveDir(stageL, destL)
+      .write.mode(SaveMode.Overwrite).parquet(destL)
     mergeCrashHook()
     // commit point: the merged marker (scalars + folded list) in one
-    // atomic rename — readers switch to the segment instantly. Lease
+    // atomic write — readers switch to the segment instantly. Lease
     // re-verified first (same TTL-overrun argument as compact).
     WriterLease.verifyHeld(spark, dir, lease)
     EstateFs.writeStringAtomic(s"$dir/meta_delta_batch_$mergedId.json",
@@ -604,7 +649,7 @@ object TextIndex {
     val terms = queryBatch.flatMap(_._2).distinct
     val termBuckets = terms
       .map(t => TextIndexHash.bucketOf(t, buckets)).distinct
-    val tfBase = spark.read.parquet(s"$dir/postings")
+    val tfBase = spark.read.parquet(tablePaths(dir)._1)
       .where(col("bucket").isin(termBuckets: _*) &&
         col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("tf"))

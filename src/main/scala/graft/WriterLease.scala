@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * lease parity): the index-maintenance verbs ([[TextIndex.compact]],
   * [[TextIndex.mergeDeltas]], [[VectorIndex.rebalanceIvf]]) are
   * crash-safe against kill-and-rerun but NOT against two LIVE
-  * invocations — both stage into the same fixed `_next`/`_stage` paths
+  * invocations — both stage into the same next-version/segment paths
   * or overwrite the same codes table, so a cron double-fire of the
   * nightly job would interleave two writers' staging. The lease turns
   * that corruption into a fast, retriable refusal. Appends stay

@@ -39,15 +39,10 @@ class EstateFsSpec extends AnyFunSuite {
     assert(EstateFs.listDirNames(s"$dir/a") == Seq("inner"))
     assert(!EstateFs.hasNoSubdirs(s"$dir/a"))
     assert(EstateFs.hasNoSubdirs(s"$dir/a/inner"))
-    EstateFs.moveDir(s"$dir/a", s"$dir/b")
-    assert(!EstateFs.exists(s"$dir/a") && EstateFs.exists(s"$dir/b/f.txt"))
-    // moveDir refuses an occupied destination loudly
-    EstateFs.mkdirs(s"$dir/c")
-    intercept[IllegalArgumentException](EstateFs.moveDir(s"$dir/b", s"$dir/c"))
     assert(EstateFs.deleteIfExists(s"$dir/m.json"))
     assert(!EstateFs.deleteIfExists(s"$dir/m.json"))
-    EstateFs.deleteRecursive(s"$dir/b")
-    assert(!EstateFs.exists(s"$dir/b"))
+    EstateFs.deleteRecursive(s"$dir/a")
+    assert(!EstateFs.exists(s"$dir/a"))
     assert(EstateFs.listNames(s"$dir/nowhere").isEmpty)
   }
 
@@ -150,5 +145,37 @@ class EstateFsSpec extends AnyFunSuite {
         .collect().map(_.toString).toSeq == want)
     } finally spark.conf.set(EstateFs.AtomicRenameKey, "true")
     assert(EstateFs.atomicRenamePosture)
+  }
+
+  test("object-store posture: kill at the commit marker, resume finishes the cycle") {
+    // the worst-instant crash (marker committed, finish not run) under
+    // the DIRECT-create posture: the rename-free protocol must refuse
+    // serving mid-cycle and complete on rerun exactly as it does under
+    // atomic-rename — this is the composition a bare object store runs
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    spark.conf.set(EstateFs.AtomicRenameKey, "false")
+    try {
+      val dir = tmpUri("s3crash")
+      TextIndex.build(spark, dir, docs.where(col("doc_id") < 60))
+      TextIndex.append(spark, dir, docs.where(col("doc_id") >= 60), 0L)
+      val want = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+        .collect().map(_.toString).toSeq
+      TextIndex.compactCrashHook =
+        () => throw new RuntimeException("injected kill")
+      try intercept[RuntimeException](TextIndex.compact(spark, dir))
+      finally TextIndex.compactCrashHook = () => ()
+      val e = intercept[IllegalArgumentException] {
+        TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      }
+      assert(e.getMessage.contains("unfinished compaction"))
+      assert(TextIndex.compact(spark, dir) == 1,
+        "rerun did not finish the committed cycle under the posture")
+      assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+        .collect().map(_.toString).toSeq == want)
+      // the version flip landed and the stale base is gone
+      assert(TextIndex.tablePaths(dir)._1.endsWith("postings_v1"))
+      assert(!EstateFs.exists(s"$dir/postings"))
+    } finally spark.conf.set(EstateFs.AtomicRenameKey, "true")
   }
 }

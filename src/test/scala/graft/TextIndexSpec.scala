@@ -230,7 +230,9 @@ class TextIndexSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir, "postings_delta")))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "lengths_delta")))
-    val filesAfterC1 = countFiles(s"$dir/postings")
+    // base paths resolve through the version pointer after a compact
+    // (rename-free swap, r11)
+    val filesAfterC1 = countFiles(TextIndex.tablePaths(dir)._1)
 
     // nothing to fold → no-op
     assert(TextIndex.compact(spark, dir) == 0)
@@ -244,7 +246,7 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.compact(spark, dir) == 1)
     assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
       .collect().map(_.toString).toSeq == want2)
-    assert(countFiles(s"$dir/postings") == filesAfterC1,
+    assert(countFiles(TextIndex.tablePaths(dir)._1) == filesAfterC1,
       "postings file count grows across append/compact cycles")
     // fully folded index serves exactly like a monolithic rebuild
     val full = java.nio.file.Files.createTempDirectory("txtcompfull").toString
@@ -307,7 +309,7 @@ class TextIndexSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir, "lengths_delta", "ingest_batch=1")))
     // the folded base holds each snapshot doc's dl exactly once and
     // NONE of the late batch's (the r9 bug folded the late lengths in)
-    val baseLens = spark.read.parquet(s"$dir/lengths")
+    val baseLens = spark.read.parquet(TextIndex.tablePaths(dir)._2)
       .select("doc_id").as[Long].collect()
     assert(baseLens.length == baseLens.distinct.length,
       "duplicate dl rows in the folded base")
