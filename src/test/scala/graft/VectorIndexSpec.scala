@@ -632,4 +632,37 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(lease),
       "a failed rebalance must still release its lease")
   }
+
+  test("insert holds the single-writer lease (r11: graph rewrites are in-place)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("vinslease").toString
+    VectorIndex.build(spark, dir, emb.where(col("vec_id") < 400))
+    val before = spark.read.parquet(s"$dir/graph").count()
+
+    // a concurrent holder's live lease → insert refuses fast, graph and
+    // meta untouched, lease NOT stolen
+    val lease = java.nio.file.Paths.get(dir, "claims", "LEASE")
+    java.nio.file.Files.createDirectories(lease.getParent)
+    java.nio.file.Files.write(lease, "other-writer".getBytes)
+    val e = intercept[IllegalStateException] {
+      VectorIndex.insert(spark, dir, emb.where(col("vec_id") >= 400))
+    }
+    assert(e.getMessage.contains("lease"))
+    assert(spark.read.parquet(s"$dir/graph").count() == before,
+      "lease-refused insert mutated the graph")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "meta.json")).contains(""""vectors":400"""))
+    assert(java.nio.file.Files.readString(lease) == "other-writer")
+
+    // holder releases → insert runs and releases its own lease after
+    java.nio.file.Files.delete(lease)
+    VectorIndex.insert(spark, dir, emb.where(col("vec_id") >= 400))
+    assert(!java.nio.file.Files.exists(lease),
+      "insert must release its lease")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "meta.json"))
+      .contains(s""""vectors":${emb.count()}"""))
+  }
 }
