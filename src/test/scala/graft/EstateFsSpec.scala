@@ -115,6 +115,24 @@ class EstateFsSpec extends AnyFunSuite {
     val s1 = s0.copy(visitId = 8)
     VisitPipeline.VisitStateStore.write(dir, s1)
     assert(VisitPipeline.VisitStateStore.read(dir).contains(s1))
+
+    // catalog marker protocol (exists / sourceTag / scheme guard) on the
+    // same URI-hosted warehouse
+    val wh = tmpUri("catwh")
+    val cfg = ApdbConfig(warehouseDir = wh)
+    assert(!CatalogStore.exists(wh))
+    val cat = DiaSim.genCatalog(spark, 5000L, hemi = -1, seed = 7)
+    val n = CatalogStore.write(spark, cat, wh, cfg, sourceTag = "gen:5000:7")
+    assert(n == 5000L && CatalogStore.exists(wh))
+    assert(CatalogStore.sourceTag(wh).contains("gen:5000:7"))
+    val region = graft.geom.Circle(
+      graft.geom.Vec3(0.1, -0.2, -0.97).normalized, cfg.fovRad / 2)
+    assert(CatalogStore.readFov(spark, wh, region, cfg).count() > 0)
+    // a different pixel scheme refuses loudly (marker carries the scheme)
+    val e = intercept[IllegalArgumentException] {
+      CatalogStore.readFov(spark, wh, region, cfg.copy(pixLevel = 9))
+    }
+    assert(e.getMessage.contains("different"))
   }
 
   test("object-store posture: markers land by direct create, protocol stays green") {
