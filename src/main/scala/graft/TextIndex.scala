@@ -377,8 +377,11 @@ object TextIndex {
     val (nDocs, sumDl) = batches.foldLeft((nDocsBase, sumDlBase)) {
       case ((n, s), b) => val (dn, ds) = deltaMeta(dir, b); (n + dn, s + ds)
     }
-    val (postPath, lenPath) = tablePaths(dir)
-    val newPv = pvOf(dir) + 1
+    val curPv = pvOf(dir)
+    val (postPath, lenPath) =
+      if (curPv == 0) (s"$dir/postings", s"$dir/lengths")
+      else (s"$dir/postings_v$curPv", s"$dir/lengths_v$curPv")
+    val newPv = curPv + 1
     // phase 1 — stage the folded tables under the NEXT version while
     // serving still reads the current one (no rename anywhere: the
     // version flip in meta is the swap — object-store-safe). One file
