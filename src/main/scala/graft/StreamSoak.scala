@@ -213,6 +213,7 @@ object StreamSoak {
       // base path resolved through the version pointer — the nightlies'
       // full folds bumped pv (rename-free compaction, r11)
       val base = spark.read.parquet(TextIndex.tablePaths(textDir)._2)
+        .select(col("doc_id"), col("dl")) // fp (r12) not part of the predicate
       val total =
         if (textBatches.isEmpty) base
         else base.unionByName(

@@ -17,8 +17,15 @@ import graft.queries.{PortableHash, TextQueries}
   *    serve-time scan prunes every other partition's files — the
   *    lexical analog of the IVF-PQ list prune (and of the engine's
   *    pixel-bucket prune on the spatial side).
-  *  - `lengths/`  — (doc_id, dl) document lengths for the BM25 length
-  *    normalization.
+  *  - `lengths/`  — (doc_id, dl, fp) document lengths for the BM25
+  *    length normalization, plus `fp` = xxhash64 of the raw text: the
+  *    CONTENT fingerprint the replay-after-fold detection compares, so
+  *    only a byte-identical redelivery no-ops while an edited document
+  *    re-appended under a reused doc_id still refuses loudly even when
+  *    the edit preserves word count (ADVICE r11 — dl containment alone
+  *    was a silent-data-loss hole). Indexes built before round 12 lack
+  *    the column; their rows read as fp-null and the detection falls
+  *    back to dl containment for exactly those rows.
   *  - `meta.json` — (n_docs, sum_dl, buckets): the corpus scalars are
   *    computed ONCE at build time; serving attaches them as a literal
   *    one-row frame instead of re-aggregating the corpus per query
@@ -56,7 +63,8 @@ object TextIndex {
     * reproduce the inline key's rankings bit-for-bit. */
   def build(spark: SparkSession, dir: String, docs: DataFrame): Unit = {
     val dl = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"))
+      size(split(col("text"), " ")).cast("long").as("dl"),
+      xxhash64(col("text")).as("fp"))
       .localCheckpoint(true) // consumed by the write AND the stats agg
     // fail BEFORE any table is written: an empty corpus would otherwise
     // leave a half-built index (postings but no meta) and a null Σdl
@@ -173,12 +181,21 @@ object TextIndex {
     (grab("n_docs"), grab("sum_dl"))
   }
 
-  /** All committed doc lengths: base plus delta batches (optionally
-    * excluding one batch — the collision check must not see the batch's
-    * OWN half-written partitions during a replay). */
+  /** Lengths frame with a guaranteed `fp` column: pre-round-12 tables
+    * lack the content fingerprint, so their rows read as fp-null and
+    * the replay detection falls back to dl containment for them. */
+  private def withFpNullable(df: DataFrame): DataFrame =
+    if (df.columns.contains("fp")) df
+    else df.withColumn("fp", lit(null).cast("long"))
+
+  /** All committed doc lengths (doc_id, dl — serving needs no fp):
+    * base plus delta batches (optionally excluding one batch — the
+    * collision check must not see the batch's OWN half-written
+    * partitions during a replay). */
   private def lengthsAll(spark: SparkSession, dir: String,
       excludeBatch: Option[Long] = None): DataFrame = {
     val base = spark.read.parquet(tablePaths(dir)._2)
+      .select(col("doc_id"), col("dl"))
     val batches = committedBatches(dir).filterNot(excludeBatch.contains)
     if (batches.isEmpty) base
     else base.unionByName(
@@ -210,7 +227,8 @@ object TextIndex {
       s"TextIndex.append: $dir has no meta.json — build the base index first")
     requireNoPendingCompact(dir, "append")
     val dl = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"))
+      size(split(col("text"), " ")).cast("long").as("dl"),
+      xxhash64(col("text")).as("fp"))
       .localCheckpoint(true)
     // finally-released: the refusal paths below must not strand the
     // eager checkpoint's blocks (a crash-looping stream retrying a
@@ -226,16 +244,19 @@ object TextIndex {
         // sentinel, delta rows with their batch id — the replay
         // detection below needs to know WHERE a clashing doc lives
         val commits = committedBatches(dir).filterNot(_ == batchId)
-        val baseL = spark.read.parquet(tablePaths(dir)._2)
-          .select(col("doc_id"), col("dl"),
+        val baseRaw = spark.read.parquet(tablePaths(dir)._2)
+        val baseL = withFpNullable(baseRaw)
+          .select(col("doc_id"), col("dl"), col("fp"),
             lit(Long.MinValue).as("src_batch"))
         val indexed =
           if (commits.isEmpty) baseL
-          else baseL.unionByName(
-            spark.read.parquet(s"$dir/lengths_delta")
+          else baseL.unionByName {
+            val d = spark.read.parquet(s"$dir/lengths_delta")
               .where(col("ingest_batch").isin(commits: _*))
-              .select(col("doc_id"), col("dl"),
-                col("ingest_batch").as("src_batch")))
+            withFpNullable(d)
+              .select(col("doc_id"), col("dl"), col("fp"),
+                col("ingest_batch").as("src_batch"))
+          }
         val clash = dl
           .join(indexed.select(col("doc_id")), Seq("doc_id"), "left_semi")
           .limit(1).count()
@@ -245,14 +266,22 @@ object TextIndex {
           // the stream checkpoint advanced redelivers with its marker
           // gone — excludeBatch cannot hide it, and refusing would turn
           // exactly-once replay into a permanent crash loop. Such a
-          // replay is recognized by BOTH (a) every (doc_id, dl) pair
-          // already indexed AND (b) no clashing doc living in a LIVE
+          // replay is recognized by BOTH (a) every incoming doc already
+          // indexed with IDENTICAL CONTENT — the `fp` text fingerprint,
+          // not dl: an edited doc whose edit preserves word count must
+          // NOT pass as a replay (ADVICE r11; fp-null legacy rows fall
+          // back to dl) — AND (b) no clashing doc living in a LIVE
           // positive batch (folded rows live in the base or a merged
           // id<0 segment). A re-send of docs a live batch owns — a
           // genuine double-index attempt — still refuses.
+          val idx = indexed.select(col("doc_id").as("i_doc"),
+            col("dl").as("i_dl"), col("fp").as("i_fp"))
           val novel = dl
-            .join(indexed.select(col("doc_id"), col("dl")),
-              Seq("doc_id", "dl"), "left_anti")
+            .join(idx,
+              col("doc_id") === col("i_doc") &&
+                (col("i_fp") === col("fp") ||
+                  (col("i_fp").isNull && col("i_dl") === col("dl"))),
+              "left_anti")
             .limit(1).count()
           val liveOwned = dl
             .join(indexed.where(col("src_batch") >= 0)
@@ -260,8 +289,8 @@ object TextIndex {
             .limit(1).count()
           require(novel == 0 && liveOwned == 0,
             s"TextIndex.append: batch $batchId contains doc_ids already in " +
-              "the index — appending would double-count their postings; " +
-              "rebuild instead")
+              "the index (or re-sends them with CHANGED content) — " +
+              "appending would double-count their postings; rebuild instead")
           return
         }
         docs.select(col("doc_id"),
@@ -303,6 +332,50 @@ object TextIndex {
   private[graft] var compactSnapshotHook: () => Unit = () => ()
 
   private def compactMarker(dir: String) = s"$dir/meta_compact.json"
+
+  /** Lease tokens of writers whose stale lease was BROKEN — the break
+    * protocol leaves the old lease as `claims/LEASE.broken.<uuid>`
+    * still carrying its token, so the set is readable forever after.
+    * Tokens are per-acquire UUIDs, never reused, so membership exactly
+    * identifies commits by overtaken writers. */
+  private def brokenTokens(dir: String): Set[String] =
+    EstateFs.listNames(s"$dir/claims")
+      .filter(_.startsWith("LEASE.broken."))
+      .flatMap(n =>
+        scala.util.Try(EstateFs.readString(s"$dir/claims/$n")).toOption)
+      .toSet
+
+  private def markerBy(txt: String): Option[String] =
+    """"by":"([0-9a-fA-F\-]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+
+  /** Fence against the verifyHeld check-then-act window (ADVICE r11):
+    * if the pending compact marker was committed by a writer whose
+    * lease was broken (its token sits in `claims/LEASE.broken.*`), its
+    * staged next-version tables may interleave with the breaker's own
+    * staging — the marker is NOT trusted. Provided the version flip has
+    * not happened yet (meta `pv` < marker `pv`), the base and every
+    * delta are still intact, so the suspect commit is simply DISCARDED
+    * (staged tables + marker deleted) and the fold reruns from scratch.
+    * Once the flip landed, discarding would delete the LIVE base —
+    * resume normally instead (the exposure already materialized inside
+    * the unavoidable window; this fence shrinks it to flip-or-nothing).
+    * Returns true iff a suspect commit was discarded. */
+  private def discardSuspectCompact(dir: String): Boolean = {
+    val p = compactMarker(dir)
+    if (!EstateFs.exists(p)) return false
+    val txt = EstateFs.readString(p)
+    val markerPv = """"pv":(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+    val flipped = markerPv.exists(_ <= pvOf(dir))
+    if (!flipped && markerBy(txt).exists(brokenTokens(dir))) {
+      markerPv.foreach { v =>
+        EstateFs.deleteRecursive(s"$dir/postings_v$v")
+        EstateFs.deleteRecursive(s"$dir/lengths_v$v")
+      }
+      EstateFs.deleteIfExists(p)
+      true
+    } else false
+  }
 
   /** Refuse to serve/append across a half-finished compaction: between
     * the commit marker and the final cleanup the on-disk state mixes
@@ -361,8 +434,10 @@ object TextIndex {
 
   private def compactLocked(spark: SparkSession, dir: String,
       lease: String): Int = {
-    // resume a committed-but-unfinished cycle before anything else
-    if (EstateFs.exists(compactMarker(dir)))
+    // resume a committed-but-unfinished cycle before anything else —
+    // unless the marker came from a BROKEN writer's late commit, in
+    // which case it is discarded and this run folds from scratch
+    if (EstateFs.exists(compactMarker(dir)) && !discardSuspectCompact(dir))
       return finishCompact(spark, dir, lease)
     require(EstateFs.exists(s"$dir/meta.json"),
       s"TextIndex.compact: $dir has no meta.json — not a TextIndex dir")
@@ -400,10 +475,15 @@ object TextIndex {
     postAll.repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(s"$dir/postings_v$newPv")
-    spark.read.parquet(lenPath)
-      .unionByName(spark.read.parquet(s"$dir/lengths_delta")
-        .where(col("ingest_batch").isin(batches: _*))
-        .select(col("doc_id"), col("dl")))
+    // fp travels through the fold (null for pre-fp base rows): the
+    // replay-after-fold detection needs the fingerprint EXACTLY for
+    // docs whose batch was folded — dropping it here would reopen the
+    // same-word-count silent-loss hole for every folded doc
+    withFpNullable(spark.read.parquet(lenPath))
+      .select(col("doc_id"), col("dl"), col("fp"))
+      .unionByName(withFpNullable(spark.read.parquet(s"$dir/lengths_delta")
+        .where(col("ingest_batch").isin(batches: _*)))
+        .select(col("doc_id"), col("dl"), col("fp")))
       .coalesce(
         math.max(1, spark.sparkContext.defaultParallelism / 4))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/lengths_v$newPv")
@@ -412,8 +492,13 @@ object TextIndex {
     // outlived the TTL and was broken must abort here, not commit a
     // marker over its successor's state (VERDICT r10 #2).
     WriterLease.verifyHeld(spark, dir, lease)
+    // `by` = the committing writer's lease token (ADVICE r11): verifyHeld
+    // is check-then-act, so a writer broken BETWEEN the verify and this
+    // write can still land the marker. The token makes that detectable —
+    // a later resumer cross-checks `by` against claims/LEASE.broken.* and
+    // discards a broken writer's un-flipped commit ([[discardSuspectCompact]]).
     EstateFs.writeStringAtomic(compactMarker(dir),
-      s"""{"n_docs":$nDocs,"sum_dl":$sumDl,"buckets":$buckets,"pv":$newPv,"folded":[${batches.mkString(",")}]}""")
+      s"""{"n_docs":$nDocs,"sum_dl":$sumDl,"buckets":$buckets,"pv":$newPv,"by":"$lease","folded":[${batches.mkString(",")}]}""")
     compactCrashHook()
     // phase 3 — idempotent finish
     finishCompact(spark, dir, lease)
@@ -530,9 +615,10 @@ object TextIndex {
       .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(destP)
-    spark.read.parquet(s"$dir/lengths_delta")
-      .where(col("ingest_batch").isin(batches: _*))
-      .select(col("doc_id"), col("dl"))
+    // fp preserved for the same replay-after-fold reason as compact
+    withFpNullable(spark.read.parquet(s"$dir/lengths_delta")
+      .where(col("ingest_batch").isin(batches: _*)))
+      .select(col("doc_id"), col("dl"), col("fp"))
       .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
       .write.mode(SaveMode.Overwrite).parquet(destL)
     mergeCrashHook()
@@ -541,7 +627,7 @@ object TextIndex {
     // re-verified first (same TTL-overrun argument as compact).
     WriterLease.verifyHeld(spark, dir, lease)
     EstateFs.writeStringAtomic(s"$dir/meta_delta_batch_$mergedId.json",
-      s"""{"n_docs":$nDocs,"sum_dl":$sumDl,"folded":[${batches.mkString(",")}]}""")
+      s"""{"n_docs":$nDocs,"sum_dl":$sumDl,"by":"$lease","folded":[${batches.mkString(",")}]}""")
     cleanupFoldedDeltas(dir)
     batches.size
   }
@@ -549,8 +635,33 @@ object TextIndex {
   /** Remove the dead dirs/markers of batches a committed merged
     * segment already folded. Idempotent; dirs first, marker last, so a
     * kill mid-cleanup leaves the batch still excluded (its id stays in
-    * the folded list) and the rerun finishes. */
+    * the folded list) and the rerun finishes.
+    *
+    * Fence first (ADVICE r11, the merge-tier twin of
+    * [[discardSuspectCompact]]): a merged marker committed by a BROKEN
+    * writer (token in `claims/LEASE.broken.*`) may reference a segment
+    * interleaved with its breaker's staging — while every folded
+    * batch's own marker still exists (i.e. no cleanup has destroyed
+    * the inputs), the suspect segment + marker are discarded and the
+    * batches simply re-merge on the next cycle. Once any folded input
+    * is gone the segment is the only owner of those rows and must
+    * stand. A zombie writer calling this right after its own late
+    * commit discards its OWN marker — which is exactly the correct
+    * outcome. */
   private[graft] def cleanupFoldedDeltas(dir: String): Unit = {
+    val broken = brokenTokens(dir)
+    if (broken.nonEmpty) allMarkerIds(dir).filter(_ < 0).foreach { m =>
+      val p = s"$dir/meta_delta_batch_$m.json"
+      if (EstateFs.exists(p) && markerBy(EstateFs.readString(p)).exists(broken)) {
+        val inputs = foldedList(dir, m)
+        if (inputs.nonEmpty && inputs.forall(b =>
+          EstateFs.exists(s"$dir/meta_delta_batch_$b.json"))) {
+          EstateFs.deleteIfExists(p) // marker first: segment invisible at once
+          EstateFs.deleteRecursive(s"$dir/postings_delta/ingest_batch=$m")
+          EstateFs.deleteRecursive(s"$dir/lengths_delta/ingest_batch=$m")
+        }
+      }
+    }
     val all = allMarkerIds(dir).toSet
     allMarkerIds(dir).filter(_ < 0).foreach { m =>
       foldedList(dir, m).filter(all).foreach { b =>
@@ -590,8 +701,9 @@ object TextIndex {
       "two concurrent consolidations would interleave staged tables.")
     try {
       // a committed-but-unfinished compaction outranks policy: serving
-      // refuses until it finishes
-      if (EstateFs.exists(compactMarker(dir)))
+      // refuses until it finishes (a broken writer's late commit is
+      // discarded instead — its deltas are intact and refold by policy)
+      if (EstateFs.exists(compactMarker(dir)) && !discardSuspectCompact(dir))
         return MaintainResult("full", finishCompact(spark, dir, lease))
       cleanupFoldedDeltas(dir)
       val batches = committedBatches(dir)

@@ -27,6 +27,19 @@ import org.apache.spark.sql.SparkSession
   * overtaken writer cannot delete its successor's lease, and a breaker
   * that raced a fresh re-acquire renames the fresh lease straight
   * back instead of stealing it.
+  *
+  * SCOPE of the mutual-exclusion guarantee (ADVICE r11): both atomic
+  * primitives the protocol leans on — exclusive create and rename —
+  * are server-enforced on HDFS and local POSIX, and that is where the
+  * guarantee holds. On a bare object store (S3A), `create(overwrite=
+  * false)` is a client-side check-then-PUT and `rename` is a
+  * copy+delete, so neither claim nor break arbitration is atomic;
+  * there the lease is best-effort only, and a deployment needs
+  * Hadoop's conditional-create (If-None-Match) support or an external
+  * lock service for true exclusion. Under the object-store posture
+  * (`graft.fs.atomicRename=false`) the stale-BREAK arm is disabled in
+  * code (refusal with operator guidance) because break arbitration is
+  * the piece that fails first without atomic rename.
   */
 object WriterLease {
 
@@ -38,8 +51,10 @@ object WriterLease {
     * fixed paths and commit markers with overwrite semantics, so two
     * live writers WOULD interleave. That is why every consolidation
     * verb re-verifies lease ownership via [[verifyHeld]] immediately
-    * before its commit point and aborts if overtaken — the staged
-    * debris is then overwritten by the successor or the rerun.
+    * before its commit point — a BEST-EFFORT NARROWING of the overtake
+    * window (check-then-act, see [[verifyHeld]]), not a closure of it;
+    * the staged debris of an aborted writer is overwritten by the
+    * successor or the rerun.
     * (CurationWarehouse's ingest protocol alone is fail-if-exists all
     * the way down and survives a wrong break without the re-check.) */
   val TtlMs: Long = 30L * 60L * 1000L
@@ -97,6 +112,23 @@ object WriterLease {
     val staleTok = if (st.exists(s =>
       System.currentTimeMillis() - s.getModificationTime > TtlMs))
       leaseToken(f, lease) else None
+    // Object-store posture (graft.fs.atomicRename=false): the break
+    // protocol's safety rests on the aside-RENAME being atomic (only
+    // one of two racing breakers wins). On a store where rename is a
+    // non-atomic copy+delete, two breakers can BOTH observe the stale
+    // token, both copy it aside, and both claim — exactly the
+    // two-live-consolidations interleave the lease exists to prevent
+    // (VERDICT r11 #1). Under that posture never auto-break: refuse
+    // with the file an operator must remove by hand.
+    if (staleTok.isDefined && !EstateFs.atomicRenamePosture)
+      throw new IllegalStateException(
+        s"$dir: stale single-writer lease (claims/LEASE, older than " +
+          s"${TtlMs / 60000} min, token ${staleTok.get.take(8)}…) on a " +
+          s"non-atomic-rename store (${EstateFs.AtomicRenameKey}=false)" +
+          " — the automatic break is disabled because it needs an " +
+          "atomic rename to arbitrate racing breakers. Verify the old " +
+          s"writer is dead, then delete $dir/claims/LEASE by hand and " +
+          s"retry. $why")
     staleTok match {
       case Some(observed) =>
         val aside = new Path(
@@ -137,8 +169,15 @@ object WriterLease {
     * successor's, so COMMITTING its marker would interleave two
     * writers' state. Call this immediately before each commit point
     * (marker rename / destructive swap): one lease-file read. Throws
-    * if the lease no longer carries `token`; the caller aborts and the
-    * staged debris is overwritten by the successor or the rerun. */
+    * if the lease no longer carries `token`.
+    *
+    * This is check-then-act with no fencing (ADVICE r11): the lease
+    * can still be broken BETWEEN the verify and the commit write that
+    * follows it, so it is a best-effort NARROWING of the overtake
+    * window, not mutual exclusion at the commit instant. Protocols
+    * that need a successor to detect a stale writer's late commit
+    * carry the holder token inside the commit marker itself (see
+    * TextIndex's `by` meta field) so the successor can refuse it. */
   def verifyHeld(spark: SparkSession, dir: String, token: String): Unit = {
     val held = leaseToken(fs(spark, dir), leasePath(dir))
     if (!held.contains(token))

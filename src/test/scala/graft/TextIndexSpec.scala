@@ -697,6 +697,166 @@ class TextIndexSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("double-count"))
   }
 
+  test("object-store posture: a stale lease is NEVER auto-broken (VERDICT r11 #1)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtposture").toString
+    TextIndex.build(spark, dir, docs.where(col("doc_id") < 30))
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") >= 30 && col("doc_id") < 60), batchId = 0L)
+
+    // a crashed writer's stale lease: present, readable, past the TTL
+    val lease = java.nio.file.Paths.get(dir, "claims", "LEASE")
+    java.nio.file.Files.createDirectories(lease.getParent)
+    java.nio.file.Files.write(lease, "crashed-writer".getBytes)
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - WriterLease.TtlMs - 60000L))
+
+    // under the object-store posture the break arm needs an atomic
+    // rename it does not have — acquire must REFUSE with operator
+    // guidance, not race a copy+delete against a hypothetical twin
+    spark.conf.set(EstateFs.AtomicRenameKey, "false")
+    try {
+      val e = intercept[IllegalStateException](TextIndex.compact(spark, dir))
+      assert(e.getMessage.contains("disabled") &&
+        e.getMessage.contains("claims/LEASE"), e.getMessage)
+      assert(java.nio.file.Files.readString(lease) == "crashed-writer",
+        "posture-refused acquire must leave the stale lease untouched")
+      assert(new java.io.File(s"$dir/claims").list()
+        .count(_.startsWith("LEASE.broken.")) == 0,
+        "posture-refused acquire must not move the lease aside")
+    } finally spark.conf.set(EstateFs.AtomicRenameKey, "true")
+
+    // back on the atomic posture the SAME stale lease is broken and the
+    // verb proceeds — the degradation is posture-scoped, not a new brick
+    assert(TextIndex.compact(spark, dir) == 1)
+    assert(new java.io.File(s"$dir/claims").list()
+      .count(_.startsWith("LEASE.broken.")) == 1,
+      "atomic-posture break must leave its audit file")
+  }
+
+  test("edited doc with UNCHANGED word count refuses after a fold — content fingerprint (ADVICE r11)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtfp").toString
+    val b0 = docs.where(col("doc_id") >= 30 && col("doc_id") < 60)
+    TextIndex.build(spark, dir, docs.where(col("doc_id") < 30))
+    TextIndex.append(spark, dir, b0, batchId = 0L)
+    assert(TextIndex.compact(spark, dir) == 1) // fold: batch-0 marker gone
+    val want = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+
+    // byte-identical redelivery of the folded batch still no-ops
+    TextIndex.append(spark, dir, b0, batchId = 0L)
+    assert(TextIndex.committedBatches(dir).isEmpty)
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want)
+
+    // an EDIT that preserves each doc's word count (vowel swap touches
+    // no spaces) re-sent under the same doc_ids/batch id must REFUSE:
+    // under dl-only containment this passed as a replay and the new
+    // text was silently never indexed
+    val edited = b0.select(col("doc_id"),
+      translate(col("text"), "aeiou", "eioua").as("text"))
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.append(spark, dir, edited, batchId = 0L)
+    }
+    assert(e.getMessage.contains("double-count"), e.getMessage)
+    assert(TextIndex.committedBatches(dir).isEmpty,
+      "refused edited batch must not commit")
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want)
+  }
+
+  private val zombieTok = "deadbeef-0000-4000-8000-000000000000"
+
+  test("a BROKEN writer's late compact marker is discarded, not resumed (ADVICE r11 fencing)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtfence").toString
+    TextIndex.build(spark, dir, docs.where(col("doc_id") < 30))
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") >= 30 && col("doc_id") < 60), batchId = 0L)
+    val want = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+
+    // the verifyHeld check-then-act window: writer Z was TTL-broken,
+    // then landed its marker anyway. Its staged v1 tables may be
+    // interleaved with the breaker's — fabricate exactly that state:
+    // an audit file carrying Z's token, Z's marker naming it in `by`,
+    // and garbage staging under the next version.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "claims"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "claims", "LEASE.broken.test"), zombieTok.getBytes)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "postings_v1"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "postings_v1", "garbage.parquet"), "junk".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "meta_compact.json"),
+      (s"""{"n_docs":1,"sum_dl":1,"buckets":${TextIndex.TermBuckets},""" +
+        s""""pv":1,"by":"$zombieTok","folded":[0]}""").getBytes)
+
+    // resume path must DISCARD the suspect commit (base + delta intact)
+    // and rerun the fold from scratch — serving ≡ monolithic rebuild
+    assert(TextIndex.compact(spark, dir) == 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "meta_compact.json")))
+    assert(TextIndex.committedBatches(dir).isEmpty)
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want,
+      "fenced compact diverged from the pre-marker state")
+    // and the garbage staging did not leak into the served base
+    val full = java.nio.file.Files.createTempDirectory("txtfencefull").toString
+    TextIndex.build(spark, full, docs.where(col("doc_id") < 60))
+    assert(want == TextIndex.search(spark, full, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq)
+  }
+
+  test("a BROKEN writer's late merged marker is discarded while its inputs survive (ADVICE r11)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtmfence").toString
+    TextIndex.build(spark, dir, docs.where(col("doc_id") < 30))
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") >= 30 && col("doc_id") < 60), batchId = 0L)
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") >= 60 && col("doc_id") < 90), batchId = 1L)
+    val want = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+
+    // zombie Z's merged segment: marker names Z in `by`, Z's token is
+    // in the broken audit set, and BOTH folded inputs still exist —
+    // the segment content is untrustworthy (garbage here) but the
+    // inputs can simply re-merge
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "claims"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "claims", "LEASE.broken.test"), zombieTok.getBytes)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      dir, "postings_delta", "ingest_batch=-1"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "postings_delta", "ingest_batch=-1", "garbage.parquet"),
+      "junk".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "meta_delta_batch_-1.json"),
+      s"""{"n_docs":1,"sum_dl":1,"by":"$zombieTok","folded":[0,1]}""".getBytes)
+
+    // next maintenance: the suspect segment is discarded FIRST (inputs
+    // intact), then the ordinary merge folds the two real batches
+    assert(TextIndex.mergeDeltas(spark, dir) == 2)
+    assert(TextIndex.committedBatches(dir) == Seq(-1L))
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want,
+      "fenced merge lost or duplicated rows")
+    val full = java.nio.file.Files.createTempDirectory("txtmfencefull").toString
+    TextIndex.build(spark, full, docs.where(col("doc_id") < 90))
+    assert(want == TextIndex.search(spark, full, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq)
+  }
+
   test("meta guards: a non-index dir fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notidx").toString
     val e = intercept[Exception] {
