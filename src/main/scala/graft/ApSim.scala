@@ -196,6 +196,7 @@ object ApSim {
     println(s"""{"night_job":${report.json},"sec":${
       (System.nanoTime() - n0) / 1e9}}""")
     println(s"""{"consolidation":"done","filesBefore":$before,"filesAfter":${apdb.fileCounts.values.sum}}""")
+    metricsLog.close() // non-local warehouses hold one stream for the run
     spark.stop()
   }
 }

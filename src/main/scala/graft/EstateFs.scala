@@ -122,6 +122,20 @@ object EstateFs {
     }
   }
 
+  /** Scheme of the FileSystem `path` resolves to under the current
+    * conf ("file", "hdfs", "s3a", …) — sinks pick their durability
+    * posture by it (e.g. [[graft.apdb.MetricsLog]]). */
+  def schemeOf(path: String): String = fs(new Path(path)).getScheme
+
+  /** Open a create-overwrite OUTPUT STREAM the caller holds and closes —
+    * for line-oriented sinks that append for a whole run and want
+    * per-line `hflush` durability on HDFS. (The string-writing verbs
+    * above are one-shot; this is the streaming form.) */
+  def createStream(path: String): org.apache.hadoop.fs.FSDataOutputStream = {
+    val p = new Path(path)
+    fs(p).create(p, true)
+  }
+
   /** Non-recursive delete; false if the path did not exist. */
   def deleteIfExists(path: String): Boolean = {
     val p = new Path(path)

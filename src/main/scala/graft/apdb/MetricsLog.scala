@@ -3,16 +3,44 @@ package graft.apdb
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.sql.Timestamp
 
+import graft.EstateFs
+
 /** Per-visit metric emission in the reference's log format
   * (`_logging.py:47-49` line shape + `metrics.md` vocabulary): lines of
   * `<ts> [INFO] ap_proto: apdb_metrics: {json}` appended to
   * `<warehouse>/metrics.log`, so the engine's own LogTool / LogAnalytics
   * pipeline consumes the engine's own runs — closing the reference's
   * produce→scrape→aggregate loop.
+  *
+  * Durability posture by warehouse scheme (VERDICT r11 #3 — the
+  * java.nio form was the last warehouse-rooted local-POSIX writer and
+  * broke construction against an HDFS/S3 warehouse):
+  *  - `file`: per-line java.nio append, durable line by line across a
+  *    killed run (the reference's behavior; append re-opens so no
+  *    stream is held).
+  *  - everything else: ONE Hadoop output stream held for the run
+  *    ([[EstateFs.createStream]]), `hflush` after every line — on HDFS
+  *    each line is visible/durable as it lands; on stores without
+  *    flush visibility (S3A) the lines land at [[close]], so a
+  *    kill -9 loses the tail of the run's metrics (the DATA protocols
+  *    are unaffected — metrics are an observability sink). Callers own
+  *    the close; [[graft.ApSim]] closes at end of run.
   */
-final class MetricsLog(dir: String) {
-  private val path = Paths.get(dir, "metrics.log")
-  Files.createDirectories(path.getParent)
+final class MetricsLog(dir: String) extends AutoCloseable {
+  private val target = s"$dir/metrics.log"
+  private val local = EstateFs.schemeOf(dir) == "file"
+  private val localPath =
+    if (local) {
+      val raw = if (target.startsWith("file:"))
+        new java.net.URI(target).getPath else target
+      val p = Paths.get(raw)
+      Files.createDirectories(p.getParent)
+      p
+    } else null
+  private lazy val out: org.apache.hadoop.fs.FSDataOutputStream = {
+    EstateFs.mkdirs(dir)
+    EstateFs.createStream(target)
+  }
 
   private def fmtTs(t: Timestamp): String = {
     val ms = t.getTime
@@ -28,8 +56,13 @@ final class MetricsLog(dir: String) {
         s"""{"name": "$name", "timestamp": ${"%.3f".formatLocal(java.util.Locale.US, visitTime.getTime / 1000.0)}, """ +
         s""""tags": {"visit": "$visit", "table": "$table", "tile": "0"}, """ +
         s""""values": $values, "source": "ap_proto"}""" + "\n"
-    Files.writeString(path, line, StandardOpenOption.CREATE,
-      StandardOpenOption.APPEND)
+    if (local)
+      Files.writeString(localPath, line, StandardOpenOption.CREATE,
+        StandardOpenOption.APPEND): Unit
+    else synchronized {
+      out.write(line.getBytes("UTF-8"))
+      out.hflush()
+    }
   }
 
   def timer(visitTime: Timestamp, name: String, visit: Int, table: String,
@@ -47,4 +80,11 @@ final class MetricsLog(dir: String) {
       kv: Seq[(String, Double)]): Unit =
     emit(visitTime, name, visit, table,
       kv.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}"))
+
+  /** No-op on the local posture (nothing held open); flushes and closes
+    * the run's stream elsewhere. Idempotent. */
+  def close(): Unit =
+    if (!local) synchronized {
+      try out.close() catch { case _: java.io.IOException => }
+    }
 }
