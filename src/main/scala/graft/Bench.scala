@@ -147,7 +147,27 @@ object Bench {
     val ok = results.collect { case (_, v, _, _) if v >= 0 => v }
     val failures = results.count(_._2 < 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"calibration_s":$calibration,"calibration_par_s":$calibrationPar,"sf":"$sfDir"}"""
+    // The stdout line must survive the driver's 2000-char stdout-tail
+    // capture to be parseable in BENCH_r{N}.json (VERDICT r11 #8: r11's
+    // tail kept 62 of 155 keys and parsed=null). Full-precision
+    // full-name map goes to bench_full.json below; stdout carries every
+    // key under its unique leading token ("x108", "a1"; full name kept
+    // on the rare collision) at 2-decimal seconds — ~1.8 KB for 155
+    // keys, inside the window.
+    val shortNames = {
+      val firsts = results.map { case (k, _, _, _) => k.split("_")(0) }
+      val counts = firsts.groupBy(identity).view.mapValues(_.size).toMap
+      results.map { case (k, _, _, _) =>
+        val s = k.split("_")(0)
+        k -> (if (counts(s) == 1) s else k)
+      }.toMap
+    }
+    def us(fmt: String, v: Double): String =
+      fmt.formatLocal(java.util.Locale.US, v)
+    val qsShort = results.map { case (k, v, _, _) =>
+      "\"" + shortNames(k) + "\":" + (if (v < 0) "-1" else us("%.2f", v))
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${us("%.2f", total)},"unit":"sec","queries":$qsShort,"n_keys":${results.size},"queries_file":"bench_full.json","failures":$failures,"calibration_s":${us("%.3f", calibration)},"calibration_par_s":${us("%.3f", calibrationPar)},"sf":"$sfDir"}"""
     println(line)
     // Full record to a file (VERDICT r7 "next" #3): the driver's stdout
     // capture truncates to a tail (59 of 151 keys survived in r7), which
