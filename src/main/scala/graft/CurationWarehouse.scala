@@ -84,17 +84,16 @@ object CurationWarehouse {
     spark.read.parquet(ids.map(i => s"$dir/slices/$i/$table"): _*)
   }
 
-  /** Atomic fail-if-exists create. ONLY "already exists" means the
-    * name is taken; any other failure (permissions, quota, bad dir) is
-    * a real error and must propagate — swallowing it would turn
-    * [[claimSliceId]]'s scan into an infinite loop. */
+  /** Atomic fail-if-exists create ([[EstateFs.createExclusive]]:
+    * O_EXCL on local — Hadoop's local create(overwrite=false) is
+    * check-then-act, caught by the r12 two-JVM probe — server-enforced
+    * on HDFS). ONLY "already exists" means the name is taken; any
+    * other failure (permissions, quota, bad dir) propagates —
+    * swallowing it would turn [[claimSliceId]]'s scan into an
+    * infinite loop. */
   private def tryCreate(f: org.apache.hadoop.fs.FileSystem,
       p: Path): Boolean =
-    try { f.create(p, false).close(); true }
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-    }
+    EstateFs.createExclusive(p.toString)
 
   /** Acquire the warehouse's single-writer lease; returns the owner
     * token to pass to [[releaseLease]]. Must be held across the whole

@@ -16,11 +16,14 @@ import org.apache.spark.sql.SparkSession
   * root works wherever a local path did.
   *
   * Commit-marker contract (what the estates rely on):
-  *  - **claims** are create-fail-if-exists ([[WriterLease]]) — atomic
-  *    where the FS enforces exclusive create server-side (HDFS, local
-  *    POSIX). On bare S3A, `create(path, overwrite=false)` is a
-  *    check-then-PUT (existence probed at create(), object visible
-  *    only at close()), so the claim is NOT mutual exclusion there:
+  *  - **claims** are create-fail-if-exists via [[createExclusive]]
+  *    ([[WriterLease]], slice claims, commit markers) — O_EXCL on the
+  *    local scheme (Hadoop's own local create(overwrite=false) is a
+  *    client-side check-then-create; the r12 two-JVM probe caught two
+  *    processes both winning it), server-enforced create on HDFS. On
+  *    bare S3A, `create(path, overwrite=false)` is a check-then-PUT
+  *    (existence probed at create(), object visible only at close()),
+  *    so the claim is NOT mutual exclusion there:
   *    the lease's guarantee is scoped to HDFS/local, and an object
   *    store needs Hadoop's conditional-create (If-None-Match) support
   *    or an external lock service before the consolidation lifecycle
@@ -126,6 +129,44 @@ object EstateFs {
     * conf ("file", "hdfs", "s3a", …) — sinks pick their durability
     * posture by it (e.g. [[graft.apdb.MetricsLog]]). */
   def schemeOf(path: String): String = fs(new Path(path)).getScheme
+
+  /** Atomic CREATE-EXCLUSIVE — THE claim primitive ([[WriterLease]],
+    * slice claims, fail-if-exists commit markers). True iff this call
+    * created the file; false iff it already existed; anything else
+    * (missing parent, permissions) propagates.
+    *
+    * On the LOCAL scheme this is O_EXCL via java.nio: Hadoop's
+    * `ChecksumFileSystem.create(overwrite=false)` is a CLIENT-side
+    * exists-check then create — the round-12 two-JVM contention probe
+    * caught two real processes both "winning" it and interleaving
+    * their consolidations (6000 lengths rows for a 5000-doc store).
+    * On HDFS `create(overwrite=false)` is server-enforced and stays
+    * the path. On bare object stores NEITHER is atomic (S3A create is
+    * check-then-PUT) — the lease docs scope the guarantee to
+    * HDFS/local and the posture flag gates the break arm. */
+  def createExclusive(path: String, content: String = ""): Boolean = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (f.getScheme == "file") {
+      val local =
+        java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath)
+      try {
+        java.nio.file.Files.write(local, content.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else
+      try {
+        val out = f.create(p, false)
+        out.write(content.getBytes("UTF-8")); out.close(); true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+  }
 
   /** Open a create-overwrite OUTPUT STREAM the caller holds and closes —
     * for line-oriented sinks that append for a whole run and want

@@ -29,9 +29,10 @@ import org.apache.spark.sql.SparkSession
   * back instead of stealing it.
   *
   * SCOPE of the mutual-exclusion guarantee (ADVICE r11): both atomic
-  * primitives the protocol leans on — exclusive create and rename —
-  * are server-enforced on HDFS and local POSIX, and that is where the
-  * guarantee holds. On a bare object store (S3A), `create(overwrite=
+  * primitives the protocol leans on — exclusive create
+  * ([[EstateFs.createExclusive]]: O_EXCL locally, server-side on
+  * HDFS) and rename — hold on HDFS and local POSIX, and that is where
+  * the guarantee holds. On a bare object store (S3A), `create(overwrite=
   * false)` is a client-side check-then-PUT and `rename` is a
   * copy+delete, so neither claim nor break arbitration is atomic;
   * there the lease is best-effort only, and a deployment needs
@@ -65,18 +66,14 @@ object WriterLease {
   private def leasePath(dir: String) = new Path(s"$dir/claims/LEASE")
 
   /** Write our unique token into a freshly-created lease file. The
-    * create(fail-if-exists) is the atomic claim; the token is the
-    * OWNERSHIP PROOF that release/break verify against, so no writer
-    * can ever delete or break a lease it does not hold. */
-  private def tryCreateLease(f: org.apache.hadoop.fs.FileSystem,
-      p: Path, token: String): Boolean =
-    try {
-      val out = f.create(p, false)
-      out.write(token.getBytes("UTF-8")); out.close(); true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-    }
+    * create-exclusive is the atomic claim ([[EstateFs.createExclusive]]
+    * — O_EXCL on local, server-enforced create on HDFS; Hadoop's local
+    * create(overwrite=false) is check-then-act and the r12 two-JVM
+    * contention probe caught two processes both winning it); the token
+    * is the OWNERSHIP PROOF that release/break verify against, so no
+    * writer can ever delete or break a lease it does not hold. */
+  private def tryCreateLease(p: Path, token: String): Boolean =
+    EstateFs.createExclusive(p.toString, token)
 
   private def leaseToken(f: org.apache.hadoop.fs.FileSystem,
       p: Path): Option[String] =
@@ -107,7 +104,7 @@ object WriterLease {
     f.mkdirs(new Path(dir, "claims"))
     val lease = leasePath(dir)
     val token = java.util.UUID.randomUUID().toString
-    if (tryCreateLease(f, lease, token)) return token
+    if (tryCreateLease(lease, token)) return token
     val st = scala.util.Try(f.getFileStatus(lease)).toOption
     val staleTok = if (st.exists(s =>
       System.currentTimeMillis() - s.getModificationTime > TtlMs))
@@ -136,7 +133,7 @@ object WriterLease {
         if (f.rename(lease, aside)) {
           if (leaseToken(f, aside).contains(observed)) {
             // provably the stale holder's lease; claim for ourselves
-            if (tryCreateLease(f, lease, token)) return token
+            if (tryCreateLease(lease, token)) return token
           } else {
             // we renamed a FRESH holder's lease (stale one released and
             // someone new acquired in between) — put it back untouched.
