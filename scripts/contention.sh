@@ -68,5 +68,31 @@ sleep 12; touch "$B"
 wait $P1; wait $P2
 run vC verify "$STORE" $DOCS || { echo "SCENARIO C VIOLATED"; exit 1; }
 
+VSTORE="$STORE.vec"; WSTORE="$STORE.wh"
+rm -rf "$VSTORE" "$WSTORE"
+
+echo "== D: two JVMs race disjoint graph-index inserts ==" | tee -a "$LOG"
+run vprep vprepare "$VSTORE" 800 || exit 1
+B="$OUT/barrierD"
+run dI1 vinsert "$VSTORE" "$B" 800 900 & P1=$!
+run dI2 vinsert "$VSTORE" "$B" 900 1000 & P2=$!
+sleep 12; touch "$B"
+wait $P1; R1=$?; wait $P2; R2=$?
+# a lease refusal (rc 3) is the designed retriable outcome — replay it
+[ $R1 -eq 3 ] && { run dI1r vinsert "$VSTORE" /dev/null 800 900 || exit 1; }
+[ $R2 -eq 3 ] && { run dI2r vinsert "$VSTORE" /dev/null 900 1000 || exit 1; }
+run vD vverify "$VSTORE" 1000 || { echo "SCENARIO D VIOLATED"; exit 1; }
+
+echo "== E: two JVMs race the SAME curation ingest (dup re-admission) ==" | tee -a "$LOG"
+run wprep wprepare "$WSTORE" 40 || exit 1
+B="$OUT/barrierE"
+run eI1 wingest "$WSTORE" "$B" 100 130 & P1=$!
+run eI2 wingest "$WSTORE" "$B" 100 130 & P2=$!
+sleep 12; touch "$B"
+wait $P1; R1=$?; wait $P2; R2=$?
+[ $R1 -eq 3 ] && { run eI1r wingest "$WSTORE" /dev/null 100 130 || exit 1; }
+[ $R2 -eq 3 ] && { run eI2r wingest "$WSTORE" /dev/null 100 130 || exit 1; }
+run wE wverify "$WSTORE" 40 || { echo "SCENARIO E VIOLATED"; exit 1; }
+
 echo "== all scenarios green ==" | tee -a "$LOG"
-grep -h '"mode"' "$LOG" | tail -20
+grep -h '"mode"' "$LOG" | tail -24

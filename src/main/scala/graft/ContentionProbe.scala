@@ -52,6 +52,35 @@ object ContentionProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 
+  /** Deterministic synthetic embeddings (pure arithmetic): 32-dim,
+    * mildly clustered so graph serving is non-degenerate. */
+  def synthEmb(spark: SparkSession, from: Long, until: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (from until until).map { i =>
+      val e = Array.tabulate(32) { j =>
+        val h = (i * 131L + j) * 2654435761L
+        val base = (java.lang.Long.remainderUnsigned(h >>> 8, 1000L) / 1000.0f) - 0.5f
+        base + (if (j == (i % 8L).toInt * 4) 2.0f else 0.0f)
+      }
+      (i, e)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Deterministic curation docs (warehouse schema). */
+  private def synthCurated(spark: SparkSession, from: Long,
+      until: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (from until until).map { i =>
+      val len = 20 + (i % 21).toInt
+      val words = (0 until len).map { j =>
+        val h = (i * 37 + j) * 2654435761L
+        "t" + java.lang.Long.remainderUnsigned(h >>> 9, 997L)
+      }
+      val text = words.mkString(" ")
+      (i, text, "en", "s0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Spin until the barrier file exists — both racers launch cold
     * (JVM + session init skew is seconds), then release together. */
   private def awaitBarrier(path: String, timeoutSec: Int = 120): Unit = {
@@ -166,6 +195,108 @@ object ContentionProbe {
 
         val verdict = if (bad.isEmpty) "ok" else "VIOLATED"
         println(s"""{"mode":"verify","pid":$pid,"docs":$nDocs,"batches_live":${batches.size},"verdict":"$verdict","violations":${bad.map(b => "\"" + b + "\"").mkString("[", ",", "]")}}""")
+        spark.stop()
+        if (bad.nonEmpty) sys.exit(1)
+
+      case "vprepare" =>
+        val n = args(2).toLong
+        val spark = session("vprepare")
+        VectorIndex.build(spark, dir, synthEmb(spark, 0L, n), degree = 8)
+        println(s"""{"mode":"vprepare","pid":$pid,"vectors":$n}""")
+        spark.stop()
+
+      case "vinsert" =>
+        val (barrier, from, until) = (args(2), args(3).toLong, args(4).toLong)
+        val spark = session(s"vinsert-$pid")
+        awaitBarrier(barrier)
+        try {
+          VectorIndex.insert(spark, dir, synthEmb(spark, from, until))
+          println(s"""{"mode":"vinsert","pid":$pid,"inserted":${until - from}}""")
+        } catch {
+          case e: IllegalStateException =>
+            val msg = e.getMessage.replaceAll("[\"\\n]", " ").take(160)
+            println(s"""{"mode":"vinsert","pid":$pid,"refused":"$msg"}""")
+            sys.exit(3) // distinct rc so the script knows to retry
+        }
+        spark.stop()
+
+      case "vverify" =>
+        val n = args(2).toLong
+        val spark = session("vverify")
+        import spark.implicits._
+        var bad = List.empty[String]
+        def check(ok: Boolean, what: String): Unit = if (!ok) bad ::= what
+        check(!EstateFs.exists(s"$dir/claims/LEASE"), "lease left held")
+        val metaTxt = EstateFs.readString(s"$dir/meta.json")
+        val metaN = """"vectors":(\d+)""".r.findFirstMatchIn(metaTxt)
+          .get.group(1).toLong
+        check(metaN == n, s"meta vectors $metaN != $n")
+        val ids = spark.read.parquet(s"$dir/vectors")
+          .select(col("cand_id")).as[Long].collect()
+        check(ids.length == n.toInt, s"vectors rows ${ids.length} != $n")
+        check(ids.toSet == (0L until n).toSet, "vec_id set diverged")
+        val g = spark.read.parquet(s"$dir/graph")
+        check(g.select(col("src_id")).distinct().count() == n,
+          "graph does not cover every vector")
+        check(g.groupBy(col("src_id")).count()
+          .agg(max(col("count"))).as[Long].head() <= 8L,
+          "adjacency exceeds degree cap")
+        val probe = VectorIndex.search(spark, dir,
+          synthEmb(spark, 3L, 6L)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 5, excludeSelf = true)
+        check(probe.count() > 0, "probe search returned nothing")
+        val verdict = if (bad.isEmpty) "ok" else "VIOLATED"
+        println(s"""{"mode":"vverify","pid":$pid,"vectors":$n,"verdict":"$verdict","violations":${bad.map(b => "\"" + b + "\"").mkString("[", ",", "]")}}""")
+        spark.stop()
+        if (bad.nonEmpty) sys.exit(1)
+
+      case "wprepare" =>
+        val n = args(2).toLong
+        val spark = session("wprepare")
+        CurationWarehouse.init(spark, dir,
+          CorpusPipeline.splitAssign(synthCurated(spark, 0L, n)))
+        println(s"""{"mode":"wprepare","pid":$pid,"docs":$n}""")
+        spark.stop()
+
+      case "wingest" =>
+        val (barrier, from, until) = (args(2), args(3).toLong, args(4).toLong)
+        val spark = session(s"wingest-$pid")
+        awaitBarrier(barrier)
+        try {
+          val admitted = CurationWarehouse
+            .ingest(spark, dir, synthCurated(spark, from, until)).count()
+          println(s"""{"mode":"wingest","pid":$pid,"admitted":$admitted}""")
+        } catch {
+          case e: IllegalStateException =>
+            val msg = e.getMessage.replaceAll("[\"\\n]", " ").take(160)
+            println(s"""{"mode":"wingest","pid":$pid,"refused":"$msg"}""")
+            sys.exit(3)
+        }
+        spark.stop()
+
+      case "wverify" =>
+        // nBase = docs admitted before the race; the race itself may
+        // legitimately admit fewer than it sent (near-dup filters), so
+        // the invariants are EXACTLY-ONCE shaped: no duplicate doc_id
+        // (a double admission lands the same ids in two slices), the
+        // three index tables in perfect step, and no lease left held.
+        val nBase = args(2).toLong
+        val spark = session("wverify")
+        import spark.implicits._
+        var bad = List.empty[String]
+        def check(ok: Boolean, what: String): Unit = if (!ok) bad ::= what
+        check(!EstateFs.exists(s"$dir/claims/LEASE"), "lease left held")
+        val ids = CurationWarehouse.docs(spark, dir)
+          .select(col("doc_id")).as[Long].collect()
+        check(ids.length >= nBase.toInt, s"docs ${ids.length} < base $nBase")
+        check(ids.toSet.size == ids.length, "duplicate doc admitted")
+        check(CurationWarehouse.fingerprints(spark, dir).count() == ids.length,
+          "fingerprint index out of step with docs")
+        check(CurationWarehouse.signatures(spark, dir).count() == ids.length,
+          "signature index out of step with docs")
+        val verdict = if (bad.isEmpty) "ok" else "VIOLATED"
+        println(s"""{"mode":"wverify","pid":$pid,"docs":${ids.length},"verdict":"$verdict","violations":${bad.map(b => "\"" + b + "\"").mkString("[", ",", "]")}}""")
         spark.stop()
         if (bad.nonEmpty) sys.exit(1)
 
