@@ -742,10 +742,14 @@ object VectorIndex {
     writeIvfLayout(spark, dir, cents)
     val n = spark.read.parquet(s"$dir/ivf_codes").count()
     // the serve-enabling marker is the rebalance's commit point — one
-    // more ownership read before it lands
+    // more ownership read before it lands. `by` is AUDIT provenance
+    // (r12, the TextIndex marker-token pattern): unlike compact there
+    // is no resume path that trusts this marker — a rerun rebuilds
+    // everything — so the token exists for forensics (cross-check
+    // against claims/LEASE.broken.* after an incident), not a fence.
     WriterLease.verifyHeld(spark, dir, lease)
     EstateFs.writeStringAtomic(s"$dir/meta_ivf.json",
-      s"""{"clusters":${DedupQueries.IvfClusters},"vectors":$n}""")
+      s"""{"clusters":${DedupQueries.IvfClusters},"vectors":$n,"by":"$lease"}""")
   }
 
   /** Default rebalance trigger for [[maintainIvf]]/[[MaintenanceTool]]:
