@@ -36,6 +36,14 @@ object RecallProbe {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // the probe's edge-set compares join ~10^8-row pair tables against
+      // each other — at 200k vectors the planner picked a broadcast for
+      // an 8.9 GiB side and died on the 8 GiB hard cap. Every join in
+      // this MAIN is huge-by-huge by construction (the serving kernels'
+      // centroid/book broadcasts are explicit sc.broadcast variables,
+      // unaffected), so auto-broadcast is off for the probe session.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
