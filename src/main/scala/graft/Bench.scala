@@ -155,12 +155,25 @@ object Bench {
     // on the rare collision) at 2-decimal seconds — ~1.8 KB for 155
     // keys, inside the window.
     val shortNames = {
-      val firsts = results.map { case (k, _, _, _) => k.split("_")(0) }
-      val counts = firsts.groupBy(identity).view.mapValues(_.size).toMap
-      results.map { case (k, _, _, _) =>
-        val s = k.split("_")(0)
-        k -> (if (counts(s) == 1) s else k)
-      }.toMap
+      // minimal-unique token prefix: start at the leading token, extend
+      // only the colliding groups one token at a time ("j3" →
+      // "j3_pixel_range" vs "j3_range_join_htm"/"j3_range_join_q3c")
+      val keys = results.map { case (k, _, _, _) => k }.toSeq
+      val toks = keys.map(k => k -> k.split("_")).toMap
+      var depth = keys.map(_ -> 1).toMap
+      def pref(k: String) = toks(k).take(depth(k)).mkString("_")
+      var changed = true
+      while (changed) {
+        changed = false
+        keys.groupBy(pref).valuesIterator.foreach { grp =>
+          if (grp.size > 1) grp.foreach { k =>
+            if (depth(k) < toks(k).length) {
+              depth = depth.updated(k, depth(k) + 1); changed = true
+            }
+          }
+        }
+      }
+      keys.map(k => k -> pref(k)).toMap
     }
     def us(fmt: String, v: Double): String =
       fmt.formatLocal(java.util.Locale.US, v)
