@@ -150,6 +150,11 @@ object EstateFs {
     if (f.getScheme == "file") {
       val local =
         java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath)
+      // parent-dir parity with the HDFS branch (ADVICE r12): Hadoop's
+      // FileSystem.create auto-creates missing parents, java.nio's
+      // CREATE_NEW throws NoSuchFileException — a caller relying on
+      // auto-create would work on HDFS and fail only on local
+      java.nio.file.Files.createDirectories(local.getParent)
       try {
         java.nio.file.Files.write(local, content.getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW,
@@ -175,6 +180,20 @@ object EstateFs {
   def createStream(path: String): org.apache.hadoop.fs.FSDataOutputStream = {
     val p = new Path(path)
     fs(p).create(p, true)
+  }
+
+  /** Open an APPEND stream: appends to `path` when it exists, creates
+    * it (fail-if-exists, so a concurrent creator is detected rather
+    * than truncated) otherwise. For multi-run line sinks that must not
+    * wipe prior runs' lines (ADVICE r12 — [[graft.apdb.MetricsLog]] on
+    * a non-local warehouse truncated `metrics.log` every run). HDFS
+    * and raw-local support append; stores that don't (S3A) throw
+    * `UnsupportedOperationException` from `append` and callers fall
+    * back to per-run file names. */
+  def appendStream(path: String): org.apache.hadoop.fs.FSDataOutputStream = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (f.exists(p)) f.append(p) else f.create(p, false)
   }
 
   /** Non-recursive delete; false if the path did not exist. */

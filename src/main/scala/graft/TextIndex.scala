@@ -188,6 +188,25 @@ object TextIndex {
     if (df.columns.contains("fp")) df
     else df.withColumn("fp", lit(null).cast("long"))
 
+  /** `lengths_delta` read with a PINNED schema (ADVICE r12): with the
+    * default `mergeSchema=false` Spark infers the table schema from
+    * one file's footer, so a directory mixing pre-r12 partitions (no
+    * `fp`) with post-r12 ones could come back without `fp` at all —
+    * nulling real fingerprints and silently degrading replay detection
+    * back to the dl-containment hole `fp` closed. Pinning the schema
+    * keeps `fp` (nullable — pre-r12 rows genuinely lack it) on every
+    * read; `ingest_batch` resolves from the partition directory names
+    * as usual. */
+  private def readLengthsDelta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.read.schema(StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("dl", LongType, nullable = false),
+        StructField("fp", LongType, nullable = true),
+        StructField("ingest_batch", LongType, nullable = false))))
+      .parquet(s"$dir/lengths_delta")
+  }
+
   /** All committed doc lengths (doc_id, dl — serving needs no fp):
     * base plus delta batches (optionally excluding one batch — the
     * collision check must not see the batch's OWN half-written
@@ -199,7 +218,7 @@ object TextIndex {
     val batches = committedBatches(dir).filterNot(excludeBatch.contains)
     if (batches.isEmpty) base
     else base.unionByName(
-      spark.read.parquet(s"$dir/lengths_delta")
+      readLengthsDelta(spark, dir)
         .where(col("ingest_batch").isin(batches: _*))
         .select(col("doc_id"), col("dl")))
   }
@@ -251,9 +270,8 @@ object TextIndex {
         val indexed =
           if (commits.isEmpty) baseL
           else baseL.unionByName {
-            val d = spark.read.parquet(s"$dir/lengths_delta")
+            readLengthsDelta(spark, dir)
               .where(col("ingest_batch").isin(commits: _*))
-            withFpNullable(d)
               .select(col("doc_id"), col("dl"), col("fp"),
                 col("ingest_batch").as("src_batch"))
           }
@@ -481,8 +499,8 @@ object TextIndex {
     // same-word-count silent-loss hole for every folded doc
     withFpNullable(spark.read.parquet(lenPath))
       .select(col("doc_id"), col("dl"), col("fp"))
-      .unionByName(withFpNullable(spark.read.parquet(s"$dir/lengths_delta")
-        .where(col("ingest_batch").isin(batches: _*)))
+      .unionByName(readLengthsDelta(spark, dir)
+        .where(col("ingest_batch").isin(batches: _*))
         .select(col("doc_id"), col("dl"), col("fp")))
       .coalesce(
         math.max(1, spark.sparkContext.defaultParallelism / 4))
@@ -616,8 +634,8 @@ object TextIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(destP)
     // fp preserved for the same replay-after-fold reason as compact
-    withFpNullable(spark.read.parquet(s"$dir/lengths_delta")
-      .where(col("ingest_batch").isin(batches: _*)))
+    readLengthsDelta(spark, dir)
+      .where(col("ingest_batch").isin(batches: _*))
       .select(col("doc_id"), col("dl"), col("fp"))
       .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
       .write.mode(SaveMode.Overwrite).parquet(destL)
@@ -644,21 +662,53 @@ object TextIndex {
     * batch's own marker still exists (i.e. no cleanup has destroyed
     * the inputs), the suspect segment + marker are discarded and the
     * batches simply re-merge on the next cycle. Once any folded input
-    * is gone the segment is the only owner of those rows and must
-    * stand. A zombie writer calling this right after its own late
-    * commit discards its OWN marker — which is exactly the correct
-    * outcome. */
+    * is gone the segment is normally the only owner of those rows and
+    * must stand — EXCEPT the late-zombie window (ADVICE r12): a
+    * zombie's merged marker that lands AFTER its successor already
+    * re-merged the same inputs and cleaned up their markers would pass
+    * that test and double-count every folded doc. So a broken-by
+    * marker is ALSO discarded when its folded set is a SUBSET of
+    * another live segment's folded set — the other segment physically
+    * owns every one of its rows, so dropping the zombie's is loss-free.
+    * (The successor picks its inputs from `committedBatches` at merge
+    * time, which includes everything the zombie could have folded, so
+    * the successor's set is always a superset — the inverse case
+    * cannot arise from this interleave.) Equal-set ties between two
+    * broken markers keep exactly the max id: the shadow test requires
+    * a live non-broken shadower, a strictly larger set, or a larger
+    * id, so one segment always survives. A zombie writer calling this
+    * right after its own late commit discards its OWN marker — which
+    * is exactly the correct outcome. */
   private[graft] def cleanupFoldedDeltas(dir: String): Unit = {
     val broken = brokenTokens(dir)
-    if (broken.nonEmpty) allMarkerIds(dir).filter(_ < 0).foreach { m =>
-      val p = s"$dir/meta_delta_batch_$m.json"
-      if (EstateFs.exists(p) && markerBy(EstateFs.readString(p)).exists(broken)) {
-        val inputs = foldedList(dir, m)
-        if (inputs.nonEmpty && inputs.forall(b =>
-          EstateFs.exists(s"$dir/meta_delta_batch_$b.json"))) {
-          EstateFs.deleteIfExists(p) // marker first: segment invisible at once
-          EstateFs.deleteRecursive(s"$dir/postings_delta/ingest_batch=$m")
-          EstateFs.deleteRecursive(s"$dir/lengths_delta/ingest_batch=$m")
+    if (broken.nonEmpty) {
+      val negIds = allMarkerIds(dir).filter(_ < 0)
+      val foldedSets: Map[Long, Set[Long]] =
+        negIds.map(m => m -> foldedList(dir, m).toSet).toMap
+      negIds.foreach { m =>
+        val p = s"$dir/meta_delta_batch_$m.json"
+        if (EstateFs.exists(p) && markerBy(EstateFs.readString(p)).exists(broken)) {
+          val inputs = foldedSets(m)
+          val inputsIntact = inputs.nonEmpty && inputs.forall(b =>
+            EstateFs.exists(s"$dir/meta_delta_batch_$b.json"))
+          // live-shadow test evaluated NOW (not from the pre-pass map's
+          // keys): a shadower discarded earlier in this same loop no
+          // longer exists and no longer shadows, so an equal-set ring
+          // can never discard all of its members
+          def shadowed: Boolean = foldedSets.exists { case (m2, s2) =>
+            m2 != m && s2.nonEmpty && inputs.subsetOf(s2) && {
+              val p2 = s"$dir/meta_delta_batch_$m2.json"
+              EstateFs.exists(p2) && {
+                !markerBy(EstateFs.readString(p2)).exists(broken) ||
+                  inputs != s2 || m2 > m
+              }
+            }
+          }
+          if (inputsIntact || (inputs.nonEmpty && shadowed)) {
+            EstateFs.deleteIfExists(p) // marker first: segment invisible at once
+            EstateFs.deleteRecursive(s"$dir/postings_delta/ingest_batch=$m")
+            EstateFs.deleteRecursive(s"$dir/lengths_delta/ingest_batch=$m")
+          }
         }
       }
     }

@@ -18,13 +18,18 @@ import graft.EstateFs
   *  - `file`: per-line java.nio append, durable line by line across a
   *    killed run (the reference's behavior; append re-opens so no
   *    stream is held).
-  *  - everything else: ONE Hadoop output stream held for the run
-  *    ([[EstateFs.createStream]]), `hflush` after every line — on HDFS
-  *    each line is visible/durable as it lands; on stores without
-  *    flush visibility (S3A) the lines land at [[close]], so a
-  *    kill -9 loses the tail of the run's metrics (the DATA protocols
-  *    are unaffected — metrics are an observability sink). Callers own
-  *    the close; [[graft.ApSim]] closes at end of run.
+  *  - everything else: ONE Hadoop output stream held for the run,
+  *    opened in APPEND mode ([[EstateFs.appendStream]]) so successive
+  *    runs accumulate like the reference and the local posture do
+  *    (ADVICE r12 — the old create-overwrite stream wiped prior runs'
+  *    lines exactly on HDFS deployments); `hflush` after every line —
+  *    on HDFS each line is visible/durable as it lands. Stores without
+  *    append support (S3A) fall back to a per-run file
+  *    `metrics.<startMs>.log`, whose lines land at [[close]] — scrape
+  *    with a glob there. A constructed-but-never-emitting log touches
+  *    nothing: the stream is opened lazily on first emit and
+  *    [[close]] only closes a stream that was actually opened.
+  *    Callers own the close; [[graft.ApSim]] closes at end of run.
   */
 final class MetricsLog(dir: String) extends AutoCloseable {
   private val target = s"$dir/metrics.log"
@@ -37,9 +42,17 @@ final class MetricsLog(dir: String) extends AutoCloseable {
       Files.createDirectories(p.getParent)
       p
     } else null
+  @volatile private var opened = false
   private lazy val out: org.apache.hadoop.fs.FSDataOutputStream = {
     EstateFs.mkdirs(dir)
-    EstateFs.createStream(target)
+    val s =
+      try EstateFs.appendStream(target)
+      catch {
+        case _: UnsupportedOperationException =>
+          EstateFs.createStream(s"$dir/metrics.${System.currentTimeMillis}.log")
+      }
+    opened = true
+    s
   }
 
   private def fmtTs(t: Timestamp): String = {
@@ -81,10 +94,12 @@ final class MetricsLog(dir: String) extends AutoCloseable {
     emit(visitTime, name, visit, table,
       kv.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}"))
 
-  /** No-op on the local posture (nothing held open); flushes and closes
-    * the run's stream elsewhere. Idempotent. */
+  /** No-op on the local posture (nothing held open) and on a log that
+    * never emitted (the lazy stream is never forced, so an idle log
+    * can't truncate or even touch the file); flushes and closes the
+    * run's stream elsewhere. Idempotent. */
   def close(): Unit =
-    if (!local) synchronized {
+    if (!local && opened) synchronized {
       try out.close() catch { case _: java.io.IOException => }
     }
 }

@@ -857,6 +857,92 @@ class TextIndexSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq)
   }
 
+  test("a zombie's LATE merged marker landing after the successor re-merged is discarded (ADVICE r12)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtzlate").toString
+    TextIndex.build(spark, dir, docs.where(col("doc_id") < 30))
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") >= 30 && col("doc_id") < 60), batchId = 0L)
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") >= 60 && col("doc_id") < 90), batchId = 1L)
+    val want = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+
+    // the SUCCESSOR re-merges batches 0,1 into segment -1 and cleans up
+    // their markers — the real lifecycle, run to completion
+    assert(TextIndex.mergeDeltas(spark, dir) == 2)
+    assert(TextIndex.committedBatches(dir) == Seq(-1L))
+    assert(!EstateFs.exists(s"$dir/meta_delta_batch_0.json"),
+      "precondition: the folded inputs' markers are gone")
+
+    // NOW zombie Z's marker lands late: folded set identical to the
+    // live successor segment's, Z's token in the broken audit set. The
+    // old inputs-intact fence can't see it (inputs' markers are gone) —
+    // without the subset arm BOTH segments would serve and every folded
+    // doc's postings would double-count.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "claims"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "claims", "LEASE.broken.test"), zombieTok.getBytes)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      dir, "postings_delta", "ingest_batch=-2"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "postings_delta", "ingest_batch=-2", "garbage.parquet"),
+      "junk".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "meta_delta_batch_-2.json"),
+      s"""{"n_docs":60,"sum_dl":1,"by":"$zombieTok","folded":[0,1]}""".getBytes)
+
+    TextIndex.cleanupFoldedDeltas(dir)
+    assert(!EstateFs.exists(s"$dir/meta_delta_batch_-2.json"),
+      "zombie's late marker must be discarded by the subset arm")
+    assert(TextIndex.committedBatches(dir) == Seq(-1L))
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want,
+      "late-zombie discard lost or duplicated rows")
+  }
+
+  test("equal-set broken merged markers: exactly one survives the fence (ADVICE r12 tie-break)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtztie").toString
+    TextIndex.build(spark, dir, docs.where(col("doc_id") < 30))
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") >= 30 && col("doc_id") < 60), batchId = 0L)
+    TextIndex.append(spark, dir,
+      docs.where(col("doc_id") >= 60 && col("doc_id") < 90), batchId = 1L)
+    assert(TextIndex.mergeDeltas(spark, dir) == 2)
+    assert(TextIndex.committedBatches(dir) == Seq(-1L))
+    val want = TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq
+
+    // mark the REAL segment's writer broken too, and plant a second
+    // broken marker with the same folded set: the tie-break must keep
+    // exactly one (max id = -1, the real segment), never discard both
+    val realBy = """"by":"([0-9a-f-]+)"""".r
+      .findFirstMatchIn(EstateFs.readString(s"$dir/meta_delta_batch_-1.json"))
+      .get.group(1)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "claims"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "claims", "LEASE.broken.a"), realBy.getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "claims", "LEASE.broken.b"), zombieTok.getBytes)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      dir, "postings_delta", "ingest_batch=-2"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "meta_delta_batch_-2.json"),
+      s"""{"n_docs":60,"sum_dl":1,"by":"$zombieTok","folded":[0,1]}""".getBytes)
+
+    TextIndex.cleanupFoldedDeltas(dir)
+    assert(TextIndex.committedBatches(dir) == Seq(-1L),
+      "tie-break must keep exactly the max-id segment")
+    assert(!EstateFs.exists(s"$dir/meta_delta_batch_-2.json"))
+    assert(TextIndex.search(spark, dir, TextQueries.bm25Queries)
+      .collect().map(_.toString).toSeq == want)
+  }
+
   test("meta guards: a non-index dir fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notidx").toString
     val e = intercept[Exception] {

@@ -134,6 +134,23 @@ class FaultyFsSpec extends AnyFunSuite {
     assert(lines(1).contains(""""row_count": 42"""))
     // idempotent close
     log.close()
+
+    // a SECOND run appends — the pre-r13 create-overwrite stream wiped
+    // prior runs' lines exactly on non-local warehouses (ADVICE r12)
+    val log2 = new graft.apdb.MetricsLog(dir)
+    log2.counts(ts, "store_counts", 4, "DiaObject", 7L)
+    log2.close()
+    val lines2 = EstateFs.readString(s"$dir/metrics.log").split("\n").toSeq
+    assert(lines2.size == 3,
+      s"second run truncated the metrics log: $lines2")
+    assert(lines2(2).contains(""""row_count": 7"""))
+
+    // a constructed-but-never-emitting log must not touch the file —
+    // its lazy stream is never forced, close() is a no-op
+    val idle = new graft.apdb.MetricsLog(dir)
+    idle.close()
+    assert(EstateFs.readString(s"$dir/metrics.log").split("\n").length == 3,
+      "idle MetricsLog wiped or touched the file on close")
   }
 
   test("two breakers on a copy+delete rename BOTH claim — the race the posture gate prevents") {
