@@ -13,6 +13,12 @@ Test / fork := true
 run / fork := true
 // pipe sbt's stdin through to the forked run JVM (LogTool reads `-`)
 run / connectInput := true
+// forked-run stdout passes through UNPREFIXED: sbt's default logger
+// front-loads every line with "[info] ", which makes Bench's one-line
+// JSON record unparseable to a line-oriented json.loads consumer
+// (VERDICT r12 next #6 — BENCH_r*.json `parsed` was null because the
+// driver's tail scan saw "[info] {...}")
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -189,7 +189,24 @@ object Bench {
     val runsJson = results.map { case (k, _, r1, r2) =>
       s"\"" + k + s"\":[$r1,$r2]"
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failures":$failures,"calibration_s":$calibration,"calibration_par_s":$calibrationPar,"sf":"$sfDir"}"""
+    // Round + time stamp (VERDICT r12 next #6): Bench overwrites
+    // bench_full.json every invocation, so an unstamped file reads as
+    // "whichever run happened last" in a round-over-round audit. The
+    // round guess is 1 + the highest BENCH_r<N>.json the driver has
+    // already landed in the cwd (this run's record precedes its own
+    // artifact); ad-hoc runs outside the repo root stamp round -1.
+    val round = {
+      val re = "BENCH_r(\\d+)\\.json".r
+      Option(new java.io.File(".").list()).map(_.toSeq).getOrElse(Seq.empty)
+        .collect { case re(n) => n.toInt }
+        .maxOption.map(_ + 1).getOrElse(-1)
+    }
+    val stamp = {
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      fmt.format(new java.util.Date())
+    }
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","round":$round,"written_at":"$stamp","queries":$qs,"runs":$runsJson,"failures":$failures,"calibration_s":$calibration,"calibration_par_s":$calibrationPar,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
       java.nio.file.Files.write(
