@@ -61,8 +61,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val calibration = calibrate()
     val calibrationPar = calibratePar()
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = MasterConf(SparkSession.builder(), s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // AQE coalescing: without parallelismFirst=false, AQE refuses to
       // coalesce below the core count, so tiny-row keys pay 32-partition

@@ -59,6 +59,22 @@ object EstateFs {
     * where one PUT is already all-or-nothing). */
   val AtomicRenameKey = "graft.fs.atomicRename"
 
+  /** Config key: operator assertion that the warehouse's store enforces
+    * ATOMIC create-if-absent (an If-None-Match conditional PUT — AWS S3
+    * since 2024-08, GCS, ABFS). With it, [[createExclusive]] is a real
+    * claim on the object store and [[WriterLease]] can break a stale
+    * lease there WITHOUT an atomic rename (VERDICT r12 #2). The
+    * explicit flag exists because the capability probe below depends on
+    * the connector advertising it — an operator who KNOWS the store
+    * enforces If-None-Match can assert it for any connector. */
+  val ConditionalCreateKey = "graft.fs.conditionalCreate"
+
+  /** Path capability a store with server-enforced conditional create
+    * advertises (Hadoop 3.4.2's conditional-write support;
+    * the test shim `FaultyFileSystem` advertises the same string in
+    * its conditional-create mode). */
+  val ConditionalCreateCapability = "fs.capability.conditional.create"
+
   /** Hadoop conf: the active session's (it carries fs.defaultFS and
     * object-store credentials on a real cluster). `getActiveSession`
     * is THREAD-local, so a user-spawned driver thread or scheduler
@@ -85,6 +101,28 @@ object EstateFs {
       .forall(_.toBoolean)
 
   private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  /** True iff this path's store enforces atomic create-if-absent:
+    * either the connector advertises [[ConditionalCreateCapability]]
+    * or the operator asserted [[ConditionalCreateKey]]. Local/HDFS
+    * claims don't need this — O_EXCL / server-enforced create are
+    * already atomic there. */
+  def conditionalCreateCapable(path: String): Boolean = {
+    val p = new Path(path)
+    conditionalCreateCapable(fs(p), p)
+  }
+
+  private def conditionalCreateCapable(f: FileSystem, p: Path): Boolean =
+    conditionalCreateAsserted ||
+      scala.util.Try(f.hasPathCapability(p, ConditionalCreateCapability))
+        .getOrElse(false)
+
+  private def conditionalCreateAsserted: Boolean =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .flatMap(s => s.conf.getOption(ConditionalCreateKey))
+      .orElse(Option(System.getProperty(ConditionalCreateKey)))
+      .exists(_.toBoolean)
 
   def exists(path: String): Boolean = {
     val p = new Path(path)
@@ -141,9 +179,19 @@ object EstateFs {
     * caught two real processes both "winning" it and interleaving
     * their consolidations (6000 lengths rows for a 5000-doc store).
     * On HDFS `create(overwrite=false)` is server-enforced and stays
-    * the path. On bare object stores NEITHER is atomic (S3A create is
-    * check-then-PUT) — the lease docs scope the guarantee to
-    * HDFS/local and the posture flag gates the break arm. */
+    * the path.
+    *
+    * Object stores (VERDICT r12 #2): on a store that enforces
+    * conditional create (If-None-Match — probed via
+    * [[conditionalCreateCapable]]) the claim is atomic WITH
+    * visibility-at-close semantics: the PUT lands at `close()`, and a
+    * lost race surfaces there as an `IOException`, which this returns
+    * as `false` (claim failed). A genuine IO failure at close on such
+    * a store also reads as a failed claim — conservative for a claim
+    * primitive (may refuse spuriously, can never double-claim). On a
+    * bare store with NEITHER capability nor assertion, create stays
+    * check-then-PUT and is NOT mutual exclusion — the lease docs scope
+    * the guarantee and the posture flag gates the break arm. */
   def createExclusive(path: String, content: String = ""): Boolean = {
     val p = new Path(path)
     val f = fs(p)
@@ -163,14 +211,26 @@ object EstateFs {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
-    } else
+    } else {
+      val cond = conditionalCreateCapable(f, p)
       try {
         val out = f.create(p, false)
-        out.write(content.getBytes("UTF-8")); out.close(); true
+        var ok = false
+        try {
+          out.write(content.getBytes("UTF-8")); out.close(); ok = true
+        } catch {
+          // conditional-create store: the If-None-Match PUT surfaces a
+          // lost race AT CLOSE — the claim simply failed. (Without the
+          // capability a close-time IOException is a real error and
+          // propagates as before.)
+          case _: java.io.IOException if cond => ()
+        }
+        ok
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case _: java.nio.file.FileAlreadyExistsException => false
       }
+    }
   }
 
   /** Open a create-overwrite OUTPUT STREAM the caller holds and closes —

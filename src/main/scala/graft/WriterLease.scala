@@ -109,23 +109,31 @@ object WriterLease {
     val staleTok = if (st.exists(s =>
       System.currentTimeMillis() - s.getModificationTime > TtlMs))
       leaseToken(f, lease) else None
-    // Object-store posture (graft.fs.atomicRename=false): the break
-    // protocol's safety rests on the aside-RENAME being atomic (only
-    // one of two racing breakers wins). On a store where rename is a
-    // non-atomic copy+delete, two breakers can BOTH observe the stale
-    // token, both copy it aside, and both claim — exactly the
+    // Object-store posture (graft.fs.atomicRename=false): the rename-
+    // based break protocol's safety rests on the aside-RENAME being
+    // atomic (only one of two racing breakers wins). On a store where
+    // rename is a non-atomic copy+delete, two breakers can BOTH observe
+    // the stale token, both copy it aside, and both claim — exactly the
     // two-live-consolidations interleave the lease exists to prevent
-    // (VERDICT r11 #1). Under that posture never auto-break: refuse
-    // with the file an operator must remove by hand.
-    if (staleTok.isDefined && !EstateFs.atomicRenamePosture)
+    // (VERDICT r11 #1). Under that posture:
+    //  - a store with CONDITIONAL CREATE (If-None-Match — VERDICT r12
+    //    #2) breaks via [[breakWithConditionalCreate]]: arbitration by
+    //    exclusive ticket instead of by rename;
+    //  - otherwise never auto-break: refuse with the file an operator
+    //    must remove by hand.
+    if (staleTok.isDefined && !EstateFs.atomicRenamePosture) {
+      if (EstateFs.conditionalCreateCapable(lease.toString))
+        return breakWithConditionalCreate(f, dir, staleTok.get, token, why)
       throw new IllegalStateException(
         s"$dir: stale single-writer lease (claims/LEASE, older than " +
           s"${TtlMs / 60000} min, token ${staleTok.get.take(8)}…) on a " +
           s"non-atomic-rename store (${EstateFs.AtomicRenameKey}=false)" +
           " — the automatic break is disabled because it needs an " +
-          "atomic rename to arbitrate racing breakers. Verify the old " +
-          s"writer is dead, then delete $dir/claims/LEASE by hand and " +
-          s"retry. $why")
+          "atomic rename (or conditional create, " +
+          s"${EstateFs.ConditionalCreateKey}=true) to arbitrate racing " +
+          "breakers. Verify the old writer is dead, then delete " +
+          s"$dir/claims/LEASE by hand and retry. $why")
+    }
     staleTok match {
       case Some(observed) =>
         val aside = new Path(
@@ -158,6 +166,71 @@ object WriterLease {
       s"$dir: another writer holds the single-writer lease " +
         s"(claims/LEASE); $why Retry after it finishes, or delete a " +
         "stale lease.")
+  }
+
+  /** Stale-lease break for stores with NO atomic rename but WITH
+    * server-enforced conditional create (VERDICT r12 #2 — AWS S3 with
+    * If-None-Match, GCS, ABFS; probed/asserted via
+    * [[EstateFs.conditionalCreateCapable]]).
+    *
+    * Arbitration WITHOUT rename: the one break "ticket" for lease
+    * generation `observed` is `claims/LEASE.break.<sha(observed)>`,
+    * created conditionally — two racing breakers both observe the same
+    * stale token, the store lets exactly ONE create the ticket, the
+    * loser refuses. Lease tokens are fresh UUIDs per acquire, so a
+    * ticket is forever keyed to its dead generation and can never
+    * authorize breaking a later lease. The winner then re-verifies the
+    * lease still carries `observed` (a released-and-reacquired lease
+    * must not be stolen — if it changed, the live holder keeps it and
+    * we refuse), records the broken token as `claims/LEASE.broken.*`
+    * for the commit fencing audit ([[graft.TextIndex]]'s `by`-marker
+    * discard reads those), deletes the stale lease, and claims.
+    *
+    * Residual windows, both documented rather than closed:
+    *  - verify-then-delete is check-then-act — a ZOMBIE holder
+    *    releasing in the instant between the winner's re-read and its
+    *    delete loses its successor's lease. The rename arm closes this
+    *    window; conditional create alone cannot. Downstream damage is
+    *    what the `by`-token commit fencing exists to catch.
+    *  - a breaker that CRASHES between its ticket create and the lease
+    *    delete leaves ticket + stale lease behind; later breakers
+    *    refuse with operator guidance naming both files (no auto
+    *    ticket takeover — delete-then-recreate between two new
+    *    breakers is itself unarbitrable without rename). */
+  private def breakWithConditionalCreate(
+      f: org.apache.hadoop.fs.FileSystem, dir: String, observed: String,
+      token: String, why: String): String = {
+    val lease = leasePath(dir)
+    val gen = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(observed.getBytes("UTF-8"))
+      .take(8).map(b => "%02x".format(b & 0xff)).mkString
+    val ticket = s"$dir/claims/LEASE.break.$gen"
+    if (!EstateFs.createExclusive(ticket, token))
+      throw new IllegalStateException(
+        s"$dir: another breaker holds the break ticket for this stale " +
+          s"lease generation ($ticket). If that breaker is still " +
+          "running, retry after it finishes; if it crashed mid-break, " +
+          s"verify both writers are dead, then delete $ticket and " +
+          s"$dir/claims/LEASE by hand and retry. $why")
+    if (!leaseToken(f, lease).contains(observed)) {
+      // the stale holder released and someone new acquired while we
+      // arbitrated — the lease is LIVE; drop our now-dead ticket
+      f.delete(new Path(ticket), false)
+      throw new IllegalStateException(
+        s"$dir: another writer re-acquired the single-writer lease " +
+          s"while a stale one was being broken; $why Retry after it " +
+          "finishes.")
+    }
+    // audit trail first: brokenTokens()/fencing must see the broken
+    // token even if we crash between these steps
+    EstateFs.createExclusive(
+      s"$dir/claims/LEASE.broken.${java.util.UUID.randomUUID()}", observed)
+    f.delete(lease, false)
+    f.delete(new Path(ticket), false)
+    if (EstateFs.createExclusive(lease.toString, token)) return token
+    throw new IllegalStateException(
+      s"$dir: another writer claimed the lease the instant a stale one " +
+        s"was broken; $why Retry after it finishes.")
   }
 
   /** Commit-time ownership re-check (VERDICT r10 #2): a consolidation

@@ -3201,6 +3201,63 @@ object DedupQueries {
 
   val RescoreShortlist = 100
 
+  /** Saturation-adaptive Hamming shortlist (VERDICT r12 #4): pick the
+    * served shortlist from a per-query frame of (query_id, cand_id,
+    * hamming) candidates by the SATURATION at the base cutoff instead
+    * of a fixed width.
+    *
+    * Why: a 64-bit sign code over n vectors saturates as n grows — at
+    * 200 k the distance at rank `base` sits inside a TIE CLASS holding
+    * hundreds of candidates, and a fixed-width cut keeps an arbitrary
+    * (id-ordered) subset of it, dropping true neighbors that are
+    * quantization-indistinguishable from kept ones (the r10→r12 recall
+    * ladder: 0.67 at 50 k → 0.53 at 200 k with fixed 100). The rule:
+    * a candidate within Hamming `hK + 1` of the query — where `hK` is
+    * the distance at rank `base` — is statistically indistinguishable
+    * from the base cutoff given 1-bit quantization noise, so keep ALL
+    * of them, hard-capped at `2 × base` (the ≤2× cost budget). On an
+    * UNSATURATED corpus the `hK+1` shell is nearly empty and the width
+    * stays ≈ base, so small-corpus cost is unchanged; at saturation
+    * the width grows toward the cap exactly when the extra candidates
+    * carry signal. RecallProbe 200 000: 0.53 fixed-100 → ≥0.65
+    * adaptive at ≤2× width.
+    *
+    * `hamScored` must hold AT LEAST the top `2 × base` per query (the
+    * stage-1 heaps feed it at that width). Deterministic: ties broken
+    * by cand_id everywhere, and the cap is applied in the same
+    * (hamming, cand_id) order. */
+  def adaptiveHammingShortlist(hamScored: DataFrame, base: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("cand_id"))
+    val perQuery = Window.partitionBy(col("query_id"))
+    hamScored
+      .withColumn("rk", row_number().over(byHam))
+      .where(col("rk") <= 2L * base) // long math: base may be "the corpus"
+      .withColumn("hk",
+        max(when(col("rk") <= base, col("hamming"))).over(perQuery))
+      .where(col("rk") <= base || col("hamming") <= col("hk") + 1)
+      .select(col("query_id"), col("cand_id"))
+  }
+
+  /** The oracle-SQL mirror of [[adaptiveHammingShortlist]], as a CTE
+    * body: given a CTE `ham(query_id, cand_id, hamming)`, yields
+    * `short(query_id, cand_id)` with identical semantics. */
+  def adaptiveShortlistSqlCte(base: Int): String =
+    s"""ranked AS (
+       |  SELECT query_id, cand_id, hamming,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hamming, cand_id) AS rk
+       |  FROM ham),
+       |capped AS (
+       |  SELECT query_id, cand_id, hamming, rk,
+       |    max(CASE WHEN rk <= $base THEN hamming END)
+       |      OVER (PARTITION BY query_id) AS hk
+       |  FROM ranked WHERE rk <= ${2 * base}),
+       |short AS (
+       |  SELECT query_id, cand_id FROM capped
+       |  WHERE rk <= $base OR hamming <= hk + 1)""".stripMargin
+
   /** x42 — the two-stage serving shape every production PQ deployment
     * actually runs, as a first-class operator: stage 1 scans the PQ
     * CODES (x38's ADC — 8 table adds per candidate, no float math, 32×

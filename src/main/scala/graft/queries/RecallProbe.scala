@@ -138,6 +138,32 @@ object RecallProbe {
     }
     log(f"""{"x88_binary_raw_recall":$binRaw%.3f,"x92_binary_rescore100_recall":$binRescore%.3f}""")
 
+    // saturation-adaptive shortlist (VERDICT r12 #4): base plus the
+    // hK+1 Hamming shell, capped at 2× — the x92/searchBinary serving
+    // rule, measured through the same local kernel
+    {
+      val base = DedupQueries.RescoreShortlist
+      var widthSum = 0L
+      def adaptiveTop(qid: Long): Seq[Long] = {
+        val (ql, qh) = binCodes(qid.toInt)
+        val scored = vecs.iterator.filter(_._1 != qid).map { c =>
+          val (cl, ch) = binCodes(c._1.toInt)
+          (c._1, (java.lang.Long.bitCount(ql ^ cl)
+            + java.lang.Long.bitCount(qh ^ ch)).toLong)
+        }.toArray.sortBy { case (id, h) => (h, id) }
+        val hK = scored(math.min(base, scored.length) - 1)._2
+        val w = math.min(2 * base,
+          scored.indexWhere(_._2 > hK + 1) match {
+            case -1 => scored.length
+            case i  => math.max(base, i)
+          })
+        widthSum += w
+        scored.take(w).map(_._1).toSeq
+      }
+      val adaptive = recallOf(adaptiveTop)
+      log(f"""{"x92_adaptive_recall":$adaptive%.3f,"base":$base,"mean_width":${widthSum.toDouble / queries.length}%.1f}""")
+    }
+
     // ---- x14 LSH multiprobe / x15 IVF probe curves ----------------------
     val bucketOf = vecs.map { case (_, e) => DedupQueries.lshBucketOf(e) }
     def lshRecall(radius: Int): Double = recallOf { qid =>

@@ -153,6 +153,126 @@ class FaultyFsSpec extends AnyFunSuite {
       "idle MetricsLog wiped or touched the file on close")
   }
 
+  test("conditional-create mode: two racing claims, exactly one wins at close (VERDICT r12 #2)") {
+    val dir = tmpFaulty("fcond")
+    EstateFs.mkdirs(dir)
+    FaultyFileSystem.conditionalCreate = true
+    try {
+      val target = s"$dir/claims/CLAIM"
+      // claimer A parks INSIDE close() (bytes written, object not yet
+      // landed); claimer B completes a whole claim in the window; A's
+      // deferred If-None-Match PUT must then LOSE, not overwrite
+      val parked = new java.util.concurrent.CountDownLatch(1)
+      val proceed = new java.util.concurrent.CountDownLatch(1)
+      val oneShot = new java.util.concurrent.atomic.AtomicBoolean(true)
+      FaultyFileSystem.conditionalClosePause = () =>
+        if (oneShot.getAndSet(false)) { parked.countDown(); proceed.await() }
+      var aWon = false
+      val a = new Thread(() => { aWon = EstateFs.createExclusive(target, "A") })
+      a.start()
+      parked.await()
+      val bWon = EstateFs.createExclusive(target, "B")
+      proceed.countDown()
+      a.join()
+      assert(bWon && !aWon,
+        s"expected B to land and A's deferred PUT to lose (aWon=$aWon bWon=$bWon)")
+      assert(EstateFs.readString(target) == "B",
+        "loser's buffered bytes overwrote the winner's claim")
+    } finally FaultyFileSystem.reset()
+  }
+
+  test("stale lease BREAKS safely on a conditional-create store without atomic rename (VERDICT r12 #2)") {
+    val dir = tmpFaulty("fcbreak")
+    EstateFs.mkdirs(s"$dir/claims")
+    val leaseLocal = java.nio.file.Paths.get(localOf(dir), "claims", "LEASE")
+    java.nio.file.Files.write(leaseLocal, "stale-writer-token".getBytes)
+    java.nio.file.Files.setLastModifiedTime(leaseLocal,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - WriterLease.TtlMs - 60000L))
+    spark.conf.set(EstateFs.AtomicRenameKey, "false")
+    FaultyFileSystem.conditionalCreate = true
+    try {
+      // same setup WITHOUT the capability refuses (the r11 gate) — with
+      // it, the ticket-arbitrated break acquires
+      val tok = WriterLease.acquire(spark, dir, "conditional break test.")
+      assert(EstateFs.readString(s"$dir/claims/LEASE") == tok,
+        "break did not install the breaker's token")
+      val names = EstateFs.listNames(s"$dir/claims")
+      val brokenFiles = names.filter(_.startsWith("LEASE.broken."))
+      assert(brokenFiles.size == 1, s"audit record missing: $names")
+      assert(EstateFs.readString(s"$dir/claims/${brokenFiles.head}") ==
+        "stale-writer-token", "audit record must carry the broken token")
+      assert(!names.exists(_.startsWith("LEASE.break.")),
+        s"ticket not cleaned up: $names")
+      WriterLease.release(spark, dir, tok)
+    } finally {
+      spark.conf.set(EstateFs.AtomicRenameKey, "true")
+      FaultyFileSystem.reset()
+    }
+  }
+
+  test("two RACING breakers on the conditional store: the ticket admits exactly one") {
+    val dir = tmpFaulty("fcbrace")
+    EstateFs.mkdirs(s"$dir/claims")
+    val leaseLocal = java.nio.file.Paths.get(localOf(dir), "claims", "LEASE")
+    java.nio.file.Files.write(leaseLocal, "stale-writer-token".getBytes)
+    java.nio.file.Files.setLastModifiedTime(leaseLocal,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - WriterLease.TtlMs - 60000L))
+    spark.conf.set(EstateFs.AtomicRenameKey, "false")
+    FaultyFileSystem.conditionalCreate = true
+    try {
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[String, String]]()
+      val threads = (0 until 4).map { _ =>
+        val t = new Thread(() =>
+          results.add(
+            try Right(WriterLease.acquire(spark, dir, "breaker race."))
+            catch { case e: IllegalStateException => Left(e.getMessage) }))
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val wins = results.asScala.collect { case Right(t) => t }.toSeq
+      assert(wins.size == 1,
+        s"exactly one breaker must win, got ${wins.size}: $results")
+      assert(EstateFs.readString(s"$dir/claims/LEASE") == wins.head,
+        "the surviving lease must carry the single winner's token")
+      WriterLease.release(spark, dir, wins.head)
+    } finally {
+      spark.conf.set(EstateFs.AtomicRenameKey, "true")
+      FaultyFileSystem.reset()
+    }
+  }
+
+  test("crashed breaker's leftover ticket: later breakers refuse with operator guidance") {
+    val dir = tmpFaulty("fcticket")
+    EstateFs.mkdirs(s"$dir/claims")
+    val leaseLocal = java.nio.file.Paths.get(localOf(dir), "claims", "LEASE")
+    java.nio.file.Files.write(leaseLocal, "stale-writer-token".getBytes)
+    java.nio.file.Files.setLastModifiedTime(leaseLocal,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - WriterLease.TtlMs - 60000L))
+    spark.conf.set(EstateFs.AtomicRenameKey, "false")
+    FaultyFileSystem.conditionalCreate = true
+    try {
+      // plant the crashed breaker's ticket for THIS stale generation
+      val gen = java.security.MessageDigest.getInstance("SHA-256")
+        .digest("stale-writer-token".getBytes("UTF-8"))
+        .take(8).map(b => "%02x".format(b & 0xff)).mkString
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        localOf(dir), "claims", s"LEASE.break.$gen"), "crashed".getBytes)
+      val e = intercept[IllegalStateException] {
+        WriterLease.acquire(spark, dir, "leftover ticket test.")
+      }
+      assert(e.getMessage.contains("break ticket") &&
+        e.getMessage.contains(s"LEASE.break.$gen"),
+        s"refusal must name the ticket: ${e.getMessage}")
+    } finally {
+      spark.conf.set(EstateFs.AtomicRenameKey, "true")
+      FaultyFileSystem.reset()
+    }
+  }
+
   test("two breakers on a copy+delete rename BOTH claim — the race the posture gate prevents") {
     // stale lease on the weak FS
     val dir = tmpFaulty("frace")
