@@ -94,5 +94,44 @@ wait $P1; R1=$?; wait $P2; R2=$?
 [ $R2 -eq 3 ] && { run eI2r wingest "$WSTORE" /dev/null 100 130 || exit 1; }
 run wE wverify "$WSTORE" 40 || { echo "SCENARIO E VIOLATED"; exit 1; }
 
+echo "== F: STREAMING ingest racing maintenance across JVMs (VERDICT r12 #5) ==" | tee -a "$LOG"
+# F-text: a checkpointed Structured Streaming append (6 paced micro-
+# batches) while the other JVM runs maintain with the fold armed mid-
+# stream. A transient pending-compact refusal kills the query; the
+# probe restarts it from the same checkpoint — exactly-once replay is
+# the property under test.
+B="$OUT/barrierFt"; MID="$OUT/midFt"
+# the maintainer's barrier is TOUCHED BY THE STREAM after its 2nd batch
+# commits — deterministically ≥2 foldable batches with ≥4 still
+# streaming (sleep-tuned delays measured flaky: the fold decided "none"
+# when it beat the first commit)
+run fT tstream "$STORE" "$B" 6 $PER $DOCS 300 1000 "$MID" & P1=$!
+run fM maintain "$STORE" "$MID" & P2=$!
+sleep 12; touch "$B"
+wait $P1; R1=$?; wait $P2
+[ $R1 -ne 0 ] && { echo "SCENARIO F-text stream failed"; exit 1; }
+DOCS=$((DOCS + 6 * PER))
+run vF verify "$STORE" $DOCS || { echo "SCENARIO F-text VIOLATED"; exit 1; }
+# the fold must have actually had inputs (the race is the point): the
+# LAST maintain line in the log is scenario F's
+if grep '"mode":"maintain"' "$LOG" | tail -1 | grep -q '"action":"none"'; then
+  echo "SCENARIO F-text: maintain found nothing to fold (race not exercised)"; exit 1
+fi
+
+# F-vec: VectorIngest micro-batches (lease-free streaming half of the
+# IVF lifecycle) while the other JVM runs rebalanceIvf — the batch-dir
+# snapshot contract under REAL process concurrency for the first time.
+FSTORE="$STORE.ivf"; rm -rf "$FSTORE"
+run fprep fprepare "$FSTORE" 800 || exit 1
+B="$OUT/barrierFv"; MIDV="$OUT/midFv"
+run fV vstream "$FSTORE" "$B" 6 100 800 1000 "$MIDV" & P1=$!
+run fR vrebalance "$FSTORE" "$MIDV" & P2=$!
+sleep 12; touch "$B"
+wait $P1; R1=$?; wait $P2; R2=$?
+[ $R1 -ne 0 ] && { echo "SCENARIO F-vec stream failed"; exit 1; }
+# a lease refusal on the rebalance (rc 3) is retriable — replay it
+[ $R2 -eq 3 ] && { run fRr vrebalance "$FSTORE" /dev/null || exit 1; }
+run fE fverify "$FSTORE" 1400 || { echo "SCENARIO F-vec VIOLATED"; exit 1; }
+
 echo "== all scenarios green ==" | tee -a "$LOG"
-grep -h '"mode"' "$LOG" | tail -24
+grep -h '"mode"' "$LOG" | tail -32

@@ -66,6 +66,22 @@ object ContentionProbe {
     }.toDF("vec_id", "embedding")
   }
 
+  /** Deterministic 64-dim embeddings for the IVF-PQ estate (scenario F:
+    * [[graft.streaming.VectorIngest]] racing [[VectorIndex.rebalanceIvf]]
+    * across processes) — pure arithmetic like [[synthEmb]], but sized
+    * for the PQ codebooks (64 dims / 8 subspaces). */
+  def synthEmb64(spark: SparkSession, from: Long, until: Long): DataFrame = {
+    import spark.implicits._
+    (from until until).map { i =>
+      val e = Array.tabulate(64) { j =>
+        val h = (i * 131L + j) * 2654435761L
+        val base = (java.lang.Long.remainderUnsigned(h >>> 8, 1000L) / 5000.0f) - 0.1f
+        base + (if (j == (i % 8L).toInt * 8) 0.8f else 0.0f)
+      }
+      (i, e)
+    }.toDF("vec_id", "embedding")
+  }
+
   /** Deterministic curation docs (warehouse schema). */
   private def synthCurated(spark: SparkSession, from: Long,
       until: Long): org.apache.spark.sql.DataFrame = {
@@ -117,8 +133,10 @@ object ContentionProbe {
 
       case "maintain" =>
         val barrier = args(2)
+        val delayMs = if (args.length > 3) args(3).toLong else 0L
         val spark = session(s"maintain-$pid")
         awaitBarrier(barrier)
+        if (delayMs > 0) Thread.sleep(delayMs) // fire MID-stream (scenario F)
         val t0 = System.nanoTime()
         try {
           val r = TextIndex.maintain(spark, dir)
@@ -195,6 +213,189 @@ object ContentionProbe {
 
         val verdict = if (bad.isEmpty) "ok" else "VIOLATED"
         println(s"""{"mode":"verify","pid":$pid,"docs":$nDocs,"batches_live":${batches.size},"verdict":"$verdict","violations":${bad.map(b => "\"" + b + "\"").mkString("[", ",", "]")}}""")
+        spark.stop()
+        if (bad.nonEmpty) sys.exit(1)
+
+      // -- scenario F: STREAMING ingest racing maintenance across JVMs --
+
+      case "tstream" =>
+        // real Structured Streaming ingest into the text index: one
+        // staged parquet file per micro-batch (maxFilesPerTrigger=1),
+        // foreachBatch → TextIndex.append, checkpointed. A transient
+        // refusal (the append landing inside the other JVM's
+        // committed-but-unfinished compact window is DESIGNED to refuse
+        // loudly) kills the query; the retry loop restarts it from the
+        // SAME checkpoint — exactly-once replay is the property under
+        // test, not an error path.
+        val (barrier, n, per, from, startBatch, paceMs) =
+          (args(2), args(3).toInt, args(4).toLong, args(5).toLong,
+            args(6).toLong, args(7).toLong)
+        // deterministic mid-stream rendezvous: touched after the 2nd
+        // batch COMMITS, so the racing maintainer (awaiting this file
+        // as its barrier) always finds ≥2 foldable batches while ≥4 are
+        // still streaming — no sleep-tuned timing
+        val midBarrier = if (args.length > 8) args(8) else null
+        val spark = session(s"tstream-$pid")
+        val src = java.nio.file.Files.createTempDirectory("tstreamsrc").toString
+        (0 until n).foreach { b =>
+          synthDocs(spark, from + b * per, from + (b + 1) * per)
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+        awaitBarrier(barrier)
+        var tries = 0
+        var lastErr: String = null
+        var done = false
+        val committed = new java.util.concurrent.atomic.AtomicInteger(0)
+        while (!done && tries < 4) {
+          tries += 1
+          val q = spark.readStream
+            .schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$src-ckpt")
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+              if (!b.isEmpty) {
+                TextIndex.append(spark, dir, b.toDF(), startBatch + id)
+                if (committed.incrementAndGet() >= 2 && midBarrier != null) {
+                  val p = java.nio.file.Paths.get(midBarrier)
+                  if (!java.nio.file.Files.exists(p))
+                    java.nio.file.Files.createFile(p): Unit
+                }
+                Thread.sleep(paceMs)
+              }
+            }
+            .start()
+          try { q.processAllAvailable(); q.stop(); done = true }
+          catch {
+            case e: Throwable =>
+              lastErr = Option(e.getMessage).getOrElse(e.toString)
+                .replaceAll("[\"\\n]", " ").take(200)
+              scala.util.Try(q.stop())
+              Thread.sleep(3000) // let the other JVM's consolidation land
+          }
+        }
+        if (!done) {
+          println(s"""{"mode":"tstream","pid":$pid,"failed":"$lastErr"}""")
+          spark.stop(); sys.exit(1)
+        }
+        println(s"""{"mode":"tstream","pid":$pid,"batches":$n,"tries":$tries}""")
+        spark.stop()
+
+      case "fprepare" =>
+        val nBase = args(2).toLong
+        val spark = session("fprepare")
+        VectorIndex.buildIvfPq(spark, dir, synthEmb64(spark, 0L, nBase))
+        println(s"""{"mode":"fprepare","pid":$pid,"vectors":$nBase}""")
+        spark.stop()
+
+      case "vstream" =>
+        // VectorIngest micro-batches (the lease-free streaming half of
+        // the IVF lifecycle) while the other JVM runs rebalanceIvf with
+        // the fold armed — the one estate writer pair contention.sh
+        // didn't cover (VERDICT r12 next #5)
+        val (barrier, n, per, from, paceMs) = (args(2), args(3).toInt,
+          args(4).toLong, args(5).toLong, args(6).toLong)
+        val midBarrier = if (args.length > 7) args(7) else null
+        val spark = session(s"vstream-$pid")
+        val src = java.nio.file.Files.createTempDirectory("vstreamsrc").toString
+        (0 until n).foreach { b =>
+          synthEmb64(spark, from + b * per, from + (b + 1) * per)
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+        awaitBarrier(barrier)
+        var tries = 0
+        var lastErr: String = null
+        var done = false
+        val committed = new java.util.concurrent.atomic.AtomicInteger(0)
+        while (!done && tries < 4) {
+          tries += 1
+          val q = spark.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$src-ckpt")
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+              if (!b.isEmpty) {
+                graft.streaming.VectorIngest.appendBatch(spark, dir, b.toDF(), id)
+                if (committed.incrementAndGet() >= 2 && midBarrier != null) {
+                  val p = java.nio.file.Paths.get(midBarrier)
+                  if (!java.nio.file.Files.exists(p))
+                    java.nio.file.Files.createFile(p): Unit
+                }
+                Thread.sleep(paceMs)
+              }
+            }
+            .start()
+          try { q.processAllAvailable(); q.stop(); done = true }
+          catch {
+            case e: Throwable =>
+              lastErr = Option(e.getMessage).getOrElse(e.toString)
+                .replaceAll("[\"\\n]", " ").take(200)
+              scala.util.Try(q.stop())
+              Thread.sleep(3000)
+          }
+        }
+        if (!done) {
+          println(s"""{"mode":"vstream","pid":$pid,"failed":"$lastErr"}""")
+          spark.stop(); sys.exit(1)
+        }
+        println(s"""{"mode":"vstream","pid":$pid,"batches":$n,"tries":$tries}""")
+        spark.stop()
+
+      case "vrebalance" =>
+        val barrier = args(2)
+        val delayMs = if (args.length > 3) args(3).toLong else 0L
+        val spark = session(s"vrebalance-$pid")
+        awaitBarrier(barrier)
+        if (delayMs > 0) Thread.sleep(delayMs)
+        val t0 = System.nanoTime()
+        try {
+          VectorIndex.rebalanceIvf(spark, dir)
+          println(s"""{"mode":"vrebalance","pid":$pid,"sec":${(System.nanoTime() - t0) / 1e9}}""")
+        } catch {
+          case e: IllegalStateException =>
+            val msg = e.getMessage.replaceAll("[\"\\n]", " ").take(160)
+            println(s"""{"mode":"vrebalance","pid":$pid,"refused":"$msg"}""")
+            sys.exit(3)
+        }
+        spark.stop()
+
+      case "fverify" =>
+        // exactly-once over the streamed IVF estate: every fed vector
+        // present (distinct) across base ∪ stream; a batch that was both
+        // consolidated and left on disk mid-race may double-COUNT (the
+        // rewrite's dropDuplicates / serving's dedup collapse it) but
+        // must never go missing; serving works; meta intact; no lease.
+        val n = args(2).toLong
+        val spark = session("fverify")
+        import spark.implicits._
+        var bad = List.empty[String]
+        def check(ok: Boolean, what: String): Unit = if (!ok) bad ::= what
+        check(!EstateFs.exists(s"$dir/claims/LEASE"), "lease left held")
+        check(EstateFs.exists(s"$dir/meta_ivf.json"), "meta_ivf.json missing")
+        val base = spark.read.parquet(s"$dir/ivf_codes").select(col("cand_id"))
+        val all =
+          if (EstateFs.exists(s"$dir/ivf_codes_stream") &&
+              EstateFs.listNames(s"$dir/ivf_codes_stream")
+                .exists(_.startsWith("ingest_batch=")))
+            base.unionByName(spark.read
+              .schema("ingest_batch LONG, list INT, cand_id LONG, code ARRAY<INT>")
+              .parquet(s"$dir/ivf_codes_stream").select(col("cand_id")))
+          else base
+        val distinct = all.distinct().count()
+        check(distinct == n, s"distinct vectors $distinct != $n")
+        val missing = spark.range(n).toDF("cand_id")
+          .join(all, Seq("cand_id"), "left_anti").count()
+        check(missing == 0, s"$missing fed vectors MISSING from the estate")
+        val probe = VectorIndex.searchIvfPq(spark, dir,
+          synthEmb64(spark, 1L, 4L)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 5, excludeSelf = true)
+        check(probe.count() > 0, "probe search returned nothing")
+        val verdict = if (bad.isEmpty) "ok" else "VIOLATED"
+        println(s"""{"mode":"fverify","pid":$pid,"vectors":$n,"distinct":$distinct,"verdict":"$verdict","violations":${bad.map(b => "\"" + b + "\"").mkString("[", ",", "]")}}""")
         spark.stop()
         if (bad.nonEmpty) sys.exit(1)
 

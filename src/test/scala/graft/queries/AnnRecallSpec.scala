@@ -451,6 +451,36 @@ class AnnRecallSpec extends AnyFunSuite {
       f"x92 rescored recall $rescored%.3f below pin 0.45")
     assert(rescored > bin + 0.15,
       f"rescore $rescored%.3f does not clearly beat raw hamming $bin%.3f")
+
+    // saturation-adaptive shortlist (VERDICT r12 #4, the x92 serving
+    // rule since r13): base plus the hK+1 Hamming tie shell, capped at
+    // 2× base. The adaptive set CONTAINS the fixed-base set by
+    // construction, so recall is monotone ≥ fixed; the width must
+    // respect the 2× budget. (The density-scaling payoff is pinned at
+    // 50 k / 200 k by RecallProbe: 0.67→0.85 and 0.53→0.70.)
+    val base = DedupQueries.RescoreShortlist
+    var widthSum = 0L
+    val adaptive = recallOf { qid =>
+      val (ql, qh) = codes(qid)
+      val scored = vecs.filter(_._1 != qid).map { c =>
+        val (cl, ch) = codes(c._1)
+        (c._1, (java.lang.Long.bitCount(ql ^ cl)
+          + java.lang.Long.bitCount(qh ^ ch)).toLong)
+      }.sortBy { case (id, h) => (h, id) }
+      val hK = scored(math.min(base, scored.length) - 1)._2
+      val w = math.min(2 * base,
+        scored.indexWhere(_._2 > hK + 1) match {
+          case -1 => scored.length
+          case i  => math.max(base, i)
+        })
+      widthSum += w
+      scored.take(w).map(_._1).toSeq
+    }
+    val meanW = widthSum.toDouble / 10
+    info(f"x92 adaptive shortlist recall@10: $adaptive%.3f (mean width $meanW%.1f)")
+    assert(adaptive >= rescored,
+      f"adaptive $adaptive%.3f under fixed $rescored%.3f — superset rule broken")
+    assert(meanW <= 2.0 * base, f"adaptive width $meanW%.1f exceeds the 2x budget")
   }
 
   test("x102 ensemble shortlist recall dominates every arm") {
