@@ -5,7 +5,11 @@
 #      exists for),
 #   B. concurrent append burst + maintain (snapshot-protocol arm),
 #   C. two maintainers racing a PLANTED STALE lease (the break-
-#      arbitration arm; staleness by backdated mtime, no TTL shrink).
+#      arbitration arm; staleness by backdated mtime, no TTL shrink),
+#   D/E. concurrent index inserts / warehouse ingests,
+#   F. checkpointed streaming ingest racing maintenance,
+#   G. the conditional-create stale-lease break raced across real JVMs
+#      (faulty:// conditional mode; needs `sbt Test/compile` first).
 # After each scenario the store's invariants are re-verified against a
 # single-writer monolith over the same deterministic corpus; any
 # violation exits nonzero. Outputs land in <outdir>/contention.log.
@@ -30,6 +34,13 @@ run() { # run <tag> <args...>  → one probe JVM, json line appended to LOG
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
     graft.ContentionProbe "$@" 2>"$OUT/$tag.stderr" | tee -a "$LOG"
+}
+rung() { # scenario G probe: test-classes first (faulty:// is test-only)
+  local tag=$1; shift
+  java $ADD_OPENS -Xmx2g \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "target/scala-2.13/test-classes:target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.fs.CondBreakProbe "$@" 2>"$OUT/$tag.stderr" | tee -a "$LOG"
 }
 
 NBASE=4000; PER=500
@@ -133,5 +144,40 @@ wait $P1; R1=$?; wait $P2; R2=$?
 [ $R2 -eq 3 ] && { run fRr vrebalance "$FSTORE" /dev/null || exit 1; }
 run fE fverify "$FSTORE" 1400 || { echo "SCENARIO F-vec VIOLATED"; exit 1; }
 
+echo "== G: conditional-create lease break raced across real JVMs ==" | tee -a "$LOG"
+# The round-13 break path (WriterLease.breakWithConditionalCreate) on
+# the posture it targets — faulty:// in conditional-create mode with
+# graft.fs.atomicRename=false — raced by two REAL processes for the
+# first time: the exclusive break ticket's CREATE_NEW lands on the
+# shared store arbitrated by the OS, exactly how If-None-Match
+# arbitrates independent writers on a real object store. Requires
+# test-classes (faulty:// is test-only): `sbt Test/compile` first.
+if [ ! -d target/scala-2.13/test-classes/graft/fs ]; then
+  echo "SCENARIO G SKIPPED: test-classes missing (run sbt Test/compile)"; exit 1
+fi
+GSTORE="$OUT/gstore"; mkdir -p "$GSTORE/claims"
+echo -n "crashed-writer-token" > "$GSTORE/claims/LEASE"
+touch -d '40 minutes ago' "$GSTORE/claims/LEASE"
+B="$OUT/barrierG"
+rung gB1 break "$GSTORE" "$B" & P1=$!
+rung gB2 break "$GSTORE" "$B" & P2=$!
+sleep 10; touch "$B"
+wait $P1; R1=$?; wait $P2; R2=$?
+WINS=0; [ $R1 -eq 0 ] && WINS=$((WINS+1)); [ $R2 -eq 0 ] && WINS=$((WINS+1))
+[ $WINS -eq 1 ] || { echo "SCENARIO G VIOLATED: $WINS winners (rc $R1/$R2)"; exit 1; }
+# the loser must land on the DESIGNED refusal (rc 3), never a crash
+REFUSED=0; [ $R1 -eq 3 ] && REFUSED=$((REFUSED+1)); [ $R2 -eq 3 ] && REFUSED=$((REFUSED+1))
+[ $REFUSED -eq 1 ] || { echo "SCENARIO G VIOLATED: loser rc not a refusal (rc $R1/$R2)"; exit 1; }
+WTOK=$(grep -h '"result":"won"' "$LOG" | tail -1 | sed 's/.*"token":"\([^"]*\)".*/\1/')
+[ -n "$WTOK" ] && [ "$(cat "$GSTORE/claims/LEASE")" = "$WTOK" ] \
+  || { echo "SCENARIO G VIOLATED: surviving lease does not carry the winner's token"; exit 1; }
+BROKEN=$(ls "$GSTORE/claims" | grep -c '^LEASE\.broken\.')
+[ "$BROKEN" -eq 1 ] || { echo "SCENARIO G VIOLATED: $BROKEN broken-audit records (want 1)"; exit 1; }
+BFILE=$(ls "$GSTORE/claims" | grep '^LEASE\.broken\.' | head -1)
+[ "$(cat "$GSTORE/claims/$BFILE")" = "crashed-writer-token" ] \
+  || { echo "SCENARIO G VIOLATED: audit record does not carry the broken token"; exit 1; }
+TICKETS=$(ls "$GSTORE/claims" | grep -c '^LEASE\.break\.')
+[ "$TICKETS" -eq 0 ] || { echo "SCENARIO G VIOLATED: $TICKETS leftover break tickets"; exit 1; }
+
 echo "== all scenarios green ==" | tee -a "$LOG"
-grep -h '"mode"' "$LOG" | tail -32
+grep -h '"mode"' "$LOG" | tail -34

@@ -7,8 +7,9 @@
 #   scripts/roundcheck.sh [sfDir]
 #
 # ~12 min total: compile (~1), verify+oracle at sf0.01 (~4),
-# contention A–F (~7). `sbt test` stays the deeper CI layer — this is
+# contention A–G (~7). `sbt test` stays the deeper CI layer — this is
 # the fast protocol gate the round-close recipe runs every round.
+# ROUNDCHECK_CLUSTER=1 adds the cross-executor parity arm (+~10 min).
 set -uo pipefail
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
@@ -16,7 +17,9 @@ OUT=$(mktemp -d /tmp/roundcheck.XXXXXX)
 step() { echo; echo "== roundcheck: $1 =="; }
 
 step "compile"
-sbt -batch compile > "$OUT/compile.log" 2>&1 \
+# Test/compile too: contention scenario G runs the test-only faulty://
+# store (CondBreakProbe) from test-classes
+sbt -batch compile Test/compile > "$OUT/compile.log" 2>&1 \
   || { tail -20 "$OUT/compile.log"; echo "ROUNDCHECK FAILED: compile"; exit 1; }
 
 step "verify + DuckDB oracle ($SF)"
@@ -25,9 +28,26 @@ sbt -batch "runMain graft.Verify $SF $OUT/verify" > "$OUT/verify.log" 2>&1 \
 python3 scripts/check.py "$OUT/verify" "$SF" \
   || { echo "ROUNDCHECK FAILED: oracle compare"; exit 1; }
 
-step "two-JVM estate contention (A-F)"
+step "two-JVM estate contention (A-G)"
 bash scripts/contention.sh "$OUT/cstore" "$OUT/cout" \
   || { echo "ROUNDCHECK FAILED: contention"; exit 1; }
+
+# Optional executor-serialization parity arm (ROUNDCHECK_CLUSTER=1,
+# +~10 min): rerun Verify across REAL executor JVMs
+# (local-cluster[2,8,3072]) and require every key's result parquet to
+# hash-identical against the local[32] run above — the round-13 parity
+# check as a repeatable gate instead of a one-off.
+if [ "${ROUNDCHECK_CLUSTER:-0}" = "1" ]; then
+  step "cross-executor parity (local-cluster[2,8,3072])"
+  SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[2,8,3072]' \
+    sbt -batch "runMain graft.Verify $SF $OUT/verify_cluster" \
+    > "$OUT/verify_cluster.log" 2>&1 \
+    || { tail -20 "$OUT/verify_cluster.log"; echo "ROUNDCHECK FAILED: cluster verify"; exit 1; }
+  python3 scripts/check.py "$OUT/verify_cluster" "$SF" \
+    || { echo "ROUNDCHECK FAILED: cluster oracle compare"; exit 1; }
+  python3 scripts/parity.py "$OUT/verify" "$OUT/verify_cluster" \
+    || { echo "ROUNDCHECK FAILED: local vs cluster result parity"; exit 1; }
+fi
 
 echo
 echo "== roundcheck: ALL GREEN =="

@@ -460,8 +460,8 @@ object CorpusPipeline {
     val lang = if (args.length > 2) args(2) else "en"
     val minQ = if (args.length > 3) args(3).toDouble else 0.25
     val perSource = if (args.length > 4) args(4).toInt else 100
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val spark = MasterConf(SparkSession.builder(),
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")

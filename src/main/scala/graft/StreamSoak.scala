@@ -44,8 +44,8 @@ object StreamSoak {
     val root = "/tmp/stream_soak"
     EstateFs.deleteRecursive(root)
 
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val spark = MasterConf(SparkSession.builder(),
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
