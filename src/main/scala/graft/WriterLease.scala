@@ -105,10 +105,24 @@ object WriterLease {
     val lease = leasePath(dir)
     val token = java.util.UUID.randomUUID().toString
     if (tryCreateLease(lease, token)) return token
+    // TOKEN FIRST, staleness second — the order is load-bearing
+    // (contention scenario G's first cross-JVM catch, round 13): with
+    // status-then-token, a racing breaker can break the planted stale
+    // lease and re-claim INSIDE the gap, and this observer then pairs
+    // the OLD file's stale mtime with the NEW holder's token — "stale
+    // lease, token <live holder>" — and breaks a live writer (two real
+    // JVMs both returned from acquire; the audit record carried the
+    // first winner's fresh token). Reading the token first makes the
+    // staleness evidence POSTDATE the token read: a lease replaced in
+    // the gap shows its fresh mtime at the status read and simply
+    // refuses, and no writer ever creates a lease with an old mtime,
+    // so "stale at the status read" pins the token to the dead
+    // generation it was read from.
+    val observedTok = leaseToken(f, lease)
     val st = scala.util.Try(f.getFileStatus(lease)).toOption
     val staleTok = if (st.exists(s =>
       System.currentTimeMillis() - s.getModificationTime > TtlMs))
-      leaseToken(f, lease) else None
+      observedTok else None
     // Object-store posture (graft.fs.atomicRename=false): the rename-
     // based break protocol's safety rests on the aside-RENAME being
     // atomic (only one of two racing breakers wins). On a store where

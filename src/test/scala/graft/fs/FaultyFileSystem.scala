@@ -120,6 +120,16 @@ class FaultyFileSystem extends RawLocalFileSystem {
     if (cut <= 0L) all
     else all.filter(_.getModificationTime <= cut)
   }
+
+  /** Hook point for the scenario-G TOCTOU spec: [[FaultyFileSystem
+    * .openPause]] runs at open() entry, BEFORE the file is actually
+    * opened — park a reader here and replace the file underneath it to
+    * open the read-read race deterministically. */
+  override def open(p: Path, bufferSize: Int):
+      org.apache.hadoop.fs.FSDataInputStream = {
+    FaultyFileSystem.openPause(p)
+    super.open(p, bufferSize)
+  }
 }
 
 object FaultyFileSystem {
@@ -142,6 +152,11 @@ object FaultyFileSystem {
     * park a claimer here to race two claims deterministically. */
   @volatile var conditionalClosePause: () => Unit = () => ()
 
+  /** Runs at open() entry with the path — park a lease-token reader
+    * here and swap the file to reproduce the scenario-G TOCTOU
+    * deterministically. */
+  @volatile var openPause: Path => Unit = _ => ()
+
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.hadoopConfiguration
       .set("fs.faulty.impl", classOf[FaultyFileSystem].getName)
@@ -151,5 +166,6 @@ object FaultyFileSystem {
     listingAsOfMs = 0L
     conditionalCreate = false
     conditionalClosePause = () => ()
+    openPause = _ => ()
   }
 }

@@ -211,6 +211,51 @@ class FaultyFsSpec extends AnyFunSuite {
     }
   }
 
+  test("staleness evidence must postdate the token read (scenario-G TOCTOU)") {
+    // The double-claim contention scenario G caught across real JVMs
+    // (round 13): breaker A breaks the planted stale lease and
+    // re-claims INSIDE breaker B's gap between its two lease reads.
+    // With status-then-token, B pairs the OLD file's stale mtime with
+    // A's fresh token and "legitimately" breaks A's live lease. This
+    // replays that interleave deterministically: the openPause hook
+    // fires when acquire reads the token and swaps in a live holder's
+    // fresh lease — acquire must REFUSE and leave it untouched.
+    val dir = tmpFaulty("fgtoctou")
+    EstateFs.mkdirs(s"$dir/claims")
+    val leaseLocal = java.nio.file.Paths.get(localOf(dir), "claims", "LEASE")
+    java.nio.file.Files.write(leaseLocal, "stale-writer-token".getBytes)
+    java.nio.file.Files.setLastModifiedTime(leaseLocal,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - WriterLease.TtlMs - 60000L))
+    spark.conf.set(EstateFs.AtomicRenameKey, "false")
+    FaultyFileSystem.conditionalCreate = true
+    val swapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    FaultyFileSystem.openPause = p =>
+      if (p.getName == "LEASE" && swapped.compareAndSet(false, true)) {
+        // "breaker A" completes its whole break+re-claim in the gap:
+        // the planted stale lease is replaced by a LIVE one (fresh
+        // mtime, new token)
+        java.nio.file.Files.delete(leaseLocal)
+        java.nio.file.Files.write(leaseLocal, "live-holder-token".getBytes)
+      }
+    try {
+      val e = intercept[IllegalStateException] {
+        WriterLease.acquire(spark, dir, "scenario-G TOCTOU replay.")
+      }
+      assert(e.getMessage.contains("another writer holds"),
+        s"want the live-holder refusal, got: ${e.getMessage}")
+      assert(swapped.get, "the hook never fired — the replay is vacuous")
+      assert(new String(java.nio.file.Files.readAllBytes(leaseLocal)) ==
+        "live-holder-token", "the live holder's lease must survive")
+      assert(!EstateFs.listNames(s"$dir/claims")
+          .exists(_.startsWith("LEASE.broken.")),
+        "no break may be recorded against a live lease")
+    } finally {
+      spark.conf.set(EstateFs.AtomicRenameKey, "true")
+      FaultyFileSystem.reset()
+    }
+  }
+
   test("two RACING breakers on the conditional store: the ticket admits exactly one") {
     val dir = tmpFaulty("fcbrace")
     EstateFs.mkdirs(s"$dir/claims")
