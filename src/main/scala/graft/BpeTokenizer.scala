@@ -51,9 +51,8 @@ object BpeTokenizer {
   def train(spark: SparkSession, docs: DataFrame, nMerges: Int)
       : Seq[(String, String)] = {
     import spark.implicits._
-    var words = wordFreq(docs).as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString).toArray, f) }
-      .localCheckpoint(true)
+    var words = operators.Checkpoints.stable(wordFreq(docs).as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString).toArray, f) })
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.length < nMerges && !done) {
@@ -69,13 +68,15 @@ object BpeTokenizer {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        val next = words
-          .map { case (pieces, f) => (mergePair(pieces, a, b), f) }
-          .localCheckpoint(true)
-        // release the superseded round's blocks NOW — Dataset.unpersist
-        // only drops cache entries, not checkpoint blocks (the round-5
-        // soak-spike lesson GraftColumnBridge encodes)
-        org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(words)
+        val next = operators.Checkpoints.stable(words
+          .map { case (pieces, f) => (mergePair(pieces, a, b), f) })
+        // release the superseded round's LOCAL blocks NOW — Dataset
+        // .unpersist only drops cache entries, not checkpoint blocks
+        // (the round-5 soak-spike lesson GraftColumnBridge encodes).
+        // On the reliable-checkpoint path the round state is FILES,
+        // not executor blocks — nothing to release here
+        if (!operators.Checkpoints.reliable(words))
+          org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(words)
         words = next
       }
     }

@@ -448,7 +448,7 @@ object CorpusPipeline {
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
     stages(s, d, lang, minQuality, samplePerSource).foreach { case (name, fn) =>
       val in = corpus.count()
-      corpus = fn(corpus).localCheckpoint(true)
+      corpus = operators.Checkpoints.stable(fn(corpus))
       stats += StageStat(name, in, corpus.count())
     }
     (corpus, stats.toSeq)

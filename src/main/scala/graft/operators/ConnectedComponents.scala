@@ -38,17 +38,19 @@ object ConnectedComponents {
     val cols = edgesIn.columns
     require(cols.length == 2, s"edge list needs 2 columns, got ${cols.length}")
     // orient big → small; drop self-loops; dedup
-    val e0 = edgesIn.select(
+    val e0Plan = edgesIn.select(
         greatest(col(cols(0)), col(cols(1))).as("u"),
         least(col(cols(0)), col(cols(1))).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+    // round state lives across the whole contraction loop — stable
+    // lineage break (reliable checkpoint when the session configures a
+    // dir; executor-local blocks otherwise — Checkpoints.stable)
+    val e0 = Checkpoints.stable(e0Plan)
     // nodes that appear at all (isolated nodes are the caller's concern)
-    val nodes = e0.select(col("u").as("node"))
+    val nodes = Checkpoints.stable(e0.select(col("u").as("node"))
       .union(e0.select(col("v").as("node")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     var edges = e0
     // commutative 64-bit fingerprint + count of an edge set — bit_xor,
@@ -93,7 +95,7 @@ object ConnectedComponents {
         .where(col("u") =!= col("v"))
         .distinct()
         .observe(obs, sketchExprs.head, sketchExprs.tail: _*)
-        .localCheckpoint(true)
+        .transform(Checkpoints.stable(_))
       val om = obs.get
       val newSketch = (om("h").asInstanceOf[Long], om("n").asInstanceOf[Long])
       // -- converged ⟺ edge-set FIXPOINT (the paper's condition). A

@@ -323,16 +323,16 @@ object DedupQueries {
       .join(docSrc.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
       .join(docSrc.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
       .where(col("src_a") =!= col("src_b"))
-    val edges = cross.select(col("src_a").as("u"), col("src_b").as("v"))
-      .union(cross.select(col("src_b").as("u"), col("src_a").as("v")))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
-      .localCheckpoint(true)
+    val edges = graft.operators.Checkpoints.stable(
+      cross.select(col("src_a").as("u"), col("src_b").as("v"))
+        .union(cross.select(col("src_b").as("u"), col("src_a").as("v")))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w")))
     val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("wu"))
     val nodes = docSrc.select(col("source")).distinct()
     val nn = nodes.agg(count(lit(1)).as("n"))
-    var rank = nodes.crossJoin(broadcast(nn))
-      .select(col("source"), expr(s"$PrScale div n").as("r"))
-      .localCheckpoint(true)
+    var rank = graft.operators.Checkpoints.stable(
+      nodes.crossJoin(broadcast(nn))
+        .select(col("source"), expr(s"$PrScale div n").as("r")))
     for (_ <- 1 to PrRounds) {
       // (r*w) div wu without forming r*w: r ≈ 1e12 scaled, so the raw
       // product overflows Long once an edge carries >9.2e6 pairs (two
@@ -347,12 +347,12 @@ object DedupQueries {
         .select(col("v").as("source"),
           expr("(r div wu) * w + ((r % wu) * w) div wu").as("c"))
         .groupBy(col("source")).agg(sum(col("c")).as("cs"))
-      rank = nodes.crossJoin(broadcast(nn))
-        .join(contrib, Seq("source"), "left")
-        .select(col("source"),
-          (expr(s"(15 * $PrScale) div (100 * n)")
-            + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .localCheckpoint(true)
+      rank = graft.operators.Checkpoints.stable(
+        nodes.crossJoin(broadcast(nn))
+          .join(contrib, Seq("source"), "left")
+          .select(col("source"),
+            (expr(s"(15 * $PrScale) div (100 * n)")
+              + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r")))
     }
     rank
       .select(col("source"), col("r").as("rank_scaled"),
@@ -2467,9 +2467,9 @@ object DedupQueries {
       emb: org.apache.spark.sql.DataFrame, k: Int = IvfClusters)
       : (Array[Array[Long]], Array[((Int, Int), (Long, Long))]) = {
     import s.implicits._
-    val es = embRows(emb)
+    val es = graft.operators.Checkpoints.stable(embRows(emb)
       .map { case (id, e) => (id, e.map(scale1e6)) }
-      .localCheckpoint(true) // scanned once per round, not re-decoded
+      ) // scanned once per ROUND, not re-decoded — stable across rounds
     var cs: Array[Array[Long]] =
       kmeansSeeds(k).map { case (_, c) => c.map(scale1e6) }
     var agg: Array[((Int, Int), (Long, Long))] = Array.empty

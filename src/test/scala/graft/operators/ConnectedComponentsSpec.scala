@@ -84,6 +84,38 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable-checkpoint round state is result-identical to the local path") {
+    // Checkpoints.stable routes iterative round state through
+    // Dataset.checkpoint when the session owns a checkpoint dir (the
+    // cluster posture where executor loss must not kill round k) and
+    // through localCheckpoint otherwise. Same graph, both paths, same
+    // labels -- and the reliable run must actually write checkpoint
+    // files (the path was exercised, not skipped).
+    import spark.implicits._
+    val rng = new scala.util.Random(77)
+    val es = Seq.fill(300)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    val df = es.toDF("a", "b")
+    val local = ConnectedComponents.starContract(spark, df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ckptDir = java.nio.file.Files.createTempDirectory("ccckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      val reliable = ConnectedComponents.starContract(spark, df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no reliable checkpoint files written - the stable path was not exercised")
+    } finally {
+      // reset to the local-path default: the SparkContext is JVM-wide
+      // (getOrCreate), so a leaked checkpoint dir would silently flip
+      // every later suite onto the reliable path.
+      // setCheckpointDir(null) maps to None in local mode.
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("disjoint components keep per-component minima") {
     val es = Seq((10L, 3L), (7L, 3L), (3L, 9L), // comp min 3
       (100L, 42L), (42L, 77L), // comp min 42
