@@ -28,6 +28,12 @@ def keys(d):
             if os.path.isdir(os.path.join(d, n))}
 
 ka, kb = keys(A), keys(B)
+if not ka and not kb:
+    # both dirs empty of result subdirs: a typo'd path or two crashed
+    # runs must not read as "0 identical, 0 mismatched" parity (ADVICE
+    # r13 — the docstring promises a missing key reads as FAILURE)
+    print(f"FAIL: no result dirs found in either {A} or {B}")
+    sys.exit(1)
 if ka != kb:
     print(f"FAIL: key sets differ — only in {A}: {sorted(ka - kb)}; "
           f"only in {B}: {sorted(kb - ka)}")

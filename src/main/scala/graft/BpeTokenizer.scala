@@ -51,7 +51,13 @@ object BpeTokenizer {
   def train(spark: SparkSession, docs: DataFrame, nMerges: Int)
       : Seq[(String, String)] = {
     import spark.implicits._
-    var words = operators.Checkpoints.stable(wordFreq(docs).as[(String, Long)]
+    // strategy latched + superseded rounds freed by the Loop (keep=1:
+    // each merge strictly supersedes the previous word table). On the
+    // local path this is the round-5 soak-spike release; on the
+    // reliable path it deletes the previous merge's checkpoint FILES —
+    // one full word-table copy per merge otherwise (ADVICE r13).
+    val loop = new operators.Checkpoints.Loop(spark, keep = 1)
+    var words = loop.stable(wordFreq(docs).as[(String, Long)]
       .map { case (w, f) => (w.map(_.toString).toArray, f) })
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
@@ -68,16 +74,10 @@ object BpeTokenizer {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        val next = operators.Checkpoints.stable(words
+        // loop.stable materializes the new round FIRST, then frees the
+        // superseded one (blocks or files per the latched strategy)
+        words = loop.stable(words
           .map { case (pieces, f) => (mergePair(pieces, a, b), f) })
-        // release the superseded round's LOCAL blocks NOW — Dataset
-        // .unpersist only drops cache entries, not checkpoint blocks
-        // (the round-5 soak-spike lesson GraftColumnBridge encodes).
-        // On the reliable-checkpoint path the round state is FILES,
-        // not executor blocks — nothing to release here
-        if (!operators.Checkpoints.reliable(words))
-          org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(words)
-        words = next
       }
     }
     merges.toSeq

@@ -446,9 +446,14 @@ object CorpusPipeline {
       minQuality: Double = 0.25, samplePerSource: Int = 100): (DataFrame, Seq[StageStat]) = {
     var corpus = Tables.documents(s, d)
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
+    // stage outputs rotate through a Loop: each stage reads only its
+    // predecessor, so state older than keep=2 is freed as the fold
+    // advances (the curated result and its predecessor stay alive for
+    // the publish step after the loop)
+    val loop = new operators.Checkpoints.Loop(s, keep = 2)
     stages(s, d, lang, minQuality, samplePerSource).foreach { case (name, fn) =>
       val in = corpus.count()
-      corpus = operators.Checkpoints.stable(fn(corpus))
+      corpus = loop.stable(fn(corpus))
       stats += StageStat(name, in, corpus.count())
     }
     (corpus, stats.toSeq)

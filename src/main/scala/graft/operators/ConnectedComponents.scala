@@ -44,9 +44,12 @@ object ConnectedComponents {
       .where(col("u") =!= col("v"))
       .distinct()
     // round state lives across the whole contraction loop — stable
-    // lineage break (reliable checkpoint when the session configures a
-    // dir; executor-local blocks otherwise — Checkpoints.stable)
-    val e0 = Checkpoints.stable(e0Plan)
+    // lineage break, strategy LATCHED for the loop and superseded
+    // rounds freed as it advances (Checkpoints.Loop; keep=2 because
+    // the exceptAll fixpoint check below reads round k beside round
+    // k+1). `nodes` is loop-invariant → plain stable, never rotated.
+    val loop = new Checkpoints.Loop(spark, keep = 2)
+    val e0 = loop.stable(e0Plan)
     // nodes that appear at all (isolated nodes are the caller's concern)
     val nodes = Checkpoints.stable(e0.select(col("u").as("node"))
       .union(e0.select(col("v").as("node")))
@@ -86,7 +89,12 @@ object ConnectedComponents {
       val smallMins = large.groupBy(col("u"))
         .agg(min(col("v")).as("m"))
       // the fingerprint rides the checkpoint materialization via a
-      // CollectMetrics node — zero extra jobs per round (x16's pattern)
+      // CollectMetrics node — zero extra jobs per round (x16's
+      // pattern). Single-fire on BOTH strategies: the reliable path's
+      // persist bracket (Checkpoints.stableAs) keeps the checkpoint-
+      // write job reading cached blocks, so the metrics never
+      // accumulate a second execution (bit_xor would self-cancel —
+      // ADVICE r13; spec-pinned in ConnectedComponentsSpec).
       val obs = org.apache.spark.sql.Observation(
         s"cc_sketch_${sketchEpoch.incrementAndGet()}")
       val small = large.join(smallMins, "u")
@@ -95,7 +103,7 @@ object ConnectedComponents {
         .where(col("u") =!= col("v"))
         .distinct()
         .observe(obs, sketchExprs.head, sketchExprs.tail: _*)
-        .transform(Checkpoints.stable(_))
+        .transform(loop.stable(_))
       val om = obs.get
       val newSketch = (om("h").asInstanceOf[Long], om("n").asInstanceOf[Long])
       // -- converged ⟺ edge-set FIXPOINT (the paper's condition). A

@@ -312,8 +312,9 @@ object DedupQueries {
     *
     * Scale shape: the rank vector is one narrow row per source and the
     * per-round cost is one edge join + one (v)-keyed sum — PageRank's
-    * standard Pregel shape; each round eagerly localCheckpoints
-    * (GC-managed) so the 5-round lineage never compounds. The
+    * standard Pregel shape; each round breaks lineage through a
+    * rotating [[graft.operators.Checkpoints.Loop]] (superseded rank
+    * copies freed) so the 5-round lineage never compounds. The
     * node-count scalar rides a one-row broadcast cross join. Dup-pair
     * edges are x7's (DF-capped grams, bounded candidates); the edge
     * aggregation shuffles (u,v) id pairs only. */
@@ -330,7 +331,11 @@ object DedupQueries {
     val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("wu"))
     val nodes = docSrc.select(col("source")).distinct()
     val nn = nodes.agg(count(lit(1)).as("n"))
-    var rank = graft.operators.Checkpoints.stable(
+    // rank rounds rotate through a Loop (superseded rank copies freed —
+    // blocks locally, checkpoint files on the reliable path); `edges`
+    // is loop-invariant and stays on plain stable above
+    val loop = new graft.operators.Checkpoints.Loop(s, keep = 2)
+    var rank = loop.stable(
       nodes.crossJoin(broadcast(nn))
         .select(col("source"), expr(s"$PrScale div n").as("r")))
     for (_ <- 1 to PrRounds) {
@@ -347,7 +352,7 @@ object DedupQueries {
         .select(col("v").as("source"),
           expr("(r div wu) * w + ((r % wu) * w) div wu").as("c"))
         .groupBy(col("source")).agg(sum(col("c")).as("cs"))
-      rank = graft.operators.Checkpoints.stable(
+      rank = loop.stable(
         nodes.crossJoin(broadcast(nn))
           .join(contrib, Seq("source"), "left")
           .select(col("source"),

@@ -47,4 +47,20 @@ object GraftColumnBridge {
   def isMaterialized(df: Dataset[_]): Boolean =
     df.queryExecution.analyzed
       .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
+  /** The RELIABLE-checkpoint directory backing a frame returned by
+    * `Dataset.checkpoint` — None for local checkpoints and
+    * non-checkpoint frames (`RDD.getCheckpointFile` only reports
+    * reliable checkpoint data). Spark never auto-deletes these files
+    * (only `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * does, on RDD GC), so iterative loops rotate them explicitly via
+    * [[graft.operators.Checkpoints.Loop]] (ADVICE r13). Same root-only
+    * contract as [[releaseLocalCheckpoint]]: pass the
+    * directly-checkpointed frame. */
+  def checkpointFile(df: Dataset[_]): Option[String] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile
+      case _ => None
+    }
 }

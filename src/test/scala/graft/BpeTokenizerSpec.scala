@@ -69,6 +69,30 @@ class BpeTokenizerSpec extends AnyFunSuite {
       "no merge built on a previous merge — degenerate training")
   }
 
+  test("reliable-checkpoint training matches the local path and rotates files") {
+    // cluster posture (checkpoint dir set): same merges, and the Loop
+    // must delete superseded merge rounds' checkpoint files — a
+    // 12-merge train writes 13 word-table copies unrotated (ADVICE r13)
+    val local = BpeTokenizer.train(spark, Tables.documents(spark, sf), NMerges)
+    val ckptDir = java.nio.file.Files.createTempDirectory("bpeckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      val reliable = BpeTokenizer.train(spark,
+        Tables.documents(spark, sf), NMerges)
+      assert(reliable == local)
+      val rddLeft = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir)).forEach { p =>
+          if (java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("rdd-")) out += p.toString
+        }
+        out.toSeq
+      }
+      assert(rddLeft.size <= 1,
+        s"keep=1 rotation left ${rddLeft.size} word-table checkpoints: $rddLeft")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("tokenize matches the canonical greedy apply on every doc") {
     val merges = BpeTokenizer.train(spark, Tables.documents(spark, sf),
       NMerges)

@@ -96,17 +96,39 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val es = Seq.fill(300)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
       .filter(e => e._1 != e._2)
     val df = es.toDF("a", "b")
-    val local = ConnectedComponents.starContract(spark, df)
+    val (localDf, localRounds) =
+      ConnectedComponents.starContractWithRounds(spark, df)
+    val local = localDf
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ckptDir = java.nio.file.Files.createTempDirectory("ccckpt").toString
     spark.sparkContext.setCheckpointDir(ckptDir)
     try {
-      val reliable = ConnectedComponents.starContract(spark, df)
+      val (reliableDf, reliableRounds) =
+        ConnectedComponents.starContractWithRounds(spark, df)
+      val reliable = reliableDf
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(reliable == local)
+      // the convergence sketch must work identically on the reliable
+      // path: a double-executed observe self-cancels its bit_xor and
+      // costs at least one extra round (ADVICE r13)
+      assert(reliableRounds == localRounds,
+        s"reliable path took $reliableRounds rounds vs local $localRounds " +
+          "— the convergence sketch degraded under reliable checkpointing")
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "no reliable checkpoint files written - the stable path was not exercised")
+      // rotation: the loop keeps 2 rounds + the loop-invariant `nodes`
+      // checkpoint — superseded rounds' files must be gone
+      val rddLeft = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir)).forEach { p =>
+          if (java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("rdd-")) out += p.toString
+        }
+        out.toSeq
+      }
+      assert(rddLeft.size <= 3,
+        s"superseded round checkpoints not rotated: ${rddLeft.size} rdd dirs remain")
     } finally {
       // reset to the local-path default: the SparkContext is JVM-wide
       // (getOrCreate), so a leaked checkpoint dir would silently flip
