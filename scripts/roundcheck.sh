@@ -37,6 +37,18 @@ bash scripts/contention.sh "$OUT/cstore" "$OUT/cout" \
 # (local-cluster[2,8,3072]) and require every key's result parquet to
 # hash-identical against the local[32] run above — the round-13 parity
 # check as a repeatable gate instead of a one-off.
+# Optional executor-loss chaos arm (ROUNDCHECK_CHAOS=1, +~6 min): kill
+# a real executor JVM mid-job on local-cluster and require the recovery
+# claims to hold under ACTUAL loss — reliable-checkpoint round state
+# completes hash-identical, streaming ingest stays exactly-once through
+# task retry, and the localCheckpoint designed failure is documented
+# (VERDICT r13 next #1).
+if [ "${ROUNDCHECK_CHAOS:-0}" = "1" ]; then
+  step "executor-loss chaos probe (local-cluster)"
+  bash scripts/chaos.sh \
+    || { echo "ROUNDCHECK FAILED: chaos probe"; exit 1; }
+fi
+
 if [ "${ROUNDCHECK_CLUSTER:-0}" = "1" ]; then
   step "cross-executor parity (local-cluster[2,8,3072])"
   SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[2,8,3072]' \

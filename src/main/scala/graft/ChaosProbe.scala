@@ -1,0 +1,284 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Executor-loss chaos probe (VERDICT r13 next #1): kill a REAL
+  * executor JVM mid-job on `local-cluster` and prove the recovery
+  * claims that were, until now, designed-for and spec-pinned for
+  * result identity but never demonstrated under actual loss.
+  *
+  * Three arms (each prints one `[chaos]` JSON line; any hard-claim
+  * violation aborts the probe nonzero):
+  *
+  *  1. `iterative` — an iterative round-state job (star contraction on
+  *     a long chain, the worst-case many-round shape) with a RELIABLE
+  *     checkpoint dir configured ([[operators.Checkpoints.stable]]'s
+  *     cluster posture). One executor JVM is destroyed mid-contraction;
+  *     the job MUST complete and the labeling MUST hash-match the
+  *     no-kill run on the same cluster: lost tasks retry, the lost
+  *     executor's shuffle blocks recompute from the previous round's
+  *     checkpoint FILES (shared store), and the standalone worker
+  *     relaunches a replacement executor.
+  *  2. `iterative-local` — the SAME job without a checkpoint dir, so
+  *     round state is `localCheckpoint` executor blocks. Killing an
+  *     executor now loses round-k blocks whose truncated lineage cannot
+  *     be recomputed — the DESIGNED failure `Checkpoints.stable` exists
+  *     to remove (Checkpoints.scala:9-27). The arm documents the
+  *     observed outcome rather than asserting it: the failure needs the
+  *     lost executor to hold live round blocks, which the kill cannot
+  *     guarantee on every run. Either outcome is reported honestly.
+  *  3. `stream` — [[TextIndex.ingest]] micro-batches on the cluster
+  *     with one executor destroyed while a trigger is ACTIVE.
+  *     Exactly-once must hold through Spark task retry alone (no
+  *     driver restart, no checkpoint replay): every fed doc present
+  *     exactly once, and the final lengths table hash-identical to a
+  *     clean run over the same feed.
+  *
+  * A kill that misses its window (job already finished, no executor
+  * process found, no `ExecutorRemoved` event observed) FAILS the probe
+  * — same standard as contention scenario F: a chaos arm that did not
+  * actually exercise the loss must not read as a pass.
+  *
+  * Run: `SPARK_SCALA_VERSION=2.13 sbt "runMain graft.ChaosProbe"`,
+  * or `scripts/chaos.sh`. ~4 min on local-cluster[2,4,3072].
+  */
+object ChaosProbe {
+
+  private def log(s: String): Unit = println(s"[chaos] $s")
+
+  /** Executor JVMs of this driver's local-cluster: the standalone
+    * Workers run inside the driver JVM and spawn each executor
+    * (`CoarseGrainedExecutorBackend`) as a CHILD PROCESS — visible,
+    * and killable, through the process tree. */
+  private def executorProcs(): Seq[ProcessHandle] = {
+    import scala.jdk.CollectionConverters._
+    import scala.jdk.OptionConverters._
+    ProcessHandle.current().descendants().iterator().asScala
+      .filter(p => p.info().commandLine().toScala
+        .exists(_.contains("CoarseGrainedExecutorBackend")))
+      .toSeq
+  }
+
+  /** Destroy one live executor JVM; returns its pid. */
+  private def killOneExecutor(): Long = {
+    val procs = executorProcs()
+    require(procs.nonEmpty,
+      "chaos kill found no CoarseGrainedExecutorBackend child process " +
+        "— is the master really local-cluster?")
+    val victim = procs.head
+    val pid = victim.pid()
+    victim.destroyForcibly()
+    // wait for the OS-level death so the loss is real before we return
+    victim.onExit().get(30, java.util.concurrent.TimeUnit.SECONDS)
+    pid
+  }
+
+  /** (rows, bit_xor fingerprint) of a two-column result — the probe's
+    * result-identity hash. */
+  private def hashOf(df: DataFrame, a: String, b: String): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      coalesce(expr(s"bit_xor(xxhash64($a, $b))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Run `body` with a killer thread that fires after `delayMs`,
+    * requiring the body to still be in flight at the kill instant.
+    * Returns (body result or thrown, killed pid). */
+  private def withKill[T](delayMs: Long)(body: => T)
+      : (scala.util.Try[T], Long) = {
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pid = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val raceMissed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killer = new Thread(() => {
+      Thread.sleep(delayMs)
+      if (done.get()) raceMissed.set(true)
+      else pid.set(killOneExecutor())
+    }, "chaos-killer")
+    killer.setDaemon(true)
+    killer.start()
+    val out = scala.util.Try(body)
+    done.set(true)
+    killer.join(60000)
+    require(!raceMissed.get(),
+      s"chaos kill missed its window (job finished before ${delayMs} ms)" +
+        " — retune the workload; a no-op kill must not read as a pass")
+    require(pid.get() > 0, "chaos killer did not kill (thread raced)")
+    (out, pid.get())
+  }
+
+  /** The iterative workload: star-contract a `n`-node chain — the
+    * many-round worst case, every round a full shuffle of the edge
+    * set, round state through [[operators.Checkpoints]]. */
+  private def chainLabels(spark: SparkSession, n: Long): DataFrame =
+    operators.ConnectedComponents.starContract(spark,
+      spark.range(n - 1).select(col("id").as("a"), (col("id") + 1).as("b")))
+
+  def main(args: Array[String]): Unit = {
+    val arms: Seq[String] =
+      if (args.isEmpty) Seq("iterative", "iterative-local", "stream")
+      else args.toSeq
+    val n = sys.env.getOrElse("CHAOS_NODES", "200000").toLong
+    val spark = MasterConf(SparkSession.builder(), "local-cluster[2,4,3072]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    require(spark.sparkContext.master.startsWith("local-cluster"),
+      "ChaosProbe needs REAL executor JVMs (local-cluster master)")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val removed = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
+        removed.incrementAndGet(): Unit
+      }
+    })
+    // make sure both executors are up before any timing calibration
+    spark.range(1000000L).agg(sum(col("id"))).count()
+
+    val ckptRoot = java.nio.file.Files
+      .createTempDirectory("chaos_ckpt").toString
+
+    // ---- arm 1: reliable round state survives executor loss -------------
+    if (arms.contains("iterative")) {
+      spark.sparkContext.setCheckpointDir(s"$ckptRoot/reliable")
+      try {
+        val t0 = System.nanoTime()
+        val clean = hashOf(chainLabels(spark, n), "node", "root")
+        val cleanSec = (System.nanoTime() - t0) / 1e9
+        require(clean._1 == n, s"clean run labeled ${clean._1} of $n nodes")
+        val removedBefore = removed.get()
+        val killDelayMs = math.max(2000L, (cleanSec * 0.4 * 1000).toLong)
+        val t1 = System.nanoTime()
+        val (res, pid) = withKill(killDelayMs) {
+          hashOf(chainLabels(spark, n), "node", "root")
+        }
+        val chaosSec = (System.nanoTime() - t1) / 1e9
+        val got = res.get // a reliable-path job MUST complete through the loss
+        require(removed.get() > removedBefore,
+          "no ExecutorRemoved event observed — the kill did not register " +
+            "as an executor loss")
+        require(got == clean,
+          s"result diverged under executor loss: $got vs clean $clean")
+        log(f"""{"arm":"iterative","outcome":"survived_identical","nodes":$n,"clean_sec":$cleanSec%.1f,"chaos_sec":$chaosSec%.1f,"kill_at_ms":$killDelayMs,"killed_pid":$pid,"executors_removed":${removed.get() - removedBefore},"rows":${got._1},"hash":${got._2}}""")
+      } finally spark.sparkContext.setCheckpointDir(null)
+    }
+
+    // ---- arm 2: local round state (the designed failure) ----------------
+    if (arms.contains("iterative-local")) {
+      require(spark.sparkContext.getCheckpointDir.isEmpty)
+      val t0 = System.nanoTime()
+      val clean = hashOf(chainLabels(spark, n), "node", "root")
+      val cleanSec = (System.nanoTime() - t0) / 1e9
+      val removedBefore = removed.get()
+      val killDelayMs = math.max(2000L, (cleanSec * 0.5 * 1000).toLong)
+      val (res, pid) = withKill(killDelayMs) {
+        hashOf(chainLabels(spark, n), "node", "root")
+      }
+      require(removed.get() > removedBefore,
+        "no ExecutorRemoved event observed on the local arm")
+      res match {
+        case scala.util.Failure(e) =>
+          // the designed failure: locally-checkpointed round state died
+          // with the executor and cannot be recomputed
+          log(s"""{"arm":"iterative-local","outcome":"failed_as_designed","nodes":$n,"kill_at_ms":$killDelayMs,"killed_pid":$pid,"error":"${
+            e.getMessage.takeWhile(_ != '\n').replace("\"", "'").take(160)}"}""")
+        case scala.util.Success(got) =>
+          // possible when the lost executor happened to hold no live
+          // round blocks at the kill instant — report, don't assert
+          log(s"""{"arm":"iterative-local","outcome":"survived_this_run","note":"kill landed when the lost executor held no unrecoverable round blocks","nodes":$n,"killed_pid":$pid,"match_clean":${got == clean}}""")
+      }
+    }
+
+    // ---- arm 3: streaming exactly-once through task retry ---------------
+    if (arms.contains("stream")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("chaos_stream").toString
+      val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa")
+      def docText(id: Long): String =
+        s"doc$id " + (0 until 9)
+          .map(j => words(((id + j * 7) % words.size).toInt)).mkString(" ")
+      val nBase = 500
+      val docsPerBatch = 30000
+      val batches = 6
+      def runIngest(tag: String, kill: Boolean): (Long, Long) = {
+        val dir = s"$root/text_$tag"
+        val in = s"$root/in_$tag"
+        EstateFs.mkdirs(in)
+        TextIndex.build(spark, dir,
+          (0 until nBase).map(i => (i.toLong, docText(i.toLong)))
+            .toDF("doc_id", "text"))
+        (0 until batches).foreach { b =>
+          val stage = s"$root/stage_$tag"
+          (0 until docsPerBatch).map { j =>
+            val id = nBase.toLong + b.toLong * docsPerBatch + j
+            (id, docText(id))
+          }.toDF("doc_id", "text").coalesce(1)
+            .write.mode("overwrite").parquet(stage)
+          new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).zipWithIndex
+            .foreach { case (f, i) =>
+              require(f.renameTo(new java.io.File(in, s"b$b-$i.parquet")))
+            }
+          EstateFs.deleteRecursive(stage)
+        }
+        val q = TextIndex.ingest(spark, dir,
+          spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", "1").parquet(in),
+          s"$root/ckpt_$tag")
+        if (kill) {
+          // wait for mid-stream progress, then kill while a trigger is
+          // ACTIVE — the loss lands inside a micro-batch's write jobs
+          val removedBefore = removed.get()
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          var killedPid = -1L
+          while (killedPid < 0 && System.nanoTime() < deadline) {
+            val progressed = q.recentProgress.count(_.numInputRows > 0)
+            if (progressed >= 2 && q.status.isTriggerActive)
+              killedPid = killOneExecutor()
+            else Thread.sleep(50)
+          }
+          require(killedPid > 0,
+            "stream chaos kill never fired (no active trigger within " +
+              "120 s) — the race was not exercised")
+          q.processAllAvailable()
+          require(removed.get() > removedBefore,
+            "no ExecutorRemoved event observed on the stream arm")
+          log(s"""{"arm":"stream","event":"killed_mid_trigger","killed_pid":$killedPid}""")
+        } else q.processAllAvailable()
+        q.stop()
+        // every fed doc exactly once across base ∪ committed deltas
+        val textBatches = TextIndex.committedBatches(dir)
+        val lengths = {
+          val base = spark.read.parquet(TextIndex.tablePaths(dir)._2)
+            .select(col("doc_id"), col("dl"))
+          if (textBatches.isEmpty) base
+          else base.unionByName(
+            spark.read.parquet(s"$dir/lengths_delta")
+              .where(col("ingest_batch").isin(textBatches: _*))
+              .select(col("doc_id"), col("dl")))
+        }
+        val expected = nBase.toLong + batches.toLong * docsPerBatch
+        val distinct = lengths.select(col("doc_id")).distinct().count()
+        val h = hashOf(lengths, "doc_id", "dl")
+        require(h._1 == expected && distinct == expected,
+          s"$tag: exactly-once violated — ${h._1} rows / $distinct " +
+            s"distinct vs $expected expected")
+        h
+      }
+      val clean = runIngest("clean", kill = false)
+      val chaos = runIngest("chaos", kill = true)
+      require(chaos == clean,
+        s"streamed index diverged under executor loss: $chaos vs $clean")
+      log(s"""{"arm":"stream","outcome":"exactly_once_identical","docs":${clean._1},"hash":${clean._2}}""")
+      EstateFs.deleteRecursive(root)
+    }
+
+    log(s"""{"probe":"done","arms":"${arms.mkString(",")}","executors_removed_total":${removed.get()}}""")
+    spark.stop()
+  }
+}
