@@ -8,12 +8,25 @@ on the host (co-tenant/hypervisor contention), independent of the JVM —
 the probe that settled VERDICT r9 #5: 3-12x inflation exactly during
 run 3's only slow window (visits 11-12), engine exonerated.
 
-Usage: python3 scripts/host_canary.py [soak_log] > canary_trace.log
+Round 14 adds an I/O canary beside the CPU one (VERDICT r13 next #3):
+a fixed-size fsync'd write+read probe each tick (io_s column). The CPU
+canary is structurally blind to store-side I/O bursts — a soak window
+whose store verbs inflate while detect_time stays flat used to rest on
+timer decomposition alone; with both canaries, an I/O-side host burst
+gets POSITIVE in-window evidence (io_s inflates, canary_s flat) and a
+CPU-side one the converse.
+
+Usage: python3 scripts/host_canary.py [soak_log] [probe_dir] > canary_trace.log
 Pair with scripts/gc_analyze.py (GC/safepoint exoneration) and a
 /proc sampler (iowait/Dirty/steal) for the full forensics kit.
 """
-import time, sys
+import os, time, sys
 SOAK_LOG = sys.argv[1] if len(sys.argv) > 1 else '/tmp/soak1000x_r10_run3.log'
+# the I/O probe writes where the soak writes (same filesystem/device),
+# overridable for soaks on a different mount
+PROBE_DIR = sys.argv[2] if len(sys.argv) > 2 else '/tmp'
+PROBE_BYTES = 4 * 1024 * 1024  # fixed work: 4 MiB, fsync'd, read back
+_BUF = os.urandom(PROBE_BYTES)  # constant payload — no per-tick gen cost
 # fixed-work CPU canary: same integer workload each tick; duration
 # inflation == host-side slowdown (contention), independent of the JVM
 def work():
@@ -21,13 +34,29 @@ def work():
     for i in range(2_000_000):
         s += i * i ^ (i >> 3)
     return s
+def io_work():
+    p = os.path.join(PROBE_DIR, f'.canary_io_{os.getpid()}')
+    fd = os.open(p, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+    try:
+        os.write(fd, _BUF)
+        os.fsync(fd)  # the probe is the DURABLE write path, not the page cache
+    finally:
+        os.close(fd)
+    with open(p, 'rb') as f:
+        n = len(f.read())
+    os.unlink(p)
+    assert n == PROBE_BYTES
 while True:
     t0 = time.perf_counter()
     work()
     dt = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    io_work()
+    dio = time.perf_counter() - t1
     try:
         vc = sum(1 for l in open(SOAK_LOG, errors='replace') if '"visit"' in l)
     except OSError:
         vc = -1
-    print(f"{time.time():.0f} canary_s={dt:.3f} visits_done={vc}", flush=True)
+    print(f"{time.time():.0f} canary_s={dt:.3f} io_s={dio:.3f} visits_done={vc}",
+          flush=True)
     time.sleep(2)

@@ -63,3 +63,17 @@ fi
 
 echo
 echo "== roundcheck: ALL GREEN =="
+# Round-close bench protocol (VERDICT r13 next #6 — the round record
+# and the re-measure protocol in one place): Bench self-gates on the
+# committed calibration band (bench_record.json) — on a co-loaded host
+# it stamps degraded_host:true and runs min-of-3 per key. Flagged-key
+# re-measures must be FULL-REGISTRY sweeps (isolated runs read high:
+# the shared expression-family warm-up is absent), min-of-3 across
+# three sweeps, compared calibration-normalized against the record.
+echo
+echo "== round record (bench_record.json) =="
+cat bench_record.json 2>/dev/null \
+  || echo "(no bench_record.json — ad-hoc checkout, Bench gating off)"
+echo "re-measure protocol: 3x full-registry sweeps, per-key min-of-3,"
+echo "compare calibration-normalized; update bench_record.json only"
+echo "from a sweep whose calibration sits inside the committed band."

@@ -56,11 +56,47 @@ object Bench {
     runs.min
   }
 
+  /** The committed record band (bench_record.json): ([serial lo, hi],
+    * [par lo, hi]) — absent when the file is missing or unparseable
+    * (ad-hoc checkouts), in which case no gating applies. */
+  private def recordBand(): Option[(Array[Double], Array[Double])] =
+    scala.util.Try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_RECORD", "bench_record.json"))), "UTF-8")
+      def band(key: String): Array[Double] = {
+        val m = (s""""$key":\\s*\\[([0-9.]+),\\s*([0-9.]+)\\]""").r
+          .findFirstMatchIn(txt).get
+        Array(m.group(1).toDouble, m.group(2).toDouble)
+      }
+      (band("calibration_band_s"), band("calibration_par_band_s"))
+    }.toOption
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val calibration = calibrate()
     val calibrationPar = calibratePar()
+    // Calibration gate (VERDICT r13 next #2): r13's stamped artifact
+    // was a degraded-host snapshot (+46% calibration, 32 keys inflated
+    // behind unchanged code) that needed judge-side forensics to
+    // un-read as a regression. The band's LOWER edge is the
+    // least-contended observation of the fixed work; a run measuring
+    // >20% above it is co-loaded and must say so itself: the artifact
+    // self-stamps degraded_host:true and every key gets a THIRD run
+    // (min-of-3 floor) so per-key numbers carry the best evidence the
+    // window allows. The stamp is information, not suppression — the
+    // run still lands, honestly labeled.
+    val band = recordBand()
+    val degradedHost = band.exists { case (ser, par) =>
+      calibration > ser(0) * 1.2 || calibrationPar > par(0) * 1.2
+    }
+    val perKeyRuns = if (degradedHost) 3 else 2
+    if (degradedHost)
+      System.err.println(f"[bench] DEGRADED HOST: calibration $calibration%.3f" +
+        f"/${calibrationPar}%.3f s vs record band " +
+        band.map { case (s, p) => s"[${s(0)},${s(1)}]/[${p(0)},${p(1)}]" }.getOrElse("?") +
+        " — stamping degraded_host:true and using min-of-3 per key")
     val spark = MasterConf(SparkSession.builder(), s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // AQE coalescing: without parallelismFirst=false, AQE refuses to
@@ -129,21 +165,18 @@ object Bench {
             -1.0
         }
       }
-      val r1 = once()
-      val r2 = if (r1 < 0) -1.0 else once()
-      // If exactly one run succeeded, report it (ADVICE r8: recording -1
-      // overstates failures for flaky-second-run keys when a valid
-      // measurement exists; the raw pair below keeps the -1 for audits).
-      val sec =
-        if (r1 < 0 && r2 < 0) -1.0
-        else if (r1 < 0) r2
-        else if (r2 < 0) r1
-        else math.min(r1, r2)
-      (name, sec, r1, r2)
+      // min-of-N (N=2 normally, 3 on a degraded host): a key whose
+      // FIRST run fails records -1 without burning further runs; a
+      // flaky later run keeps the valid measurements (ADVICE r8).
+      val runs = scala.collection.mutable.ArrayBuffer[Double](once())
+      while (runs.length < perKeyRuns && runs.head >= 0) runs += once()
+      val okRuns = runs.filter(_ >= 0)
+      val sec = if (okRuns.isEmpty) -1.0 else okRuns.min
+      (name, sec, runs.toSeq)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val ok = results.collect { case (_, v, _, _) if v >= 0 => v }
+    val ok = results.collect { case (_, v, _) if v >= 0 => v }
     val failures = results.count(_._2 < 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     // The stdout line must survive the driver's 2000-char stdout-tail
@@ -157,7 +190,7 @@ object Bench {
       // minimal-unique token prefix: start at the leading token, extend
       // only the colliding groups one token at a time ("j3" →
       // "j3_pixel_range" vs "j3_range_join_htm"/"j3_range_join_q3c")
-      val keys = results.map { case (k, _, _, _) => k }.toSeq
+      val keys = results.map { case (k, _, _) => k }.toSeq
       val toks = keys.map(k => k -> k.split("_")).toMap
       var depth = keys.map(_ -> 1).toMap
       def pref(k: String) = toks(k).take(depth(k)).mkString("_")
@@ -176,17 +209,20 @@ object Bench {
     }
     def us(fmt: String, v: Double): String =
       fmt.formatLocal(java.util.Locale.US, v)
-    val qsShort = results.map { case (k, v, _, _) =>
+    val qsShort = results.map { case (k, v, _) =>
       "\"" + shortNames(k) + "\":" + (if (v < 0) "-1" else us("%.2f", v))
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${us("%.2f", total)},"unit":"sec","queries":$qsShort,"n_keys":${results.size},"queries_file":"bench_full.json","failures":$failures,"calibration_s":${us("%.3f", calibration)},"calibration_par_s":${us("%.3f", calibrationPar)},"sf":"$sfDir"}"""
+    val bandJson = band.map { case (s, p) =>
+      s""","calibration_band_s":[${s(0)},${s(1)}],"calibration_par_band_s":[${p(0)},${p(1)}]"""
+    }.getOrElse("")
+    val line = s"""{"metric":"total","value":${us("%.2f", total)},"unit":"sec","queries":$qsShort,"n_keys":${results.size},"queries_file":"bench_full.json","failures":$failures,"calibration_s":${us("%.3f", calibration)},"calibration_par_s":${us("%.3f", calibrationPar)},"degraded_host":$degradedHost,"per_key_runs":$perKeyRuns,"sf":"$sfDir"}"""
     println(line)
     // Full record to a file (VERDICT r7 "next" #3): the driver's stdout
     // capture truncates to a tail (59 of 151 keys survived in r7), which
     // blocks complete round-over-round audits. Write the whole per-key
     // map — min plus both raw runs — where the driver can pick it up.
-    val runsJson = results.map { case (k, _, r1, r2) =>
-      s"\"" + k + s"\":[$r1,$r2]"
+    val runsJson = results.map { case (k, _, rs) =>
+      s"\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // Round + time stamp (VERDICT r12 next #6): Bench overwrites
     // bench_full.json every invocation, so an unstamped file reads as
@@ -205,7 +241,7 @@ object Bench {
       fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
       fmt.format(new java.util.Date())
     }
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","round":$round,"written_at":"$stamp","queries":$qs,"runs":$runsJson,"failures":$failures,"calibration_s":$calibration,"calibration_par_s":$calibrationPar,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","round":$round,"written_at":"$stamp","queries":$qs,"runs":$runsJson,"failures":$failures,"calibration_s":$calibration,"calibration_par_s":$calibrationPar,"degraded_host":$degradedHost,"per_key_runs":$perKeyRuns$bandJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
       java.nio.file.Files.write(

@@ -756,6 +756,12 @@ object TextIndex {
       if (EstateFs.exists(compactMarker(dir)) && !discardSuspectCompact(dir))
         return MaintainResult("full", finishCompact(spark, dir, lease))
       cleanupFoldedDeltas(dir)
+      // retention GC for lease-audit debris (broken records / orphan
+      // break tickets beyond WriterLease.AuditRetentionMs) — runs
+      // AFTER discardSuspectCompact so the fencing read above saw
+      // every in-retention broken token, and under THIS lease per the
+      // gcAuditRecords contract
+      WriterLease.gcAuditRecords(spark, dir): Unit
       val batches = committedBatches(dir)
       if (batches.isEmpty) return MaintainResult("none", 0)
       val (_, sumDlBase, _) = meta(dir)

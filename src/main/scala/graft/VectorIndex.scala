@@ -615,8 +615,12 @@ object VectorIndex {
     val lease = WriterLease.acquire(spark, dir,
       "two concurrent rebalances would overwrite each other's " +
         "ivf_codes rewrite.")
-    try rebalanceIvfLocked(spark, dir, trainN, rounds, lease)
-    finally WriterLease.release(spark, dir, lease)
+    try {
+      // retention GC for lease-audit debris, under this lease (the
+      // vector estate's maintenance verb, mirroring TextIndex.maintain)
+      WriterLease.gcAuditRecords(spark, dir): Unit
+      rebalanceIvfLocked(spark, dir, trainN, rounds, lease)
+    } finally WriterLease.release(spark, dir, lease)
   }
 
   private def rebalanceIvfLocked(spark: SparkSession, dir: String,

@@ -273,6 +273,44 @@ object WriterLease {
           "staged debris.")
   }
 
+  /** Audit records older than this are GC'd by [[gcAuditRecords]] —
+    * generous (7 days) against the 30-minute lease [[TtlMs]]: the
+    * `by`-marker commit fencing only needs a broken token while the
+    * overtaken zombie could still attempt its late commit, and a
+    * zombie outliving this window by definition exceeded its TTL
+    * ~336× with no live claim left to fence. */
+  val AuditRetentionMs: Long = 7L * 24L * 3600L * 1000L
+
+  /** Retention GC for the lease protocol's audit debris (VERDICT r13
+    * next #7): a long-lived estate accumulates one
+    * `claims/LEASE.broken.*` record per stale-lease break (kept for
+    * the `by`-marker commit fencing and incident forensics) and, after
+    * a breaker crash, orphan `claims/LEASE.break.*` tickets —
+    * unbounded growth with no retirement path, the same shape chunk
+    * TTL solves for data. Deletes both kinds once older than
+    * `retentionMs`; returns the number removed.
+    *
+    * MUST be called while HOLDING the store's lease (the maintain
+    * verbs do): under the lease, a pending break of the live
+    * generation cannot coexist with this writer — `acquire` refuses
+    * while a break ticket for a still-stale lease exists — so any
+    * ticket older than the window is debris of a RESOLVED generation
+    * (its breaker crashed after deleting the stale lease), and
+    * GC'ing it can never erase live arbitration state. */
+  def gcAuditRecords(spark: SparkSession, dir: String,
+      retentionMs: Long = AuditRetentionMs): Int = {
+    val f = fs(spark, dir)
+    val now = System.currentTimeMillis()
+    EstateFs.listNames(s"$dir/claims").count { n =>
+      (n.startsWith("LEASE.broken.") || n.startsWith("LEASE.break.")) && {
+        val p = new Path(s"$dir/claims/$n")
+        scala.util.Try(f.getFileStatus(p)).toOption
+          .exists(st => now - st.getModificationTime > retentionMs) &&
+          scala.util.Try(f.delete(p, false)).getOrElse(false)
+      }
+    }
+  }
+
   /** Release ONLY our own lease: if the file no longer carries our
     * token (a breaker legitimately took over after our TTL expired),
     * leave it alone — deleting by path would evict the new holder. */

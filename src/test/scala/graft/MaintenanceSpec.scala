@@ -156,6 +156,38 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(again.apdbChunksDropped.values.forall(_ == 0L))
   }
 
+  test("maintain GCs lease-audit debris beyond retention, keeps fresh records") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mnt_gc").toString
+    TextIndex.build(spark, dir,
+      Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"))
+    val claims = new java.io.File(s"$dir/claims")
+    claims.mkdirs()
+    def plant(name: String, ageMs: Long): java.io.File = {
+      val f = new java.io.File(claims, name)
+      java.nio.file.Files.write(f.toPath, "dead-token".getBytes("UTF-8"))
+      assert(f.setLastModified(System.currentTimeMillis() - ageMs))
+      f
+    }
+    val eightDays = 8L * 24 * 3600 * 1000
+    val oldBroken = plant("LEASE.broken.old-record", eightDays)
+    val oldTicket = plant("LEASE.break.deadbeef01", eightDays)
+    val freshBroken = plant("LEASE.broken.fresh-record", 60 * 1000L)
+    TextIndex.maintain(spark, dir)
+    // beyond AuditRetentionMs (7 days): broken record AND orphan break
+    // ticket retired; inside the window: kept (the by-marker commit
+    // fencing still needs it)
+    assert(!oldBroken.exists(), "8-day-old broken record not GC'd")
+    assert(!oldTicket.exists(), "8-day-old orphan break ticket not GC'd")
+    assert(freshBroken.exists(), "in-retention broken record was GC'd")
+    // maintain released its own lease as usual
+    assert(!new java.io.File(claims, "LEASE").exists())
+    // the direct API reports what it removed
+    val again = plant("LEASE.broken.old2", eightDays)
+    assert(WriterLease.gcAuditRecords(spark, dir) === 1)
+    assert(!again.exists() && freshBroken.exists())
+  }
+
   test("apdb estate without a nightly cut refuses loudly") {
     val wh = java.nio.file.Files.createTempDirectory("mnt_req").toString
     val store = new ApdbSpark(spark, ApdbConfig(warehouseDir = wh))
