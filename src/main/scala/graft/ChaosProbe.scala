@@ -275,6 +275,82 @@ object ChaosProbe {
       require(chaos == clean,
         s"streamed index diverged under executor loss: $chaos vs $clean")
       log(s"""{"arm":"stream","outcome":"exactly_once_identical","docs":${clean._1},"hash":${clean._2}}""")
+
+      // -- same claim for the VECTOR estate (VectorIngest — the other
+      // streaming mutator the r13 verdict names): PQ-encode batches
+      // into ivf_codes_stream partitions, executor killed mid-trigger,
+      // code assignment must come out exactly-once and identical
+      def embedding(id: Long): Array[Float] = {
+        val r = new scala.util.Random(id * 2654435761L)
+        Array.fill(64)(r.nextGaussian().toFloat * 0.1f)
+      }
+      val vecsPerBatch = 12000
+      def runVecIngest(tag: String, kill: Boolean): (Long, Long) = {
+        val dir = s"$root/vec_$tag"
+        val in = s"$root/vin_$tag"
+        EstateFs.mkdirs(in)
+        VectorIndex.buildIvfPq(spark, dir,
+          (0 until nBase).map(i => (i.toLong, embedding(i.toLong)))
+            .toDF("vec_id", "embedding"))
+        (0 until batches).foreach { b =>
+          val stage = s"$root/vstage_$tag"
+          (0 until vecsPerBatch).map { j =>
+            val id = nBase.toLong + b.toLong * vecsPerBatch + j
+            (id, embedding(id))
+          }.toDF("vec_id", "embedding").coalesce(1)
+            .write.mode("overwrite").parquet(stage)
+          new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).zipWithIndex
+            .foreach { case (f, i) =>
+              require(f.renameTo(new java.io.File(in, s"b$b-$i.parquet")))
+            }
+          EstateFs.deleteRecursive(stage)
+        }
+        val q = graft.streaming.VectorIngest.ingest(spark, dir,
+          spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", "1").parquet(in),
+          s"$root/vckpt_$tag")
+        if (kill) {
+          val removedBefore = removed.get()
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          var killedPid = -1L
+          while (killedPid < 0 && System.nanoTime() < deadline) {
+            val progressed = q.recentProgress.count(_.numInputRows > 0)
+            if (progressed >= 2 && q.status.isTriggerActive)
+              killedPid = killOneExecutor()
+            else Thread.sleep(50)
+          }
+          require(killedPid > 0,
+            "vector stream chaos kill never fired — race not exercised")
+          q.processAllAvailable()
+          require(removed.get() > removedBefore,
+            "no ExecutorRemoved event observed on the vector stream arm")
+          log(s"""{"arm":"stream-vec","event":"killed_mid_trigger","killed_pid":$killedPid}""")
+        } else q.processAllAvailable()
+        q.stop()
+        val codes = {
+          val base = spark.read.parquet(s"$dir/ivf_codes")
+            .select(col("cand_id"), col("list"))
+          if (EstateFs.exists(s"$dir/ivf_codes_stream"))
+            base.unionByName(spark.read
+              .schema("ingest_batch LONG, list INT, cand_id LONG, code ARRAY<INT>")
+              .parquet(s"$dir/ivf_codes_stream")
+              .select(col("cand_id"), col("list")))
+          else base
+        }
+        val expected = nBase.toLong + batches.toLong * vecsPerBatch
+        val distinct = codes.select(col("cand_id")).distinct().count()
+        val h = hashOf(codes, "cand_id", "list")
+        require(h._1 == expected && distinct == expected,
+          s"$tag: vector exactly-once violated — ${h._1} rows / " +
+            s"$distinct distinct vs $expected expected")
+        h
+      }
+      val vClean = runVecIngest("clean", kill = false)
+      val vChaos = runVecIngest("chaos", kill = true)
+      require(vChaos == vClean,
+        s"vector index diverged under executor loss: $vChaos vs $vClean")
+      log(s"""{"arm":"stream-vec","outcome":"exactly_once_identical","vectors":${vClean._1},"hash":${vClean._2}}""")
       EstateFs.deleteRecursive(root)
     }
 
