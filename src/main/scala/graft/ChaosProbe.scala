@@ -34,7 +34,14 @@ import org.apache.spark.sql.functions._
   *     Exactly-once must hold through Spark task retry alone (no
   *     driver restart, no checkpoint replay): every fed doc present
   *     exactly once, and the final lengths table hash-identical to a
-  *     clean run over the same feed.
+  *     clean run over the same feed. (Plus the same claim for
+  *     [[graft.streaming.VectorIngest]] — `stream-vec`.)
+  *  4. `visit` — the flagship APDB visit pipeline with an executor
+  *     destroyed mid-visit. Whether the visit survives via task retry
+  *     or fails (the designed single-retry exposure of its
+  *     localCheckpoint FOV state) and is REDONE through the round-14
+  *     retry fence, the final warehouse must hash-identical to a
+  *     never-killed run across all four store tables.
   *
   * A kill that misses its window (job already finished, no executor
   * process found, no `ExecutorRemoved` event observed) FAILS the probe
@@ -117,7 +124,7 @@ object ChaosProbe {
 
   def main(args: Array[String]): Unit = {
     val arms: Seq[String] =
-      if (args.isEmpty) Seq("iterative", "iterative-local", "stream")
+      if (args.isEmpty) Seq("iterative", "iterative-local", "stream", "visit")
       else args.toSeq
     val n = sys.env.getOrElse("CHAOS_NODES", "200000").toLong
     val spark = MasterConf(SparkSession.builder(), "local-cluster[2,4,3072]")
@@ -352,6 +359,72 @@ object ChaosProbe {
         s"vector index diverged under executor loss: $vChaos vs $vClean")
       log(s"""{"arm":"stream-vec","outcome":"exactly_once_identical","vectors":${vClean._1},"hash":${vClean._2}}""")
       EstateFs.deleteRecursive(root)
+    }
+
+    // ---- arm 4: the flagship visit pipeline under executor loss ---------
+    // A mid-visit loss is the designed single-retry exposure (the visit
+    // localCheckpoints FOV state), and the round-14 retry fence makes
+    // the redo exactly-once (ApdbSpark's retry-exactness protocol).
+    // Claim proven here: kill an executor mid-visit; whether the visit
+    // survives via task retry or fails and is REDONE, the final
+    // warehouse state must hash-identical to a never-killed run.
+    if (arms.contains("visit")) {
+      import java.sql.Timestamp
+      import graft.apdb._
+      import graft.geom.Vec3
+      val pointing = Vec3(0.1, -0.2, -0.97).normalized
+      val catalog = DiaSim.genCatalog(spark, 2000000L, hemi = -1, seed = 42)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      catalog.count(): Unit
+      def warehouseHash(apdb: ApdbSpark): Seq[(Long, Long)] = Seq(
+        hashOf(apdb.getDiaObjectsHistory
+          .select(col("diaObjectId"), col("validityStart")),
+          "diaObjectId", "validityStart"),
+        hashOf(apdb.objectsLast, "diaObjectId", "nDiaSources"),
+        hashOf(apdb.sources, "diaSourceId", "diaObjectId"),
+        hashOf(apdb.forcedSources, "diaObjectId", "visit"))
+      var v2CleanSec = 0.0
+      def runVisits(tag: String, kill: Boolean): Seq[(Long, Long)] = {
+        val wh = java.nio.file.Files
+          .createTempDirectory(s"chaos_wh_$tag").toString
+        val apdb = new ApdbSpark(spark, ApdbConfig(warehouseDir = wh,
+          transientPerVisit = 10, falsePerVisit = 90))
+        apdb.makeSchema(drop = true)
+        VisitPipeline.visitTimes(
+          Timestamp.valueOf("2026-01-01 01:00:00"), 3).foreach {
+          case (2, ts) if kill =>
+            val removedBefore = removed.get()
+            val killDelayMs = math.max(1500L, (v2CleanSec * 0.4 * 1000).toLong)
+            val (res, pid) = withKill(killDelayMs) {
+              VisitPipeline.visit(apdb, catalog, 2, ts, pointing)
+            }
+            require(removed.get() > removedBefore,
+              "no ExecutorRemoved event observed on the visit arm")
+            res match {
+              case scala.util.Success(_) =>
+                log(s"""{"arm":"visit","event":"survived_kill_via_task_retry","killed_pid":$pid}""")
+              case scala.util.Failure(e) =>
+                log(s"""{"arm":"visit","event":"visit_failed_then_redone","killed_pid":$pid,"error":"${
+                  e.getMessage.takeWhile(_ != '\n').replace("\"", "'").take(120)}"}""")
+                // the operational redo — the retry fence must make it
+                // exactly-once against whatever the crash left behind
+                val stats = VisitPipeline.visit(apdb, catalog, 2, ts, pointing)
+                log(s"""{"arm":"visit","event":"redo_complete","recovered":${stats.recovered}}""")
+            }
+          case (id, ts) =>
+            val t0 = System.nanoTime()
+            VisitPipeline.visit(apdb, catalog, id, ts, pointing)
+            if (id == 2 && !kill) v2CleanSec = (System.nanoTime() - t0) / 1e9
+        }
+        warehouseHash(apdb)
+      }
+      val clean = runVisits("clean", kill = false)
+      val chaos = runVisits("chaos", kill = true)
+      require(chaos == clean,
+        s"warehouse diverged under mid-visit executor loss: $chaos vs $clean")
+      log(s"""{"arm":"visit","outcome":"store_identical","v2_clean_sec":${
+        "%.1f".formatLocal(java.util.Locale.US, v2CleanSec)},"tables_hashed":4}""")
+      catalog.unpersist(): Unit
     }
 
     log(s"""{"probe":"done","arms":"${arms.mkString(",")}","executors_removed_total":${removed.get()}}""")

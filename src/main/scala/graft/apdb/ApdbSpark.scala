@@ -237,13 +237,233 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
   def sources: DataFrame = readOrEmpty("sources", srcSchema).drop("pix_bucket", "mjd_bucket")
   def forcedSources: DataFrame = readOrEmpty("fsources", fsrcSchema).drop("pix_bucket", "mjd_bucket")
 
+  // -- mid-visit retry exactness (round 14) -------------------------------
+  //
+  // The reference's database backends make a retried visit naturally
+  // idempotent: every row lands by PRIMARY-KEY UPSERT (Cassandra/SQL),
+  // so `ap_proto`'s redo-a-failed-visit operational model re-overwrites
+  // the same rows for free. A parquet-append store loses that property:
+  // SaveMode.Append knows no keys, so a visit crashing between its
+  // append jobs leaves partial rows and a blind redo duplicates them
+  // (duplicate version rows break the lead()-window validity
+  // derivation; duplicate facts double history). Restored with three
+  // estate-style mechanisms (the TextIndex delta-batch playbook):
+  //
+  //  1. FILE PROVENANCE ([[stagedAppend]]) — each append job lands in a
+  //     hidden staging dir (the committer makes the job all-or-nothing
+  //     there), then its data files MOVE into the final partition dirs
+  //     under a `v<visitMillis>-` name prefix: metadata renames on
+  //     HDFS/local (on rename-as-copy object stores this costs one
+  //     extra copy of the visit's own new files — the price of
+  //     retry-exactness there). Readers never interpret file names.
+  //  2. SCRUB ([[scrubVisitAppends]]) — deletes exactly one visit's
+  //     appended files, nothing else; the retry fence calls it before
+  //     a full redo.
+  //  3. MERGE INTENT — the one non-append write, the DiaObjectLast
+  //     touched-bucket rewrite, runs LAST behind an atomic intent
+  //     marker. Dynamic partition overwrite commits per job but is not
+  //     atomic ACROSS partitions, so a crash mid-commit can leave half
+  //     the touched buckets merged; [[redoObjLastMerge]] reconstructs
+  //     the visit's version rows from the (by then complete and
+  //     exactly-once) history append and re-runs the per-bucket
+  //     overwrite — idempotent whether or not the crashed attempt's
+  //     overwrite reached a bucket, because
+  //     (desired ∖ ids(new)) ∪ new = desired.
+  //
+  // The fence itself lives in [[VisitPipeline.visit]] (it owns the
+  // visit-state checkpoint and the retry decision); store() only
+  // provides the primitives and the ordering. Retry exactness also
+  // leans on visit recompute DETERMINISM (seeded synthesis, rank-based
+  // ids) — pinned by the cross-executor parity runs. A store() caller
+  // outside the visit pipeline leaves its intent file behind; that is
+  // harmless (intents only steer a retry of the SAME visitTime) and
+  // the next pipeline visit clears stale ones.
+
+  /** Test seam: runs after each store() phase ("objects", "sources",
+    * "fsources", "mirrors", "intent", "merge") so a spec can kill the
+    * store at every protocol-relevant instant deterministically (the
+    * compactCrashHook pattern). No-op in production. */
+  private[apdb] var storeCrashHook: String => Unit = _ => ()
+
+  private[apdb] def visitTag(visitTime: Timestamp): String =
+    s"v${visitTime.getTime}-"
+
+  private[apdb] val appendTables =
+    Seq("objects", "sources", "fsources",
+      "obj_chunks", "src_chunks", "fsrc_chunks")
+
+  private def hfs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Recursive file walk via listStatus — NOT FileSystem.listFiles,
+    * whose LocatedFileStatus path loads permissions through
+    * `new java.io.File(uri)` and dies on non-file schemes (the
+    * faulty:// test store; same class of issue on some connectors). */
+  private def walkFiles(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path)
+      (visit: org.apache.hadoop.fs.FileStatus => Unit): Unit =
+    f.listStatus(p).foreach { st =>
+      if (st.isDirectory) walkFiles(f, st.getPath)(visit) else visit(st)
+    }
+
+  /** Append with per-visit file provenance; see the block comment. */
+  private def stagedAppend(df: DataFrame, t: String, partCols: Seq[String],
+      tag: String): Unit = {
+    val staging = s"$W/.stage_$t"
+    graft.EstateFs.deleteRecursive(staging) // debris of a crashed attempt
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(staging)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val f = hfs(sp)
+    val spStr = f.makeQualified(sp).toString
+    walkFiles(f, sp) { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val rel = f.makeQualified(st.getPath).toString
+          .stripPrefix(spStr).stripPrefix("/")
+        val relDir = rel.stripSuffix(name).stripSuffix("/")
+        val target = new org.apache.hadoop.fs.Path(
+          if (relDir.isEmpty) path(t) else s"${path(t)}/$relDir")
+        f.mkdirs(target)
+        val dest = new org.apache.hadoop.fs.Path(target, tag + name)
+        require(f.rename(st.getPath, dest),
+          s"staged-append move failed: ${st.getPath} -> $dest")
+      }
+    }
+    f.delete(sp, true): Unit
+  }
+
+  /** Delete every append-table file carrying `visitTime`'s provenance
+    * tag (a crashed attempt's partial appends). Returns files removed;
+    * 0 on a first attempt — the fence costs six directory listings. */
+  def scrubVisitAppends(visitTime: Timestamp): Int = {
+    val tag = visitTag(visitTime)
+    val n = appendTables.map { t =>
+      val root = new org.apache.hadoop.fs.Path(path(t))
+      val f = hfs(root)
+      if (!f.exists(root)) 0
+      else {
+        var k = 0
+        walkFiles(f, root) { st =>
+          if (st.getPath.getName.startsWith(tag) &&
+            f.delete(st.getPath, false)) k += 1
+        }
+        k
+      }
+    }.sum
+    if (n > 0) emitRecord("delete_counts", "retry_scrub",
+      Seq("files_scrubbed" -> n.toDouble))
+    n
+  }
+
+  private def intentPath(ms: Long) = s"$W/obj_last_intent_$ms.json"
+
+  /** The committed-but-possibly-unfinished merge intent for this visit:
+    * Some(touched buckets) when the crashed attempt finished EVERY
+    * append and reached the merge (the intent is written after the
+    * appends, atomically); None otherwise. */
+  private[apdb] def mergeIntent(visitTime: Timestamp): Option[Seq[Long]] = {
+    val p = intentPath(visitTime.getTime)
+    if (!graft.EstateFs.exists(p)) None
+    else Some("""-?\d+""".r
+      .findAllIn(graft.EstateFs.readString(p).dropWhile(_ != '['))
+      .map(_.toLong).toSeq)
+  }
+
+  /** Delete this visit's intent — the caller does this only AFTER the
+    * visit-state checkpoint lands (the intent must outlive the merge so
+    * a crash between them stays recoverable). */
+  private[apdb] def clearMergeIntent(visitTime: Timestamp): Unit = {
+    graft.EstateFs.deleteIfExists(intentPath(visitTime.getTime)): Unit
+  }
+
+  /** Drop intents AND attempt markers of visits OLDER than `visitTime`:
+    * a crash between the state write and the marker deletes leaves
+    * them behind, permanently inert (their visit is checkpointed
+    * complete). */
+  private[apdb] def clearStaleIntents(visitTime: Timestamp): Unit =
+    graft.EstateFs.listNames(W).foreach { n =>
+      val ms =
+        if (n.startsWith("obj_last_intent_") && n.endsWith(".json"))
+          Some(n.stripPrefix("obj_last_intent_").stripSuffix(".json").toLong)
+        else if (n.startsWith("visit_attempt_") && n.endsWith(".json"))
+          Some(n.stripPrefix("visit_attempt_").stripSuffix(".json").toLong)
+        else None
+      if (ms.exists(_ < visitTime.getTime))
+        graft.EstateFs.deleteIfExists(s"$W/$n"): Unit
+    }
+
+  private def attemptMarkerPath(ms: Long) = s"$W/visit_attempt_$ms.json"
+
+  /** True iff a previous ATTEMPT at this visit started (and therefore
+    * may have crashed mid-store) — the cheap gate that keeps the
+    * 6-tree scrub walk OFF the steady-state visit path: a first
+    * attempt pays one existence probe + one atomic marker write. */
+  private[apdb] def priorAttempt(visitTime: Timestamp): Boolean =
+    graft.EstateFs.exists(attemptMarkerPath(visitTime.getTime))
+
+  private[apdb] def markAttempt(visitTime: Timestamp): Unit =
+    graft.EstateFs.writeStringAtomic(attemptMarkerPath(visitTime.getTime),
+      s"""{"visit_ms":${visitTime.getTime}}""")
+
+  private[apdb] def clearAttempt(visitTime: Timestamp): Unit = {
+    graft.EstateFs.deleteIfExists(attemptMarkerPath(visitTime.getTime)): Unit
+  }
+
+  /** This visit's appended version rows — the redo/recovery source
+    * (exactly-once by provenance once the intent exists). */
+  private[apdb] def versionsAt(visitTime: Timestamp): DataFrame =
+    readOrEmpty("objects", objSchema)
+      .where(col("validityStart") === lit(visitTime))
+
+  private[apdb] def sourcesAtVisit(visitId: Int): DataFrame =
+    readOrEmpty("sources", srcSchema).where(col("visit") === visitId)
+
+  private[apdb] def forcedAtVisit(visitId: Int): DataFrame =
+    readOrEmpty("fsources", fsrcSchema).where(col("visit") === visitId)
+
+  /** Re-run a committed-intent merge from the version history; see the
+    * block comment for the idempotence argument. */
+  private[apdb] def redoObjLastMerge(visitTime: Timestamp,
+      touched: Seq[Long]): Unit =
+    mergeObjLast(
+      versionsAt(visitTime).where(col("pix_bucket").isin(touched: _*)),
+      touched)
+
+  /** The DiaObjectLast touched-bucket rewrite shared by store() and the
+    * retry redo: replace every new-version id's row, keep the rest,
+    * dynamic overwrite only the touched buckets. */
+  private def mergeObjLast(newVersions: DataFrame, touched: Seq[Long]): Unit = {
+    if (touched.isEmpty) return
+    val existing = readOrEmpty("obj_last", objSchema)
+      .where(col("pix_bucket").isin(touched: _*))
+    val merged = existing
+      .join(newVersions.select(col("diaObjectId")).distinct(),
+        Seq("diaObjectId"), "left_anti")
+      .unionByName(newVersions)
+      // break lineage: the plan both reads and overwrites obj_last
+      .localCheckpoint(true)
+    try merged.write.mode(SaveMode.Overwrite)
+      // per-write dynamic mode: only touched buckets are replaced,
+      // without mutating session-wide overwrite semantics
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pix_bucket").parquet(path("obj_last"))
+    // the write was the only consumer — release the blocks rather
+    // than stranding a touched-bucket-sized set per visit, and release
+    // on the FAILURE path too (a crashed merge must not leak them)
+    finally scala.util.Try(org.apache.spark.sql.GraftColumnBridge
+      .releaseLocalCheckpoint(merged)): Unit
+  }
+
   // -- store --------------------------------------------------------------
 
   /** `store(visit_time, objects, sources, forced)` (README.md:157-180,
-    * `_executors.py:221-238`): append version rows, merge the latest
-    * snapshot (rewriting only touched pixel buckets via dynamic
-    * partition overwrite), append facts, mirror CDC chunks, apply
-    * retention. */
+    * `_executors.py:221-238`): append version rows and facts and mirror
+    * CDC chunks (all with per-visit file provenance), then merge the
+    * latest snapshot LAST behind its intent marker (rewriting only
+    * touched pixel buckets via dynamic partition overwrite), apply
+    * retention. The append-then-merge order is load-bearing for the
+    * retry fence — see the retry-exactness block above. */
   def store(visitTime: Timestamp, objectsIn: DataFrame, srcsIn: DataFrame,
       fsrcsIn: DataFrame): Unit = timed("tile_store_time", "all") {
     val chunkId = visitTime.getTime / 1000 / replicaChunkSeconds
@@ -269,61 +489,59 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     val newVersions = withBucket(objects
       .withColumn("validityStart", lit(visitTime)))
       .select(objSchema.fieldNames.map(col): _*)
+    val tag = visitTag(visitTime)
 
     // 1. version history append (validity truncation is derived at read)
-    timed("insert_time", "DiaObject") {
-      newVersions.write.mode(SaveMode.Append)
-        .partitionBy("pix_bucket").parquet(path("objects"))
-    }
-
-    // 2. snapshot merge: only touched buckets are read + rewritten
     val cached = newVersions.cache()
+    try {
+    timed("insert_time", "DiaObject") {
+      stagedAppend(cached, "objects", Seq("pix_bucket"), tag)
+    }
+    storeCrashHook("objects")
     val touched = cached.select(col("pix_bucket")).distinct()
       .collect().map(_.getLong(0))
-    if (touched.nonEmpty) timed("insert_time", "DiaObjectLast") {
-      val existing = readOrEmpty("obj_last", objSchema)
-        .where(col("pix_bucket").isin(touched: _*))
-      val merged = existing
-        .join(cached.select(col("diaObjectId")).distinct(), Seq("diaObjectId"), "left_anti")
-        .unionByName(cached)
-        // break lineage: the plan both reads and overwrites obj_last
-        .localCheckpoint(true)
-      merged.write.mode(SaveMode.Overwrite)
-        // per-write dynamic mode: only touched buckets are replaced,
-        // without mutating session-wide overwrite semantics
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("pix_bucket").parquet(path("obj_last"))
-      // the write was the only consumer — release the blocks rather
-      // than stranding a touched-bucket-sized set per visit
-      org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(merged)
-    }
 
-    // 3. fact appends, partitioned by 30-day MJD bucket
+    // 2. fact appends, partitioned by 30-day MJD bucket
     def withTimeBucket(df: DataFrame): DataFrame =
       withBucket(df).withColumn("mjd_bucket",
         floor(col("midpointMjdTai") / 30.0).cast("long"))
     if (!srcs.isEmpty) timed("insert_time", "DiaSource") {
-      withTimeBucket(srcs).select(srcSchema.fieldNames.map(col): _*)
-        .write.mode(SaveMode.Append)
-        .partitionBy("mjd_bucket").parquet(path("sources"))
+      stagedAppend(
+        withTimeBucket(srcs).select(srcSchema.fieldNames.map(col): _*),
+        "sources", Seq("mjd_bucket"), tag)
     }
+    if (!srcs.isEmpty) storeCrashHook("sources")
     if (!fsrcs.isEmpty) timed("insert_time", "DiaForcedSource") {
-      withTimeBucket(fsrcs).select(fsrcSchema.fieldNames.map(col): _*)
-        .write.mode(SaveMode.Append)
-        .partitionBy("mjd_bucket").parquet(path("fsources"))
+      stagedAppend(
+        withTimeBucket(fsrcs).select(fsrcSchema.fieldNames.map(col): _*),
+        "fsources", Seq("mjd_bucket"), tag)
     }
+    storeCrashHook("fsources")
 
-    // 4. CDC chunk mirror (README replica tables, `log2csv.py:105-107`)
+    // 3. CDC chunk mirror (README replica tables, `log2csv.py:105-107`)
     def mirror(df: DataFrame, t: String, table: String): Unit =
       if (!df.isEmpty) timed("insert_time", table) {
-        df.withColumn("apdb_replica_chunk", lit(chunkId))
-          .write.mode(SaveMode.Append)
-          .partitionBy("apdb_replica_chunk").parquet(path(t))
+        stagedAppend(df.withColumn("apdb_replica_chunk", lit(chunkId)),
+          t, Seq("apdb_replica_chunk"), tag)
       }
     mirror(objects.withColumn("validityStart", lit(visitTime)), "obj_chunks",
       "DiaObjectChunks")
     mirror(srcs, "src_chunks", "DiaSourceChunks")
     mirror(fsrcs, "fsrc_chunks", "DiaForcedSourceChunks")
+    storeCrashHook("mirrors")
+
+    // 4. snapshot merge LAST, behind its intent marker (the retry
+    //    fence's commit point — see the retry-exactness block): every
+    //    append above is complete and exactly-once before the intent
+    //    lands, so a retry that finds the intent finishes the commit
+    //    instead of re-running the visit
+    graft.EstateFs.writeStringAtomic(intentPath(visitTime.getTime),
+      s"""{"visit_ms":${visitTime.getTime},"buckets":[${touched.mkString(",")}]}""")
+    storeCrashHook("intent")
+    if (touched.nonEmpty) timed("insert_time", "DiaObjectLast") {
+      mergeObjLast(cached, touched.toSeq)
+    }
+    storeCrashHook("merge")
 
     // 5. retention: drop expired chunk partitions (T8). Timed as the
     //    reference's per-table delete_time (`metrics.md:70-83`) so the
@@ -338,7 +556,9 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
         }
       }
     }
-    cached.unpersist()
+    // finally: a store that THROWS mid-sequence (executor loss, fault
+    // injection) must not leave the cache entry stranded for the retry
+    } finally { cached.unpersist(): Unit }
     refreshViews()
   }
 

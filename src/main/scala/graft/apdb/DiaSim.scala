@@ -14,9 +14,30 @@ import graft.geom._
   */
 object DiaSim {
 
+  /** Layout-independent uniform draw in [0, 1): the top 40 bits of a
+    * per-row hash. Spark's `rand(seed)` streams are seeded PER
+    * PARTITION and advance in row order, so their values change
+    * whenever the partition layout does — and layout is NOT stable
+    * under the operational events a visit must survive: executor loss
+    * changes `defaultParallelism` (which sizes `spark.range` and
+    * file-split planning), so a RETRIED visit would redraw DIFFERENT
+    * transients/detections than its first attempt (the round-14 chaos
+    * probe caught exactly this: visit-3 transients diverged after a
+    * mid-visit executor kill; VisitRetrySpec pins the fix). Keying the
+    * draw to (row id, seed) makes it a pure function of the data. */
+  private def u01(k: org.apache.spark.sql.Column, seed: Long)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(k, lit(seed)), lit(1L << 40)).cast("double") /
+      (1L << 40).toDouble
+
   /** Distributed catalog bootstrap (`gen_sources.py` analog): n points
     * uniform on the hemisphere (z <= 0 when hemi < 0), seeded — a
-    * single spark.range stage, no shuffle. */
+    * single spark.range stage, no shuffle. The gaussian draws ride
+    * `randn(seed)` (per-partition streams), so the VALUES are pinned by
+    * the slice count chosen at generation: callers persist/checkpoint
+    * the catalog once and every later read sees a fixed layout —
+    * retry-safe; only re-GENERATING under a different parallelism
+    * yields a different (equally distributed) sky. */
   def genCatalog(spark: SparkSession, n: Long, hemi: Int = -1,
       seed: Long = 42L, slices: Int = 0): DataFrame = {
     // slices > 0 overrides default parallelism — the persisted-catalog
@@ -55,7 +76,10 @@ object DiaSim {
     var vars = catalog.where(
       col("x") * a.x + col("y") * a.y + col("z") * a.z >= cosHalf)
     if (config.detectionFraction < 1.0)
-      vars = vars.where(rand(visitId.toLong * 7919L) < config.detectionFraction)
+      // keyed to (sourceIdx, visit): the same source set is detected on
+      // every retry and under any scan layout (see u01)
+      vars = vars.where(
+        u01(col("sourceIdx"), visitId.toLong * 7919L) < config.detectionFraction)
     val varsDetected = vars.select(
       col("sourceIdx").as("diaObjectId"), col("x"), col("y"), col("z"),
       lit(false).as("is_transient"))
@@ -70,8 +94,8 @@ object DiaSim {
     val rot = Mat3.rotateInto(Vec3.zAxis, a).m
     val seed = visitId.toLong * 15485863L + 3L
     val trans = spark.range(nTransients.toLong)
-      .withColumn("u", rand(seed))
-      .withColumn("phi", rand(seed + 1) * (2 * math.Pi))
+      .withColumn("u", u01(col("id"), seed))
+      .withColumn("phi", u01(col("id"), seed + 1) * (2 * math.Pi))
       .withColumn("cz", lit(cosHalf) + col("u") * (1.0 - cosHalf))
       .withColumn("r", sqrt(lit(1.0) - col("cz") * col("cz")))
       .withColumn("cx", col("r") * cos(col("phi")))

@@ -25,7 +25,11 @@ object VisitPipeline {
     * `metrics.md:15-19`). */
   final case class VisitStats(visitId: Int, nObjectsRead: Long,
       nObjectsFiltered: Long, nSources: Long, nForcedSources: Long,
-      nTransients: Long, historySources: Long, historyForced: Long)
+      nTransients: Long, historySources: Long, historyForced: Long,
+      /** True when the retry fence FINISHED a crashed attempt's commit
+        * instead of re-running the visit — stored counts are exact,
+        * read-phase counters are 0 (not recomputed). */
+      recovered: Boolean = false)
 
   /** Persisted resume state (`visit_info.py:28-42`). */
   final case class VisitState(visitId: Int, visitTimeMillis: Long,
@@ -90,6 +94,78 @@ object VisitPipeline {
     val pix = cfg.skyPix
     val tVisit0 = System.nanoTime()
     metrics.foreach(m => apdb.attachMetrics(m, visitId, visitTime))
+
+    // -- mid-visit retry fence (round 14): a previous attempt at THIS
+    // visit may have crashed anywhere in store()'s sequence (executor
+    // loss killing a localCheckpoint mid-visit is the designed
+    // single-retry exposure — Checkpoints.scala object doc). Two cases,
+    // decided by the atomic merge-intent marker store() writes after
+    // its last append:
+    //  * intent PRESENT — every append of the crashed attempt is
+    //    complete and exactly-once; only the DiaObjectLast merge and/or
+    //    the state checkpoint are unfinished. FINISH the commit: redo
+    //    the touched-bucket merge (idempotent per bucket), reconstruct
+    //    the state scalars from the stored rows, advance the
+    //    checkpoint. Re-RUNNING the visit here would double the appends
+    //    and, worse, read a post-merge `latest` (nDiaSources would
+    //    count this visit twice).
+    //  * intent ABSENT — the crash predates the merge, so obj_last is
+    //    untouched; scrub the partial appends by file provenance and
+    //    recompute the visit from scratch (deterministic synthesis ⇒
+    //    identical rows). The scrub walk runs ONLY when the attempt
+    //    marker shows a previous attempt at this visit actually
+    //    started — a first attempt pays one existence probe + one
+    //    atomic marker write, nothing table-sized.
+    apdb.clearStaleIntents(visitTime)
+    apdb.mergeIntent(visitTime) match {
+      case Some(touched) =>
+        apdb.redoObjLastMerge(visitTime, touched)
+        val prior = VisitStateStore.read(cfg.warehouseDir)
+          .getOrElse(VisitState(0, 0L, Schemas.TransientStartId - 1, 0L))
+        val myVersions = apdb.versionsAt(visitTime)
+        // transient ids were assigned prior.lastObjectId + 1..n, so the
+        // recovered high-water mark is their max (or the prior mark)
+        val newLastId = myVersions
+          .where(col("diaObjectId") >= Schemas.TransientStartId)
+          .agg(coalesce(max(col("diaObjectId")), lit(prior.lastObjectId)))
+          .head().getLong(0)
+        val nRecTrans = (newLastId - prior.lastObjectId).toInt
+        val nRecSources = apdb.sourcesAtVisit(visitId).count()
+        val nRecForced = apdb.forcedAtVisit(visitId).count()
+        VisitStateStore.write(cfg.warehouseDir, VisitState(visitId,
+          visitTime.getTime, newLastId,
+          visitId.toLong * 1000000L + nRecSources))
+        apdb.clearMergeIntent(visitTime)
+        apdb.clearAttempt(visitTime)
+        apdb.detachMetrics()
+        // read-phase counters are not recomputed on recovery (the reads
+        // were only consumed by the now-finished store) — flagged
+        return VisitStats(visitId, 0L, 0L, nRecSources, nRecForced,
+          nRecTrans, 0L, 0L, recovered = true)
+      case None =>
+        if (apdb.priorAttempt(visitTime)) apdb.scrubVisitAppends(visitTime)
+        else apdb.markAttempt(visitTime)
+    }
+
+    // Track this visit's localCheckpoint frames so a FAILED visit
+    // releases them too: the explicit success-path releases below never
+    // run when store() throws (executor loss, fault injection), and an
+    // in-process retry — the chaos probe, any catching caller — would
+    // otherwise strand an FOV-sized block set per failed attempt
+    // (ScaleSpec's leak guard caught the crash tests doing exactly
+    // that). Release is idempotent, so the success path double-release
+    // is a no-op.
+    val checkpointed = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Dataset[_]]
+    def tracked[T](ds: org.apache.spark.sql.Dataset[T])
+        : org.apache.spark.sql.Dataset[T] = {
+      checkpointed += ds; ds
+    }
+    def releaseTracked(): Unit = checkpointed.foreach { f =>
+      scala.util.Try(
+        org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(f))
+    }
+    try {
     def timedSec[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val out = f
       (out, (System.nanoTime() - t0) / 1e9)
@@ -104,8 +180,8 @@ object VisitPipeline {
     //    persisted read, or regeneration), the term the 1000×-scale
     //    analysis decomposes on
     val (detections, detectSec) = timedSec {
-      DiaSim.makeSources(spark, catalog, pointing, cfg, visitId)
-        .localCheckpoint(true) // one materialization; reused 4 times below
+      tracked(DiaSim.makeSources(spark, catalog, pointing, cfg, visitId)
+        .localCheckpoint(true)) // one materialization; reused 4 times below
     }
     timer("detect_time", "all", detectSec)
 
@@ -126,9 +202,9 @@ object VisitPipeline {
     //    region filter (F4) — two-phase
     val latestRaw = apdb.getDiaObjects(padded)
     val ((latest, nRead, nFiltered), objSelectSec) = timedSec {
-      val l = latestRaw
+      val l = tracked(latestRaw
         .where(SparkGeo.containsRaDec(padded, col("ra"), col("dec")))
-        .localCheckpoint(true) // small FOV-sized set; reused 3 times
+        .localCheckpoint(true)) // small FOV-sized set; reused 3 times
       (l, latestRaw.count(), l.count())
     }
     timer("select_time", "DiaObject", objSelectSec)
@@ -176,7 +252,7 @@ object VisitPipeline {
       .withColumn("midpointMjdTai", lit(mjdNow))
       .withColumn("pixelId", SparkGeo.pixelIndexSky(pix, col("x"), col("y"), col("z")))
       .select(Schemas.diaSource.fieldNames.map(col).toSeq :+ col("is_transient"): _*)
-      .localCheckpoint(true)
+      .transform(d => tracked(d.localCheckpoint(true)))
     val nSources = newSources.count()
 
     // 6. source-to-object match (J1: broadcast hash join replaces the
@@ -234,10 +310,14 @@ object VisitPipeline {
     //    through the attached sink
     apdb.store(visitTime, newObjects, newSources.drop("is_transient"), forced)
 
-    // 10. checkpoint state (T3)
+    // 10. checkpoint state (T3), then retire the merge intent — the
+    //     intent must outlive the state write so a crash between the
+    //     merge and here stays recoverable (retry fence above)
     val maxSrcId = visitId.toLong * 1000000L + nSources
     VisitStateStore.write(cfg.warehouseDir, VisitState(visitId,
       visitTime.getTime, state.lastObjectId + nTransients, maxSrcId))
+    apdb.clearMergeIntent(visitTime)
+    apdb.clearAttempt(visitTime)
 
     val nForced = forced.count()
     // reference-keyed counter records (`log2csv.py:134-151` consumers)
@@ -270,5 +350,11 @@ object VisitPipeline {
 
     VisitStats(visitId, nRead, nFiltered, nSources, nForced, nTransients,
       histSrc, histFsrc)
+    } catch {
+      case e: Throwable =>
+        releaseTracked() // a failed visit must not strand FOV-sized blocks
+        apdb.detachMetrics()
+        throw e
+    }
   }
 }

@@ -1,0 +1,168 @@
+package graft.apdb
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom._
+
+/** Mid-visit retry exactness (round 14): the reference's DB backends
+  * make a retried visit idempotent via primary-key upserts; the parquet
+  * store restores that property with file provenance + scrub + the
+  * merge-intent protocol (ApdbSpark's retry-exactness block). This spec
+  * kills store() at every protocol-relevant instant via the
+  * storeCrashHook seam, retries the visit, and requires the final
+  * warehouse state to be IDENTICAL to a never-crashed run — the same
+  * replay standard the TextIndex/VectorIngest estates carry. */
+class VisitRetrySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val pointing = Vec3(0.1, -0.2, -0.97).normalized
+
+  private def freshApdb(tag: String): ApdbSpark = {
+    val dir = java.nio.file.Files.createTempDirectory(s"apdb_$tag").toString
+    val cfg = ApdbConfig(warehouseDir = dir,
+      transientPerVisit = 10, falsePerVisit = 90)
+    val apdb = new ApdbSpark(spark, cfg)
+    apdb.makeSchema(drop = true)
+    apdb
+  }
+
+  private lazy val catalog = DiaSim
+    .genCatalog(spark, 100000L, hemi = -1, seed = 42)
+    .localCheckpoint(true)
+
+  private def xor(df: DataFrame, cols: Seq[String]): (Long, Long) = {
+    val r = df.agg(count(lit(1)), coalesce(
+      expr(s"bit_xor(xxhash64(${cols.mkString(",")}))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Full-store fingerprint: every table the visit writes. */
+  private def stateHash(apdb: ApdbSpark): Seq[(Long, Long)] = Seq(
+    xor(apdb.getDiaObjectsHistory.drop("validityEnd"),
+      Seq("diaObjectId", "validityStart", "nDiaSources")),
+    xor(apdb.objectsLast, Seq("diaObjectId", "nDiaSources")),
+    xor(apdb.sources, Seq("diaSourceId", "diaObjectId", "visit")),
+    xor(apdb.forcedSources, Seq("diaObjectId", "visit")))
+
+  private def runVisits(apdb: ApdbSpark, n: Int,
+      crashAt: Option[(Int, String)]): Seq[VisitPipeline.VisitStats] = {
+    val t0 = Timestamp.valueOf("2026-01-01 01:00:00")
+    VisitPipeline.visitTimes(t0, n).map { case (id, ts) =>
+      crashAt match {
+        case Some((v, phase)) if v == id =>
+          apdb.storeCrashHook =
+            p => if (p == phase) throw new RuntimeException(s"boom:$phase")
+          val failed = intercept[RuntimeException] {
+            VisitPipeline.visit(apdb, catalog, id, ts, pointing)
+          }
+          assert(failed.getMessage == s"boom:$phase")
+          apdb.storeCrashHook = _ => ()
+          // the retry — must converge to the never-crashed state
+          VisitPipeline.visit(apdb, catalog, id, ts, pointing)
+        case _ => VisitPipeline.visit(apdb, catalog, id, ts, pointing)
+      }
+    }
+  }
+
+  private lazy val clean = {
+    val apdb = freshApdb("clean")
+    val stats = runVisits(apdb, 3, None)
+    (stateHash(apdb), stats,
+      VisitPipeline.VisitStateStore.read(apdb.config.warehouseDir).get)
+  }
+
+  private def retryCase(phase: String,
+      expectRecovered: Boolean): Unit = {
+    val apdb = freshApdb(s"crash_$phase")
+    val stats = runVisits(apdb, 3, Some((2, phase)))
+    val (cleanHash, cleanStats, cleanState) = clean
+    assert(stateHash(apdb) === cleanHash,
+      s"warehouse diverged after a crash at '$phase' + retry")
+    val st = VisitPipeline.VisitStateStore.read(apdb.config.warehouseDir).get
+    assert(st === cleanState, s"visit state diverged after '$phase'")
+    val v2 = stats(1)
+    assert(v2.recovered === expectRecovered,
+      s"crash at '$phase': recovered=${v2.recovered}, expected $expectRecovered")
+    // stored counts are exact on both paths
+    assert(v2.nSources === cleanStats(1).nSources)
+    assert(v2.nTransients === cleanStats(1).nTransients)
+    assert(v2.nForcedSources === cleanStats(1).nForcedSources)
+    // no intent / attempt-marker debris after the retry completes
+    assert(!graft.EstateFs.listNames(apdb.config.warehouseDir)
+      .exists(n => n.startsWith("obj_last_intent_") ||
+        n.startsWith("visit_attempt_")))
+  }
+
+  test("no crash: visits store exactly once and no intent debris remains") {
+    val apdb = freshApdb("base")
+    runVisits(apdb, 3, None)
+    val (cleanHash, _, _) = clean
+    assert(stateHash(apdb) === cleanHash)
+    // determinism of the whole 3-visit run (what retry-exactness
+    // ultimately leans on)
+    assert(!graft.EstateFs.listNames(apdb.config.warehouseDir)
+      .exists(_.startsWith("obj_last_intent_")))
+    // every fact row exactly once (ids unique)
+    assert(apdb.sources.groupBy("diaSourceId").count()
+      .where(col("count") > 1).isEmpty)
+  }
+
+  test("crash after the objects append: scrub + redo is exactly-once") {
+    // intent absent -> fence scrubs the partial append and re-runs; a
+    // BLIND redo would have duplicated every version row of visit 2
+    retryCase("objects", expectRecovered = false)
+  }
+
+  test("crash after the fact appends: scrub + redo is exactly-once") {
+    retryCase("fsources", expectRecovered = false)
+  }
+
+  test("crash after the mirrors (pre-intent): scrub + redo is exactly-once") {
+    retryCase("mirrors", expectRecovered = false)
+  }
+
+  test("crash between intent and merge: recovery finishes the commit") {
+    // intent present, merge never ran -> the fence must REDO the merge
+    // from the version history and advance the state without re-running
+    // (a re-run would double the appends)
+    retryCase("intent", expectRecovered = true)
+  }
+
+  test("crash after the merge (pre-state): recovery finishes the commit") {
+    // the window the reorder narrows to: everything stored, state not
+    // checkpointed. Recovery must only redo the (idempotent) merge and
+    // write the state -- obj_last already merged, result identical
+    retryCase("merge", expectRecovered = true)
+  }
+
+  test("partial appends really were on disk before the scrub (the hazard is real)") {
+    // sanity that the fence is load-bearing: crash after 'sources'
+    // leaves provenance-tagged partial files that a blind redo would
+    // have doubled
+    val apdb = freshApdb("hazard")
+    runVisits(apdb, 1, None)
+    val ts2 = VisitPipeline.visitTimes(
+      Timestamp.valueOf("2026-01-01 01:00:00"), 2).last._2
+    apdb.storeCrashHook =
+      p => if (p == "sources") throw new RuntimeException("boom")
+    intercept[RuntimeException] {
+      VisitPipeline.visit(apdb, catalog, 2, ts2, pointing)
+    }
+    apdb.storeCrashHook = _ => ()
+    val scrubbed = apdb.scrubVisitAppends(ts2)
+    assert(scrubbed > 0,
+      "expected partial provenance-tagged files after a mid-store crash")
+    // and scrub is surgical: visit 1's rows are intact
+    assert(apdb.sources.where(col("visit") === 1).count() > 0)
+    assert(apdb.sources.where(col("visit") === 2).count() === 0)
+  }
+}
