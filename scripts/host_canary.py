@@ -35,24 +35,36 @@ def work():
         s += i * i ^ (i >> 3)
     return s
 def io_work():
+    # A transient probe error (ENOSPC during the soak's heavy write
+    # phase, EIO) must NOT kill the trace — that is exactly the degraded
+    # window the canary exists to witness. Report io_s=-1 for the tick
+    # and keep going; the probe file is removed on every path.
     p = os.path.join(PROBE_DIR, f'.canary_io_{os.getpid()}')
-    fd = os.open(p, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
     try:
-        os.write(fd, _BUF)
-        os.fsync(fd)  # the probe is the DURABLE write path, not the page cache
+        fd = os.open(p, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+        try:
+            os.write(fd, _BUF)
+            os.fsync(fd)  # the probe is the DURABLE write path, not the page cache
+        finally:
+            os.close(fd)
+        with open(p, 'rb') as f:
+            n = len(f.read())
+        assert n == PROBE_BYTES
+        return True
+    except OSError:
+        return False
     finally:
-        os.close(fd)
-    with open(p, 'rb') as f:
-        n = len(f.read())
-    os.unlink(p)
-    assert n == PROBE_BYTES
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
 while True:
     t0 = time.perf_counter()
     work()
     dt = time.perf_counter() - t0
     t1 = time.perf_counter()
-    io_work()
-    dio = time.perf_counter() - t1
+    io_ok = io_work()
+    dio = time.perf_counter() - t1 if io_ok else -1.0
     try:
         vc = sum(1 for l in open(SOAK_LOG, errors='replace') if '"visit"' in l)
     except OSError:

@@ -42,6 +42,13 @@ import org.apache.spark.sql.functions._
   *     localCheckpoint FOV state) and is REDONE through the round-14
   *     retry fence, the final warehouse must hash-identical to a
   *     never-killed run across all four store tables.
+  *  5. `maintenance` — `consolidateNight` with an executor destroyed
+  *     mid-compaction. Static overwrite used to delete each table dir
+  *     BEFORE the write job ran, so this loss destroyed the table; on
+  *     the dynamic-overwrite + stable-checkpoint rewrite the
+  *     compaction either completes through the loss or fails with the
+  *     store byte-identical and a rerun converging — contents must
+  *     hash-identical to pre-compaction in every outcome.
   *
   * A kill that misses its window (job already finished, no executor
   * process found, no `ExecutorRemoved` event observed) FAILS the probe
@@ -115,6 +122,35 @@ object ChaosProbe {
     (out, pid.get())
   }
 
+  /** Like [[withKill]] but fires once `ready()` holds (polled every
+    * 20 ms) plus `postReadyDelayMs` — host-speed-proof for SHORT
+    * bodies, where any fixed delay either misses the window on a fast
+    * host or lands before real work on a slow one. The maintenance arm
+    * arms it on "a Spark job is active", so the kill always lands
+    * mid-compaction. Same missed-race standard as [[withKill]]. */
+  private def withKillWhen[T](ready: () => Boolean, postReadyDelayMs: Long)
+      (body: => T): (scala.util.Try[T], Long) = {
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pid = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val raceMissed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killer = new Thread(() => {
+      while (!done.get() && !ready()) Thread.sleep(20)
+      Thread.sleep(postReadyDelayMs)
+      if (done.get()) raceMissed.set(true)
+      else pid.set(killOneExecutor())
+    }, "chaos-killer")
+    killer.setDaemon(true)
+    killer.start()
+    val out = scala.util.Try(body)
+    done.set(true)
+    killer.join(60000)
+    require(!raceMissed.get(),
+      "chaos kill missed its window (job finished before the armed " +
+        "kill) — retune the workload; a no-op kill must not read as a pass")
+    require(pid.get() > 0, "chaos killer did not kill (thread raced)")
+    (out, pid.get())
+  }
+
   /** The iterative workload: star-contract a `n`-node chain — the
     * many-round worst case, every round a full shuffle of the edge
     * set, round state through [[operators.Checkpoints]]. */
@@ -124,7 +160,8 @@ object ChaosProbe {
 
   def main(args: Array[String]): Unit = {
     val arms: Seq[String] =
-      if (args.isEmpty) Seq("iterative", "iterative-local", "stream", "visit")
+      if (args.isEmpty)
+        Seq("iterative", "iterative-local", "stream", "visit", "maintenance")
       else args.toSeq
     val n = sys.env.getOrElse("CHAOS_NODES", "200000").toLong
     val spark = MasterConf(SparkSession.builder(), "local-cluster[2,4,3072]")
@@ -170,7 +207,11 @@ object ChaosProbe {
             "as an executor loss")
         require(got == clean,
           s"result diverged under executor loss: $got vs clean $clean")
-        log(f"""{"arm":"iterative","outcome":"survived_identical","nodes":$n,"clean_sec":$cleanSec%.1f,"chaos_sec":$chaosSec%.1f,"kill_at_ms":$killDelayMs,"killed_pid":$pid,"executors_removed":${removed.get() - removedBefore},"rows":${got._1},"hash":${got._2}}""")
+        // Locale.US like arm 4: the f-interpolator's %.1f is locale-
+        // dependent and a comma decimal separator breaks the JSON line
+        log(s"""{"arm":"iterative","outcome":"survived_identical","nodes":$n,"clean_sec":${
+          "%.1f".formatLocal(java.util.Locale.US, cleanSec)},"chaos_sec":${
+          "%.1f".formatLocal(java.util.Locale.US, chaosSec)},"kill_at_ms":$killDelayMs,"killed_pid":$pid,"executors_removed":${removed.get() - removedBefore},"rows":${got._1},"hash":${got._2}}""")
       } finally spark.sparkContext.setCheckpointDir(null)
     }
 
@@ -212,20 +253,22 @@ object ChaosProbe {
       val nBase = 500
       val docsPerBatch = 30000
       val batches = 6
-      def runIngest(tag: String, kill: Boolean): (Long, Long) = {
-        val dir = s"$root/text_$tag"
-        val in = s"$root/in_$tag"
+      // One runner for BOTH streaming estates (text + vector): the feed
+      // loop, the kill-while-trigger-ACTIVE race (the loss must land
+      // inside a micro-batch's write jobs), and the exactly-once
+      // assertion are protocol, not estate-specific — a fix to the kill
+      // window or the 120 s deadline must not have to land twice.
+      def streamArm(arm: String, tag: String,
+          feedBatch: Int => org.apache.spark.sql.DataFrame,
+          startIngest: String => org.apache.spark.sql.streaming.StreamingQuery,
+          committedRows: () => org.apache.spark.sql.DataFrame,
+          idCol: String, valCol: String,
+          expected: Long, kill: Boolean): (Long, Long) = {
+        val in = s"$root/in_${arm}_$tag"
         EstateFs.mkdirs(in)
-        TextIndex.build(spark, dir,
-          (0 until nBase).map(i => (i.toLong, docText(i.toLong)))
-            .toDF("doc_id", "text"))
         (0 until batches).foreach { b =>
-          val stage = s"$root/stage_$tag"
-          (0 until docsPerBatch).map { j =>
-            val id = nBase.toLong + b.toLong * docsPerBatch + j
-            (id, docText(id))
-          }.toDF("doc_id", "text").coalesce(1)
-            .write.mode("overwrite").parquet(stage)
+          val stage = s"$root/stage_${arm}_$tag"
+          feedBatch(b).coalesce(1).write.mode("overwrite").parquet(stage)
           new java.io.File(stage).listFiles()
             .filter(_.getName.endsWith(".parquet")).zipWithIndex
             .foreach { case (f, i) =>
@@ -233,13 +276,8 @@ object ChaosProbe {
             }
           EstateFs.deleteRecursive(stage)
         }
-        val q = TextIndex.ingest(spark, dir,
-          spark.readStream.schema("doc_id LONG, text STRING")
-            .option("maxFilesPerTrigger", "1").parquet(in),
-          s"$root/ckpt_$tag")
+        val q = startIngest(in)
         if (kill) {
-          // wait for mid-stream progress, then kill while a trigger is
-          // ACTIVE — the loss lands inside a micro-batch's write jobs
           val removedBefore = removed.get()
           val deadline = System.nanoTime() + 120L * 1000000000L
           var killedPid = -1L
@@ -250,32 +288,49 @@ object ChaosProbe {
             else Thread.sleep(50)
           }
           require(killedPid > 0,
-            "stream chaos kill never fired (no active trigger within " +
+            s"$arm chaos kill never fired (no active trigger within " +
               "120 s) — the race was not exercised")
           q.processAllAvailable()
           require(removed.get() > removedBefore,
-            "no ExecutorRemoved event observed on the stream arm")
-          log(s"""{"arm":"stream","event":"killed_mid_trigger","killed_pid":$killedPid}""")
+            s"no ExecutorRemoved event observed on the $arm arm")
+          log(s"""{"arm":"$arm","event":"killed_mid_trigger","killed_pid":$killedPid}""")
         } else q.processAllAvailable()
         q.stop()
-        // every fed doc exactly once across base ∪ committed deltas
-        val textBatches = TextIndex.committedBatches(dir)
-        val lengths = {
-          val base = spark.read.parquet(TextIndex.tablePaths(dir)._2)
-            .select(col("doc_id"), col("dl"))
-          if (textBatches.isEmpty) base
-          else base.unionByName(
-            spark.read.parquet(s"$dir/lengths_delta")
-              .where(col("ingest_batch").isin(textBatches: _*))
-              .select(col("doc_id"), col("dl")))
-        }
-        val expected = nBase.toLong + batches.toLong * docsPerBatch
-        val distinct = lengths.select(col("doc_id")).distinct().count()
-        val h = hashOf(lengths, "doc_id", "dl")
+        // every fed row exactly once across base ∪ committed deltas
+        val rows = committedRows()
+        val distinct = rows.select(col(idCol)).distinct().count()
+        val h = hashOf(rows, idCol, valCol)
         require(h._1 == expected && distinct == expected,
-          s"$tag: exactly-once violated — ${h._1} rows / $distinct " +
-            s"distinct vs $expected expected")
+          s"$arm/$tag: exactly-once violated — ${h._1} rows / " +
+            s"$distinct distinct vs $expected expected")
         h
+      }
+      def runIngest(tag: String, kill: Boolean): (Long, Long) = {
+        val dir = s"$root/text_$tag"
+        TextIndex.build(spark, dir,
+          (0 until nBase).map(i => (i.toLong, docText(i.toLong)))
+            .toDF("doc_id", "text"))
+        streamArm("stream", tag,
+          feedBatch = b => (0 until docsPerBatch).map { j =>
+            val id = nBase.toLong + b.toLong * docsPerBatch + j
+            (id, docText(id))
+          }.toDF("doc_id", "text"),
+          startIngest = in => TextIndex.ingest(spark, dir,
+            spark.readStream.schema("doc_id LONG, text STRING")
+              .option("maxFilesPerTrigger", "1").parquet(in),
+            s"$root/ckpt_$tag"),
+          committedRows = () => {
+            val textBatches = TextIndex.committedBatches(dir)
+            val base = spark.read.parquet(TextIndex.tablePaths(dir)._2)
+              .select(col("doc_id"), col("dl"))
+            if (textBatches.isEmpty) base
+            else base.unionByName(
+              spark.read.parquet(s"$dir/lengths_delta")
+                .where(col("ingest_batch").isin(textBatches: _*))
+                .select(col("doc_id"), col("dl")))
+          },
+          idCol = "doc_id", valCol = "dl",
+          expected = nBase.toLong + batches.toLong * docsPerBatch, kill)
       }
       val clean = runIngest("clean", kill = false)
       val chaos = runIngest("chaos", kill = true)
@@ -294,64 +349,30 @@ object ChaosProbe {
       val vecsPerBatch = 12000
       def runVecIngest(tag: String, kill: Boolean): (Long, Long) = {
         val dir = s"$root/vec_$tag"
-        val in = s"$root/vin_$tag"
-        EstateFs.mkdirs(in)
         VectorIndex.buildIvfPq(spark, dir,
           (0 until nBase).map(i => (i.toLong, embedding(i.toLong)))
             .toDF("vec_id", "embedding"))
-        (0 until batches).foreach { b =>
-          val stage = s"$root/vstage_$tag"
-          (0 until vecsPerBatch).map { j =>
+        streamArm("stream-vec", tag,
+          feedBatch = b => (0 until vecsPerBatch).map { j =>
             val id = nBase.toLong + b.toLong * vecsPerBatch + j
             (id, embedding(id))
-          }.toDF("vec_id", "embedding").coalesce(1)
-            .write.mode("overwrite").parquet(stage)
-          new java.io.File(stage).listFiles()
-            .filter(_.getName.endsWith(".parquet")).zipWithIndex
-            .foreach { case (f, i) =>
-              require(f.renameTo(new java.io.File(in, s"b$b-$i.parquet")))
-            }
-          EstateFs.deleteRecursive(stage)
-        }
-        val q = graft.streaming.VectorIngest.ingest(spark, dir,
-          spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
-            .option("maxFilesPerTrigger", "1").parquet(in),
-          s"$root/vckpt_$tag")
-        if (kill) {
-          val removedBefore = removed.get()
-          val deadline = System.nanoTime() + 120L * 1000000000L
-          var killedPid = -1L
-          while (killedPid < 0 && System.nanoTime() < deadline) {
-            val progressed = q.recentProgress.count(_.numInputRows > 0)
-            if (progressed >= 2 && q.status.isTriggerActive)
-              killedPid = killOneExecutor()
-            else Thread.sleep(50)
-          }
-          require(killedPid > 0,
-            "vector stream chaos kill never fired — race not exercised")
-          q.processAllAvailable()
-          require(removed.get() > removedBefore,
-            "no ExecutorRemoved event observed on the vector stream arm")
-          log(s"""{"arm":"stream-vec","event":"killed_mid_trigger","killed_pid":$killedPid}""")
-        } else q.processAllAvailable()
-        q.stop()
-        val codes = {
-          val base = spark.read.parquet(s"$dir/ivf_codes")
-            .select(col("cand_id"), col("list"))
-          if (EstateFs.exists(s"$dir/ivf_codes_stream"))
-            base.unionByName(spark.read
-              .schema("ingest_batch LONG, list INT, cand_id LONG, code ARRAY<INT>")
-              .parquet(s"$dir/ivf_codes_stream")
-              .select(col("cand_id"), col("list")))
-          else base
-        }
-        val expected = nBase.toLong + batches.toLong * vecsPerBatch
-        val distinct = codes.select(col("cand_id")).distinct().count()
-        val h = hashOf(codes, "cand_id", "list")
-        require(h._1 == expected && distinct == expected,
-          s"$tag: vector exactly-once violated — ${h._1} rows / " +
-            s"$distinct distinct vs $expected expected")
-        h
+          }.toDF("vec_id", "embedding"),
+          startIngest = in => graft.streaming.VectorIngest.ingest(spark, dir,
+            spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+              .option("maxFilesPerTrigger", "1").parquet(in),
+            s"$root/vckpt_$tag"),
+          committedRows = () => {
+            val base = spark.read.parquet(s"$dir/ivf_codes")
+              .select(col("cand_id"), col("list"))
+            if (EstateFs.exists(s"$dir/ivf_codes_stream"))
+              base.unionByName(spark.read
+                .schema("ingest_batch LONG, list INT, cand_id LONG, code ARRAY<INT>")
+                .parquet(s"$dir/ivf_codes_stream")
+                .select(col("cand_id"), col("list")))
+            else base
+          },
+          idCol = "cand_id", valCol = "list",
+          expected = nBase.toLong + batches.toLong * vecsPerBatch, kill)
       }
       val vClean = runVecIngest("clean", kill = false)
       val vChaos = runVecIngest("chaos", kill = true)
@@ -360,6 +381,24 @@ object ChaosProbe {
       log(s"""{"arm":"stream-vec","outcome":"exactly_once_identical","vectors":${vClean._1},"hash":${vClean._2}}""")
       EstateFs.deleteRecursive(root)
     }
+
+    // ---- shared APDB fixtures (visit + maintenance arms) -----------------
+    lazy val apdbPointing = graft.geom.Vec3(0.1, -0.2, -0.97).normalized
+    var apdbCatalogInit = false
+    lazy val apdbCatalog = {
+      val c = apdb.DiaSim.genCatalog(spark, 2000000L, hemi = -1, seed = 42)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      c.count(): Unit
+      apdbCatalogInit = true
+      c
+    }
+    def warehouseHash(a: apdb.ApdbSpark): Seq[(Long, Long)] = Seq(
+      hashOf(a.getDiaObjectsHistory
+        .select(col("diaObjectId"), col("validityStart")),
+        "diaObjectId", "validityStart"),
+      hashOf(a.objectsLast, "diaObjectId", "nDiaSources"),
+      hashOf(a.sources, "diaSourceId", "diaObjectId"),
+      hashOf(a.forcedSources, "diaObjectId", "visit"))
 
     // ---- arm 4: the flagship visit pipeline under executor loss ---------
     // A mid-visit loss is the designed single-retry exposure (the visit
@@ -371,18 +410,8 @@ object ChaosProbe {
     if (arms.contains("visit")) {
       import java.sql.Timestamp
       import graft.apdb._
-      import graft.geom.Vec3
-      val pointing = Vec3(0.1, -0.2, -0.97).normalized
-      val catalog = DiaSim.genCatalog(spark, 2000000L, hemi = -1, seed = 42)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      catalog.count(): Unit
-      def warehouseHash(apdb: ApdbSpark): Seq[(Long, Long)] = Seq(
-        hashOf(apdb.getDiaObjectsHistory
-          .select(col("diaObjectId"), col("validityStart")),
-          "diaObjectId", "validityStart"),
-        hashOf(apdb.objectsLast, "diaObjectId", "nDiaSources"),
-        hashOf(apdb.sources, "diaSourceId", "diaObjectId"),
-        hashOf(apdb.forcedSources, "diaObjectId", "visit"))
+      val pointing = apdbPointing
+      val catalog = apdbCatalog
       var v2CleanSec = 0.0
       def runVisits(tag: String, kill: Boolean): Seq[(Long, Long)] = {
         val wh = java.nio.file.Files
@@ -424,9 +453,87 @@ object ChaosProbe {
         s"warehouse diverged under mid-visit executor loss: $chaos vs $clean")
       log(s"""{"arm":"visit","outcome":"store_identical","v2_clean_sec":${
         "%.1f".formatLocal(java.util.Locale.US, v2CleanSec)},"tables_hashed":4}""")
-      catalog.unpersist(): Unit
     }
 
+    // ---- arm 5: nightly maintenance compaction under executor loss ------
+    // consolidateNight rewrites every store table in place. With STATIC
+    // overwrite (pre-round-14-fix) Spark deleted each table dir BEFORE
+    // the write job ran, so an executor loss mid-compaction — killing
+    // the lineage-break blocks the job reads — destroyed the table.
+    // Claims proven here on the dynamic-overwrite + Checkpoints.stable
+    // rewrite, with a reliable checkpoint dir configured: the kill
+    // lands mid-compaction, and EITHER the compaction completes through
+    // the loss (round state recomputes from checkpoint files) OR it
+    // fails with the store byte-identical (dynamic overwrite commits
+    // nothing on a failed job) and a rerun converges. In every outcome
+    // the final contents must hash-identical to pre-compaction.
+    if (arms.contains("maintenance")) {
+      import java.sql.Timestamp
+      import graft.apdb._
+      def build(tag: String): ApdbSpark = {
+        val wh = java.nio.file.Files
+          .createTempDirectory(s"chaos_mnt_$tag").toString
+        val a = new ApdbSpark(spark, ApdbConfig(warehouseDir = wh,
+          transientPerVisit = 10, falsePerVisit = 90))
+        a.makeSchema(drop = true)
+        // 8 visits fragment the tables enough that consolidation is a
+        // multi-second 4-job sequence — a kill window wide enough to
+        // land reliably (3 visits compacted in <1.5 s and the probe
+        // failed its own missed-race guard)
+        VisitPipeline.visitTimes(
+          Timestamp.valueOf("2026-01-01 01:00:00"), 8).foreach {
+          case (id, ts) =>
+            VisitPipeline.visit(a, apdbCatalog, id, ts, apdbPointing): Unit
+        }
+        a
+      }
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("chaos_mnt_ckpt").toString
+      spark.sparkContext.setCheckpointDir(ckpt)
+      try {
+        val clean = build("clean")
+        val pre = warehouseHash(clean)
+        val t0 = System.nanoTime()
+        clean.consolidateNight()
+        val cleanSec = (System.nanoTime() - t0) / 1e9
+        require(warehouseHash(clean) == pre,
+          "clean consolidation changed table contents")
+        val victim = build("chaos")
+        require(warehouseHash(victim) == pre,
+          "fixture warehouses diverged before the chaos run")
+        val removedBefore = removed.get()
+        // arm the kill on "a compaction job is ACTIVE" rather than a
+        // fixed delay: consolidateNight is a short multi-job sequence,
+        // so any fixed delay misses on a fast host; the post-ready
+        // delay pushes the kill ~20% into the clean duration
+        val postReadyMs = math.min(1000L, (cleanSec * 0.2 * 1000).toLong)
+        val tracker = spark.sparkContext.statusTracker
+        val (res, pid) = withKillWhen(
+          () => tracker.getActiveJobIds().nonEmpty, postReadyMs) {
+          victim.consolidateNight()
+        }
+        require(removed.get() > removedBefore,
+          "no ExecutorRemoved event observed on the maintenance arm")
+        res match {
+          case scala.util.Success(_) =>
+            log(s"""{"arm":"maintenance","outcome":"survived_identical","clean_sec":${
+              "%.1f".formatLocal(java.util.Locale.US, cleanSec)},"post_ready_ms":$postReadyMs,"killed_pid":$pid}""")
+          case scala.util.Failure(e) =>
+            // the property the static-overwrite hazard violated: a
+            // FAILED compaction must leave every table byte-identical
+            require(warehouseHash(victim) == pre,
+              "a failed compaction mutated the store (the static-" +
+                "overwrite data-loss hazard)")
+            victim.consolidateNight()
+            log(s"""{"arm":"maintenance","outcome":"failed_intact_then_rerun_identical","post_ready_ms":$postReadyMs,"killed_pid":$pid,"error":"${
+              e.getMessage.takeWhile(_ != '\n').replace("\"", "'").take(120)}"}""")
+        }
+        require(warehouseHash(victim) == pre,
+          "consolidation under executor loss changed table contents")
+      } finally spark.sparkContext.setCheckpointDir(null)
+    }
+
+    if (apdbCatalogInit) apdbCatalog.unpersist(): Unit
     log(s"""{"probe":"done","arms":"${arms.mkString(",")}","executors_removed_total":${removed.get()}}""")
     spark.stop()
   }

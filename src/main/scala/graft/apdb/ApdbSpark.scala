@@ -422,13 +422,34 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
   private[apdb] def forcedAtVisit(visitId: Int): DataFrame =
     readOrEmpty("fsources", fsrcSchema).where(col("visit") === visitId)
 
-  /** Re-run a committed-intent merge from the version history; see the
-    * block comment for the idempotence argument. */
+  /** Re-run a committed-intent merge by REBUILDING every touched bucket
+    * from the version history. The incremental `(existing ∖ new) ∪ new`
+    * merge is idempotent only while `existing` survived — but a crash
+    * INSIDE the dynamic-overwrite commit (partition deleted, staged
+    * files not yet renamed in) can leave a touched bucket empty, and
+    * merging this visit's versions into an emptied bucket would silently
+    * drop every pre-existing object in it. The history append is
+    * complete and exactly-once by the time the intent exists, so the
+    * redo reconstructs the normal-path invariant directly: bucket B
+    * holds, for every object with ≥1 version in B, its LATEST version
+    * among B's versions (a later version in another bucket never
+    * rewrites B). The scan partition-prunes to the touched buckets;
+    * every touched bucket has ≥1 version (this visit's), so the dynamic
+    * overwrite rewrites exactly the touched set — correct whether the
+    * crashed attempt left a bucket merged, untouched, or emptied. */
   private[apdb] def redoObjLastMerge(visitTime: Timestamp,
-      touched: Seq[Long]): Unit =
-    mergeObjLast(
-      versionsAt(visitTime).where(col("pix_bucket").isin(touched: _*)),
-      touched)
+      touched: Seq[Long]): Unit = {
+    if (touched.isEmpty) return
+    val w = Window.partitionBy(col("pix_bucket"), col("diaObjectId"))
+      .orderBy(col("validityStart").desc)
+    val desired = readOrEmpty("objects", objSchema)
+      .where(col("pix_bucket").isin(touched: _*))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+    desired.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pix_bucket").parquet(path("obj_last"))
+  }
 
   /** The DiaObjectLast touched-bucket rewrite shared by store() and the
     * retry redo: replace every new-version id's row, keep the rest,
@@ -604,14 +625,25 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     * FOV-sized volume), preserving contents. Run at end of night like
     * the reference's daily consolidation. */
   def consolidateNight(): Unit = {
+    // DYNAMIC overwrite, never static: static Overwrite deletes the
+    // whole table dir BEFORE the write job runs, so a compaction job
+    // that fails mid-write (executor loss killing the lineage-break
+    // blocks, fault injection) would destroy the table. Dynamic mode
+    // stages all output first and replaces partitions only at commit —
+    // a failed job leaves the table untouched, and the remaining
+    // exposure (a crash inside commitJob emptying some partitions) is
+    // the narrow window the visit path fences with its merge intent.
+    // Checkpoints.stable makes the lineage break itself survive
+    // executor loss when the session configures a checkpoint dir.
     def compact(t: String, schema: StructType, partCol: String): Unit = {
       if (!exists(t)) return
-      val df = spark.read.schema(schema).parquet(path(t))
-        .repartition(col(partCol))
-        .localCheckpoint(true) // break lineage: rewrite reads this path
-      df.write.mode(SaveMode.Overwrite)
+      val df = graft.operators.Checkpoints.stable(
+        spark.read.schema(schema).parquet(path(t))
+          .repartition(col(partCol)))
+      try df.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol).parquet(path(t))
-      org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(df)
+      finally graft.operators.Checkpoints.release(df)
     }
     compact("obj_last", objSchema, "pix_bucket")
     compact("objects", objSchema, "pix_bucket")
@@ -642,13 +674,24 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
         graft.EstateFs.listNames(p).count(_.endsWith(".parquet")) >
           maxFilesPerPartition)
       frag.foreach { p =>
-        // partition-dir files are self-describing (partition col lives
-        // in the dir name, untouched by the rewrite)
-        val df = spark.read.parquet(p)
-          .repartition(1)
-          .localCheckpoint(true) // break lineage: rewrite reads this dir
-        df.write.mode(SaveMode.Overwrite).parquet(p)
-        org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(df)
+        // Rewrite THROUGH the table root with dynamic partition
+        // overwrite (partition col reconstructed from the dir name)
+        // rather than static-overwriting the partition dir: static
+        // Overwrite deletes the dir before the job runs, so a job that
+        // fails mid-write would destroy the partition (same hazard as
+        // consolidateNight's — see there). Dynamic mode replaces only
+        // this partition, and only at commit.
+        val dirName = p.substring(p.lastIndexOf('/') + 1)
+        val eq = dirName.indexOf('=')
+        val (pc, pv) = (dirName.substring(0, eq),
+          dirName.substring(eq + 1).toLong)
+        val df = graft.operators.Checkpoints.stable(
+          spark.read.parquet(p).repartition(1)
+            .withColumn(pc, lit(pv)))
+        try df.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(pc).parquet(path(t))
+        finally graft.operators.Checkpoints.release(df)
       }
       frag.length
     }
@@ -678,7 +721,7 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
   private var viewsRegistered = false
   /** Re-resolve the SQL views against the current files (no-op unless
     * registerViews was called). */
-  private def refreshViews(): Unit = if (viewsRegistered) registerViews()
+  private[apdb] def refreshViews(): Unit = if (viewsRegistered) registerViews()
 
   /** Parquet file count per table (compaction observability). */
   def fileCounts: Map[String, Int] =

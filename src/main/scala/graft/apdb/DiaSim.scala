@@ -14,8 +14,9 @@ import graft.geom._
   */
 object DiaSim {
 
-  /** Layout-independent uniform draw in [0, 1): the top 40 bits of a
-    * per-row hash. Spark's `rand(seed)` streams are seeded PER
+  /** Layout-independent uniform draw in [0, 1): the per-row hash
+    * modulo 2^40 (exactly uniform — 2^40 divides the 2^64 hash space).
+    * Spark's `rand(seed)` streams are seeded PER
     * PARTITION and advance in row order, so their values change
     * whenever the partition layout does — and layout is NOT stable
     * under the operational events a visit must survive: executor loss

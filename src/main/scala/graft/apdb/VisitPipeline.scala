@@ -123,13 +123,21 @@ object VisitPipeline {
         val prior = VisitStateStore.read(cfg.warehouseDir)
           .getOrElse(VisitState(0, 0L, Schemas.TransientStartId - 1, 0L))
         val myVersions = apdb.versionsAt(visitTime)
-        // transient ids were assigned prior.lastObjectId + 1..n, so the
-        // recovered high-water mark is their max (or the prior mark)
-        val newLastId = myVersions
-          .where(col("diaObjectId") >= Schemas.TransientStartId)
-          .agg(coalesce(max(col("diaObjectId")), lit(prior.lastObjectId)))
-          .head().getLong(0)
-        val nRecTrans = (newLastId - prior.lastObjectId).toInt
+        // every version row of THIS visit with a transient-space id IS a
+        // new transient (old transients are never re-detected — they get
+        // forced photometry at most, which writes no version rows), so
+        // the stored rows give an EXACT count regardless of whether the
+        // crashed attempt died before or after the state checkpoint;
+        // id-delta arithmetic against `prior` would read 0 in the
+        // post-checkpoint window. The high-water mark is their max (or
+        // the prior mark, already advanced in that window).
+        val isTrans = col("diaObjectId") >= Schemas.TransientStartId
+        val rec = myVersions.agg(
+          coalesce(max(when(isTrans, col("diaObjectId"))),
+            lit(prior.lastObjectId)),
+          coalesce(sum(when(isTrans, 1L).otherwise(0L)), lit(0L))).head()
+        val newLastId = rec.getLong(0)
+        val nRecTrans = rec.getLong(1).toInt
         val nRecSources = apdb.sourcesAtVisit(visitId).count()
         val nRecForced = apdb.forcedAtVisit(visitId).count()
         VisitStateStore.write(cfg.warehouseDir, VisitState(visitId,
@@ -137,6 +145,11 @@ object VisitPipeline {
           visitId.toLong * 1000000L + nRecSources))
         apdb.clearMergeIntent(visitTime)
         apdb.clearAttempt(visitTime)
+        // the crashed attempt never reached store()'s view refresh, and
+        // the redo above rewrote obj_last's files — re-snapshot the SQL
+        // views so registered-view readers can't hit deleted parquet
+        // paths or pre-visit rows (registerViews' staleness guarantee)
+        apdb.refreshViews()
         apdb.detachMetrics()
         // read-phase counters are not recomputed on recovery (the reads
         // were only consumed by the now-finished store) — flagged

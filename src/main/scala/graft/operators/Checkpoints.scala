@@ -77,6 +77,26 @@ object Checkpoints {
       finally ds.unpersist(blocking = false)
     }
 
+  /** Free a ONE-SHOT [[stable]] frame once its single consumer is done:
+    * local checkpoint blocks are released, reliable checkpoint files
+    * deleted (Spark cleans neither itself — an unreleased nightly
+    * maintenance frame strands one table copy per night). Best-effort
+    * like [[Loop]]'s rotation: housekeeping failures never kill the
+    * caller. Same root-only contract as the bridge helpers: pass the
+    * directly-checkpointed frame. */
+  def release(ds: Dataset[_]): Unit =
+    org.apache.spark.sql.GraftColumnBridge.checkpointFile(ds) match {
+      case Some(f) =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        scala.util.Try(p.getFileSystem(
+          ds.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)): Unit
+      case None =>
+        scala.util.Try(
+          org.apache.spark.sql.GraftColumnBridge
+            .releaseLocalCheckpoint(ds)): Unit
+    }
+
   /** Rotating lineage-break for ONE iterative loop.
     *
     * Latches the strategy at construction (the [[graft.BpeTokenizer]]

@@ -80,14 +80,7 @@ class BpeTokenizerSpec extends AnyFunSuite {
       val reliable = BpeTokenizer.train(spark,
         Tables.documents(spark, sf), NMerges)
       assert(reliable == local)
-      val rddLeft = {
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir)).forEach { p =>
-          if (java.nio.file.Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith("rdd-")) out += p.toString
-        }
-        out.toSeq
-      }
+      val rddLeft = CkptDirs.rddDirs(ckptDir)
       assert(rddLeft.size <= 1,
         s"keep=1 rotation left ${rddLeft.size} word-table checkpoints: $rddLeft")
     } finally spark.sparkContext.setCheckpointDir(null)

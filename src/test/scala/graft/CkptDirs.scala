@@ -1,0 +1,17 @@
+package graft
+
+/** Shared test helper: the surviving reliable-checkpoint `rdd-*` dirs
+  * under a checkpoint root. Checkpoints.Loop's keep-last-k rotation
+  * bound is asserted in three suites (CheckpointsSpec,
+  * BpeTokenizerSpec, ConnectedComponentsSpec) — one walker, not three,
+  * so a change to how rotation is asserted cannot silently diverge. */
+object CkptDirs {
+  def rddDirs(dir: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+      if (java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-")) out += p.toString
+    }
+    out.toSeq
+  }
+}

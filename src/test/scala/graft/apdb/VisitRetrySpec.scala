@@ -144,6 +144,112 @@ class VisitRetrySpec extends AnyFunSuite {
     retryCase("merge", expectRecovered = true)
   }
 
+  test("recovery rebuilds a bucket EMPTIED by a crash inside the overwrite commit") {
+    // Spark's dynamic-partition-overwrite commit deletes a destination
+    // partition before renaming the staged files in; a crash between
+    // the two leaves the bucket EMPTY. An incremental (existing ∖ new)
+    // ∪ new redo over an emptied bucket would silently drop every
+    // pre-existing object in it — the redo must rebuild from the
+    // version history instead. Simulated: crash at 'intent' (appends
+    // complete, merge not run), then delete one touched bucket's
+    // obj_last partition dir that holds rows NOT re-detected this visit.
+    val apdb = freshApdb("emptied")
+    val t0 = Timestamp.valueOf("2026-01-01 01:00:00")
+    val times = VisitPipeline.visitTimes(t0, 2)
+    VisitPipeline.visit(apdb, catalog, times(0)._1, times(0)._2, pointing)
+    val (v2, ts2) = times(1)
+    apdb.storeCrashHook =
+      p => if (p == "intent") throw new RuntimeException("boom:intent")
+    intercept[RuntimeException] {
+      VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+    }
+    apdb.storeCrashHook = _ => ()
+    val touched = apdb.mergeIntent(ts2).get.toSet
+    // a touched bucket with ≥1 pre-existing row that visit 2 does NOT
+    // rewrite (not re-detected): the rows an incremental redo would lose
+    val wh = apdb.config.warehouseDir
+    val atRisk = spark.read.parquet(s"$wh/obj_last")
+      .join(apdb.versionsAt(ts2).select(col("diaObjectId")),
+        Seq("diaObjectId"), "left_anti")
+      // dir-name partition inference types pix_bucket as int — normalize
+      .groupBy(col("pix_bucket").cast("long").as("pix_bucket")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucket = touched.find(b => atRisk.getOrElse(b, 0L) > 0L)
+      .getOrElse(fail("fixture too small: no touched bucket holds a " +
+        "row the visit does not re-detect"))
+    graft.EstateFs.deleteRecursive(s"$wh/obj_last/pix_bucket=$bucket")
+    val stats = VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+    assert(stats.recovered)
+    // the emptied bucket's pre-existing objects are back (from history)
+    val cleanTwo = {
+      val a = freshApdb("emptied_clean")
+      times.foreach { case (id, ts) =>
+        VisitPipeline.visit(a, catalog, id, ts, pointing) }
+      stateHash(a)
+    }
+    assert(stateHash(apdb) === cleanTwo,
+      "recovery lost pre-existing obj_last rows in the emptied bucket")
+  }
+
+  test("recovery refreshes registered SQL views (no stale/deleted file snapshots)") {
+    val apdb = freshApdb("views")
+    val t0 = Timestamp.valueOf("2026-01-01 01:00:00")
+    val times = VisitPipeline.visitTimes(t0, 2)
+    VisitPipeline.visit(apdb, catalog, times(0)._1, times(0)._2, pointing)
+    apdb.registerViews() // snapshot taken at visit-1 state
+    val (v2, ts2) = times(1)
+    apdb.storeCrashHook =
+      p => if (p == "merge") throw new RuntimeException("boom:merge")
+    intercept[RuntimeException] {
+      VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+    }
+    apdb.storeCrashHook = _ => ()
+    val stats = VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+    assert(stats.recovered)
+    // the view must read post-recovery rows, not throw on deleted files
+    // or serve the visit-1 snapshot (store() never ran refreshViews on
+    // this code path — recovery does it itself)
+    assert(spark.table("dia_object_last").count() ===
+      apdb.objectsLast.count())
+  }
+
+  test("recovery stats are exact in the post-state-checkpoint crash window") {
+    // crash between VisitStateStore.write and clearMergeIntent: `prior`
+    // is already advanced, so id-delta arithmetic would report 0
+    // transients; the stored rows give the exact count
+    val apdb = freshApdb("poststate")
+    val t0 = Timestamp.valueOf("2026-01-01 01:00:00")
+    val times = VisitPipeline.visitTimes(t0, 2)
+    VisitPipeline.visit(apdb, catalog, times(0)._1, times(0)._2, pointing)
+    val (v2, ts2) = times(1)
+    var intentJson: String = null
+    apdb.storeCrashHook = p =>
+      if (p == "intent") intentJson = graft.EstateFs.readString(
+        s"${apdb.config.warehouseDir}/obj_last_intent_${ts2.getTime}.json")
+    val cleanStats2 = VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+    apdb.storeCrashHook = _ => ()
+    assert(intentJson != null)
+    val preHash = stateHash(apdb)
+    val preState = VisitPipeline.VisitStateStore
+      .read(apdb.config.warehouseDir).get
+    // re-plant the intent + attempt marker exactly as the crash window
+    // leaves them (state written, intent not yet cleared)
+    graft.EstateFs.writeStringAtomic(
+      s"${apdb.config.warehouseDir}/obj_last_intent_${ts2.getTime}.json",
+      intentJson)
+    apdb.markAttempt(ts2)
+    val rec = VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+    assert(rec.recovered)
+    assert(rec.nTransients === cleanStats2.nTransients,
+      "post-checkpoint recovery must recount transients from stored rows")
+    assert(rec.nSources === cleanStats2.nSources)
+    assert(rec.nForcedSources === cleanStats2.nForcedSources)
+    assert(stateHash(apdb) === preHash, "recovery of a COMPLETE visit " +
+      "must be a no-op on the warehouse")
+    assert(VisitPipeline.VisitStateStore
+      .read(apdb.config.warehouseDir).get === preState)
+  }
+
   test("partial appends really were on disk before the scrub (the hazard is real)") {
     // sanity that the fence is load-bearing: crash after 'sources'
     // leaves provenance-tagged partial files that a blind redo would

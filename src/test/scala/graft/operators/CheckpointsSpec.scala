@@ -26,14 +26,7 @@ class CheckpointsSpec extends AnyFunSuite {
 
   /** rdd-* directories under a checkpoint dir = one per live reliable
     * checkpoint. */
-  private def rddDirs(dir: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
-      if (java.nio.file.Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("rdd-")) out += p.toString
-    }
-    out.toSeq
-  }
+  private def rddDirs(dir: String): Seq[String] = graft.CkptDirs.rddDirs(dir)
 
   private def withCkptDir[T](dir: String)(body: => T): T = {
     spark.sparkContext.setCheckpointDir(dir)

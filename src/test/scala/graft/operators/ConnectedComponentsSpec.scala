@@ -119,14 +119,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       assert(wrote > 0, "no reliable checkpoint files written - the stable path was not exercised")
       // rotation: the loop keeps 2 rounds + the loop-invariant `nodes`
       // checkpoint — superseded rounds' files must be gone
-      val rddLeft = {
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir)).forEach { p =>
-          if (java.nio.file.Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith("rdd-")) out += p.toString
-        }
-        out.toSeq
-      }
+      val rddLeft = graft.CkptDirs.rddDirs(ckptDir)
       assert(rddLeft.size <= 3,
         s"superseded round checkpoints not rotated: ${rddLeft.size} rdd dirs remain")
     } finally {
