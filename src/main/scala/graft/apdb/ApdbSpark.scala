@@ -673,7 +673,7 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
       val frag = parts.filter(p =>
         graft.EstateFs.listNames(p).count(_.endsWith(".parquet")) >
           maxFilesPerPartition)
-      frag.foreach { p =>
+      frag.count { p =>
         // Rewrite THROUGH the table root with dynamic partition
         // overwrite (partition col reconstructed from the dir name)
         // rather than static-overwriting the partition dir: static
@@ -683,17 +683,23 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
         // this partition, and only at commit.
         val dirName = p.substring(p.lastIndexOf('/') + 1)
         val eq = dirName.indexOf('=')
-        val (pc, pv) = (dirName.substring(0, eq),
-          dirName.substring(eq + 1).toLong)
-        val df = graft.operators.Checkpoints.stable(
-          spark.read.parquet(p).repartition(1)
-            .withColumn(pc, lit(pv)))
-        try df.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(pc).parquet(path(t))
-        finally graft.operators.Checkpoints.release(df)
+        val pc = dirName.substring(0, eq)
+        // all engine partition cols are non-null longs; a dir whose
+        // value doesn't parse (__HIVE_DEFAULT_PARTITION__) is left
+        // fragmented rather than crashed on — it cannot be addressed
+        // through a reconstructed partition column
+        scala.util.Try(dirName.substring(eq + 1).toLong).toOption.exists {
+          pv =>
+            val df = graft.operators.Checkpoints.stable(
+              spark.read.parquet(p).repartition(1)
+                .withColumn(pc, lit(pv)))
+            try df.write.mode(SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy(pc).parquet(path(t))
+            finally graft.operators.Checkpoints.release(df)
+            true
+        }
       }
-      frag.length
     }
     val done = Seq("obj_last", "objects", "sources", "fsources")
       .map(t => t -> one(t)).toMap
