@@ -24,7 +24,12 @@ class SqlViewsSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
-  test("SQL over warehouse views with region_contains and pruning") {
+  /** The registered view names are session-global; serialize with the
+    * other suites that bind them (sbt runs suites in parallel). */
+  private def viewTest(name: String)(body: => Unit): Unit =
+    test(name)(SessionViews.synchronized(body))
+
+  viewTest("SQL over warehouse views with region_contains and pruning") {
     val dir = java.nio.file.Files.createTempDirectory("apdb_sql").toString
     val apdb = new ApdbSpark(spark, ApdbConfig(warehouseDir = dir,
       transientPerVisit = 5, falsePerVisit = 45))
@@ -66,7 +71,7 @@ class SqlViewsSpec extends AnyFunSuite {
     assert(apiCount > 0)
   }
 
-  test("SQL pruning over an htm-indexed warehouse uses htm envelopes") {
+  viewTest("SQL pruning over an htm-indexed warehouse uses htm envelopes") {
     // the scheme-mismatch trap: an htm pixelId pruned with mq3c ranges
     // would silently drop qualifying rows. The views label the column
     // with (level, mode) metadata; the rule must compute envelopes in

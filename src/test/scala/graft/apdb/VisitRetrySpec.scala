@@ -192,25 +192,29 @@ class VisitRetrySpec extends AnyFunSuite {
   }
 
   test("recovery refreshes registered SQL views (no stale/deleted file snapshots)") {
-    val apdb = freshApdb("views")
-    val t0 = Timestamp.valueOf("2026-01-01 01:00:00")
-    val times = VisitPipeline.visitTimes(t0, 2)
-    VisitPipeline.visit(apdb, catalog, times(0)._1, times(0)._2, pointing)
-    apdb.registerViews() // snapshot taken at visit-1 state
-    val (v2, ts2) = times(1)
-    apdb.storeCrashHook =
-      p => if (p == "merge") throw new RuntimeException("boom:merge")
-    intercept[RuntimeException] {
-      VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+    // the view names are session-global — serialize with other suites
+    // that register them (sbt runs suites in parallel)
+    SessionViews.synchronized {
+      val apdb = freshApdb("views")
+      val t0 = Timestamp.valueOf("2026-01-01 01:00:00")
+      val times = VisitPipeline.visitTimes(t0, 2)
+      VisitPipeline.visit(apdb, catalog, times(0)._1, times(0)._2, pointing)
+      apdb.registerViews() // snapshot taken at visit-1 state
+      val (v2, ts2) = times(1)
+      apdb.storeCrashHook =
+        p => if (p == "merge") throw new RuntimeException("boom:merge")
+      intercept[RuntimeException] {
+        VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+      }
+      apdb.storeCrashHook = _ => ()
+      val stats = VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+      assert(stats.recovered)
+      // the view must read post-recovery rows, not throw on deleted
+      // files or serve the visit-1 snapshot (store() never ran
+      // refreshViews on this code path — recovery does it itself)
+      assert(spark.table("dia_object_last").count() ===
+        apdb.objectsLast.count())
     }
-    apdb.storeCrashHook = _ => ()
-    val stats = VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
-    assert(stats.recovered)
-    // the view must read post-recovery rows, not throw on deleted files
-    // or serve the visit-1 snapshot (store() never ran refreshViews on
-    // this code path — recovery does it itself)
-    assert(spark.table("dia_object_last").count() ===
-      apdb.objectsLast.count())
   }
 
   test("recovery stats are exact in the post-state-checkpoint crash window") {
