@@ -34,6 +34,20 @@ def work():
     for i in range(2_000_000):
         s += i * i ^ (i >> 3)
     return s
+# Parallel canary (round-14 continuation): a SINGLE-thread probe
+# under-detects partial-core co-tenant load — on a 32-core host a
+# burst eating 10 cores slows a 16-thread executor pool while the
+# 1-thread canary rides a free core (observed: a 72 s store phase with
+# the single canary flat). N processes of the same fixed work contend
+# the way the engine does; par inflation with single flat = partial
+# steal. Processes, not threads: the GIL serializes Python threads.
+PAR_N = min(8, os.cpu_count() or 8)
+def work_par():
+    from multiprocessing import Pool
+    with Pool(PAR_N) as p:
+        p.map(_work_child, range(PAR_N))
+def _work_child(_):
+    return work()
 def io_work():
     # A transient probe error (ENOSPC during the soak's heavy write
     # phase, EIO) must NOT kill the trace — that is exactly the degraded
@@ -58,6 +72,7 @@ def io_work():
             os.unlink(p)
         except OSError:
             pass
+tick = 0
 while True:
     t0 = time.perf_counter()
     work()
@@ -65,10 +80,18 @@ while True:
     t1 = time.perf_counter()
     io_ok = io_work()
     dio = time.perf_counter() - t1 if io_ok else -1.0
+    # the parallel probe burns PAR_N cores for ~a work() duration — a
+    # heavier observer, so sample it every 5th tick (~2% host duty)
+    dpar = -1.0
+    if tick % 5 == 0:
+        t2 = time.perf_counter()
+        work_par()
+        dpar = time.perf_counter() - t2
+    tick += 1
     try:
         vc = sum(1 for l in open(SOAK_LOG, errors='replace') if '"visit"' in l)
     except OSError:
         vc = -1
-    print(f"{time.time():.0f} canary_s={dt:.3f} io_s={dio:.3f} visits_done={vc}",
-          flush=True)
+    print(f"{time.time():.0f} canary_s={dt:.3f} par{PAR_N}_s={dpar:.3f} "
+          f"io_s={dio:.3f} visits_done={vc}", flush=True)
     time.sleep(2)
