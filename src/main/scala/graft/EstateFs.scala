@@ -232,17 +232,29 @@ object EstateFs {
       val cond = conditionalCreateCapable(f, p)
       try {
         val out = f.create(p, false)
-        var ok = false
         try {
-          out.write(content.getBytes("UTF-8")); out.close(); ok = true
+          out.write(content.getBytes("UTF-8")); out.close()
+          true
         } catch {
           // conditional-create store: the If-None-Match PUT surfaces a
-          // lost race AT CLOSE — the claim simply failed. (Without the
-          // capability a close-time IOException is a real error and
-          // propagates as before.)
-          case _: java.io.IOException if cond => ()
+          // lost race AT WRITE/CLOSE — the claim simply failed. Release
+          // the stream; do NOT delete p (it may be the rival's winning
+          // claim).
+          case _: java.io.IOException if cond =>
+            scala.util.Try(out.close()): Unit
+            false
+          case e: Throwable =>
+            // always release the stream (a leaked DFS stream pins
+            // datanode resources), and on a NON-conditional store
+            // create(p, false) already materialized the file — a
+            // partial/empty claim left behind would block every writer
+            // until the TTL break, turning one IO blip into a
+            // 30-minute outage. The atomic create means the file is
+            // ours to remove.
+            scala.util.Try(out.close()): Unit
+            if (!cond) scala.util.Try(f.delete(p, false)): Unit
+            throw e
         }
-        ok
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case _: java.nio.file.FileAlreadyExistsException => false

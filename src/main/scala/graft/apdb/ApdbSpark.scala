@@ -151,9 +151,7 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     * / F10) so parquet only reads those columns. */
   def getDiaObjects(region: Region, columns: Seq[String] = Nil): DataFrame = {
     val ranges = SparkGeo.coarsen(skyPix.envelope(region), maxEnvelopeRanges)
-    val buckets = ranges
-      .flatMap { case (lo, hi) => (lo >> pixBucketShift) to ((hi - 1) >> pixBucketShift) }
-      .distinct
+    val buckets = bucketsOf(ranges)
     // query fan-out counters (`metrics.md:43-45`): one range predicate ≈
     // one query; one bucket ≈ one spatial partition touched
     emitRecord("select_query_stats", "DiaObject",
@@ -170,13 +168,18 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     else named.select(columns.map(col): _*)
   }
 
+  /** The ONE range→bucket derivation (half-open `[lo,hi)` ranges, so
+    * the last contributing pixel is `hi - 1`) — getDiaObjects and
+    * fovBuckets must never drift apart on this. */
+  private def bucketsOf(ranges: Seq[(Long, Long)]): Seq[Long] =
+    ranges.flatMap { case (lo, hi) =>
+      (lo >> pixBucketShift) to ((hi - 1) >> pixBucketShift)
+    }.distinct
+
   /** Padded-FOV pixel buckets (the shared coarse-prune set of
     * getDiaObjects / CatalogStore.readFov / the history reads). */
   private def fovBuckets(region: Region): Seq[Long] =
-    SparkGeo.coarsen(skyPix.envelope(region), maxEnvelopeRanges)
-      .flatMap { case (lo, hi) =>
-        (lo >> pixBucketShift) to ((hi - 1) >> pixBucketShift)
-      }.distinct
+    bucketsOf(SparkGeo.coarsen(skyPix.envelope(region), maxEnvelopeRanges))
 
   /** DiaSource history for an ID set with a months cutoff
     * (README.md:130-140). `ids` joins semi (scales past isin lists).
@@ -383,11 +386,15 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     * complete). */
   private[apdb] def clearStaleIntents(visitTime: Timestamp): Unit =
     graft.EstateFs.listNames(W).foreach { n =>
+      // guarded parse: a stray marker-shaped file with a non-numeric
+      // middle (operator debris, backup suffixes) must be ignored, not
+      // crash every subsequent visit on this first-thing-in-the-fence
+      // walk
       val ms =
         if (n.startsWith("obj_last_intent_") && n.endsWith(".json"))
-          Some(n.stripPrefix("obj_last_intent_").stripSuffix(".json").toLong)
+          n.stripPrefix("obj_last_intent_").stripSuffix(".json").toLongOption
         else if (n.startsWith("visit_attempt_") && n.endsWith(".json"))
-          Some(n.stripPrefix("visit_attempt_").stripSuffix(".json").toLong)
+          n.stripPrefix("visit_attempt_").stripSuffix(".json").toLongOption
         else None
       if (ms.exists(_ < visitTime.getTime))
         graft.EstateFs.deleteIfExists(s"$W/$n"): Unit
@@ -522,17 +529,22 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     val touched = cached.select(col("pix_bucket")).distinct()
       .collect().map(_.getLong(0))
 
-    // 2. fact appends, partitioned by 30-day MJD bucket
+    // 2. fact appends, partitioned by 30-day MJD bucket. Emptiness is
+    //    probed ONCE per input — each isEmpty launches a job over the
+    //    (caller-side, possibly uncheckpointed) prep plan, and the
+    //    append gate, crash-hook gate, and mirror gate all need it.
+    val srcsEmpty = srcs.isEmpty
+    val fsrcsEmpty = fsrcs.isEmpty
     def withTimeBucket(df: DataFrame): DataFrame =
       withBucket(df).withColumn("mjd_bucket",
         floor(col("midpointMjdTai") / 30.0).cast("long"))
-    if (!srcs.isEmpty) timed("insert_time", "DiaSource") {
+    if (!srcsEmpty) timed("insert_time", "DiaSource") {
       stagedAppend(
         withTimeBucket(srcs).select(srcSchema.fieldNames.map(col): _*),
         "sources", Seq("mjd_bucket"), tag)
     }
-    if (!srcs.isEmpty) storeCrashHook("sources")
-    if (!fsrcs.isEmpty) timed("insert_time", "DiaForcedSource") {
+    if (!srcsEmpty) storeCrashHook("sources")
+    if (!fsrcsEmpty) timed("insert_time", "DiaForcedSource") {
       stagedAppend(
         withTimeBucket(fsrcs).select(fsrcSchema.fieldNames.map(col): _*),
         "fsources", Seq("mjd_bucket"), tag)
@@ -540,15 +552,18 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     storeCrashHook("fsources")
 
     // 3. CDC chunk mirror (README replica tables, `log2csv.py:105-107`)
-    def mirror(df: DataFrame, t: String, table: String): Unit =
-      if (!df.isEmpty) timed("insert_time", table) {
+    def mirror(df: DataFrame, empty: Boolean, t: String, table: String): Unit =
+      if (!empty) timed("insert_time", table) {
         stagedAppend(df.withColumn("apdb_replica_chunk", lit(chunkId)),
           t, Seq("apdb_replica_chunk"), tag)
       }
-    mirror(objects.withColumn("validityStart", lit(visitTime)), "obj_chunks",
+    // the objects mirror reuses the CACHED canonical version rows (same
+    // diaObject fields, pix_bucket dropped) instead of re-executing the
+    // caller's prep plan — row-identical, one plan execution cheaper
+    mirror(cached.drop("pix_bucket"), cached.isEmpty, "obj_chunks",
       "DiaObjectChunks")
-    mirror(srcs, "src_chunks", "DiaSourceChunks")
-    mirror(fsrcs, "fsrc_chunks", "DiaForcedSourceChunks")
+    mirror(srcs, srcsEmpty, "src_chunks", "DiaSourceChunks")
+    mirror(fsrcs, fsrcsEmpty, "fsrc_chunks", "DiaForcedSourceChunks")
     storeCrashHook("mirrors")
 
     // 4. snapshot merge LAST, behind its intent marker (the retry
@@ -624,7 +639,29 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     * partitioned table into one file per partition (their natural
     * FOV-sized volume), preserving contents. Run at end of night like
     * the reference's daily consolidation. */
+  /** Compaction rewrites tagged per-visit files into untagged compacted
+    * ones — erasing the provenance the retry fence's SCRUB keys on. Run
+    * while a visit's ATTEMPT marker is live (a pipeline visit in
+    * flight, or crashed awaiting retry), that would let a later retry
+    * duplicate every appended row: scrub finds zero tagged files, the
+    * redo re-appends. Refuse loudly instead; the marker clears when the
+    * visit completes (and stale ones on the next visit), so the refusal
+    * is transient and the operator's move is "retry the visit first".
+    * A LONE intent (no marker) does NOT refuse: it is direct-store()-
+    * caller debris, and the intent recovery path never scrubs — it
+    * rebuilds from rows, which compaction preserves. */
+  private def requireNoRetryMarkers(op: String): Unit = {
+    val live = graft.EstateFs.listNames(W)
+      .filter(_.startsWith("visit_attempt_"))
+    require(live.isEmpty,
+      s"$op refused: visit attempt markers present (${live.mkString(", ")})" +
+        " — a visit is in flight or crashed awaiting retry, and" +
+        " compacting now would erase the file provenance its retry" +
+        " scrub depends on. Retry or complete the visit first.")
+  }
+
   def consolidateNight(): Unit = {
+    requireNoRetryMarkers("consolidateNight")
     // DYNAMIC overwrite, never static: static Overwrite deletes the
     // whole table dir BEFORE the write job runs, so a compaction job
     // that fails mid-write (executor loss killing the lineage-break
@@ -665,6 +702,7 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     * `mjd_bucket`, keeping each compaction unit FOV-sized.
     * Returns partitions compacted per table. */
   def compactFragmented(maxFilesPerPartition: Int = 48): Map[String, Int] = {
+    requireNoRetryMarkers("compactFragmented")
     def one(t: String): Int = {
       if (!exists(t)) return 0
       val parts = graft.EstateFs.listDirNames(path(t))

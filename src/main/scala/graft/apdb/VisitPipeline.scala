@@ -143,8 +143,15 @@ object VisitPipeline {
         VisitStateStore.write(cfg.warehouseDir, VisitState(visitId,
           visitTime.getTime, newLastId,
           visitId.toLong * 1000000L + nRecSources))
-        apdb.clearMergeIntent(visitTime)
+        // attempt marker FIRST, intent second: a crash between the two
+        // deletes must leave (intent present, marker gone) — a redo
+        // resolves that through this idempotent recovery path. The
+        // reverse order leaves (intent gone, marker present), which a
+        // redo reads as "crashed pre-merge": it would scrub the
+        // COMMITTED version rows and recompute against the already-
+        // merged obj_last, double-counting nDiaSources.
         apdb.clearAttempt(visitTime)
+        apdb.clearMergeIntent(visitTime)
         // the crashed attempt never reached store()'s view refresh, and
         // the redo above rewrote obj_last's files — re-snapshot the SQL
         // views so registered-view readers can't hit deleted parquet
@@ -212,13 +219,17 @@ object VisitPipeline {
     val historyRegion = padded.padded(padRad)
 
     // 3. spatial read: latest objects in envelope (S2), then exact
-    //    region filter (F4) — two-phase
+    //    region filter (F4) — two-phase. The pre-filter count rides the
+    //    SAME scan as an observe metric: a separate latestRaw.count()
+    //    would re-run the pruned parquet read a second time per visit.
+    val obsRead = org.apache.spark.sql.Observation()
     val latestRaw = apdb.getDiaObjects(padded)
+      .observe(obsRead, count(lit(1)).as("n"))
     val ((latest, nRead, nFiltered), objSelectSec) = timedSec {
       val l = tracked(latestRaw
         .where(SparkGeo.containsRaDec(padded, col("ra"), col("dec")))
         .localCheckpoint(true)) // small FOV-sized set; reused 3 times
-      (l, latestRaw.count(), l.count())
+      (l, obsRead.get("n").asInstanceOf[Long], l.count())
     }
     timer("select_time", "DiaObject", objSelectSec)
 
@@ -284,6 +295,10 @@ object VisitPipeline {
     //    nDiaSources > 1, last detection within forcedCutoffDays
     val cutoffTs = new Timestamp(visitTime.getTime -
       cfg.forcedCutoffDays.toLong * 86400000L)
+    // materialized once like latest/newSources: store() alone executes
+    // the frame four times (two isEmpty probes + the append + the
+    // mirror) and the stats count makes five — an FOV-sized anti-join
+    // re-run five times inside the 45 s budget
     val forced = latest
       .join(newSources.select(col("diaObjectId")), Seq("diaObjectId"), "left_anti")
       .where(col("nDiaSources") > 1 &&
@@ -291,6 +306,7 @@ object VisitPipeline {
       .select(col("diaObjectId"), col("ra"), col("dec"),
         lit(visitId).as("visit"), lit(0).as("detector"),
         lit(mjdNow).as("midpointMjdTai"), col("pixelId"))
+      .transform(d => tracked(d.localCheckpoint(true)))
 
     // 8. history reads (S3/S4 + J2 semi-join, _executors.py:205-217),
     //    gated by the source-read duty cycle (_executors.py:162-164):
@@ -323,14 +339,19 @@ object VisitPipeline {
     //    through the attached sink
     apdb.store(visitTime, newObjects, newSources.drop("is_transient"), forced)
 
-    // 10. checkpoint state (T3), then retire the merge intent — the
-    //     intent must outlive the state write so a crash between the
-    //     merge and here stays recoverable (retry fence above)
+    // 10. checkpoint state (T3), then retire the markers — the intent
+    //     must outlive the state write so a crash between the merge and
+    //     here stays recoverable, and the attempt marker must go BEFORE
+    //     the intent (a crash between the deletes then leaves intent-
+    //     present, which a redo resolves through the idempotent
+    //     recovery path; the reverse leaves marker-only, which a redo
+    //     reads as "crashed pre-merge" and scrubs COMMITTED rows —
+    //     see the recovery branch comment)
     val maxSrcId = visitId.toLong * 1000000L + nSources
     VisitStateStore.write(cfg.warehouseDir, VisitState(visitId,
       visitTime.getTime, state.lastObjectId + nTransients, maxSrcId))
-    apdb.clearMergeIntent(visitTime)
     apdb.clearAttempt(visitTime)
+    apdb.clearMergeIntent(visitTime)
 
     val nForced = forced.count()
     // reference-keyed counter records (`log2csv.py:134-151` consumers)
@@ -350,10 +371,10 @@ object VisitPipeline {
     // FOV-sized block set until a driver GC triggers the ContextCleaner
     // — at 100× scale that built tens of GB of dead blocks and the
     // eviction storms showed up as 2-3x visit-latency spikes (round-5
-    // soak, visits 22-26)
-    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(detections)
-    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(latest)
-    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(newSources)
+    // soak, visits 22-26). The tracked list covers EVERY frame this
+    // visit checkpointed — a new tracked() call site is released here
+    // automatically instead of needing a matching hand-written release
+    releaseTracked()
     val totalSec = (System.nanoTime() - tVisit0) / 1e9
     // single-tile local mode: per-tile == per-visit == total
     timer("tile_visit_time", "all", totalSec)

@@ -138,7 +138,10 @@ object Checkpoints {
 
     private def free(old: Dataset[_]): Unit =
       if (!useReliable)
-        org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(old)
+        // Try-wrapped like the reliable arm below: an iterative job
+        // must not die over round-state housekeeping
+        scala.util.Try(org.apache.spark.sql.GraftColumnBridge
+          .releaseLocalCheckpoint(old)): Unit
       else
         org.apache.spark.sql.GraftColumnBridge.checkpointFile(old)
           .foreach { f =>

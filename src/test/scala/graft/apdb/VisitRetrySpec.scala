@@ -254,6 +254,72 @@ class VisitRetrySpec extends AnyFunSuite {
       .read(apdb.config.warehouseDir).get === preState)
   }
 
+  test("compaction refuses while retry markers are live, then proceeds after the retry") {
+    // compaction rewrites tagged files into untagged ones — run between
+    // a crashed attempt and its retry it would erase the provenance the
+    // scrub keys on, and the retry would duplicate every appended row
+    val apdb = freshApdb("compact_fence")
+    val t0 = Timestamp.valueOf("2026-01-01 01:00:00")
+    val times = VisitPipeline.visitTimes(t0, 2)
+    VisitPipeline.visit(apdb, catalog, times(0)._1, times(0)._2, pointing)
+    val (v2, ts2) = times(1)
+    apdb.storeCrashHook =
+      p => if (p == "sources") throw new RuntimeException("boom:sources")
+    intercept[RuntimeException] {
+      VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+    }
+    apdb.storeCrashHook = _ => ()
+    // attempt marker live -> both compaction entry points refuse
+    intercept[IllegalArgumentException] { apdb.consolidateNight() }
+    intercept[IllegalArgumentException] {
+      apdb.compactFragmented(maxFilesPerPartition = 1)
+    }
+    // retry completes the visit, markers clear, compaction proceeds and
+    // the warehouse still matches a clean two-visit run
+    VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+    apdb.consolidateNight()
+    val cleanTwo = {
+      val a = freshApdb("compact_fence_clean")
+      times.foreach { case (id, ts) =>
+        VisitPipeline.visit(a, catalog, id, ts, pointing) }
+      stateHash(a)
+    }
+    assert(stateHash(apdb) === cleanTwo)
+  }
+
+  test("a lone intent (marker already cleared) resolves through recovery, no-op") {
+    // the marker is deleted BEFORE the intent at visit close, so the
+    // only possible crash state between the two deletes is
+    // intent-present/marker-absent — which must resolve through the
+    // idempotent recovery path (the reverse order would have left
+    // marker-only, read as 'crashed pre-merge', scrubbing COMMITTED
+    // rows and recomputing against the already-merged obj_last)
+    val apdb = freshApdb("lone_intent")
+    val t0 = Timestamp.valueOf("2026-01-01 01:00:00")
+    val times = VisitPipeline.visitTimes(t0, 2)
+    VisitPipeline.visit(apdb, catalog, times(0)._1, times(0)._2, pointing)
+    val (v2, ts2) = times(1)
+    var intentJson: String = null
+    apdb.storeCrashHook = p =>
+      if (p == "intent") intentJson = graft.EstateFs.readString(
+        s"${apdb.config.warehouseDir}/obj_last_intent_${ts2.getTime}.json")
+    val cleanStats2 = VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+    apdb.storeCrashHook = _ => ()
+    val preHash = stateHash(apdb)
+    // re-plant ONLY the intent: the state a crash between the two
+    // marker deletes leaves behind
+    graft.EstateFs.writeStringAtomic(
+      s"${apdb.config.warehouseDir}/obj_last_intent_${ts2.getTime}.json",
+      intentJson)
+    val rec = VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+    assert(rec.recovered)
+    assert(rec.nTransients === cleanStats2.nTransients)
+    assert(stateHash(apdb) === preHash)
+    assert(!graft.EstateFs.listNames(apdb.config.warehouseDir)
+      .exists(n => n.startsWith("obj_last_intent_") ||
+        n.startsWith("visit_attempt_")))
+  }
+
   test("partial appends really were on disk before the scrub (the hazard is real)") {
     // sanity that the fence is load-bearing: crash after 'sources'
     // leaves provenance-tagged partial files that a blind redo would
