@@ -7,12 +7,17 @@
 #   2. the same job on localCheckpoint round state documents the
 #      DESIGNED failure (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND);
 #   3. streaming TextIndex ingest holds exactly-once through Spark task
-#      retry alone when an executor dies mid-trigger.
+#      retry alone when an executor dies mid-trigger (+ the same claim
+#      for VectorIngest, arm `stream-vec`);
+#   4. a mid-visit loss redoes exactly-once through the retry fence
+#      (arm `visit`);
+#   5. nightly compaction survives a mid-job kill with contents
+#      hash-identical (arm `maintenance`).
 #
-#   scripts/chaos.sh [arms...]     # default: all three
+#   scripts/chaos.sh [arms...]     # default: all five
 #
 # Exit 0 = every hard claim held AND every kill actually landed mid-job
-# (a missed race FAILS — no vacuous passes). ~6 min.
+# (a missed race FAILS — no vacuous passes). ~10 min.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 LOG=$(mktemp /tmp/chaos.XXXXXX.log)

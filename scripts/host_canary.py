@@ -43,8 +43,13 @@ def work():
 # steal. Processes, not threads: the GIL serializes Python threads.
 PAR_N = min(8, os.cpu_count() or 8)
 def work_par():
-    from multiprocessing import Pool
-    with Pool(PAR_N) as p:
+    # explicit fork context: spawn/forkserver start methods re-import
+    # this module, whose top level is an infinite loop — the first
+    # work_par() would hang (forkserver preload never returns) or
+    # fork-bomb. fork inherits the live interpreter and is the default
+    # this probe was measured under.
+    import multiprocessing
+    with multiprocessing.get_context('fork').Pool(PAR_N) as p:
         p.map(_work_child, range(PAR_N))
 def _work_child(_):
     return work()
@@ -63,8 +68,10 @@ def io_work():
             os.close(fd)
         with open(p, 'rb') as f:
             n = len(f.read())
-        assert n == PROBE_BYTES
-        return True
+        # a short read is a failed tick, not a fatal assert — an
+        # AssertionError would escape the OSError handler and kill the
+        # trace the surrounding comment promises to keep alive
+        return n == PROBE_BYTES
     except OSError:
         return False
     finally:

@@ -101,52 +101,48 @@ object ChaosProbe {
     * requiring the body to still be in flight at the kill instant.
     * Returns (body result or thrown, killed pid). */
   private def withKill[T](delayMs: Long)(body: => T)
-      : (scala.util.Try[T], Long) = {
-    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val pid = new java.util.concurrent.atomic.AtomicLong(-1L)
-    val raceMissed = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val killer = new Thread(() => {
-      Thread.sleep(delayMs)
-      if (done.get()) raceMissed.set(true)
-      else pid.set(killOneExecutor())
-    }, "chaos-killer")
-    killer.setDaemon(true)
-    killer.start()
-    val out = scala.util.Try(body)
-    done.set(true)
-    killer.join(60000)
-    require(!raceMissed.get(),
-      s"chaos kill missed its window (job finished before ${delayMs} ms)" +
-        " — retune the workload; a no-op kill must not read as a pass")
-    require(pid.get() > 0, "chaos killer did not kill (thread raced)")
-    (out, pid.get())
-  }
+      : (scala.util.Try[T], Long) =
+    // fixed-delay arming is the degenerate always-ready condition —
+    // ONE copy of the kill-race protocol, not two that can drift
+    withKillWhen(() => true, delayMs)(body)
 
   /** Like [[withKill]] but fires once `ready()` holds (polled every
     * 20 ms) plus `postReadyDelayMs` — host-speed-proof for SHORT
     * bodies, where any fixed delay either misses the window on a fast
     * host or lands before real work on a slow one. The maintenance arm
     * arms it on "a Spark job is active", so the kill always lands
-    * mid-compaction. Same missed-race standard as [[withKill]]. */
+    * mid-compaction.
+    *
+    * No vacuous passes, enforced TWO ways: the killer flags a miss if
+    * the body finished before it armed, and the main thread ALSO
+    * compares the kill-initiation timestamp against the body-end
+    * timestamp — a kill that raced past `done` but actually fired
+    * after the last task completed must not read as
+    * "survived the loss". */
   private def withKillWhen[T](ready: () => Boolean, postReadyDelayMs: Long)
       (body: => T): (scala.util.Try[T], Long) = {
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     val pid = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val killAt = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
     val raceMissed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val killer = new Thread(() => {
       while (!done.get() && !ready()) Thread.sleep(20)
       Thread.sleep(postReadyDelayMs)
       if (done.get()) raceMissed.set(true)
-      else pid.set(killOneExecutor())
+      else {
+        killAt.set(System.nanoTime())
+        pid.set(killOneExecutor())
+      }
     }, "chaos-killer")
     killer.setDaemon(true)
     killer.start()
     val out = scala.util.Try(body)
+    val bodyEnd = System.nanoTime()
     done.set(true)
     killer.join(60000)
-    require(!raceMissed.get(),
-      "chaos kill missed its window (job finished before the armed " +
-        "kill) — retune the workload; a no-op kill must not read as a pass")
+    require(!raceMissed.get() && killAt.get() <= bodyEnd,
+      "chaos kill missed its window (job finished before the kill " +
+        "fired) — retune the workload; a no-op kill must not read as a pass")
     require(pid.get() > 0, "chaos killer did not kill (thread raced)")
     (out, pid.get())
   }
@@ -423,8 +419,16 @@ object ChaosProbe {
           Timestamp.valueOf("2026-01-01 01:00:00"), 3).foreach {
           case (2, ts) if kill =>
             val removedBefore = removed.get()
-            val killDelayMs = math.max(1500L, (v2CleanSec * 0.4 * 1000).toLong)
-            val (res, pid) = withKill(killDelayMs) {
+            // armed on job activity, not a fixed fraction of the clean
+            // duration: the warm chaos re-run can finish in well under
+            // 0.4x clean (the hot-path cleanups made exactly that
+            // happen and the missed-window guard caught it), so the
+            // kill waits for the visit's first Spark job and lands a
+            // beat into it
+            val postReadyMs = math.max(300L, (v2CleanSec * 0.15 * 1000).toLong)
+            val tracker = spark.sparkContext.statusTracker
+            val (res, pid) = withKillWhen(
+              () => tracker.getActiveJobIds().nonEmpty, postReadyMs) {
               VisitPipeline.visit(apdb, catalog, 2, ts, pointing)
             }
             require(removed.get() > removedBefore,

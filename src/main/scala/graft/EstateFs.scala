@@ -237,22 +237,28 @@ object EstateFs {
           true
         } catch {
           // conditional-create store: the If-None-Match PUT surfaces a
-          // lost race AT WRITE/CLOSE — the claim simply failed. Release
-          // the stream; do NOT delete p (it may be the rival's winning
-          // claim).
+          // lost race AT WRITE/CLOSE — the claim simply failed. Do NOT
+          // close() here: on visibility-at-close stores a close after a
+          // write-time failure could COMMIT the PUT with partial
+          // content and orphan the claim (no holder would ever release
+          // it). Abort the upload instead (Abortable, hadoop 3.3+);
+          // where the stream can't abort, leaving it unclosed is the
+          // lesser evil. Never delete p — it may be the rival's
+          // winning claim.
           case _: java.io.IOException if cond =>
-            scala.util.Try(out.close()): Unit
+            scala.util.Try(out.abort()): Unit
             false
           case e: Throwable =>
-            // always release the stream (a leaked DFS stream pins
-            // datanode resources), and on a NON-conditional store
-            // create(p, false) already materialized the file — a
-            // partial/empty claim left behind would block every writer
-            // until the TTL break, turning one IO blip into a
-            // 30-minute outage. The atomic create means the file is
-            // ours to remove.
-            scala.util.Try(out.close()): Unit
-            if (!cond) scala.util.Try(f.delete(p, false)): Unit
+            if (cond) scala.util.Try(out.abort()): Unit
+            else {
+              // non-conditional store: create(p, false) already
+              // materialized the file atomically, so it is OURS — a
+              // partial/empty claim left behind would block every
+              // writer until the TTL break, turning one IO blip into a
+              // 30-minute outage. Release the stream, remove the file.
+              scala.util.Try(out.close()): Unit
+              scala.util.Try(f.delete(p, false)): Unit
+            }
             throw e
         }
       } catch {

@@ -440,7 +440,9 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     * redo reconstructs the normal-path invariant directly: bucket B
     * holds, for every object with ≥1 version in B, its LATEST version
     * among B's versions (a later version in another bucket never
-    * rewrites B). The scan partition-prunes to the touched buckets;
+    * rewrites B — the per-bucket upsert [[mergeObjLast]] maintains,
+    * same as the reference's per-partition primary key).
+    * The scan partition-prunes to the touched buckets;
     * every touched bucket has ≥1 version (this visit's), so the dynamic
     * overwrite rewrites exactly the touched set — correct whether the
     * crashed attempt left a bucket merged, untouched, or emptied. */
@@ -458,16 +460,27 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
       .partitionBy("pix_bucket").parquet(path("obj_last"))
   }
 
-  /** The DiaObjectLast touched-bucket rewrite shared by store() and the
-    * retry redo: replace every new-version id's row, keep the rest,
-    * dynamic overwrite only the touched buckets. */
+  /** The DiaObjectLast touched-bucket rewrite: replace every new
+    * version's row IN ITS BUCKET, keep the rest, dynamic overwrite only
+    * the touched buckets. The anti-join is keyed (id, bucket) — the
+    * reference's Cassandra upsert semantics exactly (DiaObjectLast's
+    * primary key is (spatial partition, diaObjectId), so an object
+    * whose position moves partitions upserts into the new one and its
+    * old partition's row persists there; `cassandra.py` never deletes).
+    * Keying on id alone would be STRONGER than the reference and, more
+    * important, history-order-dependent: [[redoObjLastMerge]] rebuilds
+    * a bucket as "latest version among the bucket's own versions",
+    * which equals this per-bucket upsert by construction but could not
+    * reproduce a cross-bucket eviction without replaying every visit's
+    * touched set. */
   private def mergeObjLast(newVersions: DataFrame, touched: Seq[Long]): Unit = {
     if (touched.isEmpty) return
     val existing = readOrEmpty("obj_last", objSchema)
       .where(col("pix_bucket").isin(touched: _*))
     val merged = existing
-      .join(newVersions.select(col("diaObjectId")).distinct(),
-        Seq("diaObjectId"), "left_anti")
+      .join(newVersions.select(col("diaObjectId"), col("pix_bucket"))
+          .distinct(),
+        Seq("diaObjectId", "pix_bucket"), "left_anti")
       .unionByName(newVersions)
       // break lineage: the plan both reads and overwrites obj_last
       .localCheckpoint(true)

@@ -140,6 +140,11 @@ object VisitPipeline {
         val nRecTrans = rec.getLong(1).toInt
         val nRecSources = apdb.sourcesAtVisit(visitId).count()
         val nRecForced = apdb.forcedAtVisit(visitId).count()
+        // step-5 parity: a clean run applies chunk retention inside
+        // store(); without this, chunk partitions a clean run would
+        // have dropped persist until the NEXT visit's store (partition
+        // drops are idempotent, so re-applying is safe)
+        apdb.dropExpiredChunks(visitTime): Unit
         VisitStateStore.write(cfg.warehouseDir, VisitState(visitId,
           visitTime.getTime, newLastId,
           visitId.toLong * 1000000L + nRecSources))

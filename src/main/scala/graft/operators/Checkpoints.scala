@@ -136,20 +136,10 @@ object Checkpoints {
       cp
     }
 
-    private def free(old: Dataset[_]): Unit =
-      if (!useReliable)
-        // Try-wrapped like the reliable arm below: an iterative job
-        // must not die over round-state housekeeping
-        scala.util.Try(org.apache.spark.sql.GraftColumnBridge
-          .releaseLocalCheckpoint(old)): Unit
-      else
-        org.apache.spark.sql.GraftColumnBridge.checkpointFile(old)
-          .foreach { f =>
-            val p = new org.apache.hadoop.fs.Path(f)
-            // best-effort: a failed delete only leaves one extra copy;
-            // the job must not die over checkpoint-store housekeeping
-            scala.util.Try(
-              p.getFileSystem(sc.hadoopConfiguration).delete(p, true))
-          }
+    // [[Checkpoints.release]] dispatches on checkpointFile, which is
+    // Some iff the frame went through the reliable path — behaviorally
+    // identical to dispatching on the latched strategy for frames this
+    // Loop created, and ONE copy of the housekeeping instead of two
+    private def free(old: Dataset[_]): Unit = Checkpoints.release(old)
   }
 }

@@ -8,10 +8,12 @@ package graft
 object CkptDirs {
   def rddDirs(dir: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+    // Files.walk streams hold open directory handles — close them
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try s.forEach { p =>
       if (java.nio.file.Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("rdd-")) out += p.toString
-    }
+    } finally s.close()
     out.toSeq
   }
 }

@@ -45,13 +45,23 @@ class VisitRetrySpec extends AnyFunSuite {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Full-store fingerprint: every table the visit writes. */
+  /** Full-store fingerprint: every table the visit writes, INCLUDING
+    * the CDC chunk mirrors (retry exactness must hold there too — the
+    * scrub covers their provenance-tagged files and recovery applies
+    * the same chunk retention a clean store() does). */
   private def stateHash(apdb: ApdbSpark): Seq[(Long, Long)] = Seq(
     xor(apdb.getDiaObjectsHistory.drop("validityEnd"),
       Seq("diaObjectId", "validityStart", "nDiaSources")),
     xor(apdb.objectsLast, Seq("diaObjectId", "nDiaSources")),
     xor(apdb.sources, Seq("diaSourceId", "diaObjectId", "visit")),
-    xor(apdb.forcedSources, Seq("diaObjectId", "visit")))
+    xor(apdb.forcedSources, Seq("diaObjectId", "visit"))) ++
+    Seq("obj_chunks" -> Seq("diaObjectId", "apdb_replica_chunk"),
+      "src_chunks" -> Seq("diaSourceId", "apdb_replica_chunk"),
+      "fsrc_chunks" -> Seq("diaObjectId", "visit")).map { case (t, cols) =>
+      val p = s"${apdb.config.warehouseDir}/$t"
+      if (!graft.EstateFs.exists(p)) (0L, 0L)
+      else xor(spark.read.parquet(p), cols)
+    }
 
   private def runVisits(apdb: ApdbSpark, n: Int,
       crashAt: Option[(Int, String)]): Seq[VisitPipeline.VisitStats] = {

@@ -114,8 +114,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       assert(reliableRounds == localRounds,
         s"reliable path took $reliableRounds rounds vs local $localRounds " +
           "— the convergence sketch degraded under reliable checkpointing")
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      val wrote = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally s.close()
+      }
       assert(wrote > 0, "no reliable checkpoint files written - the stable path was not exercised")
       // rotation: the loop keeps 2 rounds + the loop-invariant `nodes`
       // checkpoint — superseded rounds' files must be gone
