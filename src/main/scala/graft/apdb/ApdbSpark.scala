@@ -51,7 +51,12 @@ final case class ApdbConfig(
     falsePerVisit: Double = 5050.0,
     detectionFraction: Double = 1.0,
     replicaChunkSeconds: Long = 600L,
-    replicaChunkKeepDays: Int = -1,
+    /** CDC chunk retention window, in days. Double for the same reason
+      * the months windows are (the reference configures integer days;
+      * compressed-time soaks need the T8 partition drop to fire within
+      * one simulated night — the arithmetic is chunk-based anyway).
+      * ≤ 0 disables retention. */
+    replicaChunkKeepDays: Double = -1.0,
     /** When true the facade speaks the client (afw.table-style) column
       * convention (README.md:55-61 renames): reads return `id` /
       * `coord_ra` / `coord_dec` / `parent`, store() accepts them. */
@@ -136,10 +141,72 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
   private val fsrcSchema =
     relabel(Schemas.diaForcedSource).add("pix_bucket", LongType).add("mjd_bucket", LongType)
 
-  /** `makeSchema(drop)` analog (README.md:100-104). */
+  /** `makeSchema(drop)` analog (README.md:100-104). A drop preserves
+    * `claims/` — the single-writer lease lives there, and a pipeline
+    * that acquired the warehouse lease and then initializes a fresh
+    * schema must not delete its own claim out from under itself. */
   def makeSchema(drop: Boolean = false): Unit = {
-    if (drop) graft.EstateFs.deleteRecursive(W)
+    if (drop) graft.EstateFs.listNames(W).filterNot(_ == "claims")
+      .foreach(n => graft.EstateFs.deleteRecursive(s"$W/$n"))
     graft.EstateFs.mkdirs(W)
+  }
+
+  // -- single-writer lease (round 15) --------------------------------------
+  //
+  // The reference's DB backends tolerate concurrent writer PROCESSES by
+  // primary-key upsert (two ap_proto runs on one Cassandra APDB
+  // interleave harmlessly row-by-row); this parquet store does not —
+  // two pipelines interleaving staged appends, attempt markers, and
+  // touched-bucket overwrites on one warehouse would corrupt it with no
+  // refusal (VERDICT r14 missing #2). The warehouse therefore carries
+  // the same [[graft.WriterLease]] the index estates use: every mutator
+  // entry point (visit pipeline, store(), compaction, retention) runs
+  // under it. The lease also closes requireNoRetryMarkers' former
+  // check-then-act window (ADVICE r14): markAttempt and the compaction
+  // refusal check now both happen INSIDE the lease, so a visit can no
+  // longer slip its marker in after compaction's listing.
+  //
+  // Granularity: a pipeline DRIVER acquires run-scoped once
+  // ([[acquireWriter]] / [[releaseWriter]], what ApSim does) and every
+  // inner entry point just heartbeats; a bare library caller pays one
+  // acquire/release pair per call ([[withWriter]] scope). Reentrancy is
+  // per-instance and single-driver-thread (the engine's existing
+  // posture); two THREADS sharing one ApdbSpark were never supported.
+  // After a driver crash the stale lease is broken by TTL, or the
+  // operator verifies the old driver is dead and deletes claims/LEASE
+  // (ApSim's SPARK_GRAFT_TAKE_LEASE=1 automates exactly that).
+
+  private var writerToken: Option[String] = None
+
+  private def leaseWhy =
+    "the APDB warehouse is single-writer (staged appends, attempt " +
+      "markers and touched-bucket overwrites interleave with no " +
+      "upsert keys to reconcile them)."
+
+  /** Acquire the warehouse's single-writer lease for this engine
+    * instance's lifetime — pipeline drivers call this once per run and
+    * [[releaseWriter]] at exit; the per-call [[withWriter]] scopes then
+    * only heartbeat. No-op if already held. */
+  def acquireWriter(): Unit =
+    if (writerToken.isEmpty)
+      writerToken = Some(graft.WriterLease.acquire(spark, W, leaseWhy))
+
+  def releaseWriter(): Unit = {
+    writerToken.foreach(t => graft.WriterLease.release(spark, W, t))
+    writerToken = None
+  }
+
+  /** Run `f` holding the warehouse writer lease: heartbeat if this
+    * instance already holds it run-scoped (so a night-long pipeline
+    * never looks abandoned to a TTL breaker), else acquire for the
+    * scope of the call. Reentrant through the instance slot. */
+  private[apdb] def withWriter[T](f: => T): T = writerToken match {
+    case Some(t) =>
+      graft.WriterLease.heartbeat(spark, W, t)
+      f
+    case None =>
+      writerToken = Some(graft.WriterLease.acquire(spark, W, leaseWhy))
+      try f finally releaseWriter()
   }
 
   // -- reads --------------------------------------------------------------
@@ -148,7 +215,19 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     * a deliberate superset; callers refine with the exact row filter
     * (two-phase pattern, `_executors.py:182-189`). `columns` restricts
     * the projection (the `dia_object_columns` config, README.md:125-127
-    * / F10) so parquet only reads those columns. */
+    * / F10) so parquet only reads those columns.
+    *
+    * Duplicate-on-move caveat (reference parity, ADVICE r14): the
+    * snapshot's upsert key is (diaObjectId, pix_bucket) — exactly
+    * DiaObjectLast's Cassandra primary key (spatial partition, id),
+    * where `cassandra.py` never deletes the old partition's row. An
+    * object whose measured position drifts across a BUCKET boundary
+    * therefore leaves its previous version behind in the old bucket,
+    * and a region read spanning both buckets returns that id twice
+    * (latest version per bucket). The visit pipeline never produces
+    * this (detection positions are exact and stable); a client whose
+    * positions drift de-duplicates by max(validityStart) per id, as it
+    * must against the reference. */
   def getDiaObjects(region: Region, columns: Seq[String] = Nil): DataFrame = {
     val ranges = SparkGeo.coarsen(skyPix.envelope(region), maxEnvelopeRanges)
     val buckets = bucketsOf(ranges)
@@ -236,6 +315,10 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
       .drop("pix_bucket")
   }
 
+  /** Whole-table latest snapshot. Same per-bucket upsert semantics as
+    * [[getDiaObjects]] — an id whose position crossed a bucket boundary
+    * appears once per bucket it ever lived in (reference Cassandra
+    * parity; see the duplicate-on-move caveat there). */
   def objectsLast: DataFrame = readOrEmpty("obj_last", objSchema).drop("pix_bucket")
   def sources: DataFrame = readOrEmpty("sources", srcSchema).drop("pix_bucket", "mjd_bucket")
   def forcedSources: DataFrame = readOrEmpty("fsources", fsrcSchema).drop("pix_bucket", "mjd_bucket")
@@ -309,9 +392,19 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
       if (st.isDirectory) walkFiles(f, st.getPath)(visit) else visit(st)
     }
 
-  /** Append with per-visit file provenance; see the block comment. */
+  /** Append with per-visit file provenance; see the block comment.
+    *
+    * Scale posture (VERDICT r14 wrong #1): before any file becomes
+    * visible, the TOUCHED PARTITION DIRS are unioned into the visit's
+    * attempt marker — so a retry's scrub walks only those directories,
+    * not all six append trees (a years-of-history sources tree holds
+    * millions of files; a full listing against a 45 s budget is the
+    * wrong cost model). The renames themselves run in a bounded thread
+    * pool: a visit appends one file per shuffle partition per table,
+    * and paying them serially at file-count × per-op latency is pure
+    * driver dead time on remote stores. */
   private def stagedAppend(df: DataFrame, t: String, partCols: Seq[String],
-      tag: String): Unit = {
+      tag: String, visitMs: Long): Unit = {
     val staging = s"$W/.stage_$t"
     graft.EstateFs.deleteRecursive(staging) // debris of a crashed attempt
     df.write.mode(SaveMode.Overwrite)
@@ -319,6 +412,9 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     val sp = new org.apache.hadoop.fs.Path(staging)
     val f = hfs(sp)
     val spStr = f.makeQualified(sp).toString
+    val moves = scala.collection.mutable
+      .ArrayBuffer.empty[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]
+    val touchedDirs = scala.collection.mutable.LinkedHashSet.empty[String]
     walkFiles(f, sp) { st =>
       val name = st.getPath.getName
       if (!name.startsWith("_") && !name.startsWith(".")) {
@@ -327,22 +423,87 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
         val relDir = rel.stripSuffix(name).stripSuffix("/")
         val target = new org.apache.hadoop.fs.Path(
           if (relDir.isEmpty) path(t) else s"${path(t)}/$relDir")
-        f.mkdirs(target)
-        val dest = new org.apache.hadoop.fs.Path(target, tag + name)
-        require(f.rename(st.getPath, dest),
-          s"staged-append move failed: ${st.getPath} -> $dest")
+        touchedDirs += (if (relDir.isEmpty) t else s"$t/$relDir")
+        moves += ((st.getPath,
+          new org.apache.hadoop.fs.Path(target, tag + name)))
       }
+    }
+    // scope FIRST (atomic marker rewrite), files second: a crash in
+    // between leaves scope entries whose dirs hold no tagged files —
+    // the scrub no-ops there. The reverse order could leave tagged
+    // files OUTSIDE the recorded scope, which a scoped scrub would miss
+    // and a retry would then duplicate.
+    widenAttemptScope(visitMs, touchedDirs.toSeq)
+    moves.map(_._2.getParent).distinct.foreach(d => f.mkdirs(d): Unit)
+    def mv(src: org.apache.hadoop.fs.Path,
+        dest: org.apache.hadoop.fs.Path): Unit =
+      require(f.rename(src, dest),
+        s"staged-append move failed: $src -> $dest")
+    if (moves.length <= 4) moves.foreach { case (s, d) => mv(s, d) }
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(16, moves.length))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = moves.map { case (s, d) =>
+          (() => { mv(s, d); () }): java.util.concurrent.Callable[Unit]
+        }
+        // get() each future so the first failed rename propagates
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+      } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally pool.shutdown()
     }
     f.delete(sp, true): Unit
   }
 
+  /** Union `dirs` (table-relative partition dirs, `"sources/mjd_bucket=681"`)
+    * into the visit's attempt-marker scope. No-op when no marker exists
+    * (a direct store() caller outside the pipeline has no retry fence
+    * to scope). The marker rewrite is atomic, so a reader sees the old
+    * scope or the new one. */
+  private def widenAttemptScope(visitMs: Long, dirs: Seq[String]): Unit = {
+    val p = attemptMarkerPath(visitMs)
+    if (dirs.isEmpty || !graft.EstateFs.exists(p)) return
+    val have = attemptScope(new Timestamp(visitMs)).getOrElse(Nil)
+    val union = (have ++ dirs).distinct
+    graft.EstateFs.writeStringAtomic(p,
+      s"""{"visit_ms":$visitMs,"dirs":[${
+        union.map(d => "\"" + d + "\"").mkString(",")}]}""")
+  }
+
+  /** The scrub scope recorded in the visit's attempt marker:
+    * Some(entries) when the marker carries a `dirs` array (possibly
+    * empty — a crash before any append touched nothing), None when the
+    * marker is absent or predates scope recording — the scrub then
+    * falls back to the full six-tree walk. */
+  private[apdb] def attemptScope(visitTime: Timestamp): Option[Seq[String]] = {
+    val p = attemptMarkerPath(visitTime.getTime)
+    if (!graft.EstateFs.exists(p)) return None
+    val txt = graft.EstateFs.readString(p)
+    val at = txt.indexOf("\"dirs\"")
+    val lb = if (at < 0) -1 else txt.indexOf('[', at)
+    val rb = if (lb < 0) -1 else txt.indexOf(']', lb)
+    if (rb < 0) return None
+    val entries = "\"([^\"]*)\"".r
+      .findAllMatchIn(txt.substring(lb, rb + 1)).map(_.group(1)).toSeq
+    // an entry that is not an append-table-relative dir means the
+    // marker is corrupt — fall back to the full walk (a safe superset)
+    // rather than scrub a narrowed scope and let a retry duplicate rows
+    val valid =
+      "(objects|sources|fsources|obj_chunks|src_chunks|fsrc_chunks)(/[A-Za-z0-9_=.\\-]+)?".r
+    if (entries.forall(e => valid.matches(e))) Some(entries) else None
+  }
+
   /** Delete every append-table file carrying `visitTime`'s provenance
-    * tag (a crashed attempt's partial appends). Returns files removed;
-    * 0 on a first attempt — the fence costs six directory listings. */
+    * tag (a crashed attempt's partial appends). Scoped to the attempt
+    * marker's touched partition dirs when recorded — cost proportional
+    * to the visit's own footprint, not table size; full six-tree walk
+    * only for markers without scope (pre-scope warehouses). Returns
+    * files removed; 0 on a first attempt. */
   def scrubVisitAppends(visitTime: Timestamp): Int = {
     val tag = visitTag(visitTime)
-    val n = appendTables.map { t =>
-      val root = new org.apache.hadoop.fs.Path(path(t))
+    def scrubTree(root: org.apache.hadoop.fs.Path): Int = {
       val f = hfs(root)
       if (!f.exists(root)) 0
       else {
@@ -353,7 +514,14 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
         }
         k
       }
-    }.sum
+    }
+    val n = attemptScope(visitTime) match {
+      case Some(dirs) =>
+        dirs.map(d => scrubTree(new org.apache.hadoop.fs.Path(s"$W/$d"))).sum
+      case None =>
+        appendTables
+          .map(t => scrubTree(new org.apache.hadoop.fs.Path(path(t)))).sum
+    }
     if (n > 0) emitRecord("delete_counts", "retry_scrub",
       Seq("files_scrubbed" -> n.toDouble))
     n
@@ -380,25 +548,53 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     graft.EstateFs.deleteIfExists(intentPath(visitTime.getTime)): Unit
   }
 
-  /** Drop intents AND attempt markers of visits OLDER than `visitTime`:
-    * a crash between the state write and the marker deletes leaves
-    * them behind, permanently inert (their visit is checkpointed
-    * complete). */
-  private[apdb] def clearStaleIntents(visitTime: Timestamp): Unit =
-    graft.EstateFs.listNames(W).foreach { n =>
-      // guarded parse: a stray marker-shaped file with a non-numeric
-      // middle (operator debris, backup suffixes) must be ignored, not
-      // crash every subsequent visit on this first-thing-in-the-fence
-      // walk
-      val ms =
-        if (n.startsWith("obj_last_intent_") && n.endsWith(".json"))
-          n.stripPrefix("obj_last_intent_").stripSuffix(".json").toLongOption
-        else if (n.startsWith("visit_attempt_") && n.endsWith(".json"))
-          n.stripPrefix("visit_attempt_").stripSuffix(".json").toLongOption
+  /** RESOLVE, then drop, intents and attempt markers of visits OLDER
+    * than `visitTime` (ADVICE r14): in the normal pipeline flow a
+    * marker outliving its visit is inert debris (the visit is
+    * checkpointed complete), but an operator who SKIPS a crashed visit
+    * leaves live recovery state behind — a stale INTENT can mark a
+    * bucket emptied by a crashed overwrite commit (deleting it
+    * unresolved = silent loss of that bucket's pre-existing objects),
+    * and a stale ATTEMPT without intent guards partial appends that
+    * would otherwise pollute history forever. So each stale marker is
+    * resolved through the same machinery a retry of its own visit
+    * would use — intent ⇒ finish the merge commit (idempotent bucket
+    * rebuild from history); attempt-only ⇒ scrub the partial appends —
+    * before the marker is dropped. Both paths are rare (crash + skip)
+    * and bounded by the stale visit's own footprint. */
+  private[apdb] def clearStaleIntents(visitTime: Timestamp): Unit = {
+    // guarded parse: a stray marker-shaped file with a non-numeric
+    // middle (operator debris, backup suffixes) must be ignored, not
+    // crash every subsequent visit on this first-thing-in-the-fence walk
+    def staleOf(prefix: String): Seq[Long] =
+      graft.EstateFs.listNames(W).flatMap { n =>
+        if (n.startsWith(prefix) && n.endsWith(".json"))
+          n.stripPrefix(prefix).stripSuffix(".json").toLongOption
         else None
-      if (ms.exists(_ < visitTime.getTime))
-        graft.EstateFs.deleteIfExists(s"$W/$n"): Unit
+      }.filter(_ < visitTime.getTime)
+    val staleIntents = staleOf("obj_last_intent_")
+    staleIntents.foreach { ms =>
+      val ts = new Timestamp(ms)
+      // intent ⇒ every append of that visit is complete and exactly-
+      // once; only the touched-bucket merge may be unfinished (possibly
+      // with an emptied bucket). Finish it, never scrub.
+      mergeIntent(ts).foreach(touched => redoObjLastMerge(ts, touched))
+      // attempt marker first, intent second — same crash-ordering
+      // argument as the visit-close deletes
+      clearAttempt(ts)
+      clearMergeIntent(ts)
     }
+    staleOf("visit_attempt_").filterNot(staleIntents.contains).foreach { ms =>
+      val ts = new Timestamp(ms)
+      // attempt without intent ⇒ the crash predates the merge and the
+      // visit was abandoned: its partial appends must not stay in the
+      // tables (they would double history if the visit were ever
+      // replayed under a new id, and pollute reads regardless)
+      scrubVisitAppends(ts): Unit
+      clearAttempt(ts)
+    }
+    if (staleIntents.nonEmpty) refreshViews()
+  }
 
   private def attemptMarkerPath(ms: Long) = s"$W/visit_attempt_$ms.json"
 
@@ -410,8 +606,11 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     graft.EstateFs.exists(attemptMarkerPath(visitTime.getTime))
 
   private[apdb] def markAttempt(visitTime: Timestamp): Unit =
+    // empty initial scope: stagedAppend widens it with each touched
+    // partition dir BEFORE any file lands, so a retry's scrub walk is
+    // proportional to the visit's footprint, never to table size
     graft.EstateFs.writeStringAtomic(attemptMarkerPath(visitTime.getTime),
-      s"""{"visit_ms":${visitTime.getTime}}""")
+      s"""{"visit_ms":${visitTime.getTime},"dirs":[]}""")
 
   private[apdb] def clearAttempt(visitTime: Timestamp): Unit = {
     graft.EstateFs.deleteIfExists(attemptMarkerPath(visitTime.getTime)): Unit
@@ -506,7 +705,8 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     * retention. The append-then-merge order is load-bearing for the
     * retry fence — see the retry-exactness block above. */
   def store(visitTime: Timestamp, objectsIn: DataFrame, srcsIn: DataFrame,
-      fsrcsIn: DataFrame): Unit = timed("tile_store_time", "all") {
+      fsrcsIn: DataFrame): Unit =
+    withWriter { timed("tile_store_time", "all") {
     val chunkId = visitTime.getTime / 1000 / replicaChunkSeconds
     // accept client-convention catalogs (id/coord_ra/coord_dec/parent)
     // when the facade is configured for them — mixed inputs pass through;
@@ -536,7 +736,8 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     val cached = newVersions.cache()
     try {
     timed("insert_time", "DiaObject") {
-      stagedAppend(cached, "objects", Seq("pix_bucket"), tag)
+      stagedAppend(cached, "objects", Seq("pix_bucket"), tag,
+        visitTime.getTime)
     }
     storeCrashHook("objects")
     val touched = cached.select(col("pix_bucket")).distinct()
@@ -554,13 +755,13 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     if (!srcsEmpty) timed("insert_time", "DiaSource") {
       stagedAppend(
         withTimeBucket(srcs).select(srcSchema.fieldNames.map(col): _*),
-        "sources", Seq("mjd_bucket"), tag)
+        "sources", Seq("mjd_bucket"), tag, visitTime.getTime)
     }
     if (!srcsEmpty) storeCrashHook("sources")
     if (!fsrcsEmpty) timed("insert_time", "DiaForcedSource") {
       stagedAppend(
         withTimeBucket(fsrcs).select(fsrcSchema.fieldNames.map(col): _*),
-        "fsources", Seq("mjd_bucket"), tag)
+        "fsources", Seq("mjd_bucket"), tag, visitTime.getTime)
     }
     storeCrashHook("fsources")
 
@@ -568,7 +769,7 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     def mirror(df: DataFrame, empty: Boolean, t: String, table: String): Unit =
       if (!empty) timed("insert_time", table) {
         stagedAppend(df.withColumn("apdb_replica_chunk", lit(chunkId)),
-          t, Seq("apdb_replica_chunk"), tag)
+          t, Seq("apdb_replica_chunk"), tag, visitTime.getTime)
       }
     // the objects mirror reuses the CACHED canonical version rows (same
     // diaObject fields, pix_bucket dropped) instead of re-executing the
@@ -596,7 +797,8 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     //    reference's per-table delete_time (`metrics.md:70-83`) so the
     //    nightly cleanup's cost is visible in the per-visit record.
     if (replicaChunkKeepDays > 0) {
-      val minKeep = chunkId - replicaChunkKeepDays * 86400L / replicaChunkSeconds
+      val minKeep = chunkId -
+        (replicaChunkKeepDays * 86400.0 / replicaChunkSeconds).toLong
       chunkTables.foreach { case (t, table) =>
         timed("delete_time", table) {
           val dropped = dropChunksBefore(t, minKeep)
@@ -609,7 +811,7 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     // injection) must not leave the cache entry stranded for the retry
     } finally { cached.unpersist(): Unit }
     refreshViews()
-  }
+  } }
 
   private val chunkTables = Seq(
     "obj_chunks" -> "DiaObjectChunks",
@@ -633,13 +835,15 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     * the same partition drop store() runs per visit, invocable from
     * the nightly maintenance job so retention fires even on nights the
     * ingest path is idle. Returns chunks dropped per CDC table. */
-  def dropExpiredChunks(asOf: Timestamp): Map[String, Long] = {
-    if (replicaChunkKeepDays <= 0) return chunkTables.map(_._2 -> 0L).toMap
-    val minKeep = asOf.getTime / 1000 / replicaChunkSeconds -
-      replicaChunkKeepDays * 86400L / replicaChunkSeconds
-    chunkTables.map { case (t, table) =>
-      table -> dropChunksBefore(t, minKeep)
-    }.toMap
+  def dropExpiredChunks(asOf: Timestamp): Map[String, Long] = withWriter {
+    if (replicaChunkKeepDays <= 0) chunkTables.map(_._2 -> 0L).toMap
+    else {
+      val minKeep = asOf.getTime / 1000 / replicaChunkSeconds -
+        (replicaChunkKeepDays * 86400.0 / replicaChunkSeconds).toLong
+      chunkTables.map { case (t, table) =>
+        table -> dropChunksBefore(t, minKeep)
+      }.toMap
+    }
   }
 
   /** MJD (TAI≈UTC for the simulated era, SURVEY §7.4) from a timestamp. */
@@ -662,7 +866,12 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     * is transient and the operator's move is "retry the visit first".
     * A LONE intent (no marker) does NOT refuse: it is direct-store()-
     * caller debris, and the intent recovery path never scrubs — it
-    * rebuilds from rows, which compaction preserves. */
+    * rebuilds from rows, which compaction preserves.
+    *
+    * Check-then-act closure (ADVICE r14): this check and markAttempt
+    * both run INSIDE the warehouse writer lease, so a visit can no
+    * longer slip its marker in after this listing — the listing's
+    * verdict holds for the whole compaction. */
   private def requireNoRetryMarkers(op: String): Unit = {
     val live = graft.EstateFs.listNames(W)
       .filter(_.startsWith("visit_attempt_"))
@@ -673,27 +882,164 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
         " scrub depends on. Retry or complete the visit first.")
   }
 
-  def consolidateNight(): Unit = {
+  // -- maintenance intents (round 15, ADVICE r14 medium) -------------------
+  //
+  // The former dynamic-partition-overwrite compaction had one unfenced
+  // data-loss window: a driver crash INSIDE commitJob (partitions
+  // deleted, staged files not yet renamed in) permanently emptied
+  // partitions of the history/fact tables — maintenance wrote no intent
+  // and nothing rebuilt them (the visit path's merge intent only covers
+  // obj_last for an in-flight visit). Both compaction verbs now share
+  // ONE commit protocol: stage the partition's replacement files in a
+  // SIDE dir (the write job never touches the table — a failure at any
+  // point leaves it intact, which also retires the Checkpoints.stable
+  // lineage break these verbs needed when they read and overwrote the
+  // same files), then per partition write an atomic maintenance INTENT
+  // (adds + deletes by name), move the staged files in, delete the
+  // replaced ones. Every op after the intent is an idempotent file-
+  // level move/delete — no directory renames (the r11 object-store
+  // posture holds), and [[recoverMaintenance]] (run at every
+  // maintenance and visit-fence entry, under the writer lease) finishes
+  // a commit whose move phase started and aborts one that never did.
+  //
+  // What is NOT provided: read atomicity for a CONCURRENT reader in
+  // another process during the metadata commit (it may briefly observe
+  // a partition's old and new files together). The previous dynamic-
+  // overwrite commit had the mirror-image window (rows missing);
+  // single-writer + crash-repair is the contract, reader isolation is
+  // snapshot-by-listing as before.
+
+  /** Test seam, storeCrashHook pattern: runs at each maintenance
+    * commit-protocol instant so a spec can kill compaction
+    * deterministically. No-op in production. */
+  private[apdb] var maintCrashHook: String => Unit = _ => ()
+
+  private def maintIntentPath(t: String) = s"$W/maint_intent_$t.json"
+
+  private def jsonField(txt: String, k: String): Option[String] =
+    (s""""$k":"([^"]*)"""").r.findFirstMatchIn(txt).map(_.group(1))
+
+  private def jsonArray(txt: String, k: String): Seq[String] = {
+    val at = txt.indexOf(s""""$k"""")
+    val lb = if (at < 0) -1 else txt.indexOf('[', at)
+    val rb = if (lb < 0) -1 else txt.indexOf(']', lb)
+    if (rb < 0) Nil
+    else "\"([^\"]*)\"".r.findAllMatchIn(txt.substring(lb, rb + 1))
+      .map(_.group(1)).toSeq
+  }
+
+  /** Resolve a crashed compaction commit (see the block comment). Runs
+    * under the writer lease at every maintenance and visit-fence entry;
+    * no-op unless a `maint_intent_*` marker survived a crash. */
+  private[apdb] def recoverMaintenance(): Unit = {
+    val intents = graft.EstateFs.listNames(W)
+      .filter(n => n.startsWith("maint_intent_") && n.endsWith(".json"))
+    if (intents.isEmpty) return
+    intents.foreach { n =>
+      val txt = graft.EstateFs.readString(s"$W/$n")
+      (jsonField(txt, "op"), jsonField(txt, "table"),
+        jsonField(txt, "dir"), jsonField(txt, "src")) match {
+        case (Some("tier"), Some(t), Some(dirName), Some(src)) =>
+          recoverPartitionReplace(t, dirName, src,
+            jsonArray(txt, "adds"), jsonArray(txt, "deletes"))
+        case other =>
+          throw new IllegalStateException(
+            s"$W/$n: unparseable maintenance intent ($other) — refusing " +
+              "to guess at a half-committed compaction; inspect and " +
+              "resolve by hand")
+      }
+      graft.EstateFs.deleteIfExists(s"$W/$n"): Unit
+    }
+    refreshViews()
+  }
+
+  /** Finish (move phase started) or abort (it never did) one
+    * partition's staged replacement. Idempotent: adds already moved
+    * stay, deletes are deleteIfExists, and the side root is dropped
+    * last — any OTHER partitions still staged there are simply
+    * abandoned with their originals intact (a rerun re-compacts them). */
+  private def recoverPartitionReplace(t: String, dirName: String,
+      src: String, adds: Seq[String], deletes: Seq[String]): Unit = {
+    val p = s"${path(t)}/$dirName"
+    val absSrc = s"$W/$src"
+    val f = hfs(new org.apache.hadoop.fs.Path(W))
+    if (adds.exists(a => graft.EstateFs.exists(s"$p/$a"))) {
+      adds.foreach { a =>
+        // staged name = the add minus its c<stamp>- provenance prefix
+        val orig = a.drop(a.indexOf('-') + 1)
+        if (!graft.EstateFs.exists(s"$p/$a") &&
+          graft.EstateFs.exists(s"$absSrc/$orig"))
+          require(f.rename(new org.apache.hadoop.fs.Path(s"$absSrc/$orig"),
+            new org.apache.hadoop.fs.Path(s"$p/$a")),
+            s"maintenance recovery: rename $absSrc/$orig -> $p/$a failed")
+      }
+      deletes.foreach(d => graft.EstateFs.deleteIfExists(s"$p/$d"): Unit)
+    }
+    graft.EstateFs.deleteRecursive(s"$W/${src.split('/').head}")
+  }
+
+  /** The shared commit: replace `replaced` in partition `dirName` of
+    * `t` with `staged` (files under `$W/srcRel`), behind the intent. */
+  private def commitPartitionReplace(t: String, dirName: String,
+      srcRel: String, staged: Seq[org.apache.hadoop.fs.FileStatus],
+      replaced: Seq[String]): Unit = {
+    val p = s"${path(t)}/$dirName"
+    val f = hfs(new org.apache.hadoop.fs.Path(W))
+    val stamp = System.currentTimeMillis()
+    // 'c' prefix: provenance-neutral (never matches a visit's v<ms>-
+    // scrub tag) and unique against both the replaced files and any
+    // future staged appends
+    val adds = staged.map(st => s"c$stamp-${st.getPath.getName}")
+    graft.EstateFs.writeStringAtomic(maintIntentPath(t),
+      s"""{"op":"tier","table":"$t","dir":"$dirName","src":"$srcRel","adds":[${
+        adds.map("\"" + _ + "\"").mkString(",")}],"deletes":[${
+        replaced.map("\"" + _ + "\"").mkString(",")}]}""")
+    maintCrashHook(s"intent:$t")
+    f.mkdirs(new org.apache.hadoop.fs.Path(p)): Unit
+    staged.zip(adds).foreach { case (st, a) =>
+      require(f.rename(st.getPath, new org.apache.hadoop.fs.Path(p, a)),
+        s"compaction: rename ${st.getPath} -> $p/$a failed")
+    }
+    maintCrashHook(s"moved:$t")
+    replaced.foreach(d => graft.EstateFs.deleteIfExists(s"$p/$d"): Unit)
+    maintCrashHook(s"deleted:$t")
+    graft.EstateFs.deleteIfExists(maintIntentPath(t)): Unit
+  }
+
+  private def dataFilesOf(f: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!graft.EstateFs.exists(dir)) Seq.empty
+    else f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+
+  /** Full end-of-night consolidation: ONE job rewrites the table to a
+    * side dir at one file per partition, then each partition commits
+    * by metadata ops behind a maintenance intent (crash-safe at every
+    * instant — see the maintenance-intents block). A crash mid-sequence
+    * loses at most the not-yet-committed partitions' compaction (their
+    * originals stay; a rerun finishes). */
+  def consolidateNight(): Unit = withWriter {
     requireNoRetryMarkers("consolidateNight")
-    // DYNAMIC overwrite, never static: static Overwrite deletes the
-    // whole table dir BEFORE the write job runs, so a compaction job
-    // that fails mid-write (executor loss killing the lineage-break
-    // blocks, fault injection) would destroy the table. Dynamic mode
-    // stages all output first and replaces partitions only at commit —
-    // a failed job leaves the table untouched, and the remaining
-    // exposure (a crash inside commitJob emptying some partitions) is
-    // the narrow window the visit path fences with its merge intent.
-    // Checkpoints.stable makes the lineage break itself survive
-    // executor loss when the session configures a checkpoint dir.
+    recoverMaintenance()
     def compact(t: String, schema: StructType, partCol: String): Unit = {
       if (!exists(t)) return
-      val df = graft.operators.Checkpoints.stable(
-        spark.read.schema(schema).parquet(path(t))
-          .repartition(col(partCol)))
-      try df.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partCol).parquet(path(t))
-      finally graft.operators.Checkpoints.release(df)
+      val sideRel = s".compact_$t"
+      val side = s"$W/$sideRel"
+      graft.EstateFs.deleteRecursive(side) // debris of a crashed attempt
+      spark.read.schema(schema).parquet(path(t))
+        .repartition(col(partCol))
+        .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(side)
+      val f = hfs(new org.apache.hadoop.fs.Path(W))
+      graft.EstateFs.listDirNames(side).filter(_.contains("=")).foreach {
+        dirName =>
+          val staged = dataFilesOf(f, s"$side/$dirName")
+          val replaced = graft.EstateFs.listNames(s"${path(t)}/$dirName")
+            .filter(_.endsWith(".parquet"))
+          commitPartitionReplace(t, dirName, s"$sideRel/$dirName",
+            staged, replaced)
+      }
+      graft.EstateFs.deleteRecursive(side)
     }
     compact("obj_last", objSchema, "pix_bucket")
     compact("objects", objSchema, "pix_bucket")
@@ -702,61 +1048,60 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
     refreshViews()
   }
 
-  /** Amortized consolidation (VERDICT r5 #5): rewrite ONLY the
-    * partition directories holding more than `maxFilesPerPartition`
-    * parquet fragments. Per-visit appends add a few files per table per
-    * visit; left to accumulate, late-night history reads pay growing
-    * list/open costs (the 100× soak's late-visit read inflation).
-    * Bounded work per invocation — untouched partitions cost a
-    * directory listing — so it can run BETWEEN visits; on a cluster it
-    * is the background compaction job next to the visit critical path.
-    * consolidateNight() remains the full end-of-night pass. At true
-    * cluster scale the fact tables carry a spatial partition alongside
-    * `mjd_bucket`, keeping each compaction unit FOV-sized.
+  /** Amortized TIERED consolidation (VERDICT r5 #5; tiered round 15 —
+    * VERDICT r14 next #2): in a partition holding more than
+    * `maxFilesPerPartition` parquet fragments SMALLER than
+    * `tierFileBytes`, merge those small files into one and leave the
+    * big (previously compacted) files alone. Per-invocation cost is
+    * therefore proportional to the data APPENDED since the last
+    * compaction, never to partition size — the former whole-partition
+    * rewrite grew linearly with accumulated history, and at reduced
+    * core counts the late-night rewrites genuinely competed with
+    * visits for capacity (the r14 soak's v37/38 budget misses). A tier
+    * file is re-merged until it crosses `tierFileBytes`, then
+    * graduates out of the tier: bounded write amplification,
+    * LSM-style. consolidateNight() remains the full end-of-night pass.
     * Returns partitions compacted per table. */
-  def compactFragmented(maxFilesPerPartition: Int = 48): Map[String, Int] = {
+  def compactFragmented(maxFilesPerPartition: Int = 48,
+      tierFileBytes: Long = 256L << 20): Map[String, Int] = withWriter {
     requireNoRetryMarkers("compactFragmented")
-    def one(t: String): Int = {
+    recoverMaintenance()
+    def one(t: String, schema: StructType): Int = {
       if (!exists(t)) return 0
-      val parts = graft.EstateFs.listDirNames(path(t))
-        .filter(_.contains("="))
-        .map(n => s"${path(t)}/$n")
-      val frag = parts.filter(p =>
-        graft.EstateFs.listNames(p).count(_.endsWith(".parquet")) >
-          maxFilesPerPartition)
-      frag.count { p =>
-        // Rewrite THROUGH the table root with dynamic partition
-        // overwrite (partition col reconstructed from the dir name)
-        // rather than static-overwriting the partition dir: static
-        // Overwrite deletes the dir before the job runs, so a job that
-        // fails mid-write would destroy the partition (same hazard as
-        // consolidateNight's — see there). Dynamic mode replaces only
-        // this partition, and only at commit.
-        val dirName = p.substring(p.lastIndexOf('/') + 1)
-        val eq = dirName.indexOf('=')
-        val pc = dirName.substring(0, eq)
-        // all engine partition cols are non-null longs; a dir whose
-        // value doesn't parse (__HIVE_DEFAULT_PARTITION__) is left
-        // fragmented rather than crashed on — it cannot be addressed
-        // through a reconstructed partition column
-        scala.util.Try(dirName.substring(eq + 1).toLong).toOption.exists {
-          pv =>
-            val df = graft.operators.Checkpoints.stable(
-              spark.read.parquet(p).repartition(1)
-                .withColumn(pc, lit(pv)))
-            try df.write.mode(SaveMode.Overwrite)
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy(pc).parquet(path(t))
-            finally graft.operators.Checkpoints.release(df)
+      val f = hfs(new org.apache.hadoop.fs.Path(path(t)))
+      graft.EstateFs.listDirNames(path(t)).filter(_.contains("=")).count {
+        dirName =>
+          val p = s"${path(t)}/$dirName"
+          val small = dataFilesOf(f, p).filter(st =>
+            st.getPath.getName.endsWith(".parquet") &&
+              st.getLen < tierFileBytes)
+          small.length > maxFilesPerPartition && {
+            val sideRel = s".ctier_$t"
+            val side = s"$W/$sideRel"
+            graft.EstateFs.deleteRecursive(side)
+            // data files inside a partition dir don't carry the
+            // partition column — read with the table schema minus it
+            val dataSchema = StructType(
+              schema.filterNot(fd => dirName.startsWith(fd.name + "=")))
+            spark.read.schema(dataSchema)
+              .parquet(small.map(_.getPath.toString): _*)
+              .coalesce(1)
+              .write.mode(SaveMode.Overwrite).parquet(side)
+            commitPartitionReplace(t, dirName, sideRel,
+              dataFilesOf(f, side), small.map(_.getPath.getName))
+            graft.EstateFs.deleteRecursive(side)
             true
-        }
+          }
       }
     }
-    val done = Seq("obj_last", "objects", "sources", "fsources")
-      .map(t => t -> one(t)).toMap
+    val done = Seq(
+      "obj_last" -> objSchema, "objects" -> objSchema,
+      "sources" -> srcSchema, "fsources" -> fsrcSchema)
+      .map { case (t, s) => t -> one(t, s) }.toMap
     if (done.values.sum > 0) refreshViews()
     done
   }
+
 
   /** Register the engine tables as SQL temp views (`dia_object_last`,
     * `dia_object`, `dia_source`, `dia_forced_source`) so plain-SQL users

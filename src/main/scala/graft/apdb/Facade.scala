@@ -86,8 +86,8 @@ object ApdbConfigIO {
     "visitIntervalSec" -> ((c, v) => c.copy(visitIntervalSec = v.toLong)),
     "interval" -> ((c, v) => c.copy(visitIntervalSec = v.toLong)),
     "replicaChunkSeconds" -> ((c, v) => c.copy(replicaChunkSeconds = v.toLong)),
-    "replicaChunkKeepDays" -> ((c, v) => c.copy(replicaChunkKeepDays = v.toInt)),
-    "replica_chunk_keep_days" -> ((c, v) => c.copy(replicaChunkKeepDays = v.toInt)),
+    "replicaChunkKeepDays" -> ((c, v) => c.copy(replicaChunkKeepDays = v.toDouble)),
+    "replica_chunk_keep_days" -> ((c, v) => c.copy(replicaChunkKeepDays = v.toDouble)),
     "clientNaming" -> ((c, v) => c.copy(clientNaming = v.toBoolean)),
   )
 

@@ -82,7 +82,20 @@ object VisitPipeline {
     * an engine run. */
   def visit(apdb: ApdbSpark, catalog: DataFrame, visitId: Int,
       visitTime: Timestamp, pointing: Vec3,
-      metrics: Option[MetricsLog] = None): VisitStats = {
+      metrics: Option[MetricsLog] = None): VisitStats =
+    // the whole visit — fence, reads, store, state checkpoint — runs
+    // under the warehouse's single-writer lease (round 15): two
+    // pipeline processes interleaving staged appends and markers on one
+    // warehouse have no upsert keys to reconcile them, so the second
+    // gets the designed refusal instead (contention scenario H). A
+    // run-scoped holder (ApSim) only pays a heartbeat here.
+    apdb.withWriter {
+      visitUnderLease(apdb, catalog, visitId, visitTime, pointing, metrics)
+    }
+
+  private def visitUnderLease(apdb: ApdbSpark, catalog: DataFrame,
+      visitId: Int, visitTime: Timestamp, pointing: Vec3,
+      metrics: Option[MetricsLog]): VisitStats = {
     val spark = apdb.spark
     val cfg = apdb.config
     // the pipeline speaks the DB column convention; a client-naming
@@ -116,6 +129,11 @@ object VisitPipeline {
     //    marker shows a previous attempt at this visit actually
     //    started — a first attempt pays one existence probe + one
     //    atomic marker write, nothing table-sized.
+    // a compaction that crashed mid-commit must be repaired BEFORE the
+    // stale-marker resolution below reads the history tables (a
+    // mid-swap table reads as empty — resolving a stale intent against
+    // it would rebuild buckets from nothing)
+    apdb.recoverMaintenance()
     apdb.clearStaleIntents(visitTime)
     apdb.mergeIntent(visitTime) match {
       case Some(touched) =>
