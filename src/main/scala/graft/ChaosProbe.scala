@@ -460,17 +460,20 @@ object ChaosProbe {
     }
 
     // ---- arm 5: nightly maintenance compaction under executor loss ------
-    // consolidateNight rewrites every store table in place. With STATIC
+    // consolidateNight rewrites every store table. With STATIC
     // overwrite (pre-round-14-fix) Spark deleted each table dir BEFORE
     // the write job ran, so an executor loss mid-compaction — killing
     // the lineage-break blocks the job reads — destroyed the table.
-    // Claims proven here on the dynamic-overwrite + Checkpoints.stable
-    // rewrite, with a reliable checkpoint dir configured: the kill
-    // lands mid-compaction, and EITHER the compaction completes through
-    // the loss (round state recomputes from checkpoint files) OR it
-    // fails with the store byte-identical (dynamic overwrite commits
-    // nothing on a failed job) and a rerun converges. In every outcome
-    // the final contents must hash-identical to pre-compaction.
+    // Round 15 moved the verb to SIDE-DIR staging + per-partition
+    // metadata commits behind maintenance intents (the write job never
+    // touches the table, so the r14 lineage-break/checkpoint machinery
+    // is no longer even needed). Claims proven here: the kill lands
+    // mid-compaction, and EITHER the compaction completes through the
+    // loss (task retry inside the side-write job) OR it fails with the
+    // store byte-identical (only the side dir was written) and a rerun
+    // — which first runs recoverMaintenance over any crashed commit —
+    // converges. In every outcome the final contents must
+    // hash-identical to pre-compaction.
     if (arms.contains("maintenance")) {
       import java.sql.Timestamp
       import graft.apdb._

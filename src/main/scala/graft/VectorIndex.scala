@@ -294,7 +294,15 @@ object VectorIndex {
     * retuning the knob, and a sparse one pays ≈ base as before. */
   def searchBinary(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int = 5, shortlist: Int = DedupQueries.RescoreShortlist,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      /** the adaptive hK+1 shell's hard cap, as a multiple of
+        * `shortlist`. Measured at 200 k (README "ANN retrieval
+        * quality"): on a saturated corpus widening the cap buys a
+        * little (0.70 → 0.74 at cap 4) and then goes inert — the shell
+        * is exhausted. The knob that KEEPS buying recall is `shortlist`
+        * itself (base 100 → 400 → 1600 reads 0.70 → 0.92 → 0.98 at
+        * sub-second serve), at exact-rescore cost linear in it. */
+      capFactor: Int = 2): DataFrame = {
     import spark.implicits._
     require(EstateFs.exists(s"$dir/meta_bin.json"),
       s"$dir/meta_bin.json missing — not a binary VectorIndex dir")
@@ -323,12 +331,14 @@ object VectorIndex {
           }
         }
         graft.operators.BoundedTopK.perQuery(rows,
-          // 2× heap feeds the adaptive cut; guard the doubling against
-          // a caller-passed shortlist near Int.MaxValue ("the corpus")
-          if (shortlist > Int.MaxValue / 2) Int.MaxValue else 2 * shortlist,
+          // capFactor× heap feeds the adaptive cut; guard the multiply
+          // against a shortlist near Int.MaxValue ("the corpus")
+          if (shortlist > Int.MaxValue / capFactor) Int.MaxValue
+          else capFactor * shortlist,
           (r: (Long, Long, Long)) => r._1)(hamOrder)
       }.toDF("query_id", "cand_id", "hamming")
-    val short = DedupQueries.adaptiveHammingShortlist(hamScored, shortlist)
+    val short =
+      DedupQueries.adaptiveHammingShortlist(hamScored, shortlist, capFactor)
     val rescored = short
       .join(spark.read.parquet(s"$dir/vectors"), "cand_id")
       .select(col("query_id"), col("cand_id"), col("cand_e"), col("cand_n"))

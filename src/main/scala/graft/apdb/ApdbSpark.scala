@@ -465,11 +465,17 @@ final class ApdbSpark(val spark: SparkSession, val config: ApdbConfig) {
   private def widenAttemptScope(visitMs: Long, dirs: Seq[String]): Unit = {
     val p = attemptMarkerPath(visitMs)
     if (dirs.isEmpty || !graft.EstateFs.exists(p)) return
-    val have = attemptScope(new Timestamp(visitMs)).getOrElse(Nil)
-    val union = (have ++ dirs).distinct
-    graft.EstateFs.writeStringAtomic(p,
-      s"""{"visit_ms":$visitMs,"dirs":[${
-        union.map(d => "\"" + d + "\"").mkString(",")}]}""")
+    attemptScope(new Timestamp(visitMs)) match {
+      case Some(have) =>
+        val union = (have ++ dirs).distinct
+        graft.EstateFs.writeStringAtomic(p,
+          s"""{"visit_ms":$visitMs,"dirs":[${
+            union.map(d => "\"" + d + "\"").mkString(",")}]}""")
+      case None =>
+        // scope-less marker (pre-scope format or corrupt): leave it —
+        // the scrub's full-walk fallback is the safe superset, and
+        // writing a partial scope here would NARROW it incorrectly
+    }
   }
 
   /** The scrub scope recorded in the visit's attempt marker:

@@ -3231,14 +3231,20 @@ object DedupQueries {
     * stage-1 heaps feed it at that width). Deterministic: ties broken
     * by cand_id everywhere, and the cap is applied in the same
     * (hamming, cand_id) order. */
-  def adaptiveHammingShortlist(hamScored: DataFrame, base: Int): DataFrame = {
+  def adaptiveHammingShortlist(hamScored: DataFrame, base: Int,
+      capFactor: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byHam = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming"), col("cand_id"))
     val perQuery = Window.partitionBy(col("query_id"))
     hamScored
       .withColumn("rk", row_number().over(byHam))
-      .where(col("rk") <= 2L * base) // long math: base may be "the corpus"
+      // long math: base may be "the corpus". capFactor is the serving
+      // recall-vs-latency knob (round 15): on a corpus dense enough to
+      // saturate the 64-bit codes the hK+1 shell rides this cap, and
+      // widening it trades exact-rescore rows for recall — measured
+      // ladder in README "ANN retrieval quality" (RecallProbe 200k)
+      .where(col("rk") <= capFactor.toLong * base)
       .withColumn("hk",
         max(when(col("rk") <= base, col("hamming"))).over(perQuery))
       .where(col("rk") <= base || col("hamming") <= col("hk") + 1)
