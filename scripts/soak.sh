@@ -11,6 +11,15 @@
 # pixel-bucketed catalog path on a file-provided catalog.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# local-cluster runs (SPARK_GRAFT_MASTER=local-cluster[...]) spawn
+# executor JVMs through WorkerCommandBuilder, which resolves the Spark
+# distribution from SPARK_HOME — without it the in-driver workers die
+# with "Cannot find any build directories"
+export SPARK_HOME=${SPARK_HOME:-/opt/spark}
+# ...and Spark 4.1's AbstractCommandBuilder.buildClassPath resolves the
+# scala version unconditionally, which in a release layout (no
+# launcher/target build dirs) needs the env override (BASELINE.md:405)
+export SPARK_SCALA_VERSION=${SPARK_SCALA_VERSION:-2.13}
 WAREHOUSE=${1:?warehouse dir}
 VISITS=${2:?visit count}
 CATSIZE=${3:?catalog size}
