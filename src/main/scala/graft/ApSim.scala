@@ -76,6 +76,9 @@ object ApSim {
       val wDir = new java.io.File(warehouse)
       val tables = Option(wDir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.listFiles() != null && f.listFiles().nonEmpty)
+        // the lease claim dir is OURS — acquireWriter() just created it
+        // above, so it must not trip the fresh-warehouse refusal
+        .filterNot(_.getName == "claims")
       require(tables.isEmpty,
         s"warehouse $warehouse has tables (${tables.map(_.getName).mkString(", ")}) " +
           "but no visit_state.json — refusing to drop; delete the directory " +
