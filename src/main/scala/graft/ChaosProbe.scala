@@ -163,6 +163,11 @@ object ChaosProbe {
     val spark = MasterConf(SparkSession.builder(), "local-cluster[2,4,3072]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // the iterative arms exist to kill an executor MID-ROUND: disable
+      // the single-task small-graph finish (r15) so the chain workload
+      // keeps its many-round distributed shape and the kill window
+      // stays non-vacuous
+      .config("graft.cc.localEdgeLimit", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     require(spark.sparkContext.master.startsWith("local-cluster"),

@@ -319,17 +319,43 @@ object DedupQueries {
     * edges are x7's (DF-capped grams, bounded candidates); the edge
     * aggregation shuffles (u,v) id pairs only. */
   val x74SourcePagerank: QFn = (s, d) => {
+    import s.implicits._
     val docSrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
     val cross = x7Pairs(s, d).select(col("doc_a"), col("doc_b"))
       .join(docSrc.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
       .join(docSrc.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
       .where(col("src_a") =!= col("src_b"))
+    // the edge count rides the checkpoint materialization and decides
+    // the single-task finish (r15 optimization, same scale-adaptive
+    // rule as ConnectedComponents.localEdgeLimit): the recurrence is
+    // integer-exact, so running all PrRounds in one task over a
+    // task-sized graph is bit-identical to the distributed rounds —
+    // and drops ~2 jobs + 2 shuffles per round of pure fixed overhead.
+    // Above the limit the Pregel-shaped loop below runs unchanged.
+    val obs0 = org.apache.spark.sql.Observation(
+      s"x74_n_${obsEpoch.incrementAndGet()}")
     val edges = graft.operators.Checkpoints.stable(
       cross.select(col("src_a").as("u"), col("src_b").as("v"))
         .union(cross.select(col("src_b").as("u"), col("src_a").as("v")))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w")))
-    val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("wu"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        .observe(obs0, count(lit(1)).as("n")))
+    val nEdges = obs0.get("n").asInstanceOf[Long]
     val nodes = docSrc.select(col("source")).distinct()
+    val limit = graft.operators.ConnectedComponents.localEdgeLimit(s)
+    if (limit > 0 && nEdges <= limit) {
+      val tagged = edges
+        .select(lit(0).as("t"), col("u"), col("v"), col("w"))
+        .unionByName(nodes.select(lit(1).as("t"), col("source").as("u"),
+          lit(null).cast("string").as("v"), lit(0L).as("w")))
+      tagged.as[(Int, String, String, Long)]
+        .coalesce(1)
+        .mapPartitions(localPagerank)
+        .toDF("source", "r")
+        .select(col("source"), col("r").as("rank_scaled"),
+          round(col("r").cast("double") / lit(PrScale.toDouble), 6).as("rank"))
+        .orderBy(col("source"))
+    } else {
+    val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("wu"))
     val nn = nodes.agg(count(lit(1)).as("n"))
     // rank rounds rotate through a Loop (superseded rank copies freed —
     // blocks locally, checkpoint files on the reliable path); `edges`
@@ -363,6 +389,38 @@ object DedupQueries {
       .select(col("source"), col("r").as("rank_scaled"),
         round(col("r").cast("double") / lit(PrScale.toDouble), 6).as("rank"))
       .orderBy(col("source"))
+    }
+  }
+
+  /** Single-task replay of the x74 recurrence over a tagged edge/node
+    * iterator (t=0: weighted edge (u,v,w); t=1: node in `u`). Integer
+    * division exactly as the distributed expressions write it —
+    * `(r div wu)*w + ((r mod wu)*w) div wu` per edge, damped base +
+    * `85·cs div 100` per node — so the output is bit-identical. */
+  private def localPagerank(
+      it: Iterator[(Int, String, String, Long)]): Iterator[(String, Long)] = {
+    val es = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+    it.foreach { case (t, u, v, w) =>
+      if (t == 0) es += ((u, v, w)) else ns += u
+    }
+    val n = ns.length.toLong
+    val wu = scala.collection.mutable.HashMap.empty[String, Long]
+    es.foreach { case (u, _, w) => wu(u) = wu.getOrElse(u, 0L) + w }
+    var rank = scala.collection.mutable.HashMap.empty[String, Long]
+    ns.foreach(src => rank(src) = PrScale / n)
+    val base = (15L * PrScale) / (100L * n)
+    for (_ <- 1 to PrRounds) {
+      val cs = scala.collection.mutable.HashMap.empty[String, Long]
+      es.foreach { case (u, v, w) =>
+        val r = rank(u); val o = wu(u)
+        cs(v) = cs.getOrElse(v, 0L) + (r / o) * w + ((r % o) * w) / o
+      }
+      val next = scala.collection.mutable.HashMap.empty[String, Long]
+      ns.foreach(src => next(src) = base + (85L * cs.getOrElse(src, 0L)) / 100L)
+      rank = next
+    }
+    ns.iterator.map(src => (src, rank(src)))
   }
   // lazy: x7CteBody is defined further down the object body
   lazy val x74Sql: String = {
@@ -648,11 +706,22 @@ object DedupQueries {
         explode(expr("sequence(0, size(w) - 2)")).as("i"))
       .select(col("doc_id"), expr(hex60("concat(w[i], '_', w[i+1])")).as("gram"))
       .distinct()
-    val rare = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("gram_df"))
+    // DF cap as ONE window over gram instead of a count aggregate joined
+    // back (guide §2.4: two operations keyed the same way share one
+    // exchange — the window count and the filter ride a single
+    // hash(gram) exchange; the old agg+join shape paid the exchange
+    // twice plus a join). A hot gram's window task stays linear
+    // (sort + count), and the quadratic pair work below is what the DF
+    // cap itself bounds.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    // localCheckpoint: THREE consumers (sizes, both self-join sides) —
+    // without it each re-executes the scan→explode→distinct→window
+    // subtree (the before-plan carried 46 Exchanges for this reason).
+    val kept = grams
+      .withColumn("gram_df", count(lit(1)).over(w))
       .where(col("gram_df") <= MaxGramDf)
-      .select(col("gram"))
-    val kept = grams.join(rare, "gram")
+      .select(col("doc_id"), col("gram"))
+      .localCheckpoint(true)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = kept.as("ga")
       .join(kept.as("gb"), col("ga.gram") === col("gb.gram") &&
@@ -912,10 +981,30 @@ object DedupQueries {
     * Oracle: DuckDB recursive CTE computing the same transitive closure
     * (UNION-dedup bounds the recursion). */
   val x16DupClusters: QFn = (s, d) => {
+    import s.implicits._
     val pairs = x7Pairs(s, d).select(col("doc_a"), col("doc_b"))
+    // count rides the checkpoint materialization (no separate job) and
+    // decides the single-task finish, same scale-adaptive rule as
+    // [[graft.operators.ConnectedComponents]]: below the limit the
+    // whole labeling is one union-find task — each propagation round
+    // is 2 shuffles + a lineage break of pure fixed overhead once the
+    // edge set fits one task. Above it, min-label propagation runs
+    // unchanged (the 100 TB path).
+    val obs0 = org.apache.spark.sql.Observation(
+      s"x16_n_${obsEpoch.incrementAndGet()}")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint(true)
+    val nEdges = obs0.get("n").asInstanceOf[Long]
+    val limit = graft.operators.ConnectedComponents.localEdgeLimit(s)
+    if (limit > 0 && nEdges <= limit) {
+      val labels = edges.as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions(graft.operators.ConnectedComponents.localMinLabels)
+        .toDF("doc_id", "cluster_id")
+      clusterPresentation(labels)
+    } else {
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
@@ -955,6 +1044,7 @@ object DedupQueries {
     require(changed == 0,
       s"x16 label propagation did not converge in $iter rounds")
     clusterPresentation(labels)
+    }
   }
 
   /** Shared (doc_id, cluster_id) → (+cluster_size, ordered) postlude of

@@ -43,13 +43,22 @@ object MiningQueries {
     // 'Customer#000000042') yields the SAME variant — dedup (id, sig)
     // up front or those duplicates multiply QUADRATICALLY in the join
     // (each bucket pair forms dup_a × dup_b candidate rows)
+    // the join/dedup key is xxhash64(variant), not the variant string
+    // (r15, guide §2.3 "narrower types"): the signature only decides
+    // which names MEET — every surviving pair is re-verified by the
+    // exact bounded-levenshtein filter below, and completeness is
+    // unchanged (a true ≤1-edit pair shares a variant STRING, whose
+    // hash collides with itself), so a stray 64-bit collision can only
+    // add a candidate that the exact refine then drops. 8-byte keys
+    // instead of ~25-char strings across the dedup + self-join
+    // exchanges and the skew-guard window sort.
     val sigs = names
       .select(col("id"), col("name"),
         explode(expr("sequence(0, length(name))")).as("i"))
       .select(col("id"), col("name"),
-        when(col("i") === 0, col("name"))
+        xxhash64(when(col("i") === 0, col("name"))
           .otherwise(concat(expr("substring(name, 1, i - 1)"),
-            expr("substring(name, i + 1, length(name))"))).as("sig"))
+            expr("substring(name, i + 1, length(name))")))).as("sig"))
       .dropDuplicates("id", "sig")
     val a = sigs.select(col("sig"), col("id").as("id_a"), col("name").as("name_a"))
     val b = sigs.select(col("sig"), col("id").as("id_b"), col("name").as("name_b"))
@@ -676,15 +685,30 @@ object MiningQueries {
     * check is an edge-keyed semi-join. No step is ever quadratic in a
     * vertex's raw degree. */
   val x83TriangleCount: QFn = (s, d) => {
-    val op = Tables.lineitem(s, d)
+    // Per-order part sets in ONE exchange (r15, guide §2.3/§2.4): the
+    // old shape paid a (okey, part) distinct exchange plus a self-join
+    // on okey; collect_set dedups inside the group, so one hash(okey)
+    // aggregate replaces both, and the sorted array enumerates each
+    // unordered pair once (i < j ⇔ u < v) in the same codegen stage.
+    // Order groups are small by schema, so slice-per-position is
+    // linear-ish per order and never quadratic in a vertex's degree.
+    val parts = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .dropDuplicates("okey", "part")
-    val edges = op.as("a").join(op.as("b"), "okey")
-      .where(col("a.part") < col("b.part"))
-      .select(col("a.part").as("u"), col("b.part").as("v"))
+      .groupBy(col("okey"))
+      .agg(sort_array(collect_set(col("part"))).as("ps"))
+    val edges = parts
+      .select(col("ps"), posexplode(col("ps")))
+      .select(col("col").as("u"),
+        explode(expr("slice(ps, pos + 2, size(ps))")).as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
       .where(col("support") >= TriMinSupport)
       .select(col("u"), col("v"))
+      // support >= 2 collapses the graph ~300× (1.2 M candidate pairs →
+      // 3.6 k edges at sf0.1); checkpointing here lets every downstream
+      // consumer (degrees, orientation, wedge join, closing semi-join,
+      // the two count scalars) broadcast-join tiny frames instead of
+      // re-running the lineitem aggregation per consumer.
+      .localCheckpoint(true)
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Optimization-round measurement harness (guide §1): time the
+  * SUB-PHASES of the most expensive bench keys in isolation so a change
+  * targets the phase that actually costs, not the one that looks
+  * complex. Every phase is evaluated through the noop sink (§1.4) —
+  * full computation, no result materialization on the driver — and
+  * labeled with setJobDescription (§1.5).
+  *
+  * Usage: runMain graft.queries.PhaseProbe [sfDir] [phase ...]
+  * (no phases = run all). Prints one `phase,seconds` CSV line each.
+  * Honors SPARK_GRAFT_CPUS like Bench so probe numbers are comparable
+  * to bench numbers.
+  */
+object PhaseProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.MasterConf(SparkSession.builder(), s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = spark
+    val d = sfDir
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // Warm-up (same as Bench: file index + codegen + ANN kernel JIT)
+    try {
+      spark.range(1000000L).agg(sum("id")).count()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        Tables.t(spark, sfDir, t).count()
+      }
+      graft.SparkEntry.queries("x3_topk_similarity")(spark, sfDir).count()
+    } catch { case _: Throwable => }
+
+    // Each phase is a thunk so construction costs (driver-side eager
+    // work like bloom builds) are timed too.
+    val phases: Seq[(String, () => Unit)] = Seq(
+      "job_floor" -> (() => noop(spark.range(2).toDF("i"))),
+      "shuffle_floor" -> (() => noop(
+        spark.range(1000).toDF("i").groupBy(col("i") % 7).count())),
+      "x7_pairs" -> (() => noop(DedupQueries.x7Pairs(s, d))),
+      "x7_grams_distinct" -> (() => {
+        val docs = Tables.documents(s, d)
+        noop(docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(col("doc_id"), col("w"),
+            explode(expr("sequence(0, size(w) - 2)")).as("i"))
+          .select(col("doc_id"),
+            expr(PortableHash.hex60("concat(w[i], '_', w[i+1])")).as("gram"))
+          .distinct())
+      }),
+      "x8_pairs" -> (() => noop(DedupQueries.x8PairScan(s, d))),
+      "starcontract_on_x7" -> (() => noop(
+        graft.operators.ConnectedComponents.starContract(
+          s, DedupQueries.x7Pairs(s, d).select(col("doc_a"), col("doc_b"))))),
+      "starcontract_on_x8" -> (() => noop(
+        graft.operators.ConnectedComponents.starContract(
+          s, DedupQueries.x8PairScan(s, d).select(col("vec_a"), col("vec_b"))))),
+      "x108_kmeans_fit" -> (() => {
+        DedupQueries.kmeansFitDf(s, Tables.embeddings(s, d)): Unit
+      }),
+      "x108_cellpairs" -> (() => noop(DedupQueries.x108CellPairScan(s, d))),
+      "x22_full" -> (() => noop(DedupQueries.x22DupClustersStar(s, d))),
+      "x16_full" -> (() => noop(DedupQueries.x16DupClusters(s, d))),
+      "x48_full" -> (() => noop(DedupQueries.x48SemanticDedup(s, d))),
+      "x108_full" -> (() => noop(DedupQueries.x108SemanticDedupCells(s, d))),
+      "x74_full" -> (() => noop(DedupQueries.x74SourcePagerank(s, d))),
+      "x74_edges_only" -> (() => {
+        val docSrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val cross = DedupQueries.x7Pairs(s, d).select(col("doc_a"), col("doc_b"))
+          .join(docSrc.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+          .join(docSrc.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+          .where(col("src_a") =!= col("src_b"))
+        noop(cross.select(col("src_a").as("u"), col("src_b").as("v"))
+          .union(cross.select(col("src_b").as("u"), col("src_a").as("v")))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w")))
+      }),
+      "x83_edges_only" -> (() => {
+        val op = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .dropDuplicates("okey", "part")
+        noop(op.as("a").join(op.as("b"), "okey")
+          .where(col("a.part") < col("b.part"))
+          .select(col("a.part").as("u"), col("b.part").as("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+          .where(col("support") >= MiningQueries.TriMinSupport)
+          .select(col("u"), col("v")))
+      }),
+      "x83_full" -> (() => noop(MiningQueries.x83TriangleCount(s, d))),
+      "x69_sigs_only" -> (() => {
+        val names = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        noop(names
+          .select(col("id"), col("name"),
+            explode(expr("sequence(0, length(name))")).as("i"))
+          .select(col("id"), col("name"),
+            when(col("i") === 0, col("name"))
+              .otherwise(concat(expr("substring(name, 1, i - 1)"),
+                expr("substring(name, i + 1, length(name))"))).as("sig"))
+          .dropDuplicates("id", "sig"))
+      }),
+      "x69_full" -> (() => noop(MiningQueries.x69FuzzyJoin(s, d))),
+      "minhash_sigs" -> (() => noop(
+        DedupQueries.minhashSignatures(Tables.documents(s, d)))),
+      "x2_full" -> (() => noop(DedupQueries.x2DedupMinhash(s, d))),
+      "x6_full" -> (() => noop(DedupQueries.x6DedupSimhash(s, d))),
+      "x58_full" -> (() => noop(DedupQueries.x58MinhashCalibration(s, d))),
+      "x71_full" -> (() => noop(DedupQueries.x71CrossCorpusDedup(s, d))),
+      "x52_full" -> (() => noop(DedupQueries.x52QualityKeeper(s, d)))
+    )
+    val selected =
+      if (args.length <= 1) phases
+      else phases.filter { case (n, _) => args.drop(1).contains(n) }
+    selected.foreach { case (name, fn) =>
+      spark.sparkContext.setJobDescription(s"probe: $name")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sec = math.min(once(), once()) // min-of-2 like Bench
+      println(f"$name,$sec%.3f")
+    }
+    spark.stop()
+  }
+}

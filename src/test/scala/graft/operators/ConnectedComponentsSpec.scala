@@ -28,6 +28,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     nodes.map(n => n -> find(n)).toMap
   }
 
+  /** Force one of the two paths: limit 0 disables the single-task
+    * finish (pure distributed rounds), a huge limit forces it. */
+  private def withLimit[T](limit: Long)(body: => T): T = {
+    spark.conf.set("graft.cc.localEdgeLimit", limit.toString)
+    try body
+    finally spark.conf.unset("graft.cc.localEdgeLimit")
+  }
+
   private def viaSpark(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     val df = edges.toDF("a", "b")
@@ -35,23 +43,42 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("random graphs match union-find (seeded trials)") {
+  test("random graphs match union-find (seeded trials, both paths)") {
     val rng = new scala.util.Random(2026)
     (1 to 15).foreach { trial =>
       val n = 2 + rng.nextInt(40)
       val m = 1 + rng.nextInt(80)
       val es = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
         .filter(e => e._1 != e._2)
-      if (es.nonEmpty)
-        assert(viaSpark(es) == unionFind(es), s"trial $trial failed: $es")
+      if (es.nonEmpty) {
+        val want = unionFind(es)
+        // default limit ⇒ the single-task finish on graphs this small
+        assert(viaSpark(es) == want, s"trial $trial (local) failed: $es")
+        // limit 0 ⇒ the distributed contraction rounds
+        assert(withLimit(0)(viaSpark(es)) == want,
+          s"trial $trial (distributed) failed: $es")
+      }
     }
+  }
+
+  test("single-task finish engages below the edge limit and not above") {
+    import spark.implicits._
+    val es = (0L until 40L).map(i => (i, i + 1)) // 40 edges, one chain
+    val df = es.toDF("a", "b")
+    val (_, localRounds) = withLimit(1000)(
+      ConnectedComponents.starContractWithRounds(spark, df))
+    assert(localRounds == 0, "below the limit must take the 0-round path")
+    val (_, distRounds) = withLimit(10)(
+      ConnectedComponents.starContractWithRounds(spark, df))
+    assert(distRounds > 0, "above the limit must run contraction rounds")
   }
 
   test("long chain (propagation's worst case) converges in few rounds") {
     // a 300-node path: min-label propagation needs ~300 rounds; star
-    // contraction must stay inside its 32-round bound
+    // contraction must stay inside its 32-round bound. Limit 0 pins the
+    // DISTRIBUTED rounds (the default limit would finish it in-task).
     val chain = (0L until 300L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val got = viaSpark(chain)
+    val got = withLimit(0)(viaSpark(chain))
     assert(got.values.toSet == Set(0L), "chain must collapse to root 0")
     assert(got.size == 300)
   }
@@ -60,9 +87,10 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // (6,5),(6,0),(7,5),(7,1): one large+small round yields the
     // chain-free but under-merged {(5,0),(6,0),(5,1),(7,1)} — node 5
     // holds two parents. Only the edge-set fixpoint certifies stars;
-    // everything here is one component rooted at 0.
+    // everything here is one component rooted at 0. Limit 0 pins the
+    // distributed rounds (the trap is a contraction property).
     val es = Seq((6L, 5L), (6L, 0L), (7L, 5L), (7L, 1L))
-    val got = viaSpark(es)
+    val got = withLimit(0)(viaSpark(es))
     assert(got == Map(0L -> 0L, 1L -> 0L, 5L -> 0L, 6L -> 0L, 7L -> 0L))
   }
 
@@ -96,6 +124,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val es = Seq.fill(300)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
       .filter(e => e._1 != e._2)
     val df = es.toDF("a", "b")
+    // limit 0: this test pins the ROUND-STATE checkpointing machinery,
+    // which only exists on the distributed path
+    spark.conf.set("graft.cc.localEdgeLimit", "0")
     val (localDf, localRounds) =
       ConnectedComponents.starContractWithRounds(spark, df)
     val local = localDf
@@ -131,6 +162,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       // every later suite onto the reliable path.
       // setCheckpointDir(null) maps to None in local mode.
       spark.sparkContext.setCheckpointDir(null)
+      spark.conf.unset("graft.cc.localEdgeLimit")
     }
   }
 
