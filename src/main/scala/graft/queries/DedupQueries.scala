@@ -102,6 +102,12 @@ object DedupQueries {
   def bandBuckets(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), col("sig"),
         explode(expr(s"sequence(0, ${Bands - 1})")).as("band"))
+      // NOTE (r15): a struct-of-4-longs bucket key was tried (narrower
+      // than the string through the exchanges) and measured ~10-15%
+      // SLOWER end-to-end at bench scale — struct keys fall off the
+      // UTF8String/long fast comparators in the skew-guard window sort
+      // and the SMJ. The decimal string stays: injective and
+      // binary-comparable.
       .select(col("doc_id"), col("band"),
         expr("concat_ws(',', CAST(sig[band*4] AS STRING), CAST(sig[band*4+1] AS STRING), CAST(sig[band*4+2] AS STRING), CAST(sig[band*4+3] AS STRING))")
           .as("bucket"))
@@ -504,6 +510,10 @@ object DedupQueries {
         expr(hex60("concat_ws(' ', w[i], w[i+1], w[i+2])")).as("h"))
       .distinct()
       .join(candDocs, Seq("doc_id"), "leftsemi")
+      // three consumers (sizes, both intersection attaches) — without
+      // the checkpoint each re-runs the tokenize→explode→distinct
+      // subtree (the x61 multi-consumer rule, applied here r15)
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
@@ -721,6 +731,9 @@ object DedupQueries {
       .withColumn("gram_df", count(lit(1)).over(w))
       .where(col("gram_df") <= MaxGramDf)
       .select(col("doc_id"), col("gram"))
+      // EAGER: a lazy checkpoint was measured (r15) and lost — sibling
+      // AQE stages race to materialize the same partitions and duplicate
+      // the work; the eager barrier runs the subtree exactly once
       .localCheckpoint(true)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = kept.as("ga")
@@ -2740,11 +2753,16 @@ object DedupQueries {
         explode(expr(s"sequence(0, size(w) - $g)")).as("pos"))
       .select(col("doc_id"), col("pos"),
         expr(hex60(s"concat_ws(' ', $gramCols)")).as("h"))
+      // consumed by the DF-cap aggregate AND the kept join's probe side:
+      // checkpoint so the tokenize→explode→hash scan runs once (r15)
+      .localCheckpoint(true)
     val rare = grams.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("gram_df"))
       .where(col("gram_df") <= SpanMaxDf)
       .select(col("h"))
-    val kept = grams.join(rare, "h")
+    // both sides of the anchor self-join read `kept` — checkpoint so the
+    // rare join executes once instead of per side (r15)
+    val kept = grams.join(rare, "h").localCheckpoint(true)
     val m = kept.as("ga")
       .join(kept.as("gb"), col("ga.h") === col("gb.h") &&
         col("ga.doc_id") < col("gb.doc_id"))
