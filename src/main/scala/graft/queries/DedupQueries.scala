@@ -157,6 +157,7 @@ object DedupQueries {
       .map(i => when(a(i) === b(i), 1).otherwise(0))
       .reduce((x: Column, y: Column) => x + y) / lit(SigSize.toDouble)
 
+
   val x2DedupMinhash: QFn = (s, d) => {
     // localCheckpoint (GC-managed) instead of cache: query functions
     // return plans whose actions run later, so an explicit unpersist
@@ -165,6 +166,11 @@ object DedupQueries {
     val banded = bandBuckets(sigs)
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    // NOTE (r15): an x6-style first-collision filter in place of this
+    // dropDuplicates was tried and measured SLOWER here — exact-dup
+    // cliques collide in ALL 16 bands, so the post-attach filter pays
+    // the 64-term array math on ~16x the rows the dedup-first shape
+    // attaches. The ids-only dedup exchange stays.
     val cand = bucketSelfJoin(s, a, b, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
@@ -945,8 +951,24 @@ object DedupQueries {
     // count keeps the fpp honest however large the bench set grows (a
     // fixed guess would silently degrade the filter into a pass-through
     // and push all the pruning work onto the confirm join).
-    val nBench = math.max(benchGrams.count(), 1L)
-    val bloomBytes = benchGrams
+    // Sizing (r15): an UPPER BOUND on the distinct gram count from one
+    // cheap column scan (total bigram slots — no explode, no distinct
+    // exchange) instead of an exact count job. Over-sizing only lowers
+    // the fpp below target; under-sizing is impossible (bound ≥ true
+    // count), and the exact confirm join makes any fpp result-neutral.
+    val benchDocs = docs.where(col("doc_id") % DecontamEvery === 0)
+    val nBench = math.max(benchDocs
+      .agg(coalesce(sum(greatest(
+        size(split(col("text"), " ")) - 1, lit(0)).cast("long")), lit(0L)))
+      .head().getLong(0), 1L)
+    // Build over the RAW gram stream — bloom insertion is idempotent,
+    // so dropping gramsOf's distinct exchange leaves the filter bits
+    // for a given sizing reachable-set-identical.
+    val bloomBytes = benchDocs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("w"), explode(expr("sequence(0, size(w) - 2)")).as("i"))
+      .select(expr(hex60("concat(w[i], '_', w[i+1])")).as("gram"))
       .agg(SketchFunctions.bloomAgg(xxhash64(col("gram")),
         expectedItems = nBench, fpp = 0.01).as("bf"))
       .head().getAs[Array[Byte]](0)

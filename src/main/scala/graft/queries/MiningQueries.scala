@@ -55,22 +55,36 @@ object MiningQueries {
     val sigs = names
       .select(col("id"), col("name"),
         explode(expr("sequence(0, length(name))")).as("i"))
-      .select(col("id"), col("name"),
+      .select(col("id"),
         xxhash64(when(col("i") === 0, col("name"))
           .otherwise(concat(expr("substring(name, 1, i - 1)"),
             expr("substring(name, i + 1, length(name))")))).as("sig"))
       .dropDuplicates("id", "sig")
-    val a = sigs.select(col("sig"), col("id").as("id_a"), col("name").as("name_a"))
-    val b = sigs.select(col("sig"), col("id").as("id_b"), col("name").as("name_b"))
+    // ids-only through the candidate machinery (r15, guide §2.3/§8:
+    // decide with small rows, attach the payload once): the name
+    // strings used to ride BOTH self-join sides — through the dedup
+    // exchange, the skew-guard window sorts, and the join — and the
+    // levenshtein refine ran per CANDIDATE occurrence (a pair sharing k
+    // variants paid it k times, pre-dedup). Now the join moves (sig,
+    // id) longs only, pairs dedup FIRST, names re-attach by id join,
+    // and the refine runs once per distinct pair. Same result: the
+    // refine is a deterministic filter, so dedup-then-filter ≡
+    // filter-then-dedup.
+    val a = sigs.select(col("sig"), col("id").as("id_a"))
+    val b = sigs.select(col("sig"), col("id").as("id_b"))
+    val cand = DedupQueries.bucketSelfJoin(s, a, b, Seq("sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
     // refine with the banded O(k·len) kernel, not the built-in O(len²)
     // full DP — exact for every decision the ≤1 filter makes
-    DedupQueries.bucketSelfJoin(s, a, b, Seq("sig"))
-      .where(col("id_a") < col("id_b"))
+    cand
+      .join(names.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
+      .join(names.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
       .withColumn("edit_dist", graft.plans.SpatialFunctions
         .bounded_levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
       .where(col("edit_dist") <= 1)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
-      .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
   }
   /** The oracle is the brute-force definition the signature join must

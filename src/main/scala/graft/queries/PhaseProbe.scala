@@ -89,16 +89,51 @@ object PhaseProbe {
           .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w")))
       }),
       "x83_edges_only" -> (() => {
-        val op = Tables.lineitem(s, d)
+        val parts = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-          .dropDuplicates("okey", "part")
-        noop(op.as("a").join(op.as("b"), "okey")
-          .where(col("a.part") < col("b.part"))
-          .select(col("a.part").as("u"), col("b.part").as("v"))
+          .groupBy(col("okey"))
+          .agg(sort_array(collect_set(col("part"))).as("ps"))
+        noop(parts
+          .select(col("ps"), posexplode(col("ps")))
+          .select(col("col").as("u"),
+            explode(expr("slice(ps, pos + 2, size(ps))")).as("v"))
           .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
           .where(col("support") >= MiningQueries.TriMinSupport)
           .select(col("u"), col("v")))
       }),
+      "x83_partsets_only" -> (() => {
+        noop(Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .groupBy(col("okey"))
+          .agg(sort_array(collect_set(col("part"))).as("ps")))
+      }),
+      "x2_band_cand" -> (() => {
+        val sigs = DedupQueries.minhashSignatures(Tables.documents(s, d))
+          .localCheckpoint(true)
+        val banded = DedupQueries.bandBuckets(sigs)
+        val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+        val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+        noop(DedupQueries.bucketSelfJoin(s, a, b, Seq("band", "bucket"))
+          .where(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .dropDuplicates("doc_a", "doc_b"))
+      }),
+      "x20_full" -> (() => noop(DedupQueries.x20Decontaminate(s, d))),
+      "x34_full" -> (() => noop(DedupQueries.x34DecontaminateBloom(s, d))),
+      "x30_full" -> (() => noop(
+        graft.SparkEntry.queries("x30_neardup_lsh")(s, d))),
+      "x47_full" -> (() => noop(
+        graft.SparkEntry.queries("x47_ann_graph_search")(s, d))),
+      "x87_full" -> (() => noop(
+        graft.SparkEntry.queries("x87_cdc_chunks")(s, d))),
+      "x76_full" -> (() => noop(
+        graft.SparkEntry.queries("x76_doremi_weights")(s, d))),
+      "x57_full" -> (() => noop(
+        graft.SparkEntry.queries("x57_dsir_weights")(s, d))),
+      "x86_full" -> (() => noop(
+        graft.SparkEntry.queries("x86_winnowing")(s, d))),
+      "x105_full" -> (() => noop(
+        graft.SparkEntry.queries("x105_bm25_incremental")(s, d))),
       "x83_full" -> (() => noop(MiningQueries.x83TriangleCount(s, d))),
       "x69_sigs_only" -> (() => {
         val names = Tables.customer(s, d)
