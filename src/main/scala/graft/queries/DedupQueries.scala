@@ -829,16 +829,15 @@ object DedupQueries {
     * (gram, doc_id) longs), one map-side-combined per-doc rollup —
     * linear in corpus gram volume, no pair join anywhere. */
   val x80GramNovelty: QFn = (s, d) => {
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .where(size(col("w")) >= 2)
-      .select(col("doc_id"), col("w"),
-        explode(expr("sequence(0, size(w) - 2)")).as("i"))
-      .select(col("doc_id"), expr(hex60("concat(w[i], '_', w[i+1])")).as("gram"))
-      .distinct()
-    val first = grams.groupBy(col("gram"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    grams.join(first, "gram")
+    val grams = gramsOf(Tables.documents(s, d))
+    // first-occurrence attach as ONE window over the gram partition
+    // (r15, guide §2.4: two operations keyed the same way share one
+    // exchange) — the old aggregate-then-join-back shape paid the
+    // hash(gram) exchange twice plus a sort-merge join; min-over-
+    // partition streams linearly through a hot boilerplate gram's
+    // single partition exactly like the old groupBy reducer did.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    grams.withColumn("first_doc", min(col("doc_id")).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -897,7 +896,7 @@ object DedupQueries {
   val DecontamMinOverlap = 5
 
   /** Distinct (doc_id, hashed word bigram) for a document subset —
-    * shared by x20/x34. The doc_id predicate is applied BEFORE the
+    * shared by x20/x34/x80. The doc_id predicate is applied BEFORE the
     * gram explode + distinct: the per-doc gram sets are independent, so
     * filtering first is semantically identical and keeps each branch's
     * distinct shuffle proportional to its own subset (the bench side is
@@ -916,6 +915,18 @@ object DedupQueries {
     val docs = Tables.documents(s, d)
     val benchGrams = gramsOf(docs.where(col("doc_id") % DecontamEvery === 0))
       .select(col("doc_id").as("bench_id"), col("gram"))
+    // NOTE (r15, measured negative result — do not retry): joining the
+    // RAW gram stream (skipping this distinct) and deduping in the
+    // aggregate (count(DISTINCT gram)) removed the corpus-side exchange
+    // but measured 2.5× SLOWER paired (4.44 vs 1.74 s): with the bench
+    // sample drawn from the same corpus, matches are NOT rare, so the
+    // join fanout runs per occurrence (hot bigrams × their bench df)
+    // and the distinct-aggregate pays a second exchange over that
+    // fanned-out stream. The per-(doc,gram) distinct below bounds the
+    // fanout before it happens and its exchange is the cheaper of the
+    // two. (At true decontamination scale the bench set is minuscule
+    // and disjoint-ish, which flips the trade — but that shape must be
+    // measured there, not asserted here.)
     gramsOf(docs.where(col("doc_id") % DecontamEvery =!= 0))
       .join(broadcast(benchGrams), "gram")
       .groupBy(col("doc_id"), col("bench_id"))
@@ -972,6 +983,12 @@ object DedupQueries {
       .agg(SketchFunctions.bloomAgg(xxhash64(col("gram")),
         expectedItems = nBench, fpp = 0.01).as("bf"))
       .head().getAs[Array[Byte]](0)
+    // Corpus side keeps the per-(doc,gram) distinct BEFORE the bloom
+    // probe: Catalyst pushes the might_contain filter below the
+    // distinct's aggregate (it references only the grouping columns),
+    // so the exchange carries bloom survivors, and the distinct bounds
+    // the confirm-join fanout (same measured trade as x20's note — the
+    // raw-stream + count(DISTINCT) variant was tried r15 and lost).
     gramsOf(docs.where(col("doc_id") % DecontamEvery =!= 0))
       .where(SketchFunctions.mightContain(bloomBytes, xxhash64(col("gram"))))
       .join(broadcast(benchGrams), "gram")

@@ -1003,6 +1003,15 @@ object MiningQueries {
     * both engines emit the same fingerprint no matter which position
     * carried it. */
   val x86Winnowing: QFn = (s, d) => {
+    // NOTE (r15, measured negative result — do not retry): computing
+    // the whole selection per-document with array HOFs (transform over
+    // gram hashes + array_min over the sliding window + array_distinct,
+    // zero pre-sort exchanges) measured 2.5× SLOWER paired (1.89 vs
+    // 0.77 s): higher-order functions are CodegenFallback, so the md5
+    // gram hash runs INTERPRETED per element while this window shape
+    // keeps it whole-stage-codegen'd; the doc-keyed window exchange it
+    // saves is the cheaper side of that trade at any SF (the hash cost
+    // scales with the same token count the shuffle does).
     import org.apache.spark.sql.expressions.Window
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -1064,6 +1073,14 @@ object MiningQueries {
     * edited document through it to demonstrate boundary re-sync. */
   def x87CdcChunksOn(s: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOTE (r15, measured negative result — do not retry): a per-doc
+    // HOF rewrite (boundary flags via filter/transform over w, chunk
+    // spans sliced in-array, copies via one chunk_h window; zero token
+    // shuffles) measured 3.9× SLOWER paired (6.92 vs 1.78 s): HOF
+    // lambdas are CodegenFallback, so the per-token md5 boundary hash
+    // runs INTERPRETED, and that dominates everything the removed
+    // window exchange cost. This windowed shape keeps the hash inside
+    // whole-stage codegen.
     val words = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 1)
@@ -1876,16 +1893,27 @@ object MiningQueries {
     def arm(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_pairs"))
         .select(lit(name).as("method"), col("n_pairs"))
+    // Overlap the arm CONSTRUCTIONS (guide §2.6: concurrent independent
+    // jobs): each detector's builder runs eager localCheckpoint jobs
+    // (signatures, kept-gram frames) that otherwise serialize on the
+    // driver while the cluster idles between them. The arms are
+    // independent reads of the same immutable table, so building them on
+    // futures changes scheduling only — each arm's plan, and therefore
+    // the result, is identical to the sequential build.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val arms = Seq(
+      Future(arm("minhash", DedupQueries.x2DedupMinhash(s, d))),
+      Future(arm("ngram", DedupQueries.x7NgramJaccard(s, d))),
+      Future(arm("simhash", DedupQueries.x6DedupSimhash(s, d))))
+      .map(Await.result(_, Duration.Inf))
     val exact = Tables.documents(s, d)
       .groupBy(md5(col("text"))).agg(count(lit(1)).as("c"))
       .where(col("c") > 1)
       .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_pairs"))
       .select(lit("exact").as("method"), col("n_pairs"))
-    exact
-      .unionAll(arm("minhash", DedupQueries.x2DedupMinhash(s, d)))
-      .unionAll(arm("ngram", DedupQueries.x7NgramJaccard(s, d)))
-      .unionAll(arm("simhash", DedupQueries.x6DedupSimhash(s, d)))
-      .orderBy(col("method"))
+    arms.foldLeft(exact)(_.unionAll(_)).orderBy(col("method"))
   }
   lazy val x100Sql: String = {
     def wrap(sql: String) =

@@ -120,6 +120,67 @@ object PhaseProbe {
       }),
       "x20_full" -> (() => noop(DedupQueries.x20Decontaminate(s, d))),
       "x34_full" -> (() => noop(DedupQueries.x34DecontaminateBloom(s, d))),
+      // pre-r15 shapes kept for paired A/B probing (not declared keys)
+      "x20_distinct_shape" -> (() => {
+        val docs = Tables.documents(s, d)
+        val benchGrams = DedupQueries.gramsOf(
+          docs.where(col("doc_id") % DedupQueries.DecontamEvery === 0))
+          .select(col("doc_id").as("bench_id"), col("gram"))
+        noop(DedupQueries.gramsOf(
+          docs.where(col("doc_id") % DedupQueries.DecontamEvery =!= 0))
+          .join(broadcast(benchGrams), "gram")
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .where(col("n_overlap") >= DedupQueries.DecontamMinOverlap))
+      }),
+      "x87_window_shape" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 1)
+        val tok = words
+          .select(col("doc_id"), posexplode(col("w")))
+          .select(col("doc_id"), col("pos"), col("col").as("word"))
+        val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bounded = tok
+          .withColumn("prev", lag(col("word"), 1).over(ord))
+          .withColumn("b",
+            when(col("prev").isNotNull &&
+              expr(PortableHash.hex60("concat(prev, ' ', word)"))
+                % MiningQueries.CdcMod === 0, 1L).otherwise(0L))
+          .withColumn("chunk_id",
+            coalesce(sum(col("b")).over(
+              ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val spans = bounded.groupBy(col("doc_id"), col("chunk_id"))
+          .agg(min(col("pos")).as("start"), count(lit(1)).as("n_words"))
+        val chunks = spans.join(words, "doc_id")
+          .select(col("doc_id"), col("chunk_id"), col("n_words"),
+            expr(s"${PortableHash.hex60(
+              "concat_ws(' ', slice(w, start + 1, n_words))")}").as("chunk_h"))
+        val copies = chunks.groupBy(col("chunk_h"))
+          .agg(count(lit(1)).as("n_copies"))
+        noop(chunks.join(copies, "chunk_h")
+          .select(col("doc_id"), col("chunk_id"), col("n_words"),
+            col("chunk_h"), col("n_copies")))
+      }),
+      "x86_window_shape" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= MiningQueries.WinnowK)
+          .select(col("doc_id"),
+            explode(expr(s"sequence(0, size(w) - ${MiningQueries.WinnowK})"))
+              .as("pos"), col("w"))
+          .select(col("doc_id"), col("pos"),
+            expr(s"concat_ws(' ', slice(w, pos + 1, ${MiningQueries.WinnowK}))")
+              .as("gram"))
+          .withColumn("gram_h", expr(PortableHash.hex60("gram")))
+        val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(-(MiningQueries.WinnowW - 1), 0)
+        noop(grams.withColumn("fp_h", min(col("gram_h")).over(win))
+          .where(col("pos") >= MiningQueries.WinnowW - 1)
+          .select(col("doc_id"), col("fp_h")).distinct())
+      }),
       "x30_full" -> (() => noop(
         graft.SparkEntry.queries("x30_neardup_lsh")(s, d))),
       "x47_full" -> (() => noop(
