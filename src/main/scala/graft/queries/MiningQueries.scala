@@ -55,36 +55,31 @@ object MiningQueries {
     val sigs = names
       .select(col("id"), col("name"),
         explode(expr("sequence(0, length(name))")).as("i"))
-      .select(col("id"),
+      .select(col("id"), col("name"),
         xxhash64(when(col("i") === 0, col("name"))
           .otherwise(concat(expr("substring(name, 1, i - 1)"),
             expr("substring(name, i + 1, length(name))")))).as("sig"))
       .dropDuplicates("id", "sig")
-    // ids-only through the candidate machinery (r15, guide §2.3/§8:
-    // decide with small rows, attach the payload once): the name
-    // strings used to ride BOTH self-join sides — through the dedup
-    // exchange, the skew-guard window sorts, and the join — and the
-    // levenshtein refine ran per CANDIDATE occurrence (a pair sharing k
-    // variants paid it k times, pre-dedup). Now the join moves (sig,
-    // id) longs only, pairs dedup FIRST, names re-attach by id join,
-    // and the refine runs once per distinct pair. Same result: the
-    // refine is a deterministic filter, so dedup-then-filter ≡
-    // filter-then-dedup.
-    val a = sigs.select(col("sig"), col("id").as("id_a"))
-    val b = sigs.select(col("sig"), col("id").as("id_b"))
-    val cand = DedupQueries.bucketSelfJoin(s, a, b, Seq("sig"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // NOTE (r15, measured negative result — do not retry): an ids-only
+    // candidate join (names re-attached per side by id after a
+    // dedup-first pass) was tried and measured 1.8× SLOWER paired
+    // (5.04 vs 2.85 s): deletion-variant sigs collide at most len+1
+    // times per pair, so the dup factor the early dedup removes is
+    // tiny, while the two id join-backs add exchanges the short name
+    // strings never cost. The names ride the self-join; joining/
+    // deduping on the xxhash64'd variant (not the string) is the part
+    // that measured faster and stays.
+    val a = sigs.select(col("sig"), col("id").as("id_a"), col("name").as("name_a"))
+    val b = sigs.select(col("sig"), col("id").as("id_b"), col("name").as("name_b"))
     // refine with the banded O(k·len) kernel, not the built-in O(len²)
     // full DP — exact for every decision the ≤1 filter makes
-    cand
-      .join(names.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
-      .join(names.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
+    DedupQueries.bucketSelfJoin(s, a, b, Seq("sig"))
+      .where(col("id_a") < col("id_b"))
       .withColumn("edit_dist", graft.plans.SpatialFunctions
         .bounded_levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
       .where(col("edit_dist") <= 1)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
+      .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
   }
   /** The oracle is the brute-force definition the signature join must
@@ -292,6 +287,11 @@ object MiningQueries {
     val docs = Tables.documents(s, d)
     val base = docs.select(col("source"), col("lang"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+    // NOTE (r15, measured negative result — do not retry): bySrc feeds
+    // both the entropy chain and the final join, but checkpointing it
+    // measured SLOWER paired (1.76 vs 1.56 s) — the duplicate scan
+    // subtrees run as concurrent stages of one action and back-fill
+    // idle cores; the eager barrier serializes (see x76's note).
     val bySrc = base.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("toks")).as("n_tokens"),
@@ -466,6 +466,15 @@ object MiningQueries {
   val x76DoremiWeights: QFn = (s, d) => {
     val scores = TextQueries.x53LmScore(s, d)
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // NOTE (r15, measured negative result — do not retry): dom is
+    // consumed by four plan paths (tot, ex, z, final), each re-running
+    // the x53 scoring join, but checkpointing it here measured SLOWER
+    // paired (1.75 vs 1.49 s): the duplicated subtrees execute as
+    // concurrent stages/broadcast threads of ONE action and back-fill
+    // idle cores, while an eager checkpoint serializes an extra job
+    // ahead of them. (Contrast x7Scored/x58/spanRuns, where the shared
+    // subtree contains the quadratic pair join — there the barrier
+    // wins; here the subtree is one scan + broadcast-joined scoring.)
     val dom = scores.join(src, "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -209,6 +209,108 @@ object PhaseProbe {
           .dropDuplicates("id", "sig"))
       }),
       "x69_full" -> (() => noop(MiningQueries.x69FuzzyJoin(s, d))),
+      "x69_r14_shape" -> (() => {
+        val names = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        val sigs = names
+          .select(col("id"), col("name"),
+            explode(expr("sequence(0, length(name))")).as("i"))
+          .select(col("id"), col("name"),
+            when(col("i") === 0, col("name"))
+              .otherwise(concat(expr("substring(name, 1, i - 1)"),
+                expr("substring(name, i + 1, length(name))"))).as("sig"))
+          .dropDuplicates("id", "sig")
+        val a = sigs.select(col("sig"), col("id").as("id_a"),
+          col("name").as("name_a"))
+        val b = sigs.select(col("sig"), col("id").as("id_b"),
+          col("name").as("name_b"))
+        noop(DedupQueries.bucketSelfJoin(s, a, b, Seq("sig"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("edit_dist", graft.plans.SpatialFunctions
+            .bounded_levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+          .where(col("edit_dist") <= 1)
+          .select(col("id_a"), col("id_b"), col("edit_dist"))
+          .dropDuplicates("id_a", "id_b")
+          .orderBy(col("id_a"), col("id_b")))
+      }),
+      "x75_full" -> (() => noop(MiningQueries.x75CorpusDatasheet(s, d))),
+      "x75_nockpt_shape" -> (() => {
+        val docs = Tables.documents(s, d)
+        val base = docs.select(col("source"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        val bySrc = base.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        val ent = base.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+          .join(bySrc.select(col("source"), col("n_docs")), "source")
+          .withColumn("p", col("c").cast("double") / col("n_docs").cast("double"))
+          .groupBy(col("source"))
+          .agg(round(-sum(col("p") * log(col("p"))), 6).as("lang_entropy"))
+        val dup = DedupQueries.x7Pairs(s, d)
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+        noop(bySrc.join(ent, "source")
+          .join(dup, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+            col("lang_entropy"),
+            coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+            round(coalesce(col("n_dup_docs"), lit(0L)).cast("double")
+              / col("n_docs").cast("double"), 6).as("dup_frac")))
+      }),
+      "x76_nockpt_shape" -> (() => {
+        val scores = TextQueries.x53LmScore(s, d)
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val dom = scores.join(src, "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bigrams")).as("n_bigrams"),
+            sum(col("sum_logp_s")).as("sum_logp_s"))
+        val tot = dom.agg(sum(col("sum_logp_s")).as("t_lp"),
+          sum(col("n_bigrams")).as("t_nb"))
+        val ex = dom.crossJoin(broadcast(tot))
+          .withColumn("excess",
+            (col("t_lp").cast("double") / col("t_nb").cast("double")
+              - col("sum_logp_s").cast("double") / col("n_bigrams").cast("double"))
+              / lit(1000000.0))
+        val z = ex.agg(sum(col("n_bigrams").cast("double") * exp(col("excess")))
+          .as("z"))
+        noop(ex.crossJoin(broadcast(z))
+          .select(col("source"), col("n_docs"), col("n_bigrams"),
+            round(col("sum_logp_s").cast("double")
+              / col("n_bigrams").cast("double") / lit(1000000.0), 6)
+              .as("avg_logp"),
+            round(col("excess"), 6).as("excess"),
+            round(col("n_bigrams").cast("double") * exp(col("excess"))
+              / col("z"), 6).as("weight")))
+      }),
+      "x69_hash_names_shape" -> (() => {
+        val names = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        val sigs = names
+          .select(col("id"), col("name"),
+            explode(expr("sequence(0, length(name))")).as("i"))
+          .select(col("id"), col("name"),
+            xxhash64(when(col("i") === 0, col("name"))
+              .otherwise(concat(expr("substring(name, 1, i - 1)"),
+                expr("substring(name, i + 1, length(name))")))).as("sig"))
+          .dropDuplicates("id", "sig")
+        val a = sigs.select(col("sig"), col("id").as("id_a"),
+          col("name").as("name_a"))
+        val b = sigs.select(col("sig"), col("id").as("id_b"),
+          col("name").as("name_b"))
+        noop(DedupQueries.bucketSelfJoin(s, a, b, Seq("sig"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("edit_dist", graft.plans.SpatialFunctions
+            .bounded_levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+          .where(col("edit_dist") <= 1)
+          .select(col("id_a"), col("id_b"), col("edit_dist"))
+          .dropDuplicates("id_a", "id_b")
+          .orderBy(col("id_a"), col("id_b")))
+      }),
       "minhash_sigs" -> (() => noop(
         DedupQueries.minhashSignatures(Tables.documents(s, d)))),
       "x2_full" -> (() => noop(DedupQueries.x2DedupMinhash(s, d))),
