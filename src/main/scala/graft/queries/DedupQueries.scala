@@ -256,11 +256,39 @@ object DedupQueries {
   val x71CrossCorpusDedup: QFn = (s, d) => {
     val sigs = minhashSignatures(Tables.documents(s, d)).localCheckpoint(true)
     val banded = bandBuckets(sigs)
-    val oldSide = banded.where(col("doc_id") % 2 === 0)
-      .select(col("band"), col("bucket"), col("doc_id").as("doc_old"))
-    val newSide = banded.where(col("doc_id") % 2 === 1)
-      .select(col("band"), col("bucket"), col("doc_id").as("doc_new"))
-    val cand = bucketJoin(s, oldSide, newSide, Seq("band", "bucket"))
+    // Skew guard via ONE window over the SHARED pre-filter frame (r15):
+    // the two corpus halves are disjoint filters of `banded`, so
+    // [[SaltedJoin.selfAdaptive]]'s per-side window contract doesn't
+    // hold (per-key cardinalities differ) — but deriving the salt count
+    // from the COMBINED bucket size gives both sides the same value per
+    // key, which is all shard-join correctness needs, and drops
+    // [[SaltedJoin.adaptive]]'s hot-key aggregate + two attach joins
+    // (its AQE broadcast chain was the measured gap to x2's window
+    // form). Any consistent per-key salt count preserves the result:
+    // the left side draws one shard, the right replicates all of them.
+    val t = skewThreshold(s)
+    val cand = (if (t <= 0) {
+      val oldSide = banded.where(col("doc_id") % 2 === 0)
+        .select(col("band"), col("bucket"), col("doc_id").as("doc_old"))
+      val newSide = banded.where(col("doc_id") % 2 === 1)
+        .select(col("band"), col("bucket"), col("doc_id").as("doc_new"))
+      oldSide.join(newSide, Seq("band", "bucket"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket"))
+      val salted = banded.withColumn("__salts", least(lit(32L),
+        floor((count(lit(1)).over(w) + lit(t - 1)) / lit(t))))
+      val oldSide = salted.where(col("doc_id") % 2 === 0)
+        .withColumn("__shard", (rand(42) * col("__salts")).cast("long"))
+        .select(col("band"), col("bucket"), col("__shard"),
+          col("doc_id").as("doc_old"))
+      val newSide = salted.where(col("doc_id") % 2 === 1)
+        .withColumn("__shard",
+          explode(sequence(lit(0L), col("__salts") - 1)))
+        .select(col("band"), col("bucket"), col("__shard"),
+          col("doc_id").as("doc_new"))
+      oldSide.join(newSide, Seq("band", "bucket", "__shard"))
+    })
       .select(col("doc_new"), col("doc_old"))
       .dropDuplicates("doc_new", "doc_old")
     cand
@@ -514,8 +542,14 @@ object DedupQueries {
         explode(expr("sequence(0, size(w) - 3)")).as("i"))
       .select(col("doc_id"),
         expr(hex60("concat_ws(' ', w[i], w[i+1], w[i+2])")).as("h"))
+      // semi-join BEFORE the distinct (r15): the candidate-doc filter
+      // commutes with a per-(doc_id, h) distinct, and candDocs is a
+      // broadcast-sized id list, so the corpus-wide shingle stream is
+      // pruned scan-side and the distinct exchange carries only
+      // candidate docs' shingles (the old order paid the full-corpus
+      // distinct first, then threw most of it away).
+      .join(broadcast(candDocs), Seq("doc_id"), "leftsemi")
       .distinct()
-      .join(candDocs, Seq("doc_id"), "leftsemi")
       // three consumers (sizes, both intersection attaches) — without
       // the checkpoint each re-runs the tokenize→explode→distinct
       // subtree (the x61 multi-consumer rule, applied here r15)
