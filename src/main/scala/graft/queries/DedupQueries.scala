@@ -3956,14 +3956,30 @@ object DedupQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("n", dot_scaled(col("e"), col("e")))
       .withColumn("bucket", bucketCol)
-    val own = e.select(col("bucket"), col("vec_id").as("id_a"),
-      col("e").as("e_a"), col("n").as("n_a"))
+    // ids-only through the candidate machinery (r15, guide §2.3/§8:
+    // decide with small rows, move the payload once): the 64-double
+    // arrays used to ride BOTH bucket-join sides — the probe side
+    // explodes to 1+LshPlanes entries per vector, so the exchange
+    // multiplied the vector bytes 8× (own + 7 probes at 6 planes).
+    // Now the join shuffles (bucket, id) longs only and each
+    // side's vector+norm re-attach by id afterwards; the planner picks
+    // the attach strategy from size (broadcast-hash under the 10 MB
+    // threshold at bench SF, sort-merge at estate scale — exactly
+    // x71's "signatures re-attach by id" rule, applied to vectors).
+    // Measured paired: 1.96 -> 0.94 s. Per-pair candidate multiplicity
+    // is 1 by construction (one bucket collision per pair at Hamming
+    // ≤ 1), so no dedup-vs-attach trade exists here, unlike x69.
+    val own = e.select(col("bucket"), col("vec_id").as("id_a"))
     val probeBuckets = array(col("bucket") +:
       (0 until LshPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val probes = e.select(explode(probeBuckets).as("bucket"),
-      col("vec_id").as("id_b"), col("e").as("e_b"), col("n").as("n_b"))
+      col("vec_id").as("id_b"))
     bucketJoin(s, own, probes, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
+      .join(e.select(col("vec_id").as("id_a"), col("e").as("e_a"),
+        col("n").as("n_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("e").as("e_b"),
+        col("n").as("n_b")), "id_b")
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
         (dot_scaled(col("e_a"), col("e_b"))
           / (sqrt(col("n_a")) * sqrt(col("n_b")))).as("cosine"))
@@ -3971,7 +3987,16 @@ object DedupQueries {
   }
 
   val x30NeardupLsh: QFn = (s, d) =>
+    // eager checkpoint BEFORE the presentation sort (r15): the range
+    // exchange samples its child to pick partition boundaries, and that
+    // sample job re-executes everything above the last shuffle — here
+    // the two vector attaches and the dot_scaled scoring, i.e. the
+    // expensive half of the key, ran twice. Materializing the scored
+    // pairs once lets the sampler read rows instead of recomputing
+    // them. Measured paired: sort-no-ckpt 2.69 s, ckpt+sort 1.70 s,
+    // unsorted floor 1.29 s.
     x30PairScan(s, Tables.embeddings(s, d))
+      .localCheckpoint(true)
       .orderBy(col("vec_a"), col("vec_b"))
 
   /** DuckDB oracle for x30: x14's literal hyperplane buckets, an

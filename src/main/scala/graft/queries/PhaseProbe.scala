@@ -101,6 +101,22 @@ object PhaseProbe {
           .where(col("support") >= MiningQueries.TriMinSupport)
           .select(col("u"), col("v")))
       }),
+      "x83_edges_packed" -> (() => {
+        val parts = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .groupBy(col("okey"))
+          .agg(sort_array(collect_set(col("part"))).as("ps"))
+        noop(parts
+          .select(col("ps"), posexplode(col("ps")))
+          .select(col("col").as("u"),
+            explode(expr("slice(ps, pos + 2, size(ps))")).as("v"))
+          .select((col("u").cast("long") * lit(4294967296L)
+            + col("v").cast("long")).as("uv"))
+          .groupBy(col("uv")).agg(count(lit(1)).as("support"))
+          .where(col("support") >= MiningQueries.TriMinSupport)
+          .select((col("uv") / lit(4294967296L)).cast("long").as("u"),
+            pmod(col("uv"), lit(4294967296L)).cast("long").as("v")))
+      }),
       "x83_partsets_only" -> (() => {
         noop(Tables.lineitem(s, d)
           .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
@@ -183,6 +199,96 @@ object PhaseProbe {
       }),
       "x30_full" -> (() => noop(
         graft.SparkEntry.queries("x30_neardup_lsh")(s, d))),
+      "x2_sorted_ckpt" -> (() => {
+        val sigs = DedupQueries.minhashSignatures(Tables.documents(s, d))
+          .localCheckpoint(true)
+        val banded = DedupQueries.bandBuckets(sigs)
+        val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+        val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+        val cand = DedupQueries.bucketSelfJoin(s, a, b, Seq("band", "bucket"))
+          .where(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        noop(cand
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+          .withColumn("est_jaccard",
+            DedupQueries.sigAgreement(col("sig_a"), col("sig_b")))
+          .where(col("est_jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+          .localCheckpoint(true)
+          .orderBy(col("doc_a"), col("doc_b")))
+      }),
+      "x87_ckpt_shape" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 1)
+        val tok = words
+          .select(col("doc_id"), posexplode(col("w")))
+          .select(col("doc_id"), col("pos"), col("col").as("word"))
+        val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bounded = tok
+          .withColumn("prev", lag(col("word"), 1).over(ord))
+          .withColumn("b",
+            when(col("prev").isNotNull &&
+              expr(PortableHash.hex60("concat(prev, ' ', word)"))
+                % MiningQueries.CdcMod === 0, 1L).otherwise(0L))
+          .withColumn("chunk_id",
+            coalesce(sum(col("b")).over(
+              ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val spans = bounded.groupBy(col("doc_id"), col("chunk_id"))
+          .agg(min(col("pos")).as("start"), count(lit(1)).as("n_words"))
+        val chunks = spans.join(words, "doc_id")
+          .select(col("doc_id"), col("chunk_id"), col("n_words"),
+            expr(s"${PortableHash.hex60(
+              "concat_ws(' ', slice(w, start + 1, n_words))")}").as("chunk_h"))
+          .localCheckpoint(true)
+        val copies = chunks.groupBy(col("chunk_h"))
+          .agg(count(lit(1)).as("n_copies"))
+        noop(chunks.join(copies, "chunk_h")
+          .select(col("doc_id"), col("chunk_id"), col("n_words"),
+            col("chunk_h"), col("n_copies"))
+          .orderBy(col("doc_id"), col("chunk_id")))
+      }),
+      "x30_sorted_nockpt" -> (() => noop(
+        DedupQueries.x30PairScan(s, Tables.embeddings(s, d))
+          .orderBy(col("vec_a"), col("vec_b")))),
+      "x30_sorted_ckpt" -> (() => noop(
+        DedupQueries.x30PairScan(s, Tables.embeddings(s, d))
+          .localCheckpoint(true)
+          .orderBy(col("vec_a"), col("vec_b")))),
+      "x30_unsorted" -> (() => noop(
+        DedupQueries.x30PairScan(s, Tables.embeddings(s, d)))),
+      "x30_ids_shape" -> (() => {
+        import graft.plans.SpatialFunctions.dot_scaled
+        val planeCols = DedupQueries.hyperplanes.map(p => typedLit(p.toSeq))
+        val bucketCol = (0 until DedupQueries.LshPlanes).map { p =>
+          when(dot_scaled(col("e"), planeCols(p)) >= 0, lit(1L << p))
+            .otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .withColumn("n", dot_scaled(col("e"), col("e")))
+          .withColumn("bucket", bucketCol)
+        val own = e.select(col("bucket"), col("vec_id").as("id_a"))
+        val probeBuckets = array(col("bucket") +:
+          (0 until DedupQueries.LshPlanes)
+            .map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+        val probes = e.select(explode(probeBuckets).as("bucket"),
+          col("vec_id").as("id_b"))
+        val lookup = e.select(col("vec_id"), col("e"), col("n"))
+        noop(DedupQueries.bucketJoin(s, own, probes, Seq("bucket"))
+          .where(col("id_a") < col("id_b"))
+          .join(broadcast(lookup.select(col("vec_id").as("id_a"),
+            col("e").as("e_a"), col("n").as("n_a"))), "id_a")
+          .join(broadcast(lookup.select(col("vec_id").as("id_b"),
+            col("e").as("e_b"), col("n").as("n_b"))), "id_b")
+          .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+            (dot_scaled(col("e_a"), col("e_b"))
+              / (sqrt(col("n_a")) * sqrt(col("n_b")))).as("cosine"))
+          .where(col("cosine") > 0.4))
+      }),
       "x47_full" -> (() => noop(
         graft.SparkEntry.queries("x47_ann_graph_search")(s, d))),
       "x87_full" -> (() => noop(
