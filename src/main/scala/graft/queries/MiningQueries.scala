@@ -59,7 +59,13 @@ object MiningQueries {
         xxhash64(when(col("i") === 0, col("name"))
           .otherwise(concat(expr("substring(name, 1, i - 1)"),
             expr("substring(name, i + 1, length(name))")))).as("sig"))
-      .dropDuplicates("id", "sig")
+    // NO per-(id, sig) dedup here (r15): deleting either of two equal
+    // adjacent characters yields the same variant, so duplicates exist
+    // but are rare and only duplicate candidate PAIRS — which the final
+    // dropDuplicates collapses anyway. The early dedup paid a full
+    // exchange of the variant stream to save a handful of cheap
+    // bounded-levenshtein calls; removing it measured 18% faster paired
+    // (4.18 -> 3.44 s).
     // NOTE (r15, measured negative result — do not retry): an ids-only
     // candidate join (names re-attached per side by id after a
     // dedup-first pass) was tried and measured 1.8× SLOWER paired

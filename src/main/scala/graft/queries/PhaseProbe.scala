@@ -315,6 +315,29 @@ object PhaseProbe {
           .dropDuplicates("id", "sig"))
       }),
       "x69_full" -> (() => noop(MiningQueries.x69FuzzyJoin(s, d))),
+      "x69_nodedup_shape" -> (() => {
+        val names = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        val sigs = names
+          .select(col("id"), col("name"),
+            explode(expr("sequence(0, length(name))")).as("i"))
+          .select(col("id"), col("name"),
+            xxhash64(when(col("i") === 0, col("name"))
+              .otherwise(concat(expr("substring(name, 1, i - 1)"),
+                expr("substring(name, i + 1, length(name))")))).as("sig"))
+        val a = sigs.select(col("sig"), col("id").as("id_a"),
+          col("name").as("name_a"))
+        val b = sigs.select(col("sig"), col("id").as("id_b"),
+          col("name").as("name_b"))
+        noop(DedupQueries.bucketSelfJoin(s, a, b, Seq("sig"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("edit_dist", graft.plans.SpatialFunctions
+            .bounded_levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+          .where(col("edit_dist") <= 1)
+          .select(col("id_a"), col("id_b"), col("edit_dist"))
+          .dropDuplicates("id_a", "id_b")
+          .orderBy(col("id_a"), col("id_b")))
+      }),
       "x69_r14_shape" -> (() => {
         val names = Tables.customer(s, d)
           .select(col("c_custkey").as("id"), col("c_name").as("name"))
