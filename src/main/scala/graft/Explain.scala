@@ -25,9 +25,18 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // pseudo-keys for subtrees that an eager localCheckpoint hides from
+    // the registry key's own formatted plan (the checkpoint materializes
+    // during construction, so the declared plan shows only a Scan
+    // ExistingRDD above it)
+    val extras: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "x30_pairscan" -> ((s, d) => graft.queries.DedupQueries
+        .x30PairScan(s, graft.queries.Tables.embeddings(s, d))))
     keys.foreach { k =>
       println(s"\n========== $k ==========")
-      SparkEntry.queries(k)(spark, sfDir).explain("formatted")
+      SparkEntry.queries.getOrElse(k, extras(k))(spark, sfDir)
+        .explain("formatted")
     }
     spark.stop()
   }
