@@ -773,7 +773,10 @@ object DedupQueries {
       .select(col("doc_id"), col("gram"))
       // EAGER: a lazy checkpoint was measured (r15) and lost — sibling
       // AQE stages race to materialize the same partitions and duplicate
-      // the work; the eager barrier runs the subtree exactly once
+      // the work; the eager barrier runs the subtree exactly once.
+      // (Composition probes also measured SKIPPING this barrier inside
+      // x75 — 2.55 vs 2.08 s — and inlining the full r14 agg+join shape
+      // — 2.65 vs 2.34 s; the barrier'd window form wins there too.)
       .localCheckpoint(true)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = kept.as("ga")
