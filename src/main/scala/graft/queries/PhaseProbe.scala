@@ -301,6 +301,25 @@ object PhaseProbe {
         graft.SparkEntry.queries("x86_winnowing")(s, d))),
       "x105_full" -> (() => noop(
         graft.SparkEntry.queries("x105_bm25_incremental")(s, d))),
+      "x51_full" -> (() => noop(
+        graft.SparkEntry.queries("x51_bm25_topk")(s, d))),
+      "x51_nofilter_shape" -> (() => {
+        val docs = Tables.documents(s, d)
+        val dl = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("sum_dl"))
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        import s.implicits._
+        val qterms = TextQueries.bm25Queries
+          .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+          .toDF("query_id", "term")
+        noop(TextQueries.bm25Score(s, tf, dl, stats, qterms,
+          TextQueries.Bm25TopK))
+      }),
       "x83_full" -> (() => noop(MiningQueries.x83TriangleCount(s, d))),
       "x69_sigs_only" -> (() => {
         val names = Tables.customer(s, d)
