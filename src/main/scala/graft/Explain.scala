@@ -35,7 +35,9 @@ object Explain {
         .x30PairScan(s, graft.queries.Tables.embeddings(s, d))))
     keys.foreach { k =>
       println(s"\n========== $k ==========")
-      SparkEntry.queries.getOrElse(k, extras(k))(spark, sfDir)
+      SparkEntry.queries.get(k).orElse(extras.get(k))
+        .getOrElse(sys.error(s"unknown key: $k (not a registry key " +
+          "or an Explain pseudo-key)"))(spark, sfDir)
         .explain("formatted")
     }
     spark.stop()

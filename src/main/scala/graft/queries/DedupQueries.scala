@@ -382,7 +382,12 @@ object DedupQueries {
     val nEdges = obs0.get("n").asInstanceOf[Long]
     val nodes = docSrc.select(col("source")).distinct()
     val limit = graft.operators.ConnectedComponents.localEdgeLimit(s)
-    if (limit > 0 && nEdges <= limit) {
+    // the grouped edge table is SYMMETRIC (each undirected source pair
+    // appears as (u,v) and (v,u)), so its count is 2× the canonical
+    // edge count graft.cc.localEdgeLimit is defined over — compare
+    // against 2×limit so the conf means the same thing in every
+    // consumer (ADVICE r15, same fix as x16).
+    if (limit > 0 && nEdges <= 2 * limit) {
       val tagged = edges
         .select(lit(0).as("t"), col("u"), col("v"), col("w"))
         .unionByName(nodes.select(lit(1).as("t"), col("source").as("u"),
@@ -436,7 +441,11 @@ object DedupQueries {
     * iterator (t=0: weighted edge (u,v,w); t=1: node in `u`). Integer
     * division exactly as the distributed expressions write it —
     * `(r div wu)*w + ((r mod wu)*w) div wu` per edge, damped base +
-    * `85·cs div 100` per node — so the output is bit-identical. */
+    * `85·cs div 100` per node — so the output is bit-identical. All
+    * multiplies/adds are *Exact (ADVICE r15): the distributed
+    * expressions run under ANSI SQL and FAIL on Long overflow, so the
+    * local replay must throw at the same bound rather than silently
+    * wrap into wrong ranks. */
   private def localPagerank(
       it: Iterator[(Int, String, String, Long)]): Iterator[(String, Long)] = {
     val es = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -444,20 +453,29 @@ object DedupQueries {
     it.foreach { case (t, u, v, w) =>
       if (t == 0) es += ((u, v, w)) else ns += u
     }
+    // empty corpus: no nodes (and so no edges) — return the same empty
+    // frame the distributed branch produces instead of dividing by 0
+    // (ADVICE r15)
+    if (ns.isEmpty) return Iterator.empty
     val n = ns.length.toLong
     val wu = scala.collection.mutable.HashMap.empty[String, Long]
-    es.foreach { case (u, _, w) => wu(u) = wu.getOrElse(u, 0L) + w }
+    es.foreach { case (u, _, w) =>
+      wu(u) = Math.addExact(wu.getOrElse(u, 0L), w)
+    }
     var rank = scala.collection.mutable.HashMap.empty[String, Long]
     ns.foreach(src => rank(src) = PrScale / n)
-    val base = (15L * PrScale) / (100L * n)
+    val base = (15L * PrScale) / Math.multiplyExact(100L, n)
     for (_ <- 1 to PrRounds) {
       val cs = scala.collection.mutable.HashMap.empty[String, Long]
       es.foreach { case (u, v, w) =>
         val r = rank(u); val o = wu(u)
-        cs(v) = cs.getOrElse(v, 0L) + (r / o) * w + ((r % o) * w) / o
+        val c = Math.addExact(Math.multiplyExact(r / o, w),
+          Math.multiplyExact(r % o, w) / o)
+        cs(v) = Math.addExact(cs.getOrElse(v, 0L), c)
       }
       val next = scala.collection.mutable.HashMap.empty[String, Long]
-      ns.foreach(src => next(src) = base + (85L * cs.getOrElse(src, 0L)) / 100L)
+      ns.foreach(src => next(src) =
+        Math.addExact(base, Math.multiplyExact(85L, cs.getOrElse(src, 0L)) / 100L))
       rank = next
     }
     ns.iterator.map(src => (src, rank(src)))
@@ -526,13 +544,29 @@ object DedupQueries {
     val banded = bandBuckets(sigs)
     val ba = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val bb = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    // the candidate-pair count rides the checkpoint materialization
+    // (no extra job) and gates the broadcast hint below: candDocs
+    // scales with the corpus (every doc in any LSH collision), so a
+    // FORCED broadcast of it risks driver/executor OOM at estate scale
+    // where the planner's graceful semi-join degradation is the right
+    // call (ADVICE r15). Below the bound — every test SF — the hint
+    // keeps the measured r15 plan.
+    val candObs = org.apache.spark.sql.Observation(
+      s"x58_cand_${obsEpoch.incrementAndGet()}")
     val cand = bucketSelfJoin(s, ba, bb, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      .observe(candObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
+    // ≤ 2M pairs ⇒ ≤ 4M distinct ids ≈ 32 MB of longs — comfortably
+    // broadcastable; above that the planner decides (AQE can still
+    // pick broadcast from the measured post-distinct size)
+    val candBroadcastable =
+      candObs.get("n").asInstanceOf[Long] <= 2000000L
+    val candDocs0 = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val candDocs = if (candBroadcastable) broadcast(candDocs0) else candDocs0
     // exact shingle sets (full 60-bit hashes, not the mod-p reduction the
     // signatures use), restricted to candidate docs BEFORE the gram join
     val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -544,11 +578,12 @@ object DedupQueries {
         expr(hex60("concat_ws(' ', w[i], w[i+1], w[i+2])")).as("h"))
       // semi-join BEFORE the distinct (r15): the candidate-doc filter
       // commutes with a per-(doc_id, h) distinct, and candDocs is a
-      // broadcast-sized id list, so the corpus-wide shingle stream is
-      // pruned scan-side and the distinct exchange carries only
-      // candidate docs' shingles (the old order paid the full-corpus
-      // distinct first, then threw most of it away).
-      .join(broadcast(candDocs), Seq("doc_id"), "leftsemi")
+      // broadcast-sized id list at every measured SF, so the
+      // corpus-wide shingle stream is pruned scan-side and the distinct
+      // exchange carries only candidate docs' shingles (the old order
+      // paid the full-corpus distinct first, then threw most of it
+      // away). The broadcast hint is count-gated above (ADVICE r15).
+      .join(candDocs, Seq("doc_id"), "leftsemi")
       .distinct()
       // three consumers (sizes, both intersection attaches) — without
       // the checkpoint each re-runs the tokenize→explode→distinct
@@ -1087,7 +1122,14 @@ object DedupQueries {
       .localCheckpoint(true)
     val nEdges = obs0.get("n").asInstanceOf[Long]
     val limit = graft.operators.ConnectedComponents.localEdgeLimit(s)
-    if (limit > 0 && nEdges <= limit) {
+    // the observed count is over the SYMMETRIC (doubled) edge stream,
+    // while graft.cc.localEdgeLimit counts CANONICAL edges everywhere
+    // else (ConnectedComponents gates on the distinct edge count) —
+    // compare against 2×limit so one conf value means one thing
+    // (ADVICE r15). localMinLabels then buffers up to 2×limit rows
+    // (~64 MB of (long,long) at the 2 M default), twice the CC case;
+    // still far inside a task.
+    if (limit > 0 && nEdges <= 2 * limit) {
       val labels = edges.as[(Long, Long)]
         .coalesce(1)
         .mapPartitions(graft.operators.ConnectedComponents.localMinLabels)

@@ -695,6 +695,9 @@ object MiningQueries {
     * to 3.6 k. */
   val TriMinSupport = 2
 
+  /** Session-unique suffix for x83's key-bound Observation names. */
+  private val x83ObsEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** x83 — triangle count over the part co-occurrence graph (an edge
     * joins two parts appearing together in ≥ [[TriMinSupport]] distinct
     * orders): the classic graph statistic behind clustering-coefficient
@@ -725,16 +728,34 @@ object MiningQueries {
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .groupBy(col("okey"))
       .agg(sort_array(collect_set(col("part"))).as("ps"))
-    val edges = parts
+    def pairStream(p: org.apache.spark.sql.DataFrame) = p
       .select(col("ps"), posexplode(col("ps")))
       .select(col("col").as("u"),
         explode(expr("slice(ps, pos + 2, size(ps))")).as("v"))
-      // pack the pair into ONE long for the support aggregate (r15,
-      // guide §2.3 narrower types): part keys fit 32 bits by schema, so
-      // (u << 32) | v is injective and the hash aggregate keys/compares
-      // one long instead of two — measured 19% off the edges stage
-      // (probe 2.44 -> 1.99 s); unpacked right after, downstream
-      // consumers see the same (u, v) edges.
+    // pack the pair into ONE long for the support aggregate (r15,
+    // guide §2.3 narrower types): (u << 32) | v is injective iff both
+    // keys sit in [0, 2^32) — the hash aggregate then keys/compares one
+    // long instead of two, measured 19% off the edges stage (probe
+    // 2.44 -> 1.99 s); unpacked right after, downstream consumers see
+    // the same (u, v) edges.
+    //
+    // GUARD (r16, VERDICT r15 #1): l_partkey is int64 in the parquet
+    // schema, so "fits 32 bits" is a data fact at current SFs, not a
+    // type guarantee — at TPC-H-style 100 TB SFs partkey exceeds 2^32
+    // and the packed key would silently merge distinct pairs. The key
+    // bound is MEASURED, not assumed: an Observation on the per-order
+    // part sets (min = first, max = last element of the sorted array)
+    // rides the packed aggregate's checkpoint materialization — zero
+    // extra jobs below the bound — and if the observed range escapes
+    // [0, 2^32) the packed result is discarded and the edge aggregate
+    // reruns with the unpacked two-column key (bit-identical support
+    // counts, no packing anywhere). TriGuardSpec exercises the fallback
+    // with >2^32 keys.
+    val obs = org.apache.spark.sql.Observation(
+      s"x83_keys_${x83ObsEpoch.incrementAndGet()}")
+    val packed = pairStream(parts.observe(obs,
+        min(element_at(col("ps"), 1)).as("mn"),
+        max(element_at(col("ps"), -1)).as("mx")))
       .select((shiftleft(col("u").cast("long"), 32)
         .bitwiseOR(col("v").cast("long"))).as("uv"))
       .groupBy(col("uv")).agg(count(lit(1)).as("support"))
@@ -746,6 +767,15 @@ object MiningQueries {
       // consumer (degrees, orientation, wedge join, closing semi-join,
       // the two count scalars) broadcast-join tiny frames instead of
       // re-running the lineitem aggregation per consumer.
+      .localCheckpoint(true)
+    val om = obs.get
+    val keysFit32 = om("mn") == null ||
+      (om("mn").asInstanceOf[Long] >= 0L &&
+        om("mx").asInstanceOf[Long] < 4294967296L)
+    val edges = if (keysFit32) packed else pairStream(parts)
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+      .where(col("support") >= TriMinSupport)
+      .select(col("u"), col("v"))
       .localCheckpoint(true)
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
