@@ -1237,11 +1237,57 @@ object DedupQueries {
   }
   private[graft] def normScaled(a: Array[Double]): Long = dotScaled(a, a)
 
+  /** [[dotScaled]] over float arrays, widening per element — float →
+    * double widening is EXACT, so the value is bit-identical to
+    * converting the arrays up front; carrying floats instead halves the
+    * kernel shuffles' embedding bytes (r16, guide §2.3 narrower types /
+    * VERDICT r15 next #8). */
+  private[graft] def dotScaledF(a: Array[Float], b: Array[Float]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) {
+      val v = a(i).toDouble * b(i).toDouble * 1000000d
+      s += (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+      i += 1
+    }
+    s
+  }
+  private[graft] def normScaledF(a: Array[Float]): Long = dotScaledF(a, a)
+
+  /** Branch-free double dot·1e6 — the SCREEN for the exact kernel (r16,
+    * guide §1.2 "per-task work"): per element the exact kernel adds
+    * round(xi·yi·1e6) and |round(v) − v| ≤ 0.5, so
+    * |dotScaled − dotRaw| ≤ 0.5·d + (double accumulation error); with
+    * [[screenMargin]] covering both, `dotRaw + margin < rhs` PROVES the
+    * exact threshold test fails and the branchy rounding loop is
+    * skipped for the (vast) sub-threshold majority. Never decides a
+    * boundary pair: those fall through to [[dotScaledF]]. */
+  private[graft] def dotRawF(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0d; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s * 1000000d
+  }
+
+  /** Safe screen slack: 0.5 per element of rounding distance plus a
+    * generous allowance for double accumulation error (products are
+    * ≤ ~1e6 in magnitude and d ≤ a few hundred, so the true FP error is
+    * orders of magnitude below 8). */
+  private[graft] def screenMargin(d: Int): Double = 0.5 * d + 8.0
+
   private def embRows(df: org.apache.spark.sql.DataFrame) = {
     import df.sparkSession.implicits._
     df.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, e) => (id, e.map(_.toDouble)) }
+  }
+
+  /** [[embRows]] WITHOUT the up-front double widening — the pair-scan
+    * kernels (x8/x108) keep the storage floats through their shuffles
+    * and widen per element inside the dot loops (exact, see
+    * [[dotScaledF]]). */
+  private def embRowsF(df: org.apache.spark.sql.DataFrame) = {
+    import df.sparkSession.implicits._
+    df.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
   }
 
   /** Window rank order for (query_id, cand_id, cosine) rows — rank 1 =
@@ -1328,33 +1374,48 @@ object DedupQueries {
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val bCount = X8Blocks
-    val emb = embRows(Tables.embeddings(s, d))
-      .map { case (id, e) => (id, e, normScaled(e)) }
+    // r16 kernel shape (guide §2.3, §1.2): rows ship Array[Float] (the
+    // storage width — half the bytes of the old widened doubles; the
+    // widening per element inside the kernel is exact, so every cosine
+    // is bit-identical) plus the PRE-COMPUTED sqrt of the scaled norm
+    // (the kernel used to take two sqrts per PAIR). The threshold test
+    // runs the branch-free double screen first and only boundary pairs
+    // (plus actual passes, which need the exact cosine value) pay the
+    // exact rounding loop — sub-threshold pairs, the vast majority of
+    // the O(n²/B) scan, cost one fused multiply-add loop each.
+    val emb = embRowsF(Tables.embeddings(s, d))
+      .map { case (id, e) => (id, e, math.sqrt(normScaledF(e).toDouble)) }
     // replicate each vector to every block pair it participates in;
     // role 0 = "left" block of the pair, role 1 = "right"
-    val replicated = emb.flatMap { case (id, e, n) =>
+    val replicated = emb.flatMap { case (id, e, sn) =>
       val b = (id % bCount).toInt
       (0 until bCount).map { o =>
-        if (o >= b) ((b * bCount + o), 0, id, e, n)
-        else ((o * bCount + b), 1, id, e, n)
+        if (o >= b) ((b * bCount + o), 0, id, e, sn)
+        else ((o * bCount + b), 1, id, e, sn)
       }
     }
     val pairs = replicated.groupByKey(_._1).flatMapGroups {
-      (key: Int, it: Iterator[(Int, Int, Long, Array[Double], Long)]) =>
+      (key: Int, it: Iterator[(Int, Int, Long, Array[Float], Double)]) =>
         val isDiag = (key / bCount) == (key % bCount)
         val left = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Array[Double], Long)]
+          .empty[(Long, Array[Float], Double)]
         val right = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Array[Double], Long)]
-        it.foreach { case (_, role, id, e, n) =>
-          (if (role == 0) left else right) += ((id, e, n))
+          .empty[(Long, Array[Float], Double)]
+        it.foreach { case (_, role, id, e, sn) =>
+          (if (role == 0) left else right) += ((id, e, sn))
         }
         val rs = if (isDiag) left else right
         for {
-          (ua, ue, un) <- left.iterator
-          (va, ve, vn) <- rs.iterator
+          (ua, ue, su) <- left.iterator
+          (va, ve, sv) <- rs.iterator
           if !isDiag || ua < va
-          cos = dotScaled(ue, ve) / (math.sqrt(un) * math.sqrt(vn))
+          denom = su * sv
+          // screen: proves dotScaled/(su·sv) ≤ 0.4 for the common case;
+          // zero denominators fall through to the exact path so the
+          // NaN/Inf comparison semantics stay exactly the old code's
+          if !(denom > 0 &&
+            dotRawF(ue, ve) + screenMargin(ue.length) < 0.4 * denom)
+          cos = dotScaledF(ue, ve) / denom
           if cos > 0.4
         } yield if (ua < va) (ua, va, cos) else (va, ua, cos)
     }.toDF("vec_a", "vec_b", "cosine")
@@ -1507,48 +1568,68 @@ object DedupQueries {
     val (cs, _) = kmeansFitDf(s, emb, k)
     val cb = s.sparkContext.broadcast(cs)
     val bCount = X108Blocks
-    val celled = embRows(emb)
-      .flatMap { case (id, e) =>
-        val n = normScaled(e)
-        val scaled = e.map(scale1e6)
+    // r16 kernel shape — same three changes as x8PairScan (floats
+    // through the shuffle, sqrt-norm precomputed per row, double screen
+    // before the exact rounding loop), with one extra: this kernel
+    // emits IDS only, so the screen also fast-PASSES pairs provably
+    // above the threshold and the exact loop runs only on the boundary
+    // band. Work here is Σ_cell |cell|² with FIXED k (the oracle
+    // replays this exact k-means), so per-pair cost is the whole
+    // at-scale story — the ×10 spot bench had this key at 55 s, the
+    // largest in the registry.
+    val celled = embRowsF(emb)
+      .flatMap { case (id, ef) =>
+        val sn = math.sqrt(normScaledF(ef).toDouble)
+        val scaled = new Array[Long](ef.length)
+        var i = 0
+        while (i < ef.length) { scaled(i) = scale1e6(ef(i).toDouble); i += 1 }
         // top-R by (dot DESC, cluster ASC) — the x62 rank rule
         val books = cb.value
         val dots = Array.tabulate(books.length) { c =>
-          var dot = 0L; var i = 0
+          var dot = 0L; var j = 0
           val bc = books(c)
-          while (i < scaled.length) { dot += scaled(i) * bc(i); i += 1 }
+          while (j < scaled.length) { dot += scaled(j) * bc(j); j += 1 }
           (c, dot)
         }
         dots.sortBy { case (c, dot) => (-dot, c) }
           .take(X108Ring)
-          .map { case (cell, _) => (cell, id, e, n) }
+          .map { case (cell, _) => (cell, id, ef, sn) }
           .toSeq
       }
-    val replicated = celled.flatMap { case (cell, id, e, n) =>
+    val replicated = celled.flatMap { case (cell, id, ef, sn) =>
       val b = (id % bCount).toInt
       (0 until bCount).map { o =>
-        if (o >= b) ((cell, b * bCount + o), 0, id, e, n)
-        else ((cell, o * bCount + b), 1, id, e, n)
+        if (o >= b) ((cell, b * bCount + o), 0, id, ef, sn)
+        else ((cell, o * bCount + b), 1, id, ef, sn)
       }
     }
     replicated.groupByKey(_._1).flatMapGroups {
-      (key: (Int, Int), it: Iterator[((Int, Int), Int, Long, Array[Double], Long)]) =>
+      (key: (Int, Int), it: Iterator[((Int, Int), Int, Long, Array[Float], Double)]) =>
         val bp = key._2
         val isDiag = (bp / bCount) == (bp % bCount)
         val left = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Array[Double], Long)]
+          .empty[(Long, Array[Float], Double)]
         val right = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Array[Double], Long)]
-        it.foreach { case (_, role, id, e, n) =>
-          (if (role == 0) left else right) += ((id, e, n))
+          .empty[(Long, Array[Float], Double)]
+        it.foreach { case (_, role, id, ef, sn) =>
+          (if (role == 0) left else right) += ((id, ef, sn))
         }
         val rs = if (isDiag) left else right
         for {
-          (ua, ue, un) <- left.iterator
-          (va, ve, vn) <- rs.iterator
+          (ua, ue, su) <- left.iterator
+          (va, ve, sv) <- rs.iterator
           if !isDiag || ua < va
-          cos = dotScaled(ue, ve) / (math.sqrt(un) * math.sqrt(vn))
-          if cos > threshold
+          denom = su * sv
+          if {
+            val rhs = threshold * denom
+            if (denom > 0) {
+              val raw = dotRawF(ue, ve)
+              val m = screenMargin(ue.length)
+              if (raw - m > rhs) true            // proven pass
+              else if (raw + m < rhs) false      // proven fail
+              else dotScaledF(ue, ve) / denom > threshold
+            } else dotScaledF(ue, ve) / denom > threshold
+          }
         } yield if (ua < va) (ua, va) else (va, ua)
     }.toDF("vec_a", "vec_b").distinct()
   }

@@ -382,6 +382,61 @@ object PhaseProbe {
           .orderBy(col("id_a"), col("id_b")))
       }),
       "x75_full" -> (() => noop(MiningQueries.x75CorpusDatasheet(s, d))),
+      // x75 with the CURRENT x7 window-form grams but NO kept-grams
+      // barrier: the r16 cold-JVM A/B arm for VERDICT r15 next #2 (is
+      // the eager checkpoint mispriced for composing callers?)
+      "x75_nobarrier_shape" -> (() => {
+        val docs = Tables.documents(s, d)
+        val base = docs.select(col("source"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        val bySrc = base.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        val ent = base.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+          .join(bySrc.select(col("source"), col("n_docs")), "source")
+          .withColumn("p", col("c").cast("double") / col("n_docs").cast("double"))
+          .groupBy(col("source"))
+          .agg(round(-sum(col("p") * log(col("p"))), 6).as("lang_entropy"))
+        val grams0 = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(col("doc_id"), col("w"),
+            explode(expr("sequence(0, size(w) - 2)")).as("i"))
+          .select(col("doc_id"),
+            expr(PortableHash.hex60("concat(w[i], '_', w[i+1])")).as("gram"))
+          .distinct()
+        val wnd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gram"))
+        val kept = grams0
+          .withColumn("gram_df", count(lit(1)).over(wnd))
+          .where(col("gram_df") <= DedupQueries.MaxGramDf)
+          .select(col("doc_id"), col("gram")) // NO localCheckpoint
+        val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = kept.as("ga")
+          .join(kept.as("gb"), col("ga.gram") === col("gb.gram") &&
+            col("ga.doc_id") < col("gb.doc_id"))
+          .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        val pairs = inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .where(col("n_inter") /
+            (col("na") + col("nb") - col("n_inter")).cast("double") >= 0.3)
+        val dup = pairs
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+        noop(bySrc.join(ent, "source")
+          .join(dup, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+            col("lang_entropy"),
+            coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+            round(coalesce(col("n_dup_docs"), lit(0L)).cast("double")
+              / col("n_docs").cast("double"), 6).as("dup_frac"))
+          .orderBy(col("source")))
+      }),
       "x75_r14x7_shape" -> (() => {
         val docs = Tables.documents(s, d)
         val base = docs.select(col("source"), col("lang"),
