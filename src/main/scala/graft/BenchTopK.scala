@@ -90,8 +90,10 @@ object BenchTopK {
     Seq.fill(3)(once()).min
   }
 
-  /** Builds the scaled tables under `outDir` and returns outDir. */
-  private[graft] def buildScaled(spark: SparkSession, sfDir: String,
+  /** Builds the scaled tables under `outDir` and returns outDir.
+    * Public so ad-hoc probe sessions (spark-shell -I) can build a
+    * persistent scaled dir for paired PhaseProbe measurements. */
+  def buildScaled(spark: SparkSession, sfDir: String,
       outDir: String, mult: Int): String = {
     import spark.implicits._
     def base(name: String): DataFrame =

@@ -62,7 +62,11 @@ object DedupQueries {
     * One explode + one groupBy (map-side combine keeps shuffle small:
     * 64 longs per doc regardless of doc length). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // spread a sub-split-size corpus across the cores before the
+    // shingle explode + 64 min-hash partial aggregate — otherwise the
+    // whole per-token stage runs as ONE scan task (r16, guide §2.5)
+    val words = Tables.spreadSmallScan(docs, "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       // guard: sequence(0, size-3) turns descending (negative indices)
       // for <3-word docs; such docs have no shingles, like the SQL
       // range(1, n) which is simply empty
@@ -679,7 +683,7 @@ object DedupQueries {
     // hash before the distinct (8-byte hashes shuffle, not strings) but
     // OUTSIDE any HOF lambda: explode the tokens (codegen'd Generate),
     // md5 as a fused top-level projection
-    val tokens = Tables.documents(s, d)
+    val tokens = Tables.spreadSmallScan(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), expr(hex60("t")).as("h"))
       .distinct()
@@ -784,7 +788,9 @@ object DedupQueries {
     // grams are hashed to 8-byte ints inside the projection (same
     // md5-derived hash the oracle reproduces), so the distinct + DF-join
     // shuffles carry longs instead of full gram strings (~8× narrower)
-    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // spread before the gram explode + hash (r16, guide §2.5)
+    val grams = Tables.spreadSmallScan(docs, "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 2) // guard descending sequence on 1-word docs
       // codegen'd explode + top-level md5, not an interpreted HOF lambda
       .select(col("doc_id"), col("w"),
@@ -975,7 +981,9 @@ object DedupQueries {
     * 1/50 of the corpus — filtering after the shared distinct would
     * recompute the full-corpus shuffle per branch). */
   private[queries] def gramsOf(docs: DataFrame): DataFrame =
-    docs
+    // spread before the gram explode + hash (one scan task otherwise —
+    // r16, guide §2.5); no-op when the relation fills the cores
+    Tables.spreadSmallScan(docs, "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 2)
       .select(col("doc_id"), col("w"),
@@ -1714,7 +1722,9 @@ object DedupQueries {
   val x52QualityKeeper: QFn = (s, d) => {
     val stop = TextQueries.langProfiles.flatMap(_._2).distinct
     val set = stop.map(w => s"'$w'").mkString("(", ", ", ")")
-    val q = Tables.documents(s, d)
+    // spread before the per-doc stopword filter + alpha regexp (heavy
+    // per-row work on a one-split scan otherwise — r16, guide §2.5)
+    val q = Tables.spreadSmallScan(Tables.documents(s, d), "doc_id")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_stop",
@@ -2946,7 +2956,9 @@ object DedupQueries {
   private[graft] def spanRunsOf(docs: DataFrame): DataFrame = {
     val g = SpanGram
     val gramCols = (0 until g).map(i => s"w[pos+$i]").mkString(", ")
-    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // spread before the gram explode + hash (r16, guide §2.5)
+    val grams = Tables.spreadSmallScan(docs, "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= g)
       .select(col("doc_id"), col("w"),
         explode(expr(s"sequence(0, size(w) - $g)")).as("pos"))

@@ -291,8 +291,12 @@ object MiningQueries {
     * source/doc_id. */
   val x75CorpusDatasheet: QFn = (s, d) => {
     val docs = Tables.documents(s, d)
-    val base = docs.select(col("source"), col("lang"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+    // spread before the per-doc regex token count (r16, guide §2.5);
+    // keyed by doc_id — high-cardinality, so the spread is even (the
+    // source rollup's partial aggregate stays map-side either way)
+    val base = Tables.spreadSmallScan(docs, "doc_id")
+      .select(col("source"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
     // NOTE (r15, measured negative result — do not retry): bySrc feeds
     // both the entropy chain and the final join, but checkpointing it
     // measured SLOWER paired (1.76 vs 1.56 s) — the duplicate scan
@@ -724,8 +728,18 @@ object MiningQueries {
     // unordered pair once (i < j ⇔ u < v) in the same codegen stage.
     // Order groups are small by schema, so slice-per-position is
     // linear-ish per order and never quadratic in a vertex's degree.
-    val parts = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+    // pin the okey exchange at defaultParallelism when the input is
+    // small (r16, guide §2.5): AQE's byte-based coalescing prices the
+    // exchange by its INPUT bytes and collapsed the partition count
+    // under the exploding pair stage above it (the part sets fan out
+    // ~8× into pair rows) — measured 14.7 → 7.1 s on the ×10 bench.
+    // The explicit-width repartition is reused by the groupBy (same
+    // key), so no extra exchange exists below it; large inputs skip
+    // the pin and keep their natural parallelism.
+    val parts = Tables.spreadSmallScan(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")),
+        "okey")
       .groupBy(col("okey"))
       .agg(sort_array(collect_set(col("part"))).as("ps"))
     def pairStream(p: org.apache.spark.sql.DataFrame) = p
@@ -1067,7 +1081,10 @@ object MiningQueries {
     // saves is the cheaper side of that trade at any SF (the hash cost
     // scales with the same token count the shuffle does).
     import org.apache.spark.sql.expressions.Window
-    val grams = Tables.documents(s, d)
+    // spread before the slice/hash explode; the doc-keyed window below
+    // REUSES this explicit exchange (same key, pinned width), so the
+    // per-token work never collapses onto one task (r16, guide §2.4/2.5)
+    val grams = Tables.spreadSmallScan(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= WinnowK)
       .select(col("doc_id"),
@@ -1135,7 +1152,10 @@ object MiningQueries {
     // runs INTERPRETED, and that dominates everything the removed
     // window exchange cost. This windowed shape keeps the hash inside
     // whole-stage codegen.
-    val words = docs
+    // spread before the token explode; the doc-keyed window AND the
+    // spans⋈words join both REUSE this explicit exchange (same key,
+    // pinned width — r16, guide §2.4/2.5)
+    val words = Tables.spreadSmallScan(docs, "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 1)
     val tok = words
@@ -1719,7 +1739,9 @@ object MiningQueries {
     * aggregate. */
   val x96ZipfProfile: QFn = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val top = Tables.documents(s, d)
+    // spread before the token explode + per-token vocab partial
+    // aggregate (one scan task otherwise — r16, guide §2.5)
+    val top = Tables.spreadSmallScan(Tables.documents(s, d), "doc_id")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(ZipfTopN)

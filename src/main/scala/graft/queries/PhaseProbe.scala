@@ -117,6 +117,106 @@ object PhaseProbe {
           .select((col("uv") / lit(4294967296L)).cast("long").as("u"),
             pmod(col("uv"), lit(4294967296L)).cast("long").as("v")))
       }),
+      // r16 candidate: pair stream via index sequence + element_at — no
+      // per-position array suffix copy (slice allocates a new array per
+      // posexplode row)
+      "x83_edges_idx" -> (() => {
+        val parts = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .groupBy(col("okey"))
+          .agg(sort_array(collect_set(col("part"))).as("ps"))
+        noop(parts
+          .select(col("ps"), posexplode(col("ps")))
+          .select(col("col").as("u"), col("ps"),
+            explode(expr(
+              "IF(pos + 2 <= size(ps), sequence(pos + 2, size(ps)), array())"))
+              .as("j"))
+          .select((shiftleft(col("u").cast("long"), 32)
+            .bitwiseOR(expr("element_at(ps, j)").cast("long"))).as("uv"))
+          .groupBy(col("uv")).agg(count(lit(1)).as("support"))
+          .where(col("support") >= MiningQueries.TriMinSupport)
+          .select(shiftright(col("uv"), 32).as("u"),
+            col("uv").bitwiseAND(lit(4294967295L)).as("v")))
+      }),
+      // r16 candidate: typed flatMap kernel emitting packed pair longs
+      // (single generator, zero intermediate arrays), then the same
+      // packed aggregate
+      "x83_edges_kernel" -> (() => {
+        import s.implicits._
+        val parts = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .groupBy(col("okey"))
+          .agg(sort_array(collect_set(col("part"))).as("ps"))
+        noop(parts.select(col("ps")).as[Array[Long]]
+          .flatMap { ps =>
+            val out = new scala.collection.mutable.ArrayBuffer[Long](
+              ps.length * (ps.length - 1) / 2)
+            var i = 0
+            while (i < ps.length) {
+              var j = i + 1
+              while (j < ps.length) {
+                out += (ps(i) << 32) | ps(j); j += 1
+              }
+              i += 1
+            }
+            out
+          }
+          .toDF("uv")
+          .groupBy(col("uv")).agg(count(lit(1)).as("support"))
+          .where(col("support") >= MiningQueries.TriMinSupport)
+          .select(shiftright(col("uv"), 32).as("u"),
+            col("uv").bitwiseAND(lit(4294967295L)).as("v")))
+      }),
+      // r16 candidate: the support count as repartition(uv) + a typed
+      // per-partition primitive LongMap — 99.7% of pair keys are unique
+      // at ×10, so the two-level HashAggregate's partial map is pure
+      // insert-miss overhead (fills, spills, combines nothing)
+      "x83_edges_mapcount" -> (() => {
+        import s.implicits._
+        val parts = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .groupBy(col("okey"))
+          .agg(sort_array(collect_set(col("part"))).as("ps"))
+        val uv = parts
+          .select(col("ps"), posexplode(col("ps")))
+          .select(col("col").as("u"),
+            explode(expr("slice(ps, pos + 2, size(ps))")).as("v"))
+          .select((shiftleft(col("u").cast("long"), 32)
+            .bitwiseOR(col("v").cast("long"))).as("uv"))
+        noop(uv.repartition(col("uv")).as[Long]
+          .mapPartitions { it =>
+            val m = new scala.collection.mutable.LongMap[Long](1 << 16)
+            it.foreach(k => m(k) = m.getOrElse(k, 0L) + 1L)
+            m.iterator.collect {
+              case (k, n) if n >= MiningQueries.TriMinSupport => k
+            }
+          }
+          .toDF("uv")
+          .select(shiftright(col("uv"), 32).as("u"),
+            col("uv").bitwiseAND(lit(4294967295L)).as("v")))
+      }),
+      // r16 candidate: pin the okey exchange at defaultParallelism so
+      // AQE's byte-based coalescing can't collapse the partition count
+      // under the EXPLODING pair stage above it (64 MB of part sets
+      // fan out ~8× into pairs — coalescing prices the input bytes,
+      // not the generated work)
+      "x83_edges_pinned" -> (() => {
+        val parts = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .repartition(s.sparkContext.defaultParallelism, col("okey"))
+          .groupBy(col("okey"))
+          .agg(sort_array(collect_set(col("part"))).as("ps"))
+        noop(parts
+          .select(col("ps"), posexplode(col("ps")))
+          .select(col("col").as("u"),
+            explode(expr("slice(ps, pos + 2, size(ps))")).as("v"))
+          .select((shiftleft(col("u").cast("long"), 32)
+            .bitwiseOR(col("v").cast("long"))).as("uv"))
+          .groupBy(col("uv")).agg(count(lit(1)).as("support"))
+          .where(col("support") >= MiningQueries.TriMinSupport)
+          .select(shiftright(col("uv"), 32).as("u"),
+            col("uv").bitwiseAND(lit(4294967295L)).as("v")))
+      }),
       "x83_partsets_only" -> (() => {
         noop(Tables.lineitem(s, d)
           .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
@@ -199,6 +299,45 @@ object PhaseProbe {
       }),
       "x30_full" -> (() => noop(
         graft.SparkEntry.queries("x30_neardup_lsh")(s, d))),
+      "x60_full" -> (() => noop(
+        graft.SparkEntry.queries("x60_dup_spans")(s, d))),
+      // spanRuns WITHOUT the r16 scan spread (the pre-spread shape) —
+      // paired A/B arm for the x60/x61 regression check
+      "x60_nospread_shape" -> (() => {
+        val g = DedupQueries.SpanGram
+        val gramCols = (0 until g).map(i => s"w[pos+$i]").mkString(", ")
+        val docs = Tables.documents(s, d)
+        val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= g)
+          .select(col("doc_id"), col("w"),
+            explode(expr(s"sequence(0, size(w) - $g)")).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            expr(PortableHash.hex60(s"concat_ws(' ', $gramCols)")).as("h"))
+          .localCheckpoint(true)
+        val rare = grams.select(col("doc_id"), col("h")).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("gram_df"))
+          .where(col("gram_df") <= DedupQueries.SpanMaxDf)
+          .select(col("h"))
+        val kept = grams.join(rare, "h").localCheckpoint(true)
+        val m = kept.as("ga")
+          .join(kept.as("gb"), col("ga.h") === col("gb.h") &&
+            col("ga.doc_id") < col("gb.doc_id"))
+          .select(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"),
+            col("ga.pos").as("pa"), (col("ga.pos") - col("gb.pos")).as("diag"))
+        val wIsl = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+          .orderBy(col("pa"))
+        noop(m.withColumn("isl", col("pa") - row_number().over(wIsl))
+          .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+          .agg((count(lit(1)) + lit(g - 1)).cast("long").as("span_words"),
+            min(col("pa")).as("start_a"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(max(col("span_words")).as("max_span_words"),
+            sum(when(col("span_words") >= DedupQueries.SpanMin, 1L)
+              .otherwise(0L)).as("n_spans"))
+          .where(col("max_span_words") >= DedupQueries.SpanMin)
+          .orderBy(col("doc_a"), col("doc_b")))
+      }),
       "x2_sorted_ckpt" -> (() => {
         val sigs = DedupQueries.minhashSignatures(Tables.documents(s, d))
           .localCheckpoint(true)
@@ -334,6 +473,112 @@ object PhaseProbe {
           .dropDuplicates("id", "sig"))
       }),
       "x69_full" -> (() => noop(MiningQueries.x69FuzzyJoin(s, d))),
+      // r16 decomposition: candidate pairs WITHOUT the levenshtein
+      // refine — isolates the join machinery from the refine kernel
+      "x69_cand_only" -> (() => {
+        val names = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        val sigs = names
+          .select(col("id"), col("name"),
+            explode(expr("sequence(0, length(name))")).as("i"))
+          .select(col("id"), col("name"),
+            xxhash64(when(col("i") === 0, col("name"))
+              .otherwise(concat(expr("substring(name, 1, i - 1)"),
+                expr("substring(name, i + 1, length(name))")))).as("sig"))
+        val a = sigs.select(col("sig"), col("id").as("id_a"),
+          col("name").as("name_a"))
+        val b = sigs.select(col("sig"), col("id").as("id_b"),
+          col("name").as("name_b"))
+        noop(DedupQueries.bucketSelfJoin(s, a, b, Seq("sig"))
+          .where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")))
+      }),
+      // r16 decomposition: the variant stream alone (scan → explode →
+      // substring → xxhash64), no join — the linear part of x69
+      "x69_stream_only" -> (() => {
+        val names = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        noop(names
+          .select(col("id"), col("name"),
+            explode(expr("sequence(0, length(name))")).as("i"))
+          .select(col("id"), col("name"),
+            xxhash64(when(col("i") === 0, col("name"))
+              .otherwise(concat(expr("substring(name, 1, i - 1)"),
+                expr("substring(name, i + 1, length(name))")))).as("sig")))
+      }),
+      // r16 candidate: x71's shared-window skew guard — ONE window over
+      // the shared sig frame instead of selfAdaptive's per-side windows
+      // (both sides are full projections of the same frame, so the
+      // shared count is exactly the per-side count)
+      "x69_sharedwin_shape" -> (() => {
+        val names = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        val sigs = names
+          .select(col("id"), col("name"),
+            explode(expr("sequence(0, length(name))")).as("i"))
+          .select(col("id"), col("name"),
+            xxhash64(when(col("i") === 0, col("name"))
+              .otherwise(concat(expr("substring(name, 1, i - 1)"),
+                expr("substring(name, i + 1, length(name))")))).as("sig"))
+        val t = DedupQueries.skewThreshold(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sig"))
+        val salted = sigs.withColumn("__salts", least(lit(32L),
+          floor((count(lit(1)).over(w) + lit(t - 1)) / lit(t))))
+        val a = salted
+          .withColumn("__shard", (rand(42) * col("__salts")).cast("long"))
+          .select(col("sig"), col("__shard"), col("id").as("id_a"),
+            col("name").as("name_a"))
+        val b = salted
+          .withColumn("__shard",
+            explode(sequence(lit(0L), col("__salts") - 1)))
+          .select(col("sig"), col("__shard"), col("id").as("id_b"),
+            col("name").as("name_b"))
+        noop(a.join(b, Seq("sig", "__shard"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("edit_dist", graft.plans.SpatialFunctions
+            .bounded_levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+          .where(col("edit_dist") <= 1)
+          .select(col("id_a"), col("id_b"), col("edit_dist"))
+          .dropDuplicates("id_a", "id_b")
+          .orderBy(col("id_a"), col("id_b")))
+      }),
+      // same + eager checkpoint of the windowed frame (both join sides
+      // then read materialized rows instead of re-running the stream)
+      "x69_sharedwin_ckpt_shape" -> (() => {
+        val names = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        val sigs = names
+          .select(col("id"), col("name"),
+            explode(expr("sequence(0, length(name))")).as("i"))
+          .select(col("id"), col("name"),
+            xxhash64(when(col("i") === 0, col("name"))
+              .otherwise(concat(expr("substring(name, 1, i - 1)"),
+                expr("substring(name, i + 1, length(name))")))).as("sig"))
+        val t = DedupQueries.skewThreshold(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sig"))
+        val salted = sigs.withColumn("__salts", least(lit(32L),
+          floor((count(lit(1)).over(w) + lit(t - 1)) / lit(t))))
+          .localCheckpoint(true)
+        val a = salted
+          .withColumn("__shard", (rand(42) * col("__salts")).cast("long"))
+          .select(col("sig"), col("__shard"), col("id").as("id_a"),
+            col("name").as("name_a"))
+        val b = salted
+          .withColumn("__shard",
+            explode(sequence(lit(0L), col("__salts") - 1)))
+          .select(col("sig"), col("__shard"), col("id").as("id_b"),
+            col("name").as("name_b"))
+        noop(a.join(b, Seq("sig", "__shard"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("edit_dist", graft.plans.SpatialFunctions
+            .bounded_levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+          .where(col("edit_dist") <= 1)
+          .select(col("id_a"), col("id_b"), col("edit_dist"))
+          .dropDuplicates("id_a", "id_b")
+          .orderBy(col("id_a"), col("id_b")))
+      }),
       "x69_nodedup_shape" -> (() => {
         val names = Tables.customer(s, d)
           .select(col("c_custkey").as("id"), col("c_name").as("name"))
@@ -567,6 +812,24 @@ object PhaseProbe {
       }),
       "minhash_sigs" -> (() => noop(
         DedupQueries.minhashSignatures(Tables.documents(s, d)))),
+      // r16 candidate: spread the documents scan before the per-token
+      // work — the corpus parquet is far under one 128 MB scan split,
+      // so the tokenize→explode→hash stage otherwise runs as ONE task
+      // at any core count
+      "minhash_sigs_spread" -> (() => noop(
+        DedupQueries.minhashSignatures(Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))),
+      "x7_grams_spread" -> (() => {
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        noop(docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(col("doc_id"), col("w"),
+            explode(expr("sequence(0, size(w) - 2)")).as("i"))
+          .select(col("doc_id"),
+            expr(PortableHash.hex60("concat(w[i], '_', w[i+1])")).as("gram"))
+          .distinct())
+      }),
       "x2_full" -> (() => noop(DedupQueries.x2DedupMinhash(s, d))),
       "x6_full" -> (() => noop(DedupQueries.x6DedupSimhash(s, d))),
       "x58_full" -> (() => noop(DedupQueries.x58MinhashCalibration(s, d))),

@@ -50,4 +50,40 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** True when `df`'s relation is too small for its scan to fill even a
+    * quarter of the session's cores with natural input splits — the
+    * regime where everything computed ABOVE the bare scan (tokenize →
+    * explode → hash chains, orders of magnitude more work than the
+    * bytes read) runs as one or two tasks at ANY core count (r16,
+    * guide §2.5 input skew: "one huge unsplittable file … repartition
+    * immediately after the read"). Size comes from the optimizer's
+    * relation statistics (driver-side metadata, no job). */
+  private[graft] def scanUnderfillsCores(df: DataFrame): Boolean = {
+    val s = df.sparkSession
+    val n = s.sparkContext.defaultParallelism.toLong
+    val maxSplit = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(
+        s.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    bytes * 4 < BigInt(n * maxSplit)
+  }
+
+  /** Spread a SMALL scan across the cores before heavy per-row work:
+    * an explicit hash repartition on `key` at defaultParallelism —
+    * deterministic (no round-robin/rand), reusable by any downstream
+    * groupBy/window on the same key (guide §2.4: operations keyed the
+    * same way share one exchange), and — because the partition count is
+    * user-specified — exempt from AQE's byte-based coalescing, which
+    * prices an exchange by its INPUT bytes and so collapses the
+    * parallelism under exploding stages (the measured x83 failure:
+    * 64 MB of part sets fan out ~8× into pair rows on 1–2 tasks).
+    * Large relations (the 100 TB case) keep their natural split
+    * parallelism: this is a no-op for them, so nothing here tunes FOR
+    * the local bench — it only stops tiny inputs from serializing the
+    * whole engine onto one core. */
+  private[graft] def spreadSmallScan(df: DataFrame, key: String): DataFrame =
+    if (scanUnderfillsCores(df))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+    else df
 }

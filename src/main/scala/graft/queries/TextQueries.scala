@@ -1194,7 +1194,9 @@ object TextQueries {
     // the sibling dl/stats branches anyway. The serve path gets the
     // real at-scale pruning from TextIndex's term-bucket partition
     // filter on persisted postings, not from re-tokenizing.
-    val tf = docs
+    // spread before the token explode + (doc, term) partial aggregate
+    // (one scan task otherwise — r16, guide §2.5)
+    val tf = Tables.spreadSmallScan(docs, "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -1314,7 +1316,9 @@ object TextQueries {
     * trick).
     */
   val x53LmScore: QFn = (s, d) => {
-    val toks = Tables.documents(s, d)
+    // spread before the per-doc regex normalize + bigram explode (r16,
+    // guide §2.5)
+    val toks = Tables.spreadSmallScan(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"),
         split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ")
           .as("t"))
@@ -1480,15 +1484,22 @@ object TextQueries {
     val pt = phraseDefs.flatMap { case (p, ts) =>
       ts.zipWithIndex.map { case (t, i) => (p, i, t, ts.size) }
     }.toDF("phrase_id", "idx", "term", "plen")
-    val postings = Tables.documents(s, d)
+    // spread before the positional explode + per-token broadcast probe
+    // (one scan task otherwise — r16, guide §2.5)
+    val postings = Tables.spreadSmallScan(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
     postings.join(broadcast(pt), "term")
       .select(col("phrase_id"), col("doc_id"),
         (col("pos") - col("idx")).as("start"), col("idx"), col("plen"))
+      // all-L-positions-voted as ONE bit_or aggregate instead of
+      // countDistinct (r16): count(DISTINCT idx) plans a second
+      // dedup HashAggregate level; idx < plen ≤ 3, so a bit mask is
+      // the same predicate — mask == 2^plen − 1 ⟺ all idx present —
+      // in a single partial+final aggregate
       .groupBy(col("phrase_id"), col("doc_id"), col("start"), col("plen"))
-      .agg(countDistinct(col("idx")).as("n_idx"))
-      .where(col("n_idx") === col("plen"))
+      .agg(expr("bit_or(shiftleft(1L, idx))").as("idx_mask"))
+      .where(col("idx_mask") === expr("shiftleft(1L, plen) - 1"))
       .groupBy(col("phrase_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_matches"))
       .orderBy(col("phrase_id"), col("doc_id"))
@@ -1624,7 +1635,9 @@ object TextQueries {
     * doc. Nothing wider than B cells per doc ever shuffles. */
   val x57DsirWeights: QFn = (s, d) => {
     val b = DsirBuckets
-    val toks = Tables.documents(s, d)
+    // spread before the regex normalize + bigram-hash explode (r16,
+    // guide §2.5)
+    val toks = Tables.spreadSmallScan(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), col("lang"),
         split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ")
           .as("t"))
