@@ -1402,31 +1402,64 @@ object DedupQueries {
         else ((o * bCount + b), 1, id, e, sn)
       }
     }
-    val pairs = replicated.groupByKey(_._1).flatMapGroups {
-      (key: Int, it: Iterator[(Int, Int, Long, Array[Float], Double)]) =>
-        val isDiag = (key / bCount) == (key % bCount)
-        val left = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Array[Float], Double)]
-        val right = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Array[Float], Double)]
-        it.foreach { case (_, role, id, e, sn) =>
-          (if (role == 0) left else right) += ((id, e, sn))
-        }
-        val rs = if (isDiag) left else right
-        for {
-          (ua, ue, su) <- left.iterator
-          (va, ve, sv) <- rs.iterator
-          if !isDiag || ua < va
-          denom = su * sv
-          // screen: proves dotScaled/(su·sv) ≤ 0.4 for the common case;
-          // zero denominators fall through to the exact path so the
-          // NaN/Inf comparison semantics stay exactly the old code's
-          if !(denom > 0 &&
-            dotRawF(ue, ve) + screenMargin(ue.length) < 0.4 * denom)
-          cos = dotScaledF(ue, ve) / denom
-          if cos > 0.4
-        } yield if (ua < va) (ua, va, cos) else (va, ua, cos)
-    }.toDF("vec_a", "vec_b", "cosine")
+    // the per-blockpair loop — double screen first (proves the 0.4 test
+    // fails for the vast sub-threshold majority; zero denominators fall
+    // through to the exact path so NaN/Inf comparison semantics stay
+    // exactly the old code's), exact kernel for survivors, whose
+    // emitted cosine must be exact anyway
+    def blockPairs(key: Int,
+        left: scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)],
+        right: scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)])
+        : Iterator[(Long, Long, Double)] = {
+      val isDiag = (key / bCount) == (key % bCount)
+      val rs = if (isDiag) left else right
+      for {
+        (ua, ue, su) <- left.iterator
+        (va, ve, sv) <- rs.iterator
+        if !isDiag || ua < va
+        denom = su * sv
+        if !(denom > 0 &&
+          dotRawF(ue, ve) + screenMargin(ue.length) < 0.4 * denom)
+        cos = dotScaledF(ue, ve) / denom
+        if cos > 0.4
+      } yield if (ua < va) (ua, va, cos) else (va, ua, cos)
+    }
+    // same grouping-mechanism gate as cellPairScan (r16): pin the
+    // exchange width + group in-task when the input is measurably
+    // small (AQE would coalesce the tiny exchange under the quadratic
+    // loop); keep groupByKey's one-group-per-task memory bound at scale
+    val pairs = if (Tables.scanUnderfillsCores(Tables.embeddings(s, d))) {
+      replicated
+        .toDF("key", "role", "id", "ef", "sn")
+        .repartition(s.sparkContext.defaultParallelism, col("key"))
+        .as[(Int, Int, Long, Array[Float], Double)]
+        .mapPartitions { it =>
+          val groups = scala.collection.mutable.HashMap.empty[Int,
+            (scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)],
+             scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)])]
+          it.foreach { case (key, role, id, ef, sn) =>
+            val g = groups.getOrElseUpdate(key,
+              (scala.collection.mutable.ArrayBuffer.empty,
+                scala.collection.mutable.ArrayBuffer.empty))
+            (if (role == 0) g._1 else g._2) += ((id, ef, sn))
+          }
+          groups.iterator.flatMap { case (key, (left, right)) =>
+            blockPairs(key, left, right)
+          }
+        }.toDF("vec_a", "vec_b", "cosine")
+    } else {
+      replicated.groupByKey(_._1).flatMapGroups {
+        (key: Int, it: Iterator[(Int, Int, Long, Array[Float], Double)]) =>
+          val left = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Array[Float], Double)]
+          val right = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Array[Float], Double)]
+          it.foreach { case (_, role, id, e, sn) =>
+            (if (role == 0) left else right) += ((id, e, sn))
+          }
+          blockPairs(key, left, right)
+      }.toDF("vec_a", "vec_b", "cosine")
+    }
     pairs
   }
   val x8EmbeddingDedup: QFn = (s, d) =>
@@ -1568,10 +1601,39 @@ object DedupQueries {
     * pipelines (CorpusSoak's semantic-dedup phase) pass their own
     * (vec_id, embedding) collection and a corpus-derived k
     * ([[semDedupCellCount]]). */
+  /** The per-(cell, blockPair) exact-cosine pair loop shared by both
+    * grouping mechanisms of [[cellPairScan]] — double screen first,
+    * exact rounding kernel only on the boundary band (identical
+    * decisions either way; see [[dotRawF]]/[[screenMargin]]). */
+  private def cellGroupPairs(bp: Int, bCount: Int,
+      left: scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)],
+      right: scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)],
+      threshold: Double): Iterator[(Long, Long)] = {
+    val isDiag = (bp / bCount) == (bp % bCount)
+    val rs = if (isDiag) left else right
+    for {
+      (ua, ue, su) <- left.iterator
+      (va, ve, sv) <- rs.iterator
+      if !isDiag || ua < va
+      denom = su * sv
+      if {
+        val rhs = threshold * denom
+        if (denom > 0) {
+          val raw = dotRawF(ue, ve)
+          val m = screenMargin(ue.length)
+          if (raw - m > rhs) true            // proven pass
+          else if (raw + m < rhs) false      // proven fail
+          else dotScaledF(ue, ve) / denom > threshold
+        } else dotScaledF(ue, ve) / denom > threshold
+      }
+    } yield if (ua < va) (ua, va) else (va, ua)
+  }
+
   private[graft] def cellPairScan(s: SparkSession,
       emb: org.apache.spark.sql.DataFrame,
       k: Int = IvfClusters,
-      threshold: Double = 0.4): org.apache.spark.sql.DataFrame = {
+      threshold: Double = 0.4,
+      pinSmall: Boolean = true): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val (cs, _) = kmeansFitDf(s, emb, k)
     val cb = s.sparkContext.broadcast(cs)
@@ -1611,35 +1673,50 @@ object DedupQueries {
         else ((cell, o * bCount + b), 1, id, ef, sn)
       }
     }
-    replicated.groupByKey(_._1).flatMapGroups {
-      (key: (Int, Int), it: Iterator[((Int, Int), Int, Long, Array[Float], Double)]) =>
-        val bp = key._2
-        val isDiag = (bp / bCount) == (bp % bCount)
-        val left = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Array[Float], Double)]
-        val right = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Array[Float], Double)]
-        it.foreach { case (_, role, id, ef, sn) =>
-          (if (role == 0) left else right) += ((id, ef, sn))
-        }
-        val rs = if (isDiag) left else right
-        for {
-          (ua, ue, su) <- left.iterator
-          (va, ve, sv) <- rs.iterator
-          if !isDiag || ua < va
-          denom = su * sv
-          if {
-            val rhs = threshold * denom
-            if (denom > 0) {
-              val raw = dotRawF(ue, ve)
-              val m = screenMargin(ue.length)
-              if (raw - m > rhs) true            // proven pass
-              else if (raw + m < rhs) false      // proven fail
-              else dotScaledF(ue, ve) / denom > threshold
-            } else dotScaledF(ue, ve) / denom > threshold
+    // Grouping mechanism (r16): groupByKey's hash exchange carries only
+    // ~100 MB-scale replicated rows at test SFs, so AQE's byte-based
+    // coalescing collapses it to a couple of partitions — and the
+    // QUADRATIC pair loop above it then runs on a couple of cores (the
+    // same mispricing x83's pair aggregate hit). When the input is
+    // measurably small the exchange is pinned at defaultParallelism
+    // (explicit width, exempt from coalescing) and groups are collected
+    // in-task — memory stays trivially bounded by the tiny input. At
+    // estate scale the gate is false and the original groupByKey path
+    // runs: one group per task, memory bounded by two blocks, exactly
+    // the r15 shape. Both paths call the same pair loop.
+    val pinned = pinSmall && Tables.scanUnderfillsCores(emb)
+    if (pinned) {
+      replicated
+        .toDF("key", "role", "id", "ef", "sn")
+        .repartition(s.sparkContext.defaultParallelism, col("key"))
+        .as[((Int, Int), Int, Long, Array[Float], Double)]
+        .mapPartitions { it =>
+          val groups = scala.collection.mutable.HashMap.empty[(Int, Int),
+            (scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)],
+             scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)])]
+          it.foreach { case (key, role, id, ef, sn) =>
+            val g = groups.getOrElseUpdate(key,
+              (scala.collection.mutable.ArrayBuffer.empty,
+                scala.collection.mutable.ArrayBuffer.empty))
+            (if (role == 0) g._1 else g._2) += ((id, ef, sn))
           }
-        } yield if (ua < va) (ua, va) else (va, ua)
-    }.toDF("vec_a", "vec_b").distinct()
+          groups.iterator.flatMap { case ((_, bp), (left, right)) =>
+            cellGroupPairs(bp, bCount, left, right, threshold)
+          }
+        }.toDF("vec_a", "vec_b").distinct()
+    } else {
+      replicated.groupByKey(_._1).flatMapGroups {
+        (key: (Int, Int), it: Iterator[((Int, Int), Int, Long, Array[Float], Double)]) =>
+          val left = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Array[Float], Double)]
+          val right = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Array[Float], Double)]
+          it.foreach { case (_, role, id, ef, sn) =>
+            (if (role == 0) left else right) += ((id, ef, sn))
+          }
+          cellGroupPairs(key._2, bCount, left, right, threshold)
+      }.toDF("vec_a", "vec_b").distinct()
+    }
   }
 
   /** x108 — SemDeDup with the edge set CLUSTER-BOUNDED (VERDICT r8 #1):

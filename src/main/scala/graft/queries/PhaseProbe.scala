@@ -77,6 +77,12 @@ object PhaseProbe {
       "x16_full" -> (() => noop(DedupQueries.x16DupClusters(s, d))),
       "x48_full" -> (() => noop(DedupQueries.x48SemanticDedup(s, d))),
       "x108_full" -> (() => noop(DedupQueries.x108SemanticDedupCells(s, d))),
+      // r16 A/B arm: the cell pair scan WITHOUT the pinned-width small
+      // path — groupByKey's exchange gets AQE-coalesced by its (tiny)
+      // input bytes while the pair work above it is quadratic
+      "x108_cellpairs_nopin" -> (() => noop(
+        DedupQueries.cellPairScan(s, Tables.embeddings(s, d),
+          pinSmall = false))),
       "x74_full" -> (() => noop(DedupQueries.x74SourcePagerank(s, d))),
       "x74_edges_only" -> (() => {
         val docSrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
@@ -436,6 +442,37 @@ object PhaseProbe {
         graft.SparkEntry.queries("x76_doremi_weights")(s, d))),
       "x57_full" -> (() => noop(
         graft.SparkEntry.queries("x57_dsir_weights")(s, d))),
+      "x53_full" -> (() => noop(
+        graft.SparkEntry.queries("x53_lm_score")(s, d))),
+      // x53 WITHOUT the r16 scan spread — paired A/B arm
+      "x53_nospread_shape" -> (() => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ")
+              .as("t"))
+          .where(size(col("t")) >= 2)
+        def bigrams = toks
+          .select(col("doc_id"), col("t"),
+            explode(expr("sequence(1, size(t) - 1)")).as("i"))
+          .select(col("doc_id"), expr("t[i-1]").as("a"), expr("t[i]").as("b"))
+        val cab = bigrams.groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("c_ab"))
+          .localCheckpoint(true)
+        val ca = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+        val vocab = cab.select(col("a").as("w"))
+          .union(cab.select(col("b").as("w")))
+          .agg(countDistinct(col("w")).as("v"))
+        noop(bigrams
+          .join(cab, Seq("a", "b"))
+          .join(ca, Seq("a"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("lp", round(
+            log((col("c_ab") + lit(1.0)) / (col("c_a") + col("v")))
+              * lit(1000000.0)).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_logp_s"))
+          .orderBy(col("doc_id")))
+      }),
       "x86_full" -> (() => noop(
         graft.SparkEntry.queries("x86_winnowing")(s, d))),
       "x105_full" -> (() => noop(
@@ -644,7 +681,8 @@ object PhaseProbe {
           .withColumn("p", col("c").cast("double") / col("n_docs").cast("double"))
           .groupBy(col("source"))
           .agg(round(-sum(col("p") * log(col("p"))), 6).as("lang_entropy"))
-        val grams0 = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+        val grams0 = Tables.spreadSmallScan(docs, "doc_id")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
           .where(size(col("w")) >= 2)
           .select(col("doc_id"), col("w"),
             explode(expr("sequence(0, size(w) - 2)")).as("i"))

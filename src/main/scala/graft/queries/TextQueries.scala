@@ -1316,9 +1316,14 @@ object TextQueries {
     * trick).
     */
   val x53LmScore: QFn = (s, d) => {
-    // spread before the per-doc regex normalize + bigram explode (r16,
-    // guide §2.5)
-    val toks = Tables.spreadSmallScan(Tables.documents(s, d), "doc_id")
+    // NOTE (r16, measured negative result — do not retry): the scan
+    // spread (Tables.spreadSmallScan) was tried here and measured
+    // SLOWER paired at BOTH sf0.1 (1.61 vs 1.32 s) and the ×10 bench
+    // (2.52 vs 1.73 s): `bigrams` is a def instantiated twice (the cab
+    // checkpoint action and the final join), so the added exchange of
+    // the full text column runs TWICE while x57's one-checkpoint shape
+    // pays it once. The bare scan stays.
+    val toks = Tables.documents(s, d)
       .select(col("doc_id"),
         split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ")
           .as("t"))
