@@ -62,11 +62,21 @@ object SaltedJoin {
     * by maxSalts on exactly the rows that need it. */
   def adaptive(skewed: DataFrame, replicated: DataFrame, keys: Seq[String],
       threshold: Long, maxSalts: Int = 32,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      pinWidth: Option[Int] = None): DataFrame = {
     requireLeftPreserving(joinType)
     val (sLeft, sRight) =
       adaptiveSides(skewed, replicated, keys, threshold, maxSalts)
-    sLeft.join(sRight, keys :+ "__shard", joinType).drop("__shard")
+    val jk = keys :+ "__shard"
+    // see selfAdaptive: pinned-width join exchange for measurably-small
+    // inputs whose join output fans out past what AQE's byte-based
+    // coalescing prices
+    val (jl, jr) = pinWidth match {
+      case Some(n) => (sLeft.repartition(n, jk.map(col): _*),
+        sRight.repartition(n, jk.map(col): _*))
+      case None => (sLeft, sRight)
+    }
+    jl.join(jr, jk, joinType).drop("__shard")
   }
 
   /** SELF-join variant of [[adaptive]]: both inputs MUST be projections
@@ -81,9 +91,24 @@ object SaltedJoin {
     * Empirically ~0.5 s of plan overhead at bench scale vs ~3 s for the
     * broadcast-attach form, whose AQE stage chain dominates. */
   def selfAdaptive(a: DataFrame, b: DataFrame, keys: Seq[String],
-      threshold: Long, maxSalts: Int = 32): DataFrame = {
+      threshold: Long, maxSalts: Int = 32,
+      pinWidth: Option[Int] = None): DataFrame = {
     val (sl, sr) = selfAdaptiveSides(a, b, keys, threshold, maxSalts)
-    sl.join(sr, keys :+ "__shard", "inner").drop("__shard")
+    val jk = keys :+ "__shard"
+    // optional pinned-width join exchange (r16): an explicit
+    // user-specified repartition on exactly the join keys replaces the
+    // join's own exchange (same partitioning, so no extra shuffle) and
+    // is exempt from AQE coalescing — which prices the exchange by its
+    // INPUT bytes and otherwise collapses the parallelism under
+    // candidate joins whose OUTPUT fans out quadratically per bucket.
+    // Callers pass it only when the input is measurably small (the
+    // regime where coalescing misprices); None keeps the r15 plan.
+    val (jl, jr) = pinWidth match {
+      case Some(n) => (sl.repartition(n, jk.map(col): _*),
+        sr.repartition(n, jk.map(col): _*))
+      case None => (sl, sr)
+    }
+    jl.join(jr, jk, "inner").drop("__shard")
   }
 
   /** The two sharded sides of [[selfAdaptive]], `__shard` still

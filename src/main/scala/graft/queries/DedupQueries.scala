@@ -141,8 +141,15 @@ object DedupQueries {
   private[graft] def bucketSelfJoin(spark: SparkSession, a: DataFrame,
       b: DataFrame, keys: Seq[String]): DataFrame = {
     val t = skewThreshold(spark)
+    // pin the join exchange width when the inputs are measurably small
+    // (r16): the candidate join's OUTPUT fans out per bucket, so AQE's
+    // byte-based coalescing of the (tiny) input exchange would run the
+    // pair formation on a couple of cores; at estate scale the gate is
+    // false and the r15 plan is untouched
+    val pin = if (Tables.scanUnderfillsCores(a))
+      Some(spark.sparkContext.defaultParallelism) else None
     if (t <= 0) a.join(b, keys)
-    else SaltedJoin.selfAdaptive(a, b, keys, t)
+    else SaltedJoin.selfAdaptive(a, b, keys, t, pinWidth = pin)
   }
 
   /** Two-sided bucket join with the same guard, hot buckets counted on
@@ -151,8 +158,10 @@ object DedupQueries {
   private[graft] def bucketJoin(spark: SparkSession, skewed: DataFrame,
       small: DataFrame, keys: Seq[String]): DataFrame = {
     val t = skewThreshold(spark)
+    val pin = if (Tables.scanUnderfillsCores(skewed))
+      Some(spark.sparkContext.defaultParallelism) else None
     if (t <= 0) skewed.join(small, keys)
-    else SaltedJoin.adaptive(skewed, small, keys, t)
+    else SaltedJoin.adaptive(skewed, small, keys, t, pinWidth = pin)
   }
 
   /** Signature-agreement fraction (64 codegen'd equality terms). */
@@ -291,7 +300,15 @@ object DedupQueries {
           explode(sequence(lit(0L), col("__salts") - 1)))
         .select(col("band"), col("bucket"), col("__shard"),
           col("doc_id").as("doc_new"))
-      oldSide.join(newSide, Seq("band", "bucket", "__shard"))
+      // pinned-width join exchange for measurably-small inputs (r16,
+      // same gate as bucketSelfJoin): the candidate join's output fans
+      // out per bucket past what AQE's byte-based coalescing prices
+      val (jl, jr) = if (Tables.scanUnderfillsCores(banded)) {
+        val n = s.sparkContext.defaultParallelism
+        val jk = Seq(col("band"), col("bucket"), col("__shard"))
+        (oldSide.repartition(n, jk: _*), newSide.repartition(n, jk: _*))
+      } else (oldSide, newSide)
+      jl.join(jr, Seq("band", "bucket", "__shard"))
     })
       .select(col("doc_new"), col("doc_old"))
       .dropDuplicates("doc_new", "doc_old")
