@@ -2297,7 +2297,7 @@ object DedupQueries {
     * count. */
   /** The tenant's vectors as (id, double embedding, scaled norm) —
     * shared by the graph build (x45) and the graph search (x47). */
-  private def tenantVectors(s: SparkSession, d: String) = {
+  private[graft] def tenantVectors(s: SparkSession, d: String) = {
     import s.implicits._
     Tables.embeddings(s, d)
       .where(col("label") === 0)
@@ -2316,7 +2316,7 @@ object DedupQueries {
     * caller applies the global rank-≤k window. */
   private[graft] def knnBlockScored(s: SparkSession,
       emb: org.apache.spark.sql.Dataset[(Long, Array[Double], Long)],
-      k: Int): org.apache.spark.sql.DataFrame = {
+      k: Int, pinSmall: Boolean = true): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val bCount = KnnBlocks
     val replicated = emb.flatMap { case (id, e, n) =>
@@ -2326,32 +2326,71 @@ object DedupQueries {
         else ((o * bCount + b), 1, id, e, n)
       }
     }
-    val scored = replicated.groupByKey(_._1).flatMapGroups {
-      (key: Int, it: Iterator[(Int, Int, Long, Array[Double], Long)]) =>
-        val isDiag = (key / bCount) == (key % bCount)
-        val left = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Array[Double], Long)]
-        val right = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Array[Double], Long)]
-        it.foreach { case (_, role, id, e, n) =>
-          (if (role == 0) left else right) += ((id, e, n))
+    // same grouping-mechanism gate as cellPairScan (r16): pin the
+    // exchange width + group in-task when the input is measurably
+    // small; keep groupByKey's one-group-per-task bound at scale
+    val scored = if (pinSmall && Tables.scanUnderfillsCores(emb.toDF())) {
+      replicated
+        .toDF("key", "role", "id", "e", "n")
+        .repartition(s.sparkContext.defaultParallelism, col("key"))
+        .as[(Int, Int, Long, Array[Double], Long)]
+        .mapPartitions { it =>
+          val groups = scala.collection.mutable.HashMap.empty[Int,
+            (scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Long)],
+             scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Long)])]
+          it.foreach { case (key, role, id, e, n) =>
+            val g = groups.getOrElseUpdate(key,
+              (scala.collection.mutable.ArrayBuffer.empty,
+                scala.collection.mutable.ArrayBuffer.empty))
+            (if (role == 0) g._1 else g._2) += ((id, e, n))
+          }
+          groups.iterator.flatMap { case (key, (left, right)) =>
+            knnBlockRows(key, bCount, k, left, right)
+          }
         }
-        def directed(srcs: Seq[(Long, Array[Double], Long)],
-            cands: Seq[(Long, Array[Double], Long)]) =
-          for {
-            (sid, se, sn) <- srcs.iterator
-            (cid, ce, cn) <- cands.iterator
-            if sid != cid
-          } yield (sid, cid,
-            dotScaled(se, ce) / (math.sqrt(sn) * math.sqrt(cn)))
-        val rows =
-          if (isDiag) directed(left.toSeq, left.toSeq)
-          else directed(left.toSeq, right.toSeq) ++
-            directed(right.toSeq, left.toSeq)
-        BoundedTopK.perQuery(rows, k,
-          (r: (Long, Long, Double)) => r._1)(cosineRankOrder)
+    } else {
+      replicated.groupByKey(_._1).flatMapGroups {
+        (key: Int, it: Iterator[(Int, Int, Long, Array[Double], Long)]) =>
+          val left = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Array[Double], Long)]
+          val right = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Array[Double], Long)]
+          it.foreach { case (_, role, id, e, n) =>
+            (if (role == 0) left else right) += ((id, e, n))
+          }
+          knnBlockRows(key, bCount, k, left, right)
+      }
     }
     scored.toDF("src_id", "nbr_id", "cosine")
+  }
+
+  /** Per-blockpair kNN scoring shared by both grouping mechanisms of
+    * [[knnBlockScored]] (sqrt of each norm hoisted per ROW — the old
+    * loop took two sqrts per pair; cosines must be exact, they feed the
+    * rank order, so no screen applies). Object-level on purpose: a def
+    * nested in the calling method captures the enclosing module
+    * instance via the `cosineRankOrder` field and is not
+    * task-serializable. */
+  private def knnBlockRows(key: Int, bCount: Int, k: Int,
+      left: scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Long)],
+      right: scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Long)])
+      : Iterator[(Long, Long, Double)] = {
+    val isDiag = (key / bCount) == (key % bCount)
+    def directed(srcs: Seq[(Long, Array[Double], Double)],
+        cands: Seq[(Long, Array[Double], Double)]) =
+      for {
+        (sid, se, ss) <- srcs.iterator
+        (cid, ce, cs) <- cands.iterator
+        if sid != cid
+      } yield (sid, cid, dotScaled(se, ce) / (ss * cs))
+    def sq(xs: scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Long)]) =
+      xs.map { case (id, e, n) => (id, e, math.sqrt(n.toDouble)) }.toSeq
+    val (l, r) = (sq(left), sq(right))
+    val rows =
+      if (isDiag) directed(l, l)
+      else directed(l, r) ++ directed(r, l)
+    BoundedTopK.perQuery(rows, k,
+      (r: (Long, Long, Double)) => r._1)(cosineRankOrder)
   }
 
   val x45KnnGraph: QFn = (s, d) => {
@@ -2666,6 +2705,17 @@ object DedupQueries {
     // build-once/serve-many form of exactly this kernel.
     val wG = Window.partitionBy(col("src_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
+    // NOTE (r16, measured negative result — do not retry): an EAGER
+    // localCheckpoint of the finished graph (capping the per-round plan
+    // growth, VERDICT r15 #7) measured SLOWER paired at BOTH scales
+    // (sf0.1: 2.42 vs 1.89 s; ×10: 3.75 vs 2.62 s): the beam rounds'
+    // joins against the build already share ONE execution via
+    // ReuseExchange inside the final action, so the barrier only adds
+    // a serialized materialization job — the r15 multi-consumer rule's
+    // exception (duplicate subtrees that execute concurrently in one
+    // action) applies even though the subtree holds the quadratic kNN
+    // kernel. The r16 win for this key is knnBlockScored's pinned
+    // grouping width (4.6 → 2.6 s on the ×10 bench).
     val graph = knnBlockScored(s, label0, GraphDegree)
       .withColumn("rk", row_number().over(wG))
       .where(col("rk") <= GraphDegree)

@@ -436,6 +436,32 @@ object PhaseProbe {
       }),
       "x47_full" -> (() => noop(
         graft.SparkEntry.queries("x47_ann_graph_search")(s, d))),
+      // r16 A/B arm: x47 WITHOUT the eager graph checkpoint (rounds
+      // share the inline build via ReuseExchange, the r15 shape)
+      "x47_nockpt_shape" -> (() => {
+        import s.implicits._
+        val label0 = DedupQueries.tenantVectors(s, d)
+        val wG = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src_id"))
+          .orderBy(col("cosine").desc, col("nbr_id"))
+        val graph = DedupQueries.knnBlockScored(s, label0,
+            DedupQueries.GraphDegree, pinSmall = args.contains("__pin"))
+          .withColumn("rk", row_number().over(wG))
+          .where(col("rk") <= DedupQueries.GraphDegree)
+          .select(col("src_id"), col("nbr_id"))
+        val headIds = Tables.embeddings(s, d).where(col("label") === 0)
+          .select(col("vec_id")).orderBy(col("vec_id"))
+          .limit(DedupQueries.GraphQueryCount + DedupQueries.GraphEntryCount)
+          .as[Long].collect().sorted
+        val qIds = headIds.take(DedupQueries.GraphQueryCount)
+        val entryIds = headIds.drop(DedupQueries.GraphQueryCount)
+        val queryVecs = label0.filter(r => qIds.contains(r._1)).collect()
+          .map { case (id, e, n) => (id, (e, n)) }
+        noop(DedupQueries.beamSearch(s, graph,
+          label0.toDF("cand_id", "cand_e", "cand_n"),
+          queryVecs, entryIds, DedupQueries.GraphBeamWidth,
+          DedupQueries.GraphBeamRounds, k = 5))
+      }),
       "x87_full" -> (() => noop(
         graft.SparkEntry.queries("x87_cdc_chunks")(s, d))),
       "x76_full" -> (() => noop(
