@@ -834,11 +834,22 @@ object DedupQueries {
       // the work; the eager barrier runs the subtree exactly once.
       // (Composition probes also measured SKIPPING this barrier inside
       // x75 — 2.55 vs 2.08 s — and inlining the full r14 agg+join shape
-      // — 2.65 vs 2.34 s; the barrier'd window form wins there too.)
+      // — 2.65 vs 2.34 s; the barrier'd window form wins there too.
+      // Re-confirmed r16 with a 3×3 cold-JVM interleaved matrix: all
+      // three shapes tie at ~2.6 s min — the r14 0.51 stamp does not
+      // reproduce under r14's own shape either.)
       .localCheckpoint(true)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = kept.as("ga")
-      .join(kept.as("gb"), col("ga.gram") === col("gb.gram") &&
+    // pin the intersection self-join's exchange width on measurably-
+    // small inputs (r16, same rule as bucketSelfJoin): the join output
+    // fans out ≤ MaxGramDf× per gram while AQE coalesces the exchange
+    // by its (small) input bytes; ReuseExchange dedups the identical
+    // pinned exchange across the two sides
+    val keptJ = if (Tables.scanUnderfillsCores(docs))
+      kept.repartition(s.sparkContext.defaultParallelism, col("gram"))
+    else kept
+    val inter = keptJ.as("ga")
+      .join(keptJ.as("gb"), col("ga.gram") === col("gb.gram") &&
         col("ga.doc_id") < col("gb.doc_id"))
       .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -3111,13 +3122,44 @@ object DedupQueries {
       // consumed by the DF-cap aggregate AND the kept join's probe side:
       // checkpoint so the tokenize→explode→hash scan runs once (r15)
       .localCheckpoint(true)
-    val rare = grams.select(col("doc_id"), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("gram_df"))
+    // DF cap as WINDOWS over one hash(h) exchange (r16 — the x7 trick,
+    // finally applied here): the old shape paid a (doc_id, h) distinct
+    // exchange, a groupBy(h) exchange, AND a join back onto the
+    // positional stream (sort-merge of two ~full-stream sides) just to
+    // attach the per-anchor distinct-doc count. With (h) ordered by
+    // (doc_id, pos), a lag flag marks each doc's first occurrence and
+    // its full-frame sum IS the distinct-doc count — same exchange
+    // serves both window functions, no join back anywhere. The
+    // exchange is width-pinned on measurably-small inputs (the same
+    // AQE-coalescing rule as everywhere else this round). Probe at the
+    // ×10 bench: the grams→kept segment fell 7.0 → (see notes).
+    val gramsW = if (Tables.scanUnderfillsCores(docs))
+      grams.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("h"))
+    else grams
+    val wOrd = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val wAll = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // both sides of the anchor self-join read `kept` — checkpoint so
+    // the window chain executes once instead of per side (r15 rule)
+    val kept0 = gramsW
+      .withColumn("__nd",
+        when(lag(col("doc_id"), 1).over(wOrd).isNull
+          .or(lag(col("doc_id"), 1).over(wOrd) =!= col("doc_id")), 1L)
+          .otherwise(0L))
+      .withColumn("gram_df", sum(col("__nd")).over(wAll))
       .where(col("gram_df") <= SpanMaxDf)
-      .select(col("h"))
-    // both sides of the anchor self-join read `kept` — checkpoint so the
-    // rare join executes once instead of per side (r15)
-    val kept = grams.join(rare, "h").localCheckpoint(true)
+      .select(col("doc_id"), col("pos"), col("h"))
+      .localCheckpoint(true)
+    // pin the anchor self-join's exchange width on measurably-small
+    // inputs (r16, same rule as bucketSelfJoin): the join output fans
+    // out per shared anchor while AQE coalesces the exchange by its
+    // (small) input bytes; ReuseExchange dedups the identical pinned
+    // exchange across the two sides
+    val kept = if (Tables.scanUnderfillsCores(docs))
+      kept0.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("h"))
+    else kept0
     val m = kept.as("ga")
       .join(kept.as("gb"), col("ga.h") === col("gb.h") &&
         col("ga.doc_id") < col("gb.doc_id"))

@@ -307,6 +307,37 @@ object PhaseProbe {
         graft.SparkEntry.queries("x30_neardup_lsh")(s, d))),
       "x60_full" -> (() => noop(
         graft.SparkEntry.queries("x60_dup_spans")(s, d))),
+      // r16 decomposition: the positional gram build + checkpoint alone
+      "x60_grams_only" -> (() => {
+        val g = DedupQueries.SpanGram
+        val gramCols = (0 until g).map(i => s"w[pos+$i]").mkString(", ")
+        noop(Tables.spreadSmallScan(Tables.documents(s, d), "doc_id")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= g)
+          .select(col("doc_id"), col("w"),
+            explode(expr(s"sequence(0, size(w) - $g)")).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            expr(PortableHash.hex60(s"concat_ws(' ', $gramCols)")).as("h")))
+      }),
+      // r16 decomposition: up to the kept checkpoint (grams ckpt + df
+      // cap + join back)
+      "x60_kept_only" -> (() => {
+        val g = DedupQueries.SpanGram
+        val gramCols = (0 until g).map(i => s"w[pos+$i]").mkString(", ")
+        val grams = Tables.spreadSmallScan(Tables.documents(s, d), "doc_id")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= g)
+          .select(col("doc_id"), col("w"),
+            explode(expr(s"sequence(0, size(w) - $g)")).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            expr(PortableHash.hex60(s"concat_ws(' ', $gramCols)")).as("h"))
+          .localCheckpoint(true)
+        val rare = grams.select(col("doc_id"), col("h")).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("gram_df"))
+          .where(col("gram_df") <= DedupQueries.SpanMaxDf)
+          .select(col("h"))
+        noop(grams.join(rare, "h"))
+      }),
       // spanRuns WITHOUT the r16 scan spread (the pre-spread shape) —
       // paired A/B arm for the x60/x61 regression check
       "x60_nospread_shape" -> (() => {
