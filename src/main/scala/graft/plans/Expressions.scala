@@ -218,6 +218,18 @@ case class DotScaledExpr(left: Expression, right: Expression)
 object StringKernel {
   def boundedLev(ua: org.apache.spark.unsafe.types.UTF8String,
       ub: org.apache.spark.unsafe.types.UTF8String, k: Int): Int = {
+    // length screen BEFORE any allocation (numChars counts CODE POINTS
+    // over the raw bytes — no String materialization)
+    val nc = ua.numChars(); val mc = ub.numChars()
+    if (math.abs(nc - mc) > k) return k + 1
+    // k = 1 — the similarity-join case (x69 refines ~Σ|group|² pairs
+    // through this) — has a closed-form O(len) decision: ED ≤ 1 ⟺ the
+    // strings align after skipping at most one position. The r15 ×10
+    // probe put 75% of x69 in this kernel, nearly all of it the SIX
+    // allocations per call below (two Strings, two codepoint arrays,
+    // two DP rows); this path allocates NOTHING on ASCII input and the
+    // result is bit-equal to the banded DP (min(lev, 2)).
+    if (k == 1) return lev1(ua, ub, nc, mc)
     // CODE POINTS, not UTF-16 code units: the builtin levenshtein (and
     // DuckDB's) count supplementary-plane characters as one edit, and
     // the "<= k iff levenshtein <= k" contract must hold there too
@@ -225,7 +237,6 @@ object StringKernel {
     val b = ub.toString.codePoints.toArray
     val n = a.length; val m = b.length
     val inf = k + 1
-    if (math.abs(n - m) > k) return inf
     var prev = new Array[Int](m + 1)
     var cur = new Array[Int](m + 1)
     var j = 0
@@ -251,6 +262,56 @@ object StringKernel {
       i += 1
     }
     math.min(prev(m), inf)
+  }
+
+  /** min(levenshtein, 2) by two-pointer alignment — exact for every
+    * value the k=1 contract can return (0, 1, 2). `nc`/`mc` are the
+    * precomputed code-point counts with |nc − mc| ≤ 1. ASCII strings
+    * (code points == bytes) compare on the raw UTF8String bytes with
+    * zero allocations; anything else falls back to codepoint arrays
+    * and the same two-pointer. */
+  private def lev1(ua: org.apache.spark.unsafe.types.UTF8String,
+      ub: org.apache.spark.unsafe.types.UTF8String, nc: Int, mc: Int): Int = {
+    if (ua.numBytes == nc && ub.numBytes == mc) {
+      // ASCII fast path: one code point per byte
+      if (nc == mc) {
+        var i = 0
+        while (i < nc && ua.getByte(i) == ub.getByte(i)) i += 1
+        if (i == nc) return 0
+        var j = i + 1
+        while (j < nc && ua.getByte(j) == ub.getByte(j)) j += 1
+        if (j == nc) 1 else 2
+      } else {
+        // wlog a = longer (n = m + 1): ED = 1 ⟺ skipping one char of
+        // a aligns the rest
+        val (la, lb, m) = if (nc > mc) (ua, ub, mc) else (ub, ua, nc)
+        var i = 0
+        while (i < m && la.getByte(i) == lb.getByte(i)) i += 1
+        var j = i
+        while (j < m && la.getByte(j + 1) == lb.getByte(j)) j += 1
+        if (j == m) 1 else 2
+      }
+    } else {
+      val a = ua.toString.codePoints.toArray
+      val b = ub.toString.codePoints.toArray
+      if (a.length == b.length) {
+        val n = a.length
+        var i = 0
+        while (i < n && a(i) == b(i)) i += 1
+        if (i == n) return 0
+        var j = i + 1
+        while (j < n && a(j) == b(j)) j += 1
+        if (j == n) 1 else 2
+      } else {
+        val (la, lb) = if (a.length > b.length) (a, b) else (b, a)
+        val m = lb.length
+        var i = 0
+        while (i < m && la(i) == lb(i)) i += 1
+        var j = i
+        while (j < m && la(j + 1) == lb(j)) j += 1
+        if (j == m) 1 else 2
+      }
+    }
   }
 }
 

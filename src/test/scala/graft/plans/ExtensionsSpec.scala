@@ -449,5 +449,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(StringKernel.boundedLev(
       UTF8String.fromString("😀"), UTF8String.fromString("a"), 1)
       == 1)
+    // the k=1 fast path (r16) has a separate codepoint branch for
+    // non-ASCII input — property-check it against the reference DP
+    // over a mixed alphabet including a supplementary-plane char
+    def levCp(a: String, b: String): Int = {
+      val ac = a.codePoints.toArray; val bc = b.codePoints.toArray
+      val dp = Array.tabulate(ac.length + 1)(i => i)
+      for (j <- 1 to bc.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to ac.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (ac(i - 1) == bc(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(ac.length)
+    }
+    val alpha = Seq("a", "b", "é", "漢", new String(Character.toChars(0x1F600)))
+    def mstr() = (0 until rnd.nextInt(7)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    for (_ <- 1 to 3000) {
+      val (a, b) = (mstr(), mstr())
+      val got = StringKernel.boundedLev(
+        UTF8String.fromString(a), UTF8String.fromString(b), 1)
+      val want = math.min(levCp(a, b), 2)
+      assert(got == want, s"boundedLev k=1 '$a'/'$b' = $got, want $want")
+    }
   }
 }
