@@ -736,12 +736,28 @@ object MiningQueries {
     // The explicit-width repartition is reused by the groupBy (same
     // key), so no extra exchange exists below it; large inputs skip
     // the pin and keep their natural parallelism.
-    val parts = Tables.spreadSmallScan(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")),
-        "okey")
+    val pairsIn = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+    // one gate decision for every pin in this query (driver-side
+    // relation stats, no job): false at estate scale, so both pins
+    // below vanish and the r15 plan shape is untouched
+    val smallScan = Tables.scanUnderfillsCores(pairsIn)
+    val parts = (if (smallScan)
+        pairsIn.repartition(s.sparkContext.defaultParallelism, col("okey"))
+      else pairsIn)
       .groupBy(col("okey"))
       .agg(sort_array(collect_set(col("part"))).as("ps"))
+    // pin the SUPPORT aggregate's width too (r16b, guide §2.5): the
+    // pair keys are ~99.7% unique, so the partial aggregate combines
+    // nothing and AQE prices the final agg's exchange at its full ~12 M
+    //-row payload — then coalesces it to a few fat tasks (measured ×10:
+    // edges 8.0 → 2.3 s with the explicit-width uv exchange; the
+    // partial/final pair fuses into the stage behind it)
+    def pinAgg(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
+      if (smallScan)
+        df.repartition(s.sparkContext.defaultParallelism,
+          keys.map(col): _*)
+      else df
     def pairStream(p: org.apache.spark.sql.DataFrame) = p
       .select(col("ps"), posexplode(col("ps")))
       .select(col("col").as("u"),
@@ -767,11 +783,11 @@ object MiningQueries {
     // with >2^32 keys.
     val obs = org.apache.spark.sql.Observation(
       s"x83_keys_${x83ObsEpoch.incrementAndGet()}")
-    val packed = pairStream(parts.observe(obs,
+    val packed = pinAgg(pairStream(parts.observe(obs,
         min(element_at(col("ps"), 1)).as("mn"),
         max(element_at(col("ps"), -1)).as("mx")))
       .select((shiftleft(col("u").cast("long"), 32)
-        .bitwiseOR(col("v").cast("long"))).as("uv"))
+        .bitwiseOR(col("v").cast("long"))).as("uv")), Seq("uv"))
       .groupBy(col("uv")).agg(count(lit(1)).as("support"))
       .where(col("support") >= TriMinSupport)
       .select(shiftright(col("uv"), 32).as("u"),
@@ -786,7 +802,8 @@ object MiningQueries {
     val keysFit32 = om("mn") == null ||
       (om("mn").asInstanceOf[Long] >= 0L &&
         om("mx").asInstanceOf[Long] < 4294967296L)
-    val edges = if (keysFit32) packed else pairStream(parts)
+    val edges = if (keysFit32) packed else pinAgg(pairStream(parts),
+        Seq("u", "v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
       .where(col("support") >= TriMinSupport)
       .select(col("u"), col("v"))

@@ -229,6 +229,192 @@ object PhaseProbe {
           .groupBy(col("okey"))
           .agg(sort_array(collect_set(col("part"))).as("ps")))
       }),
+      // r16b decomposition: every stage below rides the SAME pinned
+      // exchange (spreadSmallScan) so the variants differ only in the
+      // stage under test, not in parallelism
+      "x83_partsets_pinned" -> (() => {
+        noop(Tables.spreadSmallScan(
+            Tables.lineitem(s, d)
+              .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")),
+            "okey")
+          .groupBy(col("okey"))
+          .agg(sort_array(collect_set(col("part"))).as("ps")))
+      }),
+      // codegen HashAggregate baseline over the same groups (no
+      // collect_set): isolates the ObjectHashAggregate/sort-fallback
+      // cost of building the part sets
+      "x83_partsets_countonly" -> (() => {
+        noop(Tables.spreadSmallScan(
+            Tables.lineitem(s, d)
+              .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")),
+            "okey")
+          .groupBy(col("okey"))
+          .agg(count(col("part")).as("c")))
+      }),
+      // pair GENERATION only (no support aggregate): pinned part sets ->
+      // posexplode + slice explode -> packed long -> count scalar
+      "x83_pairgen_pinned" -> (() => {
+        val parts = Tables.spreadSmallScan(
+            Tables.lineitem(s, d)
+              .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")),
+            "okey")
+          .groupBy(col("okey"))
+          .agg(sort_array(collect_set(col("part"))).as("ps"))
+        noop(parts
+          .select(col("ps"), posexplode(col("ps")))
+          .select(col("col").as("u"),
+            explode(expr("slice(ps, pos + 2, size(ps))")).as("v"))
+          .select((shiftleft(col("u").cast("long"), 32)
+            .bitwiseOR(col("v").cast("long"))).as("uv"))
+          .groupBy().agg(count(lit(1))))
+      }),
+      // current x83 edges shape exactly (spread pin + slice pairs +
+      // packed support agg), minus the Observation
+      "x83_edges_spread" -> (() => {
+        val parts = Tables.spreadSmallScan(
+            Tables.lineitem(s, d)
+              .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")),
+            "okey")
+          .groupBy(col("okey"))
+          .agg(sort_array(collect_set(col("part"))).as("ps"))
+        noop(parts
+          .select(col("ps"), posexplode(col("ps")))
+          .select(col("col").as("u"),
+            explode(expr("slice(ps, pos + 2, size(ps))")).as("v"))
+          .select((shiftleft(col("u").cast("long"), 32)
+            .bitwiseOR(col("v").cast("long"))).as("uv"))
+          .groupBy(col("uv")).agg(count(lit(1)).as("support"))
+          .where(col("support") >= MiningQueries.TriMinSupport)
+          .select(shiftright(col("uv"), 32).as("u"),
+            col("uv").bitwiseAND(lit(4294967295L)).as("v")))
+      }),
+      // idx pair stream (no per-position slice copy) over the SAME
+      // pinned exchange — the r16 probe ran this unpinned, so its 16 s
+      // measured AQE serialization, not the generator
+      "x83_edges_idx_pinned" -> (() => {
+        val parts = Tables.spreadSmallScan(
+            Tables.lineitem(s, d)
+              .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")),
+            "okey")
+          .groupBy(col("okey"))
+          .agg(sort_array(collect_set(col("part"))).as("ps"))
+        noop(parts
+          .select(col("ps"), posexplode(col("ps")))
+          .select(col("col").as("u"), col("ps"),
+            explode(expr(
+              "IF(pos + 2 <= size(ps), sequence(pos + 2, size(ps)), array())"))
+              .as("j"))
+          .select((shiftleft(col("u").cast("long"), 32)
+            .bitwiseOR(expr("element_at(ps, j)").cast("long"))).as("uv"))
+          .groupBy(col("uv")).agg(count(lit(1)).as("support"))
+          .where(col("support") >= MiningQueries.TriMinSupport)
+          .select(shiftright(col("uv"), 32).as("u"),
+            col("uv").bitwiseAND(lit(4294967295L)).as("v")))
+      }),
+      // typed flatMap pair kernel over the SAME pinned exchange
+      "x83_edges_kernel_pinned" -> (() => {
+        import s.implicits._
+        val parts = Tables.spreadSmallScan(
+            Tables.lineitem(s, d)
+              .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")),
+            "okey")
+          .groupBy(col("okey"))
+          .agg(sort_array(collect_set(col("part"))).as("ps"))
+        noop(parts.select(col("ps")).as[Array[Long]]
+          .flatMap { ps =>
+            val out = new scala.collection.mutable.ArrayBuffer[Long](
+              ps.length * (ps.length - 1) / 2)
+            var i = 0
+            while (i < ps.length) {
+              var j = i + 1
+              while (j < ps.length) {
+                out += (ps(i) << 32) | ps(j); j += 1
+              }
+              i += 1
+            }
+            out
+          }
+          .toDF("uv")
+          .groupBy(col("uv")).agg(count(lit(1)).as("support"))
+          .where(col("support") >= MiningQueries.TriMinSupport)
+          .select(shiftright(col("uv"), 32).as("u"),
+            col("uv").bitwiseAND(lit(4294967295L)).as("v")))
+      }),
+      // support agg over an EXPLICIT-width uv exchange: AQE prices the
+      // final aggregate's exchange by the partial output (~12 M
+      // near-unique keys, nothing combines) and coalesces it to a few
+      // fat tasks; an explicit repartition(uv) pins the final agg width
+      // and the partial/final pair fuses into one stage behind it
+      "x83_edges_uvpinned" -> (() => {
+        val parts = Tables.spreadSmallScan(
+            Tables.lineitem(s, d)
+              .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")),
+            "okey")
+          .groupBy(col("okey"))
+          .agg(sort_array(collect_set(col("part"))).as("ps"))
+        noop(parts
+          .select(col("ps"), posexplode(col("ps")))
+          .select(col("col").as("u"),
+            explode(expr("slice(ps, pos + 2, size(ps))")).as("v"))
+          .select((shiftleft(col("u").cast("long"), 32)
+            .bitwiseOR(col("v").cast("long"))).as("uv"))
+          .repartition(s.sparkContext.defaultParallelism, col("uv"))
+          .groupBy(col("uv")).agg(count(lit(1)).as("support"))
+          .where(col("support") >= MiningQueries.TriMinSupport)
+          .select(shiftright(col("uv"), 32).as("u"),
+            col("uv").bitwiseAND(lit(4294967295L)).as("v")))
+      }),
+      // sorted-stream pair kernel: NO collect_set anywhere — repartition
+      // by okey + sortWithinPartitions, then one mapPartitions walks the
+      // sorted (okey, part) rows, dedups equal neighbours, and emits
+      // packed pairs from a reusable buffer
+      "x83_edges_sortedstream" -> (() => {
+        import s.implicits._
+        val uv = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .repartition(s.sparkContext.defaultParallelism, col("okey"))
+          .sortWithinPartitions(col("okey"), col("part"))
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            val buf = new scala.collection.mutable.ArrayBuffer[Long](64)
+            var curKey = Long.MinValue
+            var last = Long.MinValue
+            new Iterator[Long] {
+              var out: Iterator[Long] = Iterator.empty
+              def flush(): Iterator[Long] = {
+                val n = buf.length
+                val pairs = new scala.collection.mutable.ArrayBuffer[Long](
+                  n * (n - 1) / 2)
+                var i = 0
+                while (i < n) {
+                  var j = i + 1
+                  while (j < n) { pairs += (buf(i) << 32) | buf(j); j += 1 }
+                  i += 1
+                }
+                buf.clear()
+                pairs.iterator
+              }
+              def hasNext: Boolean = {
+                while (!out.hasNext && it.hasNext) {
+                  val (k, p) = it.next()
+                  if (k != curKey) {
+                    out = flush(); curKey = k; last = Long.MinValue
+                  }
+                  if (p != last) { buf += p; last = p }
+                }
+                if (!out.hasNext && buf.nonEmpty) out = flush()
+                out.hasNext
+              }
+              def next(): Long = out.next()
+            }
+          }
+          .toDF("uv")
+        noop(uv
+          .groupBy(col("uv")).agg(count(lit(1)).as("support"))
+          .where(col("support") >= MiningQueries.TriMinSupport)
+          .select(shiftright(col("uv"), 32).as("u"),
+            col("uv").bitwiseAND(lit(4294967295L)).as("v")))
+      }),
       "x2_band_cand" -> (() => {
         val sigs = DedupQueries.minhashSignatures(Tables.documents(s, d))
           .localCheckpoint(true)
