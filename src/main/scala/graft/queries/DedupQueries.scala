@@ -116,6 +116,38 @@ object DedupQueries {
         expr("concat_ws(',', CAST(sig[band*4] AS STRING), CAST(sig[band*4+1] AS STRING), CAST(sig[band*4+2] AS STRING), CAST(sig[band*4+3] AS STRING))")
           .as("bucket"))
 
+  /** (doc_id, band, bh) band buckets with the HASHED join key (r16b,
+    * guide §2.3 narrower types — the x69 pattern): bh packs the band
+    * index and the band's four signature components through xxhash64
+    * into 8 bytes, so the candidate exchanges, skew-guard window sorts
+    * and join comparisons run on longs instead of ~75-byte decimal
+    * strings. The hash is ONLY a candidate generator: consumers restore
+    * exactness with [[sharesBandExact]] after the signature attach, so
+    * a 64-bit collision can only add a candidate row that the exact
+    * band check then drops — completeness is untouched (equal buckets
+    * always hash equal). r15's struct-of-4-longs attempt lost because
+    * struct keys fall off the long/UTF8String fast comparators; a
+    * single long key is the fastest comparator there is. */
+  def bandBucketsHashed(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+        explode(expr(s"sequence(0, ${Bands - 1})")).as("band"))
+      .select(col("doc_id"),
+        xxhash64(col("band"), expr("sig[band*4]"), expr("sig[band*4+1]"),
+          expr("sig[band*4+2]"), expr("sig[band*4+3]")).as("bh"))
+
+  /** Exact "a and b share at least one LSH band bucket" over the full
+    * signature arrays — the decimal bucket string is an injective
+    * encoding of the band's four components, so bucket equality ⇔
+    * component-wise equality. 16 × 4 codegen'd equality terms. */
+  def sharesBandExact(sigA: Column, sigB: Column): Column =
+    (0 until Bands)
+      .map { b =>
+        (0 until 4)
+          .map(r => sigA(b * 4 + r) === sigB(b * 4 + r))
+          .reduce(_ && _)
+      }
+      .reduce(_ || _)
+
   /** Skew-guard threshold from `graft.dedup.skewThreshold` (default
     * 4096 rows; <= 0 disables the guard). A hot LSH/simhash bucket
     * (near-identical boilerplate, empty-ish docs) makes its candidate
@@ -171,29 +203,47 @@ object DedupQueries {
       .reduce((x: Column, y: Column) => x + y) / lit(SigSize.toDouble)
 
 
+  /** Explicit-width exchange before a near-unique-key aggregate (r16b,
+    * the x83 finding, guide §2.5): when group keys are nearly unique the
+    * partial aggregate combines almost nothing, so AQE prices the final
+    * aggregate's exchange at its full payload and then coalesces it to
+    * a few fat tasks. Pinning the width keeps the final aggregate as
+    * wide as the cores; the caller gates on measured relation stats so
+    * estate-scale plans are untouched. */
+  private def pinWide(small: Boolean, df: DataFrame, keys: String*): DataFrame =
+    if (small)
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        keys.map(col): _*)
+    else df
+
   val x2DedupMinhash: QFn = (s, d) => {
     // localCheckpoint (GC-managed) instead of cache: query functions
     // return plans whose actions run later, so an explicit unpersist
     // would race the caller
-    val sigs = minhashSignatures(Tables.documents(s, d)).localCheckpoint(true)
-    val banded = bandBuckets(sigs)
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val docs = Tables.documents(s, d)
+    val small = Tables.scanUnderfillsCores(docs)
+    val sigs = minhashSignatures(docs).localCheckpoint(true)
+    // hashed 8-byte band keys through the candidate machinery (r16b);
+    // exactness restored by the sharesBandExact filter after the attach
+    val banded = bandBucketsHashed(sigs)
+    val a = banded.select(col("bh"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("bh"), col("doc_id").as("doc_b"))
     // NOTE (r15): an x6-style first-collision filter in place of this
     // dropDuplicates was tried and measured SLOWER here — exact-dup
     // cliques collide in ALL 16 bands, so the post-attach filter pays
     // the 64-term array math on ~16x the rows the dedup-first shape
     // attaches. The ids-only dedup exchange stays.
-    val cand = bucketSelfJoin(s, a, b, Seq("band", "bucket"))
+    val cand = pinWide(small, bucketSelfJoin(s, a, b, Seq("bh"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       // 64 codegen'd equality terms instead of interpreted zip_with/aggregate
       .withColumn("est_jaccard", sigAgreement(col("sig_a"), col("sig_b")))
-      .where(col("est_jaccard") >= 0.5)
+      .where(sharesBandExact(col("sig_a"), col("sig_b")) &&
+        col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -268,7 +318,9 @@ object DedupQueries {
     * so the wide arrays never ride the candidate shuffle. */
   val x71CrossCorpusDedup: QFn = (s, d) => {
     val sigs = minhashSignatures(Tables.documents(s, d)).localCheckpoint(true)
-    val banded = bandBuckets(sigs)
+    // hashed 8-byte band keys (r16b, see bandBucketsHashed); exactness
+    // restored by the sharesBandExact filter after the attach
+    val banded = bandBucketsHashed(sigs)
     // Skew guard via ONE window over the SHARED pre-filter frame (r15):
     // the two corpus halves are disjoint filters of `banded`, so
     // [[SaltedJoin.selfAdaptive]]'s per-side window contract doesn't
@@ -282,33 +334,31 @@ object DedupQueries {
     val t = skewThreshold(s)
     val cand = (if (t <= 0) {
       val oldSide = banded.where(col("doc_id") % 2 === 0)
-        .select(col("band"), col("bucket"), col("doc_id").as("doc_old"))
+        .select(col("bh"), col("doc_id").as("doc_old"))
       val newSide = banded.where(col("doc_id") % 2 === 1)
-        .select(col("band"), col("bucket"), col("doc_id").as("doc_new"))
-      oldSide.join(newSide, Seq("band", "bucket"))
+        .select(col("bh"), col("doc_id").as("doc_new"))
+      oldSide.join(newSide, Seq("bh"))
     } else {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bucket"))
+        .partitionBy(col("bh"))
       val salted = banded.withColumn("__salts", least(lit(32L),
         floor((count(lit(1)).over(w) + lit(t - 1)) / lit(t))))
       val oldSide = salted.where(col("doc_id") % 2 === 0)
         .withColumn("__shard", (rand(42) * col("__salts")).cast("long"))
-        .select(col("band"), col("bucket"), col("__shard"),
-          col("doc_id").as("doc_old"))
+        .select(col("bh"), col("__shard"), col("doc_id").as("doc_old"))
       val newSide = salted.where(col("doc_id") % 2 === 1)
         .withColumn("__shard",
           explode(sequence(lit(0L), col("__salts") - 1)))
-        .select(col("band"), col("bucket"), col("__shard"),
-          col("doc_id").as("doc_new"))
+        .select(col("bh"), col("__shard"), col("doc_id").as("doc_new"))
       // pinned-width join exchange for measurably-small inputs (r16,
       // same gate as bucketSelfJoin): the candidate join's output fans
       // out per bucket past what AQE's byte-based coalescing prices
       val (jl, jr) = if (Tables.scanUnderfillsCores(banded)) {
         val n = s.sparkContext.defaultParallelism
-        val jk = Seq(col("band"), col("bucket"), col("__shard"))
+        val jk = Seq(col("bh"), col("__shard"))
         (oldSide.repartition(n, jk: _*), newSide.repartition(n, jk: _*))
       } else (oldSide, newSide)
-      jl.join(jr, Seq("band", "bucket", "__shard"))
+      jl.join(jr, Seq("bh", "__shard"))
     })
       .select(col("doc_new"), col("doc_old"))
       .dropDuplicates("doc_new", "doc_old")
@@ -316,7 +366,8 @@ object DedupQueries {
       .join(sigs.select(col("doc_id").as("doc_new"), col("sig").as("sig_a")), "doc_new")
       .join(sigs.select(col("doc_id").as("doc_old"), col("sig").as("sig_b")), "doc_old")
       .withColumn("est_jaccard", sigAgreement(col("sig_a"), col("sig_b")))
-      .where(col("est_jaccard") >= 0.5)
+      .where(sharesBandExact(col("sig_a"), col("sig_b")) &&
+        col("est_jaccard") >= 0.5)
       .select(col("doc_new"), col("doc_old"), col("est_jaccard"))
       .orderBy(col("doc_new"), col("doc_old"))
   }
@@ -561,10 +612,15 @@ object DedupQueries {
     * set math as x7. */
   val x58MinhashCalibration: QFn = (s, d) => {
     val docs = Tables.documents(s, d)
+    val small = Tables.scanUnderfillsCores(docs)
     val sigs = minhashSignatures(docs).localCheckpoint(true)
-    val banded = bandBuckets(sigs)
-    val ba = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val bb = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    // hashed 8-byte band keys (r16b, see bandBucketsHashed): collision
+    // pairs can only ADD candidate rows; the est chain's
+    // sharesBandExact filter drops them before the output, and the
+    // extra rows they add to inter/candDocs only cost negligible work
+    val banded = bandBucketsHashed(sigs)
+    val ba = banded.select(col("bh"), col("doc_id").as("doc_a"))
+    val bb = banded.select(col("bh"), col("doc_id").as("doc_b"))
     // the candidate-pair count rides the checkpoint materialization
     // (no extra job) and gates the broadcast hint below: candDocs
     // scales with the corpus (every doc in any LSH collision), so a
@@ -574,9 +630,9 @@ object DedupQueries {
     // keeps the measured r15 plan.
     val candObs = org.apache.spark.sql.Observation(
       s"x58_cand_${obsEpoch.incrementAndGet()}")
-    val cand = bucketSelfJoin(s, ba, bb, Seq("band", "bucket"))
+    val cand = pinWide(small, bucketSelfJoin(s, ba, bb, Seq("bh"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
       .observe(candObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
@@ -605,19 +661,22 @@ object DedupQueries {
       // paid the full-corpus distinct first, then threw most of it
       // away). The broadcast hint is count-gated above (ADVICE r15).
       .join(candDocs, Seq("doc_id"), "leftsemi")
+      .transform(df => pinWide(small, df, "doc_id", "h"))
       .distinct()
       // three consumers (sizes, both intersection attaches) — without
       // the checkpoint each re-runs the tokenize→explode→distinct
       // subtree (the x61 multi-consumer rule, applied here r15)
       .localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
+    val inter = pinWide(small, cand
       .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h")),
+        "doc_a", "doc_b")
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     val est = cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .where(sharesBandExact(col("sig_a"), col("sig_b")))
       .withColumn("est_jaccard", sigAgreement(col("sig_a"), col("sig_b")))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
     est

@@ -79,12 +79,27 @@ object MiningQueries {
     val b = sigs.select(col("sig"), col("id").as("id_b"), col("name").as("name_b"))
     // refine with the banded O(k·len) kernel, not the built-in O(len²)
     // full DP — exact for every decision the ≤1 filter makes
-    DedupQueries.bucketSelfJoin(s, a, b, Seq("sig"))
+    val refined = DedupQueries.bucketSelfJoin(s, a, b, Seq("sig"))
       .where(col("id_a") < col("id_b"))
       .withColumn("edit_dist", graft.plans.SpatialFunctions
         .bounded_levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
       .where(col("edit_dist") <= 1)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
+    // pin the pair-dedup width on measurably-small inputs (r16b, the
+    // x83 finding): refined pairs are ~65% unique, so the partial
+    // aggregate combines little and AQE coalesces the final dedup
+    // exchange to a couple of fat tasks under the ~5 M-row stream;
+    // estate-scale inputs skip the pin (gate reads relation stats).
+    // NOTE (r16b, measured negative result — do not retry): splitting
+    // the candidate join into a position-restricted (sig, i) self-join
+    // + ident×del join (FastSS's exact match condition, which would cut
+    // the ED-2 del_i×del_j waste) probed SLOWER at ×10 — 6.1 vs 3.7 s
+    // candidates-only — the second join's exchanges cost more than the
+    // ~2/3 candidate volume they remove; the variant-only join stays.
+    (if (Tables.scanUnderfillsCores(names))
+       refined.repartition(s.sparkContext.defaultParallelism,
+         col("id_a"), col("id_b"))
+     else refined)
       .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
   }

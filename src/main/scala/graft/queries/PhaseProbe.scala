@@ -1091,6 +1091,131 @@ object PhaseProbe {
           .dropDuplicates("id_a", "id_b")
           .orderBy(col("id_a"), col("id_b")))
       }),
+      // r16b decomposition: candidates + refine, NO pair dedup / orderBy
+      "x69_refine_nodedup" -> (() => {
+        val names = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        val sigs = names
+          .select(col("id"), col("name"),
+            explode(expr("sequence(0, length(name))")).as("i"))
+          .select(col("id"), col("name"),
+            xxhash64(when(col("i") === 0, col("name"))
+              .otherwise(concat(expr("substring(name, 1, i - 1)"),
+                expr("substring(name, i + 1, length(name))")))).as("sig"))
+        val a = sigs.select(col("sig"), col("id").as("id_a"),
+          col("name").as("name_a"))
+        val b = sigs.select(col("sig"), col("id").as("id_b"),
+          col("name").as("name_b"))
+        noop(DedupQueries.bucketSelfJoin(s, a, b, Seq("sig"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("edit_dist", graft.plans.SpatialFunctions
+            .bounded_levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+          .where(col("edit_dist") <= 1)
+          .select(col("id_a"), col("id_b"), col("edit_dist")))
+      }),
+      // r16b candidate: current shape + explicit-width exchange before
+      // the pair dedup (the x83 finding: near-unique final agg, AQE
+      // coalesces it to a few fat tasks)
+      "x69_dedup_pinned_shape" -> (() => {
+        val names = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        val sigs = names
+          .select(col("id"), col("name"),
+            explode(expr("sequence(0, length(name))")).as("i"))
+          .select(col("id"), col("name"),
+            xxhash64(when(col("i") === 0, col("name"))
+              .otherwise(concat(expr("substring(name, 1, i - 1)"),
+                expr("substring(name, i + 1, length(name))")))).as("sig"))
+        val a = sigs.select(col("sig"), col("id").as("id_a"),
+          col("name").as("name_a"))
+        val b = sigs.select(col("sig"), col("id").as("id_b"),
+          col("name").as("name_b"))
+        noop(DedupQueries.bucketSelfJoin(s, a, b, Seq("sig"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("edit_dist", graft.plans.SpatialFunctions
+            .bounded_levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+          .where(col("edit_dist") <= 1)
+          .select(col("id_a"), col("id_b"), col("edit_dist"))
+          .repartition(s.sparkContext.defaultParallelism,
+            col("id_a"), col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+          .orderBy(col("id_a"), col("id_b")))
+      }),
+      // r16b candidate: POSITION-RESTRICTED FastSS — an ED<=1 pair is
+      // (a) equal strings: both identity sigs, i=0 = i=0;
+      // (b) substitution at i: del_i(a) == del_i(b), SAME i;
+      // (c) indel: shorter's identity == some deletion of the longer.
+      // So the variant-only join's del_i x del_j (i != j) matches are
+      // pure ED-2 waste; splitting the join into (sig, i) self-join +
+      // ident x del join keeps completeness and cuts candidates.
+      "x69_pos_cand" -> (() => {
+        val names = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        val sigs = names
+          .select(col("id"), col("name"),
+            explode(expr("sequence(0, length(name))")).as("i"))
+          .select(col("id"), col("name"), col("i"),
+            xxhash64(when(col("i") === 0, col("name"))
+              .otherwise(concat(expr("substring(name, 1, i - 1)"),
+                expr("substring(name, i + 1, length(name))")))).as("sig"))
+        val a1 = sigs.select(col("sig"), col("i"), col("id").as("id_a"),
+          col("name").as("name_a"))
+        val b1 = sigs.select(col("sig"), col("i"), col("id").as("id_b"),
+          col("name").as("name_b"))
+        val j1 = DedupQueries.bucketSelfJoin(s, a1, b1, Seq("sig", "i"))
+          .where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+        val idents = sigs.where(col("i") === 0)
+          .select(col("sig"), col("id").as("id_a"), col("name").as("name_a"))
+        val dels = sigs.where(col("i") > 0)
+          .select(col("sig"), col("id").as("id_b"), col("name").as("name_b"))
+        val j2 = DedupQueries.bucketJoin(s, dels, idents, Seq("sig"))
+          .where(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+        noop(j1.unionAll(j2))
+      }),
+      // position-restricted candidates + refine + pinned dedup + sort —
+      // the full x69 shape under the split join
+      "x69_pos_full_shape" -> (() => {
+        val names = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        val sigs = names
+          .select(col("id"), col("name"),
+            explode(expr("sequence(0, length(name))")).as("i"))
+          .select(col("id"), col("name"), col("i"),
+            xxhash64(when(col("i") === 0, col("name"))
+              .otherwise(concat(expr("substring(name, 1, i - 1)"),
+                expr("substring(name, i + 1, length(name))")))).as("sig"))
+        val a1 = sigs.select(col("sig"), col("i"), col("id").as("id_a"),
+          col("name").as("name_a"))
+        val b1 = sigs.select(col("sig"), col("i"), col("id").as("id_b"),
+          col("name").as("name_b"))
+        val j1 = DedupQueries.bucketSelfJoin(s, a1, b1, Seq("sig", "i"))
+          .where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"))
+        val idents = sigs.where(col("i") === 0)
+          .select(col("sig"), col("id").as("id_a"), col("name").as("name_a"))
+        val dels = sigs.where(col("i") > 0)
+          .select(col("sig"), col("id").as("id_b"), col("name").as("name_b"))
+        val j2 = DedupQueries.bucketJoin(s, dels, idents, Seq("sig"))
+          .where(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            when(col("id_a") < col("id_b"), col("name_a"))
+              .otherwise(col("name_b")).as("name_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"),
+            when(col("id_a") < col("id_b"), col("name_b"))
+              .otherwise(col("name_a")).as("name_b"))
+        noop(j1.unionAll(j2)
+          .withColumn("edit_dist", graft.plans.SpatialFunctions
+            .bounded_levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+          .where(col("edit_dist") <= 1)
+          .select(col("id_a"), col("id_b"), col("edit_dist"))
+          .repartition(s.sparkContext.defaultParallelism,
+            col("id_a"), col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+          .orderBy(col("id_a"), col("id_b")))
+      }),
       "minhash_sigs" -> (() => noop(
         DedupQueries.minhashSignatures(Tables.documents(s, d)))),
       // r16 candidate: spread the documents scan before the per-token
