@@ -859,19 +859,35 @@ object DedupQueries {
     * (doc_a, doc_b, n_inter, na, nb, jaccard) for every candidate pair
     * sharing ≥ 1 DF-capped gram. x7 cuts it on Jaccard, x79 on
     * containment. */
-  private[graft] def x7Scored(s: SparkSession, d: String): DataFrame = {
+  /** The DF-capped kept-grams frame (doc_id, gram), eagerly
+    * checkpointed — extracted from [[x7Scored]] so probe harnesses can
+    * time the construction in isolation; each call builds a fresh
+    * checkpoint exactly as before. */
+  private[graft] def x7KeptGrams(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // grams are hashed to 8-byte ints inside the projection (same
     // md5-derived hash the oracle reproduces), so the distinct + DF-join
     // shuffles carry longs instead of full gram strings (~8× narrower)
     // spread before the gram explode + hash (r16, guide §2.5)
-    val grams = Tables.spreadSmallScan(docs, "doc_id")
+    val grams0 = Tables.spreadSmallScan(docs, "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 2) // guard descending sequence on 1-word docs
       // codegen'd explode + top-level md5, not an interpreted HOF lambda
       .select(col("doc_id"), col("w"),
         explode(expr("sequence(0, size(w) - 2)")).as("i"))
       .select(col("doc_id"), expr(hex60("concat(w[i], '_', w[i+1])")).as("gram"))
+    // ONE explicit gram-keyed exchange serves BOTH the distinct and the
+    // DF window below it on measurably-small inputs (r16b):
+    // hashpartitioning(gram) satisfies the distinct's (doc_id, gram)
+    // clustering by the subset rule, so the distinct's partial/final
+    // pair fuses behind the exchange and the window needs only a sort —
+    // and the explicit width stops AQE coalescing both near-unique-key
+    // stages to a few fat tasks (the x83 finding; kept construction
+    // measured 2.7 → 1.1 s at ×10). Estate-scale inputs keep the r15
+    // distinct→window shape untouched.
+    val grams = (if (Tables.scanUnderfillsCores(docs))
+        grams0.repartition(s.sparkContext.defaultParallelism, col("gram"))
+      else grams0)
       .distinct()
     // DF cap as ONE window over gram instead of a count aggregate joined
     // back (guide §2.4: two operations keyed the same way share one
@@ -884,7 +900,7 @@ object DedupQueries {
     // localCheckpoint: THREE consumers (sizes, both self-join sides) —
     // without it each re-executes the scan→explode→distinct→window
     // subtree (the before-plan carried 46 Exchanges for this reason).
-    val kept = grams
+    grams
       .withColumn("gram_df", count(lit(1)).over(w))
       .where(col("gram_df") <= MaxGramDf)
       .select(col("doc_id"), col("gram"))
@@ -898,6 +914,11 @@ object DedupQueries {
       // three shapes tie at ~2.6 s min — the r14 0.51 stamp does not
       // reproduce under r14's own shape either.)
       .localCheckpoint(true)
+  }
+
+  private[graft] def x7Scored(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = x7KeptGrams(s, d)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // pin the intersection self-join's exchange width on measurably-
     // small inputs (r16, same rule as bucketSelfJoin): the join output
@@ -907,6 +928,12 @@ object DedupQueries {
     val keptJ = if (Tables.scanUnderfillsCores(docs))
       kept.repartition(s.sparkContext.defaultParallelism, col("gram"))
     else kept
+    // NOTE (r16b, measured negative result — do not retry): pinning the
+    // intersection aggregate's width (the x83 uv pin) measured flat on
+    // x7 and WORSE on its compositions (x52 3.5 → 4.4 at ×10) — the
+    // shared-gram combining is real here, so the partial aggregate
+    // earns its keep and AQE's coalesce of the small combined output is
+    // correct.
     val inter = keptJ.as("ga")
       .join(keptJ.as("gb"), col("ga.gram") === col("gb.gram") &&
         col("ga.doc_id") < col("gb.doc_id"))

@@ -1216,6 +1216,71 @@ object PhaseProbe {
           .dropDuplicates("id_a", "id_b")
           .orderBy(col("id_a"), col("id_b")))
       }),
+      // r16b x7 decomposition
+      "x7_kept_only" -> (() => {
+        // the kept-grams checkpoint construction alone: the timed cost
+        // every x7-family key pays at construction
+        noop(DedupQueries.x7KeptGrams(s, d))
+      }),
+      "x7_inter_only" -> (() => {
+        val kept = DedupQueries.x7KeptGrams(s, d)
+        val keptJ = kept.repartition(s.sparkContext.defaultParallelism,
+          col("gram"))
+        noop(keptJ.as("ga")
+          .join(keptJ.as("gb"), col("ga.gram") === col("gb.gram") &&
+            col("ga.doc_id") < col("gb.doc_id"))
+          .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_inter")))
+      }),
+      // r16b candidate: ONE gram-keyed exchange for the distinct AND the
+      // DF window (hashpartitioning(gram) satisfies the distinct's
+      // (doc_id, gram) clustering by the subset rule) — the current
+      // shape pays spread + distinct exchange + window exchange
+      "x7_kept_gramex" -> (() => {
+        val docs = Tables.documents(s, d)
+        val grams0 = Tables.spreadSmallScan(docs, "doc_id")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(col("doc_id"), col("w"),
+            explode(expr("sequence(0, size(w) - 2)")).as("i"))
+          .select(col("doc_id"),
+            expr(PortableHash.hex60("concat(w[i], '_', w[i+1])")).as("gram"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gram"))
+        noop(grams0
+          .repartition(s.sparkContext.defaultParallelism, col("gram"))
+          .distinct()
+          .withColumn("gram_df", count(lit(1)).over(w))
+          .where(col("gram_df") <= DedupQueries.MaxGramDf)
+          .select(col("doc_id"), col("gram"))
+          .localCheckpoint(true))
+      }),
+      // r16b x6 decomposition: the sim construction is checkpoint-hidden
+      // in the declared plan — probe its stages through the noop sink
+      "x6_tokens_distinct" -> (() => {
+        noop(Tables.spreadSmallScan(Tables.documents(s, d), "doc_id")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .select(col("doc_id"), expr(PortableHash.hex60("t")).as("h"))
+          .distinct())
+      }),
+      "x6_votes" -> (() => {
+        val tokens = Tables.spreadSmallScan(Tables.documents(s, d), "doc_id")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .select(col("doc_id"), expr(PortableHash.hex60("t")).as("h"))
+          .distinct()
+        val bitAggs = (0 until DedupQueries.SimBits).map { j =>
+          sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j")
+        } :+ count(lit(1)).as("n_tok")
+        noop(tokens.groupBy(col("doc_id"))
+          .agg(bitAggs.head, bitAggs.tail: _*)
+          .withColumn("simhash",
+            (0 until DedupQueries.SimBits).map(j =>
+              when(col(s"b$j") * 2 > col("n_tok"), lit(1L << j))
+                .otherwise(lit(0L)))
+              .reduce((a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column) => a.bitwiseOR(b)))
+          .select(col("doc_id"), col("simhash")))
+      }),
       "minhash_sigs" -> (() => noop(
         DedupQueries.minhashSignatures(Tables.documents(s, d)))),
       // r16 candidate: spread the documents scan before the per-token
