@@ -3205,9 +3205,12 @@ object DedupQueries {
         explode(expr(s"sequence(0, size(w) - $g)")).as("pos"))
       .select(col("doc_id"), col("pos"),
         expr(hex60(s"concat_ws(' ', $gramCols)")).as("h"))
-      // consumed by the DF-cap aggregate AND the kept join's probe side:
-      // checkpoint so the tokenize→explode→hash scan runs once (r15)
-      .localCheckpoint(true)
+    // (r16b) NO checkpoint here any more: the r15 barrier existed for
+    // the agg+join-back shape's two consumers, but the window-form DF
+    // cap consumes the positional stream exactly ONCE — the barrier was
+    // only materializing 2.5 M rows for nothing, and dropping it fuses
+    // the tokenize→explode→hash projection into the h-exchange's map
+    // stage.
     // DF cap as WINDOWS over one hash(h) exchange (r16 — the x7 trick,
     // finally applied here): the old shape paid a (doc_id, h) distinct
     // exchange, a groupBy(h) exchange, AND a join back onto the
