@@ -1094,6 +1094,13 @@ object DedupQueries {
     * distinct shuffle proportional to its own subset (the bench side is
     * 1/50 of the corpus — filtering after the shared distinct would
     * recompute the full-corpus shuffle per branch). */
+  // NOTE (r16b, measured negative result — do not retry): replacing
+  // this distinct's exchange with an explicit-width gram repartition
+  // (the x7KeptGrams win) measured 3-4× WORSE on x20/x34 at ×10
+  // (x20 1.5 → 5.7 s): unlike x7, the consumers here are broadcast
+  // joins and map-side counts that never reuse a gram partitioning, so
+  // the explicit exchange only re-shuffles the raw (pre-dedup) stream
+  // wider without saving any downstream exchange.
   private[queries] def gramsOf(docs: DataFrame): DataFrame =
     // spread before the gram explode + hash (one scan task otherwise —
     // r16, guide §2.5); no-op when the relation fills the cores
