@@ -32,7 +32,14 @@ object Explain {
     val extras: Map[String, (SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = Map(
       "x30_pairscan" -> ((s, d) => graft.queries.DedupQueries
-        .x30PairScan(s, graft.queries.Tables.embeddings(s, d))))
+        .x30PairScan(s, graft.queries.Tables.embeddings(s, d))),
+      // r16b pseudo-keys: the two construction subtrees the session's
+      // optimization touched, printable without their eager checkpoints
+      "x7_keptgrams" -> ((s, d) => graft.queries.DedupQueries
+        .x7KeptGrams(s, d, materialize = false)),
+      "x60_spanruns" -> ((s, d) => graft.queries.DedupQueries
+        .spanRunsOf(graft.queries.Tables.documents(s, d),
+          materialize = false)))
     keys.foreach { k =>
       println(s"\n========== $k ==========")
       SparkEntry.queries.get(k).orElse(extras.get(k))

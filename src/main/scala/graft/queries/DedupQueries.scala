@@ -863,7 +863,15 @@ object DedupQueries {
     * checkpointed — extracted from [[x7Scored]] so probe harnesses can
     * time the construction in isolation; each call builds a fresh
     * checkpoint exactly as before. */
-  private[graft] def x7KeptGrams(s: SparkSession, d: String): DataFrame = {
+  private[graft] def x7KeptGrams(s: SparkSession, d: String): DataFrame =
+    x7KeptGrams(s, d, materialize = true)
+
+  /** `materialize = false` skips the eager checkpoint so plan tooling
+    * (graft.Explain's `x7_keptgrams` pseudo-key) can print the
+    * otherwise checkpoint-hidden construction plan; every query path
+    * uses the materialized form. */
+  private[graft] def x7KeptGrams(s: SparkSession, d: String,
+      materialize: Boolean): DataFrame = {
     val docs = Tables.documents(s, d)
     // grams are hashed to 8-byte ints inside the projection (same
     // md5-derived hash the oracle reproduces), so the distinct + DF-join
@@ -900,20 +908,20 @@ object DedupQueries {
     // localCheckpoint: THREE consumers (sizes, both self-join sides) —
     // without it each re-executes the scan→explode→distinct→window
     // subtree (the before-plan carried 46 Exchanges for this reason).
-    grams
+    val kept = grams
       .withColumn("gram_df", count(lit(1)).over(w))
       .where(col("gram_df") <= MaxGramDf)
       .select(col("doc_id"), col("gram"))
-      // EAGER: a lazy checkpoint was measured (r15) and lost — sibling
-      // AQE stages race to materialize the same partitions and duplicate
-      // the work; the eager barrier runs the subtree exactly once.
-      // (Composition probes also measured SKIPPING this barrier inside
-      // x75 — 2.55 vs 2.08 s — and inlining the full r14 agg+join shape
-      // — 2.65 vs 2.34 s; the barrier'd window form wins there too.
-      // Re-confirmed r16 with a 3×3 cold-JVM interleaved matrix: all
-      // three shapes tie at ~2.6 s min — the r14 0.51 stamp does not
-      // reproduce under r14's own shape either.)
-      .localCheckpoint(true)
+    // EAGER: a lazy checkpoint was measured (r15) and lost — sibling
+    // AQE stages race to materialize the same partitions and duplicate
+    // the work; the eager barrier runs the subtree exactly once.
+    // (Composition probes also measured SKIPPING this barrier inside
+    // x75 — 2.55 vs 2.08 s — and inlining the full r14 agg+join shape
+    // — 2.65 vs 2.34 s; the barrier'd window form wins there too.
+    // Re-confirmed r16 with a 3×3 cold-JVM interleaved matrix: all
+    // three shapes tie at ~2.6 s min — the r14 0.51 stamp does not
+    // reproduce under r14's own shape either.)
+    if (materialize) kept.localCheckpoint(true) else kept
   }
 
   private[graft] def x7Scored(s: SparkSession, d: String): DataFrame = {
@@ -3201,7 +3209,15 @@ object DedupQueries {
   /** The span-run kernel over an arbitrary (doc_id, text) frame — the
     * registry keys run it on the table; CorpusPipeline's span_excise
     * stage runs it on the piped corpus. */
-  private[graft] def spanRunsOf(docs: DataFrame): DataFrame = {
+  private[graft] def spanRunsOf(docs: DataFrame): DataFrame =
+    spanRunsOf(docs, materialize = true)
+
+  /** `materialize = false` skips the eager kept-anchor checkpoint so
+    * plan tooling (graft.Explain's `x60_spanruns` pseudo-key) can print
+    * the otherwise checkpoint-hidden construction; all query paths use
+    * the materialized form. */
+  private[graft] def spanRunsOf(docs: DataFrame,
+      materialize: Boolean): DataFrame = {
     val g = SpanGram
     val gramCols = (0 until g).map(i => s"w[pos+$i]").mkString(", ")
     // spread before the gram explode + hash (r16, guide §2.5)
@@ -3238,7 +3254,7 @@ object DedupQueries {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // both sides of the anchor self-join read `kept` — checkpoint so
     // the window chain executes once instead of per side (r15 rule)
-    val kept0 = gramsW
+    val keptPlan = gramsW
       .withColumn("__nd",
         when(lag(col("doc_id"), 1).over(wOrd).isNull
           .or(lag(col("doc_id"), 1).over(wOrd) =!= col("doc_id")), 1L)
@@ -3246,7 +3262,7 @@ object DedupQueries {
       .withColumn("gram_df", sum(col("__nd")).over(wAll))
       .where(col("gram_df") <= SpanMaxDf)
       .select(col("doc_id"), col("pos"), col("h"))
-      .localCheckpoint(true)
+    val kept0 = if (materialize) keptPlan.localCheckpoint(true) else keptPlan
     // pin the anchor self-join's exchange width on measurably-small
     // inputs (r16, same rule as bucketSelfJoin): the join output fans
     // out per shared anchor while AQE coalesces the exchange by its

@@ -1255,6 +1255,43 @@ object PhaseProbe {
           .select(col("doc_id"), col("gram"))
           .localCheckpoint(true))
       }),
+      // r16b x58 decomposition (hashed-band era)
+      "x58_cand_hashed" -> (() => {
+        val docs = Tables.documents(s, d)
+        val small = Tables.scanUnderfillsCores(docs)
+        val sigs = DedupQueries.minhashSignatures(docs).localCheckpoint(true)
+        val banded = DedupQueries.bandBucketsHashed(sigs)
+        val ba = banded.select(col("bh"), col("doc_id").as("doc_a"))
+        val bb = banded.select(col("bh"), col("doc_id").as("doc_b"))
+        noop(DedupQueries.bucketSelfJoin(s, ba, bb, Seq("bh"))
+          .where(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .dropDuplicates("doc_a", "doc_b"))
+      }),
+      "x58_sh_only" -> (() => {
+        val docs = Tables.documents(s, d)
+        val sigs = DedupQueries.minhashSignatures(docs).localCheckpoint(true)
+        val banded = DedupQueries.bandBucketsHashed(sigs)
+        val ba = banded.select(col("bh"), col("doc_id").as("doc_a"))
+        val bb = banded.select(col("bh"), col("doc_id").as("doc_b"))
+        val cand = DedupQueries.bucketSelfJoin(s, ba, bb, Seq("bh"))
+          .where(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+          .localCheckpoint(true)
+        val candDocs = broadcast(cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct())
+        val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 3)
+        noop(words
+          .select(col("doc_id"), col("w"),
+            explode(expr("sequence(0, size(w) - 3)")).as("i"))
+          .select(col("doc_id"),
+            expr(PortableHash.hex60(
+              "concat_ws(' ', w[i], w[i+1], w[i+2])")).as("h"))
+          .join(candDocs, Seq("doc_id"), "leftsemi")
+          .distinct())
+      }),
       // r16b x6 decomposition: the sim construction is checkpoint-hidden
       // in the declared plan — probe its stages through the noop sink
       "x6_tokens_distinct" -> (() => {
