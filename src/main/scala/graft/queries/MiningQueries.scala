@@ -96,6 +96,9 @@ object MiningQueries {
     // the ED-2 del_i×del_j waste) probed SLOWER at ×10 — 6.1 vs 3.7 s
     // candidates-only — the second join's exchanges cost more than the
     // ~2/3 candidate volume they remove; the variant-only join stays.
+    // ALSO re-probed (r16b): x71's shared-window salt guard WITH the
+    // r16b pins — 10.3 vs 9.7 s paired at ×10, still no win now that
+    // the refine is cheap; selfAdaptive's per-side windows stay.
     (if (Tables.scanUnderfillsCores(names))
        refined.repartition(s.sparkContext.defaultParallelism,
          col("id_a"), col("id_b"))

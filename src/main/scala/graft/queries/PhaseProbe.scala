@@ -859,6 +859,45 @@ object PhaseProbe {
           .dropDuplicates("id_a", "id_b")
           .orderBy(col("id_a"), col("id_b")))
       }),
+      // r16b: shared window + the current pins (join-width + dedup) —
+      // the r16a probe predated both, so re-arm with a fair shape
+      "x69_sharedwin_pinned_shape" -> (() => {
+        val names = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        val sigs = names
+          .select(col("id"), col("name"),
+            explode(expr("sequence(0, length(name))")).as("i"))
+          .select(col("id"), col("name"),
+            xxhash64(when(col("i") === 0, col("name"))
+              .otherwise(concat(expr("substring(name, 1, i - 1)"),
+                expr("substring(name, i + 1, length(name))")))).as("sig"))
+        val t = DedupQueries.skewThreshold(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sig"))
+        val salted = sigs.withColumn("__salts", least(lit(32L),
+          floor((count(lit(1)).over(w) + lit(t - 1)) / lit(t))))
+        val n = s.sparkContext.defaultParallelism
+        val a = salted
+          .withColumn("__shard", (rand(42) * col("__salts")).cast("long"))
+          .select(col("sig"), col("__shard"), col("id").as("id_a"),
+            col("name").as("name_a"))
+          .repartition(n, col("sig"), col("__shard"))
+        val b = salted
+          .withColumn("__shard",
+            explode(sequence(lit(0L), col("__salts") - 1)))
+          .select(col("sig"), col("__shard"), col("id").as("id_b"),
+            col("name").as("name_b"))
+          .repartition(n, col("sig"), col("__shard"))
+        noop(a.join(b, Seq("sig", "__shard"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("edit_dist", graft.plans.SpatialFunctions
+            .bounded_levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+          .where(col("edit_dist") <= 1)
+          .select(col("id_a"), col("id_b"), col("edit_dist"))
+          .repartition(n, col("id_a"), col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+          .orderBy(col("id_a"), col("id_b")))
+      }),
       "x69_nodedup_shape" -> (() => {
         val names = Tables.customer(s, d)
           .select(col("c_custkey").as("id"), col("c_name").as("name"))
