@@ -311,7 +311,11 @@ object DedupQueries {
     *
     * Scale shape: at 100 TB the existing side is the warehouse band
     * INDEX (bucket-partitioned parquet) and the new side a slice; the
-    * band join shuffles ids-only rows keyed by (band, bucket), hot
+    * band join shuffles ids-only rows keyed by the 8-byte hashed band
+    * key (r16b — exactness restored by the sharesBandExact filter after
+    * the attach; CurationWarehouse's persisted index keeps the
+    * injective bucket strings, which remain a valid key choice for a
+    * store that must be range-scannable), hot
     * buckets shard in-plan with the slice replicated into the shards
     * ([[graft.operators.SaltedJoin.adaptive]] — the guard declares the
     * warehouse side skewed), and signatures re-attach by id afterwards
